@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates the per-category query packs under graft.queries; every
+  * SQL-expressible operator from SURVEY.md §2B has one `queries` entry
+  * and a matching DuckDB `oracleSql` string (names and output column
+  * names are aligned pairwise — the driver sorts columns by name and
+  * hash-compares values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001;
+    * driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  private def packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (Relational.queries, Relational.oracle),
+    )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.iterator.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → driver records a weaker
+    * rows-only check (used for sketches/LSH where bit-identical output
+    * is not SQL-expressible). */
+  def oracleSql: Map[String, String] =
+    packs.iterator.map(_._2).reduce(_ ++ _)
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture-table loaders.
+  *
+  * One parquet file per table under a scale-factor dir
+  * (`/root/repo/TESTDATA.md:13-15`). All engine queries go through
+  * these so that scan options/pushdown conventions live in one place.
+  *
+  * 100 TB posture: at real scale each of these would be a partitioned
+  * parquet/iceberg root (or a JDBC ranged read, see
+  * [[graft.etl.JdbcRangedSource]]); the query code below never assumes
+  * single-file inputs — it only sees a DataFrame.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** events.ts is TIMESTAMP(NANOS) on disk, which Spark 4 rejects by
+    * default (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the
+    * legacy conf, then convert to Spark's native microsecond
+    * TimestampType with integer division (double division would lose
+    * precision above 2^53 ns). Oracle-checked queries must still only
+    * emit second-or-coarser derivations of ts (SURVEY.md §7.4.2). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
