@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{Joins, Relational, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,6 +21,8 @@ object SparkEntry {
   private def packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Relational.queries, Relational.oracle),
+      (Joins.queries, Joins.oracle),
+      (Windows.queries, Windows.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Join inventory (SURVEY.md §2B J1-J7): shuffle equi-join, broadcast
+  * hash join, outer joins, semi/anti (the reference's count-compare
+  * mismatch detection shape, A6), theta/range join, as-of join, bounded
+  * cross join, and a star-schema multi-join.
+  *
+  * Scale posture: dimension tables (region/nation/customer/supplier/
+  * part) are broadcast — either explicitly ([[broadcastJoin]]) or by
+  * Catalyst's autoBroadcastJoinThreshold; the fact-fact joins shuffle
+  * on their equi keys and AQE handles skew at real scale. The as-of
+  * join avoids a cross product by equi-joining on the user key first
+  * and resolving "latest ≤ ts" with a per-event window — at 100 TB the
+  * same plan holds because the shuffle key (user) distributes evenly.
+  */
+object Joins {
+  import Conv._
+
+  /** J1 — inner equi-join orders ⋈ customer (shuffle or broadcast per
+    * Catalyst), aggregated per market segment. */
+  def innerJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+
+  val innerJoinSql: String =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** J2 — explicit broadcast hash join: part is a small dimension, so
+    * ship it to every executor instead of shuffling 600k lineitem rows.
+    * Plan shape (BroadcastHashJoin) is asserted in JoinPlanSpec. */
+  def broadcastJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        moneySum(col("l_extendedprice")).as("ext_price"))
+      .orderBy(col("p_brand"))
+
+  val broadcastJoinSql: String =
+    """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS ext_price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** J3a — left outer: every customer, with order stats or zeros. */
+  def leftOuterJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_big_orders"),
+        round(coalesce(sum(dec2(col("o_totalprice"))), expr("CAST(0.00 AS DECIMAL(18,2))")), 2).cast("double").as("big_total"))
+      .orderBy(col("c_custkey"))
+
+  val leftOuterJoinSql: String =
+    """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_big_orders,
+      |  CAST(round(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), CAST(0.00 AS DECIMAL(18,2))), 2) AS DOUBLE) AS big_total
+      |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+      |  ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** J3b — right outer (mirror of left; kept to exercise the plan path). */
+  def rightOuterJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).filter(col("o_orderstatus") === "P")
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "right_outer")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_pending"))
+      .orderBy(col("c_custkey"))
+
+  val rightOuterJoinSql: String =
+    """SELECT c_custkey, c_mktsegment, CAST(count(o_orderkey) AS BIGINT) AS n_pending
+      |FROM (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+      |RIGHT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin
+
+  /** J4a — left semi join: customers that have a pending order (EXISTS). */
+  def semiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  val semiJoinSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** J4b — left anti join: customers with NO pending order — the
+    * reference's validation mismatch-detection shape (A6). */
+  def antiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** J5 — theta join: equi key (nation) plus a non-equi condition;
+    * Catalyst extracts the equi part for the shuffle and evaluates the
+    * range predicate post-match. */
+  def thetaJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir).as("s")
+      .join(Tables.customer(s, dir).as("c"),
+        col("s.s_nationkey") === col("c.c_nationkey") &&
+        col("s.s_acctbal") > col("c.c_acctbal"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("s_nationkey"))
+
+  val thetaJoinSql: String =
+    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM supplier JOIN customer
+      |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  /** J6 — as-of join: for each event, the latest order of that user at
+    * or before the event time. Spark lacks a native as-of operator, so
+    * compose: equi-join on the user key (bounds the match set), filter
+    * to o_orderdate <= ts, then keep the max per event via window
+    * row_number — no cross product, shuffle key is the user/event id. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("event_id") < 3000)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"))
+    val joined = ev.join(o,
+      col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("o_orderdate")).as("last_order_epoch"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinSql: String =
+    """SELECT e.event_id, e.user_id,
+      |  CAST(floor(epoch(max(o.o_orderdate))) AS BIGINT) AS last_order_epoch
+      |FROM events e JOIN orders o
+      |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |WHERE e.event_id < 3000
+      |GROUP BY e.event_id, e.user_id
+      |ORDER BY e.event_id""".stripMargin
+
+  /** J7 — bounded cross join (region × nation). */
+  def crossJoinQ(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+      .crossJoin(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name")))
+      .orderBy(col("r_regionkey"), col("n_nationkey"))
+
+  val crossJoinSql: String =
+    """SELECT r_regionkey, r_name, n_nationkey, n_name
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_regionkey, n_nationkey""".stripMargin
+
+  /** Star-schema multi-join (TPC-H Q5 shape): lineitem ⋈ orders ⋈
+    * customer ⋈ nation ⋈ region with dimension filters. nation/region
+    * broadcast automatically; the lineitem⋈orders shuffle carries only
+    * pruned columns. */
+  def starJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_regionkey") < 3)
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(dec2(col("l_extendedprice")) * (expr("CAST(1.00 AS DECIMAL(3,2))") - dec2(col("l_discount")))), 2).cast("double").as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val starJoinSql: String =
+    """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_regionkey < 3
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner" -> (innerJoin _),
+    "q_join_broadcast" -> (broadcastJoin _),
+    "q_join_left" -> (leftOuterJoin _),
+    "q_join_right" -> (rightOuterJoin _),
+    "q_join_semi" -> (semiJoin _),
+    "q_join_anti" -> (antiJoin _),
+    "q_join_theta" -> (thetaJoin _),
+    "q_join_asof" -> (asofJoin _),
+    "q_join_cross" -> (crossJoinQ _),
+    "q_join_star" -> (starJoin _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner" -> innerJoinSql,
+    "q_join_broadcast" -> broadcastJoinSql,
+    "q_join_left" -> leftOuterJoinSql,
+    "q_join_right" -> rightOuterJoinSql,
+    "q_join_semi" -> semiJoinSql,
+    "q_join_anti" -> antiJoinSql,
+    "q_join_theta" -> thetaJoinSql,
+    "q_join_asof" -> asofJoinSql,
+    "q_join_cross" -> crossJoinSql,
+    "q_join_star" -> starJoinSql,
+  )
+}

@@ -22,6 +22,7 @@ import graft.Tables
   * .explain "PushedFilters"). Nothing below collects to the driver.
   */
 object Relational {
+  import Conv._
 
   /** G1 flagship — TPC-H Q1-shaped pricing summary on lineitem.
     * scan → pushed filter → partial/final hash agg → sort. */
@@ -30,21 +31,24 @@ object Relational {
       .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-01")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        round(sum(dec2(col("l_extendedprice")) *
+          (expr("CAST(1.00 AS DECIMAL(3,2))") - dec2(col("l_discount")))), 2)
+          .cast("double").as("sum_disc_price"),
+        moneyAvg("l_quantity").as("avg_qty"),
+        moneyAvg("l_discount", 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val pricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |  round(avg(l_quantity), 2) AS avg_qty,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST((2 * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) + count(*)) // (2 * count(*)) AS DOUBLE) / 100.0 AS avg_qty,
+      |  CAST((2 * CAST(sum(CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_disc,
       |  CAST(count(*) AS BIGINT) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -131,7 +135,7 @@ object Relational {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         grouping_id().cast("int").as("gid"),
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        moneySum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
@@ -143,7 +147,7 @@ object Relational {
     """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
       |  coalesce(l_linestatus, 'ALL') AS lstatus,
       |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
-      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
       |  CAST(count(*) AS BIGINT) AS n
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -156,7 +160,7 @@ object Relational {
       .agg(
         grouping_id().cast("int").as("gid"),
         count(lit(1)).as("n"),
-        round(avg(col("p_retailprice")), 2).as("avg_price"))
+        moneyAvg("p_retailprice").as("avg_price"))
       .select(
         coalesce(col("p_brand"), lit("ALL")).as("brand"),
         coalesce(col("p_type"), lit("ALL")).as("ptype"),
@@ -168,7 +172,7 @@ object Relational {
       |  coalesce(p_type, 'ALL') AS ptype,
       |  CAST(GROUPING(p_brand, p_type) AS INT) AS gid,
       |  CAST(count(*) AS BIGINT) AS n,
-      |  round(avg(p_retailprice), 2) AS avg_price
+      |  CAST((2 * CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT) + count(*)) // (2 * count(*)) AS DOUBLE) / 100.0 AS avg_price
       |FROM part
       |GROUP BY CUBE(p_brand, p_type)
       |ORDER BY gid, brand, ptype""".stripMargin
@@ -182,12 +186,13 @@ object Relational {
       .repartition(8, col("l_partkey"))
       .groupBy(col("l_returnflag"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        moneySum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
   val aggRepartitionSql: String =
-    """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+    """SELECT l_returnflag,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
       |  CAST(count(*) AS BIGINT) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 

@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window-function inventory (SURVEY.md §2B W1-W3, T2) plus the batch
+  * twins of the streaming operators (X1 tumbling/sliding, X3 session
+  * windows, X4 dedup) — the twins share semantics with the Structured
+  * Streaming versions in graft.streaming and give them an oracle.
+  *
+  * Determinism: every window ORDER BY includes a unique tiebreaker
+  * key; event timestamps enter comparisons only at whole-second
+  * precision (ns-on-disk vs µs-in-Spark, SURVEY.md §7.4.2).
+  */
+object Windows {
+  import Conv._
+
+  /** W1 — ranking functions over a partitioned, uniquely-ordered window. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 100)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("int").as("rn"),
+        rank().over(w).cast("int").as("rk"),
+        dense_rank().over(w).cast("int").as("drk"),
+        ntile(4).over(w).cast("int").as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val windowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(row_number() OVER w AS INT) AS rn,
+      |  CAST(rank() OVER w AS INT) AS rk,
+      |  CAST(dense_rank() OVER w AS INT) AS drk,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile
+      |FROM orders WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** W2 — analytic functions lag/lead/first/last on the events stream
+    * table (time expressed as epoch seconds on both engines). */
+  def windowAnalytic(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .filter(col("event_id") < 3000)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_timestamp(col("ts")).as("es"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base.select(
+        col("event_id"), col("user_id"), col("value"),
+        coalesce(lag(col("value"), 1).over(w), lit(-1.0)).as("prev_value"),
+        coalesce(lead(col("value"), 1).over(w), lit(-1.0)).as("next_value"),
+        first(col("es")).over(full).as("first_es"),
+        last(col("es")).over(full).as("last_es"))
+      .orderBy(col("event_id"))
+  }
+
+  val windowAnalyticSql: String =
+    """SELECT event_id, user_id, value,
+      |  coalesce(lag(value, 1) OVER w, -1.0) AS prev_value,
+      |  coalesce(lead(value, 1) OVER w, -1.0) AS next_value,
+      |  first_value(es) OVER wf AS first_es,
+      |  last_value(es) OVER wf AS last_es
+      |FROM (SELECT event_id, user_id, value,
+      |        CAST(floor(epoch(ts)) AS BIGINT) AS es
+      |      FROM events WHERE event_id < 3000)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id),
+      |  wf AS (PARTITION BY user_id ORDER BY es, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY event_id""".stripMargin
+
+  /** W3 — frame specs: running sum and a 3-row moving average. */
+  def windowFrames(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 50)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"),
+        round(avg(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 2)
+          .as("moving_avg3"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val windowFramesSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+      |  round(avg(o_totalprice) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_avg3
+      |FROM orders WHERE o_custkey < 50
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** T2 — per-group top-k: window rank + filter (Spark pushes the
+    * rank<=k predicate into the window via LimitPushDownThroughWindow). */
+  def topKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn").cast("int").as("rn"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val topKPerGroupSql: String =
+    """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** X1 batch twin — tumbling 1-hour window aggregation via Spark's
+    * window() bucketing; oracle uses time_bucket. Window starts are
+    * emitted as epoch seconds (always whole hours). */
+  def tumblingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        moneySum(col("value")).as("sum_value"))
+      .select(
+        unix_timestamp(col("win.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  val tumblingWindowSql: String =
+    """SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS win_start,
+      |  event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  /** X1 batch twin — sliding window (1 hour wide, 30 min slide): each
+    * event lands in exactly two windows; the oracle unnests the two
+    * candidate starts explicitly. */
+  def slidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"))
+      .agg(count(lit(1)).as("n"), moneyAvg("value").as("avg_value"))
+      .select(
+        unix_timestamp(col("win.start")).as("win_start"),
+        col("n"), col("avg_value"))
+      .orderBy(col("win_start"))
+
+  val slidingWindowSql: String =
+    """SELECT CAST(floor(epoch(win_ts)) AS BIGINT) AS win_start,
+      |  CAST(count(*) AS BIGINT) AS n, CAST((2 * CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) + count(*)) // (2 * count(*)) AS DOUBLE) / 100.0 AS avg_value
+      |FROM (SELECT value, unnest([
+      |        time_bucket(INTERVAL '30 minutes', ts),
+      |        time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+      |      ]) AS win_ts
+      |      FROM events)
+      |GROUP BY win_ts ORDER BY win_start""".stripMargin
+
+  /** X3 batch twin — sessionization with a 30-minute inactivity gap:
+    * lag-gap flag → running sum session id → per-session aggregate.
+    * Same semantics as session_window()/flatMapGroupsWithState in the
+    * streaming module; gap decisions made on whole-second epochs. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_timestamp(col("ts")).as("es"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    base
+      .withColumn("prev_es", lag(col("es"), 1).over(wOrd))
+      .withColumn("new_session",
+        when(col("prev_es").isNull || col("es") - col("prev_es") > 1800L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("int"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("es")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val sessionizeSql: String =
+    """SELECT user_id, session_id, CAST(min(es) AS BIGINT) AS session_start,
+      |  CAST(count(*) AS BIGINT) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT user_id, value, es,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+      |  FROM (
+      |    SELECT event_id, user_id, value, es,
+      |      CASE WHEN lag(es, 1) OVER w IS NULL
+      |        OR es - lag(es, 1) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+      |    FROM (SELECT event_id, user_id, value,
+      |            CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)))
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** X4 batch twin — keyed dedup with a deterministic representative
+    * (first event per (user, type) by event_id), the batch analog of
+    * streaming dropDuplicates-with-watermark. */
+  def dedupEvents(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val dedupEventsSql: String =
+    """SELECT user_id, event_type, CAST(min(event_id) AS BIGINT) AS event_id
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_rank" -> (windowRank _),
+    "q_window_analytic" -> (windowAnalytic _),
+    "q_window_frames" -> (windowFrames _),
+    "q_topk_pergroup" -> (topKPerGroup _),
+    "q_win_tumbling" -> (tumblingWindow _),
+    "q_win_sliding" -> (slidingWindow _),
+    "q_sessionize" -> (sessionize _),
+    "q_dedup_events" -> (dedupEvents _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_window_rank" -> windowRankSql,
+    "q_window_analytic" -> windowAnalyticSql,
+    "q_window_frames" -> windowFramesSql,
+    "q_topk_pergroup" -> topKPerGroupSql,
+    "q_win_tumbling" -> tumblingWindowSql,
+    "q_win_sliding" -> slidingWindowSql,
+    "q_sessionize" -> sessionizeSql,
+    "q_dedup_events" -> dedupEventsSql,
+  )
+}
