@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Joins, Relational, Windows}
+import graft.queries.{EtlQueries, Joins, Llm, Relational, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,6 +23,8 @@ object SparkEntry {
       (Relational.queries, Relational.oracle),
       (Joins.queries, Joins.oracle),
       (Windows.queries, Windows.oracle),
+      (EtlQueries.queries, EtlQueries.oracle),
+      (Llm.queries, Llm.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

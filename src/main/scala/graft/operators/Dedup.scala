@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators for large-scale training-data
+  * pipelines: exact, MinHash-banded, SimHash, and n-gram-Jaccard
+  * near-dup detection. All operators are pure DataFrame transforms —
+  * shuffles only on content-derived keys (hash, band signature,
+  * shingle), never a cross join — so they scale linearly with corpus
+  * size: at 100 TB the candidate-pair generation cost is driven by
+  * actual collisions, not by n².
+  *
+  * Hashing is md5 (same lowercase-hex output on Spark and DuckDB), so
+  * every stage is oracle-checkable in plain SQL; for hot paths where
+  * oracle parity is not needed, xxhash64 is the cheaper choice.
+  */
+object Dedup {
+
+  /** Exact dedup with a deterministic representative: one row per
+    * distinct key, keeping the minimum id. A plain groupBy — partial
+    * aggregation makes this a single shuffle of (key → min id, count).
+    * For very long texts, group by md5(text) instead of the text
+    * itself to shrink shuffle rows (collision probability ~2^-64). */
+  def exact(docs: DataFrame, key: Column, id: Column): DataFrame =
+    docs.groupBy(md5(key).as("content_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingles, one row per distinct (doc, shingle).
+    * Requires a `doc_id` and a whitespace-tokenizable `text` column. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val idx = (1 to n).map(k => s"element_at(w, i + ${k - 1})").mkString(", ")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(
+        expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $idx))"))
+        .as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signatures: for each of `numHashes` salted hash functions
+    * h_j(s) = md5(j || '|' || s), keep the per-document minimum.
+    * One shuffle on (doc_id, j); rows = |shingles| × numHashes. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 16): DataFrame =
+    sh
+      .select(col("doc_id"), col("shingle"),
+        explode(expr(s"sequence(0, ${numHashes - 1})")).as("j"))
+      .select(col("doc_id"), col("j"),
+        md5(concat(col("j").cast("string"), lit("|"), col("shingle"))).as("h"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(col("h")).as("mh"))
+
+  /** LSH banding: group the signature into bands of `rowsPerBand`
+    * consecutive hashes, concatenate each band into one key, and
+    * emit candidate pairs that collide on any band — the classic
+    * s-curve tradeoff (b bands × r rows ⇒ match prob 1-(1-s^r)^b).
+    * The self-join is on (band, band_sig): only genuine collisions
+    * materialize, so no quadratic blowup on a diverse corpus. */
+  def minhashCandidates(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    val bands = signatures
+      .groupBy(col("doc_id"), expr(s"j div $rowsPerBand").as("band"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(j, mh))), x -> x.mh), ',')")
+        .as("band_sig"))
+    val a = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_id_a"))
+    val b = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_id_b"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"))
+      .distinct()
+  }
+
+  /** SimHash: `bits`-bit signature from md5-derived per-(bit, token)
+    * coin flips, majority-voted over the document's tokens. Tokens
+    * keep their multiplicity (frequency-weighted vote). */
+  def simhash(docs: DataFrame, bits: Int = 32): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), col("tok"),
+        explode(expr(s"sequence(0, ${bits - 1})")).as("j"))
+      .select(col("doc_id"), col("j"),
+        when(substring(md5(concat(col("j").cast("string"), lit("|"), col("tok"))), 1, 1)
+          .between("0", "7"), -1).otherwise(1).as("sgn"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("sgn")).as("vote"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("vote") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(0L))
+        .as("simhash"))
+
+  /** Candidate pairs within `maxHamming` of each other, found by the
+    * pigeonhole band trick: split the signature into `maxHamming + 1`
+    * byte-bands — any pair within the radius must agree on at least
+    * one band, so the join key is (band, band value), never all-pairs. */
+  def simhashCandidates(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(expr(s"sequence(0, ${nBands - 1})")).as("b"))
+      .withColumn("band_val", expr("(simhash >> (b * 8)) & 255"))
+    val a = banded.select(col("b"), col("band_val"),
+      col("doc_id").as("doc_id_a"), col("simhash").as("sh_a"))
+    val bb = banded.select(col("b"), col("band_val"),
+      col("doc_id").as("doc_id_b"), col("simhash").as("sh_b"))
+    a.join(bb, Seq("b", "band_val"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard over pairs that share ≥1 shingle (pairs with
+    * zero overlap have similarity 0 and never materialize). The
+    * int/int→double division is a single IEEE op, bit-identical across
+    * engines, so the raw similarity is oracle-safe unrounded. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("shingle"), col("doc_id").as("doc_id_a"))
+      .join(sh.select(col("shingle"), col("doc_id").as("doc_id_b")), Seq("shingle"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("n_sh", "n_a"), "doc_id_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("n_sh", "n_b"), "doc_id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
+  }
+
+  /** Near-dup by embedding cosine, blocked on a partition key (here a
+    * label/cluster id) so the pair space is per-block, not global —
+    * the blocking column is the scale lever: at 100 TB it would be a
+    * coarse LSH bucket or IVF centroid id (see Similarity.lshBuckets). */
+  def embeddingCosinePairs(emb: DataFrame, blockKey: Column, threshold: Double): DataFrame = {
+    val withNorm = emb.select(col("vec_id"), blockKey.as("blk"),
+      col("embedding"),
+      sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("nrm"))
+    val a = withNorm.select(col("blk"), col("vec_id").as("vec_id_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withNorm.select(col("blk"), col("vec_id").as("vec_id_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("blk"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cosine", Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_id_a"), col("vec_id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** ETL-parity operators (SURVEY.md §2B E1-E3, F4): the reference's
+  * type-mapping cast pipeline (A7), its count-compare validation
+  * anti-join (A6), a stronger content-hash validator (100 TB posture:
+  * comparing per-range row counts is weak — min/max of a portable
+  * row hash detects content drift at the same shuffle cost), and the
+  * array-function surface over embeddings.
+  *
+  * The stateful frontier/retry loop itself (A9-A12) is in graft.etl —
+  * it is a control flow, not a query, and is exercised by ScalaTest.
+  */
+object EtlQueries {
+
+  /** E1 — the reference's RDBMS→BigQuery type-map as a cast pipeline
+    * (int↔bigint, numeric→bool, timestamp→epoch, double→decimal).
+    * Doubles are floor()ed before integer casts: Spark truncates
+    * double→bigint while DuckDB rounds, so the cast is made explicit. */
+  def typemapCast(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").cast("string").as("key_str"),
+        col("o_custkey").cast("int").as("cust_int"),
+        (col("o_orderstatus") === "F").as("is_final"),
+        unix_timestamp(col("o_orderdate")).as("order_epoch"),
+        floor(col("o_totalprice")).cast("bigint").as("price_floor"),
+        col("o_totalprice").cast("decimal(12,2)").cast("double").as("price_dec"))
+      .orderBy(col("o_orderkey"))
+
+  val typemapCastSql: String =
+    """SELECT o_orderkey,
+      |  CAST(o_orderkey AS VARCHAR) AS key_str,
+      |  CAST(o_custkey AS INT) AS cust_int,
+      |  o_orderstatus = 'F' AS is_final,
+      |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch,
+      |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** E2 — the reference's count-compare validator (A6), Spark-native:
+    * per-PK-range counts of "source" (orders) vs "destination"
+    * (distinct order keys seen in lineitem), FULL OUTER joined so
+    * ranges missing on either side surface, with a match verdict.
+    * At 100 TB both sides are partial-aggregated before the tiny
+    * per-bucket join — no row-level data crosses the shuffle. */
+  def countValidate(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.orders(s, dir)
+      .groupBy(expr("o_orderkey div 1000").as("bucket"))
+      .agg(count(lit(1)).as("src_n"))
+    val dst = Tables.lineitem(s, dir)
+      .groupBy(expr("l_orderkey div 1000").as("bucket"))
+      .agg(countDistinct(col("l_orderkey")).as("dst_n"))
+    src.join(dst, Seq("bucket"), "full_outer")
+      .select(
+        col("bucket"),
+        coalesce(col("src_n"), lit(0L)).as("src_n"),
+        coalesce(col("dst_n"), lit(0L)).as("dst_n"))
+      .withColumn("matched", col("src_n") === col("dst_n"))
+      .orderBy(col("bucket"))
+  }
+
+  val countValidateSql: String =
+    """SELECT coalesce(s.bucket, d.bucket) AS bucket,
+      |  CAST(coalesce(s.src_n, 0) AS BIGINT) AS src_n,
+      |  CAST(coalesce(d.dst_n, 0) AS BIGINT) AS dst_n,
+      |  coalesce(s.src_n, 0) = coalesce(d.dst_n, 0) AS matched
+      |FROM (SELECT o_orderkey // 1000 AS bucket, count(*) AS src_n
+      |      FROM orders GROUP BY 1) s
+      |FULL OUTER JOIN (SELECT l_orderkey // 1000 AS bucket,
+      |      count(DISTINCT l_orderkey) AS dst_n FROM lineitem GROUP BY 1) d
+      |  ON s.bucket = d.bucket
+      |ORDER BY bucket""".stripMargin
+
+  /** E3 — content validation, stronger than the reference's row counts:
+    * per-range min/max of a portable row hash (md5 over int/string
+    * columns formatted identically on both engines — float formatting
+    * is not portable, so hashes cover only exactly-stringifiable
+    * columns). Order-independent per bucket, so partial aggregation
+    * applies as usual. */
+  def contentValidate(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("row_hash", md5(concat_ws("|",
+        col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"),
+        col("l_returnflag"), col("l_linestatus"))))
+      .groupBy(expr("l_orderkey div 1000").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("row_hash")).as("min_hash"),
+        max(col("row_hash")).as("max_hash"))
+      .orderBy(col("bucket"))
+
+  val contentValidateSql: String =
+    """SELECT l_orderkey // 1000 AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  min(row_hash) AS min_hash, max(row_hash) AS max_hash
+      |FROM (SELECT l_orderkey,
+      |        md5(concat_ws('|', CAST(l_orderkey AS VARCHAR),
+      |          CAST(l_linenumber AS VARCHAR), l_returnflag, l_linestatus)) AS row_hash
+      |      FROM lineitem)
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** F4 — array functions over the embedding column: size, indexing,
+    * slice, aggregate/transform (sum of squares, left-to-right in
+    * double — bit-identical to DuckDB's list_sum), min/max element. */
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .filter(col("label") < 3)
+      .select(
+        col("vec_id"), col("label"),
+        size(col("embedding")).as("n_dims"),
+        element_at(col("embedding"), 1).cast("double").as("first_dim"),
+        size(expr("slice(embedding, 1, 8)")).as("head_len"),
+        expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)").as("sq_norm"),
+        array_max(col("embedding")).cast("double").as("max_dim"),
+        array_min(col("embedding")).cast("double").as("min_dim"))
+      .orderBy(col("vec_id"))
+
+  val arrayFuncsSql: String =
+    """SELECT vec_id, label,
+      |  CAST(len(embedding) AS INT) AS n_dims,
+      |  CAST(embedding[1] AS DOUBLE) AS first_dim,
+      |  CAST(len(embedding[1:8]) AS INT) AS head_len,
+      |  list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS sq_norm,
+      |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_dim,
+      |  CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_dim
+      |FROM embeddings WHERE label < 3 ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_typemap_cast" -> (typemapCast _),
+    "q_count_validate" -> (countValidate _),
+    "q_content_validate" -> (contentValidate _),
+    "q_array_funcs" -> (arrayFuncs _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_typemap_cast" -> typemapCastSql,
+    "q_count_validate" -> countValidateSql,
+    "q_content_validate" -> contentValidateSql,
+    "q_array_funcs" -> arrayFuncsSql,
+  )
+}

@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-pipeline operator queries (SURVEY.md §2B L1-L5): the dedup
+  * family (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+  * cosine), similarity search, text analysis, and multimodal binary
+  * metadata. Implementations live in graft.operators; this pack wires
+  * them to the fixture tables and provides the DuckDB oracle.
+  *
+  * md5 is used as the portable hash so even the sketch-based dedup
+  * operators are exactly oracle-checkable (same lowercase hex on both
+  * engines); raw double similarity scores are emitted unrounded
+  * because both engines compute them with identical left-to-right
+  * IEEE operations (verified bit-identical).
+  */
+object Llm {
+
+  private val shingleCte =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+      |       FROM w WHERE len(w) >= 3)""".stripMargin
+
+  /** L1 — exact dedup keyed on content hash, deterministic keeper. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), col("text"), col("doc_id"))
+      .orderBy(col("keep_id"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+      |  CAST(count(*) AS BIGINT) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  /** L2a — MinHash-LSH candidate pairs (16 hashes, 4 bands × 4 rows). */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(Tables.documents(s, dir))
+    Dedup.minhashCandidates(Dedup.minhashSignatures(sh, 16), 4)
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
+  val dedupMinhashSql: String =
+    s"""$shingleCte,
+      |hs AS (SELECT doc_id, j, min(md5(concat(CAST(j AS VARCHAR), '|', shingle))) AS mh
+      |       FROM sh, (SELECT unnest(range(0, 16)) AS j) GROUP BY doc_id, j),
+      |bands AS (SELECT doc_id, j // 4 AS band, string_agg(mh, ',' ORDER BY j) AS band_sig
+      |          FROM hs GROUP BY doc_id, j // 4)
+      |SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      |FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
+  /** L2b — SimHash near-dup candidates (32-bit signature, pigeonhole
+    * byte bands, Hamming ≤ 3). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidates(Dedup.simhash(Tables.documents(s, dir), 32), 3)
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+
+  val dedupSimhashSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tj AS (SELECT doc_id, j,
+      |         CASE WHEN substring(md5(concat(CAST(j AS VARCHAR), '|', tok)), 1, 1)
+      |           BETWEEN '0' AND '7' THEN -1 ELSE 1 END AS sgn
+      |       FROM (SELECT * FROM toks WHERE tok <> ''),
+      |            (SELECT unnest(range(0, 32)) AS j)),
+      |votes AS (SELECT doc_id, j, sum(sgn) AS vote FROM tj GROUP BY doc_id, j),
+      |sig AS (SELECT doc_id,
+      |          CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+      |        FROM votes GROUP BY doc_id),
+      |banded AS (SELECT doc_id, simhash, b, (simhash >> CAST(b * 8 AS INT)) & 255 AS band_val
+      |           FROM sig, (SELECT unnest(range(0, 4)) AS b))
+      |SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM banded a JOIN banded b
+      |  ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
+  /** L2c — exact n-gram Jaccard similarity over colliding pairs. */
+  def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.2)
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+
+  val dedupNgramSql: String =
+    s"""$shingleCte,
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT da AS doc_id_a, db AS doc_id_b,
+      |  CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) AS jaccard
+      |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      |WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.2
+      |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
+  /** L2d — embedding-cosine near-dup pairs, blocked by label. */
+  def dedupEmbCos(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), col("label"), 0.4)
+      .orderBy(col("vec_id_a"), col("vec_id_b"))
+
+  val dedupEmbCosSql: String =
+    """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+      |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |               CAST(embedding AS DOUBLE[]))) AS nrm
+      |           FROM embeddings)
+      |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+      |  list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cosine
+      |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
+      |ORDER BY vec_id_a, vec_id_b""".stripMargin
+
+  /** L3 — brute-force cosine top-5 for a bounded probe set. */
+  def simTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  val simTopKSql: String =
+    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |               CAST(embedding AS DOUBLE[]))) AS nrm
+      |           FROM embeddings),
+      |scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |             list_dot_product(p.e, c.e) / (p.nrm * c.nrm) AS cosine
+      |           FROM n p JOIN n c ON p.vec_id < 20 AND p.vec_id <> c.vec_id)
+      |SELECT probe_id, CAST(rnk AS INT) AS rnk, neighbor_id, cosine FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY cosine DESC, neighbor_id) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+
+  /** L4a — quality scoring. */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  val textQualitySql: String =
+    """SELECT doc_id,
+      |  CAST(len(w) AS INT) AS n_words,
+      |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) AS avg_word_len,
+      |  CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'to', 'and', 'in'))) AS DOUBLE)
+      |    / len(w) AS stop_ratio,
+      |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS uniq_ratio
+      |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** L4b — heuristic language ID. */
+  def textLangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  val textLangIdSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(w, x -> x IN ('the', 'and', 'of'))) AS INT) AS s_en,
+      |  CAST(len(list_filter(w, x -> x IN ('der', 'die', 'und'))) AS INT) AS s_de,
+      |  CAST(len(list_filter(w, x -> x IN ('el', 'los', 'que'))) AS INT) AS s_es,
+      |  CAST(len(list_filter(w, x -> x IN ('le', 'les', 'et'))) AS INT) AS s_fr,
+      |  CASE
+      |    WHEN len(list_filter(w, x -> x IN ('the', 'and', 'of'))) >=
+      |      greatest(len(list_filter(w, x -> x IN ('der', 'die', 'und'))),
+      |               len(list_filter(w, x -> x IN ('el', 'los', 'que'))),
+      |               len(list_filter(w, x -> x IN ('le', 'les', 'et')))) THEN 'en'
+      |    WHEN len(list_filter(w, x -> x IN ('der', 'die', 'und'))) >=
+      |      greatest(len(list_filter(w, x -> x IN ('el', 'los', 'que'))),
+      |               len(list_filter(w, x -> x IN ('le', 'les', 'et')))) THEN 'de'
+      |    WHEN len(list_filter(w, x -> x IN ('el', 'los', 'que'))) >=
+      |      len(list_filter(w, x -> x IN ('le', 'les', 'et'))) THEN 'es'
+      |    ELSE 'fr' END AS pred_lang
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** L4c — token counting (whitespace, regex, chars/4 estimate). */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_re_tokens,
+      |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** L4d — document fingerprinting (portable md5 + 60-bit prefix). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id, md5(text) AS fp_md5,
+      |  CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS fp60,
+      |  CAST(length(text) AS BIGINT) AS n_chars_actual
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** L5 — multimodal binary-column plumbing: the text bytes stand in
+    * for an opaque media payload (no image/audio libs in this
+    * environment); the engine-side schema/UDF pipeline for real decode
+    * is in graft.operators.Multimodal (ScalaTest-exercised). */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        expr("octet_length(payload)").cast("int").as("n_bytes"),
+        substring(base64(col("payload")), 1, 32).as("b64_prefix"),
+        md5(col("text")).as("payload_md5"))
+      .orderBy(col("doc_id"))
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  substring(base64(encode(text)), 1, 32) AS b64_prefix,
+      |  md5(text) AS payload_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_simhash" -> (dedupSimhash _),
+    "q_dedup_ngram" -> (dedupNgram _),
+    "q_dedup_embcos" -> (dedupEmbCos _),
+    "q_sim_topk" -> (simTopK _),
+    "q_text_quality" -> (textQuality _),
+    "q_text_langid" -> (textLangId _),
+    "q_token_count" -> (tokenCount _),
+    "q_fingerprint" -> (fingerprint _),
+    "q_multimodal_meta" -> (multimodalMeta _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_simhash" -> dedupSimhashSql,
+    "q_dedup_ngram" -> dedupNgramSql,
+    "q_dedup_embcos" -> dedupEmbCosSql,
+    "q_sim_topk" -> simTopKSql,
+    "q_text_quality" -> textQualitySql,
+    "q_text_langid" -> textLangIdSql,
+    "q_token_count" -> tokenCountSql,
+    "q_fingerprint" -> fingerprintSql,
+    "q_multimodal_meta" -> multimodalMetaSql,
+  )
+}
