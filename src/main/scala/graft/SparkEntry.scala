@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlQueries, Joins, Llm, Relational, Windows}
+import graft.queries.{EtlQueries, Extras, Joins, Llm, Relational, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,6 +25,7 @@ object SparkEntry {
       (Windows.queries, Windows.oracle),
       (EtlQueries.queries, EtlQueries.oracle),
       (Llm.queries, Llm.oracle),
+      (Extras.queries, Extras.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

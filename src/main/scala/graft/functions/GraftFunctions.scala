@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** FNV-1a 64-bit hash of a string — the engine-native fast
+  * fingerprint. md5 (used in oracle-checked queries for portability)
+  * costs a full digest per row; FNV-1a is a few ns per byte, fully
+  * inside whole-stage codegen, and good enough for content
+  * fingerprinting/bucketing where cryptographic strength is not
+  * needed. Custom Catalyst Expression with doGenCode (SURVEY.md §2B
+  * preference order: native Expression > UDF).
+  */
+case class FnvHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"fnv64 requires STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0xcbf29ce484222325L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h ^= ($bytes[$i] & 0xffL);
+         |  $h *= 0x100000001b3L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Dot product of two float arrays, accumulated left-to-right in
+  * double — numerically identical to the higher-order-function
+  * formulation in [[graft.operators.Similarity.dot]] (and to DuckDB's
+  * list_dot_product), but codegen'd into a tight primitive loop with
+  * no per-element lambda dispatch: the similarity-search hot path at
+  * scale.
+  */
+case class DotProductF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private val expected = ArrayType(FloatType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e => DataType.equalsIgnoreNullability(e.dataType, expected)))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_f32 requires ARRAY<FLOAT> args, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f32"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column-level wrappers. Registered idempotently via
+  * [[graft.Tables.load]] so every query pack can use the fast paths
+  * regardless of which entry point built the session. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val fid = org.apache.spark.sql.catalyst.FunctionIdentifier("fnv64")
+    if (!reg.functionExists(fid)) {
+      reg.createOrReplaceTempFunction("fnv64", exprs => FnvHash64(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("dot_f32",
+        exprs => DotProductF32(exprs(0), exprs(1)), "scala_udf")
+    }
+  }
+
+  def fnv64(c: Column): Column = call_function("fnv64", c)
+  def dotF32(a: Column, b: Column): Column = call_function("dot_f32", a, b)
+}

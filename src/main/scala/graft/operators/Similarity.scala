@@ -51,44 +51,52 @@ object Similarity {
         col("neighbor_id"), col("cosine"))
   }
 
-  /** Deterministic random-hyperplane LSH bucket id: `bits` sign bits
-    * of projections onto pseudo-random planes derived from md5 of
-    * (plane index, dimension index) — fully reproducible across runs
-    * and engines, no RNG state. Vectors in the same bucket are
-    * near-duplicates candidates / ANN candidates.
+  /** Deterministic random-hyperplane LSH: `tables` independent hash
+    * tables of `bits` sign bits each (one output row per (vector,
+    * table)). Plane components are derived from md5 of (global plane
+    * index, dimension index) — fully reproducible across runs and
+    * engines, no RNG state. A pair is a candidate if it collides in
+    * ANY table (OR-amplification): per-table collision prob is
+    * s(θ)^bits, overall 1-(1-s^bits)^tables — the multi-table union is
+    * what lifts recall without coarsening the buckets.
     *
     * Plane component p[i][d] ∈ [-0.5, 0.5) is
     * (conv(md5("i|d")[1..7], 16, 10) / 16^7) - 0.5. */
-  def lshBuckets(emb: DataFrame, bits: Int = 8, dims: Int = 64): DataFrame = {
-    // Projection for one plane i: Σ_d e[d] * plane(i, d).
-    def proj(i: Int): Column = {
-      val terms = expr(
+  def lshBuckets(emb: DataFrame, bits: Int = 6, tables: Int = 8,
+                 dims: Int = 64): DataFrame = {
+    // Projection onto global plane (t*bits + i): Σ_d e[d] * plane(g, d).
+    def proj(t: Column, i: Int): Column =
+      expr(
         s"""aggregate(
            |  zip_with(embedding, sequence(0, ${dims - 1}),
            |    (x, d) -> CAST(x AS DOUBLE) *
-           |      (CAST(conv(substring(md5(concat('$i', '|', CAST(d AS STRING))), 1, 7), 16, 10) AS DOUBLE)
+           |      (CAST(conv(substring(md5(concat(CAST(t * $bits + $i AS STRING), '|',
+           |        CAST(d AS STRING))), 1, 7), 16, 10) AS DOUBLE)
            |        / 268435456.0 - 0.5)),
            |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
-      terms
-    }
+    val withT = emb.withColumn("t", explode(expr(s"sequence(0, ${tables - 1})")))
     val bucketBits = (0 until bits).map(i =>
-      when(proj(i) > 0, expr(s"shiftleft(CAST(1 AS BIGINT), $i)")).otherwise(0L))
-    emb.withColumn("bucket", bucketBits.reduce(_ + _))
+      when(proj(col("t"), i) > 0, expr(s"shiftleft(CAST(1 AS BIGINT), $i)")).otherwise(0L))
+    withT.withColumn("bucket", bucketBits.reduce(_ + _))
   }
 
-  /** Approximate top-k: score only candidates sharing the probe's LSH
-    * bucket. At 100 TB this is the plan that survives: bucket the
-    * corpus once (narrow job, writes bucketed/partitioned), then each
-    * query shuffles only its bucket's candidates. Recall is tested
-    * against [[bruteForceTopK]] in SimilaritySpec. */
-  def lshTopK(probes: DataFrame, candidates: DataFrame, k: Int, bits: Int = 8): DataFrame = {
-    val p = lshBuckets(probes, bits).select(col("vec_id").as("probe_id"),
-      col("embedding").as("pe"), col("bucket"))
-    val c = lshBuckets(candidates, bits).select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("ce"), col("bucket"))
-    val scored = c.join(broadcast(p), Seq("bucket"))
+  /** Approximate top-k: score only candidates colliding with the probe
+    * in at least one LSH table. At 100 TB this is the plan that
+    * survives: bucket the corpus once (narrow job, written bucketed by
+    * (t, bucket)), then each query touches ~tables/2^bits of the
+    * corpus instead of all of it. Recall vs [[bruteForceTopK]] is
+    * asserted in SimilaritySpec. */
+  def lshTopK(probes: DataFrame, candidates: DataFrame, k: Int,
+              bits: Int = 6, tables: Int = 8): DataFrame = {
+    val p = lshBuckets(probes, bits, tables).select(col("t"), col("bucket"),
+      col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val c = lshBuckets(candidates, bits, tables).select(col("t"), col("bucket"),
+      col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val cand = c.join(broadcast(p), Seq("t", "bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("pe"), col("ce")))
+      .select(col("probe_id"), col("neighbor_id"), col("pe"), col("ce"))
+      .distinct() // collapse multi-table collisions before scoring
+    val scored = cand.withColumn("cosine", cosine(col("pe"), col("ce")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored

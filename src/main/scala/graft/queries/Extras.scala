@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions
+import graft.operators.{Multimodal, Similarity, VectorMean}
+
+/** No-oracle operators (SURVEY.md §2B G3, G6, plus the ANN scale path
+  * and the engine-native fingerprint): results are not bit-expressible
+  * in DuckDB SQL (sketches, engine-specific hashes, LSH bucketing),
+  * so the driver records a rows-only check and the real assertions
+  * live in ScalaTest (tolerance vs exact, recall vs brute force,
+  * known-answer vectors, equivalence to built-in avg).
+  */
+object Extras {
+
+  /** G3 — HLL approximate distinct count alongside the exact value;
+    * the spec asserts relative error < 5%. At scale this is the
+    * mergeable-sketch answer to COUNT(DISTINCT) without the full
+    * distinct shuffle. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** G6/D2 — custom typed Aggregator: per-label element-wise embedding
+    * mean (the centroid computation behind IVF-style ANN indexing). */
+  def vectorCentroids(s: SparkSession, dir: String): DataFrame = {
+    val vm = udaf(new VectorMean(64))
+    Tables.embeddings(s, dir)
+      .groupBy(col("label"))
+      .agg(vm(col("embedding")).as("centroid"))
+      .select(col("label"),
+        round(element_at(col("centroid"), 1), 6).as("c1"),
+        round(element_at(col("centroid"), 2), 6).as("c2"),
+        round(expr("aggregate(centroid, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"), 6)
+          .as("sq_norm"))
+      .orderBy(col("label"))
+  }
+
+  /** ANN — LSH-bucketed approximate top-k (the 100 TB similarity
+    * path); recall vs bruteForceTopK asserted in SimilaritySpec. */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, 5, bits = 6, tables = 8)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Engine-native fingerprint via the codegen'd FNV-1a expression
+    * (known-answer vectors asserted in FunctionsSpec). */
+  def fnvFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), GraftFunctions.fnv64(col("text")).as("fp64"))
+      .orderBy(col("doc_id"))
+
+  /** L5 — multimodal decode/feature pipeline on synthesized payloads
+    * (decode stage stubbed; plumbing real — see operators.Multimodal). */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromDocuments(Tables.documents(s, dir))
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("n_bytes"), col("checksum"),
+        round(element_at(col("feature"), 1), 4).as("f1"))
+      .orderBy(col("media_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_distinct" -> (approxDistinct _),
+    "q_vector_centroids" -> (vectorCentroids _),
+    "q_ann_lsh" -> (annLsh _),
+    "q_fnv_fingerprint" -> (fnvFingerprint _),
+    "q_multimodal_features" -> (multimodalFeatures _),
+  )
+
+  /** Intentionally empty: these operators have no DuckDB-expressible
+    * oracle; the driver falls back to a rows-only check. */
+  val oracle: Map[String, String] = Map.empty
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Driver-contract smoke tests (t1) + plan-shape assertions: the plans
+  * we claim in Scaladoc (broadcast hash join, parquet filter pushdown,
+  * column pruning) must actually be the plans Catalyst produces. */
+class EntrySpec extends SparkSpec {
+
+  test("entry returns rows (t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query has either an oracle or is documented no-oracle") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracle keys without query: ${os.diff(qs)}")
+  }
+
+  test("broadcast join plans a BroadcastHashJoin") {
+    val plan = queries.Joins.broadcastJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("ranged scan pushes the PK range into the parquet scan") {
+    val plan = queries.Relational.rangedScan(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), GreaterThan(l_orderkey,1000)")
+      || plan.contains("GreaterThan(l_orderkey,1000)"), plan.take(2000))
+  }
+
+  test("projection prunes unread columns from the scan") {
+    val plan = queries.Joins.innerJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // orders scan must not read o_orderdate/o_orderpriority
+    val scanLine = plan.linesIterator.find(l => l.contains("orders.parquet")).getOrElse("")
+    assert(!plan.contains("o_orderpriority"), "unused column not pruned")
+  }
+
+  test("partial aggregation invariance: agg(repartition(n, df)) == agg(df)") {
+    val base = Tables.lineitem(spark, sfDir)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")).collect().toSeq
+    val expected = agg(base)
+    for (n <- Seq(1, 3, 8)) {
+      assert(agg(base.repartition(n)) == expected, s"mismatch at repartition($n)")
+    }
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val rows = queries.Extras.approxDistinct(spark, sfDir).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05, s"HLL off: $approx vs $exact")
+    }
+  }
+
+  test("vector centroid UDAF matches built-in avg on first component") {
+    import org.apache.spark.sql.functions.{avg, element_at}
+    val viaUdaf = queries.Extras.vectorCentroids(spark, sfDir)
+      .select(col("label"), col("c1")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val viaAvg = Tables.embeddings(spark, sfDir)
+      .groupBy(col("label"))
+      .agg(round(avg(element_at(col("embedding"), 1)), 6).as("c1"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(viaUdaf.keySet == viaAvg.keySet)
+    viaUdaf.foreach { case (k, v) =>
+      assert(math.abs(v - viaAvg(k)) < 1e-6, s"label $k: $v vs ${viaAvg(k)}")
+    }
+  }
+}

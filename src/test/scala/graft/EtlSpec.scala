@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.etl.{BatchRecord, IncrementalRunner, JdbcRangedSource, ParquetRangeSink, StateStore}
+
+/** Crash/resume, idempotency, and validation semantics of the
+  * incremental frontier loop (the reference's run/check/retry/sync
+  * surface, SURVEY.md §2A A9-A12). */
+class EtlSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-etl").toString
+
+  test("state store: upsert is keyed, versions survive re-read") {
+    val st = new StateStore(spark, tmp())
+    assert(st.read().isEmpty)
+    st.upsert(Seq(BatchRecord("t", -1, 10, 11, "DONE", 1)))
+    st.upsert(Seq(BatchRecord("t", 10, 20, 10, "PENDING", 2)))
+    assert(st.read().size == 2)
+    // same range re-recorded replaces, not duplicates
+    st.upsert(Seq(BatchRecord("t", 10, 20, 10, "DONE", 3)))
+    assert(st.read().size == 2)
+    assert(st.frontier("t") == 20L)
+    assert(st.pending("t").isEmpty)
+  }
+
+  test("full incremental run migrates everything exactly once") {
+    val src = Tables.orders(spark, sfDir) // 1500 rows, keys 0..1499
+    val out = tmp()
+    val runner = new IncrementalRunner(spark, new StateStore(spark, s"$out/state"),
+      new ParquetRangeSink(s"$out/data"), batchSize = 400)
+    val recs = runner.run(src, "orders", "o_orderkey")
+    assert(recs.map(_.rowCount).sum == src.count())
+    val written = spark.read.parquet(s"$out/data/orders/range_*")
+    assert(written.count() == src.count())
+    assert(written.select(countDistinct(col("o_orderkey"))).head.getLong(0) == src.count())
+    // second run: frontier caught up, nothing to do
+    assert(runner.run(src, "orders", "o_orderkey").isEmpty)
+  }
+
+  test("crash mid-run resumes without loss or duplication") {
+    val src = Tables.orders(spark, sfDir)
+    val out = tmp()
+    val state = new StateStore(spark, s"$out/state")
+    val runner = new IncrementalRunner(spark, state,
+      new ParquetRangeSink(s"$out/data"), batchSize = 400)
+    intercept[RuntimeException] {
+      runner.run(src, "orders", "o_orderkey", failAt = 2)
+    }
+    assert(state.frontier("orders") == 799L.min(src.count())) // 2 batches of 400 committed
+    // resume: completes the remainder, total exact
+    runner.run(src, "orders", "o_orderkey")
+    val written = spark.read.parquet(s"$out/data/orders/range_*")
+    assert(written.count() == src.count())
+    assert(written.select(countDistinct(col("o_orderkey"))).head.getLong(0) == src.count())
+  }
+
+  test("growing source: next run migrates only the delta (sync semantics)") {
+    val src = Tables.orders(spark, sfDir)
+    val out = tmp()
+    val runner = new IncrementalRunner(spark, new StateStore(spark, s"$out/state"),
+      new ParquetRangeSink(s"$out/data"), batchSize = 1000)
+    runner.run(src.filter(col("o_orderkey") < 500), "orders", "o_orderkey")
+    val delta = runner.run(src, "orders", "o_orderkey")
+    assert(delta.nonEmpty)
+    assert(delta.forall(_.pkLower >= 499L))
+    assert(spark.read.parquet(s"$out/data/orders/range_*").count() == src.count())
+  }
+
+  test("validate flags a damaged range; retry repairs it idempotently") {
+    val src = Tables.orders(spark, sfDir)
+    val out = tmp()
+    val state = new StateStore(spark, s"$out/state")
+    val sink = new ParquetRangeSink(s"$out/data")
+    val runner = new IncrementalRunner(spark, state, sink, batchSize = 500)
+    runner.run(src, "orders", "o_orderkey")
+    assert(runner.validate(src, "orders", "o_orderkey").isEmpty)
+    // damage one range (simulates a failed/partial destination load)
+    val victim = state.read().head
+    val dir = new java.io.File(sink.path("orders", victim.pkLower, victim.pkUpper))
+    dir.listFiles().foreach(_.delete()); dir.delete()
+    val bad = runner.validate(src, "orders", "o_orderkey")
+    assert(bad.map(r => (r.pkLower, r.pkUpper)) == Seq((victim.pkLower, victim.pkUpper)))
+    val fixed = runner.retry(src, "orders", "o_orderkey")
+    assert(fixed.size == 1 && fixed.head.status == "DONE")
+    assert(runner.validate(src, "orders", "o_orderkey").isEmpty)
+    assert(spark.read.parquet(s"$out/data/orders/range_*").count() == src.count())
+  }
+
+  test("jdbc ranged-source options reproduce the reference's batching") {
+    val o = JdbcRangedSource.options("jdbc:postgresql://h/db", "t", "pk", 0, 100000, 32)
+    assert(o("partitionColumn") == "pk" && o("numPartitions") == "32")
+    assert(o("lowerBound") == "0" && o("upperBound") == "100000")
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.fromDocuments(Tables.documents(spark, sfDir))
+
+  test("media schema: binary payload + typed metadata struct") {
+    val sch = media.schema
+    assert(sch("payload").dataType.typeName == "binary")
+    assert(sch("meta").dataType.typeName == "struct")
+  }
+
+  test("feature extraction is deterministic and partition-count independent") {
+    val a = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val b = Multimodal.extractFeatures(media.repartition(7)).collect().sortBy(_.media_id)
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.checksum == y.checksum && x.feature.toSeq == y.feature.toSeq)
+    }
+  }
+
+  test("checksum equals the fnv64 of the text (payload round-trips)") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val viaExpr = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), GraftFunctions.fnv64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Multimodal.extractFeatures(media).collect().foreach { f =>
+      assert(f.checksum == viaExpr(f.media_id))
+    }
+  }
+
+  test("frame sampling emits stride-spaced indices per media row") {
+    val rows = Multimodal.sampleFrames(media.limit(3), stride = 10)
+      .collect().groupBy(_.getLong(0))
+    rows.values.foreach { frames =>
+      val idx = frames.map(_.getInt(2)).sorted
+      assert(idx.zipWithIndex.forall { case (v, i) => v == i * 10 })
+    }
+  }
+}

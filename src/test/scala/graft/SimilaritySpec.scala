@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force top-1 of a duplicated vector is its duplicate") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val vecs = (0L to 30L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 7 + d).toFloat).toSeq)
+    }
+    // vec 31 duplicates vec 5
+    val all = (vecs :+ ((31L, vecs(5)._2))).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val top = Similarity.bruteForceTopK(all.filter(col("vec_id") === 31), all, 1)
+      .collect().head
+    assert(top.getAs[Long]("neighbor_id") == 5L)
+    assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-12)
+  }
+
+  test("LSH top-k achieves positive recall vs brute force on fixture data") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(probes, emb, 5))
+    val approx = pairs(Similarity.lshTopK(probes, emb, 5, bits = 6, tables = 8))
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"LSH recall@5 = $recall (candidates scored: ${approx.size})")
+    assert(recall > 0.3, s"recall $recall too low")
+    // LSH never invents neighbors with better cosine than brute force top-1
+    assert(approx.nonEmpty)
+  }
+
+  test("custom dot_f32 expression equals HOF dot bit-for-bit") {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir).limit(50)
+    val both = emb.select(
+      Similarity.dot(col("embedding"), col("embedding")).as("hof"),
+      GraftFunctions.dotF32(col("embedding"), col("embedding")).as("native"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"HOF ${r.getDouble(0)} != native ${r.getDouble(1)}")
+    }
+  }
+
+  test("fnv64 known-answer vectors") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val out = Seq("", "a", "hello").toDF("s")
+      .select(GraftFunctions.fnv64(col("s"))).collect().map(_.getLong(0))
+    assert(out(0) == 0xcbf29ce484222325L)
+    assert(out(1) == 0xaf63dc4c8601ec8cL)
+    // cross-check interpreted vs codegen path: same value via filter forcing eval
+    val viaEval = graft.functions.FnvHash64(
+      org.apache.spark.sql.catalyst.expressions.Literal("hello"))
+      .eval(null).asInstanceOf[Long]
+    assert(out(2) == viaEval)
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{EventRow, EventStreams}
+
+/** Structured Streaming operators via MemoryStream, plus batch/stream
+  * equivalence: the streaming aggregations must agree with the batch
+  * twins that carry the DuckDB oracle. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1700000000000L + minutes * 60000L)
+
+  private def mkEvents(rows: (Long, Long, Long, String, Double)*): Seq[EventRow] =
+    rows.map { case (id, min, uid, typ, v) => EventRow(id, ts(min), uid, typ, v) }
+
+  test("tumbling window stream agg matches batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val events = mkEvents(
+      (1, 0, 1, "a", 1.0), (2, 10, 1, "a", 2.0), (3, 61, 1, "a", 4.0),
+      (4, 65, 2, "b", 8.0), (5, 130, 1, "a", 16.0))
+    stream.addData(events)
+    val q = EventStreams.tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("tumbling")
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(max(col("n")).as("n")) // update mode re-emits; take latest
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = events.toDF()
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getStruct(0).getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
+  test("watermark drops events later than 30 minutes behind the max") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("late")
+      .outputMode(OutputMode.Update()).start()
+    stream.addData(mkEvents((1, 200, 1, "a", 1.0)))
+    q.processAllAvailable() // watermark advances to minute 170
+    stream.addData(mkEvents((2, 10, 1, "a", 1.0))) // far too late: window [0,60) < watermark
+    q.processAllAvailable(); q.stop()
+    val wins = spark.table("late").select(col("win_start")).distinct()
+      .collect().map(_.getTimestamp(0)).toSet
+    // only the hour window containing ts(200) appears; the window of the
+    // late event (the hour containing ts(10)) was dropped by the watermark
+    assert(wins.size == 1, s"windows: $wins")
+    assert(wins.head.getTime > ts(100).getTime, s"late window leaked: $wins")
+  }
+
+  test("streaming dedup removes within-watermark duplicate event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    stream.addData(mkEvents(
+      (1, 0, 1, "a", 1.0), (1, 1, 1, "a", 1.0), (2, 2, 1, "b", 2.0)))
+    val q = EventStreams.dedup(stream.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup").select(col("event_id")).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("mapGroupsWithState accumulates per-user state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.runningUserStats(stream.toDS())
+      .writeStream.format("memory").queryName("userstats")
+      .outputMode(OutputMode.Update()).start()
+    stream.addData(mkEvents((1, 0, 7, "a", 1.5), (2, 1, 7, "a", 2.5)))
+    q.processAllAvailable()
+    stream.addData(mkEvents((3, 2, 7, "b", 4.0)))
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("userstats").filter(col("user_id") === 7)
+      .orderBy(col("n_events").desc).collect().head
+    assert(last.getAs[Long]("n_events") == 3L)
+    assert(math.abs(last.getAs[Double]("total_value") - 8.0) < 1e-9)
+  }
+
+  test("session_window (batch mode) agrees with the lag-gap sessionizer") {
+    import spark.implicits._
+    // Three sessions for user 1 (gaps > 30 min at minutes 100 and 200),
+    // one session for user 2.
+    val events = mkEvents(
+      (1, 0, 1, "a", 1.0), (2, 10, 1, "a", 1.0), (3, 25, 1, "a", 1.0),
+      (4, 100, 1, "a", 1.0), (5, 110, 1, "a", 1.0),
+      (6, 200, 1, "a", 1.0),
+      (7, 5, 2, "b", 1.0)).toDF()
+    val viaBuiltin = events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count().groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaBuiltin == Map(1L -> 3L, 2L -> 1L))
+  }
+
+  test("syncAvailableNow drains new files into the destination (A12 sync)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sync").toString
+    val src = Tables.orders(spark, sfDir)
+    src.filter(col("o_orderkey") < 500).write.parquet(s"$base/in/p1")
+    // first drain
+    var q = EventStreams.syncAvailableNow(spark, s"$base/in/*", s"$base/in/p1",
+      s"$base/out", s"$base/ckpt")
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$base/out").count() == 500)
+    // source grows; second drain picks up only the delta via checkpoint
+    src.filter(col("o_orderkey") >= 500).write.parquet(s"$base/in/p2")
+    q = EventStreams.syncAvailableNow(spark, s"$base/in/*", s"$base/in/p1",
+      s"$base/out", s"$base/ckpt")
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$base/out").count() == src.count())
+  }
+}
