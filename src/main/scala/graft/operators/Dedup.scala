@@ -40,29 +40,44 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signatures: for each of `numHashes` salted hash functions
-    * h_j(s) = md5(j || '|' || s), keep the per-document minimum.
-    * One shuffle on (doc_id, j); rows = |shingles| × numHashes. */
-  def minhashSignatures(sh: DataFrame, numHashes: Int = 16): DataFrame =
-    sh
-      .select(col("doc_id"), col("shingle"),
-        explode(expr(s"sequence(0, ${numHashes - 1})")).as("j"))
-      .select(col("doc_id"), col("j"),
-        md5(concat(col("j").cast("string"), lit("|"), col("shingle"))).as("h"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(col("h")).as("mh"))
+  /** MinHash signatures as one array column per document.
+    *
+    * Scale shape: the `numHashes` salted hashes h_j(s) = md5(j||'|'||s)
+    * are computed once per DISTINCT shingle (the vocabulary), not per
+    * (doc, shingle) occurrence — on a repetitive corpus that is orders
+    * of magnitude fewer digests — then joined back and min-aggregated
+    * per document in a single shuffle with `numHashes` min states
+    * (no |shingles|×numHashes row explosion). */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 16): DataFrame = {
+    // 60-bit numeric hash (first 15 hex chars of md5): same ordering as
+    // the lexicographic hex min, but 8-byte agg state and shuffle keys
+    // instead of 32-char strings.
+    val vocab = sh.select(col("shingle")).distinct()
+      .withColumn("hs", expr(
+        s"""transform(sequence(0, ${numHashes - 1}), j ->
+           |  CAST(conv(substring(md5(concat(CAST(j AS STRING), '|', shingle)), 1, 15), 16, 10) AS BIGINT))"""
+          .stripMargin))
+    val mins = (0 until numHashes).map(j =>
+      min(element_at(col("hs"), j + 1)).as(s"mh$j"))
+    sh.join(vocab, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(j => col(s"mh$j").cast("string")): _*).as("sig"))
+  }
 
-  /** LSH banding: group the signature into bands of `rowsPerBand`
+  /** LSH banding: split the signature into bands of `rowsPerBand`
     * consecutive hashes, concatenate each band into one key, and
     * emit candidate pairs that collide on any band — the classic
     * s-curve tradeoff (b bands × r rows ⇒ match prob 1-(1-s^r)^b).
     * The self-join is on (band, band_sig): only genuine collisions
     * materialize, so no quadratic blowup on a diverse corpus. */
   def minhashCandidates(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
-    val bands = signatures
-      .groupBy(col("doc_id"), expr(s"j div $rowsPerBand").as("band"))
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(j, mh))), x -> x.mh), ',')")
-        .as("band_sig"))
+    val bands = signatures.select(col("doc_id"), col("sig"),
+        explode(expr(s"sequence(0, size(sig) div $rowsPerBand - 1)")).as("band"))
+      .select(col("doc_id"), col("band"),
+        expr(s"array_join(slice(sig, band * $rowsPerBand + 1, $rowsPerBand), ',')")
+          .as("band_sig"))
     val a = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_id_a"))
     val b = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_id_b"))
     a.join(b, Seq("band", "band_sig"))
@@ -73,22 +88,34 @@ object Dedup {
 
   /** SimHash: `bits`-bit signature from md5-derived per-(bit, token)
     * coin flips, majority-voted over the document's tokens. Tokens
-    * keep their multiplicity (frequency-weighted vote). */
-  def simhash(docs: DataFrame, bits: Int = 32): DataFrame =
-    docs
+    * keep their multiplicity (frequency-weighted vote).
+    *
+    * Scale shape: the coin flips are computed once per DISTINCT token
+    * (vocabulary × bits — typically tiny and auto-broadcast by
+    * Catalyst), then joined to per-doc token frequencies; the vote for
+    * every bit is a separate sum state in ONE hash aggregate keyed by
+    * doc_id — no (doc × token × bit) row explosion, no second shuffle. */
+  def simhash(docs: DataFrame, bits: Int = 32): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
-      .select(col("doc_id"), col("tok"),
-        explode(expr(s"sequence(0, ${bits - 1})")).as("j"))
-      .select(col("doc_id"), col("j"),
-        when(substring(md5(concat(col("j").cast("string"), lit("|"), col("tok"))), 1, 1)
-          .between("0", "7"), -1).otherwise(1).as("sgn"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("sgn")).as("vote"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val vocab = toks.select(col("tok")).distinct()
+      .withColumn("sgns", expr(
+        s"""transform(sequence(0, ${bits - 1}), j ->
+           |  CASE WHEN substring(md5(concat(CAST(j AS STRING), '|', tok)), 1, 1)
+           |    BETWEEN '0' AND '7' THEN -1 ELSE 1 END)""".stripMargin))
+    val votes = (0 until bits).map(j =>
+      sum(col("cnt") * element_at(col("sgns"), j + 1)).as(s"v$j"))
+    toks.join(vocab, Seq("tok"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("vote") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(0L))
-        .as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
 
   /** Candidate pairs within `maxHamming` of each other, found by the
     * pigeonhole band trick: split the signature into `maxHamming + 1`
@@ -137,6 +164,7 @@ object Dedup {
     * the blocking column is the scale lever: at 100 TB it would be a
     * coarse LSH bucket or IVF centroid id (see Similarity.lshBuckets). */
   def embeddingCosinePairs(emb: DataFrame, blockKey: Column, threshold: Double): DataFrame = {
+    Similarity.ensureRegistered(emb)
     val withNorm = emb.select(col("vec_id"), blockKey.as("blk"),
       col("embedding"),
       sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("nrm"))

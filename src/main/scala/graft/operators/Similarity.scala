@@ -15,11 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right double-precision dot product of two float arrays. */
+  /** Left-to-right double-precision dot product of two float arrays —
+    * the codegen'd native expression (see graft.functions
+    * .DotProductF32); numerically identical to [[dotHof]] but without
+    * per-element lambda dispatch. Callers must hold a session with
+    * GraftFunctions registered (operators entered via a DataFrame call
+    * [[ensureRegistered]] first). */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("dot_f32", a, b)
+
+  /** Reference formulation via higher-order functions; kept for the
+    * bit-identity cross-check in SimilaritySpec. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  private[operators] def ensureRegistered(df: DataFrame): Unit =
+    graft.functions.GraftFunctions.register(df.sparkSession)
 
   /** Cosine similarity (computes norms inline; prefer pre-computed
     * norm columns when scoring many pairs per vector). */
@@ -33,6 +46,7 @@ object Similarity {
     * table. Use only for bounded probe sets — the scale path is
     * [[lshTopK]]. */
   def bruteForceTopK(probes: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    ensureRegistered(probes)
     val p = probes.select(col("vec_id").as("probe_id"),
       col("embedding").as("pe"),
       sqrt(dot(col("embedding"), col("embedding"))).as("pn"))
@@ -51,33 +65,40 @@ object Similarity {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** Deterministic pseudo-random hyperplane component for global plane
+    * g, dimension d — derived from md5 so buckets are reproducible
+    * across runs with no RNG state. */
+  private[operators] def planeComponent(g: Int, d: Int): Float = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$g|$d".getBytes("UTF-8"))
+    val hex = digest.take(4).map(b => f"$b%02x").mkString.take(7)
+    (java.lang.Long.parseLong(hex, 16).toDouble / 268435456.0 - 0.5).toFloat
+  }
+
   /** Deterministic random-hyperplane LSH: `tables` independent hash
     * tables of `bits` sign bits each (one output row per (vector,
-    * table)). Plane components are derived from md5 of (global plane
-    * index, dimension index) — fully reproducible across runs and
-    * engines, no RNG state. A pair is a candidate if it collides in
-    * ANY table (OR-amplification): per-table collision prob is
-    * s(θ)^bits, overall 1-(1-s^bits)^tables — the multi-table union is
-    * what lifts recall without coarsening the buckets.
+    * table)). A pair is a candidate if it collides in ANY table
+    * (OR-amplification): per-table collision prob is s(θ)^bits,
+    * overall 1-(1-s^bits)^tables — the multi-table union lifts recall
+    * without coarsening the buckets.
     *
-    * Plane component p[i][d] ∈ [-0.5, 0.5) is
-    * (conv(md5("i|d")[1..7], 16, 10) / 16^7) - 0.5. */
+    * Scale shape: the plane matrix is tiny and ships as literals
+    * inside the codegen'd projection (dot_f32 against a constant
+    * array) — bucketing is a narrow map over the corpus, one pass,
+    * tables×bits fused dot products per vector; no shuffle until the
+    * candidate join. */
   def lshBuckets(emb: DataFrame, bits: Int = 6, tables: Int = 8,
                  dims: Int = 64): DataFrame = {
-    // Projection onto global plane (t*bits + i): Σ_d e[d] * plane(g, d).
-    def proj(t: Column, i: Int): Column =
-      expr(
-        s"""aggregate(
-           |  zip_with(embedding, sequence(0, ${dims - 1}),
-           |    (x, d) -> CAST(x AS DOUBLE) *
-           |      (CAST(conv(substring(md5(concat(CAST(t * $bits + $i AS STRING), '|',
-           |        CAST(d AS STRING))), 1, 7), 16, 10) AS DOUBLE)
-           |        / 268435456.0 - 0.5)),
-           |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
-    val withT = emb.withColumn("t", explode(expr(s"sequence(0, ${tables - 1})")))
-    val bucketBits = (0 until bits).map(i =>
-      when(proj(col("t"), i) > 0, expr(s"shiftleft(CAST(1 AS BIGINT), $i)")).otherwise(0L))
-    withT.withColumn("bucket", bucketBits.reduce(_ + _))
+    ensureRegistered(emb)
+    def bucketFor(t: Int): Column =
+      (0 until bits).map { i =>
+        val plane = Array.tabulate(dims)(d => planeComponent(t * bits + i, d))
+        when(dot(col("embedding"), lit(plane)) > 0, lit(1L << i)).otherwise(0L)
+      }.reduce(_ + _)
+    val buckets = array((0 until tables).map(bucketFor): _*)
+    emb.withColumn("bkts", buckets)
+      .select(col("*"), posexplode(col("bkts")).as(Seq("t", "bucket")))
+      .drop("bkts")
   }
 
   /** Approximate top-k: score only candidates colliding with the probe

@@ -44,9 +44,11 @@ object Llm {
 
   val dedupMinhashSql: String =
     s"""$shingleCte,
-      |hs AS (SELECT doc_id, j, min(md5(concat(CAST(j AS VARCHAR), '|', shingle))) AS mh
+      |hs AS (SELECT doc_id, j,
+      |         min(CAST(concat('0x', substring(md5(concat(CAST(j AS VARCHAR), '|', shingle)), 1, 15)) AS BIGINT)) AS mh
       |       FROM sh, (SELECT unnest(range(0, 16)) AS j) GROUP BY doc_id, j),
-      |bands AS (SELECT doc_id, j // 4 AS band, string_agg(mh, ',' ORDER BY j) AS band_sig
+      |bands AS (SELECT doc_id, j // 4 AS band,
+      |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_sig
       |          FROM hs GROUP BY doc_id, j // 4)
       |SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
       |FROM bands a JOIN bands b
