@@ -67,7 +67,26 @@ object Extras {
       .orderBy(col("media_id"))
   }
 
+  /** S3/A8 — NDJSON interchange semantics (the reference's transport
+    * format: gzipped newline-delimited JSON): serialize each event row
+    * to a JSON line, parse it back with an explicit schema, and emit
+    * the parsed fields. The file-based gzip round trip is exercised in
+    * EtlSpec; this query keeps the serialize→parse path on the scan
+    * (rows-only check: JSON text formatting differs across engines). */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.select(to_json(struct(col("event_id"), col("event_type"), col("value"))).as("line"))
+      .select(from_json(col("line"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, event_type STRING, value DOUBLE")).as("r"))
+      .select(col("r.event_id").as("event_id"), col("r.event_type").as("event_type"),
+        col("r.value").as("value"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_roundtrip" -> (jsonRoundtrip _),
     "q_approx_distinct" -> (approxDistinct _),
     "q_vector_centroids" -> (vectorCentroids _),
     "q_ann_lsh" -> (annLsh _),

@@ -88,6 +88,21 @@ class EtlSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/data/orders/range_*").count() == src.count())
   }
 
+  test("gzipped NDJSON round trip (the reference's transport format, A8)") {
+    val out = tmp()
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    src.write.option("compression", "gzip").json(s"$out/ndjson")
+    assert(new java.io.File(s"$out/ndjson").listFiles()
+      .exists(_.getName.endsWith(".json.gz")))
+    val back = spark.read.json(s"$out/ndjson")
+    assert(back.count() == src.count())
+    val a = src.orderBy(col("o_orderkey")).collect().map(_.toSeq)
+    val b = back.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey")).collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
   test("jdbc ranged-source options reproduce the reference's batching") {
     val o = JdbcRangedSource.options("jdbc:postgresql://h/db", "t", "pk", 0, 100000, 32)
     assert(o("partitionColumn") == "pk" && o("numPartitions") == "32")
