@@ -85,8 +85,23 @@ object Extras {
       .orderBy(col("event_id"))
   }
 
+  /** Approximate percentiles (t-digest-style sketch): mergeable
+    * partial/final like HLL, the scale answer to exact quantiles
+    * (which need a full sort). Sketch output is engine-specific →
+    * rows-only + sanity bounds in the spec. */
+  def percentileApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(1000)).as("p90"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("o_orderstatus"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_roundtrip" -> (jsonRoundtrip _),
+    "q_percentile_approx" -> (percentileApprox _),
     "q_approx_distinct" -> (approxDistinct _),
     "q_vector_centroids" -> (vectorCentroids _),
     "q_ann_lsh" -> (annLsh _),

@@ -414,7 +414,69 @@ object Relational {
       |GROUP BY word HAVING count(*) > 20
       |ORDER BY word""".stripMargin
 
+  /** Pivot: status columns per order priority (wide-table reshaping;
+    * Spark plans it as a single hash aggregate with conditional
+    * aggregates — the oracle mirrors that formulation directly). */
+  def pivotQ(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("n_f"), col("O").as("n_o"),
+        col("P").as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  val pivotSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+      |  CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+      |  CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Unpivot/melt: wide columns back to (key, metric, value) rows. */
+  def unpivotQ(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_acctbal"),
+        col("s_nationkey").cast("double").as("s_nation_d"))
+      .unpivot(Array(col("s_suppkey")),
+        Array(col("s_acctbal"), col("s_nation_d")), "metric", "value")
+      .orderBy(col("s_suppkey"), col("metric"))
+
+  val unpivotSql: String =
+    """SELECT s_suppkey, metric, value FROM (
+      |  SELECT s_suppkey, 's_acctbal' AS metric, s_acctbal AS value FROM supplier
+      |  UNION ALL
+      |  SELECT s_suppkey, 's_nation_d' AS metric, CAST(s_nationkey AS DOUBLE) AS value
+      |  FROM supplier)
+      |ORDER BY s_suppkey, metric""".stripMargin
+
+  /** Correlated/scalar subqueries: an uncorrelated scalar threshold
+    * (exact max arithmetic — deterministic across engines) plus a
+    * correlated EXISTS; Catalyst decorrelates both into joins. */
+  def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.createOrReplaceTempView("orders_v")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders_v
+        |WHERE o_totalprice > (SELECT max(o_totalprice) * 0.9 FROM orders_v)
+        |  AND EXISTS (SELECT 1 FROM lineitem_v WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val scalarSubquerySql: String =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > (SELECT max(o_totalprice) * 0.9 FROM orders)
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> (pivotQ _),
+    "q_unpivot" -> (unpivotQ _),
+    "q_scalar_subquery" -> (scalarSubquery _),
     "q_pricing_summary" -> (pricingSummary _),
     "q_ranged_scan" -> (rangedScan _),
     "q_projection" -> (projection _),
@@ -438,6 +500,9 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pivot" -> pivotSql,
+    "q_unpivot" -> unpivotSql,
+    "q_scalar_subquery" -> scalarSubquerySql,
     "q_pricing_summary" -> pricingSummarySql,
     "q_ranged_scan" -> rangedScanSql,
     "q_projection" -> projectionSql,

@@ -226,7 +226,38 @@ object Windows {
       |FROM events GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** W1-ext — distribution analytics: percent_rank and cume_dist are
+    * rank-derived int/int divisions (bit-identical across engines);
+    * nth_value over an explicit full frame. */
+  def windowRankExt(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 60)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_best"))
+      .filter(col("second_best").isNotNull)
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val windowRankExtSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  nth_value(o_orderkey, 2) OVER wf AS second_best
+      |FROM orders WHERE o_custkey < 60
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |QUALIFY second_best IS NOT NULL
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_rank_ext" -> (windowRankExt _),
     "q_window_rank" -> (windowRank _),
     "q_window_analytic" -> (windowAnalytic _),
     "q_window_frames" -> (windowFrames _),
@@ -238,6 +269,7 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_rank_ext" -> windowRankExtSql,
     "q_window_rank" -> windowRankSql,
     "q_window_analytic" -> windowAnalyticSql,
     "q_window_frames" -> windowFramesSql,
