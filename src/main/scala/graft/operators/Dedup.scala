@@ -143,10 +143,12 @@ object Dedup {
     * int/int→double division is a single IEEE op, bit-identical across
     * engines, so the raw similarity is oracle-safe unrounded. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.2): DataFrame = {
-    val sh = shingles(docs, n)
+    // Join on a 64-bit shingle hash instead of the shingle text: same
+    // pair counts w.h.p. (64-bit collisions), smaller shuffle keys.
+    val sh = shingles(docs, n).select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.select(col("shingle"), col("doc_id").as("doc_id_a"))
-      .join(sh.select(col("shingle"), col("doc_id").as("doc_id_b")), Seq("shingle"))
+    val inter = sh.select(col("shash"), col("doc_id").as("doc_id_a"))
+      .join(sh.select(col("shash"), col("doc_id").as("doc_id_b")), Seq("shash"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .groupBy(col("doc_id_a"), col("doc_id_b"))
       .agg(count(lit(1)).as("inter"))

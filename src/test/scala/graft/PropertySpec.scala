@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Property-based invariants over ScalaCheck-generated corpora: dedup
+  * conservation laws and text-stat bounds that must hold for ANY
+  * input, not just fixtures. Generators are driven directly with
+  * fixed seeds (deterministic; the scalatestplus bridge isn't in the
+  * offline cache). Sized small — each case spins Spark jobs. */
+class PropertySpec extends SparkSpec {
+
+  private val word = Gen.oneOf("spark", "scan", "join", "sort", "the", "row", "fast")
+  private val text = Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+  private val corpus = Gen.chooseNum(2, 12).flatMap(n => Gen.listOfN(n, text))
+
+  private def samples(n: Int): Seq[List[String]] =
+    (0 until n).flatMap(i => corpus.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("exact dedup conserves rows: Σ n_copies == |docs| and keepers are distinct") {
+    samples(5).foreach { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = Dedup.exact(docs, col("text"), col("doc_id")).collect()
+      assert(out.map(_.getAs[Long]("n_copies")).sum == texts.length)
+      assert(out.length == texts.distinct.length)
+      val keepers = out.map(_.getAs[Long]("keep_id"))
+      assert(keepers.distinct.length == keepers.length)
+    }
+  }
+
+  test("jaccard pairs are ordered, bounded in (0,1], and find every exact dup") {
+    samples(5).foreach { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.1).collect()
+      pairs.foreach { r =>
+        assert(r.getLong(0) < r.getLong(1))
+        val j = r.getDouble(2)
+        assert(j >= 0.1 && j <= 1.0)
+      }
+      val found = pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      for {
+        a <- texts.indices; b <- texts.indices
+        if a < b && texts(a) == texts(b) && texts(a).split(" ").length >= 3
+      } assert(found.exists(p => p._1 == a && p._2 == b && p._3 == 1.0),
+        s"dup pair ($a,$b) missing from ${found.toSeq}")
+    }
+  }
+
+  test("text quality ratios are within [0,1] and word counts positive") {
+    samples(5).foreach { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      TextAnalysis.quality(docs).collect().foreach { r =>
+        assert(r.getAs[Int]("n_words") > 0)
+        assert(r.getAs[Double]("stop_ratio") >= 0.0 && r.getAs[Double]("stop_ratio") <= 1.0)
+        assert(r.getAs[Double]("uniq_ratio") > 0.0 && r.getAs[Double]("uniq_ratio") <= 1.0)
+      }
+    }
+  }
+}
