@@ -78,6 +78,10 @@ object Dedup {
       .select(col("doc_id"), col("band"),
         expr(s"array_join(slice(sig, band * $rowsPerBand + 1, $rowsPerBand), ',')")
           .as("band_sig"))
+      // Self-joined below: without persist Spark re-executes the whole
+      // signature pipeline for each side. The banded table is tiny
+      // (docs × bands), so this is the cheap side to materialize.
+      .persist()
     val a = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_id_a"))
     val b = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_id_b"))
     a.join(b, Seq("band", "band_sig"))
@@ -126,6 +130,7 @@ object Dedup {
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(expr(s"sequence(0, ${nBands - 1})")).as("b"))
       .withColumn("band_val", expr("(simhash >> (b * 8)) & 255"))
+      .persist() // self-joined below; docs × bands rows
     val a = banded.select(col("b"), col("band_val"),
       col("doc_id").as("doc_id_a"), col("simhash").as("sh_a"))
     val bb = banded.select(col("b"), col("band_val"),
@@ -146,6 +151,7 @@ object Dedup {
     // Join on a 64-bit shingle hash instead of the shingle text: same
     // pair counts w.h.p. (64-bit collisions), smaller shuffle keys.
     val sh = shingles(docs, n).select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
+      .persist() // referenced three times: sizes + both sides of the pair join
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.select(col("shash"), col("doc_id").as("doc_id_a"))
       .join(sh.select(col("shash"), col("doc_id").as("doc_id_b")), Seq("shash"))
@@ -170,6 +176,7 @@ object Dedup {
     val withNorm = emb.select(col("vec_id"), blockKey.as("blk"),
       col("embedding"),
       sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("nrm"))
+      .persist() // both sides of the blocked pair join
     val a = withNorm.select(col("blk"), col("vec_id").as("vec_id_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = withNorm.select(col("blk"), col("vec_id").as("vec_id_b"),

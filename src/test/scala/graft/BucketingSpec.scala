@@ -9,6 +9,21 @@ import org.apache.spark.sql.functions._
   * joins that would otherwise shuffle terabytes per query. */
 class BucketingSpec extends SparkSpec {
 
+  test("date-partitioned layout prunes partitions at the scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.orders(spark, sfDir)
+      .withColumn("order_year", year(col("o_orderdate")))
+      .write.partitionBy("order_year").parquet(s"$out/orders_p")
+    val q = spark.read.parquet(s"$out/orders_p")
+      .filter(col("order_year") === 1997)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(order_year"), plan.take(1200))
+    // pruned scan reads only the 1997 partition's rows
+    val expected = Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === 1997).count()
+    assert(q.count() == expected)
+  }
+
   test("bucketed co-located join plans without a shuffle exchange") {
     // warehouse dir is a static conf — tables land in ./spark-warehouse
     // (gitignored) and are dropped in the finally block.
