@@ -99,9 +99,26 @@ object Extras {
         max(col("o_totalprice")).as("hi"))
       .orderBy(col("o_orderstatus"))
 
+  /** Built-in second-moment aggregates (stddev/variance/corr/covar):
+    * their double accumulation order is engine- and shuffle-dependent,
+    * so rows-only here; the deterministic exact-decimal formulation
+    * with a full oracle is q_stats_moments. */
+  def statsBuiltin(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        stddev_samp(col("l_quantity")).as("sd_qty"),
+        var_samp(col("l_quantity")).as("var_qty"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("corr_qp"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("covar_qp"),
+        skewness(col("l_quantity")).as("skew_qty"),
+        kurtosis(col("l_quantity")).as("kurt_qty"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_roundtrip" -> (jsonRoundtrip _),
     "q_percentile_approx" -> (percentileApprox _),
+    "q_stats_builtin" -> (statsBuiltin _),
     "q_approx_distinct" -> (approxDistinct _),
     "q_vector_centroids" -> (vectorCentroids _),
     "q_ann_lsh" -> (annLsh _),

@@ -473,7 +473,118 @@ object Relational {
       |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** G4c — explicit GROUPING SETS (beyond rollup/cube): chosen subsets. */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS prio,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, status, prio""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS prio,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, status, prio""".stripMargin
+
+  /** G7 — second-moment statistics (variance, stddev, correlation)
+    * computed from exact decimal power sums so both engines derive
+    * identical doubles (built-in stddev/corr accumulate doubles in
+    * engine-specific order — see Extras.statsBuiltin for those).
+    * All inputs are 2-decimal, so Σx, Σx², Σxy are exact. */
+  def statsMoments(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  (CAST(sum(qd * qd) AS DOUBLE) - CAST(sum(qd) AS DOUBLE) * CAST(sum(qd) AS DOUBLE) / count(*))
+        |    / (count(*) - 1) AS var_qty,
+        |  sqrt((CAST(sum(qd * qd) AS DOUBLE) - CAST(sum(qd) AS DOUBLE) * CAST(sum(qd) AS DOUBLE) / count(*))
+        |    / (count(*) - 1)) AS stddev_qty,
+        |  (count(*) * CAST(sum(qd * pd) AS DOUBLE) - CAST(sum(qd) AS DOUBLE) * CAST(sum(pd) AS DOUBLE))
+        |    / (sqrt(count(*) * CAST(sum(qd * qd) AS DOUBLE) - CAST(sum(qd) AS DOUBLE) * CAST(sum(qd) AS DOUBLE))
+        |     * sqrt(count(*) * CAST(sum(pd * pd) AS DOUBLE) - CAST(sum(pd) AS DOUBLE) * CAST(sum(pd) AS DOUBLE)))
+        |    AS corr_qty_price
+        |FROM (SELECT l_returnflag,
+        |        CAST(l_quantity AS DECIMAL(18,2)) AS qd,
+        |        CAST(l_extendedprice AS DECIMAL(18,2)) AS pd
+        |      FROM lineitem_v)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val statsMomentsSql: String =
+    """SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  (CAST(sum(qd * qd) AS DOUBLE) - CAST(sum(qd) AS DOUBLE) * CAST(sum(qd) AS DOUBLE) / count(*))
+      |    / (count(*) - 1) AS var_qty,
+      |  sqrt((CAST(sum(qd * qd) AS DOUBLE) - CAST(sum(qd) AS DOUBLE) * CAST(sum(qd) AS DOUBLE) / count(*))
+      |    / (count(*) - 1)) AS stddev_qty,
+      |  (count(*) * CAST(sum(qd * pd) AS DOUBLE) - CAST(sum(qd) AS DOUBLE) * CAST(sum(pd) AS DOUBLE))
+      |    / (sqrt(count(*) * CAST(sum(qd * qd) AS DOUBLE) - CAST(sum(qd) AS DOUBLE) * CAST(sum(qd) AS DOUBLE))
+      |     * sqrt(count(*) * CAST(sum(pd * pd) AS DOUBLE) - CAST(sum(pd) AS DOUBLE) * CAST(sum(pd) AS DOUBLE)))
+      |    AS corr_qty_price
+      |FROM (SELECT l_returnflag,
+      |        CAST(l_quantity AS DECIMAL(18,2)) AS qd,
+      |        CAST(l_extendedprice AS DECIMAL(18,2)) AS pd
+      |      FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** G8 — ordered collection aggregate: collect_list is unordered, so
+    * the deterministic form is sort_array(collect_list(...)) emitted
+    * as a joined string (portable output type). */
+  def collectAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 30)
+      .groupBy(col("o_custkey"))
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("o_orderkey").cast("string"))))
+          .as("order_keys"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_custkey"))
+
+  val collectAggSql: String =
+    """SELECT o_custkey,
+      |  array_to_string(list_sort(list(CAST(o_orderkey AS VARCHAR))), ',') AS order_keys,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM orders WHERE o_custkey < 30
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** F5b — map type surface: parse props JSON into map<string,bigint>,
+    * use map_keys/map_values/element_at. */
+  def mapFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_id") < 1000)
+      .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType)))
+      .select(
+        col("event_id"),
+        concat_ws(",", map_keys(col("m"))).as("keys_str"),
+        coalesce(element_at(col("m"), "k"), lit(-1L)).as("k_val"),
+        size(col("m")).as("n_keys"))
+      .orderBy(col("event_id"))
+
+  val mapFuncsSql: String =
+    """SELECT event_id,
+      |  array_to_string(regexp_extract_all(props, '"([a-z0-9_]+)" *:', 1), ',') AS keys_str,
+      |  coalesce(CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS BIGINT), -1) AS k_val,
+      |  CAST(len(regexp_extract_all(props, '"([a-z0-9_]+)" *:', 1)) AS INT) AS n_keys
+      |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> (groupingSets _),
+    "q_stats_moments" -> (statsMoments _),
+    "q_collect_agg" -> (collectAgg _),
+    "q_map_funcs" -> (mapFuncs _),
     "q_pivot" -> (pivotQ _),
     "q_unpivot" -> (unpivotQ _),
     "q_scalar_subquery" -> (scalarSubquery _),
@@ -500,6 +611,10 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_grouping_sets" -> groupingSetsSql,
+    "q_stats_moments" -> statsMomentsSql,
+    "q_collect_agg" -> collectAggSql,
+    "q_map_funcs" -> mapFuncsSql,
     "q_pivot" -> pivotSql,
     "q_unpivot" -> unpivotSql,
     "q_scalar_subquery" -> scalarSubquerySql,
