@@ -115,10 +115,24 @@ object Extras {
         kurtosis(col("l_quantity")).as("kurt_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Frequent-items sketch (Karp-Papadimitriou-Shenker): approximate
+    * heavy hitters without a full groupBy — mergeable, single pass.
+    * Support threshold 0.3 → any item in >30% of rows is guaranteed
+    * present. Rows-only (sketch contents beyond the guarantee are
+    * engine-specific). */
+  def freqItems(s: SparkSession, dir: String): DataFrame = {
+    val fi = Tables.orders(s, dir)
+      .stat.freqItems(Array("o_orderstatus", "o_orderpriority"), 0.3)
+    fi.select(
+      concat_ws(",", sort_array(col("o_orderstatus_freqItems"))).as("freq_status"),
+      size(col("o_orderpriority_freqItems")).cast("int").as("n_freq_prio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_roundtrip" -> (jsonRoundtrip _),
     "q_percentile_approx" -> (percentileApprox _),
     "q_stats_builtin" -> (statsBuiltin _),
+    "q_freq_items" -> (freqItems _),
     "q_approx_distinct" -> (approxDistinct _),
     "q_vector_centroids" -> (vectorCentroids _),
     "q_ann_lsh" -> (annLsh _),

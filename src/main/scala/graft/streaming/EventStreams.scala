@@ -79,6 +79,24 @@ object EventStreams {
       }
   }
 
+  /** X6 — watermarked stream-stream join: each purchase joined to the
+    * same user's signup-or-error events within the preceding hour.
+    * Both sides keep watermark-bounded state; the time-range predicate
+    * is what lets the engine evict it (unbounded stream-stream joins
+    * are rejected in append mode). */
+  def streamStreamJoin(purchases: DataFrame, others: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val o = others.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("o_id"), col("user_id").as("o_user"),
+        col("ts").as("o_ts"), col("event_type").as("o_type"))
+    p.join(o,
+      col("user_id") === col("o_user") &&
+      col("o_ts") >= col("p_ts") - org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR") &&
+      col("o_ts") <= col("p_ts"))
+      .select(col("p_id"), col("user_id"), col("o_id"), col("o_type"))
+  }
+
   /** A12 sync, Spark-native: treat the source directory as an
     * append-only stream (new files = new PK ranges), drain everything
     * currently available, write to the destination, and stop — exactly

@@ -106,6 +106,26 @@ class StreamingSpec extends SparkSpec {
     assert(viaBuiltin == Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("stream-stream join matches users within the time bound only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[EventRow]
+    val others = MemoryStream[EventRow]
+    purchases.addData(mkEvents((10, 120, 1, "purchase", 5.0)))
+    others.addData(mkEvents(
+      (1, 70, 1, "signup", 0.0),   // within the hour before the purchase
+      (2, 10, 1, "error", 0.0),    // too old (>1h before)
+      (3, 130, 1, "signup", 0.0),  // after the purchase
+      (4, 80, 2, "signup", 0.0)))  // wrong user
+    val q = EventStreams.streamStreamJoin(purchases.toDF(), others.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssjoin").collect()
+      .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("o_id"))).toSet
+    assert(rows == Set((10L, 1L)), s"got $rows")
+  }
+
   test("syncAvailableNow drains new files into the destination (A12 sync)") {
     val base = java.nio.file.Files.createTempDirectory("graft-sync").toString
     val src = Tables.orders(spark, sfDir)
