@@ -74,31 +74,39 @@ object Windows {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY event_id""".stripMargin
 
-  /** W3 — frame specs: running sum and a 3-row moving average. */
+  /** W3 — frame specs: running sum and a 3-row moving average.
+    * Window aggregates over doubles are NOT engine-portable even with
+    * deterministic frame order (Spark's sliding-frame AVG updates
+    * incrementally; DuckDB evaluates differently — observed a ±0.01
+    * divergence at sf0.1), so frames aggregate exact decimals and the
+    * moving average rounds via the Conv integer trick. */
   def windowFrames(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables.orders(s, dir)
       .filter(col("o_custkey") < 50)
+      .withColumn("msum", sum(dec2(col("o_totalprice"))).over(w.rowsBetween(-2, 0)))
+      .withColumn("mn", count(lit(1)).over(w.rowsBetween(-2, 0)))
       .select(
         col("o_custkey"), col("o_orderkey"),
-        round(sum(col("o_totalprice"))
+        round(sum(dec2(col("o_totalprice")))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
-          .as("running_total"),
-        round(avg(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 2)
+          .cast("double").as("running_total"),
+        expr("CAST((2 * CAST(msum * 100 AS BIGINT) + mn) div (2 * mn) AS DOUBLE) / 100.0")
           .as("moving_avg3"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
   val windowFramesSql: String =
     """SELECT o_custkey, o_orderkey,
-      |  round(sum(o_totalprice) OVER
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
       |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
-      |  round(avg(o_totalprice) OVER
-      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_avg3
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total,
+      |  CAST((2 * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_mov * 100 AS BIGINT)
+      |        + count(*) OVER w_mov) // (2 * count(*) OVER w_mov) AS DOUBLE) / 100.0 AS moving_avg3
       |FROM orders WHERE o_custkey < 50
+      |WINDOW w_mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** T2 — per-group top-k: window rank + filter (Spark pushes the
