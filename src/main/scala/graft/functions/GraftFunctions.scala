@@ -110,6 +110,84 @@ case class DotProductF32(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All LSH table buckets for one embedding in a single fused kernel:
+  * for each of `tables` hash tables, `bits` sign-projections against
+  * constant hyperplanes → one Long bucket id per table. Replaces
+  * tables×bits separate dot expressions (each a codegen unit Janino
+  * must compile) with ONE expression and one pass over the vector —
+  * the shape a 100 TB bucketing job wants: a narrow map stage with a
+  * tight primitive loop and the plane matrix shipped once as a
+  * reference object, not as per-expression literals.
+  */
+case class LshBucketsF32(child: Expression, planes: Array[Array[Float]],
+                         bits: Int, tables: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (DataType.equalsIgnoreNullability(child.dataType, ArrayType(FloatType)))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lsh_buckets requires ARRAY<FLOAT>, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var b = 0L
+      var i = 0
+      while (i < bits) {
+        val p = planes(t * bits + i)
+        val n = math.min(arr.numElements(), p.length)
+        var acc = 0.0
+        var d = 0
+        while (d < n) { acc += arr.getFloat(d).toDouble * p(d); d += 1 }
+        if (acc > 0) b |= (1L << i)
+        i += 1
+      }
+      out(t) = b
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "float[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val b = ctx.freshName("b")
+      val p = ctx.freshName("p")
+      val n = ctx.freshName("n")
+      s"""
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $b = 0L;
+         |  for (int $i = 0; $i < $bits; $i++) {
+         |    float[] $p = $planesRef[$t * $bits + $i];
+         |    int $n = java.lang.Math.min($c.numElements(), $p.length);
+         |    double $acc = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      $acc += (double) $c.getFloat($d) * (double) $p[$d];
+         |    }
+         |    if ($acc > 0) $b |= (1L << $i);
+         |  }
+         |  $out[$t] = $b;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration + Column-level wrappers. Registered idempotently via
   * [[graft.Tables.load]] so every query pack can use the fast paths
   * regardless of which entry point built the session. */

@@ -90,13 +90,17 @@ object Similarity {
   def lshBuckets(emb: DataFrame, bits: Int = 6, tables: Int = 8,
                  dims: Int = 64): DataFrame = {
     ensureRegistered(emb)
-    def bucketFor(t: Int): Column =
-      (0 until bits).map { i =>
-        val plane = Array.tabulate(dims)(d => planeComponent(t * bits + i, d))
-        when(dot(col("embedding"), lit(plane)) > 0, lit(1L << i)).otherwise(0L)
-      }.reduce(_ + _)
-    val buckets = array((0 until tables).map(bucketFor): _*)
-    emb.withColumn("bkts", buckets)
+    val planes = Array.tabulate(tables * bits)(g =>
+      Array.tabulate(dims)(d => planeComponent(g, d)))
+    // One fused expression for all tables×bits projections (single
+    // codegen unit; plane matrix shipped as a reference object).
+    // Registered fresh each call: the closure captures these planes.
+    emb.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_buckets",
+      exprs => graft.functions.LshBucketsF32(exprs.head, planes, bits, tables),
+      "scala_udf")
+    emb.withColumn("bkts",
+        org.apache.spark.sql.functions.call_function("graft_lsh_buckets", col("embedding")))
       .select(col("*"), posexplode(col("bkts")).as(Seq("t", "bucket")))
       .drop("bkts")
   }

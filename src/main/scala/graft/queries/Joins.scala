@@ -205,7 +205,40 @@ object Joins {
       |WHERE r_regionkey < 3
       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
+  /** X6 batch twin — time-bounded interval self-join on events: each
+    * purchase matched to the same user's earlier events within 1 hour
+    * (the batch semantics of streaming.EventStreams.streamStreamJoin).
+    * Equi key (user) bounds the pair space; the interval predicate is
+    * evaluated post-match on whole-second epochs. */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("es").as("p_es"))
+    val o = ev.filter(col("event_type") =!= "purchase")
+      .select(col("event_id").as("o_id"), col("user_id").as("o_user"),
+        col("event_type").as("o_type"), col("es").as("o_es"))
+    p.join(o,
+        col("user_id") === col("o_user") &&
+        col("o_es") >= col("p_es") - 3600L && col("o_es") <= col("p_es"))
+      .select(col("p_id"), col("user_id"), col("o_id"), col("o_type"))
+      .orderBy(col("p_id"), col("o_id"))
+  }
+
+  val intervalJoinSql: String =
+    """SELECT p.event_id AS p_id, p.user_id, o.event_id AS o_id,
+      |  o.event_type AS o_type
+      |FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      |      FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT event_id, user_id, event_type,
+      |        CAST(floor(epoch(ts)) AS BIGINT) AS es
+      |      FROM events WHERE event_type <> 'purchase') o
+      |  ON p.user_id = o.user_id AND o.es >= p.es - 3600 AND o.es <= p.es
+      |ORDER BY p_id, o_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_join" -> (intervalJoin _),
     "q_join_inner" -> (innerJoin _),
     "q_join_broadcast" -> (broadcastJoin _),
     "q_join_left" -> (leftOuterJoin _),
@@ -219,6 +252,7 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_interval_join" -> intervalJoinSql,
     "q_join_inner" -> innerJoinSql,
     "q_join_broadcast" -> broadcastJoinSql,
     "q_join_left" -> leftOuterJoinSql,
