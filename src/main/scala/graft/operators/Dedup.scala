@@ -167,6 +167,32 @@ object Dedup {
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
   }
 
+  /** Connected components over candidate pairs → duplicate clusters,
+    * labeled by the minimum member id (the survivor a curation
+    * pipeline keeps). Min-label propagation for a FIXED number of
+    * iterations so the DuckDB oracle can unroll the identical joins;
+    * ClusterSpec asserts the fixed depth reaches the true fixpoint on
+    * the data (near-dup components are shallow). At 100 TB the same
+    * loop runs to convergence with per-iteration persist + a changed-
+    * label counter (large-star/small-star if components get deep). */
+  def dedupClusters(pairs: DataFrame, iterations: Int = 4): DataFrame = {
+    val edges = pairs.select(col("doc_id_a").as("u"), col("doc_id_b").as("v"))
+      .union(pairs.select(col("doc_id_b").as("u"), col("doc_id_a").as("v")))
+      .persist()
+    val nodes = edges.select(col("u").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iterations) {
+      val nbrMin = edges.join(labels, edges("v") === labels("node"))
+        .groupBy(col("u")).agg(min(col("label")).as("nbr"))
+      labels = labels.join(nbrMin, labels("node") === nbrMin("u"), "left_outer")
+        .select(labels("node"),
+          least(labels("label"), coalesce(col("nbr"), labels("label"))).as("label"))
+        .persist()
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
   /** Near-dup by embedding cosine, blocked on a partition key (here a
     * label/cluster id) so the pair space is per-block, not global —
     * the blocking column is the scale lever: at 100 TB it would be a

@@ -114,6 +114,72 @@ object Llm {
       |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY vec_id_a, vec_id_b""".stripMargin
 
+  /** L2e — duplicate clusters: connected components over strong
+    * (jaccard ≥ 0.6) near-dup pairs, min-id representative, keep flag.
+    * The oracle unrolls the same 4 min-propagation iterations. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClusters(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6)
+          .select(col("doc_id_a"), col("doc_id_b")), 4)
+      .orderBy(col("doc_id"))
+
+  val dedupClustersSql: String = {
+    val iters = (1 to 4).map { k =>
+      s"""l$k AS (SELECT n.node, least(n.label, coalesce(m.nbr, n.label)) AS label
+         |  FROM l${k - 1} n LEFT JOIN
+         |    (SELECT e.u, min(l.label) AS nbr FROM edges e
+         |     JOIN l${k - 1} l ON e.v = l.node GROUP BY e.u) m
+         |  ON n.node = m.u)""".stripMargin
+    }.mkString(",\n")
+    s"""$shingleCte,
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT da, db FROM inter
+      |          JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.6),
+      |edges AS (SELECT da AS u, db AS v FROM pairs
+      |          UNION ALL SELECT db AS u, da AS v FROM pairs),
+      |nodes AS (SELECT DISTINCT u AS node FROM edges),
+      |l0 AS (SELECT node, node AS label FROM nodes),
+      |$iters
+      |SELECT node AS doc_id, label AS cluster_id, node = label AS keep
+      |FROM l4 ORDER BY doc_id""".stripMargin
+  }
+
+  /** L6 — the end-to-end curation composition a training-data pipeline
+    * runs: quality gates (length, lexical diversity) + exact-dup drop
+    * (keep the smallest doc_id per identical text), emitting the
+    * surviving documents with their quality signals. */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("text")).orderBy(col("doc_id"))
+    docs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1) // exact-dup drop, deterministic survivor
+      .withColumn("wrds", split(col("text"), " "))
+      .withColumn("n_words", size(col("wrds")))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("wrds"))).cast("double") / size(col("wrds")))
+      .filter(col("n_words") >= 10 && col("uniq_ratio") > 0.3)
+      .select(col("doc_id"), col("lang"), col("n_words"), col("uniq_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val curationPipelineSql: String =
+    """SELECT doc_id, lang, n_words, uniq_ratio FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(len(w) AS INT) AS n_words,
+      |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS uniq_ratio
+      |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS w
+      |        FROM documents d
+      |        WHERE NOT EXISTS (SELECT 1 FROM documents d2
+      |          WHERE d2.text = d.text AND d2.doc_id < d.doc_id)))
+      |WHERE n_words >= 10 AND uniq_ratio > 0.3
+      |ORDER BY doc_id""".stripMargin
+
   /** L3 — brute-force cosine top-5 for a bounded probe set. */
   def simTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -221,6 +287,8 @@ object Llm {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_embcos" -> (dedupEmbCos _),
+    "q_dedup_clusters" -> (dedupClusters _),
+    "q_curation_pipeline" -> (curationPipeline _),
     "q_sim_topk" -> (simTopK _),
     "q_text_quality" -> (textQuality _),
     "q_text_langid" -> (textLangId _),
@@ -235,6 +303,8 @@ object Llm {
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_ngram" -> dedupNgramSql,
     "q_dedup_embcos" -> dedupEmbCosSql,
+    "q_dedup_clusters" -> dedupClustersSql,
+    "q_curation_pipeline" -> curationPipelineSql,
     "q_sim_topk" -> simTopKSql,
     "q_text_quality" -> textQualitySql,
     "q_text_langid" -> textLangIdSql,
