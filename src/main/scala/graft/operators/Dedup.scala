@@ -176,18 +176,23 @@ object Dedup {
     * loop runs to convergence with per-iteration persist + a changed-
     * label counter (large-star/small-star if components get deep). */
   def dedupClusters(pairs: DataFrame, iterations: Int = 4): DataFrame = {
-    val edges = pairs.select(col("doc_id_a").as("u"), col("doc_id_b").as("v"))
-      .union(pairs.select(col("doc_id_b").as("u"), col("doc_id_a").as("v")))
-      .persist()
+    // Iterative algorithm hygiene: materialize the pair generation
+    // once and TRUNCATE LINEAGE each iteration (localCheckpoint) —
+    // otherwise every iteration's plan nests all previous ones and
+    // analysis/codegen time dominates the tiny label-propagation work.
+    val p = pairs.localCheckpoint()
+    val edges = p.select(col("doc_id_a").as("u"), col("doc_id_b").as("v"))
+      .union(p.select(col("doc_id_b").as("u"), col("doc_id_a").as("v")))
+      .localCheckpoint()
     val nodes = edges.select(col("u").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node"))
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
     for (_ <- 1 to iterations) {
       val nbrMin = edges.join(labels, edges("v") === labels("node"))
         .groupBy(col("u")).agg(min(col("label")).as("nbr"))
       labels = labels.join(nbrMin, labels("node") === nbrMin("u"), "left_outer")
         .select(labels("node"),
           least(labels("label"), coalesce(col("nbr"), labels("label"))).as("label"))
-        .persist()
+        .localCheckpoint()
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
