@@ -50,6 +50,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("moneyAvg integer rounding equals BigDecimal HALF_UP for random cent values") {
+    import spark.implicits._
+    val cents = Gen.chooseNum(0L, 10000000L)
+    val group = Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, cents))
+    (0 until 8).flatMap(i => group.apply(Gen.Parameters.default, Seed(7L + i)))
+      .zipWithIndex.foreach { case (vals, g) =>
+        val df = vals.map(c => (g, c / 100.0)).toDF("g", "v")
+        val got = df.groupBy(col("g")).agg(queries.Conv.moneyAvg("v").as("a"))
+          .collect().head.getDouble(1)
+        val want = (BigDecimal(vals.sum) / 100 / vals.length)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got == want, s"vals=$vals got=$got want=$want")
+      }
+  }
+
   test("text quality ratios are within [0,1] and word counts positive") {
     samples(5).foreach { texts =>
       import spark.implicits._
