@@ -264,7 +264,80 @@ object Windows {
       |QUALIFY second_best IS NOT NULL
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Time-series gap filling: the dense hourly grid per event type —
+    * hours with no events appear with n=0 (sequence + explode builds
+    * the grid; left join attaches observed counts). */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(expr("(unix_timestamp(ts) div 3600) * 3600").as("hr"), col("event_type"))
+      .groupBy(col("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = hourly.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+    val grid = bounds
+      .select(explode(expr("sequence(lo, hi, 3600)")).as("hr"))
+      .crossJoin(hourly.select(col("event_type")).distinct())
+    grid.join(hourly, Seq("hr", "event_type"), "left_outer")
+      .select(col("hr"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("hr"), col("event_type"))
+  }
+
+  val gapFillSql: String =
+    """WITH hourly AS (
+      |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hr,
+      |    event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT g.hr, t.event_type
+      |  FROM (SELECT unnest(range((SELECT min(hr) FROM hourly),
+      |                            (SELECT max(hr) FROM hourly) + 1, 3600)) AS hr) g
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t)
+      |SELECT g.hr, g.event_type, coalesce(h.n, 0) AS n
+      |FROM grid g LEFT JOIN hourly h
+      |  ON g.hr = h.hr AND g.event_type = h.event_type
+      |ORDER BY g.hr, g.event_type""".stripMargin
+
+  /** Histogram: fixed-width bucketing by integer arithmetic (portable
+    * across engines, unlike width_bucket which DuckDB lacks). */
+  def histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(expr("CAST(floor(o_totalprice) AS BIGINT) div 50000").cast("int").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_lo", (col("bucket") * 50000L).cast("bigint"))
+      .select(col("bucket"), col("bucket_lo"), col("n"))
+      .orderBy(col("bucket"))
+
+  val histogramSql: String =
+    """SELECT bucket, CAST(bucket * 50000 AS BIGINT) AS bucket_lo,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT CAST(CAST(floor(o_totalprice) AS BIGINT) // 50000 AS INT) AS bucket
+      |      FROM orders)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Percent-of-total: group share of the grand total via an
+    * unpartitioned window over the aggregate (counts divide exactly). */
+  def pctOfTotal(s: SparkSession, dir: String): DataFrame = {
+    val perSeg = Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    perSeg
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("c_mktsegment"), col("n"),
+        (col("n").cast("double") / col("total")).as("share"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val pctOfTotalSql: String =
+    """SELECT c_mktsegment, n, CAST(n AS DOUBLE) / total AS share FROM (
+      |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |    sum(count(*)) OVER () AS total
+      |  FROM customer GROUP BY c_mktsegment)
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gapfill" -> (gapFill _),
+    "q_histogram" -> (histogram _),
+    "q_pct_of_total" -> (pctOfTotal _),
     "q_window_rank_ext" -> (windowRankExt _),
     "q_window_rank" -> (windowRank _),
     "q_window_analytic" -> (windowAnalytic _),
@@ -277,6 +350,9 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_gapfill" -> gapFillSql,
+    "q_histogram" -> histogramSql,
+    "q_pct_of_total" -> pctOfTotalSql,
     "q_window_rank_ext" -> windowRankExtSql,
     "q_window_rank" -> windowRankSql,
     "q_window_analytic" -> windowAnalyticSql,
