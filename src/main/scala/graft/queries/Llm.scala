@@ -180,6 +180,59 @@ object Llm {
       |WHERE n_words >= 10 AND uniq_ratio > 0.3
       |ORDER BY doc_id""".stripMargin
 
+  /** L4e — PII-style scrubbing: mask digit runs and long tokens via
+    * regexp_replace (identical basic-regex semantics on both engines). */
+  def textScrub(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        regexp_replace(col("text"), "[0-9]+", "#NUM").as("scrubbed"),
+        regexp_replace(col("text"), "[a-z]{9,}", "#LONG").as("shortened"))
+      .orderBy(col("doc_id"))
+
+  val textScrubSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(text, '[0-9]+', '#NUM', 'g') AS scrubbed,
+      |  regexp_replace(text, '[a-z]{9,}', '#LONG', 'g') AS shortened
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** L4f — token normalization: drop stopwords, keep order, re-join. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        expr("array_join(filter(w, x -> x NOT IN ('the','a','of','to','and','in') AND x <> ''), ' ')")
+          .as("no_stop"),
+        expr("size(filter(w, x -> x IN ('the','a','of','to','and','in')))")
+          .as("n_removed"))
+      .orderBy(col("doc_id"))
+
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      |  array_to_string(list_filter(w, x -> x NOT IN ('the','a','of','to','and','in') AND x <> ''), ' ') AS no_stop,
+      |  CAST(len(list_filter(w, x -> x IN ('the','a','of','to','and','in'))) AS INT) AS n_removed
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** L4g — bigram frequency (n-gram language-model counts). */
+  def bigramFreq(s: SparkSession, dir: String): DataFrame =
+    Dedup.shingles(Tables.documents(s, dir).select(col("doc_id"), col("text")), 2)
+      .groupBy(col("shingle").as("bigram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") > 10)
+      .orderBy(col("bigram"))
+
+  val bigramFreqSql: String =
+    """SELECT shingle AS bigram, CAST(count(*) AS BIGINT) AS doc_freq
+      |FROM (SELECT DISTINCT doc_id,
+      |        unnest(list_transform(range(1, len(w)),
+      |          i -> concat_ws(' ', w[i], w[i+1]))) AS shingle
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |      WHERE len(w) >= 2)
+      |GROUP BY shingle HAVING count(*) > 10
+      |ORDER BY bigram""".stripMargin
+
   /** L3 — brute-force cosine top-5 for a bounded probe set. */
   def simTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -289,6 +342,9 @@ object Llm {
     "q_dedup_embcos" -> (dedupEmbCos _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_curation_pipeline" -> (curationPipeline _),
+    "q_text_scrub" -> (textScrub _),
+    "q_text_normalize" -> (textNormalize _),
+    "q_bigram_freq" -> (bigramFreq _),
     "q_sim_topk" -> (simTopK _),
     "q_text_quality" -> (textQuality _),
     "q_text_langid" -> (textLangId _),
@@ -305,6 +361,9 @@ object Llm {
     "q_dedup_embcos" -> dedupEmbCosSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_curation_pipeline" -> curationPipelineSql,
+    "q_text_scrub" -> textScrubSql,
+    "q_text_normalize" -> textNormalizeSql,
+    "q_bigram_freq" -> bigramFreqSql,
     "q_sim_topk" -> simTopKSql,
     "q_text_quality" -> textQualitySql,
     "q_text_langid" -> textLangIdSql,
