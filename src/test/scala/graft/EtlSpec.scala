@@ -103,6 +103,20 @@ class EtlSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("CSV and ORC round trips (remaining interchange formats)") {
+    val out = tmp()
+    val src = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    src.write.option("header", "true").csv(s"$out/csv")
+    val csvBack = spark.read.option("header", "true").schema(src.schema).csv(s"$out/csv")
+    assert(csvBack.orderBy(col("c_custkey")).collect().map(_.toSeq)
+      .sameElements(src.orderBy(col("c_custkey")).collect().map(_.toSeq)))
+    src.write.orc(s"$out/orc")
+    val orcBack = spark.read.orc(s"$out/orc")
+    assert(orcBack.orderBy(col("c_custkey")).collect().map(_.toSeq)
+      .sameElements(src.orderBy(col("c_custkey")).collect().map(_.toSeq)))
+  }
+
   test("jdbc ranged-source options reproduce the reference's batching") {
     val o = JdbcRangedSource.options("jdbc:postgresql://h/db", "t", "pk", 0, 100000, 32)
     assert(o("partitionColumn") == "pk" && o("numPartitions") == "32")
