@@ -22,15 +22,31 @@ object Bench {
     }
     try queries.Relational.pricingSummary(spark, sfDir).count()
     catch { case _: Throwable => }
+    // UDF machinery has a one-time init cost (~1s) that would otherwise be
+    // charged to the first UDF query in the timed loop.
+    try {
+      import org.apache.spark.sql.functions.{udf, lit}
+      spark.range(1).select(udf((x: Long) => x + 1).apply(lit(1L))).count()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Operators may persist() intermediates they reference twice within a
+      // single query; callers own the cache lifecycle (Dedup scaladoc), so
+      // drop all cached blocks once this query's action is done.
+      try spark.catalog.clearCache() catch { case _: Throwable => }
+      name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal seconds: keeps the whole JSON line well under the driver's
+    // output-tail capture window (full-precision doubles overflowed it in
+    // round 1 and the line start was truncated → unparseable).
+    def f(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

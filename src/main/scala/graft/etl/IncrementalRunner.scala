@@ -53,10 +53,16 @@ class IncrementalRunner(
     * `failAt` injects a crash after N batches (tests only). */
   def run(source: DataFrame, table: String, pkCol: String,
           failAt: Int = Int.MaxValue): Seq[BatchRecord] = {
-    val maxPk = source.agg(max(col(pkCol))).collect()(0)
-    if (maxPk.isNullAt(0)) return Seq.empty
-    val hiEnd = maxPk.getLong(0)
-    val start = math.max(state.frontier(table), -1L)
+    // Cast the PK to long in the aggregate so INT/SMALLINT PK columns
+    // work (getLong on an IntegerType row field would ClassCastException).
+    val bounds = source
+      .agg(min(col(pkCol).cast("long")), max(col(pkCol).cast("long"))).collect()(0)
+    if (bounds.isNullAt(1)) return Seq.empty
+    val hiEnd = bounds.getLong(1)
+    // Fresh table (no DONE ranges): start just below the actual min PK so
+    // zero and negative PKs are migrated too, not silently skipped.
+    val f = state.frontier(table)
+    val start = if (f == Long.MinValue) bounds.getLong(0) - 1 else f
     val done = scala.collection.mutable.ArrayBuffer[BatchRecord]()
     var lo = start
     var n = 0

@@ -35,15 +35,20 @@ class StateStore(spark: SparkSession, dir: String) {
     val d = Paths.get(dir)
     if (!Files.exists(d)) Seq.empty
     else {
-      val vs = Files.list(d).iterator()
-      val buf = scala.collection.mutable.ArrayBuffer[Long]()
-      while (vs.hasNext) {
-        val p = vs.next()
-        val name = p.getFileName.toString
-        if (name.startsWith("v=") && Files.exists(p.resolve("_COMMITTED")))
-          buf += name.drop(2).toLong
-      }
-      buf.toSeq.sorted
+      // Files.list holds a directory handle until closed; this is called
+      // several times per migrated batch, so leak-free iteration matters.
+      val stream = Files.list(d)
+      try {
+        val vs = stream.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer[Long]()
+        while (vs.hasNext) {
+          val p = vs.next()
+          val name = p.getFileName.toString
+          if (name.startsWith("v=") && Files.exists(p.resolve("_COMMITTED")))
+            buf += name.drop(2).toLong
+        }
+        buf.toSeq.sorted
+      } finally stream.close()
     }
   }
 

@@ -75,19 +75,28 @@ case class DotProductF32(left: Expression, right: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"dot_f32 requires ARRAY<FLOAT> args, got ${left.dataType}, ${right.dataType}")
   override def dataType: DataType = DoubleType
+  // Null on dimension mismatch (below), even for non-null inputs.
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_f32"
 
+  // Mismatched dimensions yield NULL rather than a silently-truncated
+  // (plausible but wrong) score — mirrors the oracle analog (DuckDB's
+  // list_dot_product errors) closely enough that bad embeddings surface
+  // as missing scores instead of corrupt ones.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -96,12 +105,16 @@ case class DotProductF32(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   * Hashing is md5 (same lowercase-hex output on Spark and DuckDB), so
   * every stage is oracle-checkable in plain SQL; for hot paths where
   * oracle parity is not needed, xxhash64 is the cheaper choice.
+  *
+  * Cache lifecycle: operators persist() intermediates that feed a
+  * self-join (re-deriving the whole pipeline per join side would double
+  * the work). The CALLER owns unpersisting — one action-driven query per
+  * session can ignore it; long-lived sessions running many queries
+  * should `spark.catalog.clearCache()` between them (Bench and Verify
+  * do).
   */
 object Dedup {
 
@@ -27,9 +34,10 @@ object Dedup {
     docs.groupBy(md5(key).as("content_hash"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles, one row per distinct (doc, shingle).
-    * Requires a `doc_id` and a whitespace-tokenizable `text` column. */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+  /** Word n-gram shingle occurrences (NOT de-duplicated): one row per
+    * shingle position. Duplicate-insensitive consumers (min-aggregating
+    * MinHash) read this directly and skip the distinct shuffle. */
+  def shingleOccurrences(docs: DataFrame, n: Int = 3): DataFrame = {
     val idx = (1 to n).map(k => s"element_at(w, i + ${k - 1})").mkString(", ")
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -37,29 +45,33 @@ object Dedup {
       .select(col("doc_id"), explode(
         expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $idx))"))
         .as("shingle"))
-      .distinct()
   }
+
+  /** Word n-gram shingles, one row per distinct (doc, shingle).
+    * Requires a `doc_id` and a whitespace-tokenizable `text` column. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleOccurrences(docs, n).distinct()
 
   /** MinHash signatures as one array column per document.
     *
-    * Scale shape: the `numHashes` salted hashes h_j(s) = md5(j||'|'||s)
-    * are computed once per DISTINCT shingle (the vocabulary), not per
-    * (doc, shingle) occurrence — on a repetitive corpus that is orders
-    * of magnitude fewer digests — then joined back and min-aggregated
-    * per document in a single shuffle with `numHashes` min states
-    * (no |shingles|×numHashes row explosion). */
+    * Scale shape: ONE md5 per shingle occurrence, with all `numHashes`
+    * hash functions derived from that single digest by Carter–Wegman
+    * double hashing h_j = h1 + j·h2 (h1 = 60-bit and h2 = 56-bit slices
+    * of the digest, so h1 + 15·h2 < 2^61 — exact in 64-bit signed
+    * arithmetic on both engines). min() is duplicate-insensitive, so no
+    * distinct-shingle shuffle and no vocabulary join are needed either:
+    * the whole operator is a narrow map + one hash aggregate carrying
+    * `numHashes` 8-byte min states per document. */
   def minhashSignatures(sh: DataFrame, numHashes: Int = 16): DataFrame = {
-    // 60-bit numeric hash (first 15 hex chars of md5): same ordering as
-    // the lexicographic hex min, but 8-byte agg state and shuffle keys
-    // instead of 32-char strings.
-    val vocab = sh.select(col("shingle")).distinct()
-      .withColumn("hs", expr(
-        s"""transform(sequence(0, ${numHashes - 1}), j ->
-           |  CAST(conv(substring(md5(concat(CAST(j AS STRING), '|', shingle)), 1, 15), 16, 10) AS BIGINT))"""
-          .stripMargin))
+    require(numHashes <= 32, s"h1 + j*h2 stays exact for j < 32, got $numHashes")
+    val hashed = sh
+      .select(col("doc_id"), md5(col("shingle")).as("m"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(m, 1, 15), 16, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substring(m, 17, 14), 16, 10) AS BIGINT)").as("h2"))
     val mins = (0 until numHashes).map(j =>
-      min(element_at(col("hs"), j + 1)).as(s"mh$j"))
-    sh.join(vocab, Seq("shingle"))
+      min(col("h1") + lit(j.toLong) * col("h2")).as(s"mh$j"))
+    hashed
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -90,29 +102,26 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash: `bits`-bit signature from md5-derived per-(bit, token)
-    * coin flips, majority-voted over the document's tokens. Tokens
-    * keep their multiplicity (frequency-weighted vote).
+  /** SimHash: `bits`-bit signature from per-token coin flips,
+    * majority-voted over the document's tokens. Tokens keep their
+    * multiplicity (frequency-weighted vote).
     *
-    * Scale shape: the coin flips are computed once per DISTINCT token
-    * (vocabulary × bits — typically tiny and auto-broadcast by
-    * Catalyst), then joined to per-doc token frequencies; the vote for
-    * every bit is a separate sum state in ONE hash aggregate keyed by
-    * doc_id — no (doc × token × bit) row explosion, no second shuffle. */
+    * Scale shape: ONE md5 per token occurrence; all `bits` coin flips
+    * are the low bits of that single digest (bit j of the first 8 hex
+    * chars → sign ±1). Each bit's vote is a separate sum state in ONE
+    * hash aggregate keyed by doc_id — no vocabulary join, no distinct,
+    * no (doc × token × bit) row explosion: a narrow map stage plus one
+    * shuffle of `bits` 8-byte partial sums per document. */
   def simhash(docs: DataFrame, bits: Int = 32): DataFrame = {
+    require(bits <= 32, s"signs come from a 32-bit digest slice, got $bits")
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
-    val vocab = toks.select(col("tok")).distinct()
-      .withColumn("sgns", expr(
-        s"""transform(sequence(0, ${bits - 1}), j ->
-           |  CASE WHEN substring(md5(concat(CAST(j AS STRING), '|', tok)), 1, 1)
-           |    BETWEEN '0' AND '7' THEN -1 ELSE 1 END)""".stripMargin))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)").as("h32"))
     val votes = (0 until bits).map(j =>
-      sum(col("cnt") * element_at(col("sgns"), j + 1)).as(s"v$j"))
-    toks.join(vocab, Seq("tok"))
+      sum(expr(s"(shiftright(h32, $j) & 1) * 2 - 1")).as(s"v$j"))
+    toks
       .groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
@@ -150,7 +159,11 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.2): DataFrame = {
     // Join on a 64-bit shingle hash instead of the shingle text: same
     // pair counts w.h.p. (64-bit collisions), smaller shuffle keys.
-    val sh = shingles(docs, n).select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
+    // Hash BEFORE the distinct so that shuffle carries (long, long)
+    // rows, not full shingle strings.
+    val sh = shingleOccurrences(docs, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
+      .distinct()
       .persist() // referenced three times: sizes + both sides of the pair join
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.select(col("shash"), col("doc_id").as("doc_id_a"))

@@ -49,11 +49,13 @@ object EtlQueries {
     * At 100 TB both sides are partial-aggregated before the tiny
     * per-bucket join — no row-level data crosses the shuffle. */
   def countValidate(s: SparkSession, dir: String): DataFrame = {
+    // floor-division (not `div`, which truncates toward zero) so the
+    // bucketing matches DuckDB's `//` for negative keys too.
     val src = Tables.orders(s, dir)
-      .groupBy(expr("o_orderkey div 1000").as("bucket"))
+      .groupBy(expr("floor(o_orderkey / 1000.0D)").as("bucket"))
       .agg(count(lit(1)).as("src_n"))
     val dst = Tables.lineitem(s, dir)
-      .groupBy(expr("l_orderkey div 1000").as("bucket"))
+      .groupBy(expr("floor(l_orderkey / 1000.0D)").as("bucket"))
       .agg(countDistinct(col("l_orderkey")).as("dst_n"))
     src.join(dst, Seq("bucket"), "full_outer")
       .select(
@@ -69,9 +71,9 @@ object EtlQueries {
       |  CAST(coalesce(s.src_n, 0) AS BIGINT) AS src_n,
       |  CAST(coalesce(d.dst_n, 0) AS BIGINT) AS dst_n,
       |  coalesce(s.src_n, 0) = coalesce(d.dst_n, 0) AS matched
-      |FROM (SELECT o_orderkey // 1000 AS bucket, count(*) AS src_n
+      |FROM (SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS bucket, count(*) AS src_n
       |      FROM orders GROUP BY 1) s
-      |FULL OUTER JOIN (SELECT l_orderkey // 1000 AS bucket,
+      |FULL OUTER JOIN (SELECT CAST(floor(l_orderkey / 1000.0) AS BIGINT) AS bucket,
       |      count(DISTINCT l_orderkey) AS dst_n FROM lineitem GROUP BY 1) d
       |  ON s.bucket = d.bucket
       |ORDER BY bucket""".stripMargin
@@ -88,7 +90,7 @@ object EtlQueries {
         col("l_orderkey").cast("string"),
         col("l_linenumber").cast("string"),
         col("l_returnflag"), col("l_linestatus"))))
-      .groupBy(expr("l_orderkey div 1000").as("bucket"))
+      .groupBy(expr("floor(l_orderkey / 1000.0D)").as("bucket"))
       .agg(
         count(lit(1)).as("n"),
         min(col("row_hash")).as("min_hash"),
@@ -96,7 +98,7 @@ object EtlQueries {
       .orderBy(col("bucket"))
 
   val contentValidateSql: String =
-    """SELECT l_orderkey // 1000 AS bucket,
+    """SELECT CAST(floor(l_orderkey / 1000.0) AS BIGINT) AS bucket,
       |  CAST(count(*) AS BIGINT) AS n,
       |  min(row_hash) AS min_hash, max(row_hash) AS max_hash
       |FROM (SELECT l_orderkey,

@@ -35,18 +35,24 @@ object Llm {
       |  CAST(count(*) AS BIGINT) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
-  /** L2a — MinHash-LSH candidate pairs (16 hashes, 4 bands × 4 rows). */
+  /** L2a — MinHash-LSH candidate pairs (16 hash fns derived from one
+    * md5 per shingle via h1 + j·h2; 4 bands × 4 rows). Signatures read
+    * raw shingle occurrences: min() is duplicate-insensitive, so the
+    * distinct-shingle shuffle is skipped entirely. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(Tables.documents(s, dir))
+    val sh = Dedup.shingleOccurrences(Tables.documents(s, dir))
     Dedup.minhashCandidates(Dedup.minhashSignatures(sh, 16), 4)
       .orderBy(col("doc_id_a"), col("doc_id_b"))
   }
 
   val dedupMinhashSql: String =
     s"""$shingleCte,
-      |hs AS (SELECT doc_id, j,
-      |         min(CAST(concat('0x', substring(md5(concat(CAST(j AS VARCHAR), '|', shingle)), 1, 15)) AS BIGINT)) AS mh
-      |       FROM sh, (SELECT unnest(range(0, 16)) AS j) GROUP BY doc_id, j),
+      |hh AS (SELECT doc_id,
+      |         CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+      |         CAST(concat('0x', substring(md5(shingle), 17, 14)) AS BIGINT) AS h2
+      |       FROM sh),
+      |hs AS (SELECT doc_id, j, min(h1 + j * h2) AS mh
+      |       FROM hh, (SELECT unnest(range(0, 16)) AS j) GROUP BY doc_id, j),
       |bands AS (SELECT doc_id, j // 4 AS band,
       |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_sig
       |          FROM hs GROUP BY doc_id, j // 4)
@@ -63,11 +69,11 @@ object Llm {
 
   val dedupSimhashSql: String =
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-      |tj AS (SELECT doc_id, j,
-      |         CASE WHEN substring(md5(concat(CAST(j AS VARCHAR), '|', tok)), 1, 1)
-      |           BETWEEN '0' AND '7' THEN -1 ELSE 1 END AS sgn
-      |       FROM (SELECT * FROM toks WHERE tok <> ''),
-      |            (SELECT unnest(range(0, 32)) AS j)),
+      |th AS (SELECT doc_id,
+      |         CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS h32
+      |       FROM toks WHERE tok <> ''),
+      |tj AS (SELECT doc_id, j, ((h32 >> CAST(j AS INT)) & 1) * 2 - 1 AS sgn
+      |       FROM th, (SELECT unnest(range(0, 32)) AS j)),
       |votes AS (SELECT doc_id, j, sum(sgn) AS vote FROM tj GROUP BY doc_id, j),
       |sig AS (SELECT doc_id,
       |          CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash

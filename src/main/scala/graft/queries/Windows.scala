@@ -269,7 +269,7 @@ object Windows {
     * the grid; left join attaches observed counts). */
   def gapFill(s: SparkSession, dir: String): DataFrame = {
     val hourly = Tables.events(s, dir)
-      .select(expr("(unix_timestamp(ts) div 3600) * 3600").as("hr"), col("event_type"))
+      .select(expr("floor(unix_timestamp(ts) / 3600.0D) * 3600").as("hr"), col("event_type"))
       .groupBy(col("hr"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val bounds = hourly.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
@@ -283,7 +283,7 @@ object Windows {
 
   val gapFillSql: String =
     """WITH hourly AS (
-      |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hr,
+      |  SELECT CAST(floor(epoch(ts) / 3600.0) AS BIGINT) * 3600 AS hr,
       |    event_type, CAST(count(*) AS BIGINT) AS n
       |  FROM events GROUP BY 1, 2),
       |grid AS (
@@ -296,11 +296,12 @@ object Windows {
       |  ON g.hr = h.hr AND g.event_type = h.event_type
       |ORDER BY g.hr, g.event_type""".stripMargin
 
-  /** Histogram: fixed-width bucketing by integer arithmetic (portable
-    * across engines, unlike width_bucket which DuckDB lacks). */
+  /** Histogram: fixed-width bucketing via floor-division (portable
+    * across engines — including negatives, where `div`/`//` disagree —
+    * unlike width_bucket which DuckDB lacks). */
   def histogram(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
-      .select(expr("CAST(floor(o_totalprice) AS BIGINT) div 50000").cast("int").as("bucket"))
+      .select(expr("floor(o_totalprice / 50000.0D)").cast("int").as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
       .withColumn("bucket_lo", (col("bucket") * 50000L).cast("bigint"))
@@ -310,7 +311,7 @@ object Windows {
   val histogramSql: String =
     """SELECT bucket, CAST(bucket * 50000 AS BIGINT) AS bucket_lo,
       |  CAST(count(*) AS BIGINT) AS n
-      |FROM (SELECT CAST(CAST(floor(o_totalprice) AS BIGINT) // 50000 AS INT) AS bucket
+      |FROM (SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS bucket
       |      FROM orders)
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
