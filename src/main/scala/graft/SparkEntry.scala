@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlQueries, Extras, Joins, Llm, Relational, Windows}
+import graft.queries.{EtlQueries, Extras, Joins, Llm, Pipeline, Relational, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,6 +26,7 @@ object SparkEntry {
       (EtlQueries.queries, EtlQueries.oracle),
       (Llm.queries, Llm.oracle),
       (Extras.queries, Extras.oracle),
+      (Pipeline.queries, Pipeline.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

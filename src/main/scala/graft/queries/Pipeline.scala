@@ -1,0 +1,314 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-pipeline operators beyond the round-1 inventory: change-data
+  * capture (snapshot diff), batch merge/upsert, deterministic
+  * hash-based sampling and train/val/test splits, per-group feature
+  * scaling, the bitwise function surface, edit-distance near-dup,
+  * TF-IDF term weighting, exact fixed-point vector centroids, and
+  * exact interpolated percentiles.
+  *
+  * These mirror what a large-scale training-data / ETL pipeline runs
+  * around the core migration loop: detecting drift between snapshots
+  * (the reference's validation, strengthened to row level), applying
+  * incremental updates, carving reproducible samples, and normalizing
+  * features — each expressed as a declarative plan Catalyst can push
+  * down and partial-aggregate, never a driver-side loop.
+  */
+object Pipeline {
+
+  /** CDC — snapshot diff: FULL OUTER join two snapshots on the PK and
+    * classify each key as Insert / Delete / Update (unchanged rows are
+    * dropped). This is the row-level upgrade of the reference's
+    * count-compare validation (A6): at 100 TB both sides shuffle once
+    * on the join key and unchanged rows never leave the join.
+    * Snapshots are derived deterministically from the fixture: the
+    * "old" snapshot is missing keys ≡3 (mod 10) and has a stale price
+    * on keys ≡0 (mod 7); the "new" one is missing keys ≡4 (mod 10). */
+  def changeCapture(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val old = o.filter(expr("o_orderkey % 10 != 3"))
+      .select(col("o_orderkey").as("key"),
+        expr("CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50.0D ELSE o_totalprice END")
+          .as("old_price"))
+    val nw = o.filter(expr("o_orderkey % 10 != 4"))
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("new_price"))
+    old.join(nw, Seq("key"), "full_outer")
+      .withColumn("op",
+        when(col("old_price").isNull, "I")
+          .when(col("new_price").isNull, "D")
+          .when(col("old_price") =!= col("new_price"), "U"))
+      .filter(col("op").isNotNull)
+      .select(col("key"), col("op"), col("old_price"), col("new_price"))
+      .orderBy(col("key"))
+  }
+
+  val changeCaptureSql: String =
+    """WITH old AS (SELECT o_orderkey AS key,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50.0 ELSE o_totalprice END AS old_price
+      |  FROM orders WHERE o_orderkey % 10 != 3),
+      |nw AS (SELECT o_orderkey AS key, o_totalprice AS new_price
+      |  FROM orders WHERE o_orderkey % 10 != 4)
+      |SELECT coalesce(old.key, nw.key) AS key,
+      |  CASE WHEN old.key IS NULL THEN 'I'
+      |       WHEN nw.key IS NULL THEN 'D'
+      |       WHEN old_price <> new_price THEN 'U' END AS op,
+      |  old_price, new_price
+      |FROM old FULL OUTER JOIN nw ON old.key = nw.key
+      |WHERE old.key IS NULL OR nw.key IS NULL OR old_price <> new_price
+      |ORDER BY key""".stripMargin
+
+  /** Merge/upsert (SCD type 1): apply an update batch over a target by
+    * key, newest wins — union + row_number, the shuffle-once batch
+    * formulation of MERGE INTO (Delta/Iceberg would express the same
+    * plan). The update batch bumps every key ≡0 (mod 5). */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val target = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"),
+        lit(0).as("src"))
+    val upd = Tables.orders(s, dir)
+      .filter(expr("o_orderkey % 5 = 0"))
+      .select(col("o_orderkey").as("key"),
+        (col("o_totalprice") + lit(10.0)).as("price"), lit(1).as("src"))
+    val w = Window.partitionBy(col("key")).orderBy(col("src").desc)
+    target.unionByName(upd)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("key") < 3000)
+      .select(col("key"), col("price"), col("src").as("from_update"))
+      .orderBy(col("key"))
+  }
+
+  val mergeUpsertSql: String =
+    """SELECT key, price, from_update FROM (
+      |  SELECT key, price, src AS from_update,
+      |    row_number() OVER (PARTITION BY key ORDER BY src DESC) AS rn
+      |  FROM (
+      |    SELECT o_orderkey AS key, o_totalprice AS price, 0 AS src FROM orders
+      |    UNION ALL
+      |    SELECT o_orderkey AS key, o_totalprice + 10.0 AS price, 1 AS src
+      |    FROM orders WHERE o_orderkey % 5 = 0))
+      |WHERE rn = 1 AND key < 3000
+      |ORDER BY key""".stripMargin
+
+  /** Deterministic hash sampling + split assignment: a 10% sample and
+    * a train/val/test split keyed on md5 of the PK — reproducible
+    * across runs, engines and cluster sizes (unlike rand()-based
+    * TABLESAMPLE), and embarrassingly parallel: a pure map-side filter
+    * with no shuffle at any scale. */
+  def hashSample(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .filter(col("h") < 10)
+      .select(col("o_orderkey"), col("h").cast("int").as("h"),
+        when(col("h") < 8, "train").when(col("h") < 9, "val").otherwise("test")
+          .as("split"))
+      .orderBy(col("o_orderkey"))
+
+  val hashSampleSql: String =
+    """SELECT o_orderkey, CAST(h AS INT) AS h,
+      |  CASE WHEN h < 8 THEN 'train' WHEN h < 9 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT o_orderkey,
+      |        CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS h
+      |      FROM orders)
+      |WHERE h < 10 ORDER BY o_orderkey""".stripMargin
+
+  /** Per-group min-max feature scaling via an unordered window — the
+    * normalization step before model training. (x−min)/(max−min) is
+    * two exactly-rounded IEEE ops on exact inputs, so the raw double
+    * is oracle-safe; degenerate constant groups scale to NULL via
+    * nullif rather than dividing by zero. */
+  def minmaxScale(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 2000)
+      .withColumn("mn", min(col("l_extendedprice")).over(w))
+      .withColumn("mx", max(col("l_extendedprice")).over(w))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"),
+        ((col("l_extendedprice") - col("mn")) /
+          nullif(col("mx") - col("mn"), lit(0.0))).as("scaled"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture —
+      // order by every output column so any remaining ties are identical rows.
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_returnflag"))
+  }
+
+  val minmaxScaleSql: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+      |  (l_extendedprice - min(l_extendedprice) OVER w) /
+      |    nullif(max(l_extendedprice) OVER w - min(l_extendedprice) OVER w, 0) AS scaled
+      |FROM lineitem WHERE l_orderkey < 2000
+      |WINDOW w AS (PARTITION BY l_returnflag)
+      |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_returnflag""".stripMargin
+
+  /** F7 — bitwise function surface: and/or/xor, shifts, popcount.
+    * Exact integer ops, trivially portable. (DuckDB's ^ is POWER, so
+    * the oracle spells xor(); Spark's ^ is XOR.) */
+  def bitwiseFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 5000)
+      .select(
+        col("o_orderkey"),
+        expr("o_orderkey & 255").as("and255"),
+        expr("o_orderkey | 15").as("or15"),
+        expr("o_orderkey ^ o_custkey").as("xor_cust"),
+        expr("shiftleft(o_orderkey & 255, 2)").as("shl2"),
+        expr("shiftright(o_orderkey, 3)").as("shr3"),
+        expr("CAST(bit_count(o_orderkey) AS INT)").as("pop"))
+      .orderBy(col("o_orderkey"))
+
+  val bitwiseFuncsSql: String =
+    """SELECT o_orderkey,
+      |  o_orderkey & 255 AS and255,
+      |  o_orderkey | 15 AS or15,
+      |  xor(o_orderkey, o_custkey) AS xor_cust,
+      |  (o_orderkey & 255) << 2 AS shl2,
+      |  o_orderkey >> 3 AS shr3,
+      |  CAST(bit_count(o_orderkey) AS INT) AS pop
+      |FROM orders WHERE o_orderkey < 5000 ORDER BY o_orderkey""".stripMargin
+
+  /** L2f — edit-distance near-dup: levenshtein over candidate pairs
+    * blocked on (lang, length bucket). Blocking is the scale lever —
+    * the quadratic pair space exists only inside a block, and a true
+    * near-dup pair lands in the same or adjacent bucket (adjacent
+    * buckets are omitted here; candidate recall is the documented
+    * tradeoff, exactly as in MinHash banding). */
+  def dedupLevenshtein(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .filter(col("n_chars").between(30, 150))
+      .select(col("doc_id"), col("text"), col("lang"),
+        expr("floor(n_chars / 10.0D)").as("lb"))
+    val a = base.select(col("lang"), col("lb"), col("doc_id").as("doc_id_a"),
+      col("text").as("text_a"))
+    val b = base.select(col("lang"), col("lb"), col("doc_id").as("doc_id_b"),
+      col("text").as("text_b"))
+    a.join(b, Seq("lang", "lb"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        levenshtein(col("text_a"), col("text_b")).as("dist"))
+      .filter(col("dist") <= 20)
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
+  val dedupLevenshteinSql: String =
+    """WITH base AS (SELECT doc_id, text, lang,
+      |    CAST(floor(n_chars / 10.0) AS BIGINT) AS lb
+      |  FROM documents WHERE n_chars BETWEEN 30 AND 150)
+      |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+      |  CAST(levenshtein(a.text, b.text) AS INT) AS dist
+      |FROM base a JOIN base b
+      |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.text, b.text) <= 20
+      |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
+  /** L4h — TF-IDF term weighting: tf from a (doc, term) aggregate, df
+    * from a term aggregate, N as a broadcast scalar; idf = ln(N/df) is
+    * a single libm op on a double from exact integer division — checked
+    * bit-identical across engines on the fixture vocabulary. Classic
+    * map-side-combining shape: both aggregates partial-combine before
+    * their shuffles, and the df table (vocabulary-sized) broadcasts. */
+  def tfIdf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") >= 5 && col("doc_id") < 50)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  val tfIdfSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |    FROM toks WHERE term <> '' GROUP BY doc_id, term),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+      |SELECT doc_id, tf.term, tf, df,
+      |  tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+      |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+      |WHERE df >= 5 AND doc_id < 50
+      |ORDER BY doc_id, tf.term""".stripMargin
+
+  /** G6-oracle — exact per-label centroids in fixed point: each
+    * element is quantized with floor(x·10⁶) BEFORE the sum, so the
+    * aggregation is exact integer arithmetic — order-independent,
+    * partial-aggregable, and bit-identical on any engine. This is the
+    * oracle-checkable twin of the VectorMean Aggregator (whose raw
+    * double mean is summation-order-dependent); at 100 TB the same
+    * trick makes centroid computation reproducible across reruns. */
+  def vectorCentroidsFp(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").cast("int").as("dim"),
+        expr("CAST(floor(CAST(col AS DOUBLE) * 1000000.0D) AS BIGINT)").as("fp"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("fp")).as("sum_fp"), count(lit(1)).as("n"))
+      .orderBy(col("label"), col("dim"))
+
+  val vectorCentroidsFpSql: String =
+    """SELECT label, CAST(j AS INT) AS dim,
+      |  CAST(sum(CAST(floor(CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_fp,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM embeddings, (SELECT unnest(range(0, 64)) AS j) js
+      |GROUP BY label, j ORDER BY label, dim""".stripMargin
+
+  /** G9 — exact interpolated percentiles (quantile_cont semantics):
+    * index p·(n−1) into the sorted values, linear interpolation. The
+    * sort-based exact form the approx sketch (q_percentile_approx)
+    * replaces at scale; inputs are small integers so the interpolation
+    * arithmetic is exact on both engines. */
+  def percentileExact(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25D)").as("p25"),
+        expr("percentile(l_quantity, 0.5D)").as("p50"),
+        expr("percentile(l_quantity, 0.75D)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val percentileExactSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_change_capture" -> (changeCapture _),
+    "q_merge_upsert" -> (mergeUpsert _),
+    "q_hash_sample" -> (hashSample _),
+    "q_minmax_scale" -> (minmaxScale _),
+    "q_bitwise_funcs" -> (bitwiseFuncs _),
+    "q_dedup_levenshtein" -> (dedupLevenshtein _),
+    "q_tfidf" -> (tfIdf _),
+    "q_vector_centroids_fp" -> (vectorCentroidsFp _),
+    "q_percentile_exact" -> (percentileExact _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_change_capture" -> changeCaptureSql,
+    "q_merge_upsert" -> mergeUpsertSql,
+    "q_hash_sample" -> hashSampleSql,
+    "q_minmax_scale" -> minmaxScaleSql,
+    "q_bitwise_funcs" -> bitwiseFuncsSql,
+    "q_dedup_levenshtein" -> dedupLevenshteinSql,
+    "q_tfidf" -> tfIdfSql,
+    "q_vector_centroids_fp" -> vectorCentroidsFpSql,
+    "q_percentile_exact" -> percentileExactSql,
+  )
+}
