@@ -288,6 +288,58 @@ object Pipeline {
       |  CAST(count(*) AS BIGINT) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Skew-resistant aggregation: salt the hot key space into 8
+    * sub-keys, partial-aggregate per (key, salt), then combine — the
+    * classic two-level rewrite for keys too hot for one reducer. The
+    * result is identical to the direct groupBy (the oracle computes it
+    * directly), which is the point: salting is a physical rewrite, not
+    * a semantic one. At 100 TB AQE's skew handling covers joins; this
+    * pattern covers aggregations whose partials are small (sum/count). */
+  def aggSalted(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("salt", expr("pmod(xxhash64(l_orderkey, l_linenumber), 8)"))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(Conv.dec2(col("l_quantity"))).as("psum"), count(lit(1)).as("pn"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("psum")).cast("double").as("sum_qty"),
+        sum(col("pn")).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val aggSaltedSql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** W3-ext — RANGE frame (value-based, not row-based): a trailing
+    * 3-day running total per customer, expressed over epoch seconds so
+    * both engines frame identically. RANGE frames are the window shape
+    * row frames can't express when rows per day vary. */
+  def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("od"))
+      .rangeBetween(-3L * 86400L, 0L)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 50)
+      .withColumn("od", unix_timestamp(col("o_orderdate")))
+      .withColumn("trail3d",
+        sum(Conv.dec2(col("o_totalprice"))).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("od"),
+        col("trail3d").cast("double").as("trail3d"))
+      .orderBy(col("o_custkey"), col("od"), col("o_orderkey"))
+  }
+
+  val windowRangeFrameSql: String =
+    """SELECT o_custkey, o_orderkey, od,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY o_custkey ORDER BY od
+      |     RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail3d
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        CAST(floor(epoch(o_orderdate)) AS BIGINT) AS od FROM orders)
+      |WHERE o_custkey < 50
+      |ORDER BY o_custkey, od, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_change_capture" -> (changeCapture _),
     "q_merge_upsert" -> (mergeUpsert _),
@@ -298,6 +350,8 @@ object Pipeline {
     "q_tfidf" -> (tfIdf _),
     "q_vector_centroids_fp" -> (vectorCentroidsFp _),
     "q_percentile_exact" -> (percentileExact _),
+    "q_agg_salted" -> (aggSalted _),
+    "q_window_range_frame" -> (windowRangeFrame _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -310,5 +364,7 @@ object Pipeline {
     "q_tfidf" -> tfIdfSql,
     "q_vector_centroids_fp" -> vectorCentroidsFpSql,
     "q_percentile_exact" -> percentileExactSql,
+    "q_agg_salted" -> aggSaltedSql,
+    "q_window_range_frame" -> windowRangeFrameSql,
   )
 }
