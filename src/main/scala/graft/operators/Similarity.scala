@@ -111,6 +111,67 @@ object Similarity {
     * (t, bucket)), then each query touches ~tables/2^bits of the
     * corpus instead of all of it. Recall vs [[bruteForceTopK]] is
     * asserted in SimilaritySpec. */
+  /** IVF (inverted-file) approximate top-k — the other classic ANN
+    * scale path next to [[lshTopK]]: train a coarse quantizer, assign
+    * every vector to its nearest centroid's inverted list, and search
+    * only the `nprobe` lists nearest each probe.
+    *
+    * Training is k-means seeded from the label-block means (the
+    * VectorMean Aggregator — a partial/final aggregate whose buffer is
+    * dims×8 bytes regardless of list size) plus `iterations` Lloyd
+    * steps, each one broadcast-scored assignment pass + one mean
+    * shuffle. Ties break on centroid id so the index is deterministic.
+    *
+    * Scale shape: the centroid table stays tiny and broadcasts; the
+    * corpus is touched in narrow passes (assignment) and the search
+    * join is per-list, so each query scores ~nprobe/nlist of the
+    * corpus. At 100 TB the assigned corpus would be written bucketed
+    * by `cid` so the search join needs no shuffle at all. */
+  def ivfTopK(probes: DataFrame, candidates: DataFrame, k: Int,
+              nprobe: Int = 2, iterations: Int = 1): DataFrame = {
+    ensureRegistered(candidates)
+    val vm = udaf(new VectorMean(64))
+    val toF = (c: Column) => transform(c, x => x.cast("float"))
+    def nearest(df: DataFrame, cents: DataFrame, idCol: String,
+                embCol: String, n: Int): DataFrame = {
+      // ||x−c||² ranks identically to (c·c − 2·x·c); x·x is constant per x.
+      val scored = df.crossJoin(broadcast(cents))
+        .withColumn("d2", dot(col("centroid"), col("centroid"))
+          - lit(2.0) * dot(col(embCol), col("centroid")))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("d2"), col("cid"))
+      scored.withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") <= n)
+        .drop("d2", "crnk", "centroid")
+    }
+    val cand = candidates.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"))
+    var cents = candidates.groupBy(col("label").cast("bigint").as("cid"))
+      .agg(vm(col("embedding")).as("centroid"))
+      .select(col("cid"), toF(col("centroid")).as("centroid"))
+    for (_ <- 1 to iterations) {
+      cents = nearest(cand, cents, "neighbor_id", "ce", 1)
+        .groupBy(col("cid"))
+        .agg(vm(col("ce")).as("centroid"))
+        .select(col("cid"), toF(col("centroid")).as("centroid"))
+    }
+    val lists = nearest(cand, cents, "neighbor_id", "ce", 1)
+    val pAssigned = nearest(
+      probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe")),
+      cents, "probe_id", "pe", nprobe)
+    // each candidate lives in exactly one list, so (probe, neighbor)
+    // pairs are unique even with nprobe > 1 — no dedup needed.
+    val scored = lists.join(broadcast(pAssigned), Seq("cid"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("pe"), col("ce")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk").cast("int").as("rnk"),
+        col("neighbor_id"), col("cosine"))
+  }
+
   def lshTopK(probes: DataFrame, candidates: DataFrame, k: Int,
               bits: Int = 6, tables: Int = 8): DataFrame = {
     val p = lshBuckets(probes, bits, tables).select(col("t"), col("bucket"),

@@ -50,6 +50,15 @@ object Extras {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** ANN — IVF inverted-list approximate top-k (k-means coarse
+    * quantizer + nprobe-list search), the second classic ANN scale
+    * path; recall vs brute force asserted in SimilaritySpec. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, 5, nprobe = 2)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** Engine-native fingerprint via the codegen'd FNV-1a expression
     * (known-answer vectors asserted in FunctionsSpec). */
   def fnvFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -136,11 +145,21 @@ object Extras {
     "q_approx_distinct" -> (approxDistinct _),
     "q_vector_centroids" -> (vectorCentroids _),
     "q_ann_lsh" -> (annLsh _),
+    "q_ann_ivf" -> (annIvf _),
     "q_fnv_fingerprint" -> (fnvFingerprint _),
     "q_multimodal_features" -> (multimodalFeatures _),
   )
 
-  /** Intentionally empty: these operators have no DuckDB-expressible
-    * oracle; the driver falls back to a rows-only check. */
-  val oracle: Map[String, String] = Map.empty
+  /** q_json_roundtrip gets a real oracle: the serialize→parse cycle
+    * must reproduce the original rows exactly (Spark's to_json emits
+    * round-trippable doubles), so the oracle is simply the source
+    * projection. The remaining entries have no DuckDB-expressible
+    * oracle (sketches, LSH/IVF, engine-specific hashes and
+    * order-dependent double accumulations); the driver falls back to a
+    * rows-only check and the real assertions live in ScalaTest. */
+  val oracle: Map[String, String] = Map(
+    "q_json_roundtrip" ->
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin,
+  )
 }

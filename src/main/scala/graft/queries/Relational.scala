@@ -473,6 +473,27 @@ object Relational {
       |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Correlated scalar subquery (per-row aggregate lookup): Catalyst's
+    * RewriteCorrelatedScalarSubquery decorrelates it into one left
+    * outer aggregate join — no per-row re-execution at any scale. */
+  def correlatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(coalesce((SELECT count(*) FROM lineitem_v l
+        |                 WHERE l.l_orderkey = o.o_orderkey), 0) AS BIGINT) AS n_items
+        |FROM orders_v o WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val correlatedSubquerySql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |  CAST(coalesce((SELECT count(*) FROM lineitem l
+      |                 WHERE l.l_orderkey = o.o_orderkey), 0) AS BIGINT) AS n_items
+      |FROM orders o WHERE o_orderkey < 2000
+      |ORDER BY o_orderkey""".stripMargin
+
   /** G4c — explicit GROUPING SETS (beyond rollup/cube): chosen subsets. */
   def groupingSets(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("orders_v")
@@ -588,6 +609,7 @@ object Relational {
     "q_pivot" -> (pivotQ _),
     "q_unpivot" -> (unpivotQ _),
     "q_scalar_subquery" -> (scalarSubquery _),
+    "q_correlated_subquery" -> (correlatedSubquery _),
     "q_pricing_summary" -> (pricingSummary _),
     "q_ranged_scan" -> (rangedScan _),
     "q_projection" -> (projection _),
@@ -618,6 +640,7 @@ object Relational {
     "q_pivot" -> pivotSql,
     "q_unpivot" -> unpivotSql,
     "q_scalar_subquery" -> scalarSubquerySql,
+    "q_correlated_subquery" -> correlatedSubquerySql,
     "q_pricing_summary" -> pricingSummarySql,
     "q_ranged_scan" -> rangedScanSql,
     "q_projection" -> projectionSql,
