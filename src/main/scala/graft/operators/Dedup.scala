@@ -193,19 +193,27 @@ object Dedup {
     // once and TRUNCATE LINEAGE each iteration (localCheckpoint) —
     // otherwise every iteration's plan nests all previous ones and
     // analysis/codegen time dominates the tiny label-propagation work.
-    val p = pairs.localCheckpoint()
+    // Checkpoint budget: each eager localCheckpoint is a full job
+    // submit — on the near-dup-scale (≪ corpus) label table that fixed
+    // cost dwarfs the compute. So only the pair generation (the one
+    // expensive subtree) is checkpointed always, and labels every
+    // second iteration: lineage nests at most two join rounds, which
+    // keeps analysis/codegen bounded without per-iteration jobs. The
+    // frames are also coalesced — 32-task shuffles on KB-sized data
+    // cost more in scheduling than compute.
+    val p = pairs.coalesce(8).localCheckpoint()
     val edges = p.select(col("doc_id_a").as("u"), col("doc_id_b").as("v"))
       .union(p.select(col("doc_id_b").as("u"), col("doc_id_a").as("v")))
-      .localCheckpoint()
     val nodes = edges.select(col("u").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
-    for (_ <- 1 to iterations) {
+    var labels = nodes.withColumn("label", col("node"))
+    for (i <- 1 to iterations) {
       val nbrMin = edges.join(labels, edges("v") === labels("node"))
         .groupBy(col("u")).agg(min(col("label")).as("nbr"))
       labels = labels.join(nbrMin, labels("node") === nbrMin("u"), "left_outer")
         .select(labels("node"),
           least(labels("label"), coalesce(col("nbr"), labels("label"))).as("label"))
-        .localCheckpoint()
+      if (i % 2 == 0 || i == iterations)
+        labels = labels.coalesce(8).localCheckpoint()
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("keep", col("doc_id") === col("cluster_id"))

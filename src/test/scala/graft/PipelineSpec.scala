@@ -88,6 +88,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("tfidf plans a broadcast join for the df (vocabulary) side") {
+    val plan = Pipeline.tfIdf(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+  }
+
+  test("hash sample shuffles only for the final sort (map-side filter)") {
+    val plan = Pipeline.hashSample(spark, sfDir).queryExecution.executedPlan.toString
+    val exchanges = "(?i)exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected at most the sort exchange, got $exchanges:\n${plan.take(2000)}")
+  }
+
+  test("change capture plans a full outer join") {
+    val plan = Pipeline.changeCapture(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), plan.take(2000))
+  }
+
   test("fixed-point centroids: n matches label cardinality, dims complete") {
     val rows = Pipeline.vectorCentroidsFp(spark, sfDir).collect()
     val dims = rows.groupBy(_.get(0).toString).view.mapValues(_.length).toMap
