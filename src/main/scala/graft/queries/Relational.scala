@@ -319,6 +319,30 @@ object Relational {
       |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
       |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin
 
+  /** F2b — calendar arithmetic: add_months (month-end clamped on both
+    * engines), last_day, day-of-week/year (DuckDB's dayofweek is
+    * 0-based Sunday, Spark's 1-based — aligned with +1), ISO week. */
+  def dateArith(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 1000)
+      .select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        weekofyear(col("o_orderdate")).as("iso_week"))
+      .orderBy(col("o_orderkey"))
+
+  val dateArithSql: String =
+    """SELECT o_orderkey,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+      |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+      |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week
+      |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin
+
   /** F3 — math functions (ln spelled explicitly: DuckDB log() is log10). */
   def mathFuncs(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -625,6 +649,7 @@ object Relational {
     "q_except" -> (exceptQ _),
     "q_string_funcs" -> (stringFuncs _),
     "q_date_funcs" -> (dateFuncs _),
+    "q_date_arith" -> (dateArith _),
     "q_math_funcs" -> (mathFuncs _),
     "q_json_funcs" -> (jsonFuncs _),
     "q_conditional" -> (conditionalFuncs _),
@@ -656,6 +681,7 @@ object Relational {
     "q_except" -> exceptSql,
     "q_string_funcs" -> stringFuncsSql,
     "q_date_funcs" -> dateFuncsSql,
+    "q_date_arith" -> dateArithSql,
     "q_math_funcs" -> mathFuncsSql,
     "q_json_funcs" -> jsonFuncsSql,
     "q_conditional" -> conditionalFuncsSql,
