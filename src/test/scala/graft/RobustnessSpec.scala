@@ -50,6 +50,10 @@ class RobustnessSpec extends SparkSpec {
     assert(Similarity.bruteForceTopK(none, emb, 3).count() == 0)
     assert(Similarity.bruteForceTopK(emb, none, 3).count() == 0)
     assert(Similarity.lshTopK(none, emb, 3, bits = 2, tables = 2).count() == 0)
+    // IVF (needs a label column — use the fixture): empty probe set
+    // flows through quantizer training + list search to an empty result
+    val fix = Tables.embeddings(spark, sfDir)
+    assert(Similarity.ivfTopK(fix.filter(col("vec_id") < 0), fix, 5).count() == 0)
   }
 
   test("incremental runner on an empty source is a no-op") {
