@@ -22,7 +22,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Operators persist() intermediates within a query; drop them between
-      // queries so 79 runs in one session don't accumulate cached blocks.
+      // queries so ~100 runs in one session don't accumulate cached blocks.
       try spark.catalog.clearCache() catch { case _: Throwable => }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

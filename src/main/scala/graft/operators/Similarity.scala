@@ -128,31 +128,35 @@ object Similarity {
     * corpus. At 100 TB the assigned corpus would be written bucketed
     * by `cid` so the search join needs no shuffle at all. */
   def ivfTopK(probes: DataFrame, candidates: DataFrame, k: Int,
-              nprobe: Int = 2, iterations: Int = 1): DataFrame = {
+              nprobe: Int = 2, iterations: Int = 1, dims: Int = 64): DataFrame = {
     ensureRegistered(candidates)
-    val vm = udaf(new VectorMean(64))
-    val toF = (c: Column) => transform(c, x => x.cast("float"))
+    val vm = udaf(new VectorMean(dims))
+    // c·c is precomputed once on the tiny centroid table — the
+    // assignment cross join then does one dot product per (vector,
+    // centroid) pair, not two.
+    val toCent = (c: Column) => transform(c, x => x.cast("float"))
+    def withNorm(cents: DataFrame): DataFrame =
+      cents.withColumn("c2", dot(col("centroid"), col("centroid")))
     def nearest(df: DataFrame, cents: DataFrame, idCol: String,
                 embCol: String, n: Int): DataFrame = {
       // ||x−c||² ranks identically to (c·c − 2·x·c); x·x is constant per x.
       val scored = df.crossJoin(broadcast(cents))
-        .withColumn("d2", dot(col("centroid"), col("centroid"))
-          - lit(2.0) * dot(col(embCol), col("centroid")))
+        .withColumn("d2", col("c2") - lit(2.0) * dot(col(embCol), col("centroid")))
       val w = Window.partitionBy(col(idCol)).orderBy(col("d2"), col("cid"))
       scored.withColumn("crnk", row_number().over(w))
         .filter(col("crnk") <= n)
-        .drop("d2", "crnk", "centroid")
+        .drop("d2", "crnk", "centroid", "c2")
     }
     val cand = candidates.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ce"))
-    var cents = candidates.groupBy(col("label").cast("bigint").as("cid"))
+    var cents = withNorm(candidates.groupBy(col("label").cast("bigint").as("cid"))
       .agg(vm(col("embedding")).as("centroid"))
-      .select(col("cid"), toF(col("centroid")).as("centroid"))
+      .select(col("cid"), toCent(col("centroid")).as("centroid")))
     for (_ <- 1 to iterations) {
-      cents = nearest(cand, cents, "neighbor_id", "ce", 1)
+      cents = withNorm(nearest(cand, cents, "neighbor_id", "ce", 1)
         .groupBy(col("cid"))
         .agg(vm(col("ce")).as("centroid"))
-        .select(col("cid"), toF(col("centroid")).as("centroid"))
+        .select(col("cid"), toCent(col("centroid")).as("centroid")))
     }
     val lists = nearest(cand, cents, "neighbor_id", "ce", 1)
     val pAssigned = nearest(

@@ -107,6 +107,34 @@ object EtlQueries {
       |      FROM lineitem)
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** E5 — dirty-data handling: try_cast (failed parses → NULL instead
+    * of aborting the batch), nullif/coalesce defaults, and null-safe
+    * equality (Spark `<=>` ≡ DuckDB IS NOT DISTINCT FROM) — the
+    * tolerant-ingest semantics an ETL edge needs when the source
+    * contains malformed values. */
+  def tryCast(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 3000)
+      .select(
+        col("o_orderkey"),
+        expr("try_cast(split(o_orderpriority, '-')[0] AS INT)").as("prio_num"),
+        expr("try_cast(o_orderstatus AS INT)").as("status_num"), // always NULL
+        coalesce(expr("try_cast(o_orderstatus AS INT)"), lit(-1)).as("status_or_default"),
+        expr("nullif(o_orderstatus, 'O')").isNull.as("is_open"),
+        (expr("try_cast(o_orderstatus AS INT)") <=> expr("try_cast(o_orderpriority AS INT)"))
+          .as("both_unparseable"))
+      .orderBy(col("o_orderkey"))
+
+  val tryCastSql: String =
+    """SELECT o_orderkey,
+      |  TRY_CAST(string_split(o_orderpriority, '-')[1] AS INT) AS prio_num,
+      |  TRY_CAST(o_orderstatus AS INT) AS status_num,
+      |  coalesce(TRY_CAST(o_orderstatus AS INT), -1) AS status_or_default,
+      |  nullif(o_orderstatus, 'O') IS NULL AS is_open,
+      |  TRY_CAST(o_orderstatus AS INT) IS NOT DISTINCT FROM TRY_CAST(o_orderpriority AS INT)
+      |    AS both_unparseable
+      |FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin
+
   /** F4 — array functions over the embedding column: size, indexing,
     * slice, aggregate/transform (sum of squares, left-to-right in
     * double — bit-identical to DuckDB's list_sum), min/max element. */
@@ -136,6 +164,7 @@ object EtlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_typemap_cast" -> (typemapCast _),
+    "q_try_cast" -> (tryCast _),
     "q_count_validate" -> (countValidate _),
     "q_content_validate" -> (contentValidate _),
     "q_array_funcs" -> (arrayFuncs _),
@@ -143,6 +172,7 @@ object EtlQueries {
 
   val oracle: Map[String, String] = Map(
     "q_typemap_cast" -> typemapCastSql,
+    "q_try_cast" -> tryCastSql,
     "q_count_validate" -> countValidateSql,
     "q_content_validate" -> contentValidateSql,
     "q_array_funcs" -> arrayFuncsSql,

@@ -80,8 +80,10 @@ object Extras {
     * format: gzipped newline-delimited JSON): serialize each event row
     * to a JSON line, parse it back with an explicit schema, and emit
     * the parsed fields. The file-based gzip round trip is exercised in
-    * EtlSpec; this query keeps the serialize→parse path on the scan
-    * (rows-only check: JSON text formatting differs across engines). */
+    * EtlSpec. Oracle-checked: the serialize→parse cycle must reproduce
+    * the source rows exactly (doubles survive via Java's shortest
+    * round-trip representation), so the oracle is the source
+    * projection itself — see the oracle map below. */
   def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("event_type"), col("value"))
