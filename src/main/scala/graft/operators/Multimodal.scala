@@ -71,6 +71,25 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: produces a payload downsampled toward a target
+    * box and the updated metadata — the shape of an image-resize
+    * stage (payload in, smaller payload + new dims out, narrow map,
+    * no shuffle). A real implementation decodes, resizes with an
+    * image library, and re-encodes; the stub deterministically keeps
+    * every k-th byte where k scales with the area ratio. */
+  def resize(media: Dataset[MediaRow], maxW: Int = 64, maxH: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val w = math.max(1, r.meta.width)
+      val h = math.max(1, r.meta.height)
+      val scale = math.max(1.0, math.sqrt((w.toDouble * h) / (maxW.toDouble * maxH)))
+      val k = math.max(1, scale.toInt)
+      val out = r.payload.indices.collect { case i if i % k == 0 => r.payload(i) }.toArray
+      r.copy(payload = out,
+        meta = r.meta.copy(width = math.min(w, maxW), height = math.min(h, maxH)))
+    }
+  }
+
   /** Frame sampling stub: emits every `stride`-th frame index implied
     * by the metadata — the explode shape of video frame extraction
     * (one output row per sampled frame, still no shuffle). */

@@ -33,6 +33,20 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize shrinks payloads toward the target box and caps dims") {
+    val resized = Multimodal.resize(media, maxW = 16, maxH = 16).collect()
+    val orig = media.collect().map(r => r.media_id -> r).toMap
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      val o = orig(r.media_id)
+      assert(r.meta.width <= 16 && r.meta.height <= 16)
+      assert(r.payload.length <= o.payload.length)
+      assert(r.payload.nonEmpty || o.payload.isEmpty)
+      // deterministic: first kept byte is the first original byte
+      if (o.payload.nonEmpty) assert(r.payload.head == o.payload.head)
+    }
+  }
+
   test("frame sampling emits stride-spaced indices per media row") {
     val rows = Multimodal.sampleFrames(media.limit(3), stride = 10)
       .collect().groupBy(_.getLong(0))
