@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Extras, Relational}
+
+/** Sanity assertions for the sketch/order-dependent operators that
+  * have no DuckDB oracle: bounds, internal consistency, and agreement
+  * with their exact/deterministic twins within tolerance. */
+class ExtrasSpec extends SparkSpec {
+
+  test("approx percentiles are bounded by min/max and ordered") {
+    Extras.percentileApprox(spark, sfDir).collect().foreach { r =>
+      val (p50, p90) = (r.getDouble(1), r.getDouble(2))
+      val (lo, hi) = (r.getDouble(3), r.getDouble(4))
+      assert(lo <= p50 && p50 <= p90 && p90 <= hi,
+        s"expected $lo <= $p50 <= $p90 <= $hi")
+    }
+  }
+
+  test("built-in moments agree with the exact-decimal formulation within 1e-6 rel") {
+    val builtin = Extras.statsBuiltin(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Relational.statsMoments(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toList
+    assert(exact.nonEmpty)
+    exact.foreach { case (flag, varQty, sdQty, corrQP) =>
+      val (sdB, varB, corrB) = builtin(flag)
+      def close(a: Double, b: Double) = math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b))
+      assert(close(varB, varQty), s"$flag var $varB vs $varQty")
+      assert(close(sdB, sdQty), s"$flag sd $sdB vs $sdQty")
+      assert(close(corrB, corrQP), s"$flag corr $corrB vs $corrQP")
+      assert(corrB >= -1.0 && corrB <= 1.0)
+      assert(close(sdB * sdB, varB))
+    }
+  }
+
+  test("freq-items sketch guarantees items above the support threshold") {
+    val n = Tables.orders(spark, sfDir).count().toDouble
+    val trulyFrequent = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus")).count()
+      .filter(col("count") > n * 0.3)
+      .collect().map(_.getString(0)).toSet
+    val sketch = Extras.freqItems(spark, sfDir).collect().head
+      .getString(0).split(",").toSet
+    // KPS guarantee: every item above support appears in the sketch
+    assert(trulyFrequent.subsetOf(sketch), s"$trulyFrequent not in $sketch")
+  }
+}
