@@ -50,6 +50,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("salted aggregation equals direct aggregation for any salt width") {
+    import graft.queries.Conv
+    val li = Tables.lineitem(spark, sfDir)
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(sum(Conv.dec2(col("l_quantity"))).cast("double").as("s"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    Seq(2, 8, 31).foreach { salts =>
+      val salted = li
+        .withColumn("salt", expr(s"pmod(xxhash64(l_orderkey, l_linenumber), $salts)"))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(sum(Conv.dec2(col("l_quantity"))).as("ps"), count(lit(1)).as("pn"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("ps")).cast("double").as("s"), sum(col("pn")).as("n"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(salted == direct, s"salt width $salts diverged")
+    }
+  }
+
+  test("hash sampling is invariant under repartitioning") {
+    import graft.queries.Pipeline
+    val a = Pipeline.hashSample(spark, sfDir).collect().toSeq
+    val b = Pipeline.hashSample(spark, sfDir)
+      .repartition(13).orderBy(col("o_orderkey")).collect().toSeq
+    assert(a == b)
+  }
+
   test("moneyAvg integer rounding equals BigDecimal HALF_UP for random cent values") {
     import spark.implicits._
     val cents = Gen.chooseNum(0L, 10000000L)
