@@ -296,6 +296,76 @@ object Windows {
       |  ON g.hr = h.hr AND g.event_type = h.event_type
       |ORDER BY g.hr, g.event_type""".stripMargin
 
+  /** Time-series resample + linear interpolation: the hourly grid with
+    * missing hours filled by interpolating between the nearest
+    * observed neighbors (edges fall back to nearest-value). Events are
+    * sparsified (event_id ≡ 0 mod 7) so genuine gaps exist to fill.
+    * The interpolation arithmetic — pv + (nv−pv)·Δt ratio — is a fixed
+    * sequence of exactly-rounded IEEE ops over deterministic inputs,
+    * so the raw doubles are oracle-safe. */
+  def interpolate(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .filter(expr("event_id % 7 = 0"))
+      .select(expr("floor(unix_timestamp(ts) / 3600.0D) * 3600").as("hr"),
+        col("event_type"), col("value"))
+      .groupBy(col("hr"), col("event_type"))
+      .agg(moneySum(col("value")).as("v"))
+    val bounds = hourly.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+    val grid = bounds
+      .select(explode(expr("sequence(lo, hi, 3600)")).as("hr"))
+      .crossJoin(hourly.select(col("event_type")).distinct())
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = w.rowsBetween(0, Window.unboundedFollowing)
+    grid.join(hourly, Seq("hr", "event_type"), "left_outer")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph",
+        last(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nh",
+        first(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wNext))
+      .withColumn("filled",
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("hr") - col("ph")).cast("double") /
+              (col("nh") - col("ph")).cast("double"))))
+      .select(col("hr"), col("event_type"),
+        col("v").isNotNull.as("observed"), col("filled"))
+      .orderBy(col("hr"), col("event_type"))
+  }
+
+  val interpolateSql: String =
+    """WITH hourly AS (
+      |  SELECT CAST(floor(epoch(ts) / 3600.0) AS BIGINT) * 3600 AS hr, event_type,
+      |    CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS v
+      |  FROM events WHERE event_id % 7 = 0 GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT g.hr, t.event_type
+      |  FROM (SELECT unnest(range((SELECT min(hr) FROM hourly),
+      |                            (SELECT max(hr) FROM hourly) + 1, 3600)) AS hr) g
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t),
+      |j AS (SELECT g.hr, g.event_type, h.v FROM grid g
+      |      LEFT JOIN hourly h ON g.hr = h.hr AND g.event_type = h.event_type),
+      |x AS (SELECT hr, event_type, v,
+      |    last_value(v IGNORE NULLS) OVER wp AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER wp AS ph,
+      |    first_value(v IGNORE NULLS) OVER wn AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER wn AS nh
+      |  FROM j
+      |  WINDOW wp AS (PARTITION BY event_type ORDER BY hr
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wn AS (PARTITION BY event_type ORDER BY hr
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT hr, event_type, v IS NOT NULL AS observed,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       WHEN pv IS NULL THEN nv
+      |       WHEN nv IS NULL THEN pv
+      |       ELSE pv + (nv - pv) * (CAST(hr - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+      |  END AS filled
+      |FROM x ORDER BY hr, event_type""".stripMargin
+
   /** Histogram: fixed-width bucketing via floor-division (portable
     * across engines — including negatives, where `div`/`//` disagree —
     * unlike width_bucket which DuckDB lacks). */
@@ -337,6 +407,7 @@ object Windows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gapfill" -> (gapFill _),
+    "q_interpolate" -> (interpolate _),
     "q_histogram" -> (histogram _),
     "q_pct_of_total" -> (pctOfTotal _),
     "q_window_rank_ext" -> (windowRankExt _),
@@ -352,6 +423,7 @@ object Windows {
 
   val oracle: Map[String, String] = Map(
     "q_gapfill" -> gapFillSql,
+    "q_interpolate" -> interpolateSql,
     "q_histogram" -> histogramSql,
     "q_pct_of_total" -> pctOfTotalSql,
     "q_window_rank_ext" -> windowRankExtSql,
