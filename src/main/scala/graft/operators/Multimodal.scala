@@ -71,22 +71,30 @@ object Multimodal {
     }
   }
 
-  /** Resize stub: produces a payload downsampled toward a target
-    * box and the updated metadata — the shape of an image-resize
-    * stage (payload in, smaller payload + new dims out, narrow map,
-    * no shuffle). A real implementation decodes, resizes with an
-    * image library, and re-encodes; the stub deterministically keeps
-    * every k-th byte where k scales with the area ratio. */
+  /** Resize stub: area-fit downscale toward a target box, preserving
+    * aspect ratio — the shape of an image-resize stage (payload in,
+    * smaller payload + consistently updated dims out, narrow map, no
+    * shuffle). A real implementation decodes, resizes with an image
+    * library, and re-encodes; the stub keeps every k-th byte where
+    * k = ceil(sqrt(area / box)) is the LINEAR downscale factor, and
+    * reports dims divided by the same k, so metadata and payload
+    * always describe the same transform (k = 1 → row unchanged). */
   def resize(media: Dataset[MediaRow], maxW: Int = 64, maxH: Int = 64): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
       val w = math.max(1, r.meta.width)
       val h = math.max(1, r.meta.height)
-      val scale = math.max(1.0, math.sqrt((w.toDouble * h) / (maxW.toDouble * maxH)))
-      val k = math.max(1, scale.toInt)
-      val out = r.payload.indices.collect { case i if i % k == 0 => r.payload(i) }.toArray
-      r.copy(payload = out,
-        meta = r.meta.copy(width = math.min(w, maxW), height = math.min(h, maxH)))
+      val k = math.max(1, math.ceil(
+        math.sqrt((w.toDouble * h) / (maxW.toDouble * maxH))).toInt)
+      if (k == 1) r
+      else {
+        val out = new Array[Byte]((r.payload.length + k - 1) / k)
+        var i = 0
+        var j = 0
+        while (i < r.payload.length) { out(j) = r.payload(i); j += 1; i += k }
+        r.copy(payload = out,
+          meta = r.meta.copy(width = math.max(1, w / k), height = math.max(1, h / k)))
+      }
     }
   }
 

