@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -340,6 +340,80 @@ object Pipeline {
       |WHERE o_custkey < 50
       |ORDER BY o_custkey, od, o_orderkey""".stripMargin
 
+  /** G10 — Spearman rank correlation, exactly: rank() ties get equal
+    * ranks, so each row's (rank_q, rank_p) pair is a pure function of
+    * its VALUES (row_number would pair identical rows arbitrarily and
+    * break determinism); all power sums are exact integer aggregates,
+    * and the final Pearson-over-ranks formula is a fixed sequence of
+    * casts and IEEE ops — bit-identical on both engines. */
+  def rankCorr(s: SparkSession, dir: String): DataFrame = {
+    val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    val wp = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        // rank() is IntegerType: widen before the products (rq·rp
+        // overflows int32 at bench scale, and ANSI mode would throw).
+        rank().over(wq).cast("bigint").as("rq"),
+        rank().over(wp).cast("bigint").as("rp"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rq")).as("sq"), sum(col("rp")).as("sp"),
+        sum(col("rq") * col("rp")).as("sqp"),
+        sum(col("rq") * col("rq")).as("sqq"),
+        sum(col("rp") * col("rp")).as("spp"))
+      .select(col("l_returnflag"), col("n"), {
+        // n·Σ exceeds int64 at bench scale; DuckDB promotes sums to
+        // HUGEINT while Spark's long would wrap silently — so the
+        // combination runs in exact DECIMAL on this side (both engines
+        // then cast the same exact integer to double once).
+        val d = (c: Column) => c.cast("decimal(20,0)")
+        ((d(col("n")) * d(col("sqp")) - d(col("sq")) * d(col("sp"))).cast("double") /
+          (sqrt((d(col("n")) * d(col("sqq")) - d(col("sq")) * d(col("sq"))).cast("double")) *
+            sqrt((d(col("n")) * d(col("spp")) - d(col("sp")) * d(col("sp"))).cast("double"))))
+          .as("spearman")
+      })
+      .orderBy(col("l_returnflag"))
+  }
+
+  val rankCorrSql: String =
+    """SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  CAST(n * sqp - sq * sp AS DOUBLE) /
+      |    (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) *
+      |     sqrt(CAST(n * spp - sp * sp AS DOUBLE))) AS spearman
+      |FROM (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(rq) AS sq, sum(rp) AS sp, sum(rq * rp) AS sqp,
+      |    sum(rq * rq) AS sqq, sum(rp * rp) AS spp
+      |  FROM (SELECT l_returnflag,
+      |          rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rq,
+      |          rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rp
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** T3 — equi-depth histogram (distribution profiling): ntile deciles
+    * over a fully-deterministic order, then per-decile bounds/counts —
+    * the sampling-free way to see a value distribution, and the shape
+    * a range-partitioner's boundaries come from. */
+  def equiDepthHist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_totalprice"), ntile(10).over(w).cast("int").as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("decile"))
+  }
+
+  val equiDepthHistSql: String =
+    """SELECT decile, CAST(count(*) AS BIGINT) AS n,
+      |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM (SELECT o_totalprice,
+      |        CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
+      |      FROM orders)
+      |GROUP BY decile ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_change_capture" -> (changeCapture _),
     "q_merge_upsert" -> (mergeUpsert _),
@@ -352,6 +426,8 @@ object Pipeline {
     "q_percentile_exact" -> (percentileExact _),
     "q_agg_salted" -> (aggSalted _),
     "q_window_range_frame" -> (windowRangeFrame _),
+    "q_rank_corr" -> (rankCorr _),
+    "q_equidepth_hist" -> (equiDepthHist _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -366,5 +442,7 @@ object Pipeline {
     "q_percentile_exact" -> percentileExactSql,
     "q_agg_salted" -> aggSaltedSql,
     "q_window_range_frame" -> windowRangeFrameSql,
+    "q_rank_corr" -> rankCorrSql,
+    "q_equidepth_hist" -> equiDepthHistSql,
   )
 }
