@@ -213,6 +213,12 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("dot_f32",
         exprs => DotProductF32(exprs(0), exprs(1)), "scala_udf")
     }
+    // Optimizer rules go through the public experimental-methods hook
+    // (sessions built with spark.sql.extensions get them from
+    // GraftExtensions instead; both paths are idempotent).
+    if (!spark.experimental.extraOptimizations.contains(LevenshteinPrefilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ LevenshteinPrefilter
   }
 
   def fnv64(c: Column): Column = call_function("fnv64", c)
