@@ -135,6 +135,33 @@ object EtlQueries {
       |    AS both_unparseable
       |FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin
 
+  /** E6 — schema evolution: unioning batches whose schema drifted (a
+    * column added mid-stream) via unionByName(allowMissingColumns) —
+    * old rows surface the new column as NULL, exactly what a long-
+    * lived ingest pipeline needs when the source grows a field. */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val oldBatch = o.filter(expr("o_orderkey % 2 = 0"))
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"))
+    val newBatch = o.filter(expr("o_orderkey % 2 = 1"))
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))
+    oldBatch.unionByName(newBatch, allowMissingColumns = true)
+      .select(col("key"), col("price"),
+        coalesce(col("status"), lit("<pre-migration>")).as("status"))
+      .orderBy(col("key"))
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT key, price, coalesce(status, '<pre-migration>') AS status
+      |FROM (
+      |  SELECT o_orderkey AS key, o_totalprice AS price, NULL AS status
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey AS key, o_totalprice AS price, o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |ORDER BY key""".stripMargin
+
   /** F4 — array functions over the embedding column: size, indexing,
     * slice, aggregate/transform (sum of squares, left-to-right in
     * double — bit-identical to DuckDB's list_sum), min/max element. */
@@ -165,6 +192,7 @@ object EtlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_typemap_cast" -> (typemapCast _),
     "q_try_cast" -> (tryCast _),
+    "q_schema_evolution" -> (schemaEvolution _),
     "q_count_validate" -> (countValidate _),
     "q_content_validate" -> (contentValidate _),
     "q_array_funcs" -> (arrayFuncs _),
@@ -173,6 +201,7 @@ object EtlQueries {
   val oracle: Map[String, String] = Map(
     "q_typemap_cast" -> typemapCastSql,
     "q_try_cast" -> tryCastSql,
+    "q_schema_evolution" -> schemaEvolutionSql,
     "q_count_validate" -> countValidateSql,
     "q_content_validate" -> contentValidateSql,
     "q_array_funcs" -> arrayFuncsSql,
