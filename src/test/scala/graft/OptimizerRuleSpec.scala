@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, LevenshteinPrefilter}
+
+/** The custom optimizer rule must (a) actually fire — the optimized
+  * plan carries the length-gap guard and the banded threshold
+  * levenshtein — and (b) be semantics-preserving: identical rows with
+  * the rule removed. */
+class OptimizerRuleSpec extends SparkSpec {
+
+  private def q = queries.Pipeline.dedupLevenshtein(spark, sfDir)
+
+  test("levenshtein threshold filters get the gap guard and banded DP form") {
+    GraftFunctions.register(spark)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("Some(20)") && optimized.contains("abs("),
+      optimized.take(2000))
+    assert(optimized.contains("length("), optimized.take(2000))
+  }
+
+  test("rewrite is semantics-preserving: same rows with the rule removed") {
+    // read parquet directly: the fixture loaders call register() and
+    // would re-add the rule mid-test; an in-memory frame won't do
+    // either (constant folding collapses it to a LocalRelation before
+    // the plan can be inspected).
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"), col("lang").as("a"), col("source").as("b"))
+    def run() = df.filter(expr("levenshtein(a, b) <= 3")).select($"id")
+      .collect().map(_.getLong(0)).toSet
+    val withRule = run()
+    assert(df.filter(expr("levenshtein(a, b) <= 3"))
+      .queryExecution.optimizedPlan.toString.contains("abs("))
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ == LevenshteinPrefilter)
+    try {
+      val withoutPlan = df.filter(expr("levenshtein(a, b) <= 3"))
+        .queryExecution.optimizedPlan.toString
+      assert(!withoutPlan.contains("abs("), withoutPlan.take(1000))
+      assert(run() == withRule)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("rule preserves NULL and boundary semantics on a hand-built frame") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "kitten", "sitting"),        // dist 3
+      (2L, "abc", "abcdefgh"),          // gap 5 > 3 — guard kills it
+      (3L, "same", "same"),             // dist 0
+      (4L, null.asInstanceOf[String], "x")) // NULL propagates to drop
+      .toDF("id", "a", "b")
+    val out = df.filter(expr("levenshtein(a, b) <= 3")).select($"id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L))
+  }
+}
