@@ -128,7 +128,8 @@ object Similarity {
     * corpus. At 100 TB the assigned corpus would be written bucketed
     * by `cid` so the search join needs no shuffle at all. */
   def ivfTopK(probes: DataFrame, candidates: DataFrame, k: Int,
-              nprobe: Int = 2, iterations: Int = 1, dims: Int = 64): DataFrame = {
+              nprobe: Int = 2, iterations: Int = 1, dims: Int = 64,
+              seedCol: String = "label"): DataFrame = {
     ensureRegistered(candidates)
     val vm = udaf(new VectorMean(dims))
     // c·c is precomputed once on the tiny centroid table — the
@@ -149,7 +150,7 @@ object Similarity {
     }
     val cand = candidates.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ce"))
-    var cents = withNorm(candidates.groupBy(col("label").cast("bigint").as("cid"))
+    var cents = withNorm(candidates.groupBy(col(seedCol).cast("bigint").as("cid"))
       .agg(vm(col("embedding")).as("centroid"))
       .select(col("cid"), toCent(col("centroid")).as("centroid")))
     for (_ <- 1 to iterations) {
