@@ -4,9 +4,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle width is sized to the DATA (sub-GB at bench scale), not
+    // to the thread count: AQE coalesces small shuffles anyway, and
+    // 32-way shuffles of KB-sized partitions pay pure scheduling
+    // overhead. Scans still use every core (maxPartitionBytes governs
+    // them); override via SPARK_GRAFT_SHUFFLE for bigger inputs.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      math.min(cpus.toInt, 8).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
