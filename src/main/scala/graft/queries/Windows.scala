@@ -296,6 +296,21 @@ object Windows {
       |  ON g.hr = h.hr AND g.event_type = h.event_type
       |ORDER BY g.hr, g.event_type""".stripMargin
 
+  /** X5 batch twin — the final state of the streaming per-user counter
+    * (mapGroupsWithState in graft.streaming.EventStreams) equals this
+    * batch aggregate; declaring it here gives the stateful operator an
+    * oracle like the other streaming twins. */
+  def userStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("total_value"))
+      .orderBy(col("user_id"))
+
+  val userStatsSql: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Time-series resample + linear interpolation: the hourly grid with
     * missing hours filled by interpolating between the nearest
     * observed neighbors (edges fall back to nearest-value). Events are
@@ -408,6 +423,7 @@ object Windows {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gapfill" -> (gapFill _),
     "q_interpolate" -> (interpolate _),
+    "q_user_stats" -> (userStats _),
     "q_histogram" -> (histogram _),
     "q_pct_of_total" -> (pctOfTotal _),
     "q_window_rank_ext" -> (windowRankExt _),
@@ -424,6 +440,7 @@ object Windows {
   val oracle: Map[String, String] = Map(
     "q_gapfill" -> gapFillSql,
     "q_interpolate" -> interpolateSql,
+    "q_user_stats" -> userStatsSql,
     "q_histogram" -> histogramSql,
     "q_pct_of_total" -> pctOfTotalSql,
     "q_window_rank_ext" -> windowRankExtSql,
