@@ -189,10 +189,34 @@ object EtlQueries {
       |  CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_dim
       |FROM embeddings WHERE label < 3 ORDER BY vec_id""".stripMargin
 
+  /** D3b — outer generator semantics: posexplode_outer keeps rows
+    * whose array is EMPTY (as a single NULL-pos row) — the corner
+    * plain explode silently drops, and the one that matters when a
+    * nested column is optional. The variable-length array is derived
+    * from the fixture (slice length vec_id mod 3 → empties exist). */
+  def explodeOuter(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 300)
+      .withColumn("a", expr("slice(embedding, 1, CAST(vec_id % 3 AS INT))"))
+      .select(col("vec_id"), posexplode_outer(col("a")))
+      .select(col("vec_id"), col("pos").cast("int").as("pos"),
+        col("col").cast("double").as("val"))
+      .orderBy(col("vec_id"), col("pos"))
+
+  val explodeOuterSql: String =
+    """WITH a AS (SELECT vec_id, embedding[1 : CAST(vec_id % 3 AS INT)] AS a
+      |           FROM embeddings WHERE vec_id < 300)
+      |SELECT vec_id, CAST(j - 1 AS INT) AS pos, CAST(a[CAST(j AS INT)] AS DOUBLE) AS val
+      |FROM a, LATERAL (SELECT unnest(range(1, len(a) + 1)) AS j) js
+      |UNION ALL
+      |SELECT vec_id, NULL AS pos, NULL AS val FROM a WHERE len(a) = 0
+      |ORDER BY vec_id, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_typemap_cast" -> (typemapCast _),
     "q_try_cast" -> (tryCast _),
     "q_schema_evolution" -> (schemaEvolution _),
+    "q_explode_outer" -> (explodeOuter _),
     "q_count_validate" -> (countValidate _),
     "q_content_validate" -> (contentValidate _),
     "q_array_funcs" -> (arrayFuncs _),
@@ -202,6 +226,7 @@ object EtlQueries {
     "q_typemap_cast" -> typemapCastSql,
     "q_try_cast" -> tryCastSql,
     "q_schema_evolution" -> schemaEvolutionSql,
+    "q_explode_outer" -> explodeOuterSql,
     "q_count_validate" -> countValidateSql,
     "q_content_validate" -> contentValidateSql,
     "q_array_funcs" -> arrayFuncsSql,
