@@ -36,9 +36,13 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] {
       GreaterThanOrEqual(Levenshtein(a, b, Some(k)), Literal(0, IntegerType)))
 
   private def rewriteCond(cond: Expression): Expression = cond transformUp {
-    case LessThanOrEqual(Levenshtein(a, b, None), k @ Literal(_, IntegerType)) =>
+    // a/b are duplicated into the guard, so they must be deterministic
+    // (the guard and the DP would otherwise see different evaluations).
+    case LessThanOrEqual(Levenshtein(a, b, None), k @ Literal(_, IntegerType))
+        if a.deterministic && b.deterministic =>
       rewrite(a, b, k)
-    case GreaterThanOrEqual(k @ Literal(_, IntegerType), Levenshtein(a, b, None)) =>
+    case GreaterThanOrEqual(k @ Literal(_, IntegerType), Levenshtein(a, b, None))
+        if a.deterministic && b.deterministic =>
       rewrite(a, b, k)
   }
 

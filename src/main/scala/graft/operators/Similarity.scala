@@ -130,6 +130,11 @@ object Similarity {
   def ivfTopK(probes: DataFrame, candidates: DataFrame, k: Int,
               nprobe: Int = 2, iterations: Int = 1, dims: Int = 64,
               seedCol: String = "label"): DataFrame = {
+    require(candidates.schema(seedCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"ivfTopK seed column '$seedCol' must be numeric (cast to bigint " +
+        "for cluster ids); a non-numeric column would silently collapse " +
+        "the quantizer to one NULL cluster")
     ensureRegistered(candidates)
     val vm = udaf(new VectorMean(dims))
     // c·c is precomputed once on the tiny centroid table — the

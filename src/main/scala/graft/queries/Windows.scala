@@ -297,9 +297,11 @@ object Windows {
       |ORDER BY g.hr, g.event_type""".stripMargin
 
   /** X5 batch twin — the final state of the streaming per-user counter
-    * (mapGroupsWithState in graft.streaming.EventStreams) equals this
-    * batch aggregate; declaring it here gives the stateful operator an
-    * oracle like the other streaming twins. */
+    * (mapGroupsWithState in graft.streaming.EventStreams) matches this
+    * batch aggregate: exactly on n_events, and up to double-accumulation
+    * order on total_value (the stream adds raw doubles in arrival
+    * order; this oracle-checked side sums exact decimals —
+    * StreamingSpec compares the two within 1e-9). */
   def userStats(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))

@@ -45,16 +45,23 @@ class OptimizerRuleSpec extends SparkSpec {
   }
 
   test("rule preserves NULL and boundary semantics on a hand-built frame") {
+    // Written to parquet and read back: an in-memory frame collapses
+    // to a LocalRelation before the user rule batch runs, so the rule
+    // would never fire and the test would only exercise the builtin.
     import spark.implicits._
     GraftFunctions.register(spark)
-    val df = Seq(
-      (1L, "kitten", "sitting"),        // dist 3
+    val dir = java.nio.file.Files.createTempDirectory("graft-lev").toString
+    Seq(
+      (1L, "kitten", "sitting"),        // dist 3 (== k boundary)
       (2L, "abc", "abcdefgh"),          // gap 5 > 3 — guard kills it
       (3L, "same", "same"),             // dist 0
       (4L, null.asInstanceOf[String], "x")) // NULL propagates to drop
-      .toDF("id", "a", "b")
-    val out = df.filter(expr("levenshtein(a, b) <= 3")).select($"id")
-      .collect().map(_.getLong(0)).toSet
+      .toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val filtered = df.filter(expr("levenshtein(a, b) <= 3"))
+    assert(filtered.queryExecution.optimizedPlan.toString.contains("abs("),
+      "rule must fire for this frame or the test is vacuous")
+    val out = filtered.select($"id").collect().map(_.getLong(0)).toSet
     assert(out == Set(1L, 3L))
   }
 }
