@@ -105,6 +105,23 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("FullOuter"), plan.take(2000))
   }
 
+  test("interpolation fills every gap with a value inside the observed envelope") {
+    val rows = queries.Windows.interpolate(spark, sfDir).collect()
+    assert(rows.forall(!_.isNullAt(3)), "filled must never be NULL")
+    val byType = rows.groupBy(_.getString(1))
+    var sawGap = false
+    byType.foreach { case (_, rs) =>
+      val observed = rs.filter(_.getBoolean(2)).map(_.getDouble(3))
+      val (lo, hi) = (observed.min, observed.max)
+      rs.filterNot(_.getBoolean(2)).foreach { r =>
+        sawGap = true
+        val v = r.getDouble(3)
+        assert(v >= lo && v <= hi, s"interpolated $v outside [$lo, $hi]")
+      }
+    }
+    assert(sawGap, "fixture must contain gaps or the operator is untested")
+  }
+
   test("fixed-point centroids: n matches label cardinality, dims complete") {
     val rows = Pipeline.vectorCentroidsFp(spark, sfDir).collect()
     val dims = rows.groupBy(_.get(0).toString).view.mapValues(_.length).toMap
