@@ -7,9 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Same data-sized shuffle width as Bench (results are
+    // partition-count invariant — verified at 4/7/32 — this only
+    // affects wall time).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      math.min(cpus.toInt, 8).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
