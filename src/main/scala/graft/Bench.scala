@@ -45,15 +45,20 @@ object Bench {
       try spark.catalog.clearCache() catch { case _: Throwable => }
       name -> dt
     }
-    // 3-decimal seconds: keeps the whole JSON line well under the driver's
-    // output-tail capture window (full-precision doubles overflowed it in
-    // round 1 and the line start was truncated → unparseable).
+    println(renderJson(results, sfDir))
+    spark.stop()
+  }
+
+  /** One-line result JSON. 3-decimal seconds keep the whole line well
+    * under the driver's output-tail capture window (full-precision
+    * doubles overflowed it in round 1 and the line start was truncated
+    * → unparseable); BenchFormatSpec guards both properties. */
+  def renderJson(results: Seq[(String, Double)], sfDir: String): String = {
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
   }
 }

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench result line must stay (a) valid JSON and (b) short enough
+  * for the harness's output-tail capture — the full-precision line
+  * exceeded that window once and the whole round's bench went
+  * unparsed. Uses Jackson (already on Spark's classpath). */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  test("render is valid JSON with the driver's expected fields") {
+    val line = Bench.renderJson(
+      Seq("q_a" -> 1.23456789, "q_b" -> 0.000001), "/data/sf0.1")
+    val node = mapper.readTree(line)
+    assert(node.get("metric").asText() == "total")
+    assert(node.get("unit").asText() == "sec")
+    assert(math.abs(node.get("value").asDouble() - 1.235) < 1e-9)
+    assert(node.get("queries").get("q_a").asDouble() == 1.235)
+    assert(!line.contains("\n"))
+  }
+
+  test("a full-inventory line stays far below the capture window") {
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 123.456789)
+    val line = Bench.renderJson(results, "/root/testdata/sf0.1")
+    assert(mapper.readTree(line).get("queries").size() == results.size)
+    assert(line.length < 3500, s"line is ${line.length} chars — capture window risk")
+  }
+
+  test("locale independence: decimal point, not comma") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val line = Bench.renderJson(Seq("q" -> 1.5), "/d")
+      assert(line.contains("1.500") && !line.contains("1,500"))
+    } finally java.util.Locale.setDefault(prev)
+  }
+}
