@@ -34,7 +34,7 @@ class EtlSpec extends SparkSpec {
     assert(recs.map(_.rowCount).sum == src.count())
     val written = spark.read.parquet(s"$out/data/orders/range_*")
     assert(written.count() == src.count())
-    assert(written.select(countDistinct(col("o_orderkey"))).head.getLong(0) == src.count())
+    assert(written.select(countDistinct(col("o_orderkey"))).head().getLong(0) == src.count())
     // second run: frontier caught up, nothing to do
     assert(runner.run(src, "orders", "o_orderkey").isEmpty)
   }
@@ -53,7 +53,7 @@ class EtlSpec extends SparkSpec {
     runner.run(src, "orders", "o_orderkey")
     val written = spark.read.parquet(s"$out/data/orders/range_*")
     assert(written.count() == src.count())
-    assert(written.select(countDistinct(col("o_orderkey"))).head.getLong(0) == src.count())
+    assert(written.select(countDistinct(col("o_orderkey"))).head().getLong(0) == src.count())
   }
 
   test("growing source: next run migrates only the delta (sync semantics)") {

@@ -10,7 +10,7 @@ class SimilaritySpec extends SparkSpec {
     import spark.implicits._
     GraftFunctions.register(spark)
     val vecs = (0L to 30L).map { i =>
-      (i, Array.tabulate(8)(d => math.sin(i * 7 + d).toFloat).toSeq)
+      (i, Array.tabulate(8)(d => math.sin((i * 7 + d).toDouble).toFloat).toSeq)
     }
     // vec 31 duplicates vec 5
     val all = (vecs :+ ((31L, vecs(5)._2))).toDF("vec_id", "embedding")
