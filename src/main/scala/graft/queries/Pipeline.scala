@@ -414,6 +414,67 @@ object Pipeline {
       |      FROM orders)
       |GROUP BY decile ORDER BY decile""".stripMargin
 
+  /** L4i — top-3 TF-IDF terms per document: the tfidf pipeline composed
+    * with a per-group rank — the keyword-extraction shape. Ties broken
+    * by term so the cut is deterministic. */
+  def topTerms(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tfIdf(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast("int").as("rnk"),
+        col("term"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val topTermsSql: String = {
+    // reuse the tfidf oracle as a subquery and rank inside it
+    val inner = tfIdfSql.replace("ORDER BY doc_id, tf.term", "")
+    s"""SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf, df FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY tfidf DESC, term) AS rnk
+      |  FROM ($inner))
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+  }
+
+  /** E7 — column profiling (data-quality audit): per-column row/null/
+    * distinct counts in one pass over a projection with derived NULLs
+    * (try_cast failures), the summary an ingest pipeline runs before
+    * accepting a batch. One aggregate row per column via union. */
+  def profileColumns(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderstatus"),
+        expr("try_cast(split(o_orderpriority, '-')[0] AS INT)").as("prio_num"),
+        expr("try_cast(o_orderstatus AS INT)").as("never_parses"))
+    def prof(c: String) = base.agg(
+      lit(c).as("column_name"),
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col(c))).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"))
+    prof("o_orderstatus").unionByName(prof("prio_num")).unionByName(prof("never_parses"))
+      .orderBy(col("column_name"))
+  }
+
+  val profileColumnsSql: String =
+    """WITH base AS (SELECT o_orderstatus,
+      |    TRY_CAST(string_split(o_orderpriority, '-')[1] AS INT) AS prio_num,
+      |    TRY_CAST(o_orderstatus AS INT) AS never_parses
+      |  FROM orders)
+      |SELECT * FROM (
+      |  SELECT 'o_orderstatus' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(count(*) - count(o_orderstatus) AS BIGINT) AS n_null,
+      |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct FROM base
+      |  UNION ALL
+      |  SELECT 'prio_num', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) - count(prio_num) AS BIGINT),
+      |    CAST(count(DISTINCT prio_num) AS BIGINT) FROM base
+      |  UNION ALL
+      |  SELECT 'never_parses', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) - count(never_parses) AS BIGINT),
+      |    CAST(count(DISTINCT never_parses) AS BIGINT) FROM base)
+      |ORDER BY column_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_change_capture" -> (changeCapture _),
     "q_merge_upsert" -> (mergeUpsert _),
@@ -428,6 +489,8 @@ object Pipeline {
     "q_window_range_frame" -> (windowRangeFrame _),
     "q_rank_corr" -> (rankCorr _),
     "q_equidepth_hist" -> (equiDepthHist _),
+    "q_top_terms" -> (topTerms _),
+    "q_profile_columns" -> (profileColumns _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -444,5 +507,7 @@ object Pipeline {
     "q_window_range_frame" -> windowRangeFrameSql,
     "q_rank_corr" -> rankCorrSql,
     "q_equidepth_hist" -> equiDepthHistSql,
+    "q_top_terms" -> topTermsSql,
+    "q_profile_columns" -> profileColumnsSql,
   )
 }
