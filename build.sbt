@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// All suites share one SparkSession, and a couple of tests touch
+// process-global state (JVM default Locale; session-state inspection):
+// keep suite execution strictly sequential in the forked test JVM so
+// no concurrently-planned query can observe mutated globals.
+Test / parallelExecution := false
+Test / testForkedParallel := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

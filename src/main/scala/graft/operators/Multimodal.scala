@@ -78,14 +78,22 @@ object Multimodal {
     * library, and re-encodes; the stub keeps every k-th byte where
     * k = ceil(sqrt(area / box)) is the LINEAR downscale factor, and
     * reports dims divided by the same k, so metadata and payload
-    * always describe the same transform (k = 1 → row unchanged). */
+    * always describe the same transform (k = 1 → row unchanged).
+    *
+    * The sqrt-derived k is only a starting point: because each axis
+    * floors at 1 pixel, extreme aspect ratios (e.g. 1000×1 into a
+    * 16×16 box) would otherwise exceed the box area — so k grows
+    * until the CLAMPED output area fits, making "output area ≤
+    * maxW·maxH" a hard invariant for every input. */
   def resize(media: Dataset[MediaRow], maxW: Int = 64, maxH: Int = 64): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
       val w = math.max(1, r.meta.width)
       val h = math.max(1, r.meta.height)
-      val k = math.max(1, math.ceil(
+      val box = maxW.toLong * maxH
+      var k = math.max(1, math.ceil(
         math.sqrt((w.toDouble * h) / (maxW.toDouble * maxH))).toInt)
+      while (math.max(1L, w.toLong / k) * math.max(1L, h.toLong / k) > box) k += 1
       if (k == 1) r
       else {
         val out = new Array[Byte]((r.payload.length + k - 1) / k)

@@ -120,7 +120,15 @@ object Similarity {
     * VectorMean Aggregator — a partial/final aggregate whose buffer is
     * dims×8 bytes regardless of list size) plus `iterations` Lloyd
     * steps, each one broadcast-scored assignment pass + one mean
-    * shuffle. Ties break on centroid id so the index is deterministic.
+    * shuffle. Centroid components are quantized to 1e-6 fixed point
+    * before every assignment pass: VectorMean accumulates doubles in
+    * shuffle order, so raw means can wobble in the last ulp across
+    * partitionings — after quantization an assignment can only flip
+    * if a d2 tie lands exactly on the quantization boundary (ties on
+    * equal d2 break on cid). The index is therefore stable across
+    * reruns of the same plan and, in practice, across partitionings;
+    * absolute cross-partitioning determinism would need the full
+    * fixed-point accumulation of `vectorCentroidsFp`.
     *
     * Scale shape: the centroid table stays tiny and broadcasts; the
     * corpus is touched in narrow passes (assignment) and the search
@@ -140,7 +148,10 @@ object Similarity {
     // c·c is precomputed once on the tiny centroid table — the
     // assignment cross join then does one dot product per (vector,
     // centroid) pair, not two.
-    val toCent = (c: Column) => transform(c, x => x.cast("float"))
+    // Quantize before use (see scaladoc): kills last-ulp wobble from
+    // summation order so assignments don't flip across partitionings.
+    val toCent = (c: Column) => transform(c, x =>
+      (floor(x * lit(1e6)) / lit(1e6)).cast("float"))
     def withNorm(cents: DataFrame): DataFrame =
       cents.withColumn("c2", dot(col("centroid"), col("centroid")))
     def nearest(df: DataFrame, cents: DataFrame, idCol: String,

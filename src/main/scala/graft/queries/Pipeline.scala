@@ -351,10 +351,14 @@ object Pipeline {
     val wp = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
     Tables.lineitem(s, dir)
       .select(col("l_returnflag"),
-        // rank() is IntegerType: widen before the products (rq·rp
-        // overflows int32 at bench scale, and ANSI mode would throw).
-        rank().over(wq).cast("bigint").as("rq"),
-        rank().over(wp).cast("bigint").as("rp"))
+        // rank() is IntegerType: widen to exact decimal BEFORE any
+        // product or sum. sum(rq·rp) approaches n³/3 — past int64 at
+        // ~3M rows per group (sf1) — and Spark's non-ANSI long sum
+        // wraps silently while DuckDB promotes to HUGEINT; decimal
+        // sums keep both engines exact up to n ≈ 1e9 rows per group
+        // (all intermediates stay < 10³⁸).
+        rank().over(wq).cast("decimal(38,0)").as("rq"),
+        rank().over(wp).cast("decimal(38,0)").as("rp"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         sum(col("rq")).as("sq"), sum(col("rp")).as("sp"),
@@ -362,11 +366,9 @@ object Pipeline {
         sum(col("rq") * col("rq")).as("sqq"),
         sum(col("rp") * col("rp")).as("spp"))
       .select(col("l_returnflag"), col("n"), {
-        // n·Σ exceeds int64 at bench scale; DuckDB promotes sums to
-        // HUGEINT while Spark's long would wrap silently — so the
-        // combination runs in exact DECIMAL on this side (both engines
-        // then cast the same exact integer to double once).
-        val d = (c: Column) => c.cast("decimal(20,0)")
+        // the combination also runs in exact DECIMAL; both engines
+        // then cast the same exact integer to double once.
+        val d = (c: Column) => c.cast("decimal(38,0)")
         ((d(col("n")) * d(col("sqp")) - d(col("sq")) * d(col("sp"))).cast("double") /
           (sqrt((d(col("n")) * d(col("sqq")) - d(col("sq")) * d(col("sq"))).cast("double")) *
             sqrt((d(col("n")) * d(col("spp")) - d(col("sp")) * d(col("sp"))).cast("double"))))

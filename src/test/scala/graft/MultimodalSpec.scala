@@ -52,6 +52,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize area invariant holds for degenerate aspect ratios") {
+    import spark.implicits._
+    import graft.operators.{MediaMeta, MediaRow}
+    // 1000x1 into a 16x16 box: the sqrt-derived k alone would give
+    // 500x1 = 500 > 256 because the short axis floors at 1 — the
+    // per-axis clamp loop must keep growing k until the area fits.
+    val rows = Seq(
+      MediaRow(1L, Array.fill[Byte](1000)(7), MediaMeta("image", 1000, 1, 0)),
+      MediaRow(2L, Array.fill[Byte](1000)(7), MediaMeta("image", 1, 1000, 0)),
+      MediaRow(3L, Array.fill[Byte](64)(7), MediaMeta("image", 0, 0, 0)),
+      MediaRow(4L, Array.emptyByteArray, MediaMeta("image", 5000, 2, 0)))
+    val out = Multimodal.resize(rows.toDS(), maxW = 16, maxH = 16)
+      .collect().map(r => r.media_id -> r).toMap
+    out.values.foreach { r =>
+      assert(r.meta.width.toLong * r.meta.height <= 256L,
+        s"media ${r.media_id}: ${r.meta.width}x${r.meta.height}")
+    }
+    // 0x0 dims clamp to 1x1 (already inside the box) → passthrough
+    assert(out(3L).payload.length == 64 && out(3L).meta.width == 0)
+  }
+
   test("frame sampling emits stride-spaced indices per media row") {
     val rows = Multimodal.sampleFrames(media.limit(3), stride = 10)
       .collect().groupBy(_.getLong(0))

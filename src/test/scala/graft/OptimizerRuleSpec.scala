@@ -24,24 +24,27 @@ class OptimizerRuleSpec extends SparkSpec {
     // would re-add the rule mid-test; an in-memory frame won't do
     // either (constant folding collapses it to a LocalRelation before
     // the plan can be inspected).
-    import spark.implicits._
     GraftFunctions.register(spark)
-    val df = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id").as("id"), col("lang").as("a"), col("source").as("b"))
-    def run() = df.filter(expr("levenshtein(a, b) <= 3")).select($"id")
-      .collect().map(_.getLong(0)).toSet
-    val withRule = run()
+    def load(s: org.apache.spark.sql.SparkSession) =
+      s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").as("id"), col("lang").as("a"), col("source").as("b"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.filter(expr("levenshtein(a, b) <= 3")).select(col("id"))
+        .collect().map(_.getLong(0)).toSet
+    val df = load(spark)
+    val withRule = run(df)
     assert(df.filter(expr("levenshtein(a, b) <= 3"))
       .queryExecution.optimizedPlan.toString.contains("abs("))
-    val saved = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations =
-      saved.filterNot(_ == LevenshteinPrefilter)
-    try {
-      val withoutPlan = df.filter(expr("levenshtein(a, b) <= 3"))
-        .queryExecution.optimizedPlan.toString
-      assert(!withoutPlan.contains("abs("), withoutPlan.take(1000))
-      assert(run() == withRule)
-    } finally spark.experimental.extraOptimizations = saved
+    // The rule-free run happens in an ISOLATED session (fresh session
+    // state, so the graft rule is simply never registered there) —
+    // mutating the shared session's extraOptimizations would leak into
+    // any query another suite plans concurrently.
+    val bare = spark.newSession()
+    assert(!bare.experimental.extraOptimizations.contains(LevenshteinPrefilter))
+    val bareQ = load(bare).filter(expr("levenshtein(a, b) <= 3"))
+    assert(!bareQ.queryExecution.optimizedPlan.toString.contains("abs("),
+      bareQ.queryExecution.optimizedPlan.toString.take(1000))
+    assert(run(load(bare)) == withRule)
   }
 
   test("rule preserves NULL and boundary semantics on a hand-built frame") {
