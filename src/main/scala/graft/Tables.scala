@@ -44,4 +44,21 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Small-input parallelism guard for expensive narrow transforms.
+    *
+    * A parquet file smaller than one row group scans as ONE task, so
+    * every costly narrow stage built directly on it (shingling, token
+    * hashing, per-token md5) serializes on a single core no matter how
+    * many the session has. When the scan is narrower than the session's
+    * parallelism, redistribute rows first: the shuffle moves only the
+    * tiny input, then the expensive map runs wide. At real scale the
+    * input has many row groups, the scan is already wide, and this is
+    * a no-op — the check is on actual partition count, not file size.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.min(target, 8)) df
+    else df.repartition(target)
+  }
 }

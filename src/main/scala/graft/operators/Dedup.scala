@@ -39,7 +39,7 @@ object Dedup {
     * MinHash) read this directly and skip the distinct shuffle. */
   def shingleOccurrences(docs: DataFrame, n: Int = 3): DataFrame = {
     val idx = (1 to n).map(k => s"element_at(w, i + ${k - 1})").mkString(", ")
-    docs
+    graft.Tables.widen(docs)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(
@@ -114,7 +114,7 @@ object Dedup {
     * shuffle of `bits` 8-byte partial sums per document. */
   def simhash(docs: DataFrame, bits: Int = 32): DataFrame = {
     require(bits <= 32, s"signs come from a 32-bit digest slice, got $bits")
-    val toks = docs
+    val toks = graft.Tables.widen(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .select(col("doc_id"),
@@ -190,30 +190,38 @@ object Dedup {
     * label counter (large-star/small-star if components get deep). */
   def dedupClusters(pairs: DataFrame, iterations: Int = 4): DataFrame = {
     // Iterative algorithm hygiene: materialize the pair generation
-    // once and TRUNCATE LINEAGE each iteration (localCheckpoint) —
+    // once and TRUNCATE LINEAGE periodically (localCheckpoint) —
     // otherwise every iteration's plan nests all previous ones and
     // analysis/codegen time dominates the tiny label-propagation work.
-    // Checkpoint budget: each eager localCheckpoint is a full job
-    // submit — on the near-dup-scale (≪ corpus) label table that fixed
-    // cost dwarfs the compute. So only the pair generation (the one
-    // expensive subtree) is checkpointed always, and labels every
-    // second iteration: lineage nests at most two join rounds, which
-    // keeps analysis/codegen bounded without per-iteration jobs. The
-    // frames are also coalesced — 32-task shuffles on KB-sized data
-    // cost more in scheduling than compute.
+    //
+    // Shuffle economy: the propagation relation is STATIC, so it is
+    // built once — both edge directions plus one self-loop per node —
+    // and hash-partitioned on the join side (v) once, at checkpoint.
+    // The self-loop folds "keep your own label" into the same min()
+    // as the neighbor labels, collapsing the old two-join round
+    // (neighbor-min + left_outer/least) into ONE join + ONE aggregate
+    // whose output comes back partitioned by node — exactly what the
+    // next round's join needs. Per iteration that is a single
+    // exchange, at any scale. Frames are coalesced small — wide
+    // shuffles of KB-sized near-dup graphs cost more in scheduling
+    // than compute; at 100 TB the same loop runs to convergence with a
+    // changed-label counter (large-star/small-star if components get
+    // deep).
     val p = pairs.coalesce(8).localCheckpoint()
-    val edges = p.select(col("doc_id_a").as("u"), col("doc_id_b").as("v"))
+    val nodes = p.select(col("doc_id_a").as("node"))
+      .union(p.select(col("doc_id_b").as("node"))).distinct()
+    val edgesPlus = p.select(col("doc_id_a").as("u"), col("doc_id_b").as("v"))
       .union(p.select(col("doc_id_b").as("u"), col("doc_id_a").as("v")))
-    val nodes = edges.select(col("u").as("node")).distinct()
+      .union(nodes.select(col("node").as("u"), col("node").as("v")))
+      .repartition(col("v"))
+      .localCheckpoint()
     var labels = nodes.withColumn("label", col("node"))
     for (i <- 1 to iterations) {
-      val nbrMin = edges.join(labels, edges("v") === labels("node"))
-        .groupBy(col("u")).agg(min(col("label")).as("nbr"))
-      labels = labels.join(nbrMin, labels("node") === nbrMin("u"), "left_outer")
-        .select(labels("node"),
-          least(labels("label"), coalesce(col("nbr"), labels("label"))).as("label"))
-      if (i % 2 == 0 || i == iterations)
-        labels = labels.coalesce(8).localCheckpoint()
+      labels = edgesPlus.join(labels, edgesPlus("v") === labels("node"))
+        .groupBy(col("u")).agg(min(col("label")).as("label"))
+        .withColumnRenamed("u", "node")
+      if (i % 2 == 0 && i < iterations)
+        labels = labels.localCheckpoint()
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("keep", col("doc_id") === col("cluster_id"))

@@ -50,7 +50,9 @@ object Similarity {
     val p = probes.select(col("vec_id").as("probe_id"),
       col("embedding").as("pe"),
       sqrt(dot(col("embedding"), col("embedding"))).as("pn"))
-    val c = candidates.select(col("vec_id").as("neighbor_id"),
+    // widen: a single-row-group candidate file would otherwise score
+    // every (probe, candidate) pair on one core (see Tables.widen).
+    val c = graft.Tables.widen(candidates).select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ce"),
       sqrt(dot(col("embedding"), col("embedding"))).as("cn"))
     val scored = c.crossJoin(broadcast(p))
@@ -99,7 +101,7 @@ object Similarity {
       "graft_lsh_buckets",
       exprs => graft.functions.LshBucketsF32(exprs.head, planes, bits, tables),
       "scala_udf")
-    emb.withColumn("bkts",
+    graft.Tables.widen(emb).withColumn("bkts",
         org.apache.spark.sql.functions.call_function("graft_lsh_buckets", col("embedding")))
       .select(col("*"), posexplode(col("bkts")).as(Seq("t", "bucket")))
       .drop("bkts")
@@ -144,6 +146,7 @@ object Similarity {
         "for cluster ids); a non-numeric column would silently collapse " +
         "the quantizer to one NULL cluster")
     ensureRegistered(candidates)
+    val wideCandidates = graft.Tables.widen(candidates)
     val vm = udaf(new VectorMean(dims))
     // c·c is precomputed once on the tiny centroid table — the
     // assignment cross join then does one dot product per (vector,
@@ -152,21 +155,45 @@ object Similarity {
     // summation order so assignments don't flip across partitionings.
     val toCent = (c: Column) => transform(c, x =>
       (floor(x * lit(1e6)) / lit(1e6)).cast("float"))
-    def withNorm(cents: DataFrame): DataFrame =
-      cents.withColumn("c2", dot(col("centroid"), col("centroid")))
+    // The centroid table is broadcast-sized by construction (nlist
+    // rows): pin each version as a driver-local relation, the same
+    // place any k-means implementation keeps its centers. Without
+    // this, every downstream broadcast re-executes the corpus-wide
+    // mean aggregate that produced the centroids (Spark broadcasts a
+    // SUBPLAN, not a result) — once for the Lloyd pass, once for the
+    // list assignment, once for the probe assignment.
+    def withNorm(cents: DataFrame): DataFrame = {
+      val c2 = cents.withColumn("c2", dot(col("centroid"), col("centroid")))
+      val rows = java.util.Arrays.asList(c2.collect(): _*)
+      cents.sparkSession.createDataFrame(rows, c2.schema)
+    }
     def nearest(df: DataFrame, cents: DataFrame, idCol: String,
                 embCol: String, n: Int): DataFrame = {
       // ||x−c||² ranks identically to (c·c − 2·x·c); x·x is constant per x.
       val scored = df.crossJoin(broadcast(cents))
         .withColumn("d2", col("c2") - lit(2.0) * dot(col(embCol), col("centroid")))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("d2"), col("cid"))
-      scored.withColumn("crnk", row_number().over(w))
-        .filter(col("crnk") <= n)
-        .drop("d2", "crnk", "centroid", "c2")
+      if (n == 1) {
+        // argmin as ONE partial/final aggregate: min(struct(d2, cid))
+        // orders by d2 then cid — the same ranking and tie-break as
+        // the window path — but the shuffle carries one map-side-
+        // combined row per vector instead of nlist scored copies, and
+        // no per-partition sort happens at all. This is the assignment
+        // pass, i.e. the only stage that touches the whole corpus per
+        // Lloyd iteration, so its shape dominates at scale.
+        scored.groupBy(col(idCol))
+          .agg(min(struct(col("d2"), col("cid"))).as("m"),
+            first(col(embCol)).as(embCol))
+          .select(col(idCol), col(embCol), col("m.cid").as("cid"))
+      } else {
+        val w = Window.partitionBy(col(idCol)).orderBy(col("d2"), col("cid"))
+        scored.withColumn("crnk", row_number().over(w))
+          .filter(col("crnk") <= n)
+          .drop("d2", "crnk", "centroid", "c2")
+      }
     }
-    val cand = candidates.select(col("vec_id").as("neighbor_id"),
+    val cand = wideCandidates.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ce"))
-    var cents = withNorm(candidates.groupBy(col(seedCol).cast("bigint").as("cid"))
+    var cents = withNorm(wideCandidates.groupBy(col(seedCol).cast("bigint").as("cid"))
       .agg(vm(col("embedding")).as("centroid"))
       .select(col("cid"), toCent(col("centroid")).as("centroid")))
     for (_ <- 1 to iterations) {

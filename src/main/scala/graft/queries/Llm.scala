@@ -130,12 +130,12 @@ object Llm {
       .orderBy(col("doc_id"))
 
   val dedupClustersSql: String = {
+    // Mirrors the engine exactly: self-loops fold "keep your own
+    // label" into the per-round min(), so each round is one
+    // join+group-by over the static edge relation.
     val iters = (1 to 4).map { k =>
-      s"""l$k AS (SELECT n.node, least(n.label, coalesce(m.nbr, n.label)) AS label
-         |  FROM l${k - 1} n LEFT JOIN
-         |    (SELECT e.u, min(l.label) AS nbr FROM edges e
-         |     JOIN l${k - 1} l ON e.v = l.node GROUP BY e.u) m
-         |  ON n.node = m.u)""".stripMargin
+      s"""l$k AS (SELECT e.u AS node, min(l.label) AS label
+         |  FROM ep e JOIN l${k - 1} l ON e.v = l.node GROUP BY e.u)""".stripMargin
     }.mkString(",\n")
     s"""$shingleCte,
       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -145,9 +145,11 @@ object Llm {
       |pairs AS (SELECT da, db FROM inter
       |          JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
       |          WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.6),
-      |edges AS (SELECT da AS u, db AS v FROM pairs
-      |          UNION ALL SELECT db AS u, da AS v FROM pairs),
-      |nodes AS (SELECT DISTINCT u AS node FROM edges),
+      |nodes AS (SELECT DISTINCT u AS node FROM
+      |          (SELECT da AS u FROM pairs UNION ALL SELECT db FROM pairs)),
+      |ep AS (SELECT da AS u, db AS v FROM pairs
+      |       UNION ALL SELECT db AS u, da AS v FROM pairs
+      |       UNION ALL SELECT node AS u, node AS v FROM nodes),
       |l0 AS (SELECT node, node AS label FROM nodes),
       |$iters
       |SELECT node AS doc_id, label AS cluster_id, node = label AS keep
