@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlQueries, Extras, Joins, Llm, Pipeline, Relational, Windows}
+import graft.queries.{Analytics, EtlQueries, Extras, Joins, Llm, Pipeline, Relational, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,6 +27,7 @@ object SparkEntry {
       (Llm.queries, Llm.oracle),
       (Extras.queries, Extras.oracle),
       (Pipeline.queries, Pipeline.oracle),
+      (Analytics.queries, Analytics.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,328 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+
+/** Behavioral / dataset-quality analytics pack (round 3): cohort
+  * retention, funnel progression, stratified sampling, central
+  * tendency (median + deterministic mode), sorted list aggregation,
+  * Shannon entropy, intra-document repetition, benchmark
+  * contamination, robust (median/MAD) scaling, and struct-array
+  * inlining. Every query has a DuckDB oracle; cross-engine
+  * determinism follows SURVEY.md §7.5 (canonical ORDER BY over a
+  * unique key, exact integer ratios emitted as single IEEE divisions,
+  * floating aggregates rounded).
+  *
+  * Timestamp comparisons use SECOND granularity (unix epoch seconds):
+  * events.ts is nanos on disk and micros in Spark, so any finer
+  * comparison could order two events differently across engines
+  * (SURVEY.md §7.4.2).
+  */
+object Analytics {
+
+  /** Cohort retention: users bucketed by the month of their first
+    * event; per (cohort, month-offset) distinct-user counts — the
+    * classic retention triangle. Two shuffles at any scale (first-touch
+    * aggregate, then the retention aggregate); the first-touch table is
+    * one row per user, joined back on the grain it was computed from. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(date_trunc("month", col("ts"))).as("m"))
+    val firsts = ev.groupBy(col("user_id")).agg(min(col("m")).as("cohort"))
+    ev.join(firsts, Seq("user_id"))
+      .groupBy(col("cohort"),
+        months_between(col("m"), col("cohort")).cast("int").as("offset_m"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy(col("cohort"), col("offset_m"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH ev AS (SELECT user_id, CAST(date_trunc('month', ts) AS DATE) AS m FROM events),
+      |f AS (SELECT user_id, min(m) AS cohort FROM ev GROUP BY user_id)
+      |SELECT f.cohort AS cohort, CAST(datediff('month', f.cohort, ev.m) AS INT) AS offset_m,
+      |  count(DISTINCT ev.user_id) AS users
+      |FROM ev JOIN f ON ev.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY cohort, offset_m""".stripMargin
+
+  /** Ordered funnel: first 'view', then first 'click' strictly after
+    * it, then first 'purchase' strictly after that — per-stage
+    * surviving-user counts. Strict ordering is evaluated on epoch
+    * SECONDS so both engines agree despite different sub-second
+    * timestamp precision. Each stage is one filtered aggregate joined
+    * to the previous stage's (user → frontier) table. */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("sec"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(col("sec") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .filter(col("sec") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t3"))
+    v.select(lit("1_view").as("stage"), col("user_id"))
+      .union(c.select(lit("2_click").as("stage"), col("user_id")))
+      .union(p.select(lit("3_purchase").as("stage"), col("user_id")))
+      .groupBy(col("stage")).agg(count(lit(1)).as("users"))
+      .orderBy(col("stage"))
+  }
+
+  val funnelStepsSql: String =
+    """WITH ev AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |v AS (SELECT user_id, min(sec) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.sec) AS t2 FROM ev e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.sec > v.t1 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.sec) AS t3 FROM ev e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.sec > c.t2 GROUP BY e.user_id)
+      |SELECT stage, count(*) AS users FROM (
+      |  SELECT '1_view' AS stage, user_id FROM v
+      |  UNION ALL SELECT '2_click', user_id FROM c
+      |  UNION ALL SELECT '3_purchase', user_id FROM p)
+      |GROUP BY stage ORDER BY stage""".stripMargin
+
+  /** Stratified deterministic sampling: per-stratum rates keyed on
+    * md5(pk) — rare classes kept whole, abundant classes thinned, all
+    * reproducible across runs/engines/cluster sizes (same property as
+    * q_hash_sample, extended to per-class rates). Pure map-side
+    * filter: no shuffle at any scale except the output sort. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("rate",
+        when(col("event_type") === "signup", 100)
+          .when(col("event_type") === "purchase", 50)
+          .when(col("event_type") === "view", 10)
+          .when(col("event_type") === "click", 5)
+          .otherwise(1))
+      .filter(col("h") < col("rate"))
+      .select(col("event_id"), col("event_type"), col("h").cast("int").as("h"))
+      .orderBy(col("event_id"))
+
+  val stratifiedSampleSql: String =
+    """SELECT event_id, event_type, CAST(h AS INT) AS h
+      |FROM (SELECT event_id, event_type,
+      |        CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS h,
+      |        CASE event_type WHEN 'signup' THEN 100 WHEN 'purchase' THEN 50
+      |             WHEN 'view' THEN 10 WHEN 'click' THEN 5 ELSE 1 END AS rate
+      |      FROM events)
+      |WHERE h < rate ORDER BY event_id""".stripMargin
+
+  /** Central tendency per group: exact interpolated median (sort-based
+    * percentile) plus a DETERMINISTIC mode — most frequent value, ties
+    * broken to the smallest — built from a count aggregate + ranked
+    * window rather than the builtin mode() whose tie-break is
+    * unspecified on both engines. */
+  def centralTendency(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_quantity, 0.5D)"), 4).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.5D)"), 4).as("median_price"))
+    val cnts = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("n").desc, col("l_linestatus"))
+    val mode = cnts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_linestatus").as("mode_status"),
+        col("n").as("mode_n"))
+    med.join(mode, Seq("l_returnflag")).orderBy(col("l_returnflag"))
+  }
+
+  val centralTendencySql: String =
+    """WITH med AS (SELECT l_returnflag,
+      |        round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+      |        round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+      |      FROM lineitem GROUP BY l_returnflag),
+      |c AS (SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY 1, 2),
+      |m AS (SELECT l_returnflag, l_linestatus AS mode_status, n AS mode_n,
+      |        row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_linestatus) AS rn
+      |      FROM c)
+      |SELECT med.l_returnflag, median_qty, median_price, mode_status, mode_n
+      |FROM med JOIN m ON med.l_returnflag = m.l_returnflag WHERE rn = 1
+      |ORDER BY med.l_returnflag""".stripMargin
+
+  /** Sorted list aggregation (LISTAGG/string_agg parity): per (month,
+    * priority), the '|'-joined sorted set of order statuses. The sort
+    * inside the aggregate is what makes collect_set deterministic —
+    * collection order is partitioning-dependent on both engines. */
+  def listaggStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        col("o_orderpriority"))
+      .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), "|").as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("ym"), col("o_orderpriority"))
+
+  val listaggStatusSql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS ym, o_orderpriority,
+      |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), '|') AS statuses,
+      |  count(*) AS n
+      |FROM orders GROUP BY 1, 2 ORDER BY ym, o_orderpriority""".stripMargin
+
+  /** Shannon entropy of each user's event-type mix — a behavioral
+    * diversity score (0 = single-type user). Probabilities are exact
+    * integer ratios evaluated as identical IEEE divisions; ln is
+    * natural log on both engines (DuckDB's log() is log10 — trap
+    * noted in SURVEY §7.5); the summed-terms order wobble is absorbed
+    * by round(4). */
+  def eventEntropy(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy(col("user_id"))
+    c.withColumn("total", sum(col("n")).over(tot))
+      .groupBy(col("user_id"), col("total"))
+      .agg(round(-sum((col("n").cast("double") / col("total")) *
+        log(col("n").cast("double") / col("total"))), 4).as("entropy"))
+      .select(col("user_id"), col("total").as("n_events"), col("entropy"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventEntropySql: String =
+    """WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+      |t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY user_id)
+      |SELECT c.user_id, t.total AS n_events,
+      |  round(-sum((CAST(c.n AS DOUBLE) / t.total) * ln(CAST(c.n AS DOUBLE) / t.total)), 4) AS entropy
+      |FROM c JOIN t ON c.user_id = t.user_id
+      |GROUP BY c.user_id, t.total ORDER BY c.user_id""".stripMargin
+
+  /** Intra-document repetition: the most frequent trigram's share of
+    * all trigram occurrences — the standard boilerplate/spam signal in
+    * LLM data curation (high ratio = template/repeated text). Narrow
+    * shingling + two aggregates; the ratio is one exact int/int IEEE
+    * division. */
+  def repetitionRatio(s: SparkSession, dir: String): DataFrame =
+    Dedup.shingleOccurrences(Tables.documents(s, dir), 3)
+      .groupBy(col("doc_id"), col("shingle")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_sh"), max(col("c")).as("max_rep"))
+      .select(col("doc_id"), col("n_sh"), col("max_rep"),
+        (col("max_rep").cast("double") / col("n_sh")).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+
+  val repetitionRatioSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |occ AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |          i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+      |        FROM w WHERE len(w) >= 3),
+      |c AS (SELECT doc_id, shingle, count(*) AS c FROM occ GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_sh, CAST(max(c) AS BIGINT) AS max_rep,
+      |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS rep_ratio
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Benchmark-contamination scan: fraction of each corpus document's
+    * distinct trigrams that appear in a "benchmark" shingle set (here:
+    * every 100th doc stands in for the eval set). The benchmark side
+    * is broadcast — it is tiny relative to the corpus by construction,
+    * so the scan stays a narrow map + one aggregate at any corpus
+    * size. Reported above a 5% overlap floor. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(Tables.documents(s, dir), 3)
+    val benchSh = sh.filter(col("doc_id") % 100 === 0)
+      .select(col("shingle")).distinct()
+    val corpus = sh.filter(col("doc_id") % 100 =!= 0)
+    val sizes = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hits = corpus.join(broadcast(benchSh), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    sizes.join(hits, Seq("doc_id"))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_sh")).as("contam_frac"))
+      .filter(col("contam_frac") >= 0.05)
+      .orderBy(col("doc_id"))
+  }
+
+  val contaminationSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+      |       FROM w WHERE len(w) >= 3),
+      |b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0),
+      |c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 100 <> 0),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM c GROUP BY doc_id),
+      |h AS (SELECT c.doc_id, count(*) AS n_hit FROM c JOIN b ON c.shingle = b.shingle
+      |      GROUP BY c.doc_id)
+      |SELECT sz.doc_id, CAST(sz.n_sh AS BIGINT) AS n_sh, CAST(h.n_hit AS BIGINT) AS n_hit,
+      |  CAST(h.n_hit AS DOUBLE) / sz.n_sh AS contam_frac
+      |FROM sz JOIN h ON sz.doc_id = h.doc_id
+      |WHERE CAST(h.n_hit AS DOUBLE) / sz.n_sh >= 0.05
+      |ORDER BY sz.doc_id""".stripMargin
+
+  /** Robust (median/MAD) standardization — the outlier-resistant twin
+    * of z-scoring (C4 min-max scaling): per-group median and median
+    * absolute deviation, then (x − med) / MAD per row. The two
+    * statistics tables are one row per group and broadcast back. */
+  def robustScale(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val med = o.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.5D)").as("med"))
+    val mad = o.join(broadcast(med), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"), col("med"))
+      .agg(expr("percentile(abs(o_totalprice - med), 0.5D)").as("mad"))
+    o.filter(col("o_orderkey") <= 2000)
+      .join(broadcast(mad), Seq("o_orderpriority"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round((col("o_totalprice") - col("med")) / col("mad"), 6).as("robust_z"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val robustScaleSql: String =
+    """WITH med AS (SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+      |             FROM orders GROUP BY o_orderpriority),
+      |mad AS (SELECT o.o_orderpriority, m.med,
+      |          quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad
+      |        FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority
+      |        GROUP BY o.o_orderpriority, m.med)
+      |SELECT o.o_orderkey, o.o_orderpriority,
+      |  round((o.o_totalprice - m.med) / m.mad, 6) AS robust_z
+      |FROM orders o JOIN mad m ON o.o_orderpriority = m.o_orderpriority
+      |WHERE o.o_orderkey <= 2000 ORDER BY o.o_orderkey""".stripMargin
+
+  /** Struct-array inlining (D3 generator surface beyond explode):
+    * measures packed as an array of (k, v) structs, inlined back to
+    * rows — the generator form of UNPIVOT. */
+  def inlineKv(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).filter(col("l_orderkey") <= 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        inline(array(
+          struct(lit("price").as("k"), col("l_extendedprice").cast("double").as("v")),
+          struct(lit("qty").as("k"), col("l_quantity").cast("double").as("v")))))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("k"))
+
+  val inlineKvSql: String =
+    """SELECT l_orderkey, l_linenumber, k, v FROM (
+      |  SELECT l_orderkey, l_linenumber, 'price' AS k, CAST(l_extendedprice AS DOUBLE) AS v
+      |  FROM lineitem WHERE l_orderkey <= 200
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'qty', CAST(l_quantity AS DOUBLE)
+      |  FROM lineitem WHERE l_orderkey <= 200)
+      |ORDER BY l_orderkey, l_linenumber, k""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention" -> (cohortRetention _),
+    "q_funnel_steps" -> (funnelSteps _),
+    "q_stratified_sample" -> (stratifiedSample _),
+    "q_central_tendency" -> (centralTendency _),
+    "q_listagg" -> (listaggStatus _),
+    "q_event_entropy" -> (eventEntropy _),
+    "q_repetition" -> (repetitionRatio _),
+    "q_contamination" -> (contamination _),
+    "q_robust_scale" -> (robustScale _),
+    "q_inline_kv" -> (inlineKv _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_cohort_retention" -> cohortRetentionSql,
+    "q_funnel_steps" -> funnelStepsSql,
+    "q_stratified_sample" -> stratifiedSampleSql,
+    "q_central_tendency" -> centralTendencySql,
+    "q_listagg" -> listaggStatusSql,
+    "q_event_entropy" -> eventEntropySql,
+    "q_repetition" -> repetitionRatioSql,
+    "q_contamination" -> contaminationSql,
+    "q_robust_scale" -> robustScaleSql,
+    "q_inline_kv" -> inlineKvSql,
+  )
+}

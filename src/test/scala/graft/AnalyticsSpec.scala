@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Analytics
+
+/** Semantic invariants for the analytics pack — the oracle hash-match
+  * proves engine parity; these prove the operators mean what they
+  * claim. */
+class AnalyticsSpec extends SparkSpec {
+
+  test("funnel stages are monotonically non-increasing") {
+    val counts = Analytics.funnelSteps(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("1_view") >= counts.getOrElse("2_click", 0L))
+    assert(counts.getOrElse("2_click", 0L) >= counts.getOrElse("3_purchase", 0L))
+    assert(counts("1_view") > 0)
+  }
+
+  test("cohort retention: offset 0 row exists per cohort and no negative offsets") {
+    val rows = Analytics.cohortRetention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getDate(0))
+    byCohort.values.foreach { rs =>
+      val offsets = rs.map(_.getInt(1))
+      assert(offsets.min == 0, "every cohort starts at offset 0")
+    }
+  }
+
+  test("stratified sample respects per-class rate ordering") {
+    val ev = Tables.events(spark, sfDir).groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Analytics.stratifiedSample(spark, sfDir)
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // signup sampled at 100% — kept whole
+    assert(sampled("signup") == ev("signup"))
+    // sampled fraction ordering follows configured rates (50% > 10% > 1%)
+    def frac(t: String) = sampled.getOrElse(t, 0L).toDouble / ev(t)
+    assert(frac("purchase") > frac("view") && frac("view") > frac("error"))
+  }
+
+  test("entropy is within [0, ln(5)] and single-type users score 0") {
+    val rows = Analytics.eventEntropy(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getDouble(2)
+      assert(h >= 0.0 && h <= math.log(5.0) + 1e-9, s"user ${r.getLong(0)}: $h")
+    }
+  }
+
+  test("repetition ratio is a valid share and max_rep <= n_sh") {
+    val rows = Analytics.repetitionRatio(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, m, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(m >= 1 && m <= n)
+      assert(math.abs(ratio - m.toDouble / n) < 1e-15)
+    }
+  }
+
+  test("contamination fractions are in (0, 1] and benchmark docs are excluded") {
+    val rows = Analytics.contamination(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) % 100 != 0, "benchmark docs must not self-report")
+      val f = r.getDouble(3)
+      assert(f >= 0.05 && f <= 1.0)
+    }
+  }
+
+  test("robust z-scores center near zero per group") {
+    val rows = Analytics.robustScale(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(robust_z, 0.5D)").as("med_z"))
+      .collect()
+    assert(rows.nonEmpty)
+    // the scaled subset is not the full group, so the median is only
+    // near zero — but a wildly off-center value means the stats joined
+    // against the wrong group
+    rows.foreach(r => assert(math.abs(r.getDouble(1)) < 1.0))
+  }
+
+  test("central tendency: mode is the true argmax with smallest-value tie-break") {
+    val byHand = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus")).count()
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (flag, rs) =>
+        flag -> rs.map(r => (r.getString(1), r.getLong(2)))
+          .sortBy { case (v, n) => (-n, v) }.head._1
+      }
+    Analytics.centralTendency(spark, sfDir).collect().foreach { r =>
+      assert(r.getString(3) == byHand(r.getString(0)))
+    }
+  }
+
+  test("inline_kv emits exactly two rows per lineitem row") {
+    val base = Tables.lineitem(spark, sfDir).filter(col("l_orderkey") <= 200).count()
+    assert(Analytics.inlineKv(spark, sfDir).count() == base * 2)
+  }
+
+  test("listagg statuses are sorted and distinct within each group") {
+    Analytics.listaggStatus(spark, sfDir).collect().foreach { r =>
+      val parts = r.getString(2).split('|').toSeq
+      assert(parts == parts.distinct.sorted)
+    }
+  }
+}
