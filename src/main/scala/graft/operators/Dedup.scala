@@ -217,7 +217,11 @@ object Dedup {
       .localCheckpoint()
     var labels = nodes.withColumn("label", col("node"))
     for (i <- 1 to iterations) {
-      labels = edgesPlus.join(labels, edgesPlus("v") === labels("node"))
+      // shuffle_hash, not sort-merge: the label table is the build
+      // side and there is no point re-sorting the static edge
+      // relation once per round just to stream-merge it.
+      labels = edgesPlus.join(labels.hint("shuffle_hash"),
+          edgesPlus("v") === labels("node"))
         .groupBy(col("u")).agg(min(col("label")).as("label"))
         .withColumnRenamed("u", "node")
       if (i % 2 == 0 && i < iterations)

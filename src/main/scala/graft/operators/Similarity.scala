@@ -191,8 +191,11 @@ object Similarity {
           .drop("d2", "crnk", "centroid", "c2")
       }
     }
+    // Scored against the centroid table once per training/assignment
+    // pass — persist so each pass reads the projected corpus from
+    // cache instead of re-scanning (caller owns the cache lifecycle).
     val cand = wideCandidates.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("ce"))
+      col("embedding").as("ce")).persist()
     var cents = withNorm(wideCandidates.groupBy(col(seedCol).cast("bigint").as("cid"))
       .agg(vm(col("embedding")).as("centroid"))
       .select(col("cid"), toCent(col("centroid")).as("centroid")))

@@ -220,7 +220,10 @@ object Analytics {
     * so the scan stays a narrow map + one aggregate at any corpus
     * size. Reported above a 5% overlap floor. */
   def contamination(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(Tables.documents(s, dir), 3)
+    // Referenced three times (benchmark side, corpus sizes, corpus
+    // hits): persist or the whole shingle pipeline re-runs per use.
+    // Caller owns the cache lifecycle (Dedup scaladoc).
+    val sh = Dedup.shingles(Tables.documents(s, dir), 3).persist()
     val benchSh = sh.filter(col("doc_id") % 100 === 0)
       .select(col("shingle")).distinct()
     val corpus = sh.filter(col("doc_id") % 100 =!= 0)

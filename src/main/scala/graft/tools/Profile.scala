@@ -31,24 +31,17 @@ object Profile {
       println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s  ($n rows)")
       spark.catalog.clearCache()
     }
-    val docs = Tables.documents(spark, sfDir)
-    time("shingleOccurrences") {
-      Dedup.shingleOccurrences(docs, 3).count()
-    }
-    time("shingle hash+distinct") {
-      Dedup.shingleOccurrences(docs, 3)
-        .select(col("doc_id"), xxhash64(col("shingle")).as("shash")).distinct().count()
-    }
-    time("ngramJaccardPairs(0.6)") {
-      Dedup.ngramJaccardPairs(docs, 3, 0.6).count()
-    }
-    time("dedupClusters(pairs)") {
-      val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.6)
-        .select(col("doc_id_a"), col("doc_id_b"))
-      Dedup.dedupClusters(pairs, 4).count()
-    }
-    time("full q_dedup_clusters") {
-      queries.Llm.dedupClusters(spark, sfDir).count()
+    // SPARK_GRAFT_PROFILE=q_a,q_b: time each named SparkEntry query
+    // `reps` times (first run shows cold cost, later runs warm cost).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val names = sys.env.get("SPARK_GRAFT_PROFILE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("q_dedup_clusters"))
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      (1 to reps).foreach { r =>
+        time(s"$name run$r") { fn(spark, sfDir).count() }
+      }
     }
     spark.stop()
   }
