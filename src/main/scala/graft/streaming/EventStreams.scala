@@ -10,7 +10,7 @@ case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 case class UserStat(user_id: Long, n_events: Long, total_value: Double)
 
 /** Structured Streaming operators over the events stream (SURVEY.md
-  * §2B X1-X5). The reference's only streaming construct is `sync` —
+  * §2B X1-X7). The reference's only streaming construct is `sync` —
   * poll MAX(pk), migrate the delta, sleep (A12); [[syncAvailableNow]]
   * reproduces that with a file-source micro-batch stream. The windowed
   * /sessionized/stateful operators are the event-time extensions a
@@ -96,6 +96,17 @@ object EventStreams {
       col("o_ts") <= col("p_ts"))
       .select(col("p_id"), col("user_id"), col("o_id"), col("o_type"))
   }
+
+  /** X7 — stream-static enrichment join: each streaming event joined
+    * to a static dimension table (here: per-user profile attributes).
+    * The static side is planned per micro-batch as an ordinary batch
+    * relation — broadcast when small — so the stream needs NO state
+    * for it and no watermark interplay: the standard shape for
+    * enriching a 100 TB/day event stream with reference data. */
+  def enrichWithDimension(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("segment"))
 
   /** A12 sync, Spark-native: treat the source directory as an
     * append-only stream (new files = new PK ranges), drain everything

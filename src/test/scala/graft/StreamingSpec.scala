@@ -40,6 +40,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment joins every event to its dimension row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val dim = Seq((1L, "gold"), (2L, "trial")).toDF("user_id", "segment")
+    val q = EventStreams.enrichWithDimension(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(mkEvents((1, 0, 1, "a", 1.0), (2, 5, 2, "b", 2.0), (3, 9, 1, "a", 4.0)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("enriched")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    // inner join against the static side: every event of a known user
+    // appears exactly once, carrying that user's dimension attribute
+    assert(rows == Map(1L -> "gold", 2L -> "trial", 3L -> "gold"))
+  }
+
   test("watermark drops events later than 30 minutes behind the max") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
