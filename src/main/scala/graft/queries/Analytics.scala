@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -303,6 +305,118 @@ object Analytics {
       |  FROM lineitem WHERE l_orderkey <= 200)
       |ORDER BY l_orderkey, l_linenumber, k""".stripMargin
 
+  /** CSV interchange fidelity (S-format parity next to NDJSON):
+    * `to_csv` → `from_csv` must reproduce the source rows exactly —
+    * doubles survive because Spark prints round-trip-exact
+    * representations. The oracle is simply the source projection. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val schema = "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING"
+    Tables.orders(s, dir)
+      .select(to_csv(struct(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderpriority"))).as("line"))
+      .select(from_csv(col("line"), lit(schema), Map.empty[String, String].asJava).as("r"))
+      .select(col("r.o_orderkey").as("o_orderkey"), col("r.o_custkey").as("o_custkey"),
+        col("r.o_totalprice").as("o_totalprice"), col("r.o_orderpriority").as("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Bloom-pre-filtered validation anti-join (the 100 TB form of the
+    * reference's count-compare/retry scan, E2/A6): build a Bloom
+    * filter over the destination keys, split the source into
+    * definitely-missing (bloom says absent — no false negatives, so
+    * no join needed) and possibly-present (exact anti-join resolves
+    * the false positives). Result is EXACTLY the plain anti-join —
+    * the filter only re-routes work — so the oracle is a NOT IN. The
+    * destination simulates lost ranges (every 7th order missing). */
+  def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val dst = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey")).persist()
+    val bf = dst.stat.bloomFilter("o_orderkey", 200000, 0.03)
+    val might = udf((k: Long) => bf.mightContain(k))
+    val src = Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
+    val definite = src.filter(!might(col("l_orderkey")))
+    val confirmed = src.filter(might(col("l_orderkey")))
+      .join(dst, col("l_orderkey") === col("o_orderkey"), "left_anti")
+    definite.union(confirmed).orderBy(col("l_orderkey"))
+  }
+
+  val bloomPrefilterSql: String =
+    """SELECT DISTINCT l_orderkey FROM lineitem
+      |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0)
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** Chunk-level exact dedup (the tractable SQL analog of exact
+    * substring deduplication in training-data curation): texts split
+    * into non-overlapping 10-word chunks; chunks recurring across the
+    * corpus are reported with copy counts and the deterministic
+    * keeper (smallest (doc, position)). Narrow chunking + one
+    * aggregate keyed on the chunk hash — linear at any corpus size.
+    * (The oracle packs (doc, idx) into doc·10⁶+idx for its min —
+    * equivalent to the struct min while a doc has < 10⁶ chunks.) */
+  def dedupChunks(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.widen(Tables.documents(s, dir))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, CAST((size(w) - 1) / 10 AS INT)), " +
+        "c -> concat_ws(' ', slice(w, c * 10 + 1, 10)))")).as(Seq("chunk_idx", "chunk")))
+      .groupBy(md5(col("chunk")).as("chunk_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("k"))
+      .filter(col("n_copies") > 1)
+      .select(col("chunk_hash"), col("n_copies"),
+        col("k.doc_id").as("keep_doc"), col("k.chunk_idx").as("keep_idx"))
+      .orderBy(col("chunk_hash"))
+
+  val dedupChunksSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |ch AS (SELECT doc_id, CAST(c AS INT) AS chunk_idx,
+      |         array_to_string(list_slice(w, c * 10 + 1, c * 10 + 10), ' ') AS chunk
+      |       FROM w, unnest(range(0, CAST((len(w) - 1) // 10 AS INT) + 1)) AS t(c))
+      |SELECT md5(chunk) AS chunk_hash, count(*) AS n_copies,
+      |  CAST(min(doc_id * 1000000 + chunk_idx) // 1000000 AS BIGINT) AS keep_doc,
+      |  CAST(min(doc_id * 1000000 + chunk_idx) % 1000000 AS INT) AS keep_idx
+      |FROM ch GROUP BY md5(chunk) HAVING count(*) > 1
+      |ORDER BY chunk_hash""".stripMargin
+
+  /** Language-distribution rebalancing — the two-phase adaptive
+    * sampler of corpus curation: per-language document counts set a
+    * keep-rate min(1, (total/5)/count) (5 = number of languages, so
+    * the target is a uniform mix), then a deterministic md5 coin per
+    * document applies it. Phase 1 is one tiny aggregate (broadcast
+    * back); phase 2 a pure map filter. */
+  def langRebalance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      .withColumn("n_total", sum(col("n_lang")).over(Window.partitionBy()))
+      .select(col("lang"),
+        least(lit(1.0), (col("n_total").cast("double") / 5.0) / col("n_lang"))
+          .as("keep_rate"))
+    docs
+      .join(broadcast(counts), Seq("lang"))
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .filter(col("h").cast("double") < col("keep_rate") * 4294967296.0)
+      .select(col("doc_id"), col("lang"), round(col("keep_rate"), 6).as("keep_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langRebalanceSql: String =
+    """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+      |r AS (SELECT lang,
+      |        least(1.0, (CAST((SELECT count(*) FROM documents) AS DOUBLE) / 5.0) / n_lang)
+      |          AS keep_rate
+      |      FROM c)
+      |SELECT d.doc_id, d.lang, round(r.keep_rate, 6) AS keep_rate
+      |FROM documents d JOIN r ON d.lang = r.lang
+      |WHERE CAST(CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+      |      < r.keep_rate * 4294967296.0
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohort_retention" -> (cohortRetention _),
     "q_funnel_steps" -> (funnelSteps _),
@@ -314,6 +428,10 @@ object Analytics {
     "q_contamination" -> (contamination _),
     "q_robust_scale" -> (robustScale _),
     "q_inline_kv" -> (inlineKv _),
+    "q_csv_roundtrip" -> (csvRoundtrip _),
+    "q_bloom_prefilter" -> (bloomPrefilter _),
+    "q_dedup_chunks" -> (dedupChunks _),
+    "q_lang_rebalance" -> (langRebalance _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -327,5 +445,9 @@ object Analytics {
     "q_contamination" -> contaminationSql,
     "q_robust_scale" -> robustScaleSql,
     "q_inline_kv" -> inlineKvSql,
+    "q_csv_roundtrip" -> csvRoundtripSql,
+    "q_bloom_prefilter" -> bloomPrefilterSql,
+    "q_dedup_chunks" -> dedupChunksSql,
+    "q_lang_rebalance" -> langRebalanceSql,
   )
 }

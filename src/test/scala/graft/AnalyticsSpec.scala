@@ -98,6 +98,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.inlineKv(spark, sfDir).count() == base * 2)
   }
 
+  test("csv roundtrip reproduces the source projection exactly") {
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey")).collect()
+    val rt = Analytics.csvRoundtrip(spark, sfDir).collect()
+    assert(rt.length == src.length)
+    rt.zip(src).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("bloom prefilter result equals the plain anti-join") {
+    val plain = Tables.lineitem(spark, sfDir).select(col("l_orderkey")).distinct()
+      .join(Tables.orders(spark, sfDir).filter(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    val bloomed = Analytics.bloomPrefilter(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(bloomed == plain && plain.nonEmpty)
+  }
+
+  test("chunk dedup reports only recurring chunks with a minimal keeper") {
+    val rows = Analytics.dedupChunks(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) > 1)
+      assert(r.getLong(2) >= 0 && r.getInt(3) >= 0)
+    }
+  }
+
+  test("lang rebalance keeps minority languages whole and thins the majority") {
+    val before = Tables.documents(spark, sfDir).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = Analytics.langRebalance(spark, sfDir).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = before.values.sum / 5.0
+    before.foreach { case (lang, n) =>
+      if (n <= target) assert(after(lang) == n, s"$lang should be kept whole")
+      else assert(after(lang) < n, s"$lang should be thinned")
+    }
+  }
+
   test("listagg statuses are sorted and distinct within each group") {
     Analytics.listaggStatus(spark, sfDir).collect().foreach { r =>
       val parts = r.getString(2).split('|').toSeq
