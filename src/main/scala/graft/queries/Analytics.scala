@@ -417,6 +417,107 @@ object Analytics {
       |      < r.keep_rate * 4294967296.0
       |ORDER BY d.doc_id""".stripMargin
 
+  /** regexp_extract_all surface (F1 beyond single-match extract): all
+    * matches of a capture group per document, with occurrence order
+    * preserved identically on both engines. */
+  def regexpExtractAll(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("regexp_extract_all(text, '(s[a-z]+)', 1)").as("m"))
+      .select(col("doc_id"), size(col("m")).as("n_matches"),
+        array_join(slice(col("m"), 1, 3), ",").as("first3"))
+      .orderBy(col("doc_id"))
+
+  val regexpExtractAllSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '(s[a-z]+)', 1)) AS INT) AS n_matches,
+      |  coalesce(array_to_string(list_slice(regexp_extract_all(text, '(s[a-z]+)', 1), 1, 3), ','), '') AS first3
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Gaps-and-islands: consecutive-day activity runs per user. The
+    * island key is epoch_day − row_number — pure integer arithmetic,
+    * so the grouping is bit-portable. One distinct + one window + two
+    * aggregates at any scale. */
+  def activityIslands(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("dt")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dt"))
+    d.withColumn("rn", row_number().over(w))
+      .withColumn("grp",
+        datediff(col("dt"), lit("1970-01-01").cast("date")) - col("rn"))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"), max(col("len")).as("longest_run"))
+      .orderBy(col("user_id"))
+  }
+
+  val activityIslandsSql: String =
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt FROM events),
+      |g AS (SELECT user_id,
+      |        datediff('day', DATE '1970-01-01', dt)
+      |          - row_number() OVER (PARTITION BY user_id ORDER BY dt) AS grp
+      |      FROM d),
+      |i AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY user_id, grp)
+      |SELECT user_id, count(*) AS n_islands, CAST(max(len) AS BIGINT) AS longest_run
+      |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Cumulative distinct users by day — the growth-curve query. New
+    * users = first-seen-day counts; the running total is an integer
+    * window sum. At scale: one first-touch aggregate (per user), one
+    * daily count, one tiny ordered window. */
+  def runningDistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("day"))
+    val daily = firsts.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    daily.withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("day"))
+  }
+
+  val runningDistinctUsersSql: String =
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id),
+      |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+      |SELECT day, new_users,
+      |  sum(new_users) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS cum_users
+      |FROM d ORDER BY day""".stripMargin
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence (ordered by epoch second, then event_id for cross-engine
+    * tie stability): per (prev → next) counts and row-conditional
+    * probabilities as exact int/int IEEE divisions. */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val counts = pairs.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / col("row_total")).as("p"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |p AS (SELECT event_type AS next_type,
+      |        lag(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev_type
+      |      FROM e),
+      |c AS (SELECT prev_type, next_type, count(*) AS n FROM p
+      |      WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type)
+      |SELECT prev_type, next_type, n,
+      |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
+      |FROM c ORDER BY prev_type, next_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohort_retention" -> (cohortRetention _),
     "q_funnel_steps" -> (funnelSteps _),
@@ -432,6 +533,10 @@ object Analytics {
     "q_bloom_prefilter" -> (bloomPrefilter _),
     "q_dedup_chunks" -> (dedupChunks _),
     "q_lang_rebalance" -> (langRebalance _),
+    "q_regexp_extract_all" -> (regexpExtractAll _),
+    "q_activity_islands" -> (activityIslands _),
+    "q_running_distinct" -> (runningDistinctUsers _),
+    "q_markov_transitions" -> (markovTransitions _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -449,5 +554,9 @@ object Analytics {
     "q_bloom_prefilter" -> bloomPrefilterSql,
     "q_dedup_chunks" -> dedupChunksSql,
     "q_lang_rebalance" -> langRebalanceSql,
+    "q_regexp_extract_all" -> regexpExtractAllSql,
+    "q_activity_islands" -> activityIslandsSql,
+    "q_running_distinct" -> runningDistinctUsersSql,
+    "q_markov_transitions" -> markovTransitionsSql,
   )
 }

@@ -138,6 +138,37 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("markov transition probabilities sum to 1 per prev state") {
+    val rows = Analytics.markovTransitions(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).values.foreach { rs =>
+      val total = rs.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"sum=$total")
+    }
+  }
+
+  test("activity islands: longest run never exceeds the user's active-day count") {
+    val activeDays = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Analytics.activityIslands(spark, sfDir).collect().foreach { r =>
+      val (uid, n, longest) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(longest <= activeDays(uid) && n >= 1)
+      assert(n <= activeDays(uid))
+    }
+  }
+
+  test("running distinct: cum_users is monotone and ends at the total user count") {
+    val rows = Analytics.runningDistinctUsers(spark, sfDir).collect()
+    val cums = rows.map(_.getLong(2))
+    // strictly increasing: a day only appears when it has new users
+    assert(cums.zip(cums.tail).forall { case (a, b) => b > a })
+    val totalUsers = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(cums.last == totalUsers)
+  }
+
   test("listagg statuses are sorted and distinct within each group") {
     Analytics.listaggStatus(spark, sfDir).collect().foreach { r =>
       val parts = r.getString(2).split('|').toSeq
