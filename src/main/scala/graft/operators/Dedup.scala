@@ -133,7 +133,15 @@ object Dedup {
   /** Candidate pairs within `maxHamming` of each other, found by the
     * pigeonhole band trick: split the signature into `maxHamming + 1`
     * byte-bands — any pair within the radius must agree on at least
-    * one band, so the join key is (band, band value), never all-pairs. */
+    * one band, so the join key is (band, band value), never all-pairs.
+    *
+    * Multi-band collisions are collapsed WITHOUT a distinct shuffle:
+    * a pair is emitted only from its FIRST colliding band (for band b,
+    * a narrow post-join filter checks that no band b' < b also
+    * collides, straight from the two signatures) — the canonical-band
+    * trick. At scale this matters: the candidate-pair stream can be
+    * huge, and a distinct over it is a full extra shuffle, while the
+    * canonical-band predicate is free map-side work. */
   def simhashCandidates(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val banded = sig.select(col("doc_id"), col("simhash"),
@@ -144,11 +152,15 @@ object Dedup {
       col("doc_id").as("doc_id_a"), col("simhash").as("sh_a"))
     val bb = banded.select(col("b"), col("band_val"),
       col("doc_id").as("doc_id_b"), col("simhash").as("sh_b"))
+    val noEarlierBand = (0 until nBands).map(bp =>
+      col("b") <= bp ||
+        expr(s"((sh_a >> ${bp * 8}) & 255) != ((sh_b >> ${bp * 8}) & 255)")
+    ).reduce(_ && _)
     a.join(bb, Seq("b", "band_val"))
       .filter(col("doc_id_a") < col("doc_id_b"))
+      .filter(noEarlierBand)
       .select(col("doc_id_a"), col("doc_id_b"),
         expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -80,11 +80,14 @@ object Llm {
       |        FROM votes GROUP BY doc_id),
       |banded AS (SELECT doc_id, simhash, b, (simhash >> CAST(b * 8 AS INT)) & 255 AS band_val
       |           FROM sig, (SELECT unnest(range(0, 4)) AS b))
-      |SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+      |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
       |FROM banded a JOIN banded b
       |  ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |  AND (a.b <= 0 OR ((a.simhash >> 0) & 255) != ((b.simhash >> 0) & 255))
+      |  AND (a.b <= 1 OR ((a.simhash >> 8) & 255) != ((b.simhash >> 8) & 255))
+      |  AND (a.b <= 2 OR ((a.simhash >> 16) & 255) != ((b.simhash >> 16) & 255))
       |ORDER BY doc_id_a, doc_id_b""".stripMargin
 
   /** L2c — exact n-gram Jaccard similarity over colliding pairs. */
