@@ -518,6 +518,94 @@ object Analytics {
       |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
       |FROM c ORDER BY prev_type, next_type""".stripMargin
 
+  /** Rolling z-score anomaly detection over daily event counts: a
+    * 7-day ROWS window carries only exact integer sums (n, Σn, Σn²),
+    * and mean/std/z are derived from them in one fixed chain of IEEE
+    * ops — the deterministic form of moving-aggregate anomaly
+    * flagging (float stddev over a frame would be summation-order
+    * dependent). Full windows only; zero-variance windows excluded
+    * before the division. */
+  def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    daily
+      .withColumn("cnt7", count(lit(1)).over(w))
+      .withColumn("sum7", sum(col("n")).over(w))
+      .withColumn("ss7", sum(col("n") * col("n")).over(w))
+      .filter(col("cnt7") === 7 &&
+        col("cnt7") * col("ss7") > col("sum7") * col("sum7"))
+      .withColumn("z",
+        (col("n") * col("cnt7") - col("sum7")).cast("double") /
+          (col("cnt7").cast("double") *
+            sqrt((col("cnt7") * col("ss7") - col("sum7") * col("sum7")).cast("double") /
+              (col("cnt7") * (col("cnt7") - 1)))))
+      .filter(abs(col("z")) > 2.0)
+      .select(col("day"), col("event_type"), col("n"), col("sum7"), col("ss7"),
+        round(col("z"), 4).as("z"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val anomalyZscoreSql: String =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |w AS (SELECT day, event_type, n,
+      |        count(*) OVER win AS cnt7,
+      |        CAST(sum(n) OVER win AS BIGINT) AS sum7,
+      |        CAST(sum(n * n) OVER win AS BIGINT) AS ss7
+      |      FROM d
+      |      WINDOW win AS (PARTITION BY event_type ORDER BY day
+      |                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      |z AS (SELECT day, event_type, n, sum7, ss7,
+      |        CAST(n * cnt7 - sum7 AS DOUBLE) /
+      |          (CAST(cnt7 AS DOUBLE) *
+      |           sqrt(CAST(cnt7 * ss7 - sum7 * sum7 AS DOUBLE) / (cnt7 * (cnt7 - 1)))) AS z
+      |      FROM w WHERE cnt7 = 7 AND cnt7 * ss7 > sum7 * sum7)
+      |SELECT day, event_type, n, sum7, ss7, round(z, 4) AS z
+      |FROM z WHERE abs(z) > 2.0
+      |ORDER BY day, event_type""".stripMargin
+
+  /** Language-ID confusion matrix — the eval-style query for the
+    * heuristic classifier in TextAnalysis.langId: labeled lang vs
+    * predicted lang counts plus per-label recall shares (exact int
+    * ratios). The prediction is the marker-count argmax with the
+    * fixed en>de>es>fr tie order, expressed identically in both
+    * engines. */
+  def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = graft.operators.TextAnalysis.langId(Tables.documents(s, dir))
+      .select(col("doc_id"), col("pred_lang"))
+    val rows = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+    rows
+      .withColumn("label_total",
+        sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        (col("n").cast("double") / col("label_total")).as("share"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  val langConfusionSql: String =
+    """WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      |m AS (SELECT doc_id, lang,
+      |        len(list_filter(w, x -> x IN ('the','and','of'))) AS s_en,
+      |        len(list_filter(w, x -> x IN ('der','die','und'))) AS s_de,
+      |        len(list_filter(w, x -> x IN ('el','los','que'))) AS s_es,
+      |        len(list_filter(w, x -> x IN ('le','les','et'))) AS s_fr
+      |      FROM s),
+      |p AS (SELECT lang,
+      |        CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+      |             WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+      |             WHEN s_es >= s_fr THEN 'es'
+      |             ELSE 'fr' END AS pred_lang
+      |      FROM m),
+      |c AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2)
+      |SELECT lang, pred_lang, n,
+      |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) AS share
+      |FROM c ORDER BY lang, pred_lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohort_retention" -> (cohortRetention _),
     "q_funnel_steps" -> (funnelSteps _),
@@ -537,6 +625,8 @@ object Analytics {
     "q_activity_islands" -> (activityIslands _),
     "q_running_distinct" -> (runningDistinctUsers _),
     "q_markov_transitions" -> (markovTransitions _),
+    "q_anomaly_zscore" -> (anomalyZscore _),
+    "q_lang_confusion" -> (langConfusion _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -558,5 +648,7 @@ object Analytics {
     "q_activity_islands" -> activityIslandsSql,
     "q_running_distinct" -> runningDistinctUsersSql,
     "q_markov_transitions" -> markovTransitionsSql,
+    "q_anomaly_zscore" -> anomalyZscoreSql,
+    "q_lang_confusion" -> langConfusionSql,
   )
 }

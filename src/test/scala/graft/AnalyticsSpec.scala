@@ -169,6 +169,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(cums.last == totalUsers)
   }
 
+  test("anomaly z-scores exceed the threshold and derive from their window sums") {
+    Analytics.anomalyZscore(spark, sfDir).collect().foreach { r =>
+      val (n, sum7, ss7, z) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(math.abs(z) > 2.0)
+      val mean = sum7 / 7.0
+      val variance = (ss7 - sum7 * sum7 / 7.0) / 6.0
+      val expected = (n - mean) / math.sqrt(variance)
+      assert(math.abs(z - expected) < 1e-3, s"z=$z expected=$expected")
+    }
+  }
+
+  test("lang confusion shares sum to 1 per label and counts cover the corpus") {
+    val rows = Analytics.langConfusion(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).values.foreach { rs =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    }
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == Tables.documents(spark, sfDir).count())
+  }
+
   test("listagg statuses are sorted and distinct within each group") {
     Analytics.listaggStatus(spark, sfDir).collect().foreach { r =>
       val parts = r.getString(2).split('|').toSeq
