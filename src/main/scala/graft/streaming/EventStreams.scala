@@ -10,7 +10,7 @@ case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 case class UserStat(user_id: Long, n_events: Long, total_value: Double)
 
 /** Structured Streaming operators over the events stream (SURVEY.md
-  * §2B X1-X7). The reference's only streaming construct is `sync` —
+  * §2B X1-X8). The reference's only streaming construct is `sync` —
   * poll MAX(pk), migrate the delta, sleep (A12); [[syncAvailableNow]]
   * reproduces that with a file-source micro-batch stream. The windowed
   * /sessionized/stateful operators are the event-time extensions a
@@ -107,6 +107,24 @@ object EventStreams {
     events.join(broadcast(userDim), Seq("user_id"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("segment"))
+
+  /** X8 — idempotent micro-batch sink via foreachBatch: each batch is
+    * written to a directory keyed by its batchId with overwrite
+    * semantics, so a replayed batch (restart between sink write and
+    * checkpoint commit — Structured Streaming's at-least-once window)
+    * lands in the same place instead of duplicating. This is the
+    * streaming form of the reference's range-keyed idempotent load
+    * (A8/A11: re-running a PK range overwrites it); with a
+    * transactional table format the same hook would do a MERGE. */
+  def idempotentBatchSink(events: DataFrame, baseDir: String,
+                          checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$baseDir/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** A12 sync, Spark-native: treat the source directory as an
     * append-only stream (new files = new PK ranges), drain everything

@@ -57,6 +57,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map(1L -> "gold", 2L -> "trial", 3L -> "gold"))
   }
 
+  test("idempotent batch sink: re-writing a batch overwrites instead of duplicating") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val stream = MemoryStream[EventRow]
+    stream.addData(mkEvents((1, 0, 1, "a", 1.0), (2, 5, 2, "b", 2.0)))
+    val q1 = EventStreams.idempotentBatchSink(stream.toDF(), base, ckpt)
+    q1.awaitTermination()
+    val afterFirst = spark.read.parquet(base).count()
+    // simulate the replay window: the same batch directory written
+    // again must OVERWRITE (same row count), not append
+    val replayed = mkEvents((1, 0, 1, "a", 1.0), (2, 5, 2, "b", 2.0)).toDF()
+    replayed.write.mode("overwrite").parquet(s"$base/batch_id=0")
+    assert(spark.read.parquet(base).count() == afterFirst)
+    // new data lands in a NEW batch dir and adds rows
+    stream.addData(mkEvents((3, 10, 1, "a", 4.0)))
+    val q2 = EventStreams.idempotentBatchSink(stream.toDF(), base, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(base).count() == afterFirst + 1)
+  }
+
   test("watermark drops events later than 30 minutes behind the max") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
