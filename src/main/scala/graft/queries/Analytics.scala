@@ -606,6 +606,43 @@ object Analytics {
       |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) AS share
       |FROM c ORDER BY lang, pred_lang""".stripMargin
 
+  /** Time-weighted average of each user's event value — the correct
+    * mean for irregularly-sampled signals (each reading weighted by
+    * how long it was current). Values are quantized to exact integer
+    * micro-units BEFORE weighting (floor(v·10⁶), deterministic on
+    * identical doubles), weights are integer seconds from lead(), and
+    * both sums run in DECIMAL(38,0) — so the only floating-point ops
+    * are the final divisions, identical on both engines. */
+  def timeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"),
+        floor(col("value") * 1e6).cast("decimal(38,0)").as("vmu"))
+      .withColumn("wt", (lead(col("sec"), 1).over(w) - col("sec")).cast("decimal(38,0)"))
+      .filter(col("wt").isNotNull && col("wt") > 0)
+      .groupBy(col("user_id"))
+      .agg(sum(col("vmu") * col("wt")).as("swv"), sum(col("wt")).as("sw"))
+      .select(col("user_id"), col("sw").cast("bigint").as("held_seconds"),
+        (col("swv").cast("double") / col("sw").cast("double") / 1000000.0)
+          .as("twa"))
+      .orderBy(col("user_id"))
+  }
+
+  val timeWeightedAvgSql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |             CAST(floor(value * 1000000) AS DECIMAL(38,0)) AS vmu
+      |           FROM events),
+      |p AS (SELECT user_id, vmu,
+      |        CAST(lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) - sec
+      |             AS DECIMAL(38,0)) AS wt
+      |      FROM e),
+      |a AS (SELECT user_id, sum(vmu * wt) AS swv, sum(wt) AS sw
+      |      FROM p WHERE wt IS NOT NULL AND wt > 0 GROUP BY user_id)
+      |SELECT user_id, CAST(sw AS BIGINT) AS held_seconds,
+      |  CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) / 1000000.0 AS twa
+      |FROM a ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohort_retention" -> (cohortRetention _),
     "q_funnel_steps" -> (funnelSteps _),
@@ -627,6 +664,7 @@ object Analytics {
     "q_markov_transitions" -> (markovTransitions _),
     "q_anomaly_zscore" -> (anomalyZscore _),
     "q_lang_confusion" -> (langConfusion _),
+    "q_time_weighted_avg" -> (timeWeightedAvg _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -650,5 +688,6 @@ object Analytics {
     "q_markov_transitions" -> markovTransitionsSql,
     "q_anomaly_zscore" -> anomalyZscoreSql,
     "q_lang_confusion" -> langConfusionSql,
+    "q_time_weighted_avg" -> timeWeightedAvgSql,
   )
 }

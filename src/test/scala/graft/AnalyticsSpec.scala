@@ -190,6 +190,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(total == Tables.documents(spark, sfDir).count())
   }
 
+  test("time-weighted average lies within the user's value range") {
+    val bounds = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = Analytics.timeWeightedAvg(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi) = bounds(r.getLong(0))
+      val twa = r.getDouble(2)
+      // quantization floors values at 1e-6, so allow that much slack
+      assert(twa >= lo - 1e-6 && twa <= hi + 1e-6, s"user ${r.getLong(0)}: $twa !in [$lo,$hi]")
+      assert(r.getLong(1) > 0)
+    }
+  }
+
   test("listagg statuses are sorted and distinct within each group") {
     Analytics.listaggStatus(spark, sfDir).collect().foreach { r =>
       val parts = r.getString(2).split('|').toSeq
