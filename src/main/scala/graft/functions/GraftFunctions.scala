@@ -201,6 +201,71 @@ case class LshBucketsF32(child: Expression, planes: Array[Array[Float]],
     copy(child = newChild)
 }
 
+/** Whole SimHash signature for one document in a single pass — the
+  * narrow-map twin of the explode + 32-sum-state aggregate in
+  * [[graft.operators.Dedup.simhash]] (bit-identical; asserted in
+  * DedupSpec). Tokenizes on single spaces, md5s each non-empty token
+  * occurrence, votes each of the low `bits` digest bits ±1, and packs
+  * the positive votes. NULL when the document has no non-empty
+  * tokens, matching the aggregate version's empty-group drop.
+  *
+  * Scale shape: signature generation becomes a pure map stage — no
+  * token-row explosion, no shuffle until the band join. Interpreted
+  * (CodegenFallback): per-row cost is the md5 calls either way, and
+  * falling out of whole-stage codegen for this one projection is
+  * cheaper than shuffling tokens×docs rows.
+  */
+case class SimHash32(child: Expression, bits: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"simhash32 requires STRING, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash32"
+
+  // One digest instance per task (expressions deserialize per task and
+  // a task is single-threaded).
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val votes = new Array[Int](bits)
+    var any = false
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        any = true
+        md.reset()
+        val d = md.digest(t.getBytes("UTF-8"))
+        // first 8 hex chars of the digest = first 4 bytes, big-endian —
+        // exactly conv(substring(md5(tok), 1, 8), 16, 10)
+        val h32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        var j = 0
+        while (j < bits) {
+          votes(j) += ((((h32 >>> j) & 1L) * 2) - 1).toInt
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) null
+    else {
+      var sig = 0L
+      var j = 0
+      while (j < bits) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+      sig
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration + Column-level wrappers. Registered idempotently via
   * [[graft.Tables.load]] so every query pack can use the fast paths
   * regardless of which entry point built the session. */

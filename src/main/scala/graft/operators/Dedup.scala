@@ -130,6 +130,25 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Narrow-map SimHash twin of [[simhash]]: the whole signature per
+    * document in ONE custom-Expression pass (graft.functions
+    * .SimHash32) — no token explode, no aggregate, no shuffle at all
+    * until the band join. Bit-identical to the aggregate version
+    * (asserted in DedupSpec); documents with no non-empty tokens
+    * yield NULL and are dropped, matching the aggregate version's
+    * empty-group behavior. Preferred at scale: signature generation
+    * fuses into the scan instead of exploding tokens×docs rows. */
+  def simhashNarrow(docs: DataFrame, bits: Int = 32): DataFrame = {
+    require(bits <= 32, s"signs come from a 32-bit digest slice, got $bits")
+    docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash32",
+      exprs => graft.functions.SimHash32(exprs.head, bits),
+      "scala_udf")
+    graft.Tables.widen(docs)
+      .select(col("doc_id"), call_function("graft_simhash32", col("text")).as("simhash"))
+      .filter(col("simhash").isNotNull)
+  }
+
   /** Candidate pairs within `maxHamming` of each other, found by the
     * pigeonhole band trick: split the signature into `maxHamming + 1`
     * byte-bands — any pair within the radius must agree on at least

@@ -62,9 +62,12 @@ object Llm {
       |ORDER BY doc_id_a, doc_id_b""".stripMargin
 
   /** L2b — SimHash near-dup candidates (32-bit signature, pigeonhole
-    * byte bands, Hamming ≤ 3). */
+    * byte bands, Hamming ≤ 3). Signatures come from the narrow-map
+    * custom expression (one pass per document, no token shuffle); the
+    * aggregate formulation stays available as Dedup.simhash and is
+    * asserted bit-identical in DedupSpec. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashCandidates(Dedup.simhash(Tables.documents(s, dir), 32), 3)
+    Dedup.simhashCandidates(Dedup.simhashNarrow(Tables.documents(s, dir), 32), 3)
       .orderBy(col("doc_id_a"), col("doc_id_b"))
 
   val dedupSimhashSql: String =

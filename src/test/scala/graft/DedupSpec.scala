@@ -28,6 +28,21 @@ class DedupSpec extends SparkSpec {
     assert(dupGroup.getAs[Long]("keep_id") == 0L)
   }
 
+  test("narrow-map simhash expression is bit-identical to the aggregate formulation") {
+    val fixture = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val viaAgg = Dedup.simhash(fixture, 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExpr = Dedup.simhashNarrow(fixture, 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr.nonEmpty && viaExpr == viaAgg)
+    // empty-token documents drop from BOTH (aggregate: empty group;
+    // expression: NULL signature filtered)
+    import spark.implicits._
+    val degenerate = Seq((1L, "  "), (2L, "a b")).toDF("doc_id", "text")
+    assert(Dedup.simhashNarrow(degenerate).collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(Dedup.simhash(degenerate).collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("minhash LSH finds exact and near dup pairs, not unrelated docs") {
     val pairs = Dedup.minhashCandidates(
         Dedup.minhashSignatures(Dedup.shingles(docs), 16), 4)
