@@ -266,6 +266,74 @@ case class SimHash32(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Whole MinHash signature for one document in a single pass — the
+  * narrow-map twin of the shingle explode + numHashes-min-state
+  * aggregate in [[graft.operators.Dedup.minhashSignatures]]
+  * (bit-identical; asserted in DedupSpec). Word n-gram shingles over
+  * single-space tokens (empty tokens kept, as in the SQL
+  * formulation), ONE md5 per shingle occurrence, all hash functions
+  * derived Carter–Wegman style: h1 = first 15 hex chars (60 bits) =
+  * big-endian first 8 bytes >>> 4; h2 = hex chars 17–30 (56 bits) =
+  * big-endian bytes 8–14; h_j = h1 + j·h2 (exact below 2^61 for
+  * j < 32). NULL when the document has fewer than `n` tokens,
+  * matching the aggregate version's drop.
+  *
+  * Scale shape: signature generation fuses into the scan — no
+  * shingle-row explosion, no shuffle until the band join.
+  */
+case class MinHashSig(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(numHashes <= 32, s"h1 + j*h2 stays exact for j < 32, got $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"minhash_sig requires STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (toks.length < n) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes("UTF-8"))
+      var b64 = 0L
+      var bi = 0
+      while (bi < 8) { b64 = (b64 << 8) | (d(bi) & 0xffL); bi += 1 }
+      val h1 = b64 >>> 4
+      var h2 = 0L
+      bi = 8
+      while (bi < 15) { h2 = (h2 << 8) | (d(bi) & 0xffL); bi += 1 }
+      var j = 0
+      while (j < numHashes) {
+        val v = h1 + j.toLong * h2
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration + Column-level wrappers. Registered idempotently via
   * [[graft.Tables.load]] so every query pack can use the fast paths
   * regardless of which entry point built the session. */

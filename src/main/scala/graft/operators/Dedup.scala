@@ -78,6 +78,27 @@ object Dedup {
         array((0 until numHashes).map(j => col(s"mh$j").cast("string")): _*).as("sig"))
   }
 
+  /** Narrow-map MinHash twin of [[minhashSignatures]]: the whole
+    * signature per document in ONE custom-Expression pass
+    * (graft.functions.MinHashSig) — no shingle explode, no aggregate,
+    * no shuffle until the band join. Bit-identical to the aggregate
+    * formulation (asserted in DedupSpec); documents with fewer than
+    * `n` tokens yield NULL and are dropped, matching the aggregate
+    * version. Preferred at scale: signature generation fuses into the
+    * scan instead of exploding shingles×docs rows. */
+  def minhashSignaturesNarrow(docs: DataFrame, n: Int = 3,
+                              numHashes: Int = 16): DataFrame = {
+    docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig",
+      exprs => graft.functions.MinHashSig(exprs.head, n, numHashes),
+      "scala_udf")
+    graft.Tables.widen(docs)
+      .select(col("doc_id"),
+        call_function("graft_minhash_sig", col("text")).as("sigl"))
+      .filter(col("sigl").isNotNull)
+      .select(col("doc_id"), expr("transform(sigl, x -> CAST(x AS STRING))").as("sig"))
+  }
+
   /** LSH banding: split the signature into bands of `rowsPerBand`
     * consecutive hashes, concatenate each band into one key, and
     * emit candidate pairs that collide on any band — the classic

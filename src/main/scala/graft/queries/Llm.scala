@@ -39,11 +39,10 @@ object Llm {
     * md5 per shingle via h1 + j·h2; 4 bands × 4 rows). Signatures read
     * raw shingle occurrences: min() is duplicate-insensitive, so the
     * distinct-shingle shuffle is skipped entirely. */
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingleOccurrences(Tables.documents(s, dir))
-    Dedup.minhashCandidates(Dedup.minhashSignatures(sh, 16), 4)
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(
+        Dedup.minhashSignaturesNarrow(Tables.documents(s, dir), 3, 16), 4)
       .orderBy(col("doc_id_a"), col("doc_id_b"))
-  }
 
   val dedupMinhashSql: String =
     s"""$shingleCte,

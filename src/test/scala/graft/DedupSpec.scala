@@ -43,6 +43,22 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhash(degenerate).collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("narrow-map minhash expression is bit-identical to the aggregate formulation") {
+    val fixture = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val viaAgg = Dedup.minhashSignatures(Dedup.shingleOccurrences(fixture, 3), 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaExpr = Dedup.minhashSignaturesNarrow(fixture, 3, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaExpr.nonEmpty && viaExpr == viaAgg)
+    // short documents (< n tokens) drop from BOTH formulations
+    import spark.implicits._
+    val short = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    assert(Dedup.minhashSignaturesNarrow(short, 3, 16)
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(Dedup.minhashSignatures(Dedup.shingleOccurrences(short, 3), 16)
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("minhash LSH finds exact and near dup pairs, not unrelated docs") {
     val pairs = Dedup.minhashCandidates(
         Dedup.minhashSignatures(Dedup.shingles(docs), 16), 4)
