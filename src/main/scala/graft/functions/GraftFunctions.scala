@@ -334,6 +334,62 @@ case class MinHashSig(child: Expression, n: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Per-document DISTINCT word-n-gram shingle hashes in one pass — the
+  * narrow-map form of shingle → hash → distinct that the n-gram
+  * Jaccard pipeline needs. Emits a sorted array of 60-bit md5-derived
+  * hashes (first 15 hex chars, the same slice [[MinHashSig]] uses for
+  * h1), deduplicated in-expression, so downstream needs NO distinct
+  * shuffle and the per-document set size is `size(array)` — a pure
+  * projection instead of a count aggregate. NULL when the document
+  * has fewer than `n` tokens. Sorted output keeps the exploded row
+  * order deterministic.
+  */
+case class NgramHashes(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"ngram_hashes requires STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ngram_hashes"
+
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (toks.length < n) return null
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes("UTF-8"))
+      var b64 = 0L
+      var bi = 0
+      while (bi < 8) { b64 = (b64 << 8) | (d(bi) & 0xffL); bi += 1 }
+      seen.add(b64 >>> 4)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration + Column-level wrappers. Registered idempotently via
   * [[graft.Tables.load]] so every query pack can use the fast paths
   * regardless of which entry point built the session. */

@@ -209,23 +209,30 @@ object Dedup {
     * int/int→double division is a single IEEE op, bit-identical across
     * engines, so the raw similarity is oracle-safe unrounded. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.2): DataFrame = {
-    // Join on a 64-bit shingle hash instead of the shingle text: same
-    // pair counts w.h.p. (64-bit collisions), smaller shuffle keys.
-    // Hash BEFORE the distinct so that shuffle carries (long, long)
-    // rows, not full shingle strings.
-    val sh = shingleOccurrences(docs, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shash"))
-      .distinct()
-      .persist() // referenced three times: sizes + both sides of the pair join
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.select(col("shash"), col("doc_id").as("doc_id_a"))
-      .join(sh.select(col("shash"), col("doc_id").as("doc_id_b")), Seq("shash"))
+    // Join on a 60-bit shingle hash instead of the shingle text: same
+    // pair counts w.h.p., smaller shuffle keys. The per-document
+    // DISTINCT hash set is built inside ONE narrow expression
+    // (graft.functions.NgramHashes), so there is no distinct shuffle
+    // and the set size is a projection (size(hs)) carried through the
+    // join — no separate sizes aggregate, no sizes joins. Shuffles:
+    // the hash self-join and the per-pair count, nothing else.
+    docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngram_hashes",
+      exprs => graft.functions.NgramHashes(exprs.head, n),
+      "scala_udf")
+    val withSets = graft.Tables.widen(docs)
+      .select(col("doc_id"),
+        call_function("graft_ngram_hashes", col("text")).as("hs"))
+      .filter(col("hs").isNotNull)
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n_sh"))
+      .persist() // both sides of the pair join read it
+    val sh = withSets.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("shash"))
+    sh.select(col("shash"), col("doc_id").as("doc_id_a"), col("n_sh").as("n_a"))
+      .join(sh.select(col("shash"), col("doc_id").as("doc_id_b"), col("n_sh").as("n_b")),
+        Seq("shash"))
       .filter(col("doc_id_a") < col("doc_id_b"))
-      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("n_sh", "n_a"), "doc_id_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("n_sh", "n_b"), "doc_id_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
