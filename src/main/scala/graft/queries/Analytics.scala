@@ -222,18 +222,30 @@ object Analytics {
     * so the scan stays a narrow map + one aggregate at any corpus
     * size. Reported above a 5% overlap floor. */
   def contamination(s: SparkSession, dir: String): DataFrame = {
-    // Referenced three times (benchmark side, corpus sizes, corpus
-    // hits): persist or the whole shingle pipeline re-runs per use.
-    // Caller owns the cache lifecycle (Dedup scaladoc).
-    val sh = Dedup.shingles(Tables.documents(s, dir), 3).persist()
-    val benchSh = sh.filter(col("doc_id") % 100 === 0)
-      .select(col("shingle")).distinct()
-    val corpus = sh.filter(col("doc_id") % 100 =!= 0)
-    val sizes = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val hits = corpus.join(broadcast(benchSh), Seq("shingle"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-    sizes.join(hits, Seq("doc_id"))
-      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+    // Per-document distinct shingle-hash sets come from ONE narrow
+    // expression (NgramHashes): no distinct shuffle, and the set size
+    // is a projection — the only shuffles left are the hit aggregate
+    // and the output sort. Hash-for-text equivalence is w.h.p., the
+    // same trade the ngram-Jaccard pipeline documents. Persisted:
+    // both the benchmark side and the corpus side read it.
+    val docs = Tables.documents(s, dir)
+    docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngram_hashes",
+      exprs => graft.functions.NgramHashes(exprs.head, 3),
+      "scala_udf")
+    val withSets = Tables.widen(docs)
+      .select(col("doc_id"), call_function("graft_ngram_hashes", col("text")).as("hs"))
+      .filter(col("hs").isNotNull)
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n_sh"))
+      .persist()
+    val benchSh = withSets.filter(col("doc_id") % 100 === 0)
+      .select(explode(col("hs")).as("shash")).distinct()
+    val hits = withSets.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id"), col("n_sh"), explode(col("hs")).as("shash"))
+      .join(broadcast(benchSh), Seq("shash"))
+      .groupBy(col("doc_id"), col("n_sh")).agg(count(lit(1)).as("n_hit"))
+    hits
+      .select(col("doc_id"), col("n_sh").cast("bigint").as("n_sh"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_sh")).as("contam_frac"))
       .filter(col("contam_frac") >= 0.05)
       .orderBy(col("doc_id"))
