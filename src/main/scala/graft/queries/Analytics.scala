@@ -655,6 +655,42 @@ object Analytics {
       |  CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) / 1000000.0 AS twa
       |FROM a ORDER BY user_id""".stripMargin
 
+  /** Discrete (no-interpolation) percentiles — the value actually
+    * present in the data at rank ceil(p·n), selected explicitly via
+    * row_number so both engines share the definition by construction
+    * (built-in quantile_disc tie/rounding semantics differ across
+    * engines). Groups too small to separate the ranks emit one row
+    * labeled by the lower percentile. */
+  def percentileDisc(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val ranked = li.select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+    val ranks = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        ceil(col("n") * 0.5).cast("bigint").as("r50"),
+        ceil(col("n") * 0.9).cast("bigint").as("r90"))
+    ranked.join(broadcast(ranks), Seq("l_returnflag"))
+      .filter(col("rn") === col("r50") || col("rn") === col("r90"))
+      .select(col("l_returnflag"),
+        when(col("rn") === col("r50"), "p50").otherwise("p90").as("pct"),
+        col("l_extendedprice").as("value"))
+      .orderBy(col("l_returnflag"), col("pct"))
+  }
+
+  val percentileDiscSql: String =
+    """WITH s AS (SELECT l_returnflag, l_extendedprice,
+      |             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn
+      |           FROM lineitem),
+      |n AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1),
+      |r AS (SELECT l_returnflag, CAST(ceil(n * 0.5) AS BIGINT) AS r50,
+      |        CAST(ceil(n * 0.9) AS BIGINT) AS r90 FROM n)
+      |SELECT s.l_returnflag, CASE WHEN rn = r50 THEN 'p50' ELSE 'p90' END AS pct,
+      |  l_extendedprice AS value
+      |FROM s JOIN r ON s.l_returnflag = r.l_returnflag
+      |WHERE rn = r50 OR rn = r90
+      |ORDER BY s.l_returnflag, pct""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohort_retention" -> (cohortRetention _),
     "q_funnel_steps" -> (funnelSteps _),
@@ -677,6 +713,7 @@ object Analytics {
     "q_anomaly_zscore" -> (anomalyZscore _),
     "q_lang_confusion" -> (langConfusion _),
     "q_time_weighted_avg" -> (timeWeightedAvg _),
+    "q_percentile_disc" -> (percentileDisc _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -701,5 +738,6 @@ object Analytics {
     "q_anomaly_zscore" -> anomalyZscoreSql,
     "q_lang_confusion" -> langConfusionSql,
     "q_time_weighted_avg" -> timeWeightedAvgSql,
+    "q_percentile_disc" -> percentileDiscSql,
   )
 }

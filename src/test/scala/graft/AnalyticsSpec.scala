@@ -206,6 +206,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("discrete percentiles are actual data values at the right rank order") {
+    val vals = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    Analytics.percentileDisc(spark, sfDir).collect()
+      .groupBy(_.getString(0)).foreach { case (flag, rs) =>
+        val sorted = vals(flag)
+        rs.foreach { r =>
+          val v = r.getDouble(2)
+          assert(sorted.contains(v), s"$flag ${r.getString(1)}: $v not in data")
+        }
+        val byPct = rs.map(r => r.getString(1) -> r.getDouble(2)).toMap
+        if (byPct.contains("p90")) assert(byPct("p50") <= byPct("p90"))
+      }
+  }
+
   test("listagg statuses are sorted and distinct within each group") {
     Analytics.listaggStatus(spark, sfDir).collect().foreach { r =>
       val parts = r.getString(2).split('|').toSeq
