@@ -691,6 +691,37 @@ object Analytics {
       |WHERE rn = r50 OR rn = r90
       |ORDER BY s.l_returnflag, pct""".stripMargin
 
+  /** Int8 scalar quantization of embeddings — the compression step a
+    * vector store applies before indexing (4× smaller than float32).
+    * Per-vector absolute max sets the scale; each component maps to
+    * floor(x·127/amax + 0.5), written identically in both engines
+    * (builtin round() half-way semantics differ across engines;
+    * floor(v + 0.5) does not). Narrow map over the corpus; emits the
+    * quantized checksum + first component per vector. */
+  def vectorQuantize(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("amax",
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .filter(col("amax") > 0)
+      .select(col("vec_id"), round(col("amax"), 6).as("amax_r"),
+        expr("aggregate(transform(embedding, " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / amax + 0.5D) AS INT)), " +
+          "0, (a, x) -> a + x)").as("qsum"),
+        expr("CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) * 127.0D / amax + 0.5D) AS INT)")
+          .as("q1"))
+      .orderBy(col("vec_id"))
+
+  val vectorQuantizeSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |a AS (SELECT vec_id, emb,
+      |        list_max(list_transform(emb, x -> abs(x))) AS amax FROM e)
+      |SELECT vec_id, round(amax, 6) AS amax_r,
+      |  CAST(list_sum(list_transform(emb,
+      |    x -> CAST(floor(x * 127.0 / amax + 0.5) AS INT))) AS INT) AS qsum,
+      |  CAST(floor(emb[1] * 127.0 / amax + 0.5) AS INT) AS q1
+      |FROM a WHERE amax > 0
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohort_retention" -> (cohortRetention _),
     "q_funnel_steps" -> (funnelSteps _),
@@ -714,6 +745,7 @@ object Analytics {
     "q_lang_confusion" -> (langConfusion _),
     "q_time_weighted_avg" -> (timeWeightedAvg _),
     "q_percentile_disc" -> (percentileDisc _),
+    "q_vector_quantize" -> (vectorQuantize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -739,5 +771,6 @@ object Analytics {
     "q_lang_confusion" -> langConfusionSql,
     "q_time_weighted_avg" -> timeWeightedAvgSql,
     "q_percentile_disc" -> percentileDiscSql,
+    "q_vector_quantize" -> vectorQuantizeSql,
   )
 }

@@ -223,6 +223,17 @@ class AnalyticsSpec extends SparkSpec {
       }
   }
 
+  test("vector quantization bounds components to [-127, 127] with the max at ±127") {
+    val rows = Analytics.vectorQuantize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (amax, qsum, q1) = (r.getDouble(1), r.getInt(2), r.getInt(3))
+      assert(amax > 0)
+      assert(math.abs(q1) <= 127)
+      assert(math.abs(qsum) <= 127 * 64)
+    }
+  }
+
   test("listagg statuses are sorted and distinct within each group") {
     Analytics.listaggStatus(spark, sfDir).collect().foreach { r =>
       val parts = r.getString(2).split('|').toSeq
