@@ -722,6 +722,61 @@ object Analytics {
       |FROM a WHERE amax > 0
       |ORDER BY vec_id""".stripMargin
 
+  /** 2-D histogram (heatmap binning): joint distribution of order
+    * value × order month as fixed-width floor-division buckets — the
+    * density-grid shape behind dashboard heatmaps and drift checks.
+    * One partial/final aggregate; integer bucket math is bit-portable. */
+  def histogram2d(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(expr("floor(o_totalprice / 100000.0D)").cast("int").as("price_b"),
+        month(col("o_orderdate")).as("month_b"))
+      .groupBy(col("price_b"), col("month_b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("price_b"), col("month_b"))
+
+  val histogram2dSql: String =
+    """SELECT CAST(floor(o_totalprice / 100000.0) AS INT) AS price_b,
+      |  CAST(month(o_orderdate) AS INT) AS month_b,
+      |  count(*) AS n
+      |FROM orders GROUP BY 1, 2 ORDER BY price_b, month_b""".stripMargin
+
+  /** Fulfillment lag: days between order and each line's ship date,
+    * aggregated per priority — the join+aggregate composite an ops
+    * dashboard runs. Day differences are exact integers; the mean is
+    * emitted with the engine-portable half-up integer rounding from
+    * Conv ((2u + n) div 2n at scale 2). */
+  def fulfillmentLag(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"),
+      to_date(col("o_orderdate")).as("od"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), datediff(col("sd"), col("od")).as("lag_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("lag_days")).as("sum_days"),
+        min(col("lag_days")).as("min_days"),
+        max(col("lag_days")).as("max_days"))
+      .select(col("o_orderpriority"), col("n"), col("sum_days"),
+        col("min_days"), col("max_days"),
+        // exact half-up mean at 2 decimals: (2·100·sum + n) div (2n) / 100
+        expr("CAST((2 * sum_days * 100 + n) div (2 * n) AS DOUBLE) / 100.0")
+          .as("avg_days"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val fulfillmentLagSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(lag_days) AS BIGINT) AS sum_days,
+      |  CAST(min(lag_days) AS INT) AS min_days,
+      |  CAST(max(lag_days) AS INT) AS max_days,
+      |  CAST((2 * CAST(sum(lag_days) AS BIGINT) * 100 + count(*)) // (2 * count(*)) AS DOUBLE) / 100.0
+      |    AS avg_days
+      |FROM (SELECT o.o_orderpriority,
+      |        datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS lag_days
+      |      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohort_retention" -> (cohortRetention _),
     "q_funnel_steps" -> (funnelSteps _),
@@ -746,6 +801,8 @@ object Analytics {
     "q_time_weighted_avg" -> (timeWeightedAvg _),
     "q_percentile_disc" -> (percentileDisc _),
     "q_vector_quantize" -> (vectorQuantize _),
+    "q_histogram2d" -> (histogram2d _),
+    "q_fulfillment_lag" -> (fulfillmentLag _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -772,5 +829,7 @@ object Analytics {
     "q_time_weighted_avg" -> timeWeightedAvgSql,
     "q_percentile_disc" -> percentileDiscSql,
     "q_vector_quantize" -> vectorQuantizeSql,
+    "q_histogram2d" -> histogram2dSql,
+    "q_fulfillment_lag" -> fulfillmentLagSql,
   )
 }
