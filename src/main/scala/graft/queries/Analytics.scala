@@ -777,6 +777,82 @@ object Analytics {
       |      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Fixed-size per-stratum sample: exactly k rows per class, chosen
+    * as the k smallest md5 ranks — the deterministic, engine-portable
+    * replacement for reservoir sampling (same sample on every run,
+    * engine, and cluster size; rate-based q_stratified_sample can't
+    * promise an exact count). One window per class at any scale. */
+  def fixedSizeSample(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hh"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        md5(col("event_id").cast("string")).as("hh"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("event_id"), col("event_type"), col("rn"))
+      .orderBy(col("event_type"), col("rn"))
+  }
+
+  val fixedSizeSampleSql: String =
+    """SELECT event_id, event_type, CAST(rn AS INT) AS rn
+      |FROM (SELECT event_id, event_type,
+      |        row_number() OVER (PARTITION BY event_type
+      |          ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+      |      FROM events)
+      |WHERE rn <= 100 ORDER BY event_type, rn""".stripMargin
+
+  /** The set-similarity measure family over shared-shingle pairs:
+    * Jaccard, Dice, overlap coefficient, and directional containment
+    * from one intersection pass — containment is the signal that
+    * catches SUB-document duplication (a doc wholly inside a larger
+    * one scores low Jaccard but containment ≈ 1). All measures are
+    * single IEEE divisions over exact integers; pairs bounded by
+    * overlap ≥ 0.5. */
+  def similarityMeasures(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngram_hashes",
+      exprs => graft.functions.NgramHashes(exprs.head, 3),
+      "scala_udf")
+    val withSets = Tables.widen(docs)
+      .select(col("doc_id"), call_function("graft_ngram_hashes", col("text")).as("hs"))
+      .filter(col("hs").isNotNull)
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n_sh"))
+      .persist()
+    val sh = withSets.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("shash"))
+    sh.select(col("shash"), col("doc_id").as("doc_id_a"), col("n_sh").as("n_a"))
+      .join(sh.select(col("shash"), col("doc_id").as("doc_id_b"), col("n_sh").as("n_b")),
+        Seq("shash"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("i"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (col("i").cast("double") / (col("n_a") + col("n_b") - col("i"))).as("jaccard"),
+        (lit(2.0) * col("i") / (col("n_a") + col("n_b"))).as("dice"),
+        (col("i").cast("double") / least(col("n_a"), col("n_b"))).as("overlap"),
+        (col("i").cast("double") / col("n_a")).as("containment_a"))
+      .filter(col("overlap") >= 0.5)
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
+  val similarityMeasuresSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+      |       FROM w WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT da AS doc_id_a, db AS doc_id_b,
+      |  CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) AS jaccard,
+      |  2.0 * i / (sa.n_sh + sb.n_sh) AS dice,
+      |  CAST(i AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS overlap,
+      |  CAST(i AS DOUBLE) / sa.n_sh AS containment_a
+      |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      |WHERE CAST(i AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.5
+      |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohort_retention" -> (cohortRetention _),
     "q_funnel_steps" -> (funnelSteps _),
@@ -803,6 +879,8 @@ object Analytics {
     "q_vector_quantize" -> (vectorQuantize _),
     "q_histogram2d" -> (histogram2d _),
     "q_fulfillment_lag" -> (fulfillmentLag _),
+    "q_fixed_size_sample" -> ((s, d) => fixedSizeSample(s, d)),
+    "q_similarity_measures" -> (similarityMeasures _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -831,5 +909,7 @@ object Analytics {
     "q_vector_quantize" -> vectorQuantizeSql,
     "q_histogram2d" -> histogram2dSql,
     "q_fulfillment_lag" -> fulfillmentLagSql,
+    "q_fixed_size_sample" -> fixedSizeSampleSql,
+    "q_similarity_measures" -> similarityMeasuresSql,
   )
 }
