@@ -853,6 +853,73 @@ object Analytics {
       |WHERE CAST(i AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.5
       |ORDER BY doc_id_a, doc_id_b""".stripMargin
 
+  /** The canonical two-stage near-dup pipeline at scale: MinHash-LSH
+    * proposes candidate pairs (collision-driven, never all-pairs),
+    * then EXACT n-gram Jaccard verifies only those candidates — the
+    * verify step is an array_intersect over the two per-document hash
+    * sets carried into the join, touching |candidates| pairs instead
+    * of re-joining the corpus. This is the production shape: sketch
+    * for recall, exact check for precision. */
+  def dedupVerified(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cands = Dedup.minhashCandidates(
+      Dedup.minhashSignaturesNarrow(docs, 3, 16), 4)
+    docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngram_hashes",
+      exprs => graft.functions.NgramHashes(exprs.head, 3),
+      "scala_udf")
+    val sets = Tables.widen(docs)
+      .select(col("doc_id"), call_function("graft_ngram_hashes", col("text")).as("hs"))
+      .filter(col("hs").isNotNull)
+      .persist() // joined twice (side a, side b)
+    cands
+      .join(sets.select(col("doc_id").as("doc_id_a"), col("hs").as("ha")), Seq("doc_id_a"))
+      .join(sets.select(col("doc_id").as("doc_id_b"), col("hs").as("hb")), Seq("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        size(array_intersect(col("ha"), col("hb"))).as("i"),
+        size(col("ha")).as("n_a"), size(col("hb")).as("n_b"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
+  /** Oracle: the minhash band-candidate CTEs composed with the exact
+    * shingle-set Jaccard CTEs — the same two proven pipelines the
+    * standalone q_dedup_minhash / q_dedup_ngram oracles use. */
+  val dedupVerifiedSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |occ AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |          i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+      |        FROM w WHERE len(w) >= 3),
+      |hh AS (SELECT doc_id,
+      |         CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+      |         CAST(concat('0x', substring(md5(shingle), 17, 14)) AS BIGINT) AS h2
+      |       FROM occ),
+      |mh AS (SELECT doc_id, j, min(h1 + j * h2) AS mh
+      |       FROM hh, (SELECT unnest(range(0, 16)) AS j) GROUP BY doc_id, j),
+      |sig AS (SELECT doc_id, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+      |        FROM mh GROUP BY doc_id),
+      |bands AS (SELECT doc_id, b,
+      |            array_to_string(list_slice(string_split(sig, ','), b * 4 + 1, b * 4 + 4), ',') AS band_sig
+      |          FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |         FROM bands a JOIN bands b
+      |           ON a.b = b.b AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM occ),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.da, c.db, count(*) AS i
+      |          FROM cand c JOIN sh a ON a.doc_id = c.da
+      |          JOIN sh b ON b.doc_id = c.db AND b.shingle = a.shingle
+      |          GROUP BY c.da, c.db)
+      |SELECT inter.da AS doc_id_a, inter.db AS doc_id_b,
+      |  CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) AS jaccard
+      |FROM inter JOIN sz sa ON inter.da = sa.doc_id
+      |JOIN sz sb ON inter.db = sb.doc_id
+      |WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.3
+      |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohort_retention" -> (cohortRetention _),
     "q_funnel_steps" -> (funnelSteps _),
@@ -881,6 +948,7 @@ object Analytics {
     "q_fulfillment_lag" -> (fulfillmentLag _),
     "q_fixed_size_sample" -> ((s, d) => fixedSizeSample(s, d)),
     "q_similarity_measures" -> (similarityMeasures _),
+    "q_dedup_verified" -> (dedupVerified _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -911,5 +979,6 @@ object Analytics {
     "q_fulfillment_lag" -> fulfillmentLagSql,
     "q_fixed_size_sample" -> fixedSizeSampleSql,
     "q_similarity_measures" -> similarityMeasuresSql,
+    "q_dedup_verified" -> dedupVerifiedSql,
   )
 }
