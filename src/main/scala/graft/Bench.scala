@@ -51,7 +51,14 @@ object Bench {
       try spark.catalog.clearCache() catch { case _: Throwable => }
       name -> dt
     }
-    println(renderJson(results, sfDir))
+    val line = renderJson(results, sfDir)
+    println(line)
+    // The driver's stdout tail has truncated the head of this line in
+    // past rounds; persist the full line so totals are always readable.
+    for (p <- Seq("/tmp/bench_last.json", "BENCH_LOCAL.json")) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      catch { case _: Throwable => }
+    }
     spark.stop()
   }
 

@@ -20,7 +20,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only: SPARK_GRAFT_ONLY=q_a,q_b dumps just those queries
+    // (unset in driver runs — the full sweep is the contract).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (k, _) => names(k) })
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

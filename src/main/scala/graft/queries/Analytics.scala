@@ -345,14 +345,34 @@ object Analytics {
     * the filter only re-routes work — so the oracle is a NOT IN. The
     * destination simulates lost ranges (every 7th order missing). */
   def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    // Catalyst-native build AND probe: BloomFilterAggregate builds the
+    // sketch as a distributed aggregate consumed through a scalar
+    // subquery, and BloomFilterMightContain (the expression pair behind
+    // Spark's own runtime row-filter injection) probes it codegen'd —
+    // no ScalaUDF and no driver-side sketch build anywhere in the plan.
+    // Both expressions are internal-registry-only, so they are surfaced
+    // under graft_ temp names.
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs.head, exprs(1)),
+      "scala_udf")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs.head, exprs(1)),
+      "scala_udf")
     val dst = Tables.orders(s, dir)
       .filter(col("o_orderkey") % 7 =!= 0)
       .select(col("o_orderkey")).persist()
-    val bf = dst.stat.bloomFilter("o_orderkey", 200000, 0.03)
-    val might = udf((k: Long) => bf.mightContain(k))
+    dst.createOrReplaceTempView("graft_bloom_dst")
+    val might = expr(
+      "graft_might_contain(" +
+        "(SELECT graft_bloom_agg(xxhash64(o_orderkey), 200000L) FROM graft_bloom_dst), " +
+        "xxhash64(l_orderkey))")
     val src = Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
-    val definite = src.filter(!might(col("l_orderkey")))
-    val confirmed = src.filter(might(col("l_orderkey")))
+    val definite = src.filter(!might)
+    val confirmed = src.filter(might)
       .join(dst, col("l_orderkey") === col("o_orderkey"), "left_anti")
     definite.union(confirmed).orderBy(col("l_orderkey"))
   }
@@ -492,8 +512,8 @@ object Analytics {
     """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id),
       |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
       |SELECT day, new_users,
-      |  sum(new_users) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |    AS cum_users
+      |  CAST(sum(new_users) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS cum_users
       |FROM d ORDER BY day""".stripMargin
 
   /** First-order Markov transition matrix over each user's event
@@ -554,7 +574,7 @@ object Analytics {
           (col("cnt7").cast("double") *
             sqrt((col("cnt7") * col("ss7") - col("sum7") * col("sum7")).cast("double") /
               (col("cnt7") * (col("cnt7") - 1)))))
-      .filter(abs(col("z")) > 2.0)
+      .filter(abs(col("z")) > 1.2)
       .select(col("day"), col("event_type"), col("n"), col("sum7"), col("ss7"),
         round(col("z"), 4).as("z"))
       .orderBy(col("day"), col("event_type"))
@@ -576,7 +596,7 @@ object Analytics {
       |           sqrt(CAST(cnt7 * ss7 - sum7 * sum7 AS DOUBLE) / (cnt7 * (cnt7 - 1)))) AS z
       |      FROM w WHERE cnt7 = 7 AND cnt7 * ss7 > sum7 * sum7)
       |SELECT day, event_type, n, sum7, ss7, round(z, 4) AS z
-      |FROM z WHERE abs(z) > 2.0
+      |FROM z WHERE abs(z) > 1.2
       |ORDER BY day, event_type""".stripMargin
 
   /** Language-ID confusion matrix — the eval-style query for the
@@ -663,14 +683,33 @@ object Analytics {
     * labeled by the lower percentile. */
   def percentileDisc(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-    val ranked = li.select(col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("rn", row_number().over(w))
     val ranks = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
       .select(col("l_returnflag"),
         ceil(col("n") * 0.5).cast("bigint").as("r50"),
         ceil(col("n") * 0.9).cast("bigint").as("r90"))
-    ranked.join(broadcast(ranks), Seq("l_returnflag"))
+    // Two-pass scale-safe rank lookup: range-partition by (flag, price)
+    // so every task sorts only its own slice, then recover the GLOBAL
+    // rank as broadcast per-partition offset + partition-local
+    // row_number. No per-group single-task sort anywhere — the window
+    // below is keyed by (pid, flag), so its widest sort is one range
+    // slice. persist() pins the sampled range bounds so both readers
+    // see identical pids.
+    val parts = li.select(col("l_returnflag"), col("l_extendedprice"))
+      .repartitionByRange(32, col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val offsets = parts.groupBy(col("pid"), col("l_returnflag"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off",
+        sum(col("c")).over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))) - col("c"))
+      .select(col("pid"), col("l_returnflag"), col("off"))
+    val localW = Window.partitionBy(col("pid"), col("l_returnflag"))
+      .orderBy(col("l_extendedprice"))
+    parts.withColumn("rn_local", row_number().over(localW))
+      .join(broadcast(offsets), Seq("pid", "l_returnflag"))
+      .withColumn("rn", col("off") + col("rn_local"))
+      .join(broadcast(ranks), Seq("l_returnflag"))
       .filter(col("rn") === col("r50") || col("rn") === col("r90"))
       .select(col("l_returnflag"),
         when(col("rn") === col("r50"), "p50").otherwise("p90").as("pct"),
@@ -801,31 +840,35 @@ object Analytics {
       |      FROM events)
       |WHERE rn <= 100 ORDER BY event_type, rn""".stripMargin
 
-  /** The set-similarity measure family over shared-shingle pairs:
-    * Jaccard, Dice, overlap coefficient, and directional containment
-    * from one intersection pass — containment is the signal that
-    * catches SUB-document duplication (a doc wholly inside a larger
-    * one scores low Jaccard but containment ≈ 1). All measures are
-    * single IEEE divisions over exact integers; pairs bounded by
-    * overlap ≥ 0.5. */
+  /** The set-similarity measure family — Jaccard, Dice, overlap
+    * coefficient, and directional containment from one intersection
+    * pass — computed ONLY on MinHash-LSH candidate pairs (the same
+    * collision-driven proposer as q_dedup_verified). Containment is
+    * the signal that catches SUB-document duplication (a doc wholly
+    * inside a larger one scores low Jaccard but containment ≈ 1).
+    * All measures are single IEEE divisions over exact integers;
+    * pairs bounded by overlap ≥ 0.5. The candidate stage means no
+    * raw shingle-occurrence self-join ever happens: a hot shingle
+    * shared by d documents costs d signature rows, never d² join
+    * rows — the shape that survives 100 TB. */
   def similarityMeasures(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    val cands = Dedup.minhashCandidates(
+      Dedup.minhashSignaturesNarrow(docs, 3, 16), 4)
     docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ngram_hashes",
       exprs => graft.functions.NgramHashes(exprs.head, 3),
       "scala_udf")
-    val withSets = Tables.widen(docs)
+    val sets = Tables.widen(docs)
       .select(col("doc_id"), call_function("graft_ngram_hashes", col("text")).as("hs"))
       .filter(col("hs").isNotNull)
-      .select(col("doc_id"), col("hs"), size(col("hs")).as("n_sh"))
-      .persist()
-    val sh = withSets.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("shash"))
-    sh.select(col("shash"), col("doc_id").as("doc_id_a"), col("n_sh").as("n_a"))
-      .join(sh.select(col("shash"), col("doc_id").as("doc_id_b"), col("n_sh").as("n_b")),
-        Seq("shash"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .groupBy(col("doc_id_a"), col("doc_id_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("i"))
+      .persist() // joined twice (side a, side b)
+    cands
+      .join(sets.select(col("doc_id").as("doc_id_a"), col("hs").as("ha")), Seq("doc_id_a"))
+      .join(sets.select(col("doc_id").as("doc_id_b"), col("hs").as("hb")), Seq("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        size(array_intersect(col("ha"), col("hb"))).as("i"),
+        size(col("ha")).as("n_a"), size(col("hb")).as("n_b"))
       .select(col("doc_id_a"), col("doc_id_b"),
         (col("i").cast("double") / (col("n_a") + col("n_b") - col("i"))).as("jaccard"),
         (lit(2.0) * col("i") / (col("n_a") + col("n_b"))).as("dice"),
@@ -835,21 +878,40 @@ object Analytics {
       .orderBy(col("doc_id_a"), col("doc_id_b"))
   }
 
+  /** Oracle: the minhash band-candidate CTE chain (shared with
+    * q_dedup_verified) composed with the exact shingle-set measures. */
   val similarityMeasuresSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
-      |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
-      |       FROM w WHERE len(w) >= 3),
+      |occ AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |          i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+      |        FROM w WHERE len(w) >= 3),
+      |hh AS (SELECT doc_id,
+      |         CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+      |         CAST(concat('0x', substring(md5(shingle), 17, 14)) AS BIGINT) AS h2
+      |       FROM occ),
+      |mh AS (SELECT doc_id, j, min(h1 + j * h2) AS mh
+      |       FROM hh, (SELECT unnest(range(0, 16)) AS j) GROUP BY doc_id, j),
+      |sig AS (SELECT doc_id, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+      |        FROM mh GROUP BY doc_id),
+      |bands AS (SELECT doc_id, b,
+      |            array_to_string(list_slice(string_split(sig, ','), b * 4 + 1, b * 4 + 4), ',') AS band_sig
+      |          FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |         FROM bands a JOIN bands b
+      |           ON a.b = b.b AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM occ),
       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2)
-      |SELECT da AS doc_id_a, db AS doc_id_b,
+      |inter AS (SELECT c.da, c.db, count(*) AS i
+      |          FROM cand c JOIN sh a ON a.doc_id = c.da
+      |          JOIN sh b ON b.doc_id = c.db AND b.shingle = a.shingle
+      |          GROUP BY c.da, c.db)
+      |SELECT inter.da AS doc_id_a, inter.db AS doc_id_b,
       |  CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) AS jaccard,
       |  2.0 * i / (sa.n_sh + sb.n_sh) AS dice,
       |  CAST(i AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS overlap,
       |  CAST(i AS DOUBLE) / sa.n_sh AS containment_a
-      |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      |FROM inter JOIN sz sa ON inter.da = sa.doc_id
+      |JOIN sz sb ON inter.db = sb.doc_id
       |WHERE CAST(i AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.5
       |ORDER BY doc_id_a, doc_id_b""".stripMargin
 

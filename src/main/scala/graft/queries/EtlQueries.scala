@@ -212,6 +212,74 @@ object EtlQueries {
       |SELECT vec_id, NULL AS pos, NULL AS val FROM a WHERE len(a) = 0
       |ORDER BY vec_id, pos""".stripMargin
 
+  /** S3/A8 — the reference's interchange transport: gzipped
+    * newline-delimited JSON staging files. The query WRITES a real
+    * .json.gz staging directory from the orders table (the serialize
+    * sink), then READS it back with the native JSON file source (the
+    * scan) — proving a migbq user's existing staging files load
+    * directly. Types are re-asserted after schema inference because
+    * JSON carries no schema; at scale the read takes an explicit
+    * schema and skips the inference pass entirely. Parallel on both
+    * sides: one .json.gz part per input partition, one read task per
+    * part file. */
+  def ndjsonScan(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").option("compression", "gzip")
+      .json(NdjsonStageDir)
+    s.read.json(NdjsonStageDir)
+      .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+        col("o_custkey").cast("bigint").as("o_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        col("o_orderpriority").cast("string").as("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Fixed staging path: the oracle SQL is a static string, so the
+    * engine and DuckDB must agree on the location ahead of time. */
+  val NdjsonStageDir = "/tmp/graft_ndjson_stage"
+
+  val ndjsonScanSql: String =
+    s"""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       |  CAST(o_custkey AS BIGINT) AS o_custkey,
+       |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       |  CAST(o_orderpriority AS VARCHAR) AS o_orderpriority
+       |FROM read_json_auto('$NdjsonStageDir/*.json.gz')
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** E1 fidelity — DecimalType end-to-end: the reference maps NUMERIC
+    * to FLOAT (SURVEY §1.1's documented lossiness); this engine keeps
+    * money math exact. Prices and discounts are recovered to exact
+    * cents (decimal(18,2)), revenue accumulates in decimal — every
+    * intermediate exact, independent of summation order — and the
+    * result COLUMN is DECIMAL(38,4) through the sink and the oracle
+    * compare. revenue_dbl is the one-time double projection of the
+    * exact total (what the reference would have stored), emitted for
+    * the fidelity contrast. */
+  def decimalFidelity(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(30,4)").as("rev"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("rev")).as("srev"))
+      .select(col("l_returnflag"), col("n"),
+        col("srev").cast("decimal(38,4)").as("revenue_dec"),
+        col("srev").cast("decimal(38,4)").cast("double").as("revenue_dbl"))
+      .orderBy(col("l_returnflag"))
+
+  val decimalFidelitySql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |        (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4)))
+      |    AS DECIMAL(38,4)) AS revenue_dec,
+      |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |        (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4)))
+      |    AS DECIMAL(38,4)) AS DOUBLE) AS revenue_dbl
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_typemap_cast" -> (typemapCast _),
     "q_try_cast" -> (tryCast _),
@@ -220,6 +288,8 @@ object EtlQueries {
     "q_count_validate" -> (countValidate _),
     "q_content_validate" -> (contentValidate _),
     "q_array_funcs" -> (arrayFuncs _),
+    "q_ndjson_scan" -> (ndjsonScan _),
+    "q_decimal_fidelity" -> (decimalFidelity _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -230,5 +300,7 @@ object EtlQueries {
     "q_count_validate" -> countValidateSql,
     "q_content_validate" -> contentValidateSql,
     "q_array_funcs" -> arrayFuncsSql,
+    "q_ndjson_scan" -> ndjsonScanSql,
+    "q_decimal_fidelity" -> decimalFidelitySql,
   )
 }

@@ -393,14 +393,40 @@ object Pipeline {
       |  GROUP BY l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 
-  /** T3 — equi-depth histogram (distribution profiling): ntile deciles
-    * over a fully-deterministic order, then per-decile bounds/counts —
-    * the sampling-free way to see a value distribution, and the shape
-    * a range-partitioner's boundaries come from. */
+  /** T3 — equi-depth histogram (distribution profiling): exact ntile
+    * deciles over a fully-deterministic order, then per-decile
+    * bounds/counts — the sampling-free way to see a value
+    * distribution, and the shape a range-partitioner's boundaries
+    * come from. Scale-safe form: NO global-window sort. The table is
+    * range-partitioned on the sort key so each task sorts only its
+    * slice; the global rank is broadcast per-partition offset +
+    * partition-local row_number, and the ntile bucket is derived from
+    * the rank with the standard first-(n mod k)-buckets-get-one-extra
+    * formula in pure integer arithmetic (both engines compute the
+    * identical expression, so no reliance on builtin ntile parity).
+    * The only single-partition exchange touches #partitions rows
+    * (the offset frame), never data rows. */
   def equiDepthHist(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, dir)
-      .select(col("o_totalprice"), ntile(10).over(w).cast("int").as("decile"))
+    val base = Tables.orders(s, dir).select(col("o_totalprice"), col("o_orderkey"))
+    val parts = base
+      .repartitionByRange(32, col("o_totalprice"), col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+      .persist() // pin sampled range bounds: both readers must agree on pid
+    val offsets = parts.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .withColumn("off", sum(col("c")).over(Window.orderBy(col("pid"))) - col("c"))
+      .select(col("pid"), col("off"))
+    val nDf = base.agg(count(lit(1)).as("n"))
+    val localW = Window.partitionBy(col("pid"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    parts.withColumn("rn_local", row_number().over(localW))
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("rn", col("off") + col("rn_local"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("q", expr("n DIV 10"))
+      .withColumn("r", col("n") % 10)
+      .withColumn("decile", expr(
+        "CAST(CASE WHEN rn <= r * (q + 1) THEN (rn + q) DIV (q + 1) " +
+          "ELSE r + (rn - r * (q + 1) + q - 1) DIV q END AS INT)"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         min(col("o_totalprice")).as("lo"),
@@ -408,13 +434,20 @@ object Pipeline {
       .orderBy(col("decile"))
   }
 
+  /** Oracle: row_number + the same integer ntile formula (q = n DIV
+    * 10, r = n mod 10; first r buckets take q+1 rows). */
   val equiDepthHistSql: String =
-    """SELECT decile, CAST(count(*) AS BIGINT) AS n,
+    """WITH t AS (SELECT o_totalprice,
+      |             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+      |           FROM orders),
+      |c AS (SELECT count(*) // 10 AS q, count(*) % 10 AS r FROM orders),
+      |d AS (SELECT o_totalprice,
+      |        CASE WHEN rn <= r * (q + 1) THEN (rn + q) // (q + 1)
+      |             ELSE r + (rn - r * (q + 1) + q - 1) // q END AS decile
+      |      FROM t, c)
+      |SELECT CAST(decile AS INT) AS decile, CAST(count(*) AS BIGINT) AS n,
       |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
-      |FROM (SELECT o_totalprice,
-      |        CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
-      |      FROM orders)
-      |GROUP BY decile ORDER BY decile""".stripMargin
+      |FROM d GROUP BY decile ORDER BY decile""".stripMargin
 
   /** L4i — top-3 TF-IDF terms per document: the tfidf pipeline composed
     * with a per-group rank — the keyword-extraction shape. Ties broken

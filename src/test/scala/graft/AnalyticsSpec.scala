@@ -170,9 +170,13 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("anomaly z-scores exceed the threshold and derive from their window sums") {
-    Analytics.anomalyZscore(spark, sfDir).collect().foreach { r =>
+    val rows = Analytics.anomalyZscore(spark, sfDir).collect()
+    // the |z| > 1.2 cut must actually fire at this sf — an anomaly
+    // query whose output is empty would be vacuously "correct"
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
       val (n, sum7, ss7, z) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
-      assert(math.abs(z) > 2.0)
+      assert(math.abs(z) > 1.2)
       val mean = sum7 / 7.0
       val variance = (ss7 - sum7 * sum7 / 7.0) / 6.0
       val expected = (n - mean) / math.sqrt(variance)
