@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, EtlQueries, Extras, Joins, Llm, Pipeline, Relational, Windows}
+import graft.queries.{Analytics, EtlQueries, Extras, Joins, Llm, Pipeline, Relational, Warehouse, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,6 +28,7 @@ object SparkEntry {
       (Extras.queries, Extras.oracle),
       (Pipeline.queries, Pipeline.oracle),
       (Analytics.queries, Analytics.oracle),
+      (Warehouse.queries, Warehouse.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

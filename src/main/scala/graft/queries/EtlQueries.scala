@@ -223,12 +223,13 @@ object EtlQueries {
     * sides: one .json.gz part per input partition, one read task per
     * part file. */
   def ndjsonScan(s: SparkSession, dir: String): DataFrame = {
+    val stage = ndjsonStageDir(dir)
     Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderpriority"))
       .write.mode("overwrite").option("compression", "gzip")
-      .json(NdjsonStageDir)
-    s.read.json(NdjsonStageDir)
+      .json(stage)
+    s.read.json(stage)
       .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
         col("o_custkey").cast("bigint").as("o_custkey"),
         col("o_totalprice").cast("double").as("o_totalprice"),
@@ -236,16 +237,20 @@ object EtlQueries {
       .orderBy(col("o_orderkey"))
   }
 
-  /** Fixed staging path: the oracle SQL is a static string, so the
-    * engine and DuckDB must agree on the location ahead of time. */
-  val NdjsonStageDir = "/tmp/graft_ndjson_stage"
+  /** Staging path keyed by the scale-factor dir name: the oracle SQL
+    * is a static string pinned to the sf0.01 path (the driver's
+    * verify scale), and keying by sf keeps a bench run at another sf
+    * from clobbering the staged files between the verify dump and the
+    * DuckDB compare. */
+  def ndjsonStageDir(dir: String): String =
+    s"/tmp/graft_ndjson_stage_${new java.io.File(dir).getName}"
 
   val ndjsonScanSql: String =
     s"""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
        |  CAST(o_custkey AS BIGINT) AS o_custkey,
        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
        |  CAST(o_orderpriority AS VARCHAR) AS o_orderpriority
-       |FROM read_json_auto('$NdjsonStageDir/*.json.gz')
+       |FROM read_json_auto('${ndjsonStageDir("sf0.01")}/*.json.gz')
        |ORDER BY o_orderkey""".stripMargin
 
   /** E1 fidelity — DecimalType end-to-end: the reference maps NUMERIC
