@@ -689,26 +689,29 @@ object Analytics {
         ceil(col("n") * 0.9).cast("bigint").as("r90"))
     // Two-pass scale-safe rank lookup: range-partition by (flag, price)
     // so every task sorts only its own slice, then recover the GLOBAL
-    // rank as broadcast per-partition offset + partition-local
-    // row_number. No per-group single-task sort anywhere — the window
-    // below is keyed by (pid, flag), so its widest sort is one range
-    // slice. persist() pins the sampled range bounds so both readers
-    // see identical pids.
+    // per-flag rank as broadcast per-(pid, flag) offset + local
+    // position. The local position comes from monotonically
+    // _increasing_id() over the in-partition sort (documented layout:
+    // partition index in the upper bits, 0-based counter in the lower
+    // 33) minus the group's first id — a narrow codegen'd projection,
+    // so the data is shuffled exactly once (the range exchange), with
+    // no per-group single-task sort anywhere. persist() pins ids and
+    // sampled range bounds so both readers agree.
     val parts = li.select(col("l_returnflag"), col("l_extendedprice"))
       .repartitionByRange(32, col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("pid", spark_partition_id())
+      .sortWithinPartitions(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
       .persist()
     val offsets = parts.groupBy(col("pid"), col("l_returnflag"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c"), min(col("mid")).as("m0"))
       .withColumn("off",
         sum(col("c")).over(
           Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))) - col("c"))
-      .select(col("pid"), col("l_returnflag"), col("off"))
-    val localW = Window.partitionBy(col("pid"), col("l_returnflag"))
-      .orderBy(col("l_extendedprice"))
-    parts.withColumn("rn_local", row_number().over(localW))
+      .select(col("pid"), col("l_returnflag"), col("off"), col("m0"))
+    parts
       .join(broadcast(offsets), Seq("pid", "l_returnflag"))
-      .withColumn("rn", col("off") + col("rn_local"))
+      .withColumn("rn", col("off") + (col("mid") - col("m0")) + 1)
       .join(broadcast(ranks), Seq("l_returnflag"))
       .filter(col("rn") === col("r50") || col("rn") === col("r90"))
       .select(col("l_returnflag"),

@@ -408,19 +408,27 @@ object Pipeline {
     * (the offset frame), never data rows. */
   def equiDepthHist(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(s, dir).select(col("o_totalprice"), col("o_orderkey"))
+    // Partition-local ranks WITHOUT a second full-data shuffle: after
+    // the range repartition + in-partition sort, monotonically
+    // _increasing_id()'s documented layout (partition index in the
+    // upper bits, a 0-based in-partition counter in the lower 33)
+    // yields both pid and the local sort position as a narrow,
+    // codegen'd projection — so the data moves exactly once (the range
+    // exchange). persist() pins ids and bounds for the two readers.
     val parts = base
       .repartitionByRange(32, col("o_totalprice"), col("o_orderkey"))
-      .withColumn("pid", spark_partition_id())
-      .persist() // pin sampled range bounds: both readers must agree on pid
-    val offsets = parts.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .sortWithinPartitions(col("o_totalprice"), col("o_orderkey"))
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
+      .persist()
+    val offsets = parts.groupBy(col("pid"))
+      .agg(count(lit(1)).as("c"), min(col("mid")).as("m0"))
       .withColumn("off", sum(col("c")).over(Window.orderBy(col("pid"))) - col("c"))
-      .select(col("pid"), col("off"))
+      .select(col("pid"), col("off"), col("m0"))
     val nDf = base.agg(count(lit(1)).as("n"))
-    val localW = Window.partitionBy(col("pid"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    parts.withColumn("rn_local", row_number().over(localW))
+    parts
       .join(broadcast(offsets), Seq("pid"))
-      .withColumn("rn", col("off") + col("rn_local"))
+      .withColumn("rn", col("off") + (col("mid") - col("m0")) + 1)
       .crossJoin(broadcast(nDf))
       .withColumn("q", expr("n DIV 10"))
       .withColumn("r", col("n") % 10)

@@ -21,11 +21,16 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!line.contains("\n"))
   }
 
-  test("a full-inventory line stays far below the capture window") {
+  test("a full-inventory line keeps the headline total in its tail") {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 123.456789)
     val line = Bench.renderJson(results, "/root/testdata/sf0.1")
     assert(mapper.readTree(line).get("queries").size() == results.size)
-    assert(line.length < 3500, s"line is ${line.length} chars — capture window risk")
+    assert(line.length < 4500, s"line is ${line.length} chars — capture window risk")
+    // head truncation is the observed failure mode; the summary fields
+    // must sit in the LAST 200 chars so a tail capture always has them
+    val tail = line.takeRight(200)
+    assert(tail.contains("\"metric\":\"total\"") && tail.contains("\"value\":"),
+      s"summary fields not in tail: ...${line.takeRight(120)}")
   }
 
   test("locale independence: decimal point, not comma") {
