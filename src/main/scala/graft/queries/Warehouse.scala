@@ -174,11 +174,178 @@ object Warehouse {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin
 
+  /** Chi-square independence audit over the (lang, source) contingency
+    * table: observed vs expected counts and the per-cell χ² terms. The
+    * expected value and each cell's contribution are one fixed chain
+    * of IEEE ops over exact integer marginals, so every cell is
+    * bit-portable; the query emits PER-CELL rows rather than the final
+    * χ² scalar because a float sum over cells would be summation-order
+    * dependent (the caller can sum the column — the driver-side add is
+    * order-controlled). One aggregate + two broadcast marginal joins. */
+  def chi2Independence(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val cells = d.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val rowT = d.groupBy(col("lang")).agg(count(lit(1)).as("rt"))
+    val colT = d.groupBy(col("source")).agg(count(lit(1)).as("ct"))
+    val n = d.agg(count(lit(1)).as("n"))
+    cells
+      .join(broadcast(rowT), Seq("lang"))
+      .join(broadcast(colT), Seq("source"))
+      .crossJoin(broadcast(n))
+      .withColumn("e",
+        (col("rt").cast("double") * col("ct").cast("double")) / col("n").cast("double"))
+      .select(col("lang"), col("source"), col("o"), col("e"),
+        (((col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e"))) /
+          col("e")).as("chi2_term"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val chi2IndependenceSql: String =
+    """WITH c AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, count(*) AS rt FROM documents GROUP BY 1),
+      |s AS (SELECT source, count(*) AS ct FROM documents GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT c.lang, c.source, o,
+      |  (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / CAST(n AS DOUBLE) AS e,
+      |  ((CAST(o AS DOUBLE) - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / CAST(n AS DOUBLE))
+      |    * (CAST(o AS DOUBLE) - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / CAST(n AS DOUBLE)))
+      |    / ((CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / CAST(n AS DOUBLE)) AS chi2_term
+      |FROM c JOIN r ON c.lang = r.lang JOIN s ON c.source = s.source, n
+      |ORDER BY c.lang, c.source""".stripMargin
+
+  /** Referential-integrity audit across every FK edge of the star
+    * schema in one pass: per edge, rows checked and orphans found
+    * (left-anti join against the parent key set). Each parent side is
+    * dimension-sized → broadcast; the fact scans stay narrow
+    * (FK column only). The all-zero orphan column is the PASS state
+    * of the audit — n_rows carries the evidence the check ran. */
+  def fkAudit(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, fk: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val c = child.select(col(fk))
+      val orphans = c.join(broadcast(parent.select(col(pk))),
+        col(fk) === col(pk), "left_anti")
+      c.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"))
+    }
+    val o = Tables.orders(s, dir); val li = Tables.lineitem(s, dir)
+    edge("customer->nation", Tables.customer(s, dir), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey")
+      .union(edge("supplier->nation", Tables.supplier(s, dir), "s_nationkey",
+        Tables.nation(s, dir), "n_nationkey"))
+      .union(edge("nation->region", Tables.nation(s, dir), "n_regionkey",
+        Tables.region(s, dir), "r_regionkey"))
+      .union(edge("orders->customer", o, "o_custkey", Tables.customer(s, dir), "c_custkey"))
+      .union(edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"))
+      .union(edge("lineitem->part", li, "l_partkey", Tables.part(s, dir), "p_partkey"))
+      .union(edge("lineitem->supplier", li, "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"))
+      .orderBy(col("fk_edge"))
+  }
+
+  val fkAuditSql: String =
+    """SELECT 'customer->nation' AS fk_edge, (SELECT count(*) FROM customer) AS n_rows,
+      |  (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+      |    (SELECT n_nationkey FROM nation)) AS n_orphans
+      |UNION ALL SELECT 'supplier->nation', (SELECT count(*) FROM supplier),
+      |  (SELECT count(*) FROM supplier WHERE s_nationkey NOT IN
+      |    (SELECT n_nationkey FROM nation))
+      |UNION ALL SELECT 'nation->region', (SELECT count(*) FROM nation),
+      |  (SELECT count(*) FROM nation WHERE n_regionkey NOT IN
+      |    (SELECT r_regionkey FROM region))
+      |UNION ALL SELECT 'orders->customer', (SELECT count(*) FROM orders),
+      |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+      |    (SELECT c_custkey FROM customer))
+      |UNION ALL SELECT 'lineitem->orders', (SELECT count(*) FROM lineitem),
+      |  (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+      |    (SELECT o_orderkey FROM orders))
+      |UNION ALL SELECT 'lineitem->part', (SELECT count(*) FROM lineitem),
+      |  (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+      |    (SELECT p_partkey FROM part))
+      |UNION ALL SELECT 'lineitem->supplier', (SELECT count(*) FROM lineitem),
+      |  (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier))
+      |ORDER BY fk_edge""".stripMargin
+
+  /** PageRank over the nation-to-nation trade graph (customer nation →
+    * supplier nation, weighted by lineitem count), 3 iterations,
+    * damping 0.85 — ENTIRELY in scaled integer arithmetic so both
+    * engines agree bit-for-bit: edge shares and ranks are fixed-point
+    * (1e6 / 1e12 scales), every division an integer DIV (both engines
+    * truncate toward zero for non-negative operands), every sum an
+    * exact integer sum. The expensive part — aggregating 6M+ lineitems
+    * through the 4-way star join into the 25×25 edge table — runs
+    * once, dimension sides broadcast; the iterations are
+    * metadata-scale joins on the tiny edge list, which is how PageRank
+    * on a contracted graph should look at 100 TB (aggregate first,
+    * iterate on the contraction). */
+  def pagerankNations(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val edges = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .persist() // iterated over; metadata-scale (≤ |nations|²)
+    val share = edges
+      .withColumn("wsum", sum(col("w")).over(Window.partitionBy(col("src"))))
+      .withColumn("share", expr("(w * 1000000L) DIV wsum"))
+      .select(col("src"), col("dst"), col("share"))
+    val nations = Tables.nation(s, dir).select(col("n_nationkey").as("node"))
+    val nNodes = 25L // fixture constant; TPC-H nation is fixed-size
+    var pr = nations.withColumn("pr", lit(1000000000000L / nNodes))
+    for (_ <- 1 to iters) {
+      val contrib = share.join(pr, col("src") === col("node"))
+        .select(col("dst"), expr("(pr * share) DIV 1000000L").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      pr = nations.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(150000000000L / nNodes) +
+            expr("(coalesce(inflow, 0L) * 85) DIV 100")).as("pr"))
+    }
+    pr.select(col("node"), col("pr"),
+        (col("pr").cast("double") / 1e12).as("rank"))
+      .orderBy(col("node"))
+  }
+
+  val pagerankNationsSql: String =
+    """WITH e AS (SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+      |           FROM lineitem
+      |           JOIN orders ON l_orderkey = o_orderkey
+      |           JOIN customer ON o_custkey = c_custkey
+      |           JOIN supplier ON l_suppkey = s_suppkey
+      |           GROUP BY 1, 2),
+      |sh AS (SELECT src, dst,
+      |         (w * 1000000) // sum(w) OVER (PARTITION BY src) AS share FROM e),
+      |p0 AS (SELECT n_nationkey AS node, CAST(40000000000 AS BIGINT) AS pr FROM nation),
+      |i1 AS (SELECT sh.dst AS node, sum((p0.pr * sh.share) // 1000000) AS inflow
+      |       FROM sh JOIN p0 ON sh.src = p0.node GROUP BY 1),
+      |p1 AS (SELECT p0.node, 6000000000 + (coalesce(i1.inflow, 0) * 85) // 100 AS pr
+      |       FROM p0 LEFT JOIN i1 ON p0.node = i1.node),
+      |i2 AS (SELECT sh.dst AS node, sum((p1.pr * sh.share) // 1000000) AS inflow
+      |       FROM sh JOIN p1 ON sh.src = p1.node GROUP BY 1),
+      |p2 AS (SELECT p1.node, 6000000000 + (coalesce(i2.inflow, 0) * 85) // 100 AS pr
+      |       FROM p1 LEFT JOIN i2 ON p1.node = i2.node),
+      |i3 AS (SELECT sh.dst AS node, sum((p2.pr * sh.share) // 1000000) AS inflow
+      |       FROM sh JOIN p2 ON sh.src = p2.node GROUP BY 1),
+      |p3 AS (SELECT p2.node, 6000000000 + (coalesce(i3.inflow, 0) * 85) // 100 AS pr
+      |       FROM p2 LEFT JOIN i3 ON p2.node = i3.node)
+      |SELECT node, CAST(pr AS BIGINT) AS pr, CAST(pr AS DOUBLE) / 1e12 AS rank
+      |FROM p3 ORDER BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2_build" -> (scd2Build _),
     "q_basket_rules" -> ((s, d) => basketRules(s, d)),
     "q_dict_redact" -> (dictRedact _),
     "q_doc_packing" -> ((s, d) => docPacking(s, d)),
+    "q_chi2_independence" -> (chi2Independence _),
+    "q_fk_audit" -> (fkAudit _),
+    "q_pagerank_nations" -> ((s, d) => pagerankNations(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -186,5 +353,8 @@ object Warehouse {
     "q_basket_rules" -> basketRulesSql,
     "q_dict_redact" -> dictRedactSql,
     "q_doc_packing" -> docPackingSql,
+    "q_chi2_independence" -> chi2IndependenceSql,
+    "q_fk_audit" -> fkAuditSql,
+    "q_pagerank_nations" -> pagerankNationsSql,
   )
 }

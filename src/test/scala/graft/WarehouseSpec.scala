@@ -51,6 +51,38 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("chi2 cells cover the corpus with nonnegative contributions") {
+    val rows = Warehouse.chi2Independence(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(2)).sum ==
+      Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0)           // expected count
+      assert(r.getDouble(4) >= 0)          // chi2 term
+    }
+  }
+
+  test("fk audit checks every edge and finds the fixture intact") {
+    val rows = Warehouse.fkAudit(spark, sfDir).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, s"${r.getString(0)} checked no rows")
+      assert(r.getLong(2) == 0, s"${r.getString(0)} has orphans")
+    }
+  }
+
+  test("pagerank conserves (truncated) mass and ranks every nation") {
+    val rows = Warehouse.pagerankNations(spark, sfDir).collect()
+    assert(rows.length == 25)
+    val total = rows.map(_.getLong(1)).sum
+    // integer truncation only loses mass, never creates it
+    assert(total <= 1000000000000L && total > 900000000000L, s"total=$total")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) > 0 && r.getDouble(2) < 1)
+    }
+  }
+
   test("doc packing partitions the corpus in doc_id order") {
     val packs = Warehouse.docPacking(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
