@@ -237,8 +237,45 @@ object Joins {
       |  ON p.user_id = o.user_id AND o.es >= p.es - 3600 AND o.es <= p.es
       |ORDER BY p_id, o_id""".stripMargin
 
+  /** J8 — salt-replicated skew join (C5's join-side sibling): when one
+    * join key is hot enough that a single reducer drowns, salt the
+    * FACT side with a deterministic hash-derived salt and REPLICATE
+    * each dimension row across all k salts, joining on (key, salt) —
+    * the hot key's rows now spread over k reducers. The result is
+    * EXACTLY the plain join (salting only re-routes work), so the
+    * oracle is the unsalted join; per-user aggregation keeps output
+    * bounded. AQE's skew-join handles moderate skew automatically;
+    * explicit salting is the form that also survives a single
+    * mega-key. */
+  def saltedJoin(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val fact = Tables.events(s, dir)
+      .select(col("user_id"), col("value"), col("event_id"))
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(k)))
+    val dim = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("n_types"))
+    val dimSalted = dim.crossJoin(
+      s.range(0, k).select(col("id").cast("bigint").as("salt")))
+    fact.join(dimSalted, Seq("user_id", "salt"))
+      .groupBy(col("user_id"), col("n_types"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("bigint")).as("cents"))
+      .select(col("user_id"), col("n_types"), col("n_events"), col("cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val saltedJoinSql: String =
+    """WITH dim AS (SELECT user_id, count(DISTINCT event_type) AS n_types
+      |             FROM events GROUP BY user_id)
+      |SELECT e.user_id, CAST(n_types AS BIGINT) AS n_types,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events e JOIN dim ON e.user_id = dim.user_id
+      |GROUP BY e.user_id, n_types ORDER BY e.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_interval_join" -> (intervalJoin _),
+    "q_join_salted" -> ((s, d) => saltedJoin(s, d)),
     "q_join_inner" -> (innerJoin _),
     "q_join_broadcast" -> (broadcastJoin _),
     "q_join_left" -> (leftOuterJoin _),
@@ -253,6 +290,7 @@ object Joins {
 
   val oracle: Map[String, String] = Map(
     "q_interval_join" -> intervalJoinSql,
+    "q_join_salted" -> saltedJoinSql,
     "q_join_inner" -> innerJoinSql,
     "q_join_broadcast" -> broadcastJoinSql,
     "q_join_left" -> leftOuterJoinSql,

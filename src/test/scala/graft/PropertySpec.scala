@@ -69,6 +69,17 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("salted join equals the unsalted join for any salt width") {
+    import graft.queries.Joins
+    def rows(k: Int) = Joins.saltedJoin(spark, sfDir, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val direct = rows(1) // k=1: the salt is constant → plain join
+    assert(direct.nonEmpty)
+    Seq(4, 8, 17).foreach { k =>
+      assert(rows(k) == direct, s"salt width $k diverged")
+    }
+  }
+
   test("hash sampling is invariant under repartitioning") {
     import graft.queries.Pipeline
     val a = Pipeline.hashSample(spark, sfDir).collect().toSeq
