@@ -257,11 +257,18 @@ object EtlQueries {
     * to FLOAT (SURVEY §1.1's documented lossiness); this engine keeps
     * money math exact. Prices and discounts are recovered to exact
     * cents (decimal(18,2)), revenue accumulates in decimal — every
-    * intermediate exact, independent of summation order — and the
-    * result COLUMN is DECIMAL(38,4) through the sink and the oracle
-    * compare. revenue_dbl is the one-time double projection of the
-    * exact total (what the reference would have stored), emitted for
-    * the fidelity contrast. */
+    * intermediate exact, independent of summation order (EtlSpec
+    * asserts the aggregate column IS DecimalType(38,4)).
+    *
+    * The SINK projects the exact decimal to scaled-integer BIGINT
+    * units (1e-4) plus its one-time double projection (what the
+    * reference would have stored — the fidelity contrast). A decimal
+    * column must not cross the verify gate itself: the harness's
+    * pandas bridge turns a DuckDB DECIMAL of any precision into
+    * float64 while a Spark-parquet decimal stays a Decimal object, so
+    * identical values hash differently (round-4 red row; same family
+    * as the HUGEINT gotcha). The scaled integer carries the full
+    * exactness claim — any lost sub-unit digit would shift it. */
   def decimalFidelity(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select(col("l_returnflag"),
@@ -269,20 +276,24 @@ object EtlQueries {
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
           .cast("decimal(30,4)").as("rev"))
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), sum(col("rev")).as("srev"))
-      .select(col("l_returnflag"), col("n"),
-        col("srev").cast("decimal(38,4)").as("revenue_dec"),
-        col("srev").cast("decimal(38,4)").cast("double").as("revenue_dbl"))
+      .agg(count(lit(1)).as("n"), sum(col("rev")).as("srev"),
+        // units scale up PER ROW (decimal(30,4)·10⁴ — width 35, both
+        // engines stay exact decimal; scaling the SUM instead pushes
+        // the width past int64/38-digit limits at sf≥0.1) and sum as
+        // BIGINT: Σ(r·10⁴) = (Σr)·10⁴ exactly, term by term.
+        sum((col("rev") * lit(10000)).cast("bigint")).as("revenue_units"))
+      .select(col("l_returnflag"), col("n"), col("revenue_units"),
+        col("srev").cast("double").as("revenue_dbl"))
       .orderBy(col("l_returnflag"))
 
   val decimalFidelitySql: String =
     """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |        (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))
+      |    * 10000 AS BIGINT)) AS BIGINT) AS revenue_units,
       |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
       |        (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4)))
-      |    AS DECIMAL(38,4)) AS revenue_dec,
-      |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      |        (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4)))
-      |    AS DECIMAL(38,4)) AS DOUBLE) AS revenue_dbl
+      |    AS DOUBLE) AS revenue_dbl
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -103,6 +103,33 @@ class EtlSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("decimal fidelity: aggregate runs in DecimalType(38,4), sink is engine-neutral") {
+    import org.apache.spark.sql.types.{DecimalType, LongType, DoubleType}
+    // The money math must be decimal END-TO-END internally (exact,
+    // summation-order independent) …
+    val agg = Tables.lineitem(spark, sfDir)
+      .select((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(30,4)").as("rev"))
+      .agg(org.apache.spark.sql.functions.sum(col("rev")).as("srev"))
+    assert(agg.schema("srev").dataType == DecimalType(38, 4))
+    // … while the emitted columns are BIGINT units + DOUBLE: the
+    // verify harness's pandas bridge maps DuckDB decimals to float64
+    // but Spark-parquet decimals to Decimal objects, so a decimal
+    // SINK column can never hash-match (round-4 red row).
+    val out = queries.EtlQueries.decimalFidelity(spark, sfDir)
+    assert(out.schema("revenue_units").dataType == LongType)
+    assert(out.schema("revenue_dbl").dataType == DoubleType)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // units are the double's exact source scaled by 1e4 — any lost
+      // sub-unit digit would shift the integer.
+      assert(math.abs(r.getLong(2) / 1e4 - r.getDouble(3)) < 1e-3,
+        s"units/double drift on ${r.getString(0)}")
+    }
+  }
+
   test("CSV and ORC round trips (remaining interchange formats)") {
     val out = tmp()
     val src = Tables.customer(spark, sfDir)
