@@ -390,6 +390,79 @@ case class NgramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** [[NgramHashes]] and [[MinHashSig]] fused into ONE digest pass —
+  * for the two-stage pipelines (LSH-propose → exact-verify) that need
+  * BOTH the distinct shingle-hash set and the MinHash signature of
+  * every document. Run separately they md5 each shingle occurrence
+  * twice; this emits struct(hs, sig) from a single pass, so the
+  * corpus is hashed exactly once per query. Field semantics are
+  * bit-identical to the standalone expressions (asserted in
+  * DedupSpec): hs = sorted distinct h1 (first 60 digest bits), sig_j
+  * = min over occurrences of h1 + j·h2. NULL when the document has
+  * fewer than `n` tokens. */
+case class ShingleProfile(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(numHashes <= 32, s"h1 + j*h2 stays exact for j < 32, got $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"shingle_profile requires STRING, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("hs", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_profile"
+
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (toks.length < n) return null
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes("UTF-8"))
+      var b64 = 0L
+      var bi = 0
+      while (bi < 8) { b64 = (b64 << 8) | (d(bi) & 0xffL); bi += 1 }
+      val h1 = b64 >>> 4
+      seen.add(h1)
+      var h2 = 0L
+      bi = 8
+      while (bi < 15) { h2 = (h2 << 8) | (d(bi) & 0xffL); bi += 1 }
+      var j = 0
+      while (j < numHashes) {
+        val v = h1 + j.toLong * h2
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    org.apache.spark.sql.catalyst.InternalRow(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(mins))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration + Column-level wrappers. Registered idempotently via
   * [[graft.Tables.load]] so every query pack can use the fast paths
   * regardless of which entry point built the session. */

@@ -99,6 +99,28 @@ object Dedup {
       .select(col("doc_id"), expr("transform(sigl, x -> CAST(x AS STRING))").as("sig"))
   }
 
+  /** Distinct shingle-hash set AND MinHash signature per document in
+    * ONE digest pass (graft.functions.ShingleProfile) — for two-stage
+    * pipelines (LSH-propose → exact-verify) that need both: run as
+    * separate expressions the corpus is md5'd twice, fused it is
+    * hashed exactly once. Columns: doc_id, hs (sorted distinct 60-bit
+    * hashes), sig (stringified signature, [[minhashCandidates]]'s
+    * input shape). Sub-`n`-token documents drop, as in the standalone
+    * forms. Callers joining hs twice should persist the result. */
+  def shingleProfiles(docs: DataFrame, n: Int = 3,
+                      numHashes: Int = 16): DataFrame = {
+    docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_profile",
+      exprs => graft.functions.ShingleProfile(exprs.head, n, numHashes),
+      "scala_udf")
+    graft.Tables.widen(docs)
+      .select(col("doc_id"),
+        call_function("graft_shingle_profile", col("text")).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("doc_id"), col("p.hs").as("hs"),
+        expr("transform(p.sig, x -> CAST(x AS STRING))").as("sig"))
+  }
+
   /** LSH banding: split the signature into bands of `rowsPerBand`
     * consecutive hashes, concatenate each band into one key, and
     * emit candidate pairs that collide on any band — the classic

@@ -853,19 +853,15 @@ object Analytics {
     * pairs bounded by overlap ≥ 0.5. The candidate stage means no
     * raw shingle-occurrence self-join ever happens: a hot shingle
     * shared by d documents costs d signature rows, never d² join
-    * rows — the shape that survives 100 TB. */
+    * rows — the shape that survives 100 TB. Signature and shingle
+    * set come from ONE fused digest pass (Dedup.shingleProfiles) —
+    * the corpus is md5'd once, not once per stage. */
   def similarityMeasures(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val cands = Dedup.minhashCandidates(
-      Dedup.minhashSignaturesNarrow(docs, 3, 16), 4)
-    docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_ngram_hashes",
-      exprs => graft.functions.NgramHashes(exprs.head, 3),
-      "scala_udf")
-    val sets = Tables.widen(docs)
-      .select(col("doc_id"), call_function("graft_ngram_hashes", col("text")).as("hs"))
-      .filter(col("hs").isNotNull)
-      .persist() // joined twice (side a, side b)
+    val prof = Dedup.shingleProfiles(docs, 3, 16)
+      .persist() // feeds the band join once and the verify join twice
+    val cands = Dedup.minhashCandidates(prof.select(col("doc_id"), col("sig")), 4)
+    val sets = prof.select(col("doc_id"), col("hs"))
     cands
       .join(sets.select(col("doc_id").as("doc_id_a"), col("hs").as("ha")), Seq("doc_id_a"))
       .join(sets.select(col("doc_id").as("doc_id_b"), col("hs").as("hb")), Seq("doc_id_b"))
@@ -924,19 +920,14 @@ object Analytics {
     * verify step is an array_intersect over the two per-document hash
     * sets carried into the join, touching |candidates| pairs instead
     * of re-joining the corpus. This is the production shape: sketch
-    * for recall, exact check for precision. */
+    * for recall, exact check for precision. Signature and shingle set
+    * come from ONE fused digest pass (Dedup.shingleProfiles). */
   def dedupVerified(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val cands = Dedup.minhashCandidates(
-      Dedup.minhashSignaturesNarrow(docs, 3, 16), 4)
-    docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_ngram_hashes",
-      exprs => graft.functions.NgramHashes(exprs.head, 3),
-      "scala_udf")
-    val sets = Tables.widen(docs)
-      .select(col("doc_id"), call_function("graft_ngram_hashes", col("text")).as("hs"))
-      .filter(col("hs").isNotNull)
-      .persist() // joined twice (side a, side b)
+    val prof = Dedup.shingleProfiles(docs, 3, 16)
+      .persist() // feeds the band join once and the verify join twice
+    val cands = Dedup.minhashCandidates(prof.select(col("doc_id"), col("sig")), 4)
+    val sets = prof.select(col("doc_id"), col("hs"))
     cands
       .join(sets.select(col("doc_id").as("doc_id_a"), col("hs").as("ha")), Seq("doc_id_a"))
       .join(sets.select(col("doc_id").as("doc_id_b"), col("hs").as("hb")), Seq("doc_id_b"))

@@ -59,6 +59,29 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("fused shingle profile matches the standalone ngram-set and minhash expressions") {
+    val fixture = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val prof = Dedup.shingleProfiles(fixture, 3, 16)
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[String](2))).toMap
+    val sigs = Dedup.minhashSignaturesNarrow(fixture, 3, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngram_hashes",
+      exprs => graft.functions.NgramHashes(exprs.head, 3), "scala_udf")
+    val sets = fixture
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.call_function("graft_ngram_hashes", col("text")).as("hs"))
+      .filter(col("hs").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(prof.nonEmpty && prof.keySet == sigs.keySet && prof.keySet == sets.keySet)
+    assert(prof.forall { case (id, (hs, sig)) => hs == sets(id) && sig == sigs(id) })
+    // sub-n-token documents drop, as in the standalone forms
+    import spark.implicits._
+    val short = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    assert(Dedup.shingleProfiles(short, 3, 16)
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("minhash LSH finds exact and near dup pairs, not unrelated docs") {
     val pairs = Dedup.minhashCandidates(
         Dedup.minhashSignatures(Dedup.shingles(docs), 16), 4)
