@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Trend/sequence operators (round 5 extensions beyond SURVEY.md §2B):
+  * group-wise least-squares regression, exponentially-weighted moving
+  * averages, and per-entity event-sequence pattern matching — the
+  * trend-detection layer a behavioral warehouse runs over the same
+  * tables the rest of the engine serves. All three are oracle-checked;
+  * each uses the repo's exact-arithmetic conventions (integer/decimal
+  * power sums, dyadic float weights) so both engines agree
+  * bit-for-bit (ARCHITECTURE.md "Cross-engine determinism").
+  */
+object Trend {
+
+  /** Group-wise OLS — slope/intercept of price-on-quantity per return
+    * flag, the closed-form regr_slope/regr_intercept pair. Every
+    * power sum (Σx, Σy, Σxy, Σx²) runs in exact integer arithmetic:
+    * x is the integral quantity, y the exact cent value recovered via
+    * decimal(18,2); sums go through decimal(38,0) on the Spark side
+    * (Spark's long sum would wrap silently at scale while DuckDB
+    * promotes to HUGEINT — the q_rank_corr convention), and the
+    * closed forms are evaluated in exact decimal with ONE final cast
+    * to double per output. A regression over 10¹¹ rows is still two
+    * map-side-combined aggregates and a 6-value shuffle per group. */
+  def regrSlope(s: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        floor(col("l_quantity")).cast("decimal(38,0)").as("x"),
+        (col("l_extendedprice").cast("decimal(18,2)") * lit(100))
+          .cast("decimal(38,0)").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("l_returnflag"), col("n"),
+        ((d(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (d(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope_cents"),
+        ((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+          (d(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("intercept_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Oracle: plain integer sums (DuckDB promotes to HUGEINT — exact),
+    * same closed forms, same one-cast-to-double-per-output. */
+  val regrSlopeSql: String =
+    """SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents,
+      |  CAST(sy * sxx - sx * sxy AS DOUBLE) /
+      |    CAST(n * sxx - sx * sx AS DOUBLE) AS intercept_cents
+      |FROM (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+      |  FROM (SELECT l_returnflag,
+      |          CAST(floor(l_quantity) AS BIGINT) AS x,
+      |          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** EWMA over each customer's trailing 8 order totals — the
+    * smoothing pass of any spend-trend monitor. α = 1/2 makes every
+    * weight a DYADIC rational (2⁻ᵏ): each cents·2⁻ᵏ term is exactly
+    * representable (26-bit cents, ≤7 fractional bits), so numerator
+    * and denominator are EXACT in IEEE double regardless of
+    * summation order, and the single final division is the only
+    * rounding step — bit-identical across engines, partitionings,
+    * and cluster widths, with none of the order-dependent drift a
+    * float EWMA normally carries. The window is keyed by customer:
+    * no global sort, scales linearly. */
+  def ewmaSpend(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("od"), col("o_orderkey"))
+    val base = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("od"),
+        (col("o_totalprice").cast("decimal(18,2)") * lit(100))
+          .cast("bigint").as("cents"))
+    val terms = (0 until 8).map { k =>
+      val wt = lit(math.pow(0.5, k)) // 2^-k: exact double literal
+      val lagged = if (k == 0) col("cents") else lag(col("cents"), k).over(w)
+      (coalesce(lagged.cast("double"), lit(0.0)) * wt,
+        when(lagged.isNull, lit(0.0)).otherwise(wt))
+    }
+    base
+      .withColumn("ewma_cents",
+        terms.map(_._1).reduce(_ + _) / terms.map(_._2).reduce(_ + _))
+      .orderBy(col("o_custkey"), col("od"), col("o_orderkey"))
+  }
+
+  /** Oracle: the same 8 dyadic-weight lag terms, spelled out. */
+  val ewmaSpendSql: String = {
+    val lags = (1 until 8).map(k => s"lag(cents, $k) OVER w AS c$k").mkString(",\n      |    ")
+    val num = "CAST(cents AS DOUBLE) * 1.0 +\n      |     " + (1 until 8).map(k =>
+      s"coalesce(CAST(c$k AS DOUBLE), 0) * ${math.pow(0.5, k)}").mkString(" +\n      |     ")
+    val den = "1.0 +\n      |     " + (1 until 8).map(k =>
+      s"CASE WHEN c$k IS NULL THEN 0 ELSE ${math.pow(0.5, k)} END").mkString(" +\n      |     ")
+    s"""SELECT o_custkey, o_orderkey, od, cents,
+      |  ($num) /
+      |  ($den) AS ewma_cents
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, od, cents,
+      |    $lags
+      |  FROM (SELECT o_custkey, o_orderkey,
+      |          CAST(floor(epoch(o_orderdate)) AS BIGINT) AS od,
+      |          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |        FROM orders)
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey))
+      |ORDER BY o_custkey, od, o_orderkey""".stripMargin
+  }
+
+  /** Per-user event-sequence pattern match — compress each user's
+    * event stream to an initial-letter path string (deterministic
+    * (epoch-sec, event_id) order carried INSIDE the aggregate via
+    * sort_array-of-structs; collect order is partitioning-dependent
+    * on both engines) and regexp-match the view→click→purchase
+    * funnel on it. The path per user is bounded by the user's event
+    * count, so state is per-key linear; the regexp is a single
+    * codegen'd pass over the packed string — the cheap way to ask
+    * ordered-subsequence questions without a self-join per step. */
+  def seqPattern(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"),
+        substring(col("event_type"), 1, 1).as("letter"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(sec, event_id, letter))), x -> x.letter)"),
+          "").as("path"))
+      .select(col("user_id"), col("n_events"), col("path"),
+        col("path").rlike("v.*c.*p").as("converted"))
+      .orderBy(col("user_id"))
+
+  val seqPatternSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  string_agg(substring(event_type, 1, 1), ''
+      |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS path,
+      |  regexp_matches(string_agg(substring(event_type, 1, 1), ''
+      |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id),
+      |    'v.*c.*p') AS converted
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis, the
+    * one-pass distributed form): each row draws u from its OWN md5
+    * hash (not a seeded RNG — same sample on every engine, run, and
+    * cluster width), its key is the exponential -ln(u)/w, and the k
+    * smallest keys per stratum are the sample, length-biased by
+    * n_chars. u = h/2⁶⁰ divides a correctly-rounded double by a power
+    * of two (exact), ln is bit-identical across engines (verified for
+    * tfidf), and the division is one IEEE op — the whole key is
+    * deterministic. One narrow map + one per-stratum top-k window;
+    * no global sort, no driver-side reservoir. */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val u = expr(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    val w = Window.partitionBy(col("lang")).orderBy(col("ekey"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (-log(u) / col("n_chars").cast("double")).as("ekey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("ekey"),
+        col("rn").cast("int").as("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  val weightedSampleSql: String =
+    """SELECT doc_id, lang, n_chars, ekey, CAST(rn AS INT) AS rn
+      |FROM (SELECT doc_id, lang, n_chars, ekey,
+      |        row_number() OVER (PARTITION BY lang ORDER BY ekey, doc_id) AS rn
+      |      FROM (SELECT doc_id, lang, n_chars,
+      |              -ln(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |                    AS BIGINT) / 1152921504606846976.0)
+      |                / CAST(n_chars AS DOUBLE) AS ekey
+      |            FROM documents))
+      |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+
+  /** Pointwise mutual information of document-level bigram
+    * co-occurrence — the collocation scorer behind phrase mining and
+    * tokenizer-merge candidates. Counts are document-presence sets
+    * (distinct doc×term — duplicate-insensitive, so no occurrence
+    * shuffle), the corpus size joins as a broadcast one-row
+    * aggregate (never a driver-side collect), and unigram counts
+    * broadcast-join onto the bigram table twice. pmi = ln of a ratio
+    * of exact integers: one division, one ln — deterministic. */
+  def pmi(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val bg = graft.operators.Dedup.shingles(docs, 2)
+      .groupBy(col("shingle").as("bigram"))
+      .agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") > 10)
+    bg
+      .select(col("bigram"), col("cxy"),
+        split(col("bigram"), " ").getItem(0).as("w1"),
+        split(col("bigram"), " ").getItem(1).as("w2"))
+      .join(broadcast(words.select(col("w").as("w1"), col("cw").as("c1"))), Seq("w1"))
+      .join(broadcast(words.select(col("w").as("w2"), col("cw").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(nd))
+      .select(col("bigram"), col("cxy"),
+        log((col("cxy") * col("nd")).cast("double") /
+          (col("c1") * col("c2")).cast("double")).as("pmi"))
+      .orderBy(col("bigram"))
+  }
+
+  val pmiSql: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents),
+      |words AS (SELECT w, count(*) AS cw
+      |          FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |                FROM docs) WHERE w <> '' GROUP BY w),
+      |bg AS (SELECT shingle AS bigram, count(*) AS cxy
+      |       FROM (SELECT DISTINCT doc_id,
+      |               unnest(list_transform(range(1, len(w)),
+      |                 i -> concat_ws(' ', w[i], w[i+1]))) AS shingle
+      |             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs)
+      |             WHERE len(w) >= 2)
+      |       GROUP BY shingle HAVING count(*) > 10)
+      |SELECT bigram, CAST(cxy AS BIGINT) AS cxy,
+      |  ln(CAST(cxy * (SELECT count(*) FROM docs) AS DOUBLE) /
+      |     CAST(c1 * c2 AS DOUBLE)) AS pmi
+      |FROM (SELECT bg.bigram, bg.cxy,
+      |        string_split(bg.bigram, ' ')[1] AS w1,
+      |        string_split(bg.bigram, ' ')[2] AS w2
+      |      FROM bg)
+      |JOIN (SELECT w, cw AS c1 FROM words) a ON w1 = a.w
+      |JOIN (SELECT w, cw AS c2 FROM words) b ON w2 = b.w
+      |ORDER BY bigram""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_regr_slope" -> (regrSlope _),
+    "q_ewma" -> (ewmaSpend _),
+    "q_seq_pattern" -> (seqPattern _),
+    "q_weighted_sample" -> ((s: SparkSession, d: String) => weightedSample(s, d)),
+    "q_pmi" -> (pmi _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_regr_slope" -> regrSlopeSql,
+    "q_ewma" -> ewmaSpendSql,
+    "q_seq_pattern" -> seqPatternSql,
+    "q_weighted_sample" -> weightedSampleSql,
+    "q_pmi" -> pmiSql,
+  )
+}
