@@ -239,7 +239,55 @@ object Trend {
       |JOIN (SELECT w, cw AS c2 FROM words) b ON w2 = b.w
       |ORDER BY bigram""".stripMargin
 
+  /** Bigram language-model scoring — each document's cross-entropy
+    * (nats) under the corpus's own document-presence bigram model:
+    * nll = −avg ln(c_xy/c_x) over the doc's distinct bigrams. The
+    * perplexity-style quality signal a curation pipeline uses to rank
+    * documents as typical vs outlier, with the corpus itself as the
+    * model — no external LM. Counts are presence sets (dup-
+    * insensitive); the count tables join on the bigram/word keys (at
+    * corpus scale these are shuffle joins on the token key — exactly
+    * how a distributed LM count join shapes). The per-doc float avg
+    * is summation-order dependent, so round(4) absorbs the ulp drift
+    * (the q_event_entropy convention). */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val pres = graft.operators.Dedup.shingles(docs, 2)
+      .select(col("doc_id"), col("shingle").as("bigram"))
+    val cxy = pres.groupBy(col("bigram")).agg(count(lit(1)).as("cxy"))
+    val cx = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("cx"))
+    pres
+      .join(cxy, Seq("bigram"))
+      .join(cx, split(col("bigram"), " ").getItem(0) === col("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(log(col("cxy").cast("double") / col("cx").cast("double"))), 4)
+          .as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmScoreSql: String =
+    """WITH pres AS (SELECT DISTINCT doc_id,
+      |                unnest(list_transform(range(1, len(w)),
+      |                  i -> concat_ws(' ', w[i], w[i+1]))) AS bigram
+      |              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |              WHERE len(w) >= 2),
+      |cxy AS (SELECT bigram, count(*) AS cxy FROM pres GROUP BY bigram),
+      |cx AS (SELECT w, count(*) AS cx
+      |       FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |             FROM documents) WHERE w <> '' GROUP BY w)
+      |SELECT pres.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(-avg(ln(CAST(cxy.cxy AS DOUBLE) / CAST(cx.cx AS DOUBLE))), 4) AS nll
+      |FROM pres
+      |JOIN cxy ON pres.bigram = cxy.bigram
+      |JOIN cx ON string_split(pres.bigram, ' ')[1] = cx.w
+      |GROUP BY pres.doc_id ORDER BY pres.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lm_score" -> (lmScore _),
     "q_regr_slope" -> (regrSlope _),
     "q_ewma" -> (ewmaSpend _),
     "q_seq_pattern" -> (seqPattern _),
@@ -248,6 +296,7 @@ object Trend {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_lm_score" -> lmScoreSql,
     "q_regr_slope" -> regrSlopeSql,
     "q_ewma" -> ewmaSpendSql,
     "q_seq_pattern" -> seqPatternSql,

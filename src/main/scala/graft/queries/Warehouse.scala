@@ -338,7 +338,117 @@ object Warehouse {
       |SELECT node, CAST(pr AS BIGINT) AS pr, CAST(pr AS DOUBLE) / 1e12 AS rank
       |FROM p3 ORDER BY node""".stripMargin
 
+  /** Population-stability-index drift audit — the distribution-shift
+    * monitor every production feature pipeline runs between a
+    * reference and a current period. Orders split at 1998; prices
+    * land in fixed 50k bins; each bin's PSI term (p−q)·ln(p/q) uses
+    * Laplace-smoothed exact ratios so empty bins stay finite. Per-BIN
+    * terms are emitted, not the float total — a summed total would be
+    * accumulation-order dependent (the q_chi2_independence
+    * convention); the consumer's threshold sum is one tiny exact
+    * reduce. Period totals join as broadcast one-row aggregates; the
+    * whole audit is two partial/final counts over one scan. */
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.orders(s, dir)
+      .select(least(floor(col("o_totalprice") / lit(50000.0)), lit(9.0))
+          .cast("int").as("bin"),
+        (year(col("o_orderdate")) <= 1997).as("era_a"))
+    val counts = binned
+      .groupBy(col("bin"))
+      .agg(sum(when(col("era_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("era_a"), 1L).otherwise(0L)).as("n_b"))
+    val tot = binned.agg(
+      sum(when(col("era_a"), 1L).otherwise(0L)).as("t_a"),
+      sum(when(!col("era_a"), 1L).otherwise(0L)).as("t_b"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_a"), col("n_b"), {
+        val p = (col("n_a") + lit(1)).cast("double") / (col("t_a") + lit(10)).cast("double")
+        val q = (col("n_b") + lit(1)).cast("double") / (col("t_b") + lit(10)).cast("double")
+        ((p - q) * log(p / q)).as("psi_term")
+      })
+      .orderBy(col("bin"))
+  }
+
+  val psiDriftSql: String =
+    """WITH b AS (SELECT CAST(least(floor(o_totalprice / 50000.0), 9.0) AS INT) AS bin,
+      |             year(o_orderdate) <= 1997 AS era_a FROM orders),
+      |c AS (SELECT bin,
+      |        CAST(sum(CASE WHEN era_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |        CAST(sum(CASE WHEN NOT era_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |      FROM b GROUP BY bin),
+      |t AS (SELECT CAST(sum(CASE WHEN era_a THEN 1 ELSE 0 END) AS BIGINT) AS t_a,
+      |        CAST(sum(CASE WHEN NOT era_a THEN 1 ELSE 0 END) AS BIGINT) AS t_b FROM b)
+      |SELECT bin, n_a, n_b,
+      |  ((CAST(n_a + 1 AS DOUBLE) / CAST(t_a + 10 AS DOUBLE)) -
+      |   (CAST(n_b + 1 AS DOUBLE) / CAST(t_b + 10 AS DOUBLE))) *
+      |  ln((CAST(n_a + 1 AS DOUBLE) / CAST(t_a + 10 AS DOUBLE)) /
+      |     (CAST(n_b + 1 AS DOUBLE) / CAST(t_b + 10 AS DOUBLE))) AS psi_term
+      |FROM c, t ORDER BY bin""".stripMargin
+
+  /** Triangle counting on the nation trade graph — the clustering
+    * primitive next to W9's PageRank, over the same once-aggregated
+    * edge list. Edges become undirected distinct pairs (a<b) above
+    * half the mean weight (sparsifies the near-clique); triangles
+    * close via the standard a<b<c three-way self-join (each triangle
+    * found exactly once), and per-nation membership counts come from
+    * unpivoting the three corners. The contracted edge table is
+    * metadata-sized, so every join broadcasts; the only at-scale cost
+    * is the ONE star-join edge aggregation it shares with PageRank. */
+  def triangleNations(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val directed = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val und = directed
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+    val cut = und.agg((sum(col("w")).cast("double") / count(lit(1)) / lit(2.0)).as("cut"))
+    val e = und.crossJoin(broadcast(cut))
+      .filter(col("w").cast("double") >= col("cut"))
+      .select(col("a"), col("b")).persist() // three-way self-joined
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("nation"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("nation"))
+  }
+
+  val triangleNationsSql: String =
+    """WITH d AS (SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+      |           FROM lineitem
+      |           JOIN orders ON l_orderkey = o_orderkey
+      |           JOIN customer ON o_custkey = c_custkey
+      |           JOIN supplier ON l_suppkey = s_suppkey
+      |           GROUP BY 1, 2),
+      |u AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+      |        CAST(sum(w) AS BIGINT) AS w
+      |      FROM d WHERE src <> dst GROUP BY 1, 2),
+      |e AS (SELECT a, b FROM u, (SELECT CAST(sum(w) AS DOUBLE) / count(*) / 2.0
+      |        AS cut FROM u) t
+      |      WHERE CAST(w AS DOUBLE) >= cut),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |        JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b)
+      |SELECT nation, CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM (SELECT unnest([x, y, z]) AS nation FROM tri)
+      |GROUP BY nation ORDER BY nation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_psi_drift" -> (psiDrift _),
+    "q_triangle_nations" -> (triangleNations _),
     "q_scd2_build" -> (scd2Build _),
     "q_basket_rules" -> ((s, d) => basketRules(s, d)),
     "q_dict_redact" -> (dictRedact _),
@@ -349,6 +459,8 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_psi_drift" -> psiDriftSql,
+    "q_triangle_nations" -> triangleNationsSql,
     "q_scd2_build" -> scd2BuildSql,
     "q_basket_rules" -> basketRulesSql,
     "q_dict_redact" -> dictRedactSql,

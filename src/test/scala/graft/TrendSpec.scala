@@ -54,6 +54,19 @@ class TrendSpec extends SparkSpec {
     }
   }
 
+  test("lm score is a nonnegative cross-entropy, zero only for all-unique followers") {
+    val rows = queries.Trend.lmScore(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // c_xy <= c_x always (a bigram's doc set is a subset of its head
+      // word's), so every ln term is <= 0 and the negated avg >= 0.
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) >= 0, s"negative nll for doc ${r.getLong(0)}")
+    }
+    // the corpus has repeated bigrams, so not every score can be 0
+    assert(rows.exists(_.getDouble(2) > 0))
+  }
+
   test("sequence paths have one letter per event and converted matches a recheck") {
     val out = queries.Trend.seqPattern(spark, sfDir).collect()
     assert(out.nonEmpty)

@@ -83,6 +83,30 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("psi bins cover both eras and terms are finite and nonnegative") {
+    val rows = Warehouse.psiDrift(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // bins cover every order exactly once, per era
+    val eras = Tables.orders(spark, sfDir)
+      .agg(sum(when(year(col("o_orderdate")) <= 1997, 1L).otherwise(0L)),
+        sum(when(year(col("o_orderdate")) > 1997, 1L).otherwise(0L))).head()
+    assert(rows.map(_.getLong(1)).sum == eras.getLong(0))
+    assert(rows.map(_.getLong(2)).sum == eras.getLong(1))
+    rows.foreach { r =>
+      // (p-q)·ln(p/q) ≥ 0 always (same sign); Laplace keeps it finite
+      assert(r.getDouble(3) >= 0 && !r.getDouble(3).isInfinite)
+    }
+  }
+
+  test("triangles: membership counts are multiples-of-3 in total and bounded") {
+    val rows = Warehouse.triangleNations(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every triangle contributes exactly 3 memberships
+    assert(rows.map(_.getLong(1)).sum % 3 == 0)
+    // a nation can be in at most C(24,2) triangles of a 25-node graph
+    rows.foreach(r => assert(r.getLong(1) > 0 && r.getLong(1) <= 276))
+  }
+
   test("doc packing partitions the corpus in doc_id order") {
     val packs = Warehouse.docPacking(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
