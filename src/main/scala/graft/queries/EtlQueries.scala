@@ -253,6 +253,37 @@ object EtlQueries {
        |FROM read_json_auto('${ndjsonStageDir("sf0.01")}/*.json.gz')
        |ORDER BY o_orderkey""".stripMargin
 
+  /** Hive-style partition pruning at rest — the layout that makes a
+    * 100 TB table cheap to query by its partition key: the orders
+    * table is WRITTEN partitioned by priority (one directory per
+    * value), then read back with a partition-key predicate. The
+    * filter never touches file contents — it prunes whole directories
+    * at planning time (PartitionFilters in the scan node; asserted in
+    * EtlSpec) — so the scan cost is proportional to the one selected
+    * partition, not the table. The partition column round-trips
+    * through the directory name, not the data files. */
+  def partitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val stage = partitionStageDir(dir)
+    Tables.orders(s, dir)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(stage)
+    s.read.parquet(stage)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** sf-keyed for the same reason as [[ndjsonStageDir]]. */
+  def partitionStageDir(dir: String): String =
+    s"/tmp/graft_part_stage_${new java.io.File(dir).getName}"
+
+  /** Oracle reads the ORIGINAL table with the same predicate: pruning
+    * must be a pure layout optimization with zero effect on results. */
+  val partitionPruneSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_orderkey""".stripMargin
+
   /** E1 fidelity — DecimalType end-to-end: the reference maps NUMERIC
     * to FLOAT (SURVEY §1.1's documented lossiness); this engine keeps
     * money math exact. Prices and discounts are recovered to exact
@@ -305,6 +336,7 @@ object EtlQueries {
     "q_content_validate" -> (contentValidate _),
     "q_array_funcs" -> (arrayFuncs _),
     "q_ndjson_scan" -> (ndjsonScan _),
+    "q_partition_prune" -> (partitionPrune _),
     "q_decimal_fidelity" -> (decimalFidelity _),
   )
 
@@ -317,6 +349,7 @@ object EtlQueries {
     "q_content_validate" -> contentValidateSql,
     "q_array_funcs" -> arrayFuncsSql,
     "q_ndjson_scan" -> ndjsonScanSql,
+    "q_partition_prune" -> partitionPruneSql,
     "q_decimal_fidelity" -> decimalFidelitySql,
   )
 }

@@ -103,6 +103,18 @@ class EtlSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("partition-pruned read touches one directory, not the table") {
+    val q = queries.EtlQueries.partitionPrune(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the predicate must prune at planning time (directory-level), not
+    // run as a data filter over all partitions
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderpriority"),
+      plan.take(1500))
+    val want = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(q.count() == want && want > 0)
+  }
+
   test("decimal fidelity: aggregate runs in DecimalType(38,4), sink is engine-neutral") {
     import org.apache.spark.sql.types.{DecimalType, LongType, DoubleType}
     // The money math must be decimal END-TO-END internally (exact,
