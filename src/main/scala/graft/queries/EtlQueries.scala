@@ -245,12 +245,18 @@ object EtlQueries {
   def ndjsonStageDir(dir: String): String =
     s"/tmp/graft_ndjson_stage_${new java.io.File(dir).getName}"
 
-  val ndjsonScanSql: String =
+  /** The oracle string must name a concrete staging path; the driver
+    * verifies at sf0.01, so that's the default. SPARK_GRAFT_ORACLE_SF
+    * re-keys it for the builder's local cross-sf sweeps (without it a
+    * local sf0.1 check reads the sf0.01 staging dir and reports a
+    * spurious row-count mismatch). */
+  def ndjsonScanSql: String =
     s"""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
        |  CAST(o_custkey AS BIGINT) AS o_custkey,
        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
        |  CAST(o_orderpriority AS VARCHAR) AS o_orderpriority
-       |FROM read_json_auto('${ndjsonStageDir("sf0.01")}/*.json.gz')
+       |FROM read_json_auto('${ndjsonStageDir(
+             sys.env.getOrElse("SPARK_GRAFT_ORACLE_SF", "sf0.01"))}/*.json.gz')
        |ORDER BY o_orderkey""".stripMargin
 
   /** Hive-style partition pruning at rest — the layout that makes a

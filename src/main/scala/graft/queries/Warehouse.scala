@@ -446,7 +446,42 @@ object Warehouse {
       |FROM (SELECT unnest([x, y, z]) AS nation FROM tri)
       |GROUP BY nation ORDER BY nation""".stripMargin
 
+  /** Benford first-digit audit — the classic fabricated-numbers
+    * screen for financial columns. Digits come from the exact cent
+    * value's decimal STRING (an int64 renders identically on both
+    * engines; extracting via log10/floor would mis-bin at power-of-10
+    * boundaries where log10 lands one ulp low), shares are single
+    * exact divisions, and the Benford expectation ln(1+1/d)/ln(10) is
+    * the same fixed IEEE chain on both engines. One partial/final
+    * count over one scan at any scale. */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(s, dir)
+      .select(substring((col("o_totalprice").cast("decimal(18,2)") * lit(100))
+        .cast("bigint").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("total")).as("share"),
+        (log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+          log(lit(10.0))).as("expected"))
+      .orderBy(col("digit"))
+  }
+
+  val benfordAuditSql: String =
+    """SELECT digit, n, CAST(n AS DOUBLE) / total AS share,
+      |  ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS expected
+      |FROM (SELECT digit, CAST(count(*) AS BIGINT) AS n,
+      |        sum(count(*)) OVER () AS total
+      |      FROM (SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+      |              * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      |            FROM orders)
+      |      GROUP BY digit)
+      |ORDER BY digit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford" -> (benfordAudit _),
     "q_psi_drift" -> (psiDrift _),
     "q_triangle_nations" -> (triangleNations _),
     "q_scd2_build" -> (scd2Build _),
@@ -459,6 +494,7 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_benford" -> benfordAuditSql,
     "q_psi_drift" -> psiDriftSql,
     "q_triangle_nations" -> triangleNationsSql,
     "q_scd2_build" -> scd2BuildSql,

@@ -422,7 +422,44 @@ object Windows {
       |  FROM customer GROUP BY c_mktsegment)
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Rolling median — the robust trailing-frame smoother (a moving
+    * average a single outlier can't drag). The 7-row frame's values
+    * are collected, sorted INSIDE the row's expression (frame
+    * collection order is engine/partitioning-dependent; the sort
+    * makes it canonical), and the middle is picked exactly: the odd
+    * case is an integer, the even case (a+b)/2 one exact dyadic
+    * division. Per-customer window — no global sort; frame size is a
+    * constant, so state per row is O(7). */
+  def rollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("od"), col("o_orderkey"))
+      .rowsBetween(-6, 0)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("od"),
+        (col("o_totalprice").cast("decimal(18,2)") * lit(100))
+          .cast("bigint").as("cents"))
+      .withColumn("frame", sort_array(collect_list(col("cents")).over(w)))
+      .select(col("o_custkey"), col("o_orderkey"), col("od"), col("cents"),
+        expr("""CASE WHEN size(frame) % 2 = 1
+                THEN CAST(element_at(frame, CAST((size(frame) + 1) DIV 2 AS INT)) AS DOUBLE)
+                ELSE (element_at(frame, CAST(size(frame) DIV 2 AS INT))
+                      + element_at(frame, CAST(size(frame) DIV 2 + 1 AS INT))) / 2.0D
+                END""").as("med_cents"))
+      .orderBy(col("o_custkey"), col("od"), col("o_orderkey"))
+  }
+
+  val rollingMedianSql: String =
+    """SELECT o_custkey, o_orderkey, od, cents,
+      |  median(cents) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_cents
+      |FROM (SELECT o_custkey, o_orderkey,
+      |        CAST(floor(epoch(o_orderdate)) AS BIGINT) AS od,
+      |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |      FROM orders)
+      |ORDER BY o_custkey, od, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_median" -> (rollingMedian _),
     "q_gapfill" -> (gapFill _),
     "q_interpolate" -> (interpolate _),
     "q_user_stats" -> (userStats _),
@@ -440,6 +477,7 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_median" -> rollingMedianSql,
     "q_gapfill" -> gapFillSql,
     "q_interpolate" -> interpolateSql,
     "q_user_stats" -> userStatsSql,
