@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -480,7 +480,46 @@ object Warehouse {
       |      GROUP BY digit)
       |ORDER BY digit""".stripMargin
 
+  /** Z-order (Morton) clustering key — the multi-dimensional layout
+    * trick for tables queried by MORE than one column: interleaving
+    * the bits of (customer, order-day) makes rows close in EITHER
+    * dimension land close in the one physical sort order, so min/max
+    * file statistics prune for both predicates at once (a plain sort
+    * prunes for its leading column only). The code is 16 shift/mask
+    * terms per dimension — pure codegen'd integer ops, no UDF; at
+    * scale the table is written `repartitionByRange(morton)` +
+    * sortWithinPartitions and this query IS the write's sort key. */
+  def zorderKey(s: SparkSession, dir: String): DataFrame = {
+    val bx = col("o_custkey").bitwiseAND(lit(65535L))
+    val by = datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+      .cast("bigint").bitwiseAND(lit(65535L))
+    val morton = (0 until 16).map { j =>
+      (shiftleft(shiftright(bx, j).bitwiseAND(lit(1L)), 2 * j) +
+        shiftleft(shiftright(by, j).bitwiseAND(lit(1L)), 2 * j + 1)): Column
+    }.reduce(_ + _)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+          .cast("bigint").as("day"),
+        morton.as("morton"))
+      .orderBy(col("morton"), col("o_orderkey"))
+  }
+
+  val zorderKeySql: String = {
+    val terms = (0 until 16).map { j =>
+      s"((((o_custkey & 65535) >> $j) & 1) << ${2 * j}) + " +
+        s"((((day & 65535) >> $j) & 1) << ${2 * j + 1})"
+    }.mkString(" +\n      |    ")
+    s"""SELECT o_orderkey, o_custkey, day,
+      |  CAST($terms AS BIGINT) AS morton
+      |FROM (SELECT o_orderkey, o_custkey,
+      |        CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS day
+      |      FROM orders)
+      |ORDER BY morton, o_orderkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_key" -> (zorderKey _),
     "q_benford" -> (benfordAudit _),
     "q_psi_drift" -> (psiDrift _),
     "q_triangle_nations" -> (triangleNations _),
@@ -494,6 +533,7 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_zorder_key" -> zorderKeySql,
     "q_benford" -> benfordAuditSql,
     "q_psi_drift" -> psiDriftSql,
     "q_triangle_nations" -> triangleNationsSql,

@@ -107,6 +107,21 @@ class WarehouseSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) > 0 && r.getLong(1) <= 276))
   }
 
+  test("zorder morton code decodes back to both dimensions exactly") {
+    val rows = Warehouse.zorderKey(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cust, day, m) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      var (bx, by) = (0L, 0L)
+      for (j <- 0 until 16) {
+        bx |= ((m >> (2 * j)) & 1L) << j
+        by |= ((m >> (2 * j + 1)) & 1L) << j
+      }
+      assert(bx == (cust & 65535L) && by == (day & 65535L),
+        s"morton $m decodes to ($bx,$by), want (${cust & 65535L},${day & 65535L})")
+    }
+  }
+
   test("doc packing partitions the corpus in doc_id order") {
     val packs = Warehouse.docPacking(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
