@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Dedup, Similarity, TextAnalysis}
@@ -347,7 +347,63 @@ object Llm {
       |  md5(text) AS payload_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BM25 retrieval scoring — the lexical ranker every RAG/eval
+    * pipeline runs next to the vector index. Inputs are exact
+    * integers (tf, dl, df, N, Σdl); the score is one fixed IEEE chain
+    * per (doc, term) — idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
+    * k1=1.2, b=0.75 — written identically on both engines, so raw
+    * doubles hash-match. PER-TERM rows are emitted (the per-cell
+    * convention): the query-level sum is the consumer's tiny exact
+    * reduce, not an order-dependent float total here. Scale shape:
+    * doc-length and df tables are aggregates of the token stream;
+    * corpus stats join as a one-row broadcast; everything else is
+    * broadcast-joined onto the tf aggregate. */
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.widen(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val tf = toks.filter(col("term").isin("join", "hash", "vector"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val D = (c: Column) => c.cast("double")
+    tf.join(dl, Seq("doc_id"))
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+        (log((D(col("n")) - D(col("df")) + lit(0.5)) / (D(col("df")) + lit(0.5))
+            + lit(1.0)) *
+          (D(col("tf")) * lit(2.2)) /
+          (D(col("tf")) + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (D(col("dl")) / (D(col("sumdl")) / D(col("n"))))))).as("bm25"))
+      .orderBy(col("term"), col("doc_id"))
+  }
+
+  val bm25Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |              FROM documents),
+      |t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |            CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+      |       WHERE term IN ('join', 'hash', 'vector') GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+      |SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+      |  CAST(dl.dl AS BIGINT) AS dl,
+      |  ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+      |       (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+      |    (CAST(tf.tf AS DOUBLE) * 2.2) /
+      |    (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |      (CAST(dl.dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+      |    AS bm25
+      |FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+      |JOIN df ON tf.term = df.term, stats
+      |ORDER BY tf.term, tf.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> (bm25 _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
@@ -367,6 +423,7 @@ object Llm {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bm25" -> bm25Sql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
