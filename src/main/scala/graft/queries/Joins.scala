@@ -166,6 +166,45 @@ object Joins {
       |GROUP BY e.event_id, e.user_id
       |ORDER BY e.event_id""".stripMargin
 
+  /** J6b — FORWARD as-of join with a tolerance horizon: for each
+    * purchase, the same user's EARLIEST click strictly after it but
+    * within 24 hours (the merge_asof direction='forward',
+    * tolerance=… semantics — "what did this touchpoint convert
+    * into"). The horizon bound is what keeps the shape scale-safe:
+    * the equi key bounds the match set and the tolerance bounds it
+    * in time, so the join never degenerates toward
+    * each-event×all-future. The per-purchase pick is ONE
+    * partial/final min aggregate (argmin convention: map-side
+    * combined, one row per purchase crosses the shuffle — no window
+    * sort at all). Times compare at whole-second epoch (the
+    * cross-engine precision rule). */
+  def asofForwardJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("te"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("te"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("te").as("tc"))
+    p.join(c,
+        col("user_id") === col("cu") &&
+        col("tc") > col("te") && col("tc") <= col("te") + lit(86400L))
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(min(col("tc")).as("next_click_epoch"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofForwardJoinSql: String =
+    """SELECT p.event_id, p.user_id,
+      |  CAST(min(floor(epoch(c.ts))) AS BIGINT) AS next_click_epoch
+      |FROM events p JOIN events c
+      |  ON c.user_id = p.user_id AND c.event_type = 'click'
+      |  AND floor(epoch(c.ts)) > floor(epoch(p.ts))
+      |  AND floor(epoch(c.ts)) <= floor(epoch(p.ts)) + 86400
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id, p.user_id
+      |ORDER BY p.event_id""".stripMargin
+
   /** J7 — bounded cross join (region × nation). */
   def crossJoinQ(s: SparkSession, dir: String): DataFrame =
     Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
@@ -284,6 +323,7 @@ object Joins {
     "q_join_anti" -> (antiJoin _),
     "q_join_theta" -> (thetaJoin _),
     "q_join_asof" -> (asofJoin _),
+    "q_join_asof_forward" -> (asofForwardJoin _),
     "q_join_cross" -> (crossJoinQ _),
     "q_join_star" -> (starJoin _),
   )
@@ -299,6 +339,7 @@ object Joins {
     "q_join_anti" -> antiJoinSql,
     "q_join_theta" -> thetaJoinSql,
     "q_join_asof" -> asofJoinSql,
+    "q_join_asof_forward" -> asofForwardJoinSql,
     "q_join_cross" -> crossJoinSql,
     "q_join_star" -> starJoinSql,
   )
