@@ -410,6 +410,11 @@ object Warehouse {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"), col("w"))
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+      // ≤ |nations|² rows, but its PLAN contains the corpus-wide star
+      // join — and Spark broadcasts a SUBPLAN, not a result, so the
+      // `cut` broadcast below would re-run that star join from scratch
+      // without this persist (the IVF-centroid lesson).
+      .persist()
     val cut = und.agg((sum(col("w")).cast("double") / count(lit(1)) / lit(2.0)).as("cut"))
     val e = und.crossJoin(broadcast(cut))
       .filter(col("w").cast("double") >= col("cut"))
