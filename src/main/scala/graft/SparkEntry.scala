@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, EtlQueries, Extras, Joins, Llm, Pipeline, Relational, Trend, Warehouse, Windows}
+import graft.queries.{Analytics, EtlQueries, Extras, Joins, Linkage, Llm, Pipeline, Relational, Trend, Warehouse, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,6 +30,7 @@ object SparkEntry {
       (Analytics.queries, Analytics.oracle),
       (Warehouse.queries, Warehouse.oracle),
       (Trend.queries, Trend.oracle),
+      (Linkage.queries, Linkage.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

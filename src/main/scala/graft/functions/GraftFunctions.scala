@@ -474,6 +474,8 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("fnv64", exprs => FnvHash64(exprs.head), "scala_udf")
       reg.createOrReplaceTempFunction("dot_f32",
         exprs => DotProductF32(exprs(0), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("jaro_winkler",
+        exprs => JaroWinklerSim(exprs(0), exprs(1)), "scala_udf")
     }
     // Optimizer rules go through the public experimental-methods hook
     // (sessions built with spark.sql.extensions get them from
@@ -485,4 +487,5 @@ object GraftFunctions {
 
   def fnv64(c: Column): Column = call_function("fnv64", c)
   def dotF32(a: Column, b: Column): Column = call_function("dot_f32", a, b)
+  def jaroWinkler(a: Column, b: Column): Column = call_function("jaro_winkler", a, b)
 }

@@ -333,7 +333,31 @@ object EtlQueries {
       |    AS DOUBLE) AS revenue_dbl
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** ORC transport round-trip — the second columnar interchange
+    * format next to parquet (S-row parity: a migrating user's staging
+    * files may be ORC). Spark writes a lineitem projection to ORC and
+    * reads it back; every type (int64 keys, double measures,
+    * µs timestamps, strings) must survive bit-exactly, so the oracle
+    * is the same projection straight off the parquet table. The
+    * staged write is a distributed columnar sink — at scale it
+    * inherits the same partitioned-write path as the parquet sink. */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val stage = s"/tmp/graft_orc_stage_${new java.io.File(dir).getName}"
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
+      .write.mode("overwrite").orc(stage)
+    s.read.orc(stage)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |  l_returnflag, l_shipdate
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_typemap_cast" -> (typemapCast _),
     "q_try_cast" -> (tryCast _),
     "q_schema_evolution" -> (schemaEvolution _),
@@ -347,6 +371,7 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_orc_roundtrip" -> orcRoundtripSql,
     "q_typemap_cast" -> typemapCastSql,
     "q_try_cast" -> tryCastSql,
     "q_schema_evolution" -> schemaEvolutionSql,

@@ -286,7 +286,45 @@ object Trend {
       |JOIN cx ON string_split(pres.bigram, ' ')[1] = cx.w
       |GROUP BY pres.doc_id ORDER BY pres.doc_id""".stripMargin
 
+  /** Last-touch attribution — each purchase credited to the user's
+    * most recent preceding non-purchase event (the marketing-channel
+    * question). One keyed window with an IGNORE-NULLS last() over an
+    * unbounded-preceding-to-1-preceding frame: linear, skew-safe,
+    * no self-join against the event history. Purchases with no prior
+    * touch credit 'direct' (sentinel, not NULL — cross-engine null
+    * ordering). Epoch-second timestamps (the events-table ns→µs
+    * convention, SURVEY.md §7.5). */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("attr",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("sec"),
+        coalesce(col("attr"), lit("direct")).as("channel"))
+      .orderBy(col("event_id"))
+  }
+
+  val attributionSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |a AS (SELECT user_id, event_id, event_type, sec,
+      |        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |            IGNORE NULLS)
+      |          OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+      |      FROM e)
+      |SELECT event_id, user_id, sec, coalesce(attr, 'direct') AS channel
+      |FROM a WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> (attribution _),
     "q_lm_score" -> (lmScore _),
     "q_regr_slope" -> (regrSlope _),
     "q_ewma" -> (ewmaSpend _),
@@ -296,6 +334,7 @@ object Trend {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_attribution" -> attributionSql,
     "q_lm_score" -> lmScoreSql,
     "q_regr_slope" -> regrSlopeSql,
     "q_ewma" -> ewmaSpendSql,

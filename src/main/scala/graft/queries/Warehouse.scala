@@ -523,7 +523,118 @@ object Warehouse {
       |ORDER BY morton, o_orderkey""".stripMargin
   }
 
+  /** Two-sample Kolmogorov-Smirnov statistic — the nonparametric
+    * drift/shift audit next to [[psiDrift]]'s binned divergence: the
+    * max gap between the empirical CDFs of returned ('R') vs current
+    * ('N') line prices. Prices quantize to bounded bins first, so the
+    * cumulative window runs over a BOUNDED aggregate (~10³ rows), not
+    * the fact table. Each CDF value is one exact-integer division
+    * (cum/N, both exact → IEEE-identical); the statistic is a MAX — a
+    * selection, not an accumulation — so no float-order drift on
+    * either engine. */
+  def ksTest(s: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .select((col("l_returnflag") === "R").cast("int").as("is_r"),
+        floor(col("l_extendedprice") / 100).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(col("is_r")).as("n1"), sum(lit(1) - col("is_r")).as("n2"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = binned.agg(sum(col("n1")).as("tot1"), sum(col("n2")).as("tot2"))
+    binned
+      .withColumn("c1", sum(col("n1")).over(w))
+      .withColumn("c2", sum(col("n2")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("tot1")).cast("long").as("n1"),
+        max(col("tot2")).cast("long").as("n2"),
+        max(abs(col("c1").cast("double") / col("tot1").cast("double") -
+          col("c2").cast("double") / col("tot2").cast("double"))).as("ks_d"))
+  }
+
+  val ksTestSql: String =
+    """WITH binned AS (SELECT CAST(floor(l_extendedprice / 100) AS BIGINT) AS bin,
+      |         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n1,
+      |         sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS n2
+      |       FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+      |cum AS (SELECT bin, n1, n2,
+      |          sum(n1) OVER (ORDER BY bin
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+      |          sum(n2) OVER (ORDER BY bin
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+      |          sum(n1) OVER () AS tot1, sum(n2) OVER () AS tot2
+      |        FROM binned)
+      |SELECT CAST(max(tot1) AS BIGINT) AS n1, CAST(max(tot2) AS BIGINT) AS n2,
+      |  max(abs(CAST(c1 AS DOUBLE) / CAST(tot1 AS DOUBLE) -
+      |          CAST(c2 AS DOUBLE) / CAST(tot2 AS DOUBLE))) AS ks_d
+      |FROM cum""".stripMargin
+
+  /** Two-proportion z-test — the experimentation readout: per-user
+    * conversion (≥14 purchase events — the engagement bar; an
+    * any-event definition converts EVERYONE at our event density and
+    * degenerates the pooled variance to 0) across a deterministic
+    * split (user_id parity), pooled-variance z statistic. Counts are
+    * exact (distinct users via groupBy, conversions via threshold
+    * flag); the z formula is one fixed IEEE chain written identically
+    * on both engines, and the degenerate all/none-converted case is
+    * filtered BEFORE the division (ANSI division-by-zero guard, both
+    * engines). At scale this is two keyed aggregates (user, then
+    * segment) and a two-row reduce — no window at all. */
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .select(pmod(col("user_id"), lit(2)).as("seg"), col("user_id"),
+        (col("event_type") === "purchase").cast("int").as("is_p"))
+      .groupBy(col("seg"), col("user_id"))
+      .agg((sum(col("is_p")) >= 14).cast("int").as("conv"))
+    val Dd = (c: Column) => c.cast("double")
+    perUser
+      .agg(
+        sum(when(col("seg") === 0, 1).otherwise(0)).as("n1"),
+        sum(when(col("seg") === 0, col("conv")).otherwise(0)).as("c1"),
+        sum(when(col("seg") === 1, 1).otherwise(0)).as("n2"),
+        sum(when(col("seg") === 1, col("conv")).otherwise(0)).as("c2"))
+      .filter(col("n1") > 0 && col("n2") > 0 &&
+        col("c1") + col("c2") > 0 && col("c1") + col("c2") < col("n1") + col("n2"))
+      .select(col("n1").cast("long").as("n1"), col("c1").cast("long").as("c1"),
+        col("n2").cast("long").as("n2"), col("c2").cast("long").as("c2"),
+        (Dd(col("c1")) / Dd(col("n1"))).as("p1"),
+        (Dd(col("c2")) / Dd(col("n2"))).as("p2"),
+        ((Dd(col("c1")) / Dd(col("n1")) - Dd(col("c2")) / Dd(col("n2"))) /
+          sqrt((Dd(col("c1")) + Dd(col("c2"))) / (Dd(col("n1")) + Dd(col("n2"))) *
+            (lit(1.0) - (Dd(col("c1")) + Dd(col("c2"))) / (Dd(col("n1")) + Dd(col("n2")))) *
+            (lit(1.0) / Dd(col("n1")) + lit(1.0) / Dd(col("n2"))))).as("z"))
+  }
+
+  val abTestSql: String =
+    """WITH pu AS (SELECT user_id % 2 AS seg, user_id,
+      |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |           >= 14 THEN 1 ELSE 0 END AS conv
+      |       FROM events GROUP BY 1, 2),
+      |agg AS (SELECT
+      |    sum(CASE WHEN seg = 0 THEN 1 ELSE 0 END) AS n1,
+      |    sum(CASE WHEN seg = 0 THEN conv ELSE 0 END) AS c1,
+      |    sum(CASE WHEN seg = 1 THEN 1 ELSE 0 END) AS n2,
+      |    sum(CASE WHEN seg = 1 THEN conv ELSE 0 END) AS c2
+      |  FROM pu
+      |  HAVING sum(CASE WHEN seg = 0 THEN 1 ELSE 0 END) > 0
+      |    AND sum(CASE WHEN seg = 1 THEN 1 ELSE 0 END) > 0
+      |    AND sum(conv) > 0 AND sum(conv) < count(*))
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+      |  CAST(n2 AS BIGINT) AS n2, CAST(c2 AS BIGINT) AS c2,
+      |  CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+      |  CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+      |  (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+      |     CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+      |    sqrt((CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE)) /
+      |           (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
+      |         (1.0 - (CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE)) /
+      |           (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+      |         (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS z
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_test" -> (ksTest _),
+    "q_ab_test" -> (abTest _),
     "q_zorder_key" -> (zorderKey _),
     "q_benford" -> (benfordAudit _),
     "q_psi_drift" -> (psiDrift _),
@@ -538,6 +649,8 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ks_test" -> ksTestSql,
+    "q_ab_test" -> abTestSql,
     "q_zorder_key" -> zorderKeySql,
     "q_benford" -> benfordAuditSql,
     "q_psi_drift" -> psiDriftSql,
