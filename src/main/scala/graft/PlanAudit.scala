@@ -46,6 +46,14 @@ object PlanAudit {
     "q_regr_slope" -> "regression power sums partial/final aggregated; 6 values per group cross the shuffle",
     "q_weighted_sample" -> "exponential keys are a map-side projection; only the per-stratum window shuffles",
     "q_pmi" -> "unigram count tables and the one-row corpus size broadcast onto the bigram aggregate",
+    "q_sorted_neighborhood" -> "ONE WindowExec serves all four lags (shared spec); neighbor pairs explode from the same pass — no two-branch re-scan",
+    "q_jaro_winkler" -> "blocked lag pairs from one keyed window; jaro_winkler is a single codegen'd expression in the projection",
+    "q_auc" -> "score-bin aggregate BEFORE the cumulative window: the window input is the bounded bin relation, not the fact table",
+    "q_crosscorr" -> "daily aggregates first; lag join + per-lag power sums run post-aggregate (broadcast joins, tiny)",
+    "q_rrf_fusion" -> "lexical + vector scores broadcast-joined over the bounded candidate set; rank windows see candidates only",
+    "q_ks_test" -> "binned CDF window over the bounded bin aggregate; totals broadcast; final MAX is one partial/final aggregate",
+    "q_attribution" -> "one keyed window with IGNORE-NULLS last(); no self-join against event history",
+    "q_skyline" -> "blocked dominance anti-join: block key is the equi-join side, dominance is the residual condition",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, EtlQueries, Extras, Joins, Linkage, Llm, Pipeline, Relational, Trend, Warehouse, Windows}
+import graft.queries.{Alloc, Analytics, EtlQueries, Extras, Joins, Linkage, Llm, Pipeline, Relational, Trend, Warehouse, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,6 +31,7 @@ object SparkEntry {
       (Warehouse.queries, Warehouse.oracle),
       (Trend.queries, Trend.oracle),
       (Linkage.queries, Linkage.oracle),
+      (Alloc.queries, Alloc.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32"),
       (exprs: Seq[Expression]) => DotProductF32(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinklerSim(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
   }
 }

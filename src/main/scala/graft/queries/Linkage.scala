@@ -30,23 +30,29 @@ object Linkage {
     * this same plan. Integer distance threshold → no float boundary
     * flips between engines. */
   def sortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    // block key as a real column (not an inline expr) so all four lags
+    // share ONE window spec → one WindowExec, one shuffle; the
+    // neighbor pairs then explode out of the same pass (plan-audited:
+    // a two-branch union re-scans and re-sorts everything twice).
     val docs = Tables.widen(Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"), col("text"),
-        substring(col("text"), 1, 48).as("pfx"))
-    val w = Window.partitionBy(col("lang"), substring(col("text"), 1, 1))
+        substring(col("text"), 1, 48).as("pfx"),
+        substring(col("text"), 1, 1).as("blk"))
+    val w = Window.partitionBy(col("lang"), col("blk"))
       .orderBy(col("text"), col("doc_id"))
-    val withPrev = docs
+    docs
       .withColumn("prev_id1", lag(col("doc_id"), 1).over(w))
       .withColumn("prev_pfx1", lag(col("pfx"), 1).over(w))
       .withColumn("prev_id2", lag(col("doc_id"), 2).over(w))
       .withColumn("prev_pfx2", lag(col("pfx"), 2).over(w))
-    val cand1 = withPrev.filter(col("prev_id1").isNotNull)
-      .select(col("lang"), col("doc_id"), col("prev_id1").as("cand_id"),
-        levenshtein(col("pfx"), col("prev_pfx1")).as("dist"))
-    val cand2 = withPrev.filter(col("prev_id2").isNotNull)
-      .select(col("lang"), col("doc_id"), col("prev_id2").as("cand_id"),
-        levenshtein(col("pfx"), col("prev_pfx2")).as("dist"))
-    cand1.unionAll(cand2)
+      .select(col("lang"), col("doc_id"), col("pfx"),
+        explode(array(
+          struct(col("prev_id1").as("cid"), col("prev_pfx1").as("cpfx")),
+          struct(col("prev_id2").as("cid"), col("prev_pfx2").as("cpfx"))))
+          .as("cand"))
+      .filter(col("cand.cid").isNotNull)
+      .select(col("lang"), col("doc_id"), col("cand.cid").as("cand_id"),
+        levenshtein(col("pfx"), col("cand.cpfx")).as("dist"))
       .filter(col("dist") <= 12)
       .orderBy(col("lang"), col("doc_id"), col("cand_id"))
   }

@@ -632,7 +632,40 @@ object Warehouse {
       |         (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS z
       |FROM agg""".stripMargin
 
+  /** Per-brand skyline (Pareto frontier) — the parts no same-brand
+    * part beats on BOTH price (lower-better) and size (higher-better):
+    * the multi-criteria shortlist query. Expressed as a blocked
+    * dominance anti-join: the quadratic term is bounded by the block
+    * (brand) size, exactly like [[basketRules]]' within-basket join —
+    * never corpus². Strict dominance (≥/≤ with one strict) keeps
+    * tied points on the frontier, so the result is a pure set
+    * predicate — no float accumulation at all, only comparisons of
+    * identical stored doubles. */
+  def skyline(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val other = p.select(col("p_brand").as("b_brand"),
+      col("p_retailprice").as("b_price"), col("p_size").as("b_size"))
+    p.join(other,
+        col("b_brand") === col("p_brand") &&
+          col("b_price") <= col("p_retailprice") && col("b_size") >= col("p_size") &&
+          (col("b_price") < col("p_retailprice") || col("b_size") > col("p_size")),
+        "left_anti")
+      .orderBy(col("p_brand"), col("p_partkey"))
+  }
+
+  val skylineSql: String =
+    """SELECT p_brand, p_partkey, p_retailprice, p_size
+      |FROM part a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part b
+      |  WHERE b.p_brand = a.p_brand
+      |    AND b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+      |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+      |ORDER BY p_brand, p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> (skyline _),
     "q_ks_test" -> (ksTest _),
     "q_ab_test" -> (abTest _),
     "q_zorder_key" -> (zorderKey _),
@@ -649,6 +682,7 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_skyline" -> skylineSql,
     "q_ks_test" -> ksTestSql,
     "q_ab_test" -> abTestSql,
     "q_zorder_key" -> zorderKeySql,
