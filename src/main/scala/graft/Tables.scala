@@ -56,6 +56,17 @@ object Tables {
     * input has many row groups, the scan is already wide, and this is
     * a no-op — the check is on actual partition count, not file size.
     */
+  /** The session's configured shuffle width. Range-repartition passes
+    * (docPacking / abcClass / equidepth prefix sums) size their
+    * partition count to THIS, not a hardcoded constant: a range
+    * shuffle wider than the session's shuffle width pays extra
+    * sampling + scheduling for nothing at bench scale, and at real
+    * scale the operator inherits whatever width the cluster session
+    * configured.
+    */
+  def shuffleWidth(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions").toInt
+
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= math.min(target, 8)) df

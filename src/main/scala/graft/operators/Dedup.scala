@@ -263,13 +263,18 @@ object Dedup {
 
   /** Connected components over candidate pairs → duplicate clusters,
     * labeled by the minimum member id (the survivor a curation
-    * pipeline keeps). Min-label propagation for a FIXED number of
-    * iterations so the DuckDB oracle can unroll the identical joins;
-    * ClusterSpec asserts the fixed depth reaches the true fixpoint on
-    * the data (near-dup components are shallow). At 100 TB the same
-    * loop runs to convergence with per-iteration persist + a changed-
-    * label counter (large-star/small-star if components get deep). */
-  def dedupClusters(pairs: DataFrame, iterations: Int = 4): DataFrame = {
+    * pipeline keeps). Min-label propagation TO CONVERGENCE, checked at
+    * run time: labels are monotonically non-increasing (each round's
+    * min() includes the node's own label via the self-loop), so
+    * Σlabel — one exact decimal aggregate over the checkpointed label
+    * table, O(1) rows back to the driver per round — strictly
+    * decreases until the fixpoint and is constant exactly there. A
+    * deep component therefore can never be silently mislabeled by an
+    * assumed depth; `maxIterations` is only a runaway backstop
+    * (diameter > maxIterations would need a pathological near-dup
+    * graph — large-star/small-star contraction is the documented
+    * escalation if one ever appears). */
+  def dedupClusters(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
     // Iterative algorithm hygiene: materialize the pair generation
     // once and TRUNCATE LINEAGE periodically (localCheckpoint) —
     // otherwise every iteration's plan nests all previous ones and
@@ -296,17 +301,29 @@ object Dedup {
       .union(nodes.select(col("node").as("u"), col("node").as("v")))
       .repartition(col("v"))
       .localCheckpoint()
-    var labels = nodes.withColumn("label", col("node"))
-    for (i <- 1 to iterations) {
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    var prevSum = labelSum(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      i += 1
       // shuffle_hash, not sort-merge: the label table is the build
       // side and there is no point re-sorting the static edge
       // relation once per round just to stream-merge it.
+      // Eager localCheckpoint each round both truncates lineage and
+      // materializes the round so the convergence aggregate reads the
+      // cached result, not a recomputation.
       labels = edgesPlus.join(labels.hint("shuffle_hash"),
           edgesPlus("v") === labels("node"))
         .groupBy(col("u")).agg(min(col("label")).as("label"))
         .withColumnRenamed("u", "node")
-      if (i % 2 == 0 && i < iterations)
-        labels = labels.localCheckpoint()
+        .localCheckpoint()
+      val curSum = labelSum(labels)
+      converged = (prevSum == null && curSum == null) ||
+        (prevSum != null && curSum != null && prevSum.compareTo(curSum) == 0)
+      prevSum = curSum
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("keep", col("doc_id") === col("cluster_id"))

@@ -194,18 +194,32 @@ object Similarity {
     // Scored against the centroid table once per training/assignment
     // pass — persist so each pass reads the projected corpus from
     // cache instead of re-scanning (caller owns the cache lifecycle).
+    require(iterations >= 1, "ivfTopK needs at least one Lloyd step")
     val cand = wideCandidates.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ce")).persist()
     var cents = withNorm(wideCandidates.groupBy(col(seedCol).cast("bigint").as("cid"))
       .agg(vm(col("embedding")).as("centroid"))
       .select(col("cid"), toCent(col("centroid")).as("centroid")))
-    for (_ <- 1 to iterations) {
-      cents = withNorm(nearest(cand, cents, "neighbor_id", "ce", 1)
+    // Each Lloyd step is ONE corpus assignment pass (assign, then means).
+    // The FINAL step's assignment IS the inverted-list table, and the
+    // final centroids are exactly those lists' means — each list's
+    // representative is its true mean, and the index costs `iterations`
+    // corpus passes, not iterations+1. (The previous trailing
+    // re-assignment pass bought nothing: it re-scored the whole corpus
+    // only to move boundary vectors to lists whose centroid is then no
+    // longer their mean.)
+    var lists = nearest(cand, cents, "neighbor_id", "ce", 1).persist()
+    for (i <- 1 to iterations) {
+      cents = withNorm(lists
         .groupBy(col("cid"))
         .agg(vm(col("ce")).as("centroid"))
         .select(col("cid"), toCent(col("centroid")).as("centroid")))
+      if (i < iterations) {
+        val prev = lists
+        lists = nearest(cand, cents, "neighbor_id", "ce", 1).persist()
+        prev.unpersist()
+      }
     }
-    val lists = nearest(cand, cents, "neighbor_id", "ce", 1)
     val pAssigned = nearest(
       probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe")),
       cents, "probe_id", "pe", nprobe)

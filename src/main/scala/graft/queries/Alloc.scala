@@ -88,13 +88,16 @@ object Alloc {
         (col("l_extendedprice").cast("decimal(18,2)") * 100)
           .cast("bigint").as("cents"))
       .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev"))
-    val parts = rev.repartitionByRange(32, col("rev").desc, col("l_partkey"))
+    val parts = rev
+      .repartitionByRange(Tables.shuffleWidth(s), col("rev").desc, col("l_partkey"))
       .withColumn("pid", spark_partition_id())
       .persist() // pin sampled range bounds: both readers must agree on pid
     val offsets = parts.groupBy(col("pid")).agg(sum(col("rev")).as("c"))
       .withColumn("off", sum(col("c")).over(Window.orderBy(col("pid"))) - col("c"))
       .select(col("pid"), col("off"))
-    val total = rev.agg(sum(col("rev")).as("total"))
+    // total from the PERSISTED relation — never re-run the fact-table
+    // aggregate for a scalar the cached partial already holds.
+    val total = parts.agg(sum(col("rev")).as("total"))
     val localW = Window.partitionBy(col("pid"))
       .orderBy(col("rev").desc, col("l_partkey"))
     parts
@@ -134,9 +137,9 @@ object Alloc {
     * interval self-join: each interval becomes a +1/−1 delta, deltas
     * aggregate per day (keyed, distributed — this is the pass that
     * sees fact-table volume), and the running sum over the DAY
-    * relation is a window over a bounded aggregate (#days rows,
-    * driver-sized at any fact scale) — the aggregate-then-window
-    * shape. All integer arithmetic. */
+    * relation uses the two-pass partition-offset prefix sum, so even
+    * an unbounded time span never funnels through one task. All
+    * integer arithmetic. */
   def shippingLoad(s: SparkSession, dir: String): DataFrame = {
     val spans = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir)
@@ -146,10 +149,24 @@ object Alloc {
     val deltas = spans.select(col("open_d").as("d"), lit(1L).as("delta"))
       .unionAll(spans.select(date_add(col("close_d"), 1).as("d"), lit(-1L).as("delta")))
       .groupBy(col("d")).agg(sum(col("delta")).as("net"))
-    val w = Window.orderBy(col("d"))
+    // The day relation grows with the covered time span, so the running
+    // sum uses the same scale-safe two-pass prefix sum as docPacking:
+    // range-repartition by day, per-partition net totals broadcast as
+    // offsets, partition-local cumulative window — no single-partition
+    // global window even over an unbounded span.
+    val parts = deltas
+      .repartitionByRange(Tables.shuffleWidth(s), col("d"))
+      .withColumn("pid", spark_partition_id())
+      .persist() // pin sampled range bounds: both readers must agree on pid
+    val offsets = parts.groupBy(col("pid")).agg(sum(col("net")).as("c"))
+      .withColumn("off", sum(col("c")).over(Window.orderBy(col("pid"))) - col("c"))
+      .select(col("pid"), col("off"))
+    val localW = Window.partitionBy(col("pid")).orderBy(col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas
-      .withColumn("open", sum(col("net")).over(w))
+    parts
+      .withColumn("open", sum(col("net")).over(localW))
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("open", col("off") + col("open"))
       .groupBy(date_trunc("month", col("d")).cast("date").as("month"))
       .agg(max(col("open")).as("peak_open"), sum(col("net")).as("net_change"))
       .orderBy(col("month"))

@@ -683,10 +683,6 @@ object Analytics {
     * labeled by the lower percentile. */
   def percentileDisc(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val ranks = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-      .select(col("l_returnflag"),
-        ceil(col("n") * 0.5).cast("bigint").as("r50"),
-        ceil(col("n") * 0.9).cast("bigint").as("r90"))
     // Two-pass scale-safe rank lookup: range-partition by (flag, price)
     // so every task sorts only its own slice, then recover the GLOBAL
     // per-flag rank as broadcast per-(pid, flag) offset + local
@@ -698,17 +694,25 @@ object Analytics {
     // no per-group single-task sort anywhere. persist() pins ids and
     // sampled range bounds so both readers agree.
     val parts = li.select(col("l_returnflag"), col("l_extendedprice"))
-      .repartitionByRange(32, col("l_returnflag"), col("l_extendedprice"))
+      .repartitionByRange(Tables.shuffleWidth(s),
+        col("l_returnflag"), col("l_extendedprice"))
       .sortWithinPartitions(col("l_returnflag"), col("l_extendedprice"))
       .withColumn("mid", monotonically_increasing_id())
       .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
       .persist()
-    val offsets = parts.groupBy(col("pid"), col("l_returnflag"))
+    val counts = parts.groupBy(col("pid"), col("l_returnflag"))
       .agg(count(lit(1)).as("c"), min(col("mid")).as("m0"))
+    val offsets = counts
       .withColumn("off",
         sum(col("c")).over(
           Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))) - col("c"))
       .select(col("pid"), col("l_returnflag"), col("off"), col("m0"))
+    // Per-flag totals from the same per-(pid, flag) counts the offset
+    // pass computed — the rank thresholds cost no second lineitem scan.
+    val ranks = counts.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
+      .select(col("l_returnflag"),
+        ceil(col("n") * 0.5).cast("bigint").as("r50"),
+        ceil(col("n") * 0.9).cast("bigint").as("r90"))
     parts
       .join(broadcast(offsets), Seq("pid", "l_returnflag"))
       .withColumn("rn", col("off") + (col("mid") - col("m0")) + 1)

@@ -342,19 +342,30 @@ object EtlQueries {
     * staged write is a distributed columnar sink — at scale it
     * inherits the same partitioned-write path as the parquet sink. */
   def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val stage = s"/tmp/graft_orc_stage_${new java.io.File(dir).getName}"
+    // Stage path is unique per Spark application: two concurrent JVMs
+    // on the same fixture (bench + verify, parallel suites) must not
+    // race on one directory — overwrite would delete the stage while
+    // the other session reads it back.
+    val stage = s"/tmp/graft_orc_stage_${new java.io.File(dir).getName}" +
+      s"_${s.sparkContext.applicationId}"
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
       .write.mode("overwrite").orc(stage)
+    // ORDER BY spans every projected column: (orderkey, linenumber) is
+    // NOT unique in the fixture, so a shorter sort would leave tie
+    // order dependent on partitioning and ORC file layout (repo
+    // invariant: every query ends in a TOTAL order, ARCHITECTURE.md).
     s.read.orc(stage)
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
   }
 
   val orcRoundtripSql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
       |  l_returnflag, l_shipdate
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity,
+      |  l_extendedprice, l_returnflag, l_shipdate""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_orc_roundtrip" -> (orcRoundtrip _),

@@ -317,28 +317,40 @@ object Linkage {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-    val tf = toks.filter(col("term").isin("join", "hash", "vector"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // ONE corpus pass: per-doc length and the three query-term tfs come
+    // out of the same aggregate, and corpus stats (n, avgdl, per-term
+    // df) out of one tiny aggregate over its cached result. The earlier
+    // long-form tf/dl/df/stats chain re-executed the corpus explode
+    // four times because each relation re-ran the unpersisted lineage.
+    // Per-term score arithmetic is the identical IEEE chain as before
+    // (one sc term per (doc, term), summed join+hash+vector), so ranks
+    // and the oracle hash are unchanged.
+    val perDoc = toks.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("dl"),
+        sum(when(col("term") === "join", 1L)).as("tf_join"),
+        sum(when(col("term") === "hash", 1L)).as("tf_hash"),
+        sum(when(col("term") === "vector", 1L)).as("tf_vector"))
+      .persist()
+    val stats = perDoc.agg(
+      count(lit(1)).as("n"), sum(col("dl")).as("sumdl"),
+      count(col("tf_join")).as("df_join"),
+      count(col("tf_hash")).as("df_hash"),
+      count(col("tf_vector")).as("df_vector"))
     val Dd = (c: Column) => c.cast("double")
-    val cell = tf.join(dl, Seq("doc_id"))
-      .join(broadcast(df), Seq("term"))
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("term"),
-        (log((Dd(col("n")) - Dd(col("df")) + lit(0.5)) / (Dd(col("df")) + lit(0.5))
+    def sc(tf: Column, df: Column): Column =
+      when(tf.isNull, lit(0.0)).otherwise(
+        log((Dd(col("n")) - Dd(df) + lit(0.5)) / (Dd(df) + lit(0.5))
             + lit(1.0)) *
-          (Dd(col("tf")) * lit(2.2)) /
-          (Dd(col("tf")) + lit(1.2) * (lit(0.25) + lit(0.75) *
-            (Dd(col("dl")) / (Dd(col("sumdl")) / Dd(col("n"))))))).as("sc"))
-    val lex = cell.groupBy(col("doc_id")).agg(
-        sum(when(col("term") === "join", col("sc"))).as("s_join"),
-        sum(when(col("term") === "hash", col("sc"))).as("s_hash"),
-        sum(when(col("term") === "vector", col("sc"))).as("s_vector"))
+          (Dd(tf) * lit(2.2)) /
+          (Dd(tf) + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (Dd(col("dl")) / (Dd(col("sumdl")) / Dd(col("n")))))))
+    val lex = perDoc
+      .filter(col("tf_join").isNotNull || col("tf_hash").isNotNull ||
+        col("tf_vector").isNotNull)
+      .crossJoin(broadcast(stats))
       .select(col("doc_id"),
-        (coalesce(col("s_join"), lit(0.0)) + coalesce(col("s_hash"), lit(0.0)) +
-          coalesce(col("s_vector"), lit(0.0))).as("bm25"))
+        (sc(col("tf_join"), col("df_join")) + sc(col("tf_hash"), col("df_hash")) +
+          sc(col("tf_vector"), col("df_vector"))).as("bm25"))
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
     val probe = broadcast(emb.filter(col("vec_id") === 0)

@@ -127,18 +127,22 @@ object Llm {
 
   /** L2e — duplicate clusters: connected components over strong
     * (jaccard ≥ 0.6) near-dup pairs, min-id representative, keep flag.
-    * The oracle unrolls the same 4 min-propagation iterations. */
+    * The engine runs min-propagation to a run-time-checked fixpoint
+    * (Dedup.dedupClusters); the oracle unrolls 8 rounds — propagation
+    * is idempotent past the fixpoint, so any convergence depth ≤ 8
+    * yields the identical labeling, and ClusterSpec asserts the
+    * fixture converges well inside that. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupClusters(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6)
-          .select(col("doc_id_a"), col("doc_id_b")), 4)
+          .select(col("doc_id_a"), col("doc_id_b")))
       .orderBy(col("doc_id"))
 
   val dedupClustersSql: String = {
     // Mirrors the engine exactly: self-loops fold "keep your own
     // label" into the per-round min(), so each round is one
     // join+group-by over the static edge relation.
-    val iters = (1 to 4).map { k =>
+    val iters = (1 to 8).map { k =>
       s"""l$k AS (SELECT e.u AS node, min(l.label) AS label
          |  FROM ep e JOIN l${k - 1} l ON e.v = l.node GROUP BY e.u)""".stripMargin
     }.mkString(",\n")
@@ -158,7 +162,7 @@ object Llm {
       |l0 AS (SELECT node, node AS label FROM nodes),
       |$iters
       |SELECT node AS doc_id, label AS cluster_id, node = label AS keep
-      |FROM l4 ORDER BY doc_id""".stripMargin
+      |FROM l8 ORDER BY doc_id""".stripMargin
   }
 
   /** L6 — the end-to-end curation composition a training-data pipeline

@@ -218,7 +218,10 @@ object Pipeline {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
+    // tf is read twice (df's broadcast + the main join); persist so the
+    // corpus-wide explode+aggregate runs once, not once per reader.
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(broadcast(df), Seq("term"))
@@ -416,16 +419,19 @@ object Pipeline {
     // codegen'd projection — so the data moves exactly once (the range
     // exchange). persist() pins ids and bounds for the two readers.
     val parts = base
-      .repartitionByRange(32, col("o_totalprice"), col("o_orderkey"))
+      .repartitionByRange(Tables.shuffleWidth(s), col("o_totalprice"), col("o_orderkey"))
       .sortWithinPartitions(col("o_totalprice"), col("o_orderkey"))
       .withColumn("mid", monotonically_increasing_id())
       .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
       .persist()
-    val offsets = parts.groupBy(col("pid"))
+    val counts = parts.groupBy(col("pid"))
       .agg(count(lit(1)).as("c"), min(col("mid")).as("m0"))
+    val offsets = counts
       .withColumn("off", sum(col("c")).over(Window.orderBy(col("pid"))) - col("c"))
       .select(col("pid"), col("off"), col("m0"))
-    val nDf = base.agg(count(lit(1)).as("n"))
+    // n from the per-partition counts — never a second base-table scan
+    // for a scalar the offset pass already aggregated.
+    val nDf = counts.agg(sum(col("c")).as("n"))
     parts
       .join(broadcast(offsets), Seq("pid"))
       .withColumn("rn", col("off") + (col("mid") - col("m0")) + 1)

@@ -145,7 +145,7 @@ object Warehouse {
   def docPacking(s: SparkSession, dir: String, capacity: Int = 2048): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("ntok"))
-    val parts = d.repartitionByRange(32, col("doc_id"))
+    val parts = d.repartitionByRange(Tables.shuffleWidth(s), col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .persist() // pin sampled range bounds: both readers must agree on pid
     val offsets = parts.groupBy(col("pid")).agg(sum(col("ntok")).as("c"))

@@ -57,10 +57,14 @@ class AuditSpec extends SparkSpec {
   }
 
   test("orc round-trip preserves every row and type bit-exactly") {
+    // Same TOTAL order as orcRoundtrip: (orderkey, linenumber) alone is
+    // not unique in the fixture, so the row-by-row zip needs the full
+    // projected-column sort on both sides.
     val direct = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
     val roundtripped = queries.EtlQueries.orcRoundtrip(spark, sfDir)
     assert(roundtripped.schema == direct.schema)
     val a = roundtripped.collect()

@@ -13,7 +13,7 @@ class ClusterSpec extends SparkSpec {
   test("connected components label chains and stars by their min id") {
     // components: {1,2,3,4} (chain), {10,11} (pair), {20,21,22} (star on 20)
     val out = Dedup.dedupClusters(
-        pairsDf((1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)), 4)
+        pairsDf((1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     assert(out(1L) == ((1L, true)) && out(2L) == ((1L, false))
       && out(3L) == ((1L, false)) && out(4L) == ((1L, false)))
@@ -21,12 +21,31 @@ class ClusterSpec extends SparkSpec {
     assert(out(20L) == ((20L, true)) && out(21L)._1 == 20L && out(22L)._1 == 20L)
   }
 
-  test("fixed iteration depth reaches the fixpoint on the fixture corpus") {
+  test("a deep chain converges at run time where a fixed depth would mislabel") {
+    // Path graph 1-2-…-12: min-label propagation moves the root label
+    // one hop per round, so node 12 needs 11 rounds — any fixed
+    // 4-round unroll would leave the tail labeled by an intermediate
+    // node. The convergence counter must carry it to the true fixpoint…
+    val chain = pairsDf((1 to 11).map(i => (i.toLong, i + 1L)): _*)
+    val out = Dedup.dedupClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 to 12).foreach(i => assert(out(i.toLong) == 1L,
+      s"node $i labeled ${out(i.toLong)}, expected 1"))
+    // …and a capped run demonstrably stops short (the defect the
+    // counter exists to prevent).
+    val capped = Dedup.dedupClusters(chain, maxIterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped(12L) != 1L, "4 rounds cannot reach the end of an 11-edge path")
+  }
+
+  test("the run-time fixpoint matches the oracle's 8-round unroll on the corpus") {
     val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir), 3, 0.6)
       .select(col("doc_id_a"), col("doc_id_b"))
-    def labels(iters: Int) = Dedup.dedupClusters(pairs, iters)
+    val converged = Dedup.dedupClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels(4) == labels(5),
-      "4 propagation iterations did not converge — deepen the unroll in the oracle too")
+    val eightRounds = Dedup.dedupClusters(pairs, maxIterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(converged == eightRounds,
+      "fixture corpus did not converge within the oracle's 8-round unroll")
   }
 }
