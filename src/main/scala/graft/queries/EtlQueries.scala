@@ -367,7 +367,43 @@ object EtlQueries {
       |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity,
       |  l_extendedprice, l_returnflag, l_shipdate""".stripMargin
 
+  /** S8/A1 — REAL ranged JDBC read through embedded Derby: stage a
+    * lineitem slice into a Derby table (Spark's distributed JDBC
+    * sink), then read it back `format("jdbc")` with partitionColumn
+    * striding — the reference's core ranged-RDBMS-scan operator run
+    * against an actual SQL engine, not a parquet stand-in. The read
+    * plans `numPartitions` concurrent `WHERE pk > ? AND pk <= ?`
+    * stride queries (asserted in EtlSpec along with filter pushdown);
+    * the extra range predicate here is pushed into Derby, so Spark
+    * never sees the filtered-out rows. The slice is keyed on an
+    * absolute PK bound so the staged volume is scale-stable; oracle =
+    * the identical projection + predicates off the parquet table.
+    * ORDER BY spans all columns ((orderkey, linenumber) is not
+    * unique). */
+  def jdbcRanged(s: SparkSession, dir: String): DataFrame = {
+    val dbDir = s"/tmp/graft_derby_${new java.io.File(dir).getName}" +
+      s"_${s.sparkContext.applicationId}/db"
+    val staged = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") <= 2000)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+    val u = graft.etl.DerbyStage.stage(staged, dbDir, "lineitem_stage")
+    graft.etl.DerbyStage.readRanged(s, u, "lineitem_stage", "l_orderkey",
+        0L, 2000L, 8)
+      .filter(col("l_orderkey") > 500 && col("l_orderkey") <= 1500)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+  }
+
+  val jdbcRangedSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+      |FROM lineitem
+      |WHERE l_orderkey <= 2000 AND l_orderkey > 500 AND l_orderkey <= 1500
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |  l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jdbc_ranged" -> (jdbcRanged _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_typemap_cast" -> (typemapCast _),
     "q_try_cast" -> (tryCast _),
@@ -382,6 +418,7 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_jdbc_ranged" -> jdbcRangedSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_typemap_cast" -> typemapCastSql,
     "q_try_cast" -> tryCastSql,

@@ -6,12 +6,14 @@ import graft.Tables
 import graft.functions.GraftFunctions
 import graft.operators.{Multimodal, Similarity, VectorMean}
 
-/** No-oracle operators (SURVEY.md §2B G3, G6, plus the ANN scale path
-  * and the engine-native fingerprint): results are not bit-expressible
-  * in DuckDB SQL (sketches, engine-specific hashes, LSH bucketing),
-  * so the driver records a rows-only check and the real assertions
-  * live in ScalaTest (tolerance vs exact, recall vs brute force,
-  * known-answer vectors, equivalence to built-in avg).
+/** Sketch/ANN/builtin-moment operators (SURVEY.md §2B G3, G6, the ANN
+  * scale path, the engine-native fingerprint). Oracle-checked where
+  * DuckDB can express the result (json_roundtrip, stats_builtin,
+  * multimodal_features); the rest are genuinely engine-specific
+  * (sketches, LSH bucketing, FNV, float32 accumulation) → rows-only
+  * check from the driver, with the real assertions in ScalaTest
+  * (tolerance vs exact, recall vs brute force, known-answer vectors,
+  * equivalence to built-in avg).
   */
 object Extras {
 
@@ -67,12 +69,25 @@ object Extras {
       .orderBy(col("doc_id"))
 
   /** L5 — multimodal decode/feature pipeline on synthesized payloads
-    * (decode stage stubbed; plumbing real — see operators.Multimodal). */
+    * (decode stage stubbed; plumbing real — see operators.Multimodal).
+    * Oracle-checked: the emitted columns are the ones DuckDB can
+    * recompute from the source bytes — n_bytes from the mapPartitions
+    * decode pass (proves the Dataset[MediaRow] encoder round-trips the
+    * payload through the stub pipeline) plus the typed-metadata kind
+    * and an md5 over the payload (bit-level payload integrity across
+    * the binary cast + encoder). The engine-specific outputs (FNV
+    * checksum, float32 feature accumulation) stay ScalaTest-asserted
+    * in MultimodalSpec — they are still computed (the decode stage is
+    * opaque to column pruning), just not hash-compared. */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.fromDocuments(Tables.documents(s, dir))
-    Multimodal.extractFeatures(media).toDF()
-      .select(col("media_id"), col("n_bytes"), col("checksum"),
-        round(element_at(col("feature"), 1), 4).as("f1"))
+    val feats = Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("n_bytes"))
+    media.toDF()
+      .select(col("media_id"), col("meta.kind").as("kind"),
+        md5(col("payload")).as("payload_md5"))
+      .join(feats, Seq("media_id"))
+      .select(col("media_id"), col("n_bytes"), col("kind"), col("payload_md5"))
       .orderBy(col("media_id"))
   }
 
@@ -110,20 +125,26 @@ object Extras {
         max(col("o_totalprice")).as("hi"))
       .orderBy(col("o_orderstatus"))
 
-  /** Built-in second-moment aggregates (stddev/variance/corr/covar):
-    * their double accumulation order is engine- and shuffle-dependent,
-    * so rows-only here; the deterministic exact-decimal formulation
-    * with a full oracle is q_stats_moments. */
+  /** Built-in second/higher-moment aggregates (stddev/variance/corr/
+    * covar/skewness/kurtosis). Oracle-checked at round(4): the
+    * accumulation-order wobble of a double sum over the fixture is
+    * ~1e-12 relative, far inside 4 decimals. Definition care: Spark's
+    * skewness/kurtosis are the POPULATION moments (g1 = m3/n over
+    * (m2/n)^1.5; g2 = n·m4/m2² − 3) while DuckDB's builtins apply
+    * sample-bias correction — so the oracle recomputes Spark's
+    * definitions from explicit central-moment sums instead of calling
+    * DuckDB's skewness()/kurtosis(). The deterministic exact-decimal
+    * formulation is q_stats_moments. */
   def statsBuiltin(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        stddev_samp(col("l_quantity")).as("sd_qty"),
-        var_samp(col("l_quantity")).as("var_qty"),
-        corr(col("l_quantity"), col("l_extendedprice")).as("corr_qp"),
-        covar_samp(col("l_quantity"), col("l_extendedprice")).as("covar_qp"),
-        skewness(col("l_quantity")).as("skew_qty"),
-        kurtosis(col("l_quantity")).as("kurt_qty"))
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+        round(skewness(col("l_quantity")), 4).as("skew_qty"),
+        round(kurtosis(col("l_quantity")), 4).as("kurt_qty"))
       .orderBy(col("l_returnflag"))
 
   /** Frequent-items sketch (Karp-Papadimitriou-Shenker): approximate
@@ -152,16 +173,45 @@ object Extras {
     "q_multimodal_features" -> (multimodalFeatures _),
   )
 
-  /** q_json_roundtrip gets a real oracle: the serialize→parse cycle
-    * must reproduce the original rows exactly (Spark's to_json emits
-    * round-trippable doubles), so the oracle is simply the source
-    * projection. The remaining entries have no DuckDB-expressible
-    * oracle (sketches, LSH/IVF, engine-specific hashes and
-    * order-dependent double accumulations); the driver falls back to a
+  /** q_json_roundtrip, q_stats_builtin, and q_multimodal_features get
+    * real oracles (see their scaladocs). The remaining entries have no
+    * DuckDB-expressible oracle (sketches, LSH/IVF, engine-specific
+    * hashes and float32 accumulations); the driver falls back to a
     * rows-only check and the real assertions live in ScalaTest. */
   val oracle: Map[String, String] = Map(
     "q_json_roundtrip" ->
       """SELECT event_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
+    "q_stats_builtin" ->
+      // Spark's population skewness/kurtosis recomputed from explicit
+      // central-moment sums (DuckDB's builtins are sample-corrected).
+      """WITH a AS (SELECT l_returnflag AS f, count(*) AS n, avg(l_quantity) AS mx
+        |           FROM lineitem GROUP BY 1),
+        |m AS (SELECT li.l_returnflag AS f, max(a.n) AS n,
+        |        sum((l_quantity - mx) * (l_quantity - mx)) AS m2,
+        |        sum((l_quantity - mx) * (l_quantity - mx) * (l_quantity - mx)) AS m3,
+        |        sum((l_quantity - mx) * (l_quantity - mx) * (l_quantity - mx)
+        |          * (l_quantity - mx)) AS m4
+        |      FROM lineitem li JOIN a ON li.l_returnflag = a.f GROUP BY 1),
+        |c AS (SELECT l_returnflag AS f,
+        |        corr(l_quantity, l_extendedprice) AS corr_qp,
+        |        covar_samp(l_quantity, l_extendedprice) AS covar_qp
+        |      FROM lineitem GROUP BY 1)
+        |SELECT m.f AS l_returnflag,
+        |  round(sqrt(m2 / (n - 1)), 4) AS sd_qty,
+        |  round(m2 / (n - 1), 4) AS var_qty,
+        |  round(c.corr_qp, 4) AS corr_qp,
+        |  round(c.covar_qp, 4) AS covar_qp,
+        |  round(sqrt(n) * m3 / (m2 * sqrt(m2)), 4) AS skew_qty,
+        |  round(n * m4 / (m2 * m2) - 3, 4) AS kurt_qty
+        |FROM m JOIN c ON m.f = c.f ORDER BY l_returnflag""".stripMargin,
+    "q_multimodal_features" ->
+      // strlen = byte length in DuckDB; md5 over the same UTF-8 bytes
+      // Spark hashes after the binary cast.
+      """SELECT doc_id AS media_id,
+        |  CAST(strlen(text) AS INT) AS n_bytes,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 }
