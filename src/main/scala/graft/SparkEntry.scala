@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Alloc, Analytics, EtlQueries, Extras, Joins, Linkage, Llm, Pipeline, Relational, Trend, Warehouse, Windows}
+import graft.queries.{Alloc, Analytics, Curate, EtlQueries, Extras, Joins, Linkage, Llm, Pipeline, Quality, Relational, Trend, Warehouse, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,6 +32,8 @@ object SparkEntry {
       (Trend.queries, Trend.oracle),
       (Linkage.queries, Linkage.oracle),
       (Alloc.queries, Alloc.oracle),
+      (Curate.queries, Curate.oracle),
+      (Quality.queries, Quality.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

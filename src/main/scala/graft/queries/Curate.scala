@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+
+/** Round-6 curation and API-surface operators: per-domain caps,
+  * canonical-duplicate selection, quantile normalization, keyset
+  * pagination, change-point scanning, filtered aggregates, and the
+  * SQL entrypoint. All oracle-checked; numeric conventions follow
+  * ARCHITECTURE.md "Cross-engine determinism" (exact integer/decimal
+  * accumulation, one final float op per output, total ORDER BY).
+  */
+object Curate {
+
+  /** L8 — per-domain document cap: keep at most `cap` documents per
+    * source/domain, selected by a deterministic content-free coin
+    * (md5 of the doc id) so the survivors are a stable uniform sample
+    * — the web-corpus curation rule that stops one domain from
+    * dominating the training mix. One keyed window over (source);
+    * fan-in per key is the domain's doc count, the natural skew
+    * lever at 100 TB is the same salted-top-k used by
+    * q_fixed_size_sample. */
+  def domainCap(s: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("source"), col("rk").cast("int").as("rk"))
+      .orderBy(col("doc_id"))
+  }
+
+  val domainCapSql: String =
+    """SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 10 ORDER BY doc_id""".stripMargin
+
+  /** L9 — canonical-duplicate selection: connected components over
+    * strong near-dup pairs (the q_dedup_clusters graph, run to its
+    * checked fixpoint), then per cluster keep the HIGHEST-QUALITY
+    * member (most tokens; ties to the lowest doc id) instead of the
+    * min-id member — the curation step that keeps the best copy of a
+    * near-dup family rather than an arbitrary one. The argmax is one
+    * partial/final `max(struct(ntok, -doc_id))` aggregate — no
+    * per-cluster sort. */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.dedupClusters(
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6)
+        .select(col("doc_id_a"), col("doc_id_b")))
+    val ntok = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("ntok"))
+    labels.join(ntok, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("ntok"), (-col("doc_id")).as("neg"))).as("m"))
+      .select(col("cluster_id"), col("n_members"),
+        col("m.ntok").as("best_ntok"), (-col("m.neg")).as("canonical_doc"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val dedupCanonicalSql: String = {
+    // The same 8-round idempotent min-propagation unroll as
+    // q_dedup_clusters, then an argmax by (ntok DESC, doc_id).
+    val iters = (1 to 8).map { k =>
+      s"""l$k AS (SELECT e.u AS node, min(l.label) AS label
+         |  FROM ep e JOIN l${k - 1} l ON e.v = l.node GROUP BY e.u)""".stripMargin
+    }.mkString(",\n")
+    s"""${Llm.shingleCte},
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT da, db FROM inter
+      |          JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.6),
+      |nodes AS (SELECT DISTINCT u AS node FROM
+      |          (SELECT da AS u FROM pairs UNION ALL SELECT db FROM pairs)),
+      |ep AS (SELECT da AS u, db AS v FROM pairs
+      |       UNION ALL SELECT db AS u, da AS v FROM pairs
+      |       UNION ALL SELECT node AS u, node AS v FROM nodes),
+      |l0 AS (SELECT node, node AS label FROM nodes),
+      |$iters,
+      |q AS (SELECT l8.node AS doc_id, l8.label AS cluster_id,
+      |        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS ntok
+      |      FROM l8 JOIN documents d ON l8.node = d.doc_id),
+      |rk AS (SELECT cluster_id, ntok, doc_id,
+      |         row_number() OVER (PARTITION BY cluster_id
+      |           ORDER BY ntok DESC, doc_id) AS r,
+      |         count(*) OVER (PARTITION BY cluster_id) AS n_members
+      |       FROM q)
+      |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+      |  ntok AS best_ntok, doc_id AS canonical_doc
+      |FROM rk WHERE r = 1 ORDER BY cluster_id""".stripMargin
+  }
+
+  /** C7 — per-group quantile normalization: each order's total price
+    * maps to its exact rank position within its status group,
+    * normalized to [0, 1] — the preprocessing step that makes a
+    * feature distribution-free. Rank semantics are EXPLICIT row
+    * position under the total order (price, orderkey), not built-in
+    * percent_rank (whose tie semantics differ across engines). The
+    * global per-group rank comes from the two-pass range-repartition +
+    * broadcast-offset pattern (q_percentile_disc), so no group ever
+    * funnels through one task. qnorm = (rank−1)/(n−1) is one exact
+    * integer division to double per row. */
+  def quantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .repartitionByRange(Tables.shuffleWidth(s),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
+      .persist()
+    val counts = parts.groupBy(col("pid"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("c"), min(col("mid")).as("m0"))
+    val offsets = counts
+      .withColumn("off", sum(col("c")).over(
+        Window.partitionBy(col("o_orderstatus")).orderBy(col("pid"))) - col("c"))
+      .select(col("pid"), col("o_orderstatus"), col("off"), col("m0"))
+    val ns = counts.groupBy(col("o_orderstatus")).agg(sum(col("c")).as("grp_n"))
+    parts
+      .join(broadcast(offsets), Seq("pid", "o_orderstatus"))
+      .withColumn("rnk", col("off") + (col("mid") - col("m0")) + 1)
+      .join(broadcast(ns), Seq("o_orderstatus"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ((col("rnk") - 1).cast("double") / (col("grp_n") - 1).cast("double"))
+          .as("qnorm"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val quantileNormSql: String =
+    """WITH r AS (SELECT o_orderkey, o_orderstatus,
+      |             row_number() OVER (PARTITION BY o_orderstatus
+      |               ORDER BY o_totalprice, o_orderkey) AS rnk,
+      |             count(*) OVER (PARTITION BY o_orderstatus) AS grp_n
+      |           FROM orders)
+      |SELECT o_orderkey, o_orderstatus,
+      |  CAST(rnk - 1 AS DOUBLE) / CAST(grp_n - 1 AS DOUBLE) AS qnorm
+      |FROM r ORDER BY o_orderkey""".stripMargin
+
+  /** S9 — keyset (seek) pagination: the page AFTER a composite cursor
+    * (last_date, last_key), fetched as a lexicographic predicate +
+    * bounded sort — the scale-safe replacement for OFFSET, which
+    * re-scans and re-sorts everything before the page at every call.
+    * The predicate prunes at the scan (min/max stats skip earlier
+    * files when data is written date-sorted) and the global sort only
+    * ever materializes `pageSize` rows (TakeOrderedAndProject). */
+  def keysetPage(s: SparkSession, dir: String, pageSize: Int = 500): DataFrame = {
+    val lastDate = "1995-06-15"
+    val lastKey = 3000L
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") > lit(lastDate) ||
+        (col("o_orderdate") === lit(lastDate) && col("o_orderkey") > lastKey))
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"),
+        col("o_totalprice"))
+      .orderBy(col("o_date"), col("o_orderkey"))
+      .limit(pageSize)
+  }
+
+  val keysetPageSql: String =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice
+      |FROM orders
+      |WHERE (CAST(o_orderdate AS DATE), o_orderkey)
+      |      > (DATE '1995-06-15', 3000)
+      |ORDER BY o_date, o_orderkey LIMIT 500""".stripMargin
+
+  /** TS6 — cumulative-deviation change-point scan: where does the
+    * daily order volume's cumulative deviation from its own mean peak?
+    * s_num(t) = D·cum(t) − t·T (the CUSUM numerator scaled by the day
+    * count D, total T) stays in exact int64, so the argmax day is
+    * bit-portable — no float mean ever crosses a comparison. The
+    * fact-volume pass is the per-day aggregate; the prefix sum over
+    * the day relation uses the two-pass partition-offset pattern
+    * (unbounded-span safe, cf. q_concurrency). */
+  def changePoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val parts = daily
+      .repartitionByRange(Tables.shuffleWidth(s), col("d"))
+      .withColumn("pid", spark_partition_id())
+      .persist() // pin sampled range bounds: both readers must agree on pid
+    val counts = parts.groupBy(col("pid"))
+      .agg(sum(col("n")).as("c"), count(lit(1)).as("k"))
+    val offsets = counts
+      .withColumn("off", sum(col("c")).over(Window.orderBy(col("pid"))) - col("c"))
+      .withColumn("offk", sum(col("k")).over(Window.orderBy(col("pid"))) - col("k"))
+      .select(col("pid"), col("off"), col("offk"))
+    val tot = counts.agg(sum(col("c")).as("tot_n"), sum(col("k")).as("n_days"))
+    val localW = Window.partitionBy(col("pid")).orderBy(col("d"))
+    val scored = parts
+      .withColumn("cuml", sum(col("n")).over(
+        localW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tl", row_number().over(localW))
+      .join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(tot))
+      .select(col("d"), col("n"),
+        (col("n_days") * (col("off") + col("cuml")) -
+          (col("offk") + col("tl")) * col("tot_n")).as("s_num"))
+      .persist() // read twice: the peak scalar and the flagged output
+    val peak = scored.agg(max(abs(col("s_num"))).as("peak"))
+    scored.crossJoin(broadcast(peak))
+      .select(col("d"), col("n"), col("s_num"),
+        (abs(col("s_num")) === col("peak")).as("is_peak"))
+      .orderBy(col("d"))
+  }
+
+  val changePointSql: String =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+      |               FROM orders GROUP BY 1),
+      |c AS (SELECT d, n,
+      |        sum(n) OVER (ORDER BY d
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        row_number() OVER (ORDER BY d) AS t,
+      |        sum(n) OVER () AS tot_n, count(*) OVER () AS n_days
+      |      FROM daily),
+      |s AS (SELECT d, CAST(n AS BIGINT) AS n,
+      |        CAST(n_days * cum - t * tot_n AS BIGINT) AS s_num
+      |      FROM c)
+      |SELECT d, n, s_num,
+      |  abs(s_num) = (SELECT max(abs(s_num)) FROM s) AS is_peak
+      |FROM s ORDER BY d""".stripMargin
+
+  /** G15 — filtered aggregates (the FILTER (WHERE …) surface): one
+    * pass computing differently-predicated aggregates side by side —
+    * Spark expresses the filter as when()/otherwise inside the
+    * aggregate, DuckDB as the standard FILTER clause; both are one
+    * partial/final hash aggregate, no extra scan per predicate.
+    * Counts and sums stay integer/exact-decimal. */
+  def filteredAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_all"),
+        count(when(col("l_shipdate") >= "1995-01-01" &&
+          col("l_shipdate") < "1996-01-01", lit(1))).as("n_1995"),
+        sum(when(col("l_discount") > 0.05,
+          col("l_quantity").cast("bigint"))).as("qty_discounted"),
+        sum(when(col("l_quantity") >= 25,
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")))
+          .as("cents_bulk"))
+      .orderBy(col("l_returnflag"))
+
+  val filteredAggSql: String =
+    """SELECT l_returnflag,
+      |  count(*) AS n_all,
+      |  CAST(count(*) FILTER (WHERE l_shipdate >= '1995-01-01'
+      |    AND l_shipdate < '1996-01-01') AS BIGINT) AS n_1995,
+      |  CAST(sum(CAST(l_quantity AS BIGINT))
+      |    FILTER (WHERE l_discount > 0.05) AS BIGINT) AS qty_discounted,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    FILTER (WHERE l_quantity >= 25) AS BIGINT) AS cents_bulk
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** D5 — SQL entrypoint parity: the same engine surface through
+    * `spark.sql` over registered temp views — a user migrating from
+    * the reference's config-driven CLI can drive every operator with
+    * ANSI SQL instead of the DataFrame DSL, and Catalyst plans both
+    * identically. Exact-cent revenue per order priority through a
+    * join, all arithmetic decimal until the final bigint. */
+  def sqlApi(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT o.o_orderpriority AS priority,
+        |  COUNT(DISTINCT o.o_orderkey) AS n_orders,
+        |  SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS cents
+        |FROM orders_v o JOIN lineitem_v l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderpriority
+        |ORDER BY priority""".stripMargin)
+  }
+
+  val sqlApiSql: String =
+    """SELECT o.o_orderpriority AS priority,
+      |  COUNT(DISTINCT o.o_orderkey) AS n_orders,
+      |  CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY o.o_orderpriority
+      |ORDER BY priority""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_domain_cap" -> ((s: SparkSession, d: String) => domainCap(s, d)),
+    "q_dedup_canonical" -> (dedupCanonical _),
+    "q_quantile_norm" -> (quantileNorm _),
+    "q_keyset_page" -> ((s: SparkSession, d: String) => keysetPage(s, d)),
+    "q_change_point" -> (changePoint _),
+    "q_filtered_agg" -> (filteredAgg _),
+    "q_sql_api" -> (sqlApi _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_domain_cap" -> domainCapSql,
+    "q_dedup_canonical" -> dedupCanonicalSql,
+    "q_quantile_norm" -> quantileNormSql,
+    "q_keyset_page" -> keysetPageSql,
+    "q_change_point" -> changePointSql,
+    "q_filtered_agg" -> filteredAggSql,
+    "q_sql_api" -> sqlApiSql,
+  )
+}

@@ -19,7 +19,7 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   */
 object Llm {
 
-  private val shingleCte =
+  private[queries] val shingleCte =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1),
       |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle

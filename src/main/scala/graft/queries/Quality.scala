@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-6 quality/retrieval operators: winsorized scaling, sparse
+  * lexical cosine retrieval, k-anonymity auditing, per-key merged
+  * interval coverage, and seasonal indexing. All oracle-checked;
+  * conventions per ARCHITECTURE.md "Cross-engine determinism".
+  */
+object Quality {
+
+  /** C8 — winsorized (clipped) robust scaling: clip each lineitem
+    * price to its return-flag group's [p05, p95] discrete percentiles
+    * — the outlier treatment that, unlike dropping, keeps row counts
+    * stable. Bounds come from the same two-pass range-repartition +
+    * broadcast-offset rank machinery as q_percentile_disc (explicit
+    * row-position ranks, engine-neutral tie semantics); the clip
+    * itself is a broadcast join + greatest/least projection. Output is
+    * the per-group audit: how many rows clipped at each tail and the
+    * exact-cent clipped sum. */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val parts = li.select(col("l_returnflag"), col("l_extendedprice"))
+      .repartitionByRange(Tables.shuffleWidth(s),
+        col("l_returnflag"), col("l_extendedprice"))
+      .sortWithinPartitions(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
+      .persist()
+    val counts = parts.groupBy(col("pid"), col("l_returnflag"))
+      .agg(count(lit(1)).as("c"), min(col("mid")).as("m0"))
+    val offsets = counts
+      .withColumn("off", sum(col("c")).over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))) - col("c"))
+      .select(col("pid"), col("l_returnflag"), col("off"), col("m0"))
+    val ranks = counts.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
+      .select(col("l_returnflag"),
+        ceil(col("n") * 0.05).cast("bigint").as("r05"),
+        ceil(col("n") * 0.95).cast("bigint").as("r95"))
+    val bounds = parts
+      .join(broadcast(offsets), Seq("pid", "l_returnflag"))
+      .withColumn("rnk", col("off") + (col("mid") - col("m0")) + 1)
+      .join(broadcast(ranks), Seq("l_returnflag"))
+      .filter(col("rnk") === col("r05") || col("rnk") === col("r95"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+    li.select(col("l_returnflag"), col("l_extendedprice"))
+      .join(broadcast(bounds), Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        (col("l_extendedprice") < col("lo")).cast("long").as("clip_lo"),
+        (col("l_extendedprice") > col("hi")).cast("long").as("clip_hi"),
+        (greatest(col("lo"), least(col("hi"), col("l_extendedprice")))
+          .cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("clip_lo")).as("n_clip_lo"), sum(col("clip_hi")).as("n_clip_hi"),
+        sum(col("cents")).as("cents_winsorized"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val winsorizeSql: String =
+    """WITH r AS (SELECT l_returnflag, l_extendedprice,
+      |             row_number() OVER (PARTITION BY l_returnflag
+      |               ORDER BY l_extendedprice) AS rnk,
+      |             count(*) OVER (PARTITION BY l_returnflag) AS n
+      |           FROM lineitem),
+      |b AS (SELECT l_returnflag,
+      |        min(CASE WHEN rnk = CAST(ceil(n * 0.05) AS BIGINT)
+      |                 THEN l_extendedprice END) AS lo,
+      |        max(CASE WHEN rnk = CAST(ceil(n * 0.95) AS BIGINT)
+      |                 THEN l_extendedprice END) AS hi
+      |      FROM r GROUP BY 1)
+      |SELECT li.l_returnflag,
+      |  CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_lo,
+      |  CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clip_hi,
+      |  CAST(sum(CAST(CAST(greatest(lo, least(hi, l_extendedprice))
+      |    AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents_winsorized
+      |FROM lineitem li JOIN b ON li.l_returnflag = b.l_returnflag
+      |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin
+
+  /** L3f — sparse lexical cosine retrieval: top-k documents per probe
+    * by cosine over integer term-frequency vectors. The dot product
+    * Σ tf_p·tf_c and both norms Σ tf² are EXACT integer sums (term
+    * order irrelevant — no float accumulation anywhere); the cosine is
+    * one fixed IEEE chain per pair. Candidates come from the term-
+    * keyed join, so only documents sharing ≥1 term with a probe are
+    * ever scored (inverted-index semantics — never all-pairs); at
+    * 100 TB the tf table is the term-bucketed index and the probe side
+    * broadcasts. */
+  def lexicalCosine(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val tf = Tables.widen(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
+    val norms = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("nrm2"))
+    val probes = tf.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("term"), col("tf").as("tfp"))
+    val dots = tf.join(broadcast(probes), Seq("term"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(sum(col("tf") * col("tfp")).as("dot"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    dots
+      .join(broadcast(norms.withColumnRenamed("doc_id", "probe_id")
+        .withColumnRenamed("nrm2", "np2")), Seq("probe_id"))
+      .join(norms, Seq("doc_id"))
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          sqrt(col("np2").cast("double") * col("nrm2").cast("double")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk").cast("int").as("rnk"),
+        col("doc_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  val lexicalCosineSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |              FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+      |       WHERE term <> '' GROUP BY doc_id, term),
+      |nrm AS (SELECT doc_id, sum(tf * tf) AS nrm2 FROM tf GROUP BY doc_id),
+      |p AS (SELECT doc_id AS probe_id, term, tf AS tfp FROM tf WHERE doc_id < 5),
+      |d AS (SELECT p.probe_id, tf.doc_id, sum(tf.tf * p.tfp) AS dot
+      |      FROM tf JOIN p ON tf.term = p.term AND tf.doc_id <> p.probe_id
+      |      GROUP BY 1, 2),
+      |sc AS (SELECT d.probe_id, d.doc_id,
+      |         CAST(dot AS DOUBLE) /
+      |           sqrt(CAST(a.nrm2 AS DOUBLE) * CAST(b.nrm2 AS DOUBLE)) AS cosine
+      |       FROM d JOIN nrm a ON d.probe_id = a.doc_id
+      |       JOIN nrm b ON d.doc_id = b.doc_id),
+      |rk AS (SELECT probe_id, doc_id, cosine,
+      |         row_number() OVER (PARTITION BY probe_id
+      |           ORDER BY cosine DESC, doc_id) AS rnk
+      |       FROM sc)
+      |SELECT probe_id, CAST(rnk AS INT) AS rnk, doc_id AS neighbor_id, cosine
+      |FROM rk WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+
+  /** E10 — k-anonymity audit: group sizes over a quasi-identifier
+    * tuple, flagging equivalence classes smaller than k — the
+    * re-identification-risk check a privacy pipeline runs before
+    * release. One partial/final aggregate; the flag is an integer
+    * comparison. */
+  def kAnonymity(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", col("class_size") < k)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  val kAnonymitySql: String =
+    """SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+      |  count(*) < 5 AS at_risk
+      |FROM customer GROUP BY 1, 2
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  /** B13 — per-customer merged-interval coverage: overlapping order
+    * intervals (order date → last shipment) merged into maximal
+    * islands per customer; emits islands and total covered days. The
+    * cumulative-max island detection runs in a CUSTOMER-KEYED window
+    * (per-key interval counts are bounded), so the operator scales by
+    * key distribution, never a global sort; all date arithmetic is
+    * integer days. */
+  def intervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(max(to_date(col("l_shipdate"))).as("close_d")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("custkey"),
+        to_date(col("o_orderdate")).as("open_d"), col("close_d"),
+        col("o_orderkey").as("okey"))
+    val w = Window.partitionBy(col("custkey"))
+      .orderBy(col("open_d"), col("close_d"), col("okey"))
+    val islands = spans
+      .withColumn("prev_max_close",
+        max(col("close_d")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        (col("prev_max_close").isNull ||
+          col("open_d") > date_add(col("prev_max_close"), 1)).cast("long"))
+      .withColumn("island",
+        sum(col("new_island")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("custkey"), col("island"))
+      .agg(min(col("open_d")).as("start_d"), max(col("close_d")).as("end_d"))
+    islands
+      .groupBy(col("custkey"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(datediff(col("end_d"), col("start_d")) + 1).as("covered_days"))
+      .orderBy(col("custkey"))
+  }
+
+  val intervalCoverageSql: String =
+    """WITH closes AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS close_d
+      |                FROM lineitem GROUP BY 1),
+      |spans AS (SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS open_d,
+      |            close_d, o_orderkey AS okey
+      |          FROM orders JOIN closes ON o_orderkey = l_orderkey),
+      |m AS (SELECT custkey, open_d, close_d, okey,
+      |        max(close_d) OVER (PARTITION BY custkey
+      |          ORDER BY open_d, close_d, okey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |          AS prev_max_close
+      |      FROM spans),
+      |f AS (SELECT custkey, open_d, close_d, okey,
+      |        CASE WHEN prev_max_close IS NULL
+      |               OR open_d > prev_max_close + 1 THEN 1 ELSE 0 END AS new_island
+      |      FROM m),
+      |i AS (SELECT custkey, open_d, close_d,
+      |        sum(new_island) OVER (PARTITION BY custkey
+      |          ORDER BY open_d, close_d, okey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |      FROM f),
+      |isl AS (SELECT custkey, island, min(open_d) AS start_d, max(close_d) AS end_d
+      |        FROM i GROUP BY 1, 2)
+      |SELECT custkey, count(*) AS n_islands,
+      |  CAST(sum(date_diff('day', start_d, end_d) + 1) AS BIGINT) AS covered_days
+      |FROM isl GROUP BY custkey ORDER BY custkey""".stripMargin
+
+  /** TS7 — seasonal index: each calendar month's share of exact-cent
+    * revenue relative to a flat month (1/12 of total) — the
+    * multiplicative seasonal component a demand pipeline divides out
+    * before trend fitting. Two keyed aggregates + one scalar
+    * broadcast; index = one double division chain over exact ints. */
+  def seasonalIndex(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.lineitem(s, dir)
+      .select(month(to_date(col("l_shipdate"))).cast("int").as("m"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("c"))
+      .groupBy(col("m")).agg(sum(col("c")).as("cents"))
+      .persist() // read twice: the total and the per-month output
+    val total = cents.agg(sum(col("cents")).as("total"))
+    cents.crossJoin(broadcast(total))
+      .select(col("m"), col("cents"),
+        (col("cents").cast("double") * 12.0 / col("total").cast("double"))
+          .as("seasonal_idx"))
+      .orderBy(col("m"))
+  }
+
+  val seasonalIndexSql: String =
+    """WITH mc AS (SELECT CAST(month(CAST(l_shipdate AS DATE)) AS INT) AS m,
+      |              sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |                AS BIGINT)) AS cents
+      |            FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM mc)
+      |SELECT m, CAST(cents AS BIGINT) AS cents,
+      |  CAST(cents AS DOUBLE) * 12.0 / CAST(total AS DOUBLE) AS seasonal_idx
+      |FROM mc, t ORDER BY m""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winsorize" -> (winsorize _),
+    "q_lexical_cosine" -> ((s: SparkSession, d: String) => lexicalCosine(s, d)),
+    "q_k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
+    "q_interval_coverage" -> (intervalCoverage _),
+    "q_seasonal_index" -> (seasonalIndex _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_winsorize" -> winsorizeSql,
+    "q_lexical_cosine" -> lexicalCosineSql,
+    "q_k_anonymity" -> kAnonymitySql,
+    "q_interval_coverage" -> intervalCoverageSql,
+    "q_seasonal_index" -> seasonalIndexSql,
+  )
+}
