@@ -54,6 +54,11 @@ object PlanAudit {
     "q_ks_test" -> "binned CDF window over the bounded bin aggregate; totals broadcast; final MAX is one partial/final aggregate",
     "q_attribution" -> "one keyed window with IGNORE-NULLS last(); no self-join against event history",
     "q_skyline" -> "blocked dominance anti-join: block key is the equi-join side, dominance is the residual condition",
+    "q_jdbc_ranged" -> "REAL JDBC scan (Derby): numPartitions stride predicates, range filter pushed into the RDBMS",
+    "q_keyset_page" -> "keyset pagination plans TakeOrderedAndProject over the cursor-pruned scan (no OFFSET re-sort)",
+    "q_quantile_norm" -> "per-group global rank from ONE range exchange + broadcast offsets — no group funnels through one task",
+    "q_lexical_cosine" -> "inverted-index retrieval: probe tf broadcast onto the term-keyed corpus; dot/norms are integer partial/final aggregates",
+    "q_change_point" -> "day aggregate is the only fact pass; CUSUM prefix sum via partition offsets; peak is one broadcast scalar",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Alloc, Analytics, Curate, EtlQueries, Extras, Joins, Linkage, Llm, Pipeline, Quality, Relational, Trend, Warehouse, Windows}
+import graft.queries.{Alloc, Analytics, Curate, EtlQueries, Extras, Featurize, Joins, Linkage, Llm, Pipeline, Quality, Relational, Trend, Warehouse, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +34,7 @@ object SparkEntry {
       (Alloc.queries, Alloc.oracle),
       (Curate.queries, Curate.oracle),
       (Quality.queries, Quality.oracle),
+      (Featurize.queries, Featurize.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -217,23 +217,28 @@ object EtlQueries {
     * .json.gz staging directory from the orders table (the serialize
     * sink), then READS it back with the native JSON file source (the
     * scan) — proving a migbq user's existing staging files load
-    * directly. Types are re-asserted after schema inference because
-    * JSON carries no schema; at scale the read takes an explicit
-    * schema and skips the inference pass entirely. Parallel on both
-    * sides: one .json.gz part per input partition, one read task per
-    * part file. */
+    * directly. The read declares its schema explicitly — JSON carries
+    * none, and inference would cost a full extra decompress+parse
+    * pass. Parallel on both sides: one .json.gz part per input
+    * partition, one read task per part file. */
   def ndjsonScan(s: SparkSession, dir: String): DataFrame = {
     val stage = ndjsonStageDir(dir)
-    Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-        col("o_orderpriority"))
+    // widen: a single-row-group source file would stage through ONE
+    // task and, gzip being non-splittable, read back on one core too.
+    Tables.widen(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority")))
       .write.mode("overwrite").option("compression", "gzip")
       .json(stage)
-    s.read.json(stage)
-      .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
-        col("o_custkey").cast("bigint").as("o_custkey"),
-        col("o_totalprice").cast("double").as("o_totalprice"),
-        col("o_orderpriority").cast("string").as("o_orderpriority"))
+    // Explicit schema: JSON carries none, and inference costs a full
+    // extra decompress+parse pass over the staging files — the scale
+    // path always declares the schema.
+    s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, " +
+          "o_orderpriority STRING"))
+      .json(stage)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -348,9 +353,11 @@ object EtlQueries {
     // the other session reads it back.
     val stage = s"/tmp/graft_orc_stage_${new java.io.File(dir).getName}" +
       s"_${s.sparkContext.applicationId}"
-    Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
+    // widen: stage through every core, not the source file's single
+    // row-group partition (read-back parallelism = #part files).
+    Tables.widen(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"), col("l_shipdate")))
       .write.mode("overwrite").orc(stage)
     // ORDER BY spans every projected column: (orderkey, linenumber) is
     // NOT unique in the fixture, so a shorter sort would leave tie

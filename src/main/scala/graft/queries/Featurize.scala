@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-6 ML-preparation operators: RFM segmentation, stratified
+  * three-way splits, and the feature-hashing trick. All
+  * oracle-checked; conventions per ARCHITECTURE.md "Cross-engine
+  * determinism" (integer/decimal accumulation, md5 coins, total
+  * ORDER BY).
+  */
+object Featurize {
+
+  /** Global explicit-position rank of `df` under `order` plus the
+    * total row count, via the scale-safe two-pass: range-repartition
+    * by the order, per-partition counts broadcast as offsets,
+    * monotonically_increasing_id for the local position (documented
+    * layout: partition index in the upper bits, 0-based counter in
+    * the lower 33). One data shuffle total, no single-partition
+    * window. The order must be TOTAL (include a unique key). */
+  private def rankedBy(s: SparkSession, df: DataFrame, order: Column*): DataFrame = {
+    val parts = df
+      .repartitionByRange(Tables.shuffleWidth(s), order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
+      .persist()
+    val counts = parts.groupBy(col("pid"))
+      .agg(count(lit(1)).as("c"), min(col("mid")).as("m0"))
+    val offsets = counts
+      .withColumn("off", sum(col("c")).over(Window.orderBy(col("pid"))) - col("c"))
+      .select(col("pid"), col("off"), col("m0"))
+    val nDf = counts.agg(sum(col("c")).as("n"))
+    parts
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("rnk", col("off") + (col("mid") - col("m0")) + 1)
+      .crossJoin(broadcast(nDf))
+      .drop("mid", "pid", "off", "m0")
+  }
+
+  /** The explicit integer ntile: bucket of `rnk` among `n` rows split
+    * into `k` quantile groups — first n mod k buckets take one extra
+    * row. Pure integer arithmetic, identical in both engines (builtin
+    * ntile tie semantics are not portable). */
+  private def ntileExpr(k: Int): Column =
+    expr(s"""CAST(CASE WHEN rnk <= (n % $k) * (n DIV $k + 1)
+            |  THEN (rnk + n DIV $k) DIV (n DIV $k + 1)
+            |  ELSE (n % $k) + (rnk - (n % $k) * (n DIV $k + 1) + n DIV $k - 1)
+            |       DIV (n DIV $k) END AS INT)""".stripMargin.replace("\n", " "))
+
+  /** B14 — RFM segmentation: each customer scored 1–5 on Recency
+    * (days since last order), Frequency (order count), and Monetary
+    * (exact lifetime cents), via three independent explicit-ntile
+    * ranks over the customer aggregate — the classic CRM / cohort
+    * feature. Each rank runs the two-pass machinery (the customer
+    * relation grows with the corpus, so no global window); quintile
+    * boundaries are pure integer arithmetic. Output is the segment
+    * grid with sizes and exact monetary mass. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val maxDate = "1998-12-31"
+    val base = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(lit(maxDate), max(to_date(col("o_orderdate")))).cast("bigint")
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+          .as("cents"))
+      .persist() // read four times: three rank passes + the final join
+    // lower recency = better → rank ascending puts the BEST at rank 1;
+    // score 6 − quintile so 5 is always the best bucket on every axis
+    val r = rankedBy(s, base, col("recency_days"), col("o_custkey"))
+      .withColumn("r_q", lit(6) - ntileExpr(5))
+      .select(col("o_custkey"), col("r_q"))
+    val f = rankedBy(s, base, col("frequency").desc, col("o_custkey"))
+      .withColumn("f_q", lit(6) - ntileExpr(5))
+      .select(col("o_custkey"), col("f_q"))
+    val m = rankedBy(s, base, col("cents").desc, col("o_custkey"))
+      .withColumn("m_q", lit(6) - ntileExpr(5))
+      .select(col("o_custkey"), col("m_q"))
+    base.select(col("o_custkey"), col("cents"))
+      .join(r, Seq("o_custkey")).join(f, Seq("o_custkey")).join(m, Seq("o_custkey"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("segment_cents"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  val rfmSegmentsSql: String = {
+    def ntile(k: Int) =
+      s"""CAST(CASE WHEN rnk <= (n % $k) * (n // $k + 1)
+         |  THEN (rnk + n // $k) // (n // $k + 1)
+         |  ELSE (n % $k) + (rnk - (n % $k) * (n // $k + 1) + n // $k - 1)
+         |       // (n // $k) END AS INT)""".stripMargin.replace("\n", " ")
+    s"""WITH base AS (SELECT o_custkey,
+      |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+      |      DATE '1998-12-31') AS BIGINT) AS recency_days,
+      |    count(*) AS frequency,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (SELECT o_custkey, 6 - ${ntile(5)} AS r_q FROM (
+      |    SELECT o_custkey, row_number() OVER (ORDER BY recency_days, o_custkey)
+      |      AS rnk, count(*) OVER () AS n FROM base)),
+      |f AS (SELECT o_custkey, 6 - ${ntile(5)} AS f_q FROM (
+      |    SELECT o_custkey, row_number() OVER (ORDER BY frequency DESC, o_custkey)
+      |      AS rnk, count(*) OVER () AS n FROM base)),
+      |m AS (SELECT o_custkey, 6 - ${ntile(5)} AS m_q FROM (
+      |    SELECT o_custkey, row_number() OVER (ORDER BY cents DESC, o_custkey)
+      |      AS rnk, count(*) OVER () AS n FROM base))
+      |SELECT r_q, f_q, m_q, count(*) AS n_customers,
+      |  CAST(sum(cents) AS BIGINT) AS segment_cents
+      |FROM base JOIN r USING (o_custkey) JOIN f USING (o_custkey)
+      |  JOIN m USING (o_custkey)
+      |GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin
+  }
+
+  /** C9 — stratified three-way split: every document deterministically
+    * assigned to train/val/test by an md5 coin WITHIN its language
+    * stratum (approximately 80/10/10 by hash range — reproducible
+    * across runs, engines, and partitionings; no RNG state). Emits the
+    * per-(stratum, split) audit a pipeline checks before training.
+    * Pure map + one aggregate. */
+  def threeWaySplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        // first 4 hex digits → 16 bits of uniform coin
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long").as("coin"))
+      .withColumn("split",
+        when(col("coin") < 52429L, "train")        // 0.8 * 65536
+          .when(col("coin") < 58982L, "val")       // 0.9 * 65536
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("split"))
+
+  val threeWaySplitSql: String =
+    """WITH c AS (SELECT lang,
+      |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+      |      AS BIGINT) AS coin
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN coin < 52429 THEN 'train'
+      |       WHEN coin < 58982 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  count(*) AS n_docs
+      |FROM c GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
+  /** L10 — feature hashing (the hashing trick): terms folded into a
+    * fixed 16-bucket signed-count vector per document — the
+    * featurizer that needs no vocabulary broadcast at any corpus
+    * size. Bucket and sign both derive from the term's md5, so the
+    * vector is engine- and partitioning-independent; counts are exact
+    * integers. Emitted long-form (doc, bucket, weight) — the sparse
+    * representation a trainer consumes. */
+  def featureHash(s: SparkSession, dir: String, buckets: Int = 16): DataFrame =
+    Tables.widen(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("doc_id"),
+        (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("long") % buckets)
+          .cast("int").as("bucket"),
+        when(conv(substring(md5(col("term")), 5, 1), 16, 10).cast("long") % 2 === 0,
+          1L).otherwise(-1L).as("sgn"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sgn")).as("weight"))
+      .filter(col("weight") =!= 0)
+      .orderBy(col("doc_id"), col("bucket"))
+
+  val featureHashSql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |           FROM documents),
+      |h AS (SELECT doc_id,
+      |        CAST(CAST(concat('0x', substring(md5(term), 1, 4)) AS BIGINT) % 16
+      |          AS INT) AS bucket,
+      |        CASE WHEN CAST(concat('0x', substring(md5(term), 5, 1)) AS BIGINT)
+      |               % 2 = 0
+      |             THEN 1 ELSE -1 END AS sgn
+      |      FROM t WHERE term <> '')
+      |SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS weight
+      |FROM h GROUP BY 1, 2 HAVING sum(sgn) <> 0
+      |ORDER BY doc_id, bucket""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm_segments" -> (rfmSegments _),
+    "q_three_way_split" -> (threeWaySplit _),
+    "q_feature_hash" -> ((s: SparkSession, d: String) => featureHash(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_rfm_segments" -> rfmSegmentsSql,
+    "q_three_way_split" -> threeWaySplitSql,
+    "q_feature_hash" -> featureHashSql,
+  )
+}

@@ -17,7 +17,10 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
-  test("built-in moments agree with the exact-decimal formulation within 1e-6 rel") {
+  test("built-in moments agree with the exact-decimal formulation within rounding") {
+    // statsBuiltin emits round(4) values (its oracle contract), so the
+    // agreement tolerance is the 5e-5 absolute rounding quantum plus
+    // the float-order 1e-6 relative term.
     val builtin = Extras.statsBuiltin(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     val exact = Relational.statsMoments(spark, sfDir).collect()
@@ -25,12 +28,14 @@ class ExtrasSpec extends SparkSpec {
     assert(exact.nonEmpty)
     exact.foreach { case (flag, varQty, sdQty, corrQP) =>
       val (sdB, varB, corrB) = builtin(flag)
-      def close(a: Double, b: Double) = math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b))
+      def close(a: Double, b: Double, tol: Double = 5e-5) =
+        math.abs(a - b) <= tol + 1e-6 * math.abs(b)
       assert(close(varB, varQty), s"$flag var $varB vs $varQty")
       assert(close(sdB, sdQty), s"$flag sd $sdB vs $sdQty")
       assert(close(corrB, corrQP), s"$flag corr $corrB vs $corrQP")
       assert(corrB >= -1.0 && corrB <= 1.0)
-      assert(close(sdB * sdB, varB))
+      // sd is rounded before squaring: error ≤ 2·|sd|·5e-5 + quantum
+      assert(close(sdB * sdB, varB, 2 * math.abs(sdB) * 5e-5 + 5e-5))
     }
   }
 
