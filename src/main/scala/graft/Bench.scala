@@ -35,6 +35,28 @@ object Bench {
       import org.apache.spark.sql.functions.{udf, lit}
       spark.range(1).select(udf((x: Long) => x + 1).apply(lit(1L))).count()
     } catch { case _: Throwable => }
+    // Warm the heavier engine machinery the same way: WindowExec,
+    // RangePartitioner sampling, decimal aggregation, and struct-min
+    // all JIT/class-load on first use, and that cost otherwise lands
+    // on whichever query alphabetically reaches them first
+    // (q_abc_class, the suite's 2nd query, absorbed ~2s of it).
+    // Synthetic range data only — no fixture result is cached (and the
+    // timed loop clearCache()s anyway).
+    try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val r = spark.range(100000).select(col("id"), (col("id") % 7).as("g"),
+        col("id").cast("decimal(18,2)").as("d"))
+      r.repartitionByRange(4, col("g"), col("id"))
+        .withColumn("mid", monotonically_increasing_id())
+        .withColumn("rk", row_number().over(Window.partitionBy(col("g")).orderBy(col("id"))))
+        .withColumn("cum", sum(col("d")).over(
+          Window.partitionBy(col("g")).orderBy(col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("g"))
+        .agg(sum(col("cum")).as("s"), min(struct(col("id"), col("g"))).as("m"))
+        .count()
+    } catch { case _: Throwable => }
     // Dev-only: SPARK_GRAFT_ONLY=q_a,q_b times just those queries
     // (unset in driver runs — the full sweep is the contract).
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -83,11 +83,16 @@ object Alloc {
     * are integer comparisons (10·cum ≤ 7·total), so a part's class is
     * bit-portable — no float share crosses an if. */
   def abcClass(s: SparkSession, dir: String): DataFrame = {
+    // The per-part aggregate is persisted BEFORE the range repartition:
+    // repartitionByRange runs a sampling job over its child to pick
+    // bounds, which would otherwise re-execute the fact-table aggregate
+    // a second time before the shuffle pass does it again.
     val rev = Tables.lineitem(s, dir)
       .select(col("l_partkey"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100)
           .cast("bigint").as("cents"))
       .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev"))
+      .persist()
     val parts = rev
       .repartitionByRange(Tables.shuffleWidth(s), col("rev").desc, col("l_partkey"))
       .withColumn("pid", spark_partition_id())

@@ -370,9 +370,15 @@ object Analytics {
       "graft_might_contain(" +
         "(SELECT graft_bloom_agg(xxhash64(o_orderkey), 200000L) FROM graft_bloom_dst), " +
         "xxhash64(l_orderkey))")
+    // Evaluate the sketch probe ONCE per source row and persist: the
+    // definite/possible branches then split a cached boolean instead
+    // of each re-running the distinct AND re-building the bloom
+    // aggregate (a scalar subquery is re-evaluated per plan
+    // occurrence, so two `might` filters meant two sketch builds).
     val src = Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
-    val definite = src.filter(!might)
-    val confirmed = src.filter(might)
+      .withColumn("maybe", might).persist()
+    val definite = src.filter(!col("maybe")).drop("maybe")
+    val confirmed = src.filter(col("maybe")).drop("maybe")
       .join(dst, col("l_orderkey") === col("o_orderkey"), "left_anti")
     definite.union(confirmed).orderBy(col("l_orderkey"))
   }

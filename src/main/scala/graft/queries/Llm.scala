@@ -359,21 +359,34 @@ object Llm {
     * doubles hash-match. PER-TERM rows are emitted (the per-cell
     * convention): the query-level sum is the consumer's tiny exact
     * reduce, not an order-dependent float total here. Scale shape:
-    * doc-length and df tables are aggregates of the token stream;
-    * corpus stats join as a one-row broadcast; everything else is
-    * broadcast-joined onto the tf aggregate. */
+    * the probe term set is bounded (it is a QUERY), so per-doc tf for
+    * each probe term and the doc length are all NARROW array
+    * expressions over one corpus scan — no token explode, no
+    * (doc, term) shuffle; the only aggregates are the one-row corpus
+    * stats and the per-term df, both broadcast back. (A standing
+    * inverted index for unbounded query load is the q_tfidf /
+    * q_lexical_cosine shape; scoring one query against the corpus is
+    * exactly this scan.) */
   def bm25(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.widen(Tables.documents(s, dir))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-    val tf = toks.filter(col("term").isin("join", "hash", "vector"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val terms = Seq("join", "hash", "vector")
+    val perDoc = Tables.widen(Tables.documents(s, dir))
+      .select(col("doc_id") +: split(col("text"), " ").as("w") +: Nil: _*)
+      .select(col("doc_id") +:
+        size(filter(col("w"), x => x =!= "")).cast("bigint").as("dl") +:
+        terms.map(t =>
+          size(filter(col("w"), x => x === t)).cast("bigint").as(s"tf_$t")): _*)
+      .persist() // stats + df + the scored rows all read this one pass
+    // n counts docs with >= 1 non-empty token, exactly like the
+    // oracle's dl CTE (a token-free doc contributes no dl row there).
+    val stats = perDoc.filter(col("dl") > 0)
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val tf = perDoc.select(col("doc_id"), col("dl"),
+        explode(map(terms.flatMap(t => Seq(lit(t), col(s"tf_$t"))): _*))
+          .as(Seq("term", "tf")))
+      .filter(col("tf") > 0)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val D = (c: Column) => c.cast("double")
-    tf.join(dl, Seq("doc_id"))
-      .join(broadcast(df), Seq("term"))
+    tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"), col("tf"), col("dl"),
         (log((D(col("n")) - D(col("df")) + lit(0.5)) / (D(col("df")) + lit(0.5))

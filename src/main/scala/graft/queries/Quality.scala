@@ -23,7 +23,13 @@ object Quality {
     * exact-cent clipped sum. */
   def winsorize(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val parts = li.select(col("l_returnflag"), col("l_extendedprice"))
+    // Persist the 2-column projection before the range repartition:
+    // the bound-sampling job otherwise re-scans the fact table in full
+    // right before the shuffle pass scans it again. (At 100 TB this is
+    // the same call — MEMORY_AND_DISK of two columns — or the sampling
+    // pass is accepted as a second pruned column scan.)
+    val proj = li.select(col("l_returnflag"), col("l_extendedprice")).persist()
+    val parts = proj
       .repartitionByRange(Tables.shuffleWidth(s),
         col("l_returnflag"), col("l_extendedprice"))
       .sortWithinPartitions(col("l_returnflag"), col("l_extendedprice"))
@@ -48,7 +54,7 @@ object Quality {
       .groupBy(col("l_returnflag"))
       .agg(min(col("l_extendedprice")).as("lo"),
         max(col("l_extendedprice")).as("hi"))
-    li.select(col("l_returnflag"), col("l_extendedprice"))
+    proj
       .join(broadcast(bounds), Seq("l_returnflag"))
       .select(col("l_returnflag"),
         (col("l_extendedprice") < col("lo")).cast("long").as("clip_lo"),
