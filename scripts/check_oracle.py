@@ -15,6 +15,7 @@ Dev tooling only — the Scala library has no Python dependency.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -40,8 +41,11 @@ def main(outdir, sfdir):
     with open(f"{outdir}/oracle_sql.json") as f:
         oracle = json.load(f)
 
+    only_dumped = "--only-dumped" in sys.argv
     failures = []
     for name in sorted(oracle):
+        if only_dumped and not os.path.isdir(f"{outdir}/{name}"):
+            continue
         sql = oracle[name]
         try:
             want = con.sql(sql)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Alloc, Analytics, Curate, EtlQueries, Extras, Featurize, Joins, Linkage, Llm, Pipeline, Quality, Relational, Trend, Warehouse, Windows}
+import graft.queries.{Alloc, Analytics, Curate, EtlQueries, Extras, Featurize, Joins, Linkage, Llm, Pipeline, Quality, Relational, Serving, Trend, Warehouse, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,6 +35,7 @@ object SparkEntry {
       (Curate.queries, Curate.oracle),
       (Quality.queries, Quality.oracle),
       (Featurize.queries, Featurize.oracle),
+      (Serving.queries, Serving.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

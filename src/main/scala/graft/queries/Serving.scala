@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-6 serving/feature-store operators: shuffle-free bucketed
+  * co-located joins, point-in-time-correct dimension lookup, algebraic
+  * incremental-aggregate merge, and deterministic negative sampling.
+  * All oracle-checked; conventions per ARCHITECTURE.md "Cross-engine
+  * determinism" (integer/decimal accumulation, md5 coins, total
+  * ORDER BY).
+  */
+object Serving {
+
+  /** J9/S9 — bucketed co-located join: both sides are WRITTEN bucketed
+    * on the join key (8 buckets, sorted within), then joined sort-merge
+    * — the layout investment that removes the per-query shuffle of a
+    * recurring fact⋈dim join. At 100 TB this is the difference between
+    * re-shuffling terabytes per query and a zero-exchange merge of
+    * co-located files; BucketingSpec + ServingSpec assert the executed
+    * plan contains no ShuffleExchange below the join. The staged
+    * tables are external (app-id-unique /tmp path — two concurrent
+    * JVMs must not race one directory), and results are identical to
+    * the plain join, which is the oracle. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val stage = s"/tmp/graft_bucket_stage_${new java.io.File(dir).getName}_$app"
+    val ot = s"graft_orders_bkt_$app"
+    val ct = s"graft_customer_bkt_$app"
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$stage/orders").saveAsTable(ot)
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$stage/customer").saveAsTable(ct)
+    // merge hint: without it the tiny bench-scale dimension would
+    // broadcast and the bucketing would never be exercised; at real
+    // scale both sides exceed the broadcast threshold and SMJ is the
+    // planner's own choice.
+    s.table(ot).hint("merge")
+      .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+          .as("cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
+  /** W21 — point-in-time-correct lookup (the feature-store / training-
+    * data primitive): probe each user's state AS OF a set of fixed
+    * timestamps against the SCD2 interval table built from their event
+    * history ([[Warehouse.scd2Build]]'s intervals). Because versions
+    * are disjoint half-open intervals [valid_from, valid_to), every
+    * probe matches AT MOST one version — no argmax, no window; probes
+    * before a user's first event surface as 'none' (the left join).
+    * Probe times are 10 integer-second points evenly spanning the
+    * corpus (exact integer arithmetic from the broadcast min/max).
+    * Scale shape: equi-join on user_id with a bounded 10× probe
+    * fan-out; the interval side is keyed the same way — co-partition
+    * or broadcast, never a time-range theta join. */
+  def pitJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type").as("state"),
+        unix_timestamp(col("ts")).as("sec"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val iv = e
+      .withColumn("prev_state", lag(col("state"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+      .withColumn("valid_from", col("sec"))
+      .withColumn("valid_to",
+        coalesce(lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("valid_from"), col("event_id"))),
+          lit(9999999999L)))
+      .select(col("user_id").as("iv_user"), col("state"),
+        col("valid_from"), col("valid_to"))
+    val span = e.agg(min(col("sec")).as("t0"), max(col("sec")).as("t1"))
+    val probes = e.select(col("user_id")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("user_id"), explode(sequence(lit(0), lit(9))).as("i"),
+        col("t0"), col("t1"))
+      .select(col("user_id"), col("i").cast("int").as("probe_idx"),
+        expr("t0 + (CAST(i AS BIGINT) * (t1 - t0)) DIV 10").as("probe_sec"))
+    probes.join(iv,
+        probes("user_id") === iv("iv_user") &&
+          col("probe_sec") >= col("valid_from") &&
+          col("probe_sec") < col("valid_to"),
+        "left")
+      .select(col("user_id"), col("probe_idx"), col("probe_sec"),
+        coalesce(col("state"), lit("none")).as("state"))
+      .orderBy(col("user_id"), col("probe_idx"))
+  }
+
+  val pitJoinSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type AS state,
+      |             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |c AS (SELECT user_id, event_id, state, sec,
+      |        lag(state) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+      |          AS prev FROM e),
+      |ch AS (SELECT user_id, event_id, state, sec AS valid_from FROM c
+      |       WHERE prev IS NULL OR prev <> state),
+      |iv AS (SELECT user_id, state, valid_from,
+      |         coalesce(lead(valid_from) OVER (PARTITION BY user_id
+      |           ORDER BY valid_from, event_id), 9999999999) AS valid_to
+      |       FROM ch),
+      |span AS (SELECT min(sec) AS t0, max(sec) AS t1 FROM e),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |p AS (SELECT user_id, CAST(i AS INT) AS probe_idx,
+      |        t0 + (i * (t1 - t0)) // 10 AS probe_sec
+      |      FROM u, span, unnest(range(0, 10)) AS t(i))
+      |SELECT p.user_id, probe_idx, probe_sec,
+      |  coalesce(iv.state, 'none') AS state
+      |FROM p LEFT JOIN iv ON p.user_id = iv.user_id
+      |  AND probe_sec >= valid_from AND probe_sec < valid_to
+      |ORDER BY p.user_id, probe_idx""".stripMargin
+
+  /** E9 — algebraic incremental-aggregate merge (materialized-view
+    * maintenance, the aggregate form of the reference's incremental
+    * sync): the fact table arrives in batches; each batch reduces to
+    * per-group PARTIAL STATES (count, sum, min, max — all algebraic
+    * merges), and the serving aggregate merges states instead of
+    * re-reading history. The oracle is the DIRECT full aggregate:
+    * merge(states(old), states(new)) must be indistinguishable from
+    * recompute. One scan (batch tag is a projection), exact cents;
+    * avg is derived from the merged exact states in one final float
+    * division. */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val cut = "1997-01-01"
+    val states = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        (to_date(col("l_shipdate")) < lit(cut)).as("old_batch"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("cents"))
+      .groupBy(col("l_returnflag"), col("old_batch"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+    states
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("cnt")).as("n"), sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_cents")).as("min_cents"), max(col("max_cents")).as("max_cents"))
+      .select(col("l_returnflag"), col("n"), col("sum_cents"),
+        col("min_cents"), col("max_cents"),
+        (col("sum_cents").cast("double") / col("n").cast("double")).as("avg_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val incrementalAggSql: String =
+    """WITH b AS (SELECT l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem)
+      |SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  min(cents) AS min_cents, max(cents) AS max_cents,
+      |  CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents
+      |FROM b GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  /** L12 — deterministic negative sampling (contrastive-training data
+    * prep): for each probe document, draw k pseudo-random negatives
+    * from OTHER sources via an md5 coin on the (probe, candidate)
+    * pair — reproducible across engines, runs, and partitionings (no
+    * RNG state), and source-disjoint by construction. The probe set is
+    * bounded (broadcast); candidates stream partition-parallel. The
+    * per-probe top-k runs on a keyed window whose fan-in is the
+    * corpus — at 100 TB the same salted two-stage top-k as
+    * q_fixed_size_sample bounds it. */
+  def negativeSample(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val probes = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("probe_id"), col("source").as("probe_src"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("coin"), col("doc_id"))
+    docs.join(broadcast(probes), col("source") =!= col("probe_src"))
+      .withColumn("coin",
+        md5(concat_ws("|", col("probe_id").cast("string"),
+          col("doc_id").cast("string"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk").cast("int").as("rnk"),
+        col("doc_id").as("negative_id"), col("coin"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  val negativeSampleSql: String =
+    """WITH p AS (SELECT doc_id AS probe_id, source AS probe_src
+      |           FROM documents WHERE doc_id < 20),
+      |pr AS (SELECT probe_id, d.doc_id AS negative_id,
+      |         md5(CAST(probe_id AS VARCHAR) || '|' ||
+      |             CAST(d.doc_id AS VARCHAR)) AS coin
+      |       FROM documents d JOIN p ON d.source <> p.probe_src),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |         ORDER BY coin, negative_id) AS rnk FROM pr)
+      |SELECT probe_id, CAST(rnk AS INT) AS rnk, negative_id, coin
+      |FROM rk WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucketed_join" -> (bucketedJoin _),
+    "q_pit_join" -> (pitJoin _),
+    "q_incremental_agg" -> (incrementalAgg _),
+    "q_negative_sample" -> ((s: SparkSession, d: String) => negativeSample(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_bucketed_join" -> bucketedJoinSql,
+    "q_pit_join" -> pitJoinSql,
+    "q_incremental_agg" -> incrementalAggSql,
+    "q_negative_sample" -> negativeSampleSql,
+  )
+}
