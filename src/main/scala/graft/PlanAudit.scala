@@ -59,6 +59,11 @@ object PlanAudit {
     "q_quantile_norm" -> "per-group global rank from ONE range exchange + broadcast offsets — no group funnels through one task",
     "q_lexical_cosine" -> "inverted-index retrieval: probe tf broadcast onto the term-keyed corpus; dot/norms are integer partial/final aggregates",
     "q_change_point" -> "day aggregate is the only fact pass; CUSUM prefix sum via partition offsets; peak is one broadcast scalar",
+    "q_bucketed_join" -> "co-located layout: both scans Bucketed: true, SortMergeJoin with NO exchange below the join",
+    "q_pit_join" -> "PIT lookup: keyed equi-join carries the interval residual; probes are a bounded 10x fan-out of the user set",
+    "q_incremental_agg" -> "batch tag is a projection; partial states and the merge are two hash aggregates over one scan",
+    "q_negative_sample" -> "probe set broadcast; md5 coins are a map-side projection; only the per-probe top-k window shuffles",
+    "q_bm25" -> "zero explodes: per-term tf and dl are narrow array expressions over one corpus scan; df and corpus stats broadcast",
   )
 
   def main(args: Array[String]): Unit = {
