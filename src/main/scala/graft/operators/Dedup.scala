@@ -48,9 +48,22 @@ object Dedup {
   }
 
   /** Word n-gram shingles, one row per distinct (doc, shingle).
-    * Requires a `doc_id` and a whitespace-tokenizable `text` column. */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    shingleOccurrences(docs, n).distinct()
+    * Requires a `doc_id` and a whitespace-tokenizable `text` column.
+    * The per-document dedup happens NARROWLY (array_distinct inside
+    * the projection, before the explode) — a `.distinct()` here would
+    * shuffle every shingle occurrence as a wide string key; the set
+    * semantics are identical because distinctness is per (doc,
+    * shingle) and each doc is one row. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val idx = (1 to n).map(k => s"element_at(w, i + ${k - 1})").mkString(", ")
+    graft.Tables.widen(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> concat_ws(' ', $idx)))"))
+        .as("shingle"))
+  }
 
   /** MinHash signatures as one array column per document.
     *

@@ -289,7 +289,81 @@ object Curate {
       |GROUP BY o.o_orderpriority
       |ORDER BY priority""".stripMargin
 
+  /** L13 — first-owner novelty scoring: for each document, the share
+    * of its distinct 3-shingles that it is the FIRST (lowest doc id)
+    * owner of across the whole corpus — the curation metric that
+    * separates original content from text stitched out of earlier
+    * documents (novelty ~0 means every phrase already existed).
+    * Shingle sets are built narrowly per doc (array_distinct before
+    * the explode — no distinct shuffle); first ownership is ONE
+    * min-aggregate keyed on the shingle; the share is one exact
+    * int/int IEEE division. At 100 TB the shingle key would be the
+    * 60-bit NgramHashes digest rather than the string (same
+    * w.h.p.-collision convention as q_dedup_ngram). */
+  def novelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), 3)
+      .persist() // first-owner aggregate + per-doc join both read it
+    val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val noveltySql: String =
+    s"""${Llm.shingleCte},
+      |f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+      |SELECT sh.doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS novelty
+      |FROM sh JOIN f ON sh.shingle = f.shingle
+      |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+
+  /** L14 — per-source diversity: distinct shingles over total shingle
+    * occurrences for each source — the corpus-level repetitiveness
+    * audit (a boilerplate-heavy source scores low and gets
+    * down-weighted in the training mix; the per-DOC twin is
+    * q_repetition). Occurrences stream through one count aggregate;
+    * the distinct count is exact (count_distinct over the narrow
+    * per-doc sets would undercount cross-doc repeats, so distinctness
+    * here is corpus-wide per source). */
+  def sourceDiversity(s: SparkSession, dir: String): DataFrame = {
+    val occ = Dedup.shingleOccurrences(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), 3)
+    // shingleOccurrences emits only (doc_id, shingle); re-attach source
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    occ.join(broadcast(src), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("shingle")).as("n_distinct"))
+      .select(col("source"), col("n_occurrences"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_occurrences").cast("double"))
+          .as("diversity"))
+      .orderBy(col("source"))
+  }
+
+  val sourceDiversitySql: String =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+      |           FROM documents),
+      |occ AS (SELECT doc_id, source,
+      |          unnest(list_transform(range(1, len(w) - 1),
+      |            i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+      |        FROM w WHERE len(w) >= 3)
+      |SELECT source, count(*) AS n_occurrences,
+      |  CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct,
+      |  CAST(count(DISTINCT shingle) AS DOUBLE) / count(*) AS diversity
+      |FROM occ GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_novelty" -> (novelty _),
+    "q_source_diversity" -> (sourceDiversity _),
     "q_domain_cap" -> ((s: SparkSession, d: String) => domainCap(s, d)),
     "q_dedup_canonical" -> (dedupCanonical _),
     "q_quantile_norm" -> (quantileNorm _),
@@ -300,6 +374,8 @@ object Curate {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_novelty" -> noveltySql,
+    "q_source_diversity" -> sourceDiversitySql,
     "q_domain_cap" -> domainCapSql,
     "q_dedup_canonical" -> dedupCanonicalSql,
     "q_quantile_norm" -> quantileNormSql,

@@ -195,9 +195,12 @@ object Trend {
   def pmi(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val nd = docs.agg(count(lit(1)).as("nd"))
+    // per-doc distinct words NARROWLY (array_distinct in the
+    // projection) — a .distinct() here would shuffle every token
+    // occurrence as a wide string key (same move as Dedup.shingles)
     val words = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "").distinct()
+      .select(col("doc_id"), explode(
+        expr("array_distinct(filter(split(text, ' '), x -> x <> ''))")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
     val bg = graft.operators.Dedup.shingles(docs, 2)
       .groupBy(col("shingle").as("bigram"))
@@ -255,9 +258,10 @@ object Trend {
     val pres = graft.operators.Dedup.shingles(docs, 2)
       .select(col("doc_id"), col("shingle").as("bigram"))
     val cxy = pres.groupBy(col("bigram")).agg(count(lit(1)).as("cxy"))
+    // narrow per-doc distinct, as in pmi's word table
     val cx = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "").distinct()
+      .select(col("doc_id"), explode(
+        expr("array_distinct(filter(split(text, ' '), x -> x <> ''))")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cx"))
     pres
       .join(cxy, Seq("bigram"))
