@@ -203,7 +203,40 @@ object Serving {
       |SELECT probe_id, CAST(rnk AS INT) AS rnk, negative_id, coin
       |FROM rk WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
 
+  /** T5 — per-group top-k WITHOUT a sort: the bounded-heap Aggregator
+    * ([[graft.operators.TopKPairs]]) runs as a partial/final
+    * aggregate, so the map side combines every partition down to ≤k
+    * rows per group before the exchange — the window row_number()
+    * twin (q_topk_pergroup) shuffles and per-partition-sorts every
+    * row instead. Identical semantics under the total order
+    * (cents DESC, orderkey ASC); the oracle is the window form. */
+  def topkHeap(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val agg = udaf(new graft.operators.TopKPairs(k))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("priority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents"),
+        col("o_orderkey"))
+      .groupBy(col("priority"))
+      .agg(agg(col("cents"), col("o_orderkey")).as("top"))
+      .select(col("priority"), explode(col("top")).as("t"))
+      .select(col("priority"), col("t._1").as("rnk"),
+        col("t._3").as("o_orderkey"), col("t._2").as("cents"))
+      .orderBy(col("priority"), col("rnk"))
+  }
+
+  val topkHeapSql: String =
+    """WITH r AS (SELECT o_orderpriority AS priority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    o_orderkey,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        DESC, o_orderkey) AS rnk
+      |  FROM orders)
+      |SELECT priority, CAST(rnk AS INT) AS rnk, o_orderkey, cents
+      |FROM r WHERE rnk <= 3 ORDER BY priority, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_heap" -> ((s: SparkSession, d: String) => topkHeap(s, d)),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_pit_join" -> (pitJoin _),
     "q_incremental_agg" -> (incrementalAgg _),
@@ -211,6 +244,7 @@ object Serving {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_topk_heap" -> topkHeapSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_pit_join" -> pitJoinSql,
     "q_incremental_agg" -> incrementalAggSql,

@@ -46,6 +46,29 @@ class ServingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("heap top-k aggregates without sorting or windowing the input") {
+    val out = Serving.topkHeap(spark, sfDir, k = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1500))
+    // the ONLY sort is the final tiny presentation ORDER BY; the
+    // aggregate itself must be a partial/final ObjectHashAggregate
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+    // identical to the window row_number() formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("priority"))
+      .orderBy(col("cents").desc, col("o_orderkey"))
+    val windowed = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("priority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents"),
+        col("o_orderkey"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("priority"), col("rnk").cast("int").as("rnk"),
+        col("o_orderkey"), col("cents"))
+      .orderBy(col("priority"), col("rnk"))
+    assert(out.collect().map(_.toSeq).toSeq == windowed.collect().map(_.toSeq).toSeq)
+  }
+
   test("incremental state merge is indistinguishable from recompute") {
     val merged = Serving.incrementalAgg(spark, sfDir)
     val direct = Tables.lineitem(spark, sfDir)
