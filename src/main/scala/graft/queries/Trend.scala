@@ -327,7 +327,147 @@ object Trend {
       |FROM a WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
+  /** TS8 — classical seasonal decomposition (trend + seasonal +
+    * residual) of the monthly revenue series, with every component
+    * derived from EXACT INTEGER numerators so the split is
+    * bit-portable with zero rounding:
+    *
+    *  - trend: centered 13-month moving average. The frame sum S13 of
+    *    integer cents is exact, so trend = S13/13 is one division.
+    *  - detrended×13 = 13·c − S13 — an exact bigint (d13); dividing by
+    *    13 is deferred so the seasonal fit below also has an integer
+    *    numerator.
+    *  - seasonal (per calendar month) = mean of detrended =
+    *    Σd13 / (13·n) — integer numerator again.
+    *  - residual = detrended − seasonal = (d13·n − Σd13) / (13·n).
+    *
+    * Aggregate-first discipline: the fact table collapses to one row
+    * per month BEFORE any window; the ±6-row frame and the 12-group
+    * seasonal partition then run over the bounded month relation
+    * (edges without a full frame are trimmed, standard for a centered
+    * MA). Over an unbounded span the month spine takes the same
+    * two-pass treatment as q_concurrency. */
+  def stlDecompose(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .select(date_trunc("month", to_date(col("o_orderdate"))).cast("date").as("month"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("c"))
+      .groupBy(col("month")).agg(sum(col("c")).as("c"))
+    val frame = Window.orderBy(col("month")).rowsBetween(-6, 6)
+    val fit = monthly
+      .withColumn("s13", sum(col("c")).over(frame))
+      .withColumn("n13", count(lit(1)).over(frame))
+      .filter(col("n13") === 13)
+      .withColumn("d13", lit(13) * col("c") - col("s13"))
+      .withColumn("moy", month(col("month")))
+    val byMoy = Window.partitionBy(col("moy"))
+    fit
+      .withColumn("sn", sum(col("d13")).over(byMoy))
+      .withColumn("ng", count(lit(1)).over(byMoy))
+      .select(col("month"), col("c").as("cents"),
+        (col("s13").cast("double") / 13.0).as("trend"),
+        (col("sn").cast("double") / (lit(13.0) * col("ng").cast("double")))
+          .as("seasonal"),
+        ((col("d13") * col("ng") - col("sn")).cast("double") /
+          (lit(13.0) * col("ng").cast("double"))).as("residual"))
+      .orderBy(col("month"))
+  }
+
+  val stlDecomposeSql: String =
+    """WITH m AS (SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+      |             AS DATE) AS month,
+      |           sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |             AS c
+      |         FROM orders GROUP BY 1),
+      |f AS (SELECT month, c,
+      |        CAST(sum(c) OVER w AS BIGINT) AS s13,
+      |        count(*) OVER w AS n13
+      |      FROM m WINDOW w AS (ORDER BY month
+      |        ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)),
+      |d AS (SELECT month, c, s13, 13 * c - s13 AS d13, month(month) AS moy
+      |      FROM f WHERE n13 = 13),
+      |g AS (SELECT month, c, s13, d13,
+      |        CAST(sum(d13) OVER (PARTITION BY moy) AS BIGINT) AS sn,
+      |        count(*) OVER (PARTITION BY moy) AS ng
+      |      FROM d)
+      |SELECT month, CAST(c AS BIGINT) AS cents,
+      |  CAST(s13 AS DOUBLE) / 13.0 AS trend,
+      |  CAST(sn AS DOUBLE) / (13.0 * CAST(ng AS DOUBLE)) AS seasonal,
+      |  CAST(d13 * ng - sn AS DOUBLE) / (13.0 * CAST(ng AS DOUBLE)) AS residual
+      |FROM g ORDER BY month""".stripMargin
+
+  /** W22 — ratio-metric A/B readout via the delta method: the
+    * continuous companion to q_ab_test's two-proportion z. Unit =
+    * order; metric = revenue-per-quantity-unit R = Σx/Σy. Var(R) is
+    * the first-order delta approximation (σx² − 2Rσxy + R²σy²) /
+    * (n·ȳ²), computed from six EXACT power sums per variant (decimal
+    * accumulation — cents² exceeds int64 at scale), so both engines
+    * evaluate one identical IEEE chain from identical integers. One
+    * partial/final aggregate over the per-order rollup; nothing else
+    * moves. */
+  def ratioTest(s: SparkSession, dir: String): DataFrame = {
+    val D = (c: Column) => c.cast("double")
+    val perOrder = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents"),
+        col("l_quantity").cast("bigint").as("qty"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("cents")).as("x"), sum(col("qty")).as("y"))
+      .withColumn("seg", pmod(col("l_orderkey"), lit(2)))
+    val g = perOrder.groupBy(col("seg")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")).as("sxx"),
+      sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).as("syy"),
+      sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).as("sxy"))
+    // one row per variant: ratio + delta-method variance, the fixed
+    // IEEE chain written identically in the oracle
+    g.select(col("seg").cast("int").as("seg"), col("n"),
+        col("sx").cast("long").as("sum_cents"), col("sy").cast("long").as("sum_qty"),
+        (D(col("sx")) / D(col("sy"))).as("ratio"),
+        (((D(col("sxx")) / D(col("n")) -
+            (D(col("sx")) / D(col("n"))) * (D(col("sx")) / D(col("n")))) -
+          lit(2.0) * (D(col("sx")) / D(col("sy"))) *
+            (D(col("sxy")) / D(col("n")) -
+              (D(col("sx")) / D(col("n"))) * (D(col("sy")) / D(col("n")))) +
+          (D(col("sx")) / D(col("sy"))) * (D(col("sx")) / D(col("sy"))) *
+            (D(col("syy")) / D(col("n")) -
+              (D(col("sy")) / D(col("n"))) * (D(col("sy")) / D(col("n"))))) /
+          (D(col("n")) * (D(col("sy")) / D(col("n"))) * (D(col("sy")) / D(col("n")))))
+          .as("var_ratio"))
+      .orderBy(col("seg"))
+  }
+
+  val ratioTestSql: String =
+    """WITH po AS (SELECT l_orderkey,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+      |  FROM lineitem GROUP BY l_orderkey),
+      |g AS (SELECT l_orderkey % 2 AS seg, count(*) AS n,
+      |        sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |        sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |        sum(CAST(y AS HUGEINT) * y) AS syy,
+      |        sum(CAST(x AS HUGEINT) * y) AS sxy
+      |      FROM po GROUP BY 1)
+      |SELECT CAST(seg AS INT) AS seg, n,
+      |  CAST(sx AS BIGINT) AS sum_cents, CAST(sy AS BIGINT) AS sum_qty,
+      |  CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS ratio,
+      |  ((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) -
+      |      (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) -
+      |    2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+      |      (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) -
+      |        (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) +
+      |    (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+      |      (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) -
+      |        (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) /
+      |    (CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS var_ratio
+      |FROM g ORDER BY seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stl_decompose" -> (stlDecompose _),
+    "q_ratio_test" -> (ratioTest _),
     "q_attribution" -> (attribution _),
     "q_lm_score" -> (lmScore _),
     "q_regr_slope" -> (regrSlope _),
@@ -338,6 +478,8 @@ object Trend {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stl_decompose" -> stlDecomposeSql,
+    "q_ratio_test" -> ratioTestSql,
     "q_attribution" -> attributionSql,
     "q_lm_score" -> lmScoreSql,
     "q_regr_slope" -> regrSlopeSql,
