@@ -9,6 +9,10 @@ case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 
 case class UserStat(user_id: Long, n_events: Long, total_value: Double)
 
+case class SessBuf(start: Long, end: Long, n: Long)
+case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                         session_end: java.sql.Timestamp, n_events: Long)
+
 /** Structured Streaming operators over the events stream (SURVEY.md
   * §2B X1-X8). The reference's only streaming construct is `sync` —
   * poll MAX(pk), migrate the delta, sleep (A12); [[syncAvailableNow]]
@@ -76,6 +80,57 @@ object EventStreams {
           val next = UserStat(uid, n, tot)
           st.update(next)
           next
+      }
+  }
+
+  /** X9 — closed-session emission via flatMapGroupsWithState with an
+    * EVENT-TIME TIMEOUT: sessions are emitted exactly once, when they
+    * CLOSE (either a new event arrives past the gap, or the watermark
+    * passes end+gap and the state times out). This is the custom-gap
+    * escape hatch beyond built-in session_window (X3): the state
+    * transition is arbitrary code, so a production variant can carry
+    * custom payloads (entry page, conversion flags) that
+    * session_window's aggregate surface can't. State is one small
+    * buffer per OPEN session per user, evicted by the timeout — the
+    * same watermark-bounded posture as every other X row. */
+  def closedSessions(events: Dataset[EventRow], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessBuf, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[EventRow], st: GroupState[SessBuf]) =>
+          if (st.hasTimedOut) {
+            val b = st.get
+            st.remove()
+            Iterator(ClosedSession(uid, new java.sql.Timestamp(b.start),
+              new java.sql.Timestamp(b.end), b.n))
+          } else {
+            // micro-batch arrivals are unordered; sort the (small)
+            // per-key batch before folding it into the session buffer
+            val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[ClosedSession]
+            var cur = st.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(b) if t - b.end <= gapMs =>
+                  Some(SessBuf(b.start, math.max(b.end, t), b.n + 1))
+                case Some(b) =>
+                  closed ::= ClosedSession(uid, new java.sql.Timestamp(b.start),
+                    new java.sql.Timestamp(b.end), b.n)
+                  Some(SessBuf(t, t, 1))
+                case None => Some(SessBuf(t, t, 1))
+              }
+            }
+            cur.foreach { b =>
+              st.update(b)
+              st.setTimeoutTimestamp(b.end + gapMs)
+            }
+            closed.reverse.iterator
+          }
       }
   }
 

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.{EventRow, EventStreams}
+import graft.streaming.{ClosedSession, EventRow, EventStreams}
 
 /** Structured Streaming operators via MemoryStream, plus batch/stream
   * equivalence: the streaming aggregations must agree with the batch
@@ -127,6 +127,34 @@ class StreamingSpec extends SparkSpec {
       .orderBy(col("n_events").desc).collect().head
     assert(last.getAs[Long]("n_events") == 3L)
     assert(math.abs(last.getAs[Double]("total_value") - 8.0) < 1e-9)
+  }
+
+  test("flatMapGroupsWithState emits each session exactly once, on close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.closedSessions(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    // session A: user 1, minutes 0-25 (3 events); closed in-batch by
+    // the minute-100 event (gap 75 > 30)
+    stream.addData(mkEvents(
+      (1, 0, 1, "a", 1.0), (2, 10, 1, "a", 1.0), (3, 25, 1, "a", 1.0),
+      (4, 100, 1, "a", 1.0)))
+    q.processAllAvailable()
+    val afterBatch1 = spark.table("sessions").as[ClosedSession].collect()
+    assert(afterBatch1.map(s => (s.user_id, s.n_events)).toSeq == Seq((1L, 3L)))
+    // advancing the watermark far past 100+30 times out session B
+    // (the timeout path, not the in-batch close)
+    stream.addData(mkEvents((5, 400, 2, "b", 1.0)))
+    q.processAllAvailable()
+    stream.addData(mkEvents((6, 900, 2, "b", 1.0)))
+    q.processAllAvailable(); q.stop()
+    val all = spark.table("sessions").as[ClosedSession].collect()
+      .map(s => (s.user_id, s.n_events)).sorted.toSeq
+    // session B (user 1 @100, 1 event) and user 2's minute-400 session
+    // are both closed; user 2's minute-900 session is still open
+    assert(all == Seq((1L, 3L), (1L, 1L), (2L, 1L)).sorted)
   }
 
   test("session_window (batch mode) agrees with the lag-gap sessionizer") {
