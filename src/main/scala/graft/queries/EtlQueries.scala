@@ -409,7 +409,47 @@ object EtlQueries {
       |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
       |  l_returnflag""".stripMargin
 
+  /** E10/A11 — backfill planner: the reference's check/retry surface
+    * as ONE declarative query. The PK space tiles into fixed ranges
+    * (the reference's batch unit); each range is classified from the
+    * source row counts plus the load ledger — here the ledger is
+    * simulated as "every 7th range failed", the q_bloom_prefilter
+    * convention — and the 'missing' rows ARE the retry queue. The
+    * spine comes from one MAX scalar (broadcast); source counts are
+    * one keyed aggregate; everything after is bounded by #ranges, not
+    * rows. A real deployment swaps the simulated ledger for the
+    * StateStore table — same plan. */
+  def missingRanges(s: SparkSession, dir: String, batch: Long = 500L): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
+    val spine = li.agg(max(col("l_orderkey")).as("mx"))
+      .select(explode(sequence(lit(0L), expr(s"mx DIV $batch"))).as("range_id"))
+    val counts = li.select(expr(s"l_orderkey DIV $batch").as("range_id"))
+      .groupBy(col("range_id")).agg(count(lit(1)).as("n_rows"))
+    spine.join(counts, Seq("range_id"), "left")
+      .select(col("range_id"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        when(col("n_rows").isNull, "empty")
+          .when(col("range_id") % 7 === 3, "missing")
+          .otherwise("done").as("status"))
+      .orderBy(col("range_id"))
+  }
+
+  val missingRangesSql: String =
+    """WITH mx AS (SELECT max(l_orderkey) AS mx FROM lineitem),
+      |spine AS (SELECT CAST(r AS BIGINT) AS range_id
+      |          FROM mx, unnest(range(0, CAST(mx // 500 AS BIGINT) + 1)) AS t(r)),
+      |cnt AS (SELECT l_orderkey // 500 AS range_id, count(*) AS n_rows
+      |        FROM lineitem GROUP BY 1)
+      |SELECT s.range_id,
+      |  CAST(coalesce(n_rows, 0) AS BIGINT) AS n_rows,
+      |  CASE WHEN n_rows IS NULL THEN 'empty'
+      |       WHEN s.range_id % 7 = 3 THEN 'missing'
+      |       ELSE 'done' END AS status
+      |FROM spine s LEFT JOIN cnt ON s.range_id = cnt.range_id
+      |ORDER BY s.range_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_missing_ranges" -> ((s: SparkSession, d: String) => missingRanges(s, d)),
     "q_jdbc_ranged" -> (jdbcRanged _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_typemap_cast" -> (typemapCast _),
@@ -425,6 +465,7 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_missing_ranges" -> missingRangesSql,
     "q_jdbc_ranged" -> jdbcRangedSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_typemap_cast" -> typemapCastSql,
