@@ -182,13 +182,74 @@ object Featurize {
       |FROM h GROUP BY 1, 2 HAVING sum(sgn) <> 0
       |ORDER BY doc_id, bucket""".stripMargin
 
+  /** G19 — one-pass exact covariance matrix over the embedding corpus:
+    * components quantized to integer thousandths (floor — the only
+    * rounding mode identical across engines), so every cell's centered
+    * numerator n·Σxy − Σx_i·Σx_j is an order-independent exact
+    * integer. The buffer is d + d(d+1)/2 longs regardless of corpus
+    * size — one partial/final aggregate, one corpus pass; the 2080
+    * upper-triangle cells are the whole output. This is the
+    * distributed half of PCA (the d×d eigen-solve is metadata-scale,
+    * see [[graft.operators.Pca]]). */
+  def pcaCov(s: SparkSession, dir: String): DataFrame = {
+    val agg = udaf(new graft.operators.CovarianceMatrix(64))
+    Tables.widen(Tables.embeddings(s, dir))
+      .agg(agg(col("embedding")).as("cells"))
+      .select(explode(col("cells")).as("c"))
+      .select(col("c._1").as("i"), col("c._2").as("j"),
+        col("c._3").as("n"), col("c._4").as("cov_num"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val pcaCovSql: String =
+    """WITH q AS (SELECT list_transform(embedding,
+      |             x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS xq
+      |           FROM embeddings),
+      |nn AS (SELECT count(*) AS n FROM q),
+      |sx AS (SELECT i, CAST(sum(xq[i]) AS BIGINT) AS s
+      |       FROM q, (SELECT unnest(range(1, 65)) AS i) GROUP BY i),
+      |cells AS (SELECT i, j, CAST(sum(xq[i] * xq[j]) AS BIGINT) AS sxy
+      |          FROM q, (SELECT unnest(range(1, 65)) AS i),
+      |               (SELECT unnest(range(1, 65)) AS j)
+      |          WHERE i <= j GROUP BY i, j)
+      |SELECT CAST(c.i AS INT) AS i, CAST(c.j AS INT) AS j, nn.n AS n,
+      |  CAST(nn.n * c.sxy - a.s * b.s AS BIGINT) AS cov_num
+      |FROM cells c CROSS JOIN nn
+      |JOIN sx a ON c.i = a.i JOIN sx b ON c.j = b.i
+      |ORDER BY i, j""".stripMargin
+
+  /** L15 — top-principal-component projection: the corpus-wide
+    * covariance (the one distributed pass, [[pcaCov]]'s aggregate)
+    * eigen-solved driver-side by deterministic power iteration
+    * (fixed start, 50 iterations, no RNG — the 2080-cell collect is
+    * metadata-scale by construction, the same place IVF pins its
+    * centroids), then every embedding scored against the broadcast
+    * component in one codegen'd dot product. No oracle: the
+    * eigenvector chain is not SQL-expressible; PcaSpec asserts
+    * variance dominance over every coordinate axis and partitioning
+    * invariance. */
+  def pcaProject(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cov = pcaCov(s, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(3).toDouble))
+    val v = graft.operators.Pca.topComponent(64, cov.toSeq)
+    val vf = typedLit(v.map(_.toFloat).toSeq)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        round(call_function("dot_f32", col("embedding"), vf), 4).as("pc1"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pca_cov" -> (pcaCov _),
+    "q_pca_project" -> (pcaProject _),
     "q_rfm_segments" -> (rfmSegments _),
     "q_three_way_split" -> (threeWaySplit _),
     "q_feature_hash" -> ((s: SparkSession, d: String) => featureHash(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pca_cov" -> pcaCovSql,
     "q_rfm_segments" -> rfmSegmentsSql,
     "q_three_way_split" -> threeWaySplitSql,
     "q_feature_hash" -> featureHashSql,
