@@ -240,7 +240,47 @@ object Featurize {
       .orderBy(col("vec_id"))
   }
 
+  /** C10 — per-dimension embedding standardization: each component
+    * z-scored against its dimension's corpus statistics — the feature
+    * normalization every vector model trains on. Components quantize
+    * to integer thousandths (floor), so per-dim n, Σx, Σx² are exact
+    * integers and z = (n·x − Σx)/√(n·Σx² − (Σx)²) is ONE fixed IEEE
+    * chain from exact inputs — bit-portable, no rounding absorber.
+    * Long-form output (vec, dim, z): the narrow explode streams, the
+    * 64-row stats table broadcasts back. Constant dimensions emit 0
+    * (both engines, same CASE). */
+  def embeddingStandardize(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.widen(Tables.embeddings(s, dir))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("d"),
+        floor(col("x").cast("double") * 1000).cast("bigint").as("xq"))
+    val st = e.groupBy(col("d")).agg(count(lit(1)).as("n"),
+      sum(col("xq")).as("sx"), sum(col("xq") * col("xq")).as("sxx"))
+    e.join(broadcast(st), Seq("d"))
+      .select(col("vec_id"), col("d"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(0.0))
+          .otherwise((col("n") * col("xq") - col("sx")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")))
+          .as("z"))
+      .orderBy(col("vec_id"), col("d"))
+  }
+
+  val embeddingStandardizeSql: String =
+    """WITH e AS (SELECT vec_id, CAST(d AS INT) AS d,
+      |    CAST(floor(CAST(embedding[d] AS DOUBLE) * 1000) AS BIGINT) AS xq
+      |  FROM embeddings, (SELECT unnest(range(1, 65)) AS d)),
+      |st AS (SELECT d, count(*) AS n, CAST(sum(xq) AS BIGINT) AS sx,
+      |         CAST(sum(xq * xq) AS BIGINT) AS sxx
+      |       FROM e GROUP BY d)
+      |SELECT vec_id, e.d,
+      |  CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+      |       ELSE CAST(n * xq - sx AS DOUBLE) /
+      |            sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) END AS z
+      |FROM e JOIN st ON e.d = st.d
+      |ORDER BY vec_id, e.d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_standardize" -> (embeddingStandardize _),
     "q_pca_cov" -> (pcaCov _),
     "q_pca_project" -> (pcaProject _),
     "q_rfm_segments" -> (rfmSegments _),
@@ -249,6 +289,7 @@ object Featurize {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_embedding_standardize" -> embeddingStandardizeSql,
     "q_pca_cov" -> pcaCovSql,
     "q_rfm_segments" -> rfmSegmentsSql,
     "q_three_way_split" -> threeWaySplitSql,
