@@ -261,7 +261,45 @@ object Quality {
       |  CAST(cents AS DOUBLE) * 12.0 / CAST(total AS DOUBLE) AS seasonal_idx
       |FROM mc, t ORDER BY m""".stripMargin
 
+  /** W23 — noisy-count release (differential-privacy shape): per-group
+    * counts plus Laplace(1/ε) noise via the inverse CDF,
+    * noise = −(1/ε)·sgn(u−½)·ln(1−2|u−½|). The uniform u is the top
+    * 52 bits of md5(group)/2⁵², an exact dyadic double, so the whole
+    * chain — ln included — is one fixed IEEE sequence both engines
+    * evaluate identically: a DETERMINISTIC noise instance, which is
+    * what makes the release oracle-checkable (a production system
+    * swaps in a sealed RNG seed; the query shape — aggregate, then a
+    * per-group scalar chain — is unchanged, and the noisy column is
+    * what leaves the boundary). One aggregate; noise is a projection. */
+  def dpNoisyCounts(s: SparkSession, dir: String, epsilon: Double = 1.0): DataFrame = {
+    val u = (conv(substring(md5(col("lang")), 1, 13), 16, 10).cast("long")
+      .cast("double") / lit(4503599627370496.0)) // 2^52
+    Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("u", u)
+      .select(col("lang"), col("n"),
+        (col("n").cast("double") +
+          lit(-1.0 / epsilon) *
+            when(col("u") >= 0.5, 1.0).otherwise(-1.0) *
+            log(lit(1.0) - lit(2.0) * abs(col("u") - lit(0.5))))
+          .as("noisy_n"))
+      .orderBy(col("lang"))
+  }
+
+  val dpNoisyCountsSql: String =
+    """WITH g AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |c AS (SELECT lang, n,
+      |        CAST(concat('0x', substring(md5(lang), 1, 13)) AS BIGINT)
+      |          / 4503599627370496.0 AS u
+      |      FROM g)
+      |SELECT lang, n,
+      |  CAST(n AS DOUBLE) + (-1.0) *
+      |    (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END) *
+      |    ln(1.0 - 2.0 * abs(u - 0.5)) AS noisy_n
+      |FROM c ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dp_counts" -> ((s: SparkSession, d: String) => dpNoisyCounts(s, d)),
     "q_winsorize" -> (winsorize _),
     "q_lexical_cosine" -> ((s: SparkSession, d: String) => lexicalCosine(s, d)),
     "q_k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
@@ -270,6 +308,7 @@ object Quality {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dp_counts" -> dpNoisyCountsSql,
     "q_winsorize" -> winsorizeSql,
     "q_lexical_cosine" -> lexicalCosineSql,
     "q_k_anonymity" -> kAnonymitySql,

@@ -465,7 +465,47 @@ object Trend {
       |      (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS var_ratio
       |FROM g ORDER BY seg""".stripMargin
 
+  /** TS9 — seasonal-naive forecast backtest: forecast each month's
+    * revenue as the SAME month last year (the baseline every real
+    * forecaster must beat) and emit the per-month absolute percentage
+    * error. Exact integer cents; the APE is one int/int IEEE division
+    * per row — per-cell rows, not an order-dependent MAPE float sum
+    * (the q_chi2_independence convention: the consumer's reduce is
+    * order-controlled). One aggregate + one 12-lag window over the
+    * bounded (priority × month) relation. */
+  def seasonalForecast(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("priority"),
+        date_trunc("month", to_date(col("o_orderdate"))).cast("date").as("month"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("c"))
+      .groupBy(col("priority"), col("month")).agg(sum(col("c")).as("cents"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("month"))
+    monthly
+      .withColumn("fc_cents", lag(col("cents"), 12).over(w))
+      .filter(col("fc_cents").isNotNull)
+      .select(col("priority"), col("month"), col("cents"), col("fc_cents"),
+        (abs(col("cents") - col("fc_cents")).cast("double") /
+          col("cents").cast("double")).as("ape"))
+      .orderBy(col("priority"), col("month"))
+  }
+
+  val seasonalForecastSql: String =
+    """WITH m AS (SELECT o_orderpriority AS priority,
+      |    CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |f AS (SELECT priority, month, cents,
+      |        lag(cents, 12) OVER (PARTITION BY priority ORDER BY month)
+      |          AS fc_cents
+      |      FROM m)
+      |SELECT priority, month, CAST(cents AS BIGINT) AS cents,
+      |  CAST(fc_cents AS BIGINT) AS fc_cents,
+      |  CAST(abs(cents - fc_cents) AS DOUBLE) / CAST(cents AS DOUBLE) AS ape
+      |FROM f WHERE fc_cents IS NOT NULL
+      |ORDER BY priority, month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_forecast" -> (seasonalForecast _),
     "q_stl_decompose" -> (stlDecompose _),
     "q_ratio_test" -> (ratioTest _),
     "q_attribution" -> (attribution _),
@@ -478,6 +518,7 @@ object Trend {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_seasonal_forecast" -> seasonalForecastSql,
     "q_stl_decompose" -> stlDecomposeSql,
     "q_ratio_test" -> ratioTestSql,
     "q_attribution" -> attributionSql,
