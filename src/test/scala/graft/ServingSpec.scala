@@ -69,6 +69,21 @@ class ServingSpec extends SparkSpec {
     assert(out.collect().map(_.toSeq).toSeq == windowed.collect().map(_.toSeq).toSeq)
   }
 
+  test("PIT join stays a keyed join — the interval predicate is a residual") {
+    val plan = Serving.pitJoin(spark, sfDir).queryExecution.executedPlan.toString
+    // the failure mode of interval joins at scale: the equi key falls
+    // out of the join condition and the INTERVAL join degrades to a
+    // nested-loop cross product. (The 1-row span scalar broadcast is a
+    // legitimate BroadcastNestedLoopJoin — only the iv join matters.)
+    val ivJoinLines = plan.linesIterator
+      .filter(l => l.contains("Join") && l.contains("iv_user")).toSeq
+    assert(ivJoinLines.nonEmpty, plan.take(1500))
+    assert(ivJoinLines.forall(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+        !l.contains("NestedLoop")),
+      ivJoinLines.mkString("\n"))
+  }
+
   test("incremental state merge is indistinguishable from recompute") {
     val merged = Serving.incrementalAgg(spark, sfDir)
     val direct = Tables.lineitem(spark, sfDir)
