@@ -421,6 +421,74 @@ object Analytics {
       |FROM ch GROUP BY md5(chunk) HAVING count(*) > 1
       |ORDER BY chunk_hash""".stripMargin
 
+  /** L1c — content-defined chunk dedup via a ROLLING HASH: chunk
+    * boundaries fall where the 3-word polynomial hash ≡ 0 (mod 8), so
+    * an insertion early in a document SHIFTS boundaries only until the
+    * next hash-synchronized cut instead of re-flowing every fixed
+    * window (the classic Rabin-Karp/CDC property fixed-size chunking
+    * lacks — cf. q_dedup_chunks). Word atoms are 32-bit md5 slices;
+    * the window hash h = a_i + 31·a_{i−1} + 31²·a_{i−2} is exact
+    * int64, bit-portable. The chunk id is a running boundary count
+    * over the PER-DOCUMENT window (fan-out = document length, the
+    * q_proration bound); chunk content hashes aggregate corpus-wide
+    * exactly like the fixed-size variant. */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val words = graft.Tables.widen(Tables.documents(s, dir))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+      .select(col("doc_id"), col("i"), col("w"),
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("a"))
+    val bounded = words
+      .withColumn("a1", lag(col("a"), 1).over(byDoc))
+      .withColumn("a2", lag(col("a"), 2).over(byDoc))
+      .withColumn("cut",
+        when(col("a2").isNotNull &&
+          (col("a") + lit(31L) * col("a1") + lit(961L) * col("a2")) % 8 === 0, 1L)
+          .otherwise(0L))
+      .withColumn("chunk_idx", sum(col("cut")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("cut"))
+    bounded
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      // collect_list carries NO order across the shuffle — restore the
+      // in-document order explicitly before hashing the chunk text
+      .agg(count(lit(1)).as("n_words"),
+        md5(concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(i, w))), x -> x.w)")))
+          .as("chunk_hash"))
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_copies"), sum(col("n_words")).as("n_words_total"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("k"))
+      .filter(col("n_copies") > 1)
+      .select(col("chunk_hash"), col("n_copies"), col("n_words_total"),
+        col("k.doc_id").as("keep_doc"), col("k.chunk_idx").as("keep_idx"))
+      .orderBy(col("chunk_hash"))
+  }
+
+  val cdcChunksSql: String =
+    """WITH ww AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |w AS (SELECT doc_id, CAST(i - 1 AS INT) AS i, ws[i] AS w,
+      |    CAST(concat('0x', substring(md5(ws[i]), 1, 8)) AS BIGINT) AS a
+      |  FROM ww, unnest(range(1, len(ws) + 1)) AS t(i)),
+      |b AS (SELECT doc_id, i, w,
+      |        CASE WHEN lag(a, 2) OVER dw IS NOT NULL AND
+      |          (a + 31 * lag(a, 1) OVER dw + 961 * lag(a, 2) OVER dw) % 8 = 0
+      |          THEN 1 ELSE 0 END AS cut
+      |      FROM w WINDOW dw AS (PARTITION BY doc_id ORDER BY i)),
+      |c AS (SELECT doc_id, i, w,
+      |        sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cut
+      |          AS chunk_idx
+      |      FROM b),
+      |ch AS (SELECT doc_id, chunk_idx, count(*) AS n_words,
+      |         md5(string_agg(w, ' ' ORDER BY i)) AS chunk_hash
+      |       FROM c GROUP BY 1, 2)
+      |SELECT chunk_hash, count(*) AS n_copies,
+      |  CAST(sum(n_words) AS BIGINT) AS n_words_total,
+      |  CAST(min(doc_id * 1000000 + chunk_idx) // 1000000 AS BIGINT) AS keep_doc,
+      |  CAST(min(doc_id * 1000000 + chunk_idx) % 1000000 AS BIGINT) AS keep_idx
+      |FROM ch GROUP BY chunk_hash HAVING count(*) > 1
+      |ORDER BY chunk_hash""".stripMargin
+
   /** Language-distribution rebalancing — the two-phase adaptive
     * sampler of corpus curation: per-language document counts set a
     * keep-rate min(1, (total/5)/count) (5 = number of languages, so
@@ -1000,6 +1068,7 @@ object Analytics {
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_bloom_prefilter" -> (bloomPrefilter _),
     "q_dedup_chunks" -> (dedupChunks _),
+    "q_cdc_chunks" -> (cdcChunks _),
     "q_lang_rebalance" -> (langRebalance _),
     "q_regexp_extract_all" -> (regexpExtractAll _),
     "q_activity_islands" -> (activityIslands _),
@@ -1031,6 +1100,7 @@ object Analytics {
     "q_csv_roundtrip" -> csvRoundtripSql,
     "q_bloom_prefilter" -> bloomPrefilterSql,
     "q_dedup_chunks" -> dedupChunksSql,
+    "q_cdc_chunks" -> cdcChunksSql,
     "q_lang_rebalance" -> langRebalanceSql,
     "q_regexp_extract_all" -> regexpExtractAllSql,
     "q_activity_islands" -> activityIslandsSql,
