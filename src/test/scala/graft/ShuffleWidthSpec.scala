@@ -1,0 +1,29 @@
+package graft
+
+/** Partition-count invariance, institutionalized: the queries built on
+  * the two-pass range-repartition + broadcast-offset prefix-sum
+  * machinery derive ranks from the physical partition layout
+  * (monotonically_increasing_id / spark_partition_id), so THEY are the
+  * ones a shuffle-width change could corrupt. Run each at two widths
+  * and require identical output. (A full-inventory sweep at widths 8
+  * vs 17 was run once — 201/201 dumps bit-identical; this spec guards
+  * the load-bearing subset in CI.) */
+class ShuffleWidthSpec extends SparkSpec {
+
+  private val targets = Seq(
+    "q_abc_class", "q_percentile_disc", "q_doc_packing", "q_winsorize",
+    "q_quantile_norm", "q_rfm_segments", "q_concurrency")
+
+  test("prefix-sum machinery is shuffle-width invariant") {
+    val wide = spark.newSession()
+    wide.conf.set("spark.sql.shuffle.partitions", "3")
+    targets.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val a = fn(spark, sfDir).collect().map(_.toSeq).toSeq
+      spark.catalog.clearCache()
+      val b = fn(wide, sfDir).collect().map(_.toSeq).toSeq
+      wide.catalog.clearCache()
+      assert(a == b, s"$name differs between shuffle widths 4 and 3")
+    }
+  }
+}
