@@ -419,7 +419,99 @@ object Llm {
       |JOIN df ON tf.term = df.term, stats
       |ORDER BY tf.term, tf.doc_id""".stripMargin
 
+  /** L16 — vocabulary coverage curve: how many distinct terms (taken
+    * most-frequent-first) cover 50/90/99% of the corpus token mass —
+    * the metric a tokenizer/vocab designer reads before fixing a vocab
+    * size. The cumulative-from-the-top rank uses the same scale-safe
+    * two-pass prefix sum as q_abc_class (the vocabulary grows with the
+    * corpus — no single-partition window); coverage thresholds are
+    * INTEGER comparisons (before·100 < pct·total), so membership is
+    * bit-portable. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = Tables.widen(Tables.documents(s, dir))
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .persist()
+    val parts = cnt
+      .repartitionByRange(Tables.shuffleWidth(s), col("cnt").desc, col("term"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val offsets = parts.groupBy(col("pid")).agg(sum(col("cnt")).as("c"))
+      .withColumn("off", sum(col("c")).over(Window.orderBy(col("pid"))) - col("c"))
+      .select(col("pid"), col("off"))
+    val total = parts.agg(sum(col("cnt")).as("total"))
+    val localW = Window.partitionBy(col("pid"))
+      .orderBy(col("cnt").desc, col("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = parts
+      .withColumn("cum_local", sum(col("cnt")).over(localW))
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("before", col("off") + col("cum_local") - col("cnt"))
+      .crossJoin(broadcast(total))
+    val pcts = Seq(50, 90, 99)
+    cum.agg(count(lit(1)).as("n_vocab"),
+        max(col("total")).as("total_tokens") +:
+        pcts.map(p =>
+          sum((col("before") * 100 < lit(p) * col("total")).cast("long"))
+            .as(s"n_terms_p$p")): _*)
+      .select(col("n_vocab") +: col("total_tokens") +:
+        pcts.map(p => col(s"n_terms_p$p")): _*)
+  }
+
+  val vocabCoverageSql: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |c AS (SELECT term, count(*) AS cnt FROM t WHERE term <> '' GROUP BY term),
+      |cum AS (SELECT cnt,
+      |          CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+      |            AS BIGINT) AS before,
+      |          CAST(sum(cnt) OVER () AS BIGINT) AS total
+      |        FROM c)
+      |SELECT count(*) AS n_vocab, max(total) AS total_tokens,
+      |  CAST(sum(CASE WHEN before * 100 < 50 * total THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_terms_p50,
+      |  CAST(sum(CASE WHEN before * 100 < 90 * total THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_terms_p90,
+      |  CAST(sum(CASE WHEN before * 100 < 99 * total THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_terms_p99
+      |FROM cum""".stripMargin
+
+  /** L17 — term burstiness (Fano factor over present-doc term counts):
+    * variance-to-mean of tf across the documents CONTAINING the term —
+    * spammy/boilerplate terms are over-dispersed (fano ≫ 1), content
+    * words near-Poisson. All moments are exact integer sums; the Fano
+    * factor (df·Σtf² − (Σtf)²)/(df·Σtf) is one int-to-double division
+    * chain. Bounded to terms with df ≥ 50 so the estimate is stable. */
+  def termBurstiness(s: SparkSession, dir: String): DataFrame =
+    Tables.widen(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("stf"),
+        sum(col("tf") * col("tf")).as("stf2"))
+      .filter(col("df") >= 50)
+      .select(col("term"), col("df"), col("stf"),
+        ((col("df") * col("stf2") - col("stf") * col("stf")).cast("double") /
+          (col("df") * col("stf")).cast("double")).as("fano"))
+      .orderBy(col("term"))
+
+  val termBurstinessSql: String =
+    """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  WHERE term <> '' GROUP BY doc_id, term),
+      |m AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS stf,
+      |        CAST(sum(tf * tf) AS BIGINT) AS stf2
+      |      FROM tf GROUP BY term)
+      |SELECT term, df, stf,
+      |  CAST(df * stf2 - stf * stf AS DOUBLE) / CAST(df * stf AS DOUBLE) AS fano
+      |FROM m WHERE df >= 50 ORDER BY term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_coverage" -> (vocabCoverage _),
+    "q_term_burstiness" -> (termBurstiness _),
     "q_bm25" -> (bm25 _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -440,6 +532,8 @@ object Llm {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_vocab_coverage" -> vocabCoverageSql,
+    "q_term_burstiness" -> termBurstinessSql,
     "q_bm25" -> bm25Sql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
