@@ -489,6 +489,37 @@ object Analytics {
       |FROM ch GROUP BY chunk_hash HAVING count(*) > 1
       |ORDER BY chunk_hash""".stripMargin
 
+  /** B16 — rolling 7-day active users (the WAU primitive): for each
+    * day, distinct users active in the trailing week. NOT a range
+    * join: each (user, day) activity row fans out to the ≤7 days it
+    * keeps the user active for (a bounded explode — the
+    * interval-to-delta move of q_concurrency applied to distincts),
+    * then two keyed aggregates. Cost is 7×|user-days|, linear at any
+    * scale; a range join would re-scan the activity table per day. */
+  def rollingActive(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val mx = ud.agg(max(col("day")).as("mx"))
+    ud.select(col("user_id"), explode(sequence(lit(0), lit(6))).as("i"), col("day"))
+      .select(col("user_id"), expr("date_add(day, i)").as("d"))
+      .distinct()
+      .crossJoin(broadcast(mx))
+      .filter(col("d") <= col("mx"))
+      .groupBy(col("d").as("day"))
+      .agg(count(lit(1)).as("wau"))
+      .orderBy(col("day"))
+  }
+
+  val rollingActiveSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |mx AS (SELECT max(day) AS mx FROM ud),
+      |sp AS (SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS d
+      |       FROM ud, unnest(range(0, 7)) AS t(i))
+      |SELECT d AS day, count(*) AS wau
+      |FROM sp, mx WHERE d <= mx
+      |GROUP BY d ORDER BY day""".stripMargin
+
   /** Language-distribution rebalancing — the two-phase adaptive
     * sampler of corpus curation: per-language document counts set a
     * keep-rate min(1, (total/5)/count) (5 = number of languages, so
@@ -1069,6 +1100,7 @@ object Analytics {
     "q_bloom_prefilter" -> (bloomPrefilter _),
     "q_dedup_chunks" -> (dedupChunks _),
     "q_cdc_chunks" -> (cdcChunks _),
+    "q_rolling_active" -> (rollingActive _),
     "q_lang_rebalance" -> (langRebalance _),
     "q_regexp_extract_all" -> (regexpExtractAll _),
     "q_activity_islands" -> (activityIslands _),
@@ -1101,6 +1133,7 @@ object Analytics {
     "q_bloom_prefilter" -> bloomPrefilterSql,
     "q_dedup_chunks" -> dedupChunksSql,
     "q_cdc_chunks" -> cdcChunksSql,
+    "q_rolling_active" -> rollingActiveSql,
     "q_lang_rebalance" -> langRebalanceSql,
     "q_regexp_extract_all" -> regexpExtractAllSql,
     "q_activity_islands" -> activityIslandsSql,

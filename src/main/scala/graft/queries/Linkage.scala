@@ -416,7 +416,43 @@ object Linkage {
       |FROM ranked WHERE r_lex <= 50 OR r_vec <= 50
       |ORDER BY doc_id""".stripMargin
 
+  /** W24 — calibration (reliability) table, the eval companion to
+    * [[aucGrouped]] and the lift curve: rows bucket by predicted
+    * score, and each bucket reports mean predicted probability vs the
+    * empirical positive rate plus the calibration gap. Score proxy:
+    * quantity/50 (the same proxy-label discipline as q_auc);
+    * everything is exact integers until one division chain per output
+    * (mean_pred = Σqty/(50n), empirical from the positive count). One
+    * partial/final aggregate over the fact table — bins are bounded,
+    * windows never see row volume. */
+  def calibration(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(floor(col("l_quantity") / 5).cast("long").as("bin"),
+        col("l_quantity").cast("bigint").as("qty"),
+        (col("l_returnflag") === "R").cast("long").as("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("sq"), sum(col("pos")).as("np"))
+      .select(col("bin"), col("n"), col("np"),
+        (col("sq").cast("double") / (col("n") * 50).cast("double")).as("mean_pred"),
+        (col("np").cast("double") / col("n").cast("double")).as("empirical"),
+        abs(col("sq").cast("double") / (col("n") * 50).cast("double") -
+          col("np").cast("double") / col("n").cast("double")).as("gap"))
+      .orderBy(col("bin"))
+
+  val calibrationSql: String =
+    """WITH b AS (SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS bin,
+      |    CAST(l_quantity AS BIGINT) AS qty,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      |  FROM lineitem)
+      |SELECT bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS np,
+      |  CAST(sum(qty) AS DOUBLE) / CAST(count(*) * 50 AS DOUBLE) AS mean_pred,
+      |  CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS empirical,
+      |  abs(CAST(sum(qty) AS DOUBLE) / CAST(count(*) * 50 AS DOUBLE) -
+      |      CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS gap
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_calibration" -> (calibration _),
     "q_sorted_neighborhood" -> (sortedNeighborhood _),
     "q_jaro_winkler" -> (jaroWinklerPairs _),
     "q_auc" -> (aucGrouped _),
@@ -426,6 +462,7 @@ object Linkage {
     "q_rrf_fusion" -> (rrfFusion _))
 
   val oracle: Map[String, String] = Map(
+    "q_calibration" -> calibrationSql,
     "q_sorted_neighborhood" -> sortedNeighborhoodSql,
     "q_jaro_winkler" -> jaroWinklerPairsSql,
     "q_auc" -> aucGroupedSql,
