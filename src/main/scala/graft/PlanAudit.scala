@@ -64,6 +64,11 @@ object PlanAudit {
     "q_incremental_agg" -> "batch tag is a projection; partial states and the merge are two hash aggregates over one scan",
     "q_negative_sample" -> "probe set broadcast; md5 coins are a map-side projection; only the per-probe top-k window shuffles",
     "q_bm25" -> "zero explodes: per-term tf and dl are narrow array expressions over one corpus scan; df and corpus stats broadcast",
+    "q_rolling_active" -> "WAU without a range join: bounded 7-day fan-out explode, then two keyed aggregates",
+    "q_vocab_coverage" -> "vocabulary prefix sum via ONE range exchange + broadcast offsets; coverage thresholds integer-compared in a single final aggregate",
+    "q_cdc_chunks" -> "rolling-hash boundaries from two lags on ONE per-doc window; chunk and corpus aggregates keyed, nothing global",
+    "q_topk_heap" -> "per-group top-k as a partial/final ObjectHashAggregate — no Window, no per-partition sort of the input",
+    "q_pca_cov" -> "whole covariance matrix in ONE partial/final aggregate (d+d(d+1)/2-long buffer); no per-cell explode of the corpus",
   )
 
   def main(args: Array[String]): Unit = {
