@@ -158,6 +158,30 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental near-dup candidates: the NEW batch's band signatures
+    * joined against the EXISTING corpus only — no new×new or old×old
+    * pairs, which is the production dedup shape (each arriving batch
+    * checks against the accumulated index, not against itself twice).
+    * One banded table is built and persisted; the two sides filter it,
+    * so signatures are computed once. At 100 TB the old side is the
+    * standing banded index written bucketed by (band, band_sig). */
+  def minhashCandidatesBetween(signatures: DataFrame, isNew: org.apache.spark.sql.Column,
+                               rowsPerBand: Int = 4): DataFrame = {
+    val bands = signatures.select(col("doc_id"), isNew.as("is_new"), col("sig"),
+        explode(expr(s"sequence(0, size(sig) div $rowsPerBand - 1)")).as("band"))
+      .select(col("doc_id"), col("is_new"), col("band"),
+        expr(s"array_join(slice(sig, band * $rowsPerBand + 1, $rowsPerBand), ',')")
+          .as("band_sig"))
+      .persist()
+    val a = bands.filter(col("is_new"))
+      .select(col("band"), col("band_sig"), col("doc_id").as("new_id"))
+    val b = bands.filter(!col("is_new"))
+      .select(col("band"), col("band_sig"), col("doc_id").as("old_id"))
+    a.join(b, Seq("band", "band_sig"))
+      .select(col("new_id"), col("old_id"))
+      .distinct()
+  }
+
   /** SimHash: `bits`-bit signature from per-token coin flips,
     * majority-voted over the document's tokens. Tokens keep their
     * multiplicity (frequency-weighted vote).

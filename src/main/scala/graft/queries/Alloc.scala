@@ -293,7 +293,70 @@ object Alloc {
       |    (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)) AS lift
       |FROM cum ORDER BY bin DESC""".stripMargin
 
+  /** W25 — FIFO matching (the lot-allocation / COGS primitive): the
+    * oldest supply fills the oldest demand, expressed WITHOUT
+    * iteration — each side becomes cumulative-quantity intervals
+    * [cum−qty, cum), and a supply lot funds a demand exactly where
+    * their intervals overlap, so the match table is a per-key
+    * interval join with allocation = min(hi,hi) − max(lo,lo). All
+    * integer arithmetic on per-key windows (fan-in = lots per part,
+    * bounded); the overlap join is keyed, never global. Supplies =
+    * odd line numbers, demands = even (the deterministic fixture
+    * split). */
+  def fifoMatch(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_partkey") < 200)
+      .select(col("l_partkey").as("pk"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("bigint").as("qty"),
+        to_date(col("l_shipdate")).as("d"),
+        (col("l_linenumber") % 2 === 1).as("is_supply"))
+    // (d, orderkey, linenumber) is not unique in the fixture; adding
+    // qty makes remaining ties interchangeable (equal rows produce
+    // identical interval boundaries either way)
+    val w = Window.partitionBy(col("pk"), col("is_supply"))
+      .orderBy(col("d"), col("l_orderkey"), col("l_linenumber"), col("qty"))
+    val cum = li
+      .withColumn("hi", sum(col("qty")).over(w))
+      .withColumn("lo", col("hi") - col("qty"))
+    val sup = cum.filter(col("is_supply"))
+      .select(col("pk"), col("l_orderkey").as("s_order"),
+        col("l_linenumber").as("s_line"), col("lo").as("s_lo"), col("hi").as("s_hi"))
+    val dem = cum.filter(!col("is_supply"))
+      .select(col("pk"), col("l_orderkey").as("d_order"),
+        col("l_linenumber").as("d_line"), col("lo").as("d_lo"), col("hi").as("d_hi"))
+    sup.join(dem, Seq("pk"))
+      .filter(col("s_lo") < col("d_hi") && col("d_lo") < col("s_hi"))
+      .select(col("pk"), col("s_order"), col("s_line"), col("d_order"), col("d_line"),
+        (least(col("s_hi"), col("d_hi")) - greatest(col("s_lo"), col("d_lo")))
+          .as("qty_matched"))
+      .orderBy(col("pk"), col("s_order"), col("s_line"), col("d_order"),
+        col("d_line"), col("qty_matched"))
+  }
+
+  val fifoMatchSql: String =
+    """WITH li AS (SELECT l_partkey AS pk, l_orderkey, l_linenumber,
+      |    CAST(l_quantity AS BIGINT) AS qty, CAST(l_shipdate AS DATE) AS d,
+      |    l_linenumber % 2 = 1 AS is_supply
+      |  FROM lineitem WHERE l_partkey < 200),
+      |c AS (SELECT *, CAST(sum(qty) OVER (PARTITION BY pk, is_supply
+      |        ORDER BY d, l_orderkey, l_linenumber, qty
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+      |      FROM li),
+      |r AS (SELECT pk, l_orderkey, l_linenumber, is_supply,
+      |        hi - qty AS lo, hi FROM c),
+      |s AS (SELECT pk, l_orderkey AS s_order, l_linenumber AS s_line,
+      |        lo AS s_lo, hi AS s_hi FROM r WHERE is_supply),
+      |dm AS (SELECT pk, l_orderkey AS d_order, l_linenumber AS d_line,
+      |        lo AS d_lo, hi AS d_hi FROM r WHERE NOT is_supply)
+      |SELECT s.pk AS pk, s_order, s_line, d_order, d_line,
+      |  CAST(least(s_hi, d_hi) - greatest(s_lo, d_lo) AS BIGINT) AS qty_matched
+      |FROM s JOIN dm ON s.pk = dm.pk
+      |WHERE s_lo < d_hi AND d_lo < s_hi
+      |ORDER BY s.pk, s_order, s_line, d_order, d_line, qty_matched""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fifo_match" -> (fifoMatch _),
     "q_proration" -> ((s: SparkSession, d: String) => proration(s, d)),
     "q_abc_class" -> (abcClass _),
     "q_concurrency" -> (shippingLoad _),
@@ -303,6 +366,7 @@ object Alloc {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fifo_match" -> fifoMatchSql,
     "q_proration" -> prorationSql,
     "q_abc_class" -> abcClassSql,
     "q_concurrency" -> shippingLoadSql,

@@ -60,6 +60,35 @@ object Llm {
       |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
       |ORDER BY doc_id_a, doc_id_b""".stripMargin
 
+  /** L2l — incremental near-dup: the arriving batch (every 5th doc id,
+    * the deterministic fixture split) banded against the EXISTING
+    * corpus only — the production dedup shape where each batch checks
+    * the accumulated index instead of re-pairing the whole corpus.
+    * Signatures are computed once; the two sides filter one persisted
+    * banded table. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatesBetween(
+        Dedup.minhashSignaturesNarrow(Tables.documents(s, dir), 3, 16),
+        col("doc_id") % 5 === 0, 4)
+      .orderBy(col("new_id"), col("old_id"))
+
+  val dedupIncrementalSql: String =
+    s"""$shingleCte,
+      |hh AS (SELECT doc_id,
+      |         CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+      |         CAST(concat('0x', substring(md5(shingle), 17, 14)) AS BIGINT) AS h2
+      |       FROM sh),
+      |hs AS (SELECT doc_id, j, min(h1 + j * h2) AS mh
+      |       FROM hh, (SELECT unnest(range(0, 16)) AS j) GROUP BY doc_id, j),
+      |bands AS (SELECT doc_id, j // 4 AS band,
+      |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_sig
+      |          FROM hs GROUP BY doc_id, j // 4)
+      |SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+      |FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.band_sig = b.band_sig
+      |  AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      |ORDER BY new_id, old_id""".stripMargin
+
   /** L2b — SimHash near-dup candidates (32-bit signature, pigeonhole
     * byte bands, Hamming ≤ 3). Signatures come from the narrow-map
     * custom expression (one pass per document, no token shuffle); the
@@ -511,6 +540,7 @@ object Llm {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab_coverage" -> (vocabCoverage _),
+    "q_dedup_incremental" -> (dedupIncremental _),
     "q_term_burstiness" -> (termBurstiness _),
     "q_bm25" -> (bm25 _),
     "q_dedup_exact" -> (dedupExact _),
@@ -533,6 +563,7 @@ object Llm {
 
   val oracle: Map[String, String] = Map(
     "q_vocab_coverage" -> vocabCoverageSql,
+    "q_dedup_incremental" -> dedupIncrementalSql,
     "q_term_burstiness" -> termBurstinessSql,
     "q_bm25" -> bm25Sql,
     "q_dedup_exact" -> dedupExactSql,
