@@ -361,7 +361,63 @@ object Curate {
       |  CAST(count(DISTINCT shingle) AS DOUBLE) / count(*) AS diversity
       |FROM occ GROUP BY source ORDER BY source""".stripMargin
 
+  /** L18 — cross-source overlap matrix: shingle-set Jaccard and
+    * overlap coefficient between every source pair — the corpus-level
+    * contamination audit (which sources copy from each other; a high
+    * overlap pair means one of them should be down-weighted or
+    * dropped). Per-doc shingle sets build narrowly; one distinct per
+    * (source, shingle); the pair intersection is a shingle-keyed
+    * self-join — collision-driven, never all-pairs of documents. At
+    * 100 TB the join key is the 60-bit NgramHashes digest, not the
+    * string. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = Dedup.shingles(docs.select(col("doc_id"), col("text")), 3)
+      .join(broadcast(docs.select(col("doc_id"), col("source"))), Seq("doc_id"))
+      .select(col("source"), col("shingle")).distinct()
+      .persist() // sizes + both sides of the pair join
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("shingle"), col("source").as("source_a"))
+    val b = sh.select(col("shingle"), col("source").as("source_b"))
+    a.join(b, Seq("shingle"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n_sh", "na")), Seq("source_a"))
+      .join(broadcast(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n_sh", "nb")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("inter"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"),
+        (col("inter").cast("double") /
+          least(col("na"), col("nb")).cast("double")).as("overlap"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapSql: String =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+      |           FROM documents),
+      |sh AS (SELECT DISTINCT source, unnest(list_transform(range(1, len(w) - 1),
+      |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+      |       FROM w WHERE len(w) >= 3),
+      |sz AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+      |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+      |            count(*) AS inter
+      |          FROM sh a JOIN sh b
+      |            ON a.shingle = b.shingle AND a.source < b.source
+      |          GROUP BY 1, 2)
+      |SELECT source_a, source_b, CAST(inter AS BIGINT) AS inter,
+      |  CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE)
+      |    AS jaccard,
+      |  CAST(inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE)
+      |    AS overlap
+      |FROM pairs JOIN sz sa ON source_a = sa.source
+      |JOIN sz sb ON source_b = sb.source
+      |ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_overlap" -> (sourceOverlap _),
     "q_novelty" -> (novelty _),
     "q_source_diversity" -> (sourceDiversity _),
     "q_domain_cap" -> ((s: SparkSession, d: String) => domainCap(s, d)),
@@ -374,6 +430,7 @@ object Curate {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_source_overlap" -> sourceOverlapSql,
     "q_novelty" -> noveltySql,
     "q_source_diversity" -> sourceDiversitySql,
     "q_domain_cap" -> domainCapSql,
