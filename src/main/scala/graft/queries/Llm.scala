@@ -89,6 +89,43 @@ object Llm {
       |  AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
       |ORDER BY new_id, old_id""".stripMargin
 
+  /** L2m — dedup threshold sweep: candidate-pair counts and mean
+    * similarity at each Jaccard cutoff, from ONE pass over the exact
+    * pair stream — the tuning curve that picks a production dedup
+    * threshold (how many pairs a 0.4 vs 0.6 cutoff would merge). The
+    * pair stream is the collision-driven ngram join (never
+    * all-pairs); the sweep itself is four conditional sums in a
+    * single aggregate. Mean similarity is Σj/n with Σj an exact sum
+    * of bit-portable per-pair doubles, round(6)-absorbed because the
+    * reduce order is partition-dependent. */
+  def dedupSweep(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.2)
+    val cuts = Seq(0.2, 0.4, 0.6, 0.8)
+    pairs.agg(
+        sum((col("jaccard") >= cuts.head).cast("long")).as(s"n_ge_20"),
+        cuts.tail.flatMap(c => Seq(
+          sum((col("jaccard") >= c).cast("long"))
+            .as(s"n_ge_${(c * 100).toInt}"))) :+
+          round(sum(col("jaccard")) / count(lit(1)), 6).as("mean_jaccard"): _*)
+  }
+
+  val dedupSweepSql: String =
+    s"""$shingleCte,
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |p AS (SELECT CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) AS jaccard
+      |      FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      |      WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.2)
+      |SELECT
+      |  CAST(sum(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_20,
+      |  CAST(sum(CASE WHEN jaccard >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_40,
+      |  CAST(sum(CASE WHEN jaccard >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_60,
+      |  CAST(sum(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_80,
+      |  round(sum(jaccard) / count(*), 6) AS mean_jaccard
+      |FROM p""".stripMargin
+
   /** L2b — SimHash near-dup candidates (32-bit signature, pigeonhole
     * byte bands, Hamming ≤ 3). Signatures come from the narrow-map
     * custom expression (one pass per document, no token shuffle); the
@@ -541,6 +578,7 @@ object Llm {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vocab_coverage" -> (vocabCoverage _),
     "q_dedup_incremental" -> (dedupIncremental _),
+    "q_dedup_sweep" -> (dedupSweep _),
     "q_term_burstiness" -> (termBurstiness _),
     "q_bm25" -> (bm25 _),
     "q_dedup_exact" -> (dedupExact _),
@@ -564,6 +602,7 @@ object Llm {
   val oracle: Map[String, String] = Map(
     "q_vocab_coverage" -> vocabCoverageSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
+    "q_dedup_sweep" -> dedupSweepSql,
     "q_term_burstiness" -> termBurstinessSql,
     "q_bm25" -> bm25Sql,
     "q_dedup_exact" -> dedupExactSql,
