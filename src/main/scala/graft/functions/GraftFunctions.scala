@@ -463,6 +463,108 @@ case class ShingleProfile(child: Expression, n: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** The `n` nearest centroids for one embedding in a single fused
+  * kernel — the narrow-map assignment pass of the IVF index
+  * ([[graft.operators.Similarity.ivfTopK]]). The centroid table is
+  * driver-pinned by construction (nlist rows), so it ships as a
+  * reference object inside the codegen'd projection, exactly like
+  * [[LshBucketsF32]]'s plane matrix — turning the classic
+  * crossJoin-then-argmin assignment (nlist scored row copies per
+  * vector plus a corpus-wide aggregate) into a pure projection with
+  * NO shuffle and no row amplification. At 100 TB this is the only
+  * assignment shape that survives: the Lloyd/assignment pass touches
+  * each vector exactly once, in place.
+  *
+  * Ranking matches the join formulation bit-for-bit: d2 = c·c − 2·x·c
+  * (x·x is constant per x), dot accumulated left-to-right in double,
+  * ties on equal d2 to the lowest cid (centroids are pre-sorted by
+  * cid and insertion is strict-less-than). Returns the ≤n winning
+  * cids ordered by (d2, cid). */
+case class NearestCentroidsF32(child: Expression, cids: Array[Long],
+                               cents: Array[Array[Float]], c2s: Array[Double],
+                               n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (DataType.equalsIgnoreNullability(child.dataType, ArrayType(FloatType)))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroids requires ARRAY<FLOAT>, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = math.min(n, cids.length)
+    val bestD = Array.fill(k)(Double.PositiveInfinity)
+    val bestC = new Array[Long](k)
+    var j = 0
+    while (j < cids.length) {
+      val c = cents(j)
+      val m = math.min(arr.numElements(), c.length)
+      var acc = 0.0
+      var d = 0
+      while (d < m) { acc += arr.getFloat(d).toDouble * c(d).toDouble; d += 1 }
+      val d2 = c2s(j) - 2.0 * acc
+      var slot = k
+      while (slot > 0 && d2 < bestD(slot - 1)) slot -= 1
+      if (slot < k) {
+        var mv = k - 1
+        while (mv > slot) { bestD(mv) = bestD(mv - 1); bestC(mv) = bestC(mv - 1); mv -= 1 }
+        bestD(slot) = d2; bestC(slot) = cids(j)
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bestC)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+    val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+    val c2sRef = ctx.addReferenceObj("c2s", c2s, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val k = ctx.freshName("k")
+      val bestD = ctx.freshName("bestD")
+      val bestC = ctx.freshName("bestC")
+      val j = ctx.freshName("j")
+      val cj = ctx.freshName("cj")
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val d2 = ctx.freshName("d2")
+      val slot = ctx.freshName("slot")
+      val mv = ctx.freshName("mv")
+      s"""
+         |int $k = java.lang.Math.min($n, $cidsRef.length);
+         |double[] $bestD = new double[$k];
+         |long[] $bestC = new long[$k];
+         |java.util.Arrays.fill($bestD, Double.POSITIVE_INFINITY);
+         |for (int $j = 0; $j < $cidsRef.length; $j++) {
+         |  float[] $cj = $centsRef[$j];
+         |  int $m = java.lang.Math.min($c.numElements(), $cj.length);
+         |  double $acc = 0.0;
+         |  for (int $d = 0; $d < $m; $d++) {
+         |    $acc += (double) $c.getFloat($d) * (double) $cj[$d];
+         |  }
+         |  double $d2 = $c2sRef[$j] - 2.0 * $acc;
+         |  int $slot = $k;
+         |  while ($slot > 0 && $d2 < $bestD[$slot - 1]) $slot--;
+         |  if ($slot < $k) {
+         |    for (int $mv = $k - 1; $mv > $slot; $mv--) {
+         |      $bestD[$mv] = $bestD[$mv - 1]; $bestC[$mv] = $bestC[$mv - 1];
+         |    }
+         |    $bestD[$slot] = $d2; $bestC[$slot] = $cidsRef[$j];
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bestC);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration + Column-level wrappers. Registered idempotently via
   * [[graft.Tables.load]] so every query pack can use the fast paths
   * regardless of which entry point built the session. */

@@ -313,37 +313,61 @@ object Dedup {
     * escalation if one ever appears). */
   def dedupClusters(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
     // Iterative algorithm hygiene: materialize the pair generation
-    // once and TRUNCATE LINEAGE periodically (localCheckpoint) —
+    // once and TRUNCATE LINEAGE per round (localCheckpoint) —
     // otherwise every iteration's plan nests all previous ones and
     // analysis/codegen time dominates the tiny label-propagation work.
     //
     // Shuffle economy: the propagation relation is STATIC, so it is
-    // built once — both edge directions plus one self-loop per node —
-    // and hash-partitioned on the join side (v) once, at checkpoint.
-    // The self-loop folds "keep your own label" into the same min()
-    // as the neighbor labels, collapsing the old two-join round
-    // (neighbor-min + left_outer/least) into ONE join + ONE aggregate
+    // built once — both edge directions plus self-loops — and
+    // hash-partitioned on the join side (v) once, at checkpoint. The
+    // self-loop folds "keep your own label" into the same min() as
+    // the neighbor labels, so each round is ONE join + ONE aggregate
     // whose output comes back partitioned by node — exactly what the
-    // next round's join needs. Per iteration that is a single
-    // exchange, at any scale. Frames are coalesced small — wide
-    // shuffles of KB-sized near-dup graphs cost more in scheduling
-    // than compute; at 100 TB the same loop runs to convergence with a
-    // changed-label counter (large-star/small-star if components get
-    // deep).
-    val p = pairs.coalesce(8).localCheckpoint()
-    val nodes = p.select(col("doc_id_a").as("node"))
-      .union(p.select(col("doc_id_b").as("node"))).distinct()
-    val edgesPlus = p.select(col("doc_id_a").as("u"), col("doc_id_b").as("v"))
-      .union(p.select(col("doc_id_b").as("u"), col("doc_id_a").as("v")))
-      .union(nodes.select(col("node").as("u"), col("node").as("v")))
+    // next round's join needs: a single exchange per iteration, at
+    // any scale. Self-loops come straight from the pair projections
+    // (duplicates are harmless under min), so no separate
+    // distinct-nodes shuffle ever runs. The FIRST round needs no join
+    // at all: every node's initial label IS itself, so round 1 is
+    // just min(v) grouped by u over the edge relation — one aggregate
+    // seeds the labels, replacing the old init-checkpoint + join
+    // round. The pair stream's width follows the session's configured
+    // shuffle width (Tables.shuffleWidth) — small at bench scale
+    // where wide shuffles of a KB-sized graph are pure scheduling
+    // overhead, and whatever the cluster session configures at 100 TB
+    // where the near-dup pair stream is billions of rows
+    // (ShuffleWidthSpec asserts label invariance across widths).
+    val width = graft.Tables.shuffleWidth(pairs.sparkSession)
+    // ONE pass builds the whole relation: explode emits both edge
+    // directions plus both self-loops per pair row (narrow — no 4-way
+    // union re-executing the pair pipeline per branch, no separate
+    // pair checkpoint), then the single repartition(v) + checkpoint
+    // pins it join-ready for every round.
+    val edgesPlus = pairs.coalesce(width)
+      .select(explode(array(
+        struct(col("doc_id_a").as("u"), col("doc_id_b").as("v")),
+        struct(col("doc_id_b").as("u"), col("doc_id_a").as("v")),
+        struct(col("doc_id_a").as("u"), col("doc_id_a").as("v")),
+        struct(col("doc_id_b").as("u"), col("doc_id_b").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .repartition(col("v"))
       .localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    // Round 1, join-free (see above). Labels are monotonically
+    // non-increasing from here: each subsequent round's min() includes
+    // the node's own label via the self-loop, so Σlabel — one exact
+    // decimal aggregate over the checkpointed label table, O(1) rows
+    // back to the driver per round — strictly decreases until the
+    // fixpoint and is constant exactly there. A deep component can
+    // never be silently mislabeled by an assumed depth; maxIterations
+    // is only a runaway backstop (large-star/small-star contraction is
+    // the documented escalation if a pathological near-dup graph ever
+    // appears).
+    var labels = edgesPlus.groupBy(col("u")).agg(min(col("v")).as("label"))
+      .withColumnRenamed("u", "node").localCheckpoint()
     var prevSum = labelSum(labels)
     var converged = false
-    var i = 0
+    var i = 1
     while (!converged && i < maxIterations) {
       i += 1
       // shuffle_hash, not sort-merge: the label table is the build

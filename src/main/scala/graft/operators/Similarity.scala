@@ -146,83 +146,70 @@ object Similarity {
         "for cluster ids); a non-numeric column would silently collapse " +
         "the quantizer to one NULL cluster")
     ensureRegistered(candidates)
-    val wideCandidates = graft.Tables.widen(candidates)
     val vm = udaf(new VectorMean(dims))
-    // c·c is precomputed once on the tiny centroid table — the
-    // assignment cross join then does one dot product per (vector,
-    // centroid) pair, not two.
-    // Quantize before use (see scaladoc): kills last-ulp wobble from
-    // summation order so assignments don't flip across partitionings.
-    val toCent = (c: Column) => transform(c, x =>
-      (floor(x * lit(1e6)) / lit(1e6)).cast("float"))
-    // The centroid table is broadcast-sized by construction (nlist
-    // rows): pin each version as a driver-local relation, the same
-    // place any k-means implementation keeps its centers. Without
-    // this, every downstream broadcast re-executes the corpus-wide
-    // mean aggregate that produced the centroids (Spark broadcasts a
-    // SUBPLAN, not a result) — once for the Lloyd pass, once for the
-    // list assignment, once for the probe assignment.
-    def withNorm(cents: DataFrame): DataFrame = {
-      val c2 = cents.withColumn("c2", dot(col("centroid"), col("centroid")))
-      val rows = java.util.Arrays.asList(c2.collect(): _*)
-      cents.sparkSession.createDataFrame(rows, c2.schema)
+    // The corpus projection carries the seed label so the seed
+    // centroids and every Lloyd pass read the SAME cached relation —
+    // one parquet scan total (caller owns the cache lifecycle).
+    val cand = graft.Tables.widen(candidates).select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      col(seedCol).cast("bigint").as("seed")).persist()
+    // The centroid table is nlist rows by construction — driver-pin it
+    // (the same place any k-means implementation keeps its centers)
+    // and ship it INSIDE the assignment expression as a reference
+    // object ([[graft.functions.NearestCentroidsF32]], the
+    // LshBucketsF32 pattern). Assignment — the only stage that touches
+    // the whole corpus per Lloyd iteration — is then a pure narrow
+    // projection: no crossJoin row amplification, no argmin shuffle,
+    // and no re-execution of the mean aggregate that produced the
+    // centroids (Spark broadcasts a SUBPLAN, not a result).
+    // Components are quantized to 1e-6 fixed point (see scaladoc):
+    // kills last-ulp wobble from summation order so assignments don't
+    // flip across partitionings; c·c is precomputed per centroid so
+    // scoring is one dot product per (vector, centroid).
+    def collectCents(grouped: DataFrame): (Array[Long], Array[Array[Float]], Array[Double]) = {
+      val rows = grouped.collect().map { r =>
+        val q = r.getSeq[Double](1).map(x => (math.floor(x * 1e6) / 1e6).toFloat).toArray
+        var acc = 0.0
+        var i = 0
+        while (i < q.length) { acc += q(i).toDouble * q(i).toDouble; i += 1 }
+        (r.getLong(0), q, acc)
+      }.sortBy(_._1) // ascending cid: strict-less insertion ties to lowest cid
+      (rows.map(_._1), rows.map(_._2), rows.map(_._3))
     }
-    def nearest(df: DataFrame, cents: DataFrame, idCol: String,
-                embCol: String, n: Int): DataFrame = {
-      // ||x−c||² ranks identically to (c·c − 2·x·c); x·x is constant per x.
-      val scored = df.crossJoin(broadcast(cents))
-        .withColumn("d2", col("c2") - lit(2.0) * dot(col(embCol), col("centroid")))
-      if (n == 1) {
-        // argmin as ONE partial/final aggregate: min(struct(d2, cid))
-        // orders by d2 then cid — the same ranking and tie-break as
-        // the window path — but the shuffle carries one map-side-
-        // combined row per vector instead of nlist scored copies, and
-        // no per-partition sort happens at all. This is the assignment
-        // pass, i.e. the only stage that touches the whole corpus per
-        // Lloyd iteration, so its shape dominates at scale.
-        scored.groupBy(col(idCol))
-          .agg(min(struct(col("d2"), col("cid"))).as("m"),
-            first(col(embCol)).as(embCol))
-          .select(col(idCol), col(embCol), col("m.cid").as("cid"))
-      } else {
-        val w = Window.partitionBy(col(idCol)).orderBy(col("d2"), col("cid"))
-        scored.withColumn("crnk", row_number().over(w))
-          .filter(col("crnk") <= n)
-          .drop("d2", "crnk", "centroid", "c2")
-      }
+    def assign(df: DataFrame, embCol: String,
+               cents: (Array[Long], Array[Array[Float]], Array[Double]),
+               n: Int): Column = {
+      df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_nearest_cents",
+        exprs => graft.functions.NearestCentroidsF32(
+          exprs.head, cents._1, cents._2, cents._3, n),
+        "scala_udf")
+      call_function("graft_nearest_cents", col(embCol))
     }
-    // Scored against the centroid table once per training/assignment
-    // pass — persist so each pass reads the projected corpus from
-    // cache instead of re-scanning (caller owns the cache lifecycle).
     require(iterations >= 1, "ivfTopK needs at least one Lloyd step")
-    val cand = wideCandidates.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("ce")).persist()
-    var cents = withNorm(wideCandidates.groupBy(col(seedCol).cast("bigint").as("cid"))
-      .agg(vm(col("embedding")).as("centroid"))
-      .select(col("cid"), toCent(col("centroid")).as("centroid")))
-    // Each Lloyd step is ONE corpus assignment pass (assign, then means).
-    // The FINAL step's assignment IS the inverted-list table, and the
-    // final centroids are exactly those lists' means — each list's
-    // representative is its true mean, and the index costs `iterations`
-    // corpus passes, not iterations+1. (The previous trailing
-    // re-assignment pass bought nothing: it re-scored the whole corpus
-    // only to move boundary vectors to lists whose centroid is then no
-    // longer their mean.)
-    var lists = nearest(cand, cents, "neighbor_id", "ce", 1).persist()
+    var cents = collectCents(cand.groupBy(col("seed").as("cid"))
+      .agg(vm(col("ce")).as("centroid")))
+    // Each Lloyd step is ONE corpus assignment pass (assign, then
+    // means — the means shuffle carries map-side-combined dims×8-byte
+    // buffers, nlist rows per partition). The FINAL step's assignment
+    // IS the inverted-list table, and the final centroids are exactly
+    // those lists' means — each list's representative is its true
+    // mean, and the index costs `iterations` corpus passes, not
+    // iterations+1.
+    var lists = cand.select(col("neighbor_id"), col("ce"),
+      element_at(assign(cand, "ce", cents, 1), 1).as("cid")).persist()
     for (i <- 1 to iterations) {
-      cents = withNorm(lists
-        .groupBy(col("cid"))
-        .agg(vm(col("ce")).as("centroid"))
-        .select(col("cid"), toCent(col("centroid")).as("centroid")))
+      cents = collectCents(lists.groupBy(col("cid")).agg(vm(col("ce")).as("centroid")))
       if (i < iterations) {
         val prev = lists
-        lists = nearest(cand, cents, "neighbor_id", "ce", 1).persist()
+        lists = cand.select(col("neighbor_id"), col("ce"),
+          element_at(assign(cand, "ce", cents, 1), 1).as("cid")).persist()
         prev.unpersist()
       }
     }
-    val pAssigned = nearest(
-      probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe")),
-      cents, "probe_id", "pe", nprobe)
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val pAssigned = p.select(col("probe_id"), col("pe"),
+      explode(assign(p, "pe", cents, nprobe)).as("cid"))
     // each candidate lives in exactly one list, so (probe, neighbor)
     // pairs are unique even with nprobe > 1 — no dedup needed.
     val scored = lists.join(broadcast(pAssigned), Seq("cid"))

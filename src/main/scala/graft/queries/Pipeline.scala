@@ -213,7 +213,15 @@ object Pipeline {
     * bit-identical across engines on the fixture vocabulary. Classic
     * map-side-combining shape: both aggregates partial-combine before
     * their shuffles, and the df table (vocabulary-sized) broadcasts. */
-  def tfIdf(s: SparkSession, dir: String): DataFrame = {
+  def tfIdf(s: SparkSession, dir: String): DataFrame =
+    tfIdfCore(s, dir).orderBy(col("doc_id"), col("term"))
+
+  /** The un-sorted tf-idf pipeline. [[tfIdf]] adds the output contract's
+    * total order; [[topTerms]] consumes THIS — its per-doc rank window
+    * re-shuffles by doc_id anyway, so a global range sort in between
+    * would be a sampling job plus a sort whose order is immediately
+    * discarded. */
+  private def tfIdfCore(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -229,7 +237,6 @@ object Pipeline {
       .filter(col("df") >= 5 && col("doc_id") < 50)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
-      .orderBy(col("doc_id"), col("term"))
   }
 
   val tfIdfSql: String =
@@ -469,7 +476,7 @@ object Pipeline {
   def topTerms(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
-    tfIdf(s, dir)
+    tfIdfCore(s, dir)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("rnk").cast("int").as("rnk"),

@@ -38,6 +38,22 @@ class BenchFormatSpec extends AnyFunSuite {
       s"summary fields not in tail: ...${line.takeRight(120)}")
   }
 
+  test("detailed render carries {wall, cpu, gc} per query plus the summary tail") {
+    val line = Bench.renderDetailedJson(
+      Seq("q_a" -> Bench.Sample(2.0, 1.5, 0.25), "q_b" -> Bench.Sample(1.0, 0.5, 0.0)),
+      "/data/sf0.1")
+    val node = mapper.readTree(line)
+    assert(node.get("queries").get("q_a").get("wall").asDouble() == 2.0)
+    assert(node.get("queries").get("q_a").get("cpu").asDouble() == 1.5)
+    assert(node.get("queries").get("q_a").get("gc").asDouble() == 0.25)
+    assert(node.get("value").asDouble() == 3.0)
+    assert(node.get("cpu_total").asDouble() == 2.0)
+    // same tail property as the stdout line: summary fields last
+    val tail = line.takeRight(200)
+    assert(tail.contains("\"metric\":\"total\"") && tail.contains("\"value\":"))
+    assert(!line.contains("\n"))
+  }
+
   test("locale independence: decimal point, not comma") {
     val prev = java.util.Locale.getDefault
     try {
