@@ -10,6 +10,14 @@ import graft.queries.{Alloc, Analytics, Curate, EtlQueries, Extras, Featurize, J
   * and a matching DuckDB `oracleSql` string (names and output column
   * names are aligned pairwise — the driver sorts columns by name and
   * hash-compares values).
+  *
+  * Cache contract: operators persist() intermediates that feed two
+  * readers (self-joins, size+pair passes) and do NOT unpersist them —
+  * the blocks are live until the query's final action completes, and
+  * only the CALLER knows when that is. A long-lived session running
+  * many queries MUST `spark.catalog.clearCache()` between them (Bench
+  * and Verify both do, after every query); a one-query-per-session
+  * caller can ignore this. See the Dedup scaladoc for the rationale.
   */
 object SparkEntry {
 

@@ -50,14 +50,24 @@ class CovarianceMatrix(dims: Int) extends Aggregator[Seq[Float], CovBuf, Seq[(In
   }
 
   /** (i, j, n, n·Σxy − Σx_i·Σx_j) per upper-triangle cell, 1-based to
-    * match SQL list indexing. */
+    * match SQL list indexing. The centered numerator is computed in
+    * BigInt and checked back into int64: with thousandth-quantized
+    * components the n·Σxy term grows ~n², crossing 2^63 somewhere
+    * around 10⁶–10⁷ rows — past that the operator must FAIL LOUDLY
+    * (the caller's fix is coarser quantization or a decimal output
+    * column), never wrap silently while claiming exactness. */
   override def finish(b: CovBuf): Seq[(Int, Int, Long, Long)] = {
     val out = Seq.newBuilder[(Int, Int, Long, Long)]
     var i = 0
     while (i < dims) {
       var j = i
       while (j < dims) {
-        out += ((i + 1, j + 1, b.n, b.n * b.sxy(idx(i, j)) - b.sx(i) * b.sx(j)))
+        val v = BigInt(b.n) * BigInt(b.sxy(idx(i, j))) -
+          BigInt(b.sx(i)) * BigInt(b.sx(j))
+        require(v.isValidLong,
+          s"covariance cell ($i,$j) numerator $v exceeds int64 at n=${b.n}: " +
+            "quantize coarser or widen the output to decimal")
+        out += ((i + 1, j + 1, b.n, v.toLong))
         j += 1
       }
       i += 1

@@ -141,7 +141,13 @@ object Dedup {
     * The self-join is on (band, band_sig): only genuine collisions
     * materialize, so no quadratic blowup on a diverse corpus. */
   def minhashCandidates(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
-    val bands = signatures.select(col("doc_id"), col("sig"),
+    // Guard: a signature shorter than one band would make the
+    // sequence() below run DESCENDING (0 → -1), emitting a bogus
+    // band=-1 whose negative slice start silently reads from the
+    // array's end — undersized signatures must yield zero bands, not
+    // wrong candidates.
+    val bands = signatures.filter(size(col("sig")) >= rowsPerBand)
+      .select(col("doc_id"), col("sig"),
         explode(expr(s"sequence(0, size(sig) div $rowsPerBand - 1)")).as("band"))
       .select(col("doc_id"), col("band"),
         expr(s"array_join(slice(sig, band * $rowsPerBand + 1, $rowsPerBand), ',')")
@@ -167,7 +173,9 @@ object Dedup {
     * standing banded index written bucketed by (band, band_sig). */
   def minhashCandidatesBetween(signatures: DataFrame, isNew: org.apache.spark.sql.Column,
                                rowsPerBand: Int = 4): DataFrame = {
-    val bands = signatures.select(col("doc_id"), isNew.as("is_new"), col("sig"),
+    // Same undersized-signature guard as [[minhashCandidates]].
+    val bands = signatures.filter(size(col("sig")) >= rowsPerBand)
+      .select(col("doc_id"), isNew.as("is_new"), col("sig"),
         explode(expr(s"sequence(0, size(sig) div $rowsPerBand - 1)")).as("band"))
       .select(col("doc_id"), col("is_new"), col("band"),
         expr(s"array_join(slice(sig, band * $rowsPerBand + 1, $rowsPerBand), ',')")

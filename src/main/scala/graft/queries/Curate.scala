@@ -19,15 +19,27 @@ object Curate {
     * source/domain, selected by a deterministic content-free coin
     * (md5 of the doc id) so the survivors are a stable uniform sample
     * — the web-corpus curation rule that stops one domain from
-    * dominating the training mix. One keyed window over (source);
-    * fan-in per key is the domain's doc count, the natural skew
-    * lever at 100 TB is the same salted-top-k used by
-    * q_fixed_size_sample. */
+    * dominating the training mix.
+    *
+    * Skew-safe two-stage top-k: stage 1 windows over (source, salt) —
+    * the salt is the coin's first hex nibble, so a mega-domain
+    * (half the web corpus behind one source) fans into 16 partial
+    * top-`cap` computations instead of funneling through one task;
+    * stage 2 re-ranks the ≤16·cap survivors per source. The result is
+    * bit-identical to the single global window (each salt bucket's
+    * top-cap is a superset of its members in the global top-cap, and
+    * the coin order is total), which is what the oracle checks. */
   def domainCap(s: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    val wSalted = Window.partitionBy(col("source"), col("salt"))
+      .orderBy(col("coin"), col("doc_id"))
     val w = Window.partitionBy(col("source"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .orderBy(col("coin"), col("doc_id"))
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"))
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("coin"))
+      .withColumn("salt", substring(col("coin"), 1, 1))
+      .withColumn("rk1", row_number().over(wSalted))
+      .filter(col("rk1") <= cap)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= cap)
       .select(col("doc_id"), col("source"), col("rk").cast("int").as("rk"))

@@ -189,6 +189,46 @@ class EtlSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("JDBC quoted/mixed-case identifiers stride and push down; fetchsize survives planning") {
+    // Dialect-parity mechanics (MIGRATION.md "Source dialects"): a
+    // mixed-case schema folds to garbage on any SQL engine unless the
+    // generated SQL quotes identifiers — Derby, like MSSQL, folds
+    // unquoted names to one case, so a working ranged read over a
+    // camelCase column proves Spark's dialect quoting end-to-end.
+    val out = tmp()
+    val src = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("OrderKey"),
+        col("o_custkey").as("CustKey"),
+        col("o_totalprice").as("TotalPrice"))
+    val u = graft.etl.DerbyStage.stage(src, s"$out/db", "\"MixedCase Stage\"")
+    val back = graft.etl.DerbyStage.readRanged(
+      spark, u, "\"MixedCase Stage\"", "OrderKey", 0L, 1500L, 4)
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.columns.toSeq == Seq("OrderKey", "CustKey", "TotalPrice"),
+      "mixed-case column names must survive the round trip exactly")
+    assert(back.count() == src.count())
+    // pushdown still reaches the engine with a quoted column
+    val filtered = back.filter(col("OrderKey") > 100 && col("OrderKey") <= 600)
+    assert(filtered.count() == 500)
+    // the explicit fetchsize is not just an option-map entry — it
+    // survives into the planned JDBC relation the scan executes
+    val rel = back.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.getClass.getSimpleName == "JDBCRelation" => l.relation
+    }
+    assert(rel.nonEmpty, "expected a JDBCRelation in the plan")
+    // JDBCRelation/JDBCOptions are private[sql]; read the planned
+    // fetchsize reflectively — the point is that the option is wired
+    // into the relation the scan executes, not just into our map
+    val optsM = rel.get.getClass.getMethod("jdbcOptions")
+    optsM.setAccessible(true)
+    val opts = optsM.invoke(rel.get)
+    val fsM = opts.getClass.getMethod("fetchSize")
+    fsM.setAccessible(true)
+    assert(fsM.invoke(opts).asInstanceOf[Int] == 10000,
+      s"fetchsize lost in planning: ${fsM.invoke(opts)}")
+  }
+
   test("incremental frontier loop over a JDBC source: crash, resume, validate") {
     val out = tmp()
     val full = Tables.orders(spark, sfDir)

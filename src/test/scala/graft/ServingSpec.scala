@@ -33,16 +33,20 @@ class ServingSpec extends SparkSpec {
     val dup = out.groupBy(col("user_id"), col("probe_idx")).count()
       .filter(col("count") > 1).count()
     assert(dup == 0L, "disjoint intervals must match at most once")
-    // a probe at a user's first event second picks that first state
+    // intervals cover [first_event, ∞) per user, so a probe reads
+    // 'none' EXACTLY when it predates that user's first event —
+    // assert the biconditional over every (user, probe) row
     val e = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_timestamp(col("ts")).as("sec"))
-    val first = e.groupBy(col("user_id"))
-      .agg(min(struct(col("sec"), col("event_id"), col("event_type"))).as("f"))
-      .select(col("user_id"), col("f.sec").as("sec"),
-        col("f.event_type").as("first_state"))
-    // probe_idx 9 lands at t1 = the global max second; every user whose
-    // last event is at t1 must get a non-'none' state there
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+    val first = e.groupBy(col("user_id")).agg(min(col("sec")).as("first_sec"))
+    val violations = out.join(first, Seq("user_id"))
+      .filter((col("state") === "none") =!=
+        (col("probe_sec") < col("first_sec")))
+      .count()
+    assert(violations == 0L,
+      "'none' must appear iff the probe predates the user's first event")
+    // and at least one real (non-'none') state resolves somewhere
+    assert(out.filter(col("state") =!= "none").count() > 0L)
     out.unpersist()
   }
 
