@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+
+/** Round-7 corpus-audit operators: the measurement layer a training-
+  * data pipeline runs NEXT TO its dedup/curation passes — how good is
+  * the sketch (MinHash estimation error), how is the corpus shaped
+  * (Zipf slope, per-source KL divergence, duplicate-family sizes), and
+  * does the near-dup graph leak across train/val/test. All
+  * oracle-checked; float conventions per ARCHITECTURE.md "Cross-engine
+  * determinism" — order-dependent ln-sums are quantized to fixed-point
+  * integers BEFORE summation, so every aggregate is exact and only a
+  * final division is float.
+  */
+object Corpus {
+
+  /** L2n — MinHash estimation-error audit: for every LSH candidate
+    * pair, the signature-agreement estimate p/16 next to the exact
+    * shingle Jaccard and their signed error — the operator that tells
+    * you whether 16 hashes are enough for YOUR corpus before trusting
+    * the sketch at 100 TB (E[est] = J; spread shrinks as 1/√k).
+    * Signature and shingle set come from ONE fused digest pass
+    * (Dedup.shingleProfiles) — the corpus is md5'd once; the exact
+    * intersection runs only on collision-proposed pairs, never
+    * all-pairs. est is p/16 (exact dyadic), exact_j one int/int IEEE
+    * division, err one subtraction — all bit-portable. */
+  def minhashError(s: SparkSession, dir: String): DataFrame = {
+    val prof = Dedup.shingleProfiles(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), 3, 16)
+      .persist() // candidate join + both sides of the verify join
+    val cands = Dedup.minhashCandidates(prof.select(col("doc_id"), col("sig")), 4)
+    val pa = prof.select(col("doc_id").as("doc_id_a"),
+      col("hs").as("ha"), col("sig").as("sa"))
+    val pb = prof.select(col("doc_id").as("doc_id_b"),
+      col("hs").as("hb"), col("sig").as("sb"))
+    // The 16-slot agreement count is UNROLLED into plain comparisons:
+    // the higher-order aggregate(zip_with(...)) formulation falls out
+    // of whole-stage codegen (interpreted lambda per pair × slot) and
+    // cost ~15× the unrolled form on the candidate stream.
+    val agreement = (0 until 16)
+      .map(j => (element_at(col("sa"), j + 1) === element_at(col("sb"), j + 1))
+        .cast("int"))
+      .reduce(_ + _)
+    cands.join(pa, Seq("doc_id_a")).join(pb, Seq("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        agreement.as("p"),
+        size(array_intersect(col("ha"), col("hb"))).as("i"),
+        size(col("ha")).as("na"), size(col("hb")).as("nb"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (col("p").cast("double") / 16).as("est"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i")))
+          .as("exact_j"))
+      .withColumn("err", col("est") - col("exact_j"))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
+  val minhashErrorSql: String =
+    s"""${Llm.shingleCte},
+      |hh AS (SELECT doc_id,
+      |         CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+      |         CAST(concat('0x', substring(md5(shingle), 17, 14)) AS BIGINT) AS h2
+      |       FROM sh),
+      |hs AS (SELECT doc_id, j, min(h1 + j * h2) AS mh
+      |       FROM hh, (SELECT unnest(range(0, 16)) AS j) GROUP BY doc_id, j),
+      |bands AS (SELECT doc_id, j // 4 AS band,
+      |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_sig
+      |          FROM hs GROUP BY doc_id, j // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.band_sig = b.band_sig
+      |           AND a.doc_id < b.doc_id),
+      |agree AS (SELECT c.da, c.db,
+      |            sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS p
+      |          FROM cand c
+      |          JOIN hs x ON x.doc_id = c.da
+      |          JOIN hs y ON y.doc_id = c.db AND y.j = x.j
+      |          GROUP BY c.da, c.db),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |          FROM sh a JOIN sh b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT g.da AS doc_id_a, g.db AS doc_id_b,
+      |  CAST(p AS DOUBLE) / 16 AS est,
+      |  CAST(coalesce(i.i, 0) AS DOUBLE)
+      |    / (sa.n_sh + sb.n_sh - coalesce(i.i, 0)) AS exact_j,
+      |  CAST(p AS DOUBLE) / 16 - CAST(coalesce(i.i, 0) AS DOUBLE)
+      |    / (sa.n_sh + sb.n_sh - coalesce(i.i, 0)) AS err
+      |FROM agree g
+      |LEFT JOIN inter i ON i.da = g.da AND i.db = g.db
+      |JOIN sz sa ON g.da = sa.doc_id JOIN sz sb ON g.db = sb.doc_id
+      |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
+  /** L4p — Zipf rank-frequency slope: OLS of ln(freq) on ln(rank) over
+    * the top-100 terms — natural corpora fit slope ≈ −1; a synthetic
+    * or templated corpus shows up immediately as a flat or convex
+    * curve (the cheapest "is this text distribution natural" audit).
+    * ln values are quantized to 1e-6 fixed point BEFORE the moment
+    * sums, so Σx/Σy/Σxy/Σxx are exact int64 and the slope is one
+    * integer-ratio division — no float summation order anywhere. The
+    * term aggregate is corpus-wide and partial-combining; only the
+    * bounded 100-row top-k relation is ever windowed. */
+  def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(100)
+    val ranked = freq
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("freq").desc, col("term")))) // bounded: 100 rows
+      .select(
+        expr("CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e6) AS BIGINT)").as("xq"),
+        expr("CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT)").as("yq"))
+    ranked.agg(count(lit(1)).as("n"), sum(col("xq")).as("sx"),
+        sum(col("yq")).as("sy"), sum(col("xq") * col("yq")).as("sxy"),
+        sum(col("xq") * col("xq")).as("sxx"))
+      .select(col("n").as("n_terms"),
+        expr("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)")
+          .as("slope"),
+        expr("(CAST(sy AS DOUBLE) / 1e6 - (CAST(n * sxy - sx * sy AS DOUBLE) " +
+          "/ CAST(n * sxx - sx * sx AS DOUBLE)) * (CAST(sx AS DOUBLE) / 1e6)) " +
+          "/ CAST(n AS DOUBLE)").as("intercept"))
+  }
+
+  val zipfSlopeSql: String =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term
+      |              FROM documents),
+      |f AS (SELECT term, count(*) AS freq FROM toks WHERE term <> ''
+      |      GROUP BY term ORDER BY freq DESC, term LIMIT 100),
+      |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rnk
+      |      FROM f),
+      |q AS (SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e6) AS BIGINT) AS xq,
+      |             CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS yq
+      |      FROM r),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(xq) AS BIGINT) AS sx,
+      |             CAST(sum(yq) AS BIGINT) AS sy,
+      |             CAST(sum(xq * yq) AS BIGINT) AS sxy,
+      |             CAST(sum(xq * xq) AS BIGINT) AS sxx
+      |      FROM q)
+      |SELECT n AS n_terms,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+      |    AS slope,
+      |  (CAST(sy AS DOUBLE) / 1e6 - (CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE)) * (CAST(sx AS DOUBLE) / 1e6))
+      |    / CAST(n AS DOUBLE) AS intercept
+      |FROM m""".stripMargin
+
+  /** L4q — per-source KL divergence: KL(P_source ‖ P_corpus) over
+    * unigram distributions — the training-mix audit that scores how
+    * far each source's language drifts from the blend (a high-KL
+    * source either carries unique signal or is noise; either way it
+    * needs a human look before reweighting). Per-(source, term)
+    * contributions are computed from exact counts, quantized to 1e-9
+    * fixed point, and integer-summed — the ln-sum is order-free. Two
+    * term-keyed aggregates + one broadcast of per-source totals; no
+    * all-pairs anything. */
+  def klSources(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val st = toks.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("n_st")).persist() // corpus re-agg + the join
+    val ct = st.groupBy(col("term")).agg(sum(col("n_st")).as("n_ct"))
+    val totS = st.groupBy(col("source")).agg(sum(col("n_st")).as("n_s"))
+    val totC = st.agg(sum(col("n_st")).as("n_c"))
+    st.join(ct, Seq("term"))
+      .join(broadcast(totS), Seq("source"))
+      .crossJoin(broadcast(totC))
+      .select(col("source"), col("n_s"),
+        expr("CAST(floor((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE)) * " +
+          "ln((CAST(n_st AS DOUBLE) * CAST(n_c AS DOUBLE)) / " +
+          "(CAST(n_s AS DOUBLE) * CAST(n_ct AS DOUBLE))) * 1e9) AS BIGINT)")
+          .as("cq"))
+      .groupBy(col("source"), col("n_s"))
+      .agg(sum(col("cq")).as("kl_q"))
+      .select(col("source"), col("n_s").as("n_tokens"),
+        (col("kl_q").cast("double") / 1e9).as("kl"))
+      .orderBy(col("source"))
+  }
+
+  val klSourcesSql: String =
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
+      |              FROM documents),
+      |st AS (SELECT source, term, count(*) AS n_st FROM toks
+      |       WHERE term <> '' GROUP BY source, term),
+      |ct AS (SELECT term, CAST(sum(n_st) AS BIGINT) AS n_ct FROM st GROUP BY term),
+      |ts AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+      |tc AS (SELECT CAST(sum(n_st) AS BIGINT) AS n_c FROM st),
+      |c AS (SELECT st.source, ts.n_s,
+      |        CAST(floor((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE)) *
+      |          ln((CAST(n_st AS DOUBLE) * CAST(n_c AS DOUBLE)) /
+      |          (CAST(n_s AS DOUBLE) * CAST(n_ct AS DOUBLE))) * 1e9) AS BIGINT)
+      |          AS cq
+      |      FROM st JOIN ct ON st.term = ct.term
+      |      JOIN ts ON st.source = ts.source CROSS JOIN tc)
+      |SELECT source, n_s AS n_tokens,
+      |  CAST(CAST(sum(cq) AS BIGINT) AS DOUBLE) / 1e9 AS kl
+      |FROM c GROUP BY source, n_s ORDER BY source""".stripMargin
+
+  /** L2o — duplicate-family size distribution: how many near-dup
+    * clusters have 2, 3, … members — the histogram that decides the
+    * dedup POLICY (a corpus of pair-dups dedups cheaply; heavy tails
+    * mean template families worth a dedicated rule). Reuses the
+    * checked-fixpoint CC labels; two keyed aggregates on top. */
+  def clusterSizes(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClusters(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6)
+          .select(col("doc_id_a"), col("doc_id_b")))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").cast("bigint").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
+  val clusterSizesSql: String = {
+    val iters = (1 to 8).map { k =>
+      s"""l$k AS (SELECT e.u AS node, min(l.label) AS label
+         |  FROM ep e JOIN l${k - 1} l ON e.v = l.node GROUP BY e.u)""".stripMargin
+    }.mkString(",\n")
+    s"""${Llm.shingleCte},
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT da, db FROM inter
+      |          JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.6),
+      |nodes AS (SELECT DISTINCT u AS node FROM
+      |          (SELECT da AS u FROM pairs UNION ALL SELECT db FROM pairs)),
+      |ep AS (SELECT da AS u, db AS v FROM pairs
+      |       UNION ALL SELECT db AS u, da AS v FROM pairs
+      |       UNION ALL SELECT node AS u, node AS v FROM nodes),
+      |l0 AS (SELECT node, node AS label FROM nodes),
+      |$iters,
+      |cs AS (SELECT label AS cluster_id, count(*) AS sz FROM l8 GROUP BY label)
+      |SELECT CAST(sz AS BIGINT) AS cluster_size,
+      |  CAST(count(*) AS BIGINT) AS n_clusters
+      |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin
+  }
+
+  /** L2p — train/val/test near-dup leakage: near-duplicate pairs
+    * (exact Jaccard ≥ 0.6) classified by which splits their endpoints
+    * landed in under the SAME deterministic 80/10/10 md5 coin as
+    * q_three_way_split — the audit that catches eval contamination
+    * BEFORE training (a test doc whose near-twin sits in train
+    * silently inflates benchmarks). The pair stream is
+    * collision-driven; split assignment is a narrow projection joined
+    * onto each endpoint. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val splits = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long").as("coin"))
+      .withColumn("split",
+        when(col("coin") < 52429L, "train")
+          .when(col("coin") < 58982L, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("split"))
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6)
+      .join(splits.select(col("doc_id").as("doc_id_a"), col("split").as("s_a")),
+        Seq("doc_id_a"))
+      .join(splits.select(col("doc_id").as("doc_id_b"), col("split").as("s_b")),
+        Seq("doc_id_b"))
+      .select(least(col("s_a"), col("s_b")).as("split_a"),
+        greatest(col("s_a"), col("s_b")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  val splitLeakageSql: String =
+    s"""${Llm.shingleCte},
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT da, db FROM inter
+      |          JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.6),
+      |sp AS (SELECT doc_id,
+      |         CASE WHEN CAST(concat('0x',
+      |             substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+      |             < 52429 THEN 'train'
+      |           WHEN CAST(concat('0x',
+      |             substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+      |             < 58982 THEN 'val'
+      |           ELSE 'test' END AS split
+      |       FROM documents)
+      |SELECT least(a.split, b.split) AS split_a,
+      |  greatest(a.split, b.split) AS split_b,
+      |  CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM pairs JOIN sp a ON pairs.da = a.doc_id
+      |JOIN sp b ON pairs.db = b.doc_id
+      |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minhash_error" -> (minhashError _),
+    "q_zipf_slope" -> (zipfSlope _),
+    "q_kl_sources" -> (klSources _),
+    "q_cluster_sizes" -> (clusterSizes _),
+    "q_split_leakage" -> (splitLeakage _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_minhash_error" -> minhashErrorSql,
+    "q_zipf_slope" -> zipfSlopeSql,
+    "q_kl_sources" -> klSourcesSql,
+    "q_cluster_sizes" -> clusterSizesSql,
+    "q_split_leakage" -> splitLeakageSql,
+  )
+}

@@ -1,0 +1,308 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-7 surface-completion and evaluation-metric operators: bag
+  * semantics for set ops (EXCEPT/INTERSECT ALL), the distribution
+  * window functions, OHLC bars, exact-cent VWAP, information-theoretic
+  * dependence (mutual information), inter-rater agreement (Cohen's
+  * kappa), and a second string-function parity row. All
+  * oracle-checked; conventions per ARCHITECTURE.md "Cross-engine
+  * determinism" (order-dependent ln-sums quantized to integers before
+  * aggregation; one float division chain per output, identical
+  * textual form on both engines).
+  */
+object Metrics {
+
+  /** U3 — EXCEPT ALL (bag difference): each customer key keeps
+    * max(0, n_left − n_right) copies — the multiset semantics that
+    * reconciliation pipelines need (plain EXCEPT collapses
+    * multiplicity and hides partial losses). Spark's exceptAll plans
+    * a count-compare aggregate, not a join explosion; the output is
+    * re-aggregated per key so the result relation is deterministic. */
+  def exceptAll(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.orders(s, dir).select(col("o_custkey"))
+    val f = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    all.exceptAll(f)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val exceptAllSql: String =
+    """SELECT o_custkey, count(*) AS n_rows FROM (
+      |  SELECT o_custkey FROM orders
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** U3b — INTERSECT ALL (bag intersection): min(n_left, n_right)
+    * copies per key, the other half of multiset reconciliation. */
+  def intersectAll(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    val f = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    o.intersectAll(f)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val intersectAllSql: String =
+    """SELECT o_custkey, count(*) AS n_rows FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** W28 — distribution window functions: cume_dist and percent_rank
+    * per status group — SQL-standard tie semantics on both engines
+    * (peers included for cume_dist, (rank−1)/(n−1) for percent_rank),
+    * both pure int/int IEEE divisions so the raw doubles are
+    * oracle-safe. Output bounded to a key slice AFTER the window (the
+    * distribution needs the whole group). */
+  def cumeDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("o_orderkey") < 400)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cd"), col("pr"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val cumeDistSql: String =
+    """SELECT o_orderkey, o_orderstatus, cd, pr FROM (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    cume_dist() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY o_totalprice, o_orderkey) AS cd,
+      |    percent_rank() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY o_totalprice, o_orderkey) AS pr
+      |  FROM orders)
+      |WHERE o_orderkey < 400 ORDER BY o_orderkey""".stripMargin
+
+  /** TS10 — OHLC bars: per-day open/high/low/close of the event value
+    * stream — the time-series downsampling primitive. Open and close
+    * are argmin/argmax by (second, event_id) folded into ONE
+    * partial/final min(struct)/max(struct) aggregate — no window, no
+    * per-day sort; the tie-break prefix (sec, event_id) is unique so
+    * the value field never decides the comparison. */
+  def ohlc(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("d"),
+        unix_timestamp(col("ts")).as("sec"), col("event_id"), col("value"))
+    e.groupBy(col("d"))
+      .agg(min(struct(col("sec"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("sec"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        count(lit(1)).as("n_events"))
+      .select(col("d"), col("o.value").as("open"), col("high"), col("low"),
+        col("c.value").as("close"), col("n_events"))
+      .orderBy(col("d"))
+  }
+
+  val ohlcSql: String =
+    """WITH e AS (SELECT CAST(ts AS DATE) AS d,
+      |             CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id, value
+      |           FROM events),
+      |r AS (SELECT d, value,
+      |        row_number() OVER (PARTITION BY d ORDER BY sec, event_id) AS ra,
+      |        row_number() OVER (PARTITION BY d ORDER BY sec DESC, event_id DESC)
+      |          AS rd
+      |      FROM e)
+      |SELECT d, max(CASE WHEN ra = 1 THEN value END) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max(CASE WHEN rd = 1 THEN value END) AS close,
+      |  count(*) AS n_events
+      |FROM r GROUP BY d ORDER BY d""".stripMargin
+
+  /** TS11 — monthly VWAP (volume-weighted average price): exact-cent
+    * revenue over exact quantity per ship month, one division at the
+    * end — the weighted-mean shape that naive avg(price) gets wrong.
+    * One partial/final aggregate over the fact table. */
+  def vwap(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(date_trunc("month", col("l_shipdate").cast("date")).cast("date")
+          .as("m"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("cents"),
+        col("l_quantity").cast("bigint").as("qty"))
+      .groupBy(col("m"))
+      .agg(sum(col("cents")).as("cents"), sum(col("qty")).as("qty"))
+      .select(col("m"), col("qty"), col("cents"),
+        (col("cents").cast("double") / col("qty").cast("double")).as("vwap_cents"))
+      .orderBy(col("m"))
+
+  val vwapSql: String =
+    """SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS m,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS cents,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS DOUBLE) / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+      |    AS vwap_cents
+      |FROM lineitem GROUP BY 1 ORDER BY m""".stripMargin
+
+  /** G22 — mutual information between two categorical columns (status
+    * × priority) plus both marginal entropies — the dependence audit
+    * behind feature selection and leakage detection (MI ≈ 0 means the
+    * columns are independent; MI ≈ H means one determines the other).
+    * Every cell contribution is computed from exact counts and
+    * quantized to 1e-9 fixed point before the sum, so the ln-sums are
+    * order-free; the contingency table is one hash aggregate and the
+    * margins are re-aggregates of it (cells ≪ rows). */
+  def mutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus").as("x"), col("o_orderpriority").as("y"))
+      .agg(count(lit(1)).as("n_xy")).persist() // margins + the joined pass
+    val mx = cells.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
+    val my = cells.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
+    val tot = cells.agg(sum(col("n_xy")).as("n"))
+    val mi = cells.join(broadcast(mx), Seq("x")).join(broadcast(my), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .select(expr("CAST(floor((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "ln((CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)) / " +
+        "(CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))) * 1e9) AS BIGINT)").as("cq"))
+      .agg(sum(col("cq")).as("mi_q"))
+    def entropy(m: DataFrame, cnt: String): DataFrame = m
+      .crossJoin(broadcast(tot))
+      .select(expr(s"CAST(floor(-(CAST($cnt AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        s"ln(CAST($cnt AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT)").as("hq"))
+      .agg(sum(col("hq")).as("h_q"))
+    mi.crossJoin(entropy(mx, "n_x").withColumnRenamed("h_q", "hx_q"))
+      .crossJoin(entropy(my, "n_y").withColumnRenamed("h_q", "hy_q"))
+      .crossJoin(broadcast(tot))
+      .select(col("n").as("n_orders"),
+        (col("mi_q").cast("double") / 1e9).as("mi"),
+        (col("hx_q").cast("double") / 1e9).as("h_status"),
+        (col("hy_q").cast("double") / 1e9).as("h_priority"))
+  }
+
+  val mutualInfoSql: String =
+    """WITH cells AS (SELECT o_orderstatus AS x, o_orderpriority AS y,
+      |                 count(*) AS n_xy FROM orders GROUP BY 1, 2),
+      |mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY x),
+      |my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY y),
+      |tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells),
+      |mi AS (SELECT CAST(sum(CAST(floor((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+      |         * ln((CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)) /
+      |         (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))) * 1e9) AS BIGINT))
+      |         AS BIGINT) AS mi_q
+      |       FROM cells JOIN mx ON cells.x = mx.x JOIN my ON cells.y = my.y
+      |       CROSS JOIN tot),
+      |hx AS (SELECT CAST(sum(CAST(floor(-(CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE))
+      |         * ln(CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT))
+      |         AS BIGINT) AS hx_q FROM mx CROSS JOIN tot),
+      |hy AS (SELECT CAST(sum(CAST(floor(-(CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE))
+      |         * ln(CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT))
+      |         AS BIGINT) AS hy_q FROM my CROSS JOIN tot)
+      |SELECT n AS n_orders, CAST(mi_q AS DOUBLE) / 1e9 AS mi,
+      |  CAST(hx_q AS DOUBLE) / 1e9 AS h_status,
+      |  CAST(hy_q AS DOUBLE) / 1e9 AS h_priority
+      |FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN tot""".stripMargin
+
+  /** W27 — Cohen's kappa: agreement beyond chance between the order
+    * status and a rule-derived classifier over the priority string —
+    * the inter-rater/model-agreement readout (po − pe)/(1 − pe). The
+    * confusion matrix, its diagonal, and the chance term Σ row_k·col_k
+    * are all exact int64; kappa is one fixed-order float chain. */
+  def cohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val rated = Tables.orders(s, dir)
+      .select(col("o_orderstatus").as("a"),
+        when(col("o_orderpriority").startsWith("1") ||
+            col("o_orderpriority").startsWith("2"), "O")
+          .when(col("o_orderpriority").startsWith("3"), "P")
+          .otherwise("F").as("b"))
+    val cells = rated.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab")).persist() // margins + diagonal
+    val ra = cells.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+    val rb = cells.groupBy(col("b")).agg(sum(col("n_ab")).as("n_b"))
+    val agree = cells.filter(col("a") === col("b"))
+      .agg(coalesce(sum(col("n_ab")), lit(0L)).as("n_agree"))
+    val chance = ra.join(rb, ra("a") === rb("b"))
+      .agg(coalesce(sum(col("n_a") * col("n_b")), lit(0L)).as("pe_num"))
+    val tot = cells.agg(sum(col("n_ab")).as("n"))
+    agree.crossJoin(chance).crossJoin(broadcast(tot))
+      .select(col("n").as("n_orders"), col("n_agree"),
+        expr("CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)").as("po"),
+        expr("CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))")
+          .as("pe"))
+      .withColumn("kappa", (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+  }
+
+  val cohensKappaSql: String =
+    """WITH rated AS (SELECT o_orderstatus AS a,
+      |    CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+      |           THEN 'O'
+      |         WHEN o_orderpriority LIKE '3%' THEN 'P'
+      |         ELSE 'F' END AS b
+      |  FROM orders),
+      |cells AS (SELECT a, b, count(*) AS n_ab FROM rated GROUP BY a, b),
+      |ra AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM cells GROUP BY a),
+      |rb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM cells GROUP BY b),
+      |ag AS (SELECT CAST(coalesce(sum(n_ab), 0) AS BIGINT) AS n_agree
+      |       FROM cells WHERE a = b),
+      |ch AS (SELECT CAST(coalesce(sum(n_a * n_b), 0) AS BIGINT) AS pe_num
+      |       FROM ra JOIN rb ON ra.a = rb.b),
+      |tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM cells)
+      |SELECT n AS n_orders, n_agree,
+      |  CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+      |  CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+      |  (CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      |  / (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      |    AS kappa
+      |FROM ag CROSS JOIN ch CROSS JOIN tot""".stripMargin
+
+  /** F1c — string-function surface, second row: split_part, lpad/rpad,
+    * translate, reverse, and the built-in Levenshtein — the remaining
+    * string builtins a migration exercises (F1 covered
+    * concat/substring/case/trim/regexp). All deterministic string
+    * ops; the key filter pushes to the scan. */
+  def stringFuncs2(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(col("c_custkey") < 200)
+      .select(col("c_custkey"),
+        split_part(col("c_name"), lit("#"), lit(2)).as("part2"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        translate(col("c_name"), "#0", "-x").as("translated"),
+        reverse(col("c_name")).as("rev"),
+        levenshtein(col("c_mktsegment"), lit("MACHINERY")).as("lev"))
+      .orderBy(col("c_custkey"))
+
+  val stringFuncs2Sql: String =
+    """SELECT c_custkey,
+      |  split_part(c_name, '#', 2) AS part2,
+      |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+      |  translate(c_name, '#0', '-x') AS translated,
+      |  reverse(c_name) AS rev,
+      |  CAST(levenshtein(c_mktsegment, 'MACHINERY') AS INT) AS lev
+      |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_except_all" -> (exceptAll _),
+    "q_intersect_all" -> (intersectAll _),
+    "q_cume_dist" -> (cumeDist _),
+    "q_ohlc" -> (ohlc _),
+    "q_vwap" -> (vwap _),
+    "q_mutual_info" -> (mutualInfo _),
+    "q_cohens_kappa" -> (cohensKappa _),
+    "q_string_funcs2" -> (stringFuncs2 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_except_all" -> exceptAllSql,
+    "q_intersect_all" -> intersectAllSql,
+    "q_cume_dist" -> cumeDistSql,
+    "q_ohlc" -> ohlcSql,
+    "q_vwap" -> vwapSql,
+    "q_mutual_info" -> mutualInfoSql,
+    "q_cohens_kappa" -> cohensKappaSql,
+    "q_string_funcs2" -> stringFuncs2Sql,
+  )
+}
