@@ -127,9 +127,17 @@ object Bench {
       val synth = spark.range(300).select(col("id").as("doc_id"),
         expr("concat_ws(' ', transform(sequence(1, 30), " +
           "i -> CAST((id * i) % 37 AS STRING)))").as("text"))
-      graft.operators.Dedup.dedupClusters(
+      val labels = graft.operators.Dedup.dedupClusters(
         graft.operators.Dedup.ngramJaccardPairs(synth, 3, 0.6)
-          .select(col("doc_id_a"), col("doc_id_b"))).count()
+          .select(col("doc_id_a"), col("doc_id_b")))
+      // ...and the canonical-selection tail shape (labels ⋈ ntok +
+      // max(struct) argmax) that follows it in the dedup family.
+      labels.join(synth.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("ntok")), Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n"),
+          max(struct(col("ntok"), (-col("doc_id")).as("neg"))).as("m"))
+        .count()
       spark.catalog.clearCache()
     } catch { case _: Throwable => }
     // Dev-only: SPARK_GRAFT_ONLY=q_a,q_b times just those queries

@@ -398,6 +398,77 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
+  /** Contraction-based connected components — alternating
+    * large-star/small-star (the classic MapReduce CC construction from
+    * the public literature), the documented ESCALATION path for deep
+    * components that [[dedupClusters]]' min-label propagation handles
+    * in O(diameter) rounds: contraction converges in O(log²) rounds on
+    * ANY graph shape, so a pathological near-dup chain (depth ≫ the
+    * propagation backstop) still labels correctly.
+    *
+    * Per round: large-star hangs every larger neighbor of u under
+    * min(Γ⁺(u)); small-star hangs the smaller ones (and u itself).
+    * Each is one groupBy-min + one join + distinct over the CURRENT
+    * edge set — the edge relation contracts toward the star
+    * {(member, component-min)}, at which point both steps are
+    * idempotent. Convergence is CHECKED: edges are a set of unique
+    * (u,v) keys, so (count, exact Σ(u·2³¹+v)) is an exact set
+    * fingerprint — stable fingerprint across a full L+S round means
+    * fixpoint; `maxRounds` is a loud backstop (require), never a
+    * silent cap. Output schema matches [[dedupClusters]]:
+    * (doc_id, cluster_id, keep). */
+  def dedupClustersStar(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val width = graft.Tables.shuffleWidth(pairs.sparkSession)
+    var edges = pairs
+      .select(col("doc_id_a").as("u"), col("doc_id_b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().coalesce(width).localCheckpoint()
+    val nodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct().localCheckpoint()
+    def fingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        sum((col("u").cast("decimal(38,0)") * 2147483648L) + col("v")).as("s")).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val nbrs = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val joined = nbrs.join(m, Seq("u"))
+      val out =
+        if (large) joined.filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+        else joined.filter(col("v") <= col("u") && col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(m.filter(col("u") =!= col("m"))
+            .select(col("u"), col("m").as("v")))
+      out.filter(col("u") =!= col("v")).distinct()
+        .coalesce(width).localCheckpoint()
+    }
+    var fp = fingerprint(edges)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      edges = star(star(edges, large = true), large = false)
+      val cur = fingerprint(edges)
+      converged = cur == fp
+      fp = cur
+    }
+    require(converged,
+      s"star contraction did not converge in $maxRounds rounds — raise maxRounds")
+    // At fixpoint the edge set is the star {(member, root)}; roots
+    // label themselves, members read their single edge.
+    val labels = edges.select(col("u").as("node"), col("v").as("label"))
+      .union(edges.select(col("v").as("node"), col("v").as("label")))
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
+    nodes.join(labels, Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("label"), col("node")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
   /** Near-dup by embedding cosine, blocked on a partition key (here a
     * label/cluster id) so the pair space is per-block, not global —
     * the blocking column is the scale lever: at 100 TB it would be a

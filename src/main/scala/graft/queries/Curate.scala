@@ -428,7 +428,68 @@ object Curate {
       |JOIN sz sb ON source_b = sb.source
       |ORDER BY source_a, source_b""".stripMargin
 
+  /** L19 — curation filter funnel: how many documents survive each
+    * successive curation predicate (length → token count → target
+    * language → lexical diversity) — the report every corpus pipeline
+    * publishes with its release. ONE narrow pass computes all flags;
+    * the funnel is a single aggregate of running conjunctions (no
+    * per-stage scans); the long-form output comes from inlining the
+    * five counters. */
+  def filterFunnel(s: SparkSession, dir: String): DataFrame = {
+    val flagged = Tables.documents(s, dir)
+      .select(
+        (col("n_chars") >= 200).cast("long").as("f1"),
+        (size(split(col("text"), " ")) >= 30).cast("long").as("f2"),
+        col("lang").isin("en", "de", "fr", "es").cast("long").as("f3"),
+        (size(array_distinct(split(col("text"), " "))).cast("double") >=
+          size(split(col("text"), " ")).cast("double") * 0.5)
+          .cast("long").as("f4"))
+    val agg = flagged.agg(
+      count(lit(1)).as("n0"),
+      sum(col("f1")).as("n1"),
+      sum(col("f1") * col("f2")).as("n2"),
+      sum(col("f1") * col("f2") * col("f3")).as("n3"),
+      sum(col("f1") * col("f2") * col("f3") * col("f4")).as("n4"))
+    agg.select(inline(array(
+        struct(lit(0).as("stage"), lit("all").as("filter_name"),
+          col("n0").as("n_surviving"), lit(0L).as("n_dropped")),
+        struct(lit(1).as("stage"), lit("min_chars_200").as("filter_name"),
+          col("n1").as("n_surviving"), (col("n0") - col("n1")).as("n_dropped")),
+        struct(lit(2).as("stage"), lit("min_tokens_30").as("filter_name"),
+          col("n2").as("n_surviving"), (col("n1") - col("n2")).as("n_dropped")),
+        struct(lit(3).as("stage"), lit("target_lang").as("filter_name"),
+          col("n3").as("n_surviving"), (col("n2") - col("n3")).as("n_dropped")),
+        struct(lit(4).as("stage"), lit("lexical_diversity").as("filter_name"),
+          col("n4").as("n_surviving"), (col("n3") - col("n4")).as("n_dropped")))))
+      .orderBy(col("stage"))
+  }
+
+  val filterFunnelSql: String =
+    """WITH f AS (SELECT
+      |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS f1,
+      |    CASE WHEN len(string_split(text, ' ')) >= 30 THEN 1 ELSE 0 END AS f2,
+      |    CASE WHEN lang IN ('en','de','fr','es') THEN 1 ELSE 0 END AS f3,
+      |    CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      >= CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.5
+      |      THEN 1 ELSE 0 END AS f4
+      |  FROM documents),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+      |        CAST(sum(f1) AS BIGINT) AS n1,
+      |        CAST(sum(f1 * f2) AS BIGINT) AS n2,
+      |        CAST(sum(f1 * f2 * f3) AS BIGINT) AS n3,
+      |        CAST(sum(f1 * f2 * f3 * f4) AS BIGINT) AS n4
+      |      FROM f)
+      |SELECT * FROM (
+      |  SELECT 0 AS stage, 'all' AS filter_name, n0 AS n_surviving,
+      |    CAST(0 AS BIGINT) AS n_dropped FROM a
+      |  UNION ALL SELECT 1, 'min_chars_200', n1, n0 - n1 FROM a
+      |  UNION ALL SELECT 2, 'min_tokens_30', n2, n1 - n2 FROM a
+      |  UNION ALL SELECT 3, 'target_lang', n3, n2 - n3 FROM a
+      |  UNION ALL SELECT 4, 'lexical_diversity', n4, n3 - n4 FROM a)
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_funnel" -> (filterFunnel _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_novelty" -> (novelty _),
     "q_source_diversity" -> (sourceDiversity _),
@@ -442,6 +503,7 @@ object Curate {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_filter_funnel" -> filterFunnelSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_novelty" -> noveltySql,
     "q_source_diversity" -> sourceDiversitySql,

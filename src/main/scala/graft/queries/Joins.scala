@@ -312,7 +312,53 @@ object Joins {
       |FROM events e JOIN dim ON e.user_id = dim.user_id
       |GROUP BY e.user_id, n_types ORDER BY e.user_id""".stripMargin
 
+  /** J10 — KEYLESS banded range join: every error event matched to all
+    * purchases within ±600 s corpus-wide — no equi-key exists, which is
+    * where a naive plan degenerates to a broadcast-nested-loop or
+    * cartesian product. The band trick restores an equi-join: each
+    * purchase belongs to exactly one 60 s band, each error probes its
+    * own band ±1 (a 3-row narrow explode on the PROBE side only), and
+    * the residual |Δt| ≤ 600 predicate refines after the hash join.
+    * Pairs are already unique (one band per purchase), so no distinct.
+    * At 100 TB this is THE temporal-correlation plan: shuffle volume
+    * is rows×3, never rows². JoinPlanSpec asserts no
+    * BroadcastNestedLoopJoin/CartesianProduct survives. Output is
+    * aggregated per error event (match count + nearest gap), bounded
+    * by the error-side row count. */
+  def rangeBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("sec").as("p_sec"),
+        floor(col("sec") / 600L).as("band"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("sec").as("e_sec"))
+      .withColumn("band", explode(array(
+        floor(col("e_sec") / 600L) - 1, floor(col("e_sec") / 600L),
+        floor(col("e_sec") / 600L) + 1)))
+    errors.join(purchases, Seq("band"))
+      .filter(abs(col("p_sec") - col("e_sec")) <= 600L)
+      .groupBy(col("e_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        min(abs(col("p_sec") - col("e_sec"))).as("nearest_gap"))
+      .orderBy(col("e_id"))
+  }
+
+  val rangeBucketJoinSql: String =
+    """WITH ev AS (SELECT event_id, event_type,
+      |              CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |p AS (SELECT event_id AS p_id, sec AS p_sec FROM ev
+      |      WHERE event_type = 'purchase'),
+      |e AS (SELECT event_id AS e_id, sec AS e_sec FROM ev
+      |      WHERE event_type = 'error')
+      |SELECT e_id, count(*) AS n_purchases,
+      |  CAST(min(abs(p_sec - e_sec)) AS BIGINT) AS nearest_gap
+      |FROM e JOIN p ON abs(p_sec - e_sec) <= 600
+      |GROUP BY e_id ORDER BY e_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_bucket_join" -> (rangeBucketJoin _),
     "q_interval_join" -> (intervalJoin _),
     "q_join_salted" -> ((s, d) => saltedJoin(s, d)),
     "q_join_inner" -> (innerJoin _),
@@ -329,6 +375,7 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_range_bucket_join" -> rangeBucketJoinSql,
     "q_interval_join" -> intervalJoinSql,
     "q_join_salted" -> saltedJoinSql,
     "q_join_inner" -> innerJoinSql,

@@ -204,6 +204,18 @@ object Llm {
           .select(col("doc_id_a"), col("doc_id_b")))
       .orderBy(col("doc_id"))
 
+  /** L2q — the same clustering through the contraction algorithm
+    * (alternating large-star/small-star, Dedup.dedupClustersStar):
+    * O(log²) rounds on ANY graph shape vs label propagation's
+    * O(diameter) — the escalation path for pathological near-dup
+    * chains. Identical labeling (min-id per component), so it shares
+    * q_dedup_clusters' oracle verbatim. */
+  def dedupClustersStar(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClustersStar(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6)
+          .select(col("doc_id_a"), col("doc_id_b")))
+      .orderBy(col("doc_id"))
+
   val dedupClustersSql: String = {
     // Mirrors the engine exactly: self-loops fold "keep your own
     // label" into the per-round min(), so each round is one
@@ -587,6 +599,7 @@ object Llm {
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_embcos" -> (dedupEmbCos _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_dedup_clusters_star" -> (dedupClustersStar _),
     "q_curation_pipeline" -> (curationPipeline _),
     "q_text_scrub" -> (textScrub _),
     "q_text_normalize" -> (textNormalize _),
@@ -611,6 +624,7 @@ object Llm {
     "q_dedup_ngram" -> dedupNgramSql,
     "q_dedup_embcos" -> dedupEmbCosSql,
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_dedup_clusters_star" -> dedupClustersSql,
     "q_curation_pipeline" -> curationPipelineSql,
     "q_text_scrub" -> textScrubSql,
     "q_text_normalize" -> textNormalizeSql,

@@ -38,6 +38,39 @@ class ClusterSpec extends SparkSpec {
     assert(capped(12L) != 1L, "4 rounds cannot reach the end of an 11-edge path")
   }
 
+  test("star contraction labels the same components as label propagation") {
+    val out = Dedup.dedupClustersStar(
+        pairsDf((1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((1L, true)) && out(4L) == ((1L, false)))
+    assert(out(10L) == ((10L, true)) && out(11L) == ((10L, false)))
+    assert(out(20L) == ((20L, true)) && out(21L)._1 == 20L && out(22L)._1 == 20L)
+  }
+
+  test("star contraction handles a 200-deep chain in O(log²) rounds") {
+    // Label propagation needs 199 rounds here (one hop per round);
+    // contraction must finish within 15 alternating rounds or the
+    // require() in dedupClustersStar fails loudly.
+    val chain = pairsDf((1 to 199).map(i => (i.toLong, i + 1L)): _*)
+    val out = Dedup.dedupClustersStar(chain, maxRounds = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 200)
+    (1 to 200).foreach(i => assert(out(i.toLong) == 1L,
+      s"node $i labeled ${out(i.toLong)}, expected 1"))
+  }
+
+  test("star contraction matches label propagation on the fixture corpus") {
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir), 3, 0.6)
+      .select(col("doc_id_a"), col("doc_id_b"))
+    val prop = Dedup.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    val star = Dedup.dedupClustersStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(prop == star, "the two CC algorithms must agree exactly")
+  }
+
   test("the run-time fixpoint matches the oracle's 8-round unroll on the corpus") {
     val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir), 3, 0.6)
       .select(col("doc_id_a"), col("doc_id_b"))

@@ -8,6 +8,19 @@ import graft.queries.Curate
   * cap enforcement, and the CUSUM zero-sum identity. */
 class CurateSpec extends SparkSpec {
 
+  test("filter funnel is monotone and its drops reconcile exactly") {
+    val rows = queries.Curate.filterFunnel(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("stage"))
+    assert(rows.length == 5)
+    assert(rows.head.getAs[String]("filter_name") == "all")
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      val (np, nc) = (prev.getAs[Long]("n_surviving"), cur.getAs[Long]("n_surviving"))
+      assert(nc <= np, s"stage ${cur.getAs[Int]("stage")} grew: $nc > $np")
+      assert(cur.getAs[Long]("n_dropped") == np - nc, "drop must equal the delta")
+    }
+    assert(rows.last.getAs[Long]("n_surviving") > 0, "funnel must not drain empty")
+  }
+
   test("domain cap never exceeds the cap and is a stable subset") {
     val out = Curate.domainCap(spark, sfDir, cap = 7)
     val per = out.groupBy(col("source")).count().collect()

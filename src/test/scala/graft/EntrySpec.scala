@@ -17,6 +17,15 @@ class EntrySpec extends SparkSpec {
     assert(os.subsetOf(qs), s"oracle keys without query: ${os.diff(qs)}")
   }
 
+  test("keyless banded range join never degenerates to a nested loop") {
+    val plan = queries.Joins.rangeBucketJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"band trick failed to produce an equi-join:\n${plan.take(1500)}")
+    assert(queries.Joins.rangeBucketJoin(spark, sfDir).count() > 0)
+  }
+
   test("broadcast join plans a BroadcastHashJoin") {
     val plan = queries.Joins.broadcastJoin(spark, sfDir)
       .queryExecution.executedPlan.toString
