@@ -448,7 +448,44 @@ object EtlQueries {
       |FROM spine s LEFT JOIN cnt ON s.range_id = cnt.range_id
       |ORDER BY s.range_id""".stripMargin
 
+  /** S10 — small-file compaction round trip: fragment a copy of orders
+    * into 64 tiny files (the shape an incremental range sink leaves
+    * behind), compact it to size-targeted files
+    * (graft.etl.Compaction), and aggregate the COMPACTED data — the
+    * oracle aggregates the original table, so the query proves
+    * content-exact rewriting end-to-end. File-count mechanics are
+    * asserted in CompactionSpec; staging is app-unique under /tmp with
+    * the same stale-sweep hygiene as the bucketed-join stage. */
+  def compaction(s: SparkSession, dir: String): DataFrame = {
+    val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    try {
+      val cutoff = System.currentTimeMillis() - 3600 * 1000L
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_compact_") &&
+          !f.getName.endsWith(s"_$app") && f.lastModified() < cutoff)
+        .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
+    } catch { case _: Throwable => }
+    val stage = s"/tmp/graft_compact_${new java.io.File(dir).getName}_$app"
+    Tables.orders(s, dir).repartition(64)
+      .write.mode("overwrite").parquet(s"$stage/fragmented")
+    graft.etl.Compaction.compact(s, s"$stage/fragmented", s"$stage/compacted",
+      targetBytes = 8L * 1024 * 1024)
+    s.read.parquet(s"$stage/compacted")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+          .as("cents"))
+  }
+
+  val compactionSql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM orders""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_compaction" -> (compaction _),
     "q_missing_ranges" -> ((s: SparkSession, d: String) => missingRanges(s, d)),
     "q_jdbc_ranged" -> (jdbcRanged _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
@@ -465,6 +502,7 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_compaction" -> compactionSql,
     "q_missing_ranges" -> missingRangesSql,
     "q_jdbc_ranged" -> jdbcRangedSql,
     "q_orc_roundtrip" -> orcRoundtripSql,

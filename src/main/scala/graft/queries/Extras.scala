@@ -160,7 +160,45 @@ object Extras {
       size(col("o_orderpriority_freqItems")).cast("int").as("n_freq_prio"))
   }
 
+  /** G23 — KMV (k-minimum-values) distinct sketch as a typed
+    * Aggregator (operators.KmvSketch): keep the 64 smallest distinct
+    * 60-bit md5 hashes per group, estimate D ≈ 63·2^60/h_(64). Unlike
+    * HLL the sketch is fully deterministic given the hash, so it is
+    * ORACLE-CHECKED — DuckDB recomputes the same k-th minimum and the
+    * same single-division estimate bit-for-bit. Groups under 64
+    * distinct values are exact (the buffer is the set); the buffer is
+    * 64×8 bytes through partial/final aggregation, the mergeable-
+    * sketch shape at any scale. */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(new graft.operators.KmvSketch(64))
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) " +
+          "AS BIGINT)").as("h"))
+      .groupBy(col("event_type"))
+      .agg(kmv(col("h")).as("est"),
+        countDistinct(col("h")).as("n_exact"))
+      .select(col("event_type"), col("n_exact"), col("est"))
+      .orderBy(col("event_type"))
+  }
+
+  val kmvDistinctSql: String =
+    """WITH h AS (SELECT DISTINCT event_type,
+      |             CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),
+      |               1, 15)) AS BIGINT) AS h
+      |           FROM events),
+      |r AS (SELECT event_type, h,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+      |        count(*) OVER (PARTITION BY event_type) AS nd
+      |      FROM h)
+      |SELECT event_type, CAST(max(nd) AS BIGINT) AS n_exact,
+      |  CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+      |       ELSE 63.0 * 1152921504606846976.0
+      |         / CAST(max(CASE WHEN rk = 64 THEN h END) AS DOUBLE) END AS est
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_distinct" -> (kmvDistinct _),
     "q_json_roundtrip" -> (jsonRoundtrip _),
     "q_percentile_approx" -> (percentileApprox _),
     "q_stats_builtin" -> (statsBuiltin _),
@@ -179,6 +217,7 @@ object Extras {
     * hashes and float32 accumulations); the driver falls back to a
     * rows-only check and the real assertions live in ScalaTest. */
   val oracle: Map[String, String] = Map(
+    "q_kmv_distinct" -> kmvDistinctSql,
     "q_json_roundtrip" ->
       """SELECT event_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
