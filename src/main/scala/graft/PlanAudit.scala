@@ -69,6 +69,12 @@ object PlanAudit {
     "q_cdc_chunks" -> "rolling-hash boundaries from two lags on ONE per-doc window; chunk and corpus aggregates keyed, nothing global",
     "q_topk_heap" -> "per-group top-k as a partial/final ObjectHashAggregate — no Window, no per-partition sort of the input",
     "q_pca_cov" -> "whole covariance matrix in ONE partial/final aggregate (d+d(d+1)/2-long buffer); no per-cell explode of the corpus",
+    "q_range_bucket_join" -> "keyless range join as a band equi-join: probe side explodes ±1 band (rows×3), hash join + residual filter — no BroadcastNestedLoopJoin/CartesianProduct",
+    "q_minhash_error" -> "one fused digest pass (shingle_profile); the 16-slot agreement count is unrolled comparisons inside whole-stage codegen, not an interpreted HOF",
+    "q_kmv_distinct" -> "KMV sketch as an ObjectHashAggregate partial/final pair — the 64-long sorted buffer crosses the exchange, not the rows",
+    "q_ohlc" -> "open/close argmin/argmax via ONE min/max(struct) partial/final aggregate — no window, no per-day sort",
+    "q_domain_cap" -> "skew-salted two-stage top-k: (source, salt-nibble) partial windows bound fan-in, per-source final window re-ranks ≤16·cap survivors",
+    "q_kl_sources" -> "two term-keyed partial/final aggregates; per-source totals and the corpus scalar broadcast onto the contribution projection",
   )
 
   def main(args: Array[String]): Unit = {

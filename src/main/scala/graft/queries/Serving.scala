@@ -72,6 +72,37 @@ object Serving {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
 
+  /** S11 — bucket-pruned point lookup: a point predicate on the
+    * bucketing key reads ONE bucket file of the staged layout
+    * (SelectedBucketsCount: 1 out of 8, asserted in BucketingSpec) —
+    * with bucketed layouts this is the difference between scanning
+    * 1/8th of a 100 TB table and all of it, before row-group stats
+    * even apply. Results are identical to the plain filtered scan,
+    * which is the oracle. */
+  def bucketPrune(s: SparkSession, dir: String): DataFrame = {
+    val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val stage = s"/tmp/graft_bucket_stage_${new java.io.File(dir).getName}_$app"
+    val t = s"graft_orders_prune_$app"
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$stage/orders_prune").saveAsTable(t)
+    // The auto-bucketed-scan rule models only exchange elimination —
+    // a filter-only plan "has no bucketing benefit" in its cost view,
+    // so it silently reverts to a full scan and forfeits pruning.
+    // Turn auto-disable off: pruning IS the benefit here.
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    s.table(t)
+      .filter(col("o_custkey") === 42L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val bucketPruneSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_custkey = 42 ORDER BY o_orderkey""".stripMargin
+
   /** W21 — point-in-time-correct lookup (the feature-store / training-
     * data primitive): probe each user's state AS OF a set of fixed
     * timestamps against the SCD2 interval table built from their event
@@ -249,6 +280,7 @@ object Serving {
       |FROM r WHERE rnk <= 3 ORDER BY priority, rnk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucket_prune" -> (bucketPrune _),
     "q_topk_heap" -> ((s: SparkSession, d: String) => topkHeap(s, d)),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_pit_join" -> (pitJoin _),
@@ -257,6 +289,7 @@ object Serving {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bucket_prune" -> bucketPruneSql,
     "q_topk_heap" -> topkHeapSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_pit_join" -> pitJoinSql,

@@ -504,7 +504,84 @@ object Trend {
       |FROM f WHERE fc_cents IS NOT NULL
       |ORDER BY priority, month""".stripMargin
 
+  /** TS12 — Kaplan-Meier survival curve over order-fulfillment
+    * durations (days from order to first shipment), administratively
+    * censored at 90 days — THE standard time-to-event readout
+    * (survival S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) with censored orders
+    * leaving the risk set without counting as events). Per-order
+    * durations come from one fact aggregate; the KM recursion runs
+    * over the BOUNDED duration spine (≤91 rows after censoring —
+    * windowing it globally is a metadata-scale operation at any
+    * corpus size). The cumulative product is exp(Σ ln(1 − dᵢ/nᵢ))
+    * with each ln term floor-quantized to 1e-12 fixed point BEFORE
+    * the ordered cumulative sum, so the product is exact-integer
+    * arithmetic until one final exp — bit-portable; a step with
+    * dᵢ = nᵢ (everyone dies) pins survival to exactly 0 from there
+    * on via a flag, never a −∞ logarithm. */
+  def survivalCurve(s: SparkSession, dir: String): DataFrame = {
+    val dur = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(min(col("l_shipdate").cast("date")).as("first_ship"))
+      .select(datediff(col("first_ship"), col("o_orderdate").cast("date")).as("dur"))
+      .filter(col("dur") >= 0) // guard synthetic negative lags
+      .select(least(col("dur"), lit(90)).as("t"),
+        (col("dur") <= 90).cast("long").as("died"))
+    val spine = dur.groupBy(col("t"))
+      .agg(sum(col("died")).as("d"), sum(lit(1L) - col("died")).as("c"))
+    val w = Window.orderBy(col("t")) // bounded: ≤91 rows (see scaladoc)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .withColumn("leave", col("d") + col("c"))
+      .withColumn("n_at_risk",
+        sum(col("leave")).over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("lq", when(col("d") < col("n_at_risk"),
+        expr("CAST(floor(ln(CAST(n_at_risk - d AS DOUBLE) / " +
+          "CAST(n_at_risk AS DOUBLE)) * 1e12) AS BIGINT)")).otherwise(lit(0L)))
+      .withColumn("zeroed", max((col("d") === col("n_at_risk")).cast("int")).over(cum))
+      .withColumn("survival", when(col("zeroed") === 1, lit(0.0))
+        .otherwise(exp(sum(col("lq")).over(cum).cast("double") / 1e12)))
+      .select(col("t").cast("int").as("t_days"), col("n_at_risk"),
+        col("d").as("n_died"), col("c").as("n_censored"), col("survival"))
+      .orderBy(col("t_days"))
+  }
+
+  val survivalCurveSql: String =
+    """WITH dur0 AS (SELECT o.o_orderkey,
+      |    datediff('day', CAST(o.o_orderdate AS DATE),
+      |      min(CAST(l.l_shipdate AS DATE))) AS dur
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  GROUP BY o.o_orderkey, o.o_orderdate),
+      |d AS (SELECT least(dur, 90) AS t,
+      |        CASE WHEN dur <= 90 THEN 1 ELSE 0 END AS died
+      |      FROM dur0 WHERE dur >= 0),
+      |spine AS (SELECT t, CAST(sum(died) AS BIGINT) AS d,
+      |            CAST(sum(1 - died) AS BIGINT) AS c
+      |          FROM d GROUP BY t),
+      |r AS (SELECT t, d, c,
+      |        CAST(sum(d + c) OVER (ORDER BY t
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+      |          AS n_at_risk
+      |      FROM spine),
+      |q AS (SELECT t, d, c, n_at_risk,
+      |        CASE WHEN d < n_at_risk
+      |          THEN CAST(floor(ln(CAST(n_at_risk - d AS DOUBLE)
+      |            / CAST(n_at_risk AS DOUBLE)) * 1e12) AS BIGINT)
+      |          ELSE CAST(0 AS BIGINT) END AS lq,
+      |        max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+      |          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+      |            AND CURRENT ROW) AS zeroed
+      |      FROM r)
+      |SELECT CAST(t AS INT) AS t_days, n_at_risk, d AS n_died,
+      |  c AS n_censored,
+      |  CASE WHEN zeroed = 1 THEN 0.0
+      |       ELSE exp(CAST(CAST(sum(lq) OVER (ORDER BY t
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS DOUBLE) / 1e12) END AS survival
+      |FROM q ORDER BY t_days""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_survival_curve" -> (survivalCurve _),
     "q_seasonal_forecast" -> (seasonalForecast _),
     "q_stl_decompose" -> (stlDecompose _),
     "q_ratio_test" -> (ratioTest _),
@@ -518,6 +595,7 @@ object Trend {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_survival_curve" -> survivalCurveSql,
     "q_seasonal_forecast" -> seasonalForecastSql,
     "q_stl_decompose" -> stlDecomposeSql,
     "q_ratio_test" -> ratioTestSql,

@@ -50,4 +50,14 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("a point predicate on the bucketing key prunes to one bucket") {
+    val out = queries.Serving.bucketPrune(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+      s"bucket pruning missing from scan:\n${plan.take(1500)}")
+    val expected = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") === 42L).count()
+    assert(out.count() == expected)
+  }
 }

@@ -103,6 +103,64 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("star-contraction CC matches a driver-side union-find model on random graphs") {
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 30)
+      m <- Gen.chooseNum(1, 40)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield es.filter(e => e._1 != e._2)
+    (0 until 6).foreach { i =>
+      val edges = edgeGen.apply(Gen.Parameters.default, Seed(99L + i))
+        .getOrElse(Nil)
+      if (edges.nonEmpty) {
+        // plain-Scala union-find ground truth, min-id representative
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(x => x -> find(x)).toMap
+        val got = Dedup.dedupClustersStar(edges.toDF("doc_id_a", "doc_id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"seed ${99 + i}: star labels $got != model $want")
+      }
+    }
+  }
+
+  test("KMV sketch matches the plain-Scala model exactly for any multiset") {
+    import spark.implicits._
+    import graft.operators.KmvSketch
+    val k = 8
+    def hash60(x: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val multiset = Gen.chooseNum(1, 60)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(0L, 25L)))
+    (0 until 6).foreach { i =>
+      val vals = multiset.apply(Gen.Parameters.default, Seed(7000L + i)).getOrElse(Nil)
+      if (vals.nonEmpty) {
+        val hs = vals.map(hash60).distinct.sorted
+        val want =
+          if (hs.length < k) hs.length.toDouble
+          else (k - 1).toDouble * 1152921504606846976.0 / hs(k - 1).toDouble
+        val kmv = udaf(new KmvSketch(k))
+        val got = vals.toDF("x")
+          .select(expr("CAST(conv(substring(md5(CAST(x AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+          .agg(kmv(col("h"))).head.getDouble(0)
+        assert(got == want, s"seed ${7000 + i}: KMV $got != model $want")
+      }
+    }
+  }
+
   test("text quality ratios are within [0,1] and word counts positive") {
     samples(5).foreach { texts =>
       import spark.implicits._

@@ -81,4 +81,24 @@ class TrendSpec extends SparkSpec {
     // this only pins that the flag isn't vacuously false everywhere.
     assert(out.exists(_.getBoolean(3)))
   }
+
+  test("KM survival is a valid non-increasing curve and the risk set reconciles") {
+    val rows = queries.Trend.survivalCurve(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("t_days"))
+    assert(rows.nonEmpty)
+    var prevS = 1.0
+    var prevRisk = Long.MaxValue
+    rows.foreach { r =>
+      val s = r.getAs[Double]("survival")
+      val n = r.getAs[Long]("n_at_risk")
+      assert(s >= 0.0 && s <= prevS + 1e-12,
+        s"survival must be non-increasing in [0,1]: $s after $prevS")
+      assert(n <= prevRisk, "risk set can only shrink")
+      // at-risk accounting: everyone at risk either dies, censors, or moves on
+      assert(r.getAs[Long]("n_died") + r.getAs[Long]("n_censored") <= n)
+      prevS = s; prevRisk = n
+    }
+    // S(t) after the first step must be strictly below 1 (someone ships)
+    assert(rows.head.getAs[Double]("survival") < 1.0)
+  }
 }
