@@ -3,6 +3,19 @@ package graft.operators
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
+object Sketches {
+  /** The engine's 60-bit md5 hash convention as plain Scala —
+    * bit-identical to the SQL form
+    * `conv(substring(md5(x), 1, 15), 16, 10)`, so driver-side code
+    * (streaming state transitions, model checks) hashes exactly like
+    * the distributed expressions. */
+  def hash60(x: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8"))
+    java.lang.Long.parseLong(md.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+}
+
 /** KMV buffer: the `k` smallest DISTINCT hash values seen so far,
   * sorted ascending. Bounded at k×8 bytes regardless of group size —
   * the mergeable-sketch shape that survives partial/final aggregation

@@ -13,6 +13,9 @@ case class SessBuf(start: Long, end: Long, n: Long)
 case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                          session_end: java.sql.Timestamp, n_events: Long)
 
+case class KmvCard(hs: Array[Long], n_seen: Long)
+case class TypeCardinality(event_type: String, n_seen: Long, est_users: Double)
+
 /** Structured Streaming operators over the events stream (SURVEY.md
   * §2B X1-X8). The reference's only streaming construct is `sync` —
   * poll MAX(pk), migrate the delta, sleep (A12); [[syncAvailableNow]]
@@ -80,6 +83,35 @@ object EventStreams {
           val next = UserStat(uid, n, tot)
           st.update(next)
           next
+      }
+  }
+
+  /** X10 — streaming cardinality with SKETCH state: running distinct
+    * users per event type through the same KMV sketch the batch
+    * engine oracle-checks (operators.KmvSketch — k smallest distinct
+    * 60-bit hashes). The state is one bounded k×8-byte buffer per
+    * key FOREVER — the streaming-cardinality shape that never grows
+    * with the user population, where a naive distinct-set state is
+    * O(users) per key and dies at 100 TB/day. Emitted estimates are
+    * identical to the batch aggregate over the same prefix (asserted
+    * in StreamingSpec): the sketch is deterministic and
+    * insertion-order-free, so stream and batch agree exactly. */
+  def runningDistinctUsers(events: Dataset[EventRow], k: Int = 64): Dataset[TypeCardinality] = {
+    import events.sparkSession.implicits._
+    val sk = new graft.operators.KmvSketch(k)
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[KmvCard, TypeCardinality](GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[EventRow], st: GroupState[KmvCard]) =>
+          val prev = st.getOption.getOrElse(KmvCard(Array.empty, 0L))
+          var buf = graft.operators.KmvBuf(prev.hs)
+          var n = prev.n_seen
+          rows.foreach { e =>
+            buf = sk.reduce(buf, graft.operators.Sketches.hash60(e.user_id.toString))
+            n += 1
+          }
+          st.update(KmvCard(buf.hs, n))
+          TypeCardinality(tpe, n, sk.finish(buf))
       }
   }
 

@@ -129,6 +129,36 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(last.getAs[Double]("total_value") - 8.0) < 1e-9)
   }
 
+  test("streaming KMV cardinality state agrees with the batch sketch exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.runningDistinctUsers(stream.toDS(), k = 8)
+      .writeStream.format("memory").queryName("kmvcard")
+      .outputMode(OutputMode.Update()).start()
+    // 30 users across two micro-batches, duplicates included — the
+    // sketch must be insertion-order- and batch-boundary-free
+    stream.addData(mkEvents((1 to 20).map(i =>
+      (i.toLong, i.toLong, (i % 12).toLong, "a", 1.0)): _*))
+    q.processAllAvailable()
+    stream.addData(mkEvents((21 to 40).map(i =>
+      (i.toLong, i.toLong, (i % 30).toLong, "a", 1.0)): _*))
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("kmvcard").filter(col("event_type") === "a")
+      .orderBy(col("n_seen").desc).collect().head
+    assert(last.getAs[Long]("n_seen") == 40L)
+    // batch twin over the same prefix: same hashes, same k, same
+    // estimate bit-for-bit
+    val kmv = udaf(new graft.operators.KmvSketch(8))
+    val batch = ((1 to 20).map(_ % 12) ++ (21 to 40).map(_ % 30))
+      .map(_.toLong).toDF("user_id")
+      .select(expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), " +
+        "16, 10) AS BIGINT)").as("h"))
+      .agg(kmv(col("h"))).head.getDouble(0)
+    assert(last.getAs[Double]("est_users") == batch,
+      s"stream ${last.getAs[Double]("est_users")} != batch $batch")
+  }
+
   test("flatMapGroupsWithState emits each session exactly once, on close") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
