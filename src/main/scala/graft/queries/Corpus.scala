@@ -297,7 +297,78 @@ object Corpus {
       |JOIN sp b ON pairs.db = b.doc_id
       |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin
 
+  /** L2r — LSH candidate-set recall/precision: the SET-level companion
+    * to [[minhashError]]'s per-pair audit — of all truly-similar pairs
+    * (exact Jaccard ≥ 0.5), how many did the banded proposer surface
+    * (recall), and how much of the proposed stream is junk
+    * (precision)? This is the number that decides bands×rows BEFORE a
+    * 100 TB dedup run. Both pair sets derive from ONE fused digest
+    * pass (shingleProfiles — hashed sets and signatures together); the
+    * exact side is the shingle-keyed collision join, the candidate
+    * side the band join; one full-outer join + exact counts + two
+    * IEEE divisions. */
+  def lshRecall(s: SparkSession, dir: String): DataFrame = {
+    val prof = Dedup.shingleProfiles(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), 3, 16)
+      .persist() // exact-pair join (both sides) + the band join
+    val sh = prof.select(col("doc_id"), size(col("hs")).as("n_sh"),
+      explode(col("hs")).as("h"))
+    val exact = sh.select(col("h"), col("doc_id").as("doc_id_a"), col("n_sh").as("na"))
+      .join(sh.select(col("h"), col("doc_id").as("doc_id_b"), col("n_sh").as("nb")),
+        Seq("h"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")) >= 0.5)
+      .select(col("doc_id_a"), col("doc_id_b"), lit(1L).as("in_e"))
+    val cands = Dedup.minhashCandidates(prof.select(col("doc_id"), col("sig")), 4)
+      .select(col("doc_id_a"), col("doc_id_b"), lit(1L).as("in_c"))
+    exact.join(cands, Seq("doc_id_a", "doc_id_b"), "full_outer")
+      .agg(coalesce(sum(col("in_e")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("in_c")), lit(0L)).as("n_candidates"),
+        coalesce(sum(col("in_e") * col("in_c")), lit(0L)).as("n_hit"))
+      .select(col("n_exact"), col("n_candidates"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double"))
+          .as("recall"),
+        (col("n_hit").cast("double") / col("n_candidates").cast("double"))
+          .as("precision"))
+  }
+
+  val lshRecallSql: String =
+    s"""${Llm.shingleCte},
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |          FROM sh a JOIN sh b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |exact AS (SELECT da, db, 1 AS in_e FROM inter
+      |          JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5),
+      |hh AS (SELECT doc_id,
+      |         CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+      |         CAST(concat('0x', substring(md5(shingle), 17, 14)) AS BIGINT) AS h2
+      |       FROM sh),
+      |hs AS (SELECT doc_id, j, min(h1 + j * h2) AS mh
+      |       FROM hh, (SELECT unnest(range(0, 16)) AS j) GROUP BY doc_id, j),
+      |bands AS (SELECT doc_id, j // 4 AS band,
+      |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_sig
+      |          FROM hs GROUP BY doc_id, j // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, 1 AS in_c
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.band_sig = b.band_sig
+      |           AND a.doc_id < b.doc_id)
+      |SELECT CAST(coalesce(sum(in_e), 0) AS BIGINT) AS n_exact,
+      |  CAST(coalesce(sum(in_c), 0) AS BIGINT) AS n_candidates,
+      |  CAST(coalesce(sum(in_e * in_c), 0) AS BIGINT) AS n_hit,
+      |  CAST(coalesce(sum(in_e * in_c), 0) AS DOUBLE)
+      |    / CAST(coalesce(sum(in_e), 0) AS DOUBLE) AS recall,
+      |  CAST(coalesce(sum(in_e * in_c), 0) AS DOUBLE)
+      |    / CAST(coalesce(sum(in_c), 0) AS DOUBLE) AS precision
+      |FROM exact FULL OUTER JOIN cand ON exact.da = cand.da AND exact.db = cand.db""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lsh_recall" -> (lshRecall _),
     "q_minhash_error" -> (minhashError _),
     "q_zipf_slope" -> (zipfSlope _),
     "q_kl_sources" -> (klSources _),
@@ -306,6 +377,7 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_lsh_recall" -> lshRecallSql,
     "q_minhash_error" -> minhashErrorSql,
     "q_zipf_slope" -> zipfSlopeSql,
     "q_kl_sources" -> klSourcesSql,

@@ -357,7 +357,47 @@ object Joins {
       |FROM e JOIN p ON abs(p_sec - e_sec) <= 600
       |GROUP BY e_id ORDER BY e_id""".stripMargin
 
+  /** J6c — NEAREST as-of join, completing the family (J6 backward,
+    * J6b forward): each error event matched to the temporally CLOSEST
+    * purchase of the same user, either direction, ties to the earlier
+    * purchase. The argmin is ONE partial/final
+    * min(struct(gap, p_sec, p_id)) aggregate after the user-keyed
+    * equi-join — no window sort, no cross product; the match set is
+    * bounded by the user key exactly like J6. */
+  def asofNearestJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id"), col("sec").as("e_sec"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("sec").as("p_sec"))
+    e.join(p, col("user_id") === col("p_user"))
+      .groupBy(col("e_id"), col("user_id"))
+      .agg(min(struct(abs(col("p_sec") - col("e_sec")).as("gap"),
+        col("p_sec"), col("p_id"))).as("m"))
+      .select(col("e_id"), col("user_id"), col("m.p_id").as("p_id"),
+        col("m.gap").as("gap_sec"))
+      .orderBy(col("e_id"))
+  }
+
+  val asofNearestJoinSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |              CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |e AS (SELECT event_id AS e_id, user_id, sec AS e_sec FROM ev
+      |      WHERE event_type = 'error'),
+      |p AS (SELECT event_id AS p_id, user_id AS p_user, sec AS p_sec FROM ev
+      |      WHERE event_type = 'purchase'),
+      |r AS (SELECT e_id, user_id, p_id, abs(p_sec - e_sec) AS gap_sec,
+      |        row_number() OVER (PARTITION BY e_id
+      |          ORDER BY abs(p_sec - e_sec), p_sec, p_id) AS rn
+      |      FROM e JOIN p ON user_id = p_user)
+      |SELECT e_id, user_id, p_id, gap_sec FROM r WHERE rn = 1
+      |ORDER BY e_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_asof_nearest" -> (asofNearestJoin _),
     "q_range_bucket_join" -> (rangeBucketJoin _),
     "q_interval_join" -> (intervalJoin _),
     "q_join_salted" -> ((s, d) => saltedJoin(s, d)),
@@ -375,6 +415,7 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_asof_nearest" -> asofNearestJoinSql,
     "q_range_bucket_join" -> rangeBucketJoinSql,
     "q_interval_join" -> intervalJoinSql,
     "q_join_salted" -> saltedJoinSql,

@@ -284,7 +284,35 @@ object Metrics {
       |  CAST(levenshtein(c_mktsegment, 'MACHINERY') AS INT) AS lev
       |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin
 
+  /** U4 — schema-evolving union (UNION ALL BY NAME): two sources with
+    * different column sets merged by NAME with missing columns
+    * NULL-filled — the multi-batch ingest shape when a source adds a
+    * column mid-stream (positional UNION would silently misalign).
+    * Spark's `unionByName(allowMissingColumns = true)` ↔ DuckDB's
+    * `UNION ALL BY NAME`. */
+  def unionByNameQ(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir).filter(col("o_orderkey") < 300)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .withColumn("src", lit("a"))
+    val b = Tables.orders(s, dir)
+      .filter(col("o_orderkey") >= 300 && col("o_orderkey") < 600)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("src", lit("b"))
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy(col("src"), col("o_orderkey"))
+  }
+
+  val unionByNameSql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus, 'a' AS src
+      |  FROM orders WHERE o_orderkey < 300
+      |  UNION ALL BY NAME
+      |  SELECT o_orderkey, o_orderpriority, 'b' AS src
+      |  FROM orders WHERE o_orderkey >= 300 AND o_orderkey < 600)
+      |ORDER BY src, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_union_by_name" -> (unionByNameQ _),
     "q_except_all" -> (exceptAll _),
     "q_intersect_all" -> (intersectAll _),
     "q_cume_dist" -> (cumeDist _),
@@ -296,6 +324,7 @@ object Metrics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_union_by_name" -> unionByNameSql,
     "q_except_all" -> exceptAllSql,
     "q_intersect_all" -> intersectAllSql,
     "q_cume_dist" -> cumeDistSql,
