@@ -367,7 +367,138 @@ object Corpus {
       |    / CAST(coalesce(sum(in_c), 0) AS DOUBLE) AS precision
       |FROM exact FULL OUTER JOIN cand ON exact.da = cand.da AND exact.db = cand.db""".stripMargin
 
+  /** L21 — temperature-scaled training-mix weights: per-source
+    * sampling weight ∝ n_tokens^α normalized over sources — the
+    * standard multilingual/multi-source rebalancing rule (upweights
+    * tails, downweights heads). α = 0.5 here because sqrt is the one
+    * power IEEE guarantees correctly rounded on every engine — the
+    * weight is exactly oracle-checkable where pow(·, 0.7) could drift
+    * in the last ulp; the √n values are 1e-6-quantized to integers
+    * before the (order-free) total. Two aggregates over the token
+    * stream, everything else is arithmetic on a source-sized frame. */
+  def mixWeights(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("ntok"))
+      .groupBy(col("source")).agg(sum(col("ntok")).as("n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)")
+          .as("sq_q"))
+    val tot = toks.agg(sum(col("sq_q")).as("tot_q"),
+      sum(col("n_tokens")).as("tot_n"))
+    toks.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tot_n").cast("double"))
+          .as("raw_share"),
+        (col("sq_q").cast("double") / col("tot_q").cast("double"))
+          .as("mix_weight"))
+      .orderBy(col("source"))
+  }
+
+  val mixWeightsSql: String =
+    """WITH t AS (SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |q AS (SELECT source, n_tokens,
+      |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS sq_q
+      |      FROM t),
+      |tot AS (SELECT CAST(sum(sq_q) AS BIGINT) AS tot_q,
+      |          CAST(sum(n_tokens) AS BIGINT) AS tot_n FROM q)
+      |SELECT source, n_tokens,
+      |  CAST(n_tokens AS DOUBLE) / CAST(tot_n AS DOUBLE) AS raw_share,
+      |  CAST(sq_q AS DOUBLE) / CAST(tot_q AS DOUBLE) AS mix_weight
+      |FROM q CROSS JOIN tot ORDER BY source""".stripMargin
+
+  /** L20 — context-length histogram: documents bucketed by
+    * power-of-two token counts — the report that sizes sequence-length
+    * curricula and packing bins (how much of the corpus fits a 2^k
+    * context). One narrow projection + one aggregate. */
+  def lenHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("ntok"))
+      .filter(col("ntok") >= 1)
+      .select(expr("CAST(floor(log2(CAST(ntok AS DOUBLE))) AS INT)").as("bucket"),
+        col("ntok"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"))
+      .select(col("bucket"), expr("CAST(shiftleft(1L, bucket) AS BIGINT)").as("bucket_lo"),
+        col("n_docs"), col("total_tokens"))
+      .orderBy(col("bucket"))
+
+  val lenHistogramSql: String =
+    """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      |           FROM documents),
+      |b AS (SELECT CAST(floor(log2(CAST(ntok AS DOUBLE))) AS INT) AS bucket, ntok
+      |      FROM d WHERE ntok >= 1)
+      |SELECT bucket, CAST(1 << bucket AS BIGINT) AS bucket_lo,
+      |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS total_tokens
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** L22 — NDCG@5 retrieval quality: the exact cosine top-5
+    * (q_sim_topk's machinery) scored against label relevance (a
+    * neighbor is relevant iff it shares the probe's cluster label) —
+    * the ranking-quality readout that turns "similarity search works"
+    * into a number. Retrieved-set NDCG: IDCG re-ranks the SAME top-5
+    * with its relevant members first, so ndcg = 1 exactly when all
+    * hits precede all misses. Discount terms 1e12/log2(rank+1) are
+    * floor-quantized to integers, so DCG/IDCG are exact int sums and
+    * the final ratio one IEEE division. */
+  def ndcg(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val labels = emb.select(col("vec_id"), col("label").cast("long").as("lbl"))
+    val topk = graft.operators.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 20), emb, 5)
+    val w = Window.partitionBy(col("probe_id"))
+    topk
+      .join(labels.select(col("vec_id").as("probe_id"), col("lbl").as("pl")),
+        Seq("probe_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("lbl").as("nl")),
+        Seq("neighbor_id"))
+      .select(col("probe_id"), col("rnk"),
+        (col("pl") === col("nl")).cast("long").as("rel"),
+        expr("CAST(floor(1e12 / log2(CAST(rnk + 1 AS DOUBLE))) AS BIGINT)")
+          .as("q"))
+      .withColumn("n_rel", sum(col("rel")).over(w))
+      .groupBy(col("probe_id"), col("n_rel"))
+      .agg(sum(col("rel") * col("q")).as("dcg_q"),
+        sum((col("rnk") <= col("n_rel")).cast("long") * col("q")).as("idcg_q"))
+      .select(col("probe_id"), col("n_rel"),
+        when(col("n_rel") === 0, lit(0.0))
+          .otherwise(col("dcg_q").cast("double") / col("idcg_q").cast("double"))
+          .as("ndcg"))
+      .orderBy(col("probe_id"))
+  }
+
+  val ndcgSql: String =
+    """WITH n AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+      |             CAST(embedding AS DOUBLE[]) AS e,
+      |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |               CAST(embedding AS DOUBLE[]))) AS nrm
+      |           FROM embeddings),
+      |scored AS (SELECT p.vec_id AS probe_id, p.lbl AS pl,
+      |             c.vec_id AS neighbor_id, c.lbl AS nl,
+      |             list_dot_product(p.e, c.e) / (p.nrm * c.nrm) AS cosine
+      |           FROM n p JOIN n c ON p.vec_id < 20 AND p.vec_id <> c.vec_id),
+      |topk AS (SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY cosine DESC, neighbor_id) AS rnk
+      |    FROM scored) WHERE rnk <= 5),
+      |r AS (SELECT probe_id, rnk,
+      |        CASE WHEN pl = nl THEN 1 ELSE 0 END AS rel,
+      |        CAST(floor(1e12 / log2(CAST(rnk + 1 AS DOUBLE))) AS BIGINT) AS q,
+      |        CAST(sum(CASE WHEN pl = nl THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY probe_id) AS BIGINT) AS n_rel
+      |      FROM topk)
+      |SELECT probe_id, n_rel,
+      |  CASE WHEN n_rel = 0 THEN 0.0
+      |       ELSE CAST(CAST(sum(rel * q) AS BIGINT) AS DOUBLE)
+      |         / CAST(CAST(sum(CASE WHEN rnk <= n_rel THEN 1 ELSE 0 END * q)
+      |             AS BIGINT) AS DOUBLE) END AS ndcg
+      |FROM r GROUP BY probe_id, n_rel ORDER BY probe_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_weights" -> (mixWeights _),
+    "q_len_histogram" -> (lenHistogram _),
+    "q_ndcg" -> (ndcg _),
     "q_lsh_recall" -> (lshRecall _),
     "q_minhash_error" -> (minhashError _),
     "q_zipf_slope" -> (zipfSlope _),
@@ -377,6 +508,9 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mix_weights" -> mixWeightsSql,
+    "q_len_histogram" -> lenHistogramSql,
+    "q_ndcg" -> ndcgSql,
     "q_lsh_recall" -> lshRecallSql,
     "q_minhash_error" -> minhashErrorSql,
     "q_zipf_slope" -> zipfSlopeSql,

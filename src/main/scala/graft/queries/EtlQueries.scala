@@ -484,7 +484,42 @@ object EtlQueries {
       |    AS BIGINT) AS cents
       |FROM orders""".stripMargin
 
+  /** E13 — dead-letter classification: every ingest row routed to its
+    * FIRST-failing validation rule or 'ok' — the quarantine pattern
+    * that keeps a pipeline running while bad rows land in a
+    * dead-letter bucket with a reason instead of failing the batch or
+    * silently dropping. One narrow CASE projection + one aggregate;
+    * at scale the same projection writes the quarantined rows
+    * partitioned by rule. */
+  def deadLetter(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        when(expr("try_cast(split(o_orderpriority, '-')[0] AS INT)").isNull,
+          "priority_unparsed")
+          .when(col("o_totalprice") <= 0.0, "nonpositive_price")
+          .when(col("o_totalprice") > 450000.0, "price_outlier")
+          .when(col("o_orderdate").cast("date") < lit("1992-06-01").cast("date"),
+            "before_cutover")
+          .otherwise("ok").as("rule"))
+      .groupBy(col("rule"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("rule"))
+
+  val deadLetterSql: String =
+    """SELECT rule, count(*) AS n_rows FROM (
+      |  SELECT CASE
+      |    WHEN TRY_CAST(string_split(o_orderpriority, '-')[1] AS INT) IS NULL
+      |      THEN 'priority_unparsed'
+      |    WHEN o_totalprice <= 0.0 THEN 'nonpositive_price'
+      |    WHEN o_totalprice > 450000.0 THEN 'price_outlier'
+      |    WHEN CAST(o_orderdate AS DATE) < DATE '1992-06-01'
+      |      THEN 'before_cutover'
+      |    ELSE 'ok' END AS rule
+      |  FROM orders)
+      |GROUP BY rule ORDER BY rule""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dead_letter" -> (deadLetter _),
     "q_compaction" -> (compaction _),
     "q_missing_ranges" -> ((s: SparkSession, d: String) => missingRanges(s, d)),
     "q_jdbc_ranged" -> (jdbcRanged _),
@@ -502,6 +537,7 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dead_letter" -> deadLetterSql,
     "q_compaction" -> compactionSql,
     "q_missing_ranges" -> missingRangesSql,
     "q_jdbc_ranged" -> jdbcRangedSql,

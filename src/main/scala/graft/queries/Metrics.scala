@@ -311,7 +311,103 @@ object Metrics {
       |  FROM orders WHERE o_orderkey >= 300 AND o_orderkey < 600)
       |ORDER BY src, o_orderkey""".stripMargin
 
+  /** W30 — semi-additive aggregate: month-end "balance" per user
+    * (LAST value in the month by event time) summed across users —
+    * the balance/inventory measure that is additive across ACCOUNTS
+    * but not across TIME, which naive sum-everything rollups get
+    * wrong. The last-per-(user, month) is ONE max(struct) argmax
+    * aggregate (no window); balances are floor-quantized to exact
+    * cents before the cross-user sum so the month totals are
+    * order-free integers. */
+  def semiAdditive(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"),
+        date_trunc("month", col("ts")).cast("date").as("m"),
+        unix_timestamp(col("ts")).as("sec"), col("event_id"), col("value"))
+    e.groupBy(col("user_id"), col("m"))
+      .agg(max(struct(col("sec"), col("event_id"), col("value"))).as("lastv"))
+      .select(col("m"),
+        expr("CAST(floor(lastv.value * 100) AS BIGINT)").as("bal_cents"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_users"), sum(col("bal_cents")).as("total_cents"))
+      .orderBy(col("m"))
+  }
+
+  val semiAdditiveSql: String =
+    """WITH e AS (SELECT user_id,
+      |    CAST(date_trunc('month', ts) AS DATE) AS m,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id, value
+      |  FROM events),
+      |r AS (SELECT user_id, m, value,
+      |        row_number() OVER (PARTITION BY user_id, m
+      |          ORDER BY sec DESC, event_id DESC) AS rn
+      |      FROM e),
+      |b AS (SELECT m, CAST(floor(value * 100) AS BIGINT) AS bal_cents
+      |      FROM r WHERE rn = 1)
+      |SELECT m, count(*) AS n_users,
+      |  CAST(sum(bal_cents) AS BIGINT) AS total_cents
+      |FROM b GROUP BY m ORDER BY m""".stripMargin
+
+  /** W31 — per-class precision/recall/F1 from the same rated
+    * confusion table as [[cohensKappa]]: tp on the diagonal, fp from
+    * the predicted margin, fn from the actual margin — all exact
+    * int64; the three scores are one fixed-order float chain per
+    * class (F1 written as 2·tp/(2·tp + fp + fn), division-last). */
+  def confusionMetrics(s: SparkSession, dir: String): DataFrame = {
+    val rated = Tables.orders(s, dir)
+      .select(col("o_orderstatus").as("a"),
+        when(col("o_orderpriority").startsWith("1") ||
+            col("o_orderpriority").startsWith("2"), "O")
+          .when(col("o_orderpriority").startsWith("3"), "P")
+          .otherwise("F").as("b"))
+    val cells = rated.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n")).persist() // three margins read it
+    val tp = cells.filter(col("a") === col("b"))
+      .select(col("a").as("cls"), col("n").as("tp"))
+    val actual = cells.groupBy(col("a").as("cls")).agg(sum(col("n")).as("n_actual"))
+    val pred = cells.groupBy(col("b").as("cls")).agg(sum(col("n")).as("n_pred"))
+    actual.join(pred, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+      .select(col("cls"), col("tp"), col("n_actual"), col("n_pred"),
+        expr("CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)").as("precision"),
+        expr("CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE)").as("recall"),
+        expr("CAST(2 * tp AS DOUBLE) / CAST(n_pred + n_actual AS DOUBLE)")
+          .as("f1"))
+      .orderBy(col("cls"))
+  }
+
+  val confusionMetricsSql: String =
+    """WITH rated AS (SELECT o_orderstatus AS a,
+      |    CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+      |           THEN 'O'
+      |         WHEN o_orderpriority LIKE '3%' THEN 'P'
+      |         ELSE 'F' END AS b
+      |  FROM orders),
+      |cells AS (SELECT a, b, count(*) AS n FROM rated GROUP BY a, b),
+      |tp AS (SELECT a AS cls, CAST(n AS BIGINT) AS tp FROM cells WHERE a = b),
+      |act AS (SELECT a AS cls, CAST(sum(n) AS BIGINT) AS n_actual
+      |        FROM cells GROUP BY a),
+      |prd AS (SELECT b AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+      |        FROM cells GROUP BY b),
+      |j AS (SELECT coalesce(act.cls, prd.cls) AS cls,
+      |        coalesce(tp.tp, 0) AS tp,
+      |        coalesce(n_actual, 0) AS n_actual,
+      |        coalesce(n_pred, 0) AS n_pred
+      |      FROM act FULL OUTER JOIN prd ON act.cls = prd.cls
+      |      LEFT JOIN tp ON coalesce(act.cls, prd.cls) = tp.cls)
+      |SELECT cls, CAST(tp AS BIGINT) AS tp, n_actual, n_pred,
+      |  CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) AS precision,
+      |  CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE) AS recall,
+      |  CAST(2 * tp AS DOUBLE) / CAST(n_pred + n_actual AS DOUBLE) AS f1
+      |FROM j ORDER BY cls""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semi_additive" -> (semiAdditive _),
+    "q_confusion_metrics" -> (confusionMetrics _),
     "q_union_by_name" -> (unionByNameQ _),
     "q_except_all" -> (exceptAll _),
     "q_intersect_all" -> (intersectAll _),
@@ -324,6 +420,8 @@ object Metrics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_semi_additive" -> semiAdditiveSql,
+    "q_confusion_metrics" -> confusionMetricsSql,
     "q_union_by_name" -> unionByNameSql,
     "q_except_all" -> exceptAllSql,
     "q_intersect_all" -> intersectAllSql,
