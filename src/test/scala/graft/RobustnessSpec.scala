@@ -41,6 +41,23 @@ class RobustnessSpec extends SparkSpec {
     assert(Dedup.shingles(empty).count() == 0)
   }
 
+  test("round-7 dedup extensions tolerate degenerate pair sets") {
+    val docs = docsOf((0L, ""), (1L, "one"), (2L, "two words"),
+      (3L, "three words here"))
+    val noPairs = Dedup.ngramJaccardPairs(docs, 3, 0.1)
+      .select(col("doc_id_a"), col("doc_id_b"))
+    // star contraction on an empty graph converges to an empty labeling
+    assert(Dedup.dedupClustersStar(noPairs).count() == 0)
+    // sub-band signatures yield zero bands, not wrong candidates
+    assert(Dedup.minhashCandidates(
+      Dedup.minhashSignatures(Dedup.shingles(docs), 2), rowsPerBand = 4)
+      .count() == 0)
+    // shingleProfiles drops sub-shingle docs (only doc 3 has ≥3 words)
+    val prof = Dedup.shingleProfiles(docs, 3, 16)
+    assert(prof.count() == 1)
+    spark.catalog.clearCache()
+  }
+
   test("similarity search tolerates empty probe and candidate sets") {
     import spark.implicits._
     val emb = Seq((0L, Seq(1f, 2f)), (1L, Seq(2f, 1f)))
