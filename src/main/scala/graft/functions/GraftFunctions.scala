@@ -565,6 +565,195 @@ case class NearestCentroidsF32(child: Expression, cids: Array[Long],
     copy(child = newChild)
 }
 
+/** Product-quantization ENCODE: one code per subspace — the vector's
+  * nearest codebook entry in each of `nSub` contiguous dims/nSub-wide
+  * subspaces. Codebooks (nSub × k × subDim floats, driver-trained)
+  * ship as a reference object; encoding is a pure narrow projection
+  * exactly like [[NearestCentroidsF32]]. At 100 TB this is the memory
+  * story of the similarity index: nSub small codes per vector (16
+  * 5-bit codes ≈ 10 bytes packed at the tuned config) where the raw
+  * float32 row is 256 — a ~25× compression that keeps the whole
+  * corpus index RAM-resident. Ties break to the lower code
+  * (strict-less insertion over ascending codes). */
+case class PqCodesF32(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+
+  private val nSub = codebooks.length
+  private val subDim = if (nSub > 0 && codebooks(0).nonEmpty) codebooks(0)(0).length else 0
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (DataType.equalsIgnoreNullability(child.dataType, ArrayType(FloatType)))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_codes requires ARRAY<FLOAT>, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Int](nSub)
+    var s = 0
+    while (s < nSub) {
+      val cb = codebooks(s)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d2 = 0.0
+        var d = 0
+        while (d < subDim) {
+          val idx = s * subDim + d
+          val x = if (idx < arr.numElements()) arr.getFloat(idx).toDouble else 0.0
+          val diff = x - cent(d).toDouble
+          d2 += diff * diff
+          d += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    nullSafeCodeGen(ctx, ev, cv => {
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val idx = ctx.freshName("idx")
+      val d2 = ctx.freshName("d2")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val cent = ctx.freshName("cent")
+      val x = ctx.freshName("x")
+      s"""
+         |int[] $out = new int[$nSub];
+         |for (int $s = 0; $s < $nSub; $s++) {
+         |  int $best = 0;
+         |  double $bestD = Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; $c < $cbRef[$s].length; $c++) {
+         |    float[] $cent = $cbRef[$s][$c];
+         |    double $d2 = 0.0;
+         |    for (int $d = 0; $d < $subDim; $d++) {
+         |      int $idx = $s * $subDim + $d;
+         |      double $x = $idx < $cv.numElements()
+         |        ? (double) $cv.getFloat($idx) : 0.0;
+         |      double $diff = $x - (double) $cent[$d];
+         |      $d2 += $diff * $diff;
+         |    }
+         |    if ($d2 < $bestD) { $bestD = $d2; $best = $c; }
+         |  }
+         |  $out[$s] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Product-quantization ASYMMETRIC score: cosine between a RAW probe
+  * vector and a PQ-ENCODED corpus vector reconstructed from its codes
+  * — dot(probe, decoded) and ‖decoded‖ both read straight from the
+  * codebooks (per-entry c·c precomputed), so scoring touches 8 ints
+  * per corpus row instead of 64 floats. Left input: the probe's raw
+  * ARRAY<FLOAT>; right input: the corpus row's ARRAY<INT> codes. */
+case class PqCosineF32(left: Expression, right: Expression,
+                       codebooks: Array[Array[Array[Float]]],
+                       c2: Array[Array[Double]])
+    extends BinaryExpression {
+
+  private val nSub = codebooks.length
+  private val subDim = if (nSub > 0 && codebooks(0).nonEmpty) codebooks(0)(0).length else 0
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (DataType.equalsIgnoreNullability(left.dataType, ArrayType(FloatType)) &&
+        DataType.equalsIgnoreNullability(right.dataType, ArrayType(IntegerType)))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_cosine requires (ARRAY<FLOAT>, ARRAY<INT>), got " +
+        s"(${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_cosine"
+
+  override protected def nullSafeEval(p: Any, cds: Any): Any = {
+    val probe = p.asInstanceOf[ArrayData]
+    val codes = cds.asInstanceOf[ArrayData]
+    var dot = 0.0
+    var dn2 = 0.0
+    var pn2 = 0.0
+    var i = 0
+    while (i < probe.numElements()) {
+      val v = probe.getFloat(i).toDouble; pn2 += v * v; i += 1
+    }
+    var s = 0
+    while (s < nSub && s < codes.numElements()) {
+      val code = codes.getInt(s)
+      val cent = codebooks(s)(code)
+      dn2 += c2(s)(code)
+      var d = 0
+      while (d < subDim) {
+        val idx = s * subDim + d
+        val x = if (idx < probe.numElements()) probe.getFloat(idx).toDouble else 0.0
+        dot += x * cent(d).toDouble
+        d += 1
+      }
+      s += 1
+    }
+    if (pn2 == 0.0 || dn2 == 0.0) 0.0 else dot / (math.sqrt(pn2) * math.sqrt(dn2))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    val c2Ref = ctx.addReferenceObj("c2", c2, "double[][]")
+    nullSafeCodeGen(ctx, ev, (pv, cv) => {
+      val dot = ctx.freshName("dot")
+      val dn2 = ctx.freshName("dn2")
+      val pn2 = ctx.freshName("pn2")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val idx = ctx.freshName("idx")
+      val code = ctx.freshName("code")
+      val cent = ctx.freshName("cent")
+      val v = ctx.freshName("v")
+      val x = ctx.freshName("x")
+      s"""
+         |double $dot = 0.0, $dn2 = 0.0, $pn2 = 0.0;
+         |for (int $i = 0; $i < $pv.numElements(); $i++) {
+         |  double $v = (double) $pv.getFloat($i);
+         |  $pn2 += $v * $v;
+         |}
+         |for (int $s = 0; $s < $nSub && $s < $cv.numElements(); $s++) {
+         |  int $code = $cv.getInt($s);
+         |  float[] $cent = $cbRef[$s][$code];
+         |  $dn2 += $c2Ref[$s][$code];
+         |  for (int $d = 0; $d < $subDim; $d++) {
+         |    int $idx = $s * $subDim + $d;
+         |    double $x = $idx < $pv.numElements()
+         |      ? (double) $pv.getFloat($idx) : 0.0;
+         |    $dot += $x * (double) $cent[$d];
+         |  }
+         |}
+         |${ev.value} = ($pn2 == 0.0 || $dn2 == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($pn2) * java.lang.Math.sqrt($dn2));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration + Column-level wrappers. Registered idempotently via
   * [[graft.Tables.load]] so every query pack can use the fast paths
   * regardless of which entry point built the session. */

