@@ -127,6 +127,15 @@ object Bench {
       val synth = spark.range(300).select(col("id").as("doc_id"),
         expr("concat_ws(' ', transform(sequence(1, 30), " +
           "i -> CAST((id * i) % 37 AS STRING)))").as("text"))
+      // PQ ANN warm: tiny synthetic corpus through codebook training,
+      // encode, and asymmetric scoring — compiles PqCodesF32/
+      // PqCosineF32 and the exploded (sub, code) VectorMean shape.
+      val svec = spark.range(64).select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 8), i -> CAST((id * i) % 17 AS FLOAT))")
+          .as("embedding"))
+      graft.operators.Similarity.pqTopK(
+        svec.filter(col("vec_id") < 4), svec, 3,
+        nSub = 2, codesPerSub = 4, iterations = 1, dims = 8).count()
       val labels = graft.operators.Dedup.dedupClusters(
         graft.operators.Dedup.ngramJaccardPairs(synth, 3, 0.6)
           .select(col("doc_id_a"), col("doc_id_b")))

@@ -244,7 +244,7 @@ object Similarity {
     * codegen'd narrow projections; the only per-query work is a
     * broadcast of raw probes over the 8-byte-per-row encoded corpus. */
   def pqTopK(probes: DataFrame, candidates: DataFrame, k: Int,
-             nSub: Int = 16, codesPerSub: Int = 32, iterations: Int = 3,
+             nSub: Int = 16, codesPerSub: Int = 32, iterations: Int = 2,
              dims: Int = 64): DataFrame = {
     ensureRegistered(candidates)
     val subDim = dims / nSub
