@@ -495,7 +495,39 @@ object Corpus {
       |             AS BIGINT) AS DOUBLE) END AS ndcg
       |FROM r GROUP BY probe_id, n_rel ORDER BY probe_id""".stripMargin
 
+  /** L2s — near-dup graph degree distribution: how many strong pairs
+    * touch each document, histogrammed — the graph-shape audit that
+    * distinguishes scattered pair-dups from template hubs BEFORE
+    * choosing propagation vs contraction for the CC pass (a hub of
+    * degree 10³ is exactly the shape that makes label propagation
+    * slow). Pairs explode to both endpoints; two keyed aggregates. */
+  def degreeStats(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6)
+      .select(explode(array(col("doc_id_a"), col("doc_id_b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg").cast("bigint").as("degree"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("degree"))
+
+  val degreeStatsSql: String =
+    s"""${Llm.shingleCte},
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |          FROM sh a JOIN sh b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT da, db FROM inter
+      |          JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.6),
+      |deg AS (SELECT doc_id, count(*) AS deg FROM
+      |          (SELECT da AS doc_id FROM pairs
+      |           UNION ALL SELECT db FROM pairs)
+      |        GROUP BY doc_id)
+      |SELECT CAST(deg AS BIGINT) AS degree, count(*) AS n_docs
+      |FROM deg GROUP BY deg ORDER BY degree""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_degree_stats" -> (degreeStats _),
     "q_mix_weights" -> (mixWeights _),
     "q_len_histogram" -> (lenHistogram _),
     "q_ndcg" -> (ndcg _),
@@ -508,6 +540,7 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_degree_stats" -> degreeStatsSql,
     "q_mix_weights" -> mixWeightsSql,
     "q_len_histogram" -> lenHistogramSql,
     "q_ndcg" -> ndcgSql,

@@ -488,7 +488,31 @@ object Curate {
       |  UNION ALL SELECT 4, 'lexical_diversity', n4, n3 - n4 FROM a)
       |ORDER BY stage""".stripMargin
 
+  /** D6 — dialect-portable SQL: ONE query string executed VERBATIM by
+    * both engines — `spark.sql` runs it over a registered view and the
+    * oracle map hands DuckDB the IDENTICAL text. Stronger than D5
+    * (which pairs a Spark-dialect string with a DuckDB-dialect twin):
+    * this pins the shared ANSI surface — CTE, date_trunc, GROUP BY
+    * ordinal, window LAG, exact-cent decimal arithmetic — a user can
+    * lift-and-shift unchanged. */
+  val sqlSharedText: String =
+    """WITH m AS (SELECT
+      |    CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS m,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1)
+      |SELECT m, cents,
+      |  CAST(coalesce(cents - lag(cents) OVER (ORDER BY m), 0) AS BIGINT)
+      |    AS mom_delta
+      |FROM m ORDER BY m""".stripMargin
+
+  def sqlShared(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(sqlSharedText)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_shared" -> (sqlShared _),
     "q_filter_funnel" -> (filterFunnel _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_novelty" -> (novelty _),
@@ -503,6 +527,7 @@ object Curate {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_shared" -> sqlSharedText,
     "q_filter_funnel" -> filterFunnelSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_novelty" -> noveltySql,

@@ -405,7 +405,45 @@ object Metrics {
       |  CAST(2 * tp AS DOUBLE) / CAST(n_pred + n_actual AS DOUBLE) AS f1
       |FROM j ORDER BY cls""".stripMargin
 
+  /** B18 — time-decayed engagement score: Σ value·2^(−age_days) per
+    * user — the recency-weighted primitive behind engagement ranking
+    * and churn features, computed EXACTLY: the weight is a dyadic
+    * 1/2^age (one exact division by a shifted integer, never libm
+    * pow), values floor-quantize to cents, and every term is an exact
+    * multiple of 2^−62 whose running sum stays far inside the 2^53
+    * significand — the double aggregate is integer arithmetic in
+    * disguise, order-free and bit-portable. One aggregate, one
+    * broadcast of the corpus max date. */
+  def decayScore(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+    val mx = e.agg(max(col("d")).as("mxd"))
+    e.crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        least(datediff(col("mxd"), col("d")), lit(62)).cast("int").as("age"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .select(col("user_id"),
+        (col("cents").cast("double") /
+          expr("CAST(shiftleft(1L, age) AS DOUBLE)")).as("term"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("term")).as("decay_score"))
+      .orderBy(col("user_id"))
+  }
+
+  val decayScoreSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, value FROM events),
+      |mx AS (SELECT max(d) AS mxd FROM e),
+      |t AS (SELECT user_id,
+      |        CAST(floor(value * 100) AS BIGINT) AS cents,
+      |        least(datediff('day', d, mxd), 62) AS age
+      |      FROM e CROSS JOIN mx)
+      |SELECT user_id, count(*) AS n_events,
+      |  sum(CAST(cents AS DOUBLE) / CAST(1::BIGINT << age AS DOUBLE))
+      |    AS decay_score
+      |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decay_score" -> (decayScore _),
     "q_semi_additive" -> (semiAdditive _),
     "q_confusion_metrics" -> (confusionMetrics _),
     "q_union_by_name" -> (unionByNameQ _),
@@ -420,6 +458,7 @@ object Metrics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_decay_score" -> decayScoreSql,
     "q_semi_additive" -> semiAdditiveSql,
     "q_confusion_metrics" -> confusionMetricsSql,
     "q_union_by_name" -> unionByNameSql,
