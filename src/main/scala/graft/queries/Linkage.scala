@@ -451,7 +451,76 @@ object Linkage {
       |      CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS gap
       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** L23 — end-to-end entity resolution: sorted-neighborhood BLOCKING
+    * (lag-1/lag-2 candidates inside (lang, first-char) blocks — linear
+    * candidate count), Jaro-Winkler SCORING on 48-char prefixes (the
+    * codegen'd expression, bit-pinned to the oracle's
+    * jaro_winkler_similarity), a 0.85 MATCH threshold, connected-
+    * components CLUSTERING to the checked fixpoint, and the CANONICAL
+    * entity table (min-id entity, member count) — the full
+    * record-linkage pipeline as ONE query, every stage scale-safe
+    * (blocked window, no all-pairs, one exchange per CC round).
+    * Lag-pairs are unique by construction (the later row in sort
+    * order emits), so no distinct shuffle anywhere before the CC. */
+  def erPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.widen(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"), col("text"),
+        substring(col("text"), 1, 48).as("pfx"),
+        substring(col("text"), 1, 1).as("blk"))
+    val w = Window.partitionBy(col("lang"), col("blk"))
+      .orderBy(col("text"), col("doc_id"))
+    val pairs = docs
+      .withColumn("prev_id1", lag(col("doc_id"), 1).over(w))
+      .withColumn("prev_pfx1", lag(col("pfx"), 1).over(w))
+      .withColumn("prev_id2", lag(col("doc_id"), 2).over(w))
+      .withColumn("prev_pfx2", lag(col("pfx"), 2).over(w))
+      .select(col("doc_id"), col("pfx"), explode(array(
+        struct(col("prev_id1").as("cid"), col("prev_pfx1").as("cpfx")),
+        struct(col("prev_id2").as("cid"), col("prev_pfx2").as("cpfx")))).as("c"))
+      .filter(col("c.cid").isNotNull)
+      .filter(GraftFunctions.jaroWinkler(col("pfx"), col("c.cpfx")) >= 0.85)
+      .select(least(col("doc_id"), col("c.cid")).as("doc_id_a"),
+        greatest(col("doc_id"), col("c.cid")).as("doc_id_b"))
+    graft.operators.Dedup.dedupClusters(pairs)
+      .groupBy(col("cluster_id").as("entity_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("entity_id"))
+  }
+
+  val erPipelineSql: String = {
+    val iters = (1 to 8).map { k =>
+      s"""l$k AS (SELECT e.u AS node, min(l.label) AS label
+         |  FROM ep e JOIN l${k - 1} l ON e.v = l.node GROUP BY e.u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id, lang, text, substring(text, 1, 48) AS pfx
+      |           FROM documents),
+      |wp AS (SELECT doc_id, pfx,
+      |         lag(doc_id, 1) OVER w AS prev_id1, lag(pfx, 1) OVER w AS prev_pfx1,
+      |         lag(doc_id, 2) OVER w AS prev_id2, lag(pfx, 2) OVER w AS prev_pfx2
+      |       FROM d
+      |       WINDOW w AS (PARTITION BY lang, substring(text, 1, 1)
+      |                    ORDER BY text, doc_id)),
+      |c AS (SELECT doc_id, prev_id1 AS cand_id, pfx, prev_pfx1 AS cpfx
+      |      FROM wp WHERE prev_id1 IS NOT NULL
+      |      UNION ALL
+      |      SELECT doc_id, prev_id2, pfx, prev_pfx2
+      |      FROM wp WHERE prev_id2 IS NOT NULL),
+      |pairs AS (SELECT least(doc_id, cand_id) AS da,
+      |            greatest(doc_id, cand_id) AS db
+      |          FROM c WHERE jaro_winkler_similarity(pfx, cpfx) >= 0.85),
+      |nodes AS (SELECT DISTINCT u AS node FROM
+      |          (SELECT da AS u FROM pairs UNION ALL SELECT db FROM pairs)),
+      |ep AS (SELECT da AS u, db AS v FROM pairs
+      |       UNION ALL SELECT db AS u, da AS v FROM pairs
+      |       UNION ALL SELECT node AS u, node AS v FROM nodes),
+      |l0 AS (SELECT node, node AS label FROM nodes),
+      |$iters
+      |SELECT label AS entity_id, count(*) AS n_members
+      |FROM l8 GROUP BY label ORDER BY entity_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_er_pipeline" -> (erPipeline _),
     "q_calibration" -> (calibration _),
     "q_sorted_neighborhood" -> (sortedNeighborhood _),
     "q_jaro_winkler" -> (jaroWinklerPairs _),
@@ -462,6 +531,7 @@ object Linkage {
     "q_rrf_fusion" -> (rrfFusion _))
 
   val oracle: Map[String, String] = Map(
+    "q_er_pipeline" -> erPipelineSql,
     "q_calibration" -> calibrationSql,
     "q_sorted_neighborhood" -> sortedNeighborhoodSql,
     "q_jaro_winkler" -> jaroWinklerPairsSql,

@@ -116,4 +116,15 @@ class LinkageSpec extends SparkSpec {
     assert(out.length == 7)
     out.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
   }
+
+  test("ER pipeline entities have >= 2 members and the min-id invariant") {
+    val ents = queries.Linkage.erPipeline(spark, sfDir).collect()
+    spark.catalog.clearCache()
+    // every entity comes from at least one matched pair
+    ents.foreach(r => assert(r.getAs[Long]("n_members") >= 2L,
+      s"entity ${r.getAs[Long]("entity_id")} has ${r.getAs[Long]("n_members")}"))
+    // entity ids are distinct min-members, so strictly increasing sorted
+    val ids = ents.map(_.getAs[Long]("entity_id"))
+    assert(ids.distinct.length == ids.length)
+  }
 }
