@@ -27,6 +27,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
+      // uniform for the whole sweep (q_bucket_prune needs it OFF, and a
+      // mid-sweep session-conf flip would make later plans order-dependent)
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -13,30 +13,42 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Shape: one wide repartition (round-robin, the only shuffle) and a
   * rewrite; at cluster scale the same call runs per partition
-  * directory so compaction parallelizes across partitions and never
-  * rewrites data that is already well-sized (`needed == current file
-  * count` short-circuits to a no-op copy decision for the caller). */
+  * directory so compaction parallelizes across partitions. Sizing and
+  * listing go through the Hadoop FileSystem API, so any filesystem
+  * Spark can read (hdfs://, s3a://, local) sizes correctly — a local
+  * java.io walk would silently report 0 bytes for a remote path and
+  * collapse the rewrite to one partition. */
 object Compaction {
 
   /** Total bytes and file count of the parquet data files under `dir`
-    * (recursive; ignores _SUCCESS/metadata). */
-  def listBytes(dir: String): (Long, Int) = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-      else Seq(f)
-    val files = walk(new java.io.File(dir))
-      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-    (files.map(_.length()).sum, files.size)
+    * (recursive via the Hadoop FileSystem of the path's scheme;
+    * ignores _SUCCESS/metadata/hidden files). */
+  def listBytes(s: SparkSession, dir: String): (Long, Int) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    var bytes = 0L
+    var n = 0
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith(".") &&
+          !name.startsWith("_")) {
+        bytes += f.getLen
+        n += 1
+      }
+    }
+    (bytes, n)
   }
 
   /** Rewrite `inDir` into `outDir` with ceil(bytes/targetBytes)
     * output files. Returns (input file count, output file count). */
   def compact(s: SparkSession, inDir: String, outDir: String,
               targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val (bytes, nIn) = listBytes(inDir)
+    val (bytes, nIn) = listBytes(s, inDir)
     val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     s.read.parquet(inDir).repartition(parts)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
-    (nIn, listBytes(outDir)._2)
+    (nIn, listBytes(s, outDir)._2)
   }
 }

@@ -1,0 +1,26 @@
+package graft.etl
+
+/** Shared /tmp staging hygiene for operators that materialize
+  * app-id-unique working directories (bucketed-join stages, compaction
+  * round trips). One definition so the liveness policy can't diverge
+  * between call sites. */
+object Staging {
+
+  /** Best-effort removal of OTHER apps' stale stage directories under
+    * /tmp matching `prefix`. A directory is presumed dead only after
+    * `maxAgeMs` (default 24 h — generous enough that a long-lived
+    * concurrent session's stage is never reaped mid-run; the
+    * trade-off is a day of stray disk, not correctness). Our own
+    * app's directories are never touched — same-session reruns
+    * overwrite in place. */
+  def sweepStale(prefix: String, appId: String,
+                 maxAgeMs: Long = 24L * 3600 * 1000): Unit = {
+    try {
+      val cutoff = System.currentTimeMillis() - maxAgeMs
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(prefix) &&
+          !f.getName.endsWith(s"_$appId") && f.lastModified() < cutoff)
+        .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
+    } catch { case _: Throwable => }
+  }
+}

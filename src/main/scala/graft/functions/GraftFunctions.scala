@@ -505,7 +505,12 @@ case class NearestCentroidsF32(child: Expression, cids: Array[Long],
       var acc = 0.0
       var d = 0
       while (d < m) { acc += arr.getFloat(d).toDouble * c(d).toDouble; d += 1 }
-      val d2 = c2s(j) - 2.0 * acc
+      var d2 = c2s(j) - 2.0 * acc
+      // NaN embeddings: every comparison would be false and the
+      // untouched bestC zeros would silently alias a REAL cid 0 —
+      // rank NaN as worst-but-finite so garbage vectors assign
+      // deterministically to the lowest cid instead.
+      if (java.lang.Double.isNaN(d2)) d2 = Double.MaxValue
       var slot = k
       while (slot > 0 && d2 < bestD(slot - 1)) slot -= 1
       if (slot < k) {
@@ -547,6 +552,7 @@ case class NearestCentroidsF32(child: Expression, cids: Array[Long],
          |    $acc += (double) $c.getFloat($d) * (double) $cj[$d];
          |  }
          |  double $d2 = $c2sRef[$j] - 2.0 * $acc;
+         |  if (Double.isNaN($d2)) $d2 = Double.MAX_VALUE;
          |  int $slot = $k;
          |  while ($slot > 0 && $d2 < $bestD[$slot - 1]) $slot--;
          |  if ($slot < $k) {

@@ -394,6 +394,13 @@ object Dedup {
         (prevSum != null && curSum != null && prevSum.compareTo(curSum) == 0)
       prevSum = curSum
     }
+    // Loud backstop, same contract as [[dedupClustersStar]]: exhausting
+    // maxIterations without the Σlabel fixpoint means a deeper
+    // component than the caller budgeted for — returning the partial
+    // labels would silently split one component into several.
+    require(converged,
+      s"label propagation did not converge in $maxIterations rounds — " +
+        "raise maxIterations or use dedupClustersStar (O(log²) rounds)")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
@@ -411,12 +418,13 @@ object Dedup {
     * Each is one groupBy-min + one join + distinct over the CURRENT
     * edge set — the edge relation contracts toward the star
     * {(member, component-min)}, at which point both steps are
-    * idempotent. Convergence is CHECKED: edges are a set of unique
-    * (u,v) keys, so (count, exact Σ(u·2³¹+v)) is an exact set
-    * fingerprint — stable fingerprint across a full L+S round means
-    * fixpoint; `maxRounds` is a loud backstop (require), never a
-    * silent cap. Output schema matches [[dedupClusters]]:
-    * (doc_id, cluster_id, keep). */
+    * idempotent. Convergence is CHECKED in two tiers: a cheap
+    * (count, exact Σ(u·2³¹+v)) fingerprint screens every round, and a
+    * stable fingerprint is CONFIRMED by one exact two-way anti-join
+    * set comparison (the fingerprint alone is not collision-free —
+    * endpoint swaps across components can preserve it); `maxRounds`
+    * is a loud backstop (require), never a silent cap. Output schema
+    * matches [[dedupClusters]]: (doc_id, cluster_id, keep). */
   def dedupClustersStar(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
     val width = graft.Tables.shuffleWidth(pairs.sparkSession)
     var edges = pairs
@@ -430,6 +438,15 @@ object Dedup {
         sum((col("u").cast("decimal(38,0)") * 2147483648L) + col("v")).as("s")).head
       (r.getLong(0), r.getDecimal(1))
     }
+    // The (count, Σkey) fingerprint is FAST but not collision-free
+    // (two components swapping endpoints can preserve both), so a
+    // stable fingerprint is only a CANDIDATE fixpoint — confirm with
+    // one EXACT set comparison (anti-joins both ways). The exact check
+    // runs once at the end, not per round; a false fingerprint match
+    // sends the loop back to work instead of mislabeling.
+    def identical(a: DataFrame, b: DataFrame): Boolean =
+      a.join(b, Seq("u", "v"), "left_anti").isEmpty &&
+        b.join(a, Seq("u", "v"), "left_anti").isEmpty
     def star(e: DataFrame, large: Boolean): DataFrame = {
       val nbrs = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -451,9 +468,10 @@ object Dedup {
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
+      val prev = edges
       edges = star(star(edges, large = true), large = false)
       val cur = fingerprint(edges)
-      converged = cur == fp
+      converged = cur == fp && identical(prev, edges)
       fp = cur
     }
     require(converged,

@@ -136,7 +136,17 @@ object Similarity {
     * corpus is touched in narrow passes (assignment) and the search
     * join is per-list, so each query scores ~nprobe/nlist of the
     * corpus. At 100 TB the assigned corpus would be written bucketed
-    * by `cid` so the search join needs no shuffle at all. */
+    * by `cid` so the search join needs no shuffle at all.
+    *
+    * Thread-safety contract (also [[pqTopK]]): each training round
+    * re-registers a fixed-name session temp function whose closure
+    * holds the CURRENT centroids, and relies on DataFrame analysis
+    * being EAGER to bake that version into the plan before the next
+    * registration. That is sound for the single-threaded-per-session
+    * driver pattern every entry point here uses; two threads building
+    * index queries CONCURRENTLY on one SparkSession could interleave
+    * registrations and must use separate sessions
+    * (`spark.newSession()` gives each its own function registry). */
   def ivfTopK(probes: DataFrame, candidates: DataFrame, k: Int,
               nprobe: Int = 2, iterations: Int = 1, dims: Int = 64,
               seedCol: String = "label"): DataFrame = {

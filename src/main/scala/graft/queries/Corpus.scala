@@ -216,31 +216,14 @@ object Corpus {
       .agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("cluster_size"))
 
-  val clusterSizesSql: String = {
-    val iters = (1 to 8).map { k =>
-      s"""l$k AS (SELECT e.u AS node, min(l.label) AS label
-         |  FROM ep e JOIN l${k - 1} l ON e.v = l.node GROUP BY e.u)""".stripMargin
-    }.mkString(",\n")
+  val clusterSizesSql: String =
     s"""${Llm.shingleCte},
-      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2),
-      |pairs AS (SELECT da, db FROM inter
-      |          JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
-      |          WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.6),
-      |nodes AS (SELECT DISTINCT u AS node FROM
-      |          (SELECT da AS u FROM pairs UNION ALL SELECT db FROM pairs)),
-      |ep AS (SELECT da AS u, db AS v FROM pairs
-      |       UNION ALL SELECT db AS u, da AS v FROM pairs
-      |       UNION ALL SELECT node AS u, node AS v FROM nodes),
-      |l0 AS (SELECT node, node AS label FROM nodes),
-      |$iters,
+      |${Llm.strongPairsCte()},
+      |${Llm.ccUnroll()},
       |cs AS (SELECT label AS cluster_id, count(*) AS sz FROM l8 GROUP BY label)
       |SELECT CAST(sz AS BIGINT) AS cluster_size,
       |  CAST(count(*) AS BIGINT) AS n_clusters
       |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin
-  }
 
   /** L2p — train/val/test near-dup leakage: near-duplicate pairs
     * (exact Jaccard ≥ 0.6) classified by which splits their endpoints
@@ -274,13 +257,7 @@ object Corpus {
 
   val splitLeakageSql: String =
     s"""${Llm.shingleCte},
-      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2),
-      |pairs AS (SELECT da, db FROM inter
-      |          JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
-      |          WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.6),
+      |${Llm.strongPairsCte()},
       |sp AS (SELECT doc_id,
       |         CASE WHEN CAST(concat('0x',
       |             substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
@@ -511,14 +488,7 @@ object Corpus {
 
   val degreeStatsSql: String =
     s"""${Llm.shingleCte},
-      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-      |          FROM sh a JOIN sh b
-      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2),
-      |pairs AS (SELECT da, db FROM inter
-      |          JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
-      |          WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.6),
+      |${Llm.strongPairsCte()},
       |deg AS (SELECT doc_id, count(*) AS deg FROM
       |          (SELECT da AS doc_id FROM pairs
       |           UNION ALL SELECT db FROM pairs)

@@ -79,27 +79,11 @@ object Curate {
   }
 
   val dedupCanonicalSql: String = {
-    // The same 8-round idempotent min-propagation unroll as
-    // q_dedup_clusters, then an argmax by (ntok DESC, doc_id).
-    val iters = (1 to 8).map { k =>
-      s"""l$k AS (SELECT e.u AS node, min(l.label) AS label
-         |  FROM ep e JOIN l${k - 1} l ON e.v = l.node GROUP BY e.u)""".stripMargin
-    }.mkString(",\n")
+    // The shared min-propagation unroll (Llm.ccUnroll), then an
+    // argmax by (ntok DESC, doc_id).
     s"""${Llm.shingleCte},
-      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2),
-      |pairs AS (SELECT da, db FROM inter
-      |          JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
-      |          WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.6),
-      |nodes AS (SELECT DISTINCT u AS node FROM
-      |          (SELECT da AS u FROM pairs UNION ALL SELECT db FROM pairs)),
-      |ep AS (SELECT da AS u, db AS v FROM pairs
-      |       UNION ALL SELECT db AS u, da AS v FROM pairs
-      |       UNION ALL SELECT node AS u, node AS v FROM nodes),
-      |l0 AS (SELECT node, node AS label FROM nodes),
-      |$iters,
+      |${Llm.strongPairsCte()},
+      |${Llm.ccUnroll()},
       |q AS (SELECT l8.node AS doc_id, l8.label AS cluster_id,
       |        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS ntok
       |      FROM l8 JOIN documents d ON l8.node = d.doc_id),

@@ -458,13 +458,7 @@ object EtlQueries {
     * the same stale-sweep hygiene as the bucketed-join stage. */
   def compaction(s: SparkSession, dir: String): DataFrame = {
     val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    try {
-      val cutoff = System.currentTimeMillis() - 3600 * 1000L
-      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("graft_compact_") &&
-          !f.getName.endsWith(s"_$app") && f.lastModified() < cutoff)
-        .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
-    } catch { case _: Throwable => }
+    graft.etl.Staging.sweepStale("graft_compact_", app)
     val stage = s"/tmp/graft_compact_${new java.io.File(dir).getName}_$app"
     Tables.orders(s, dir).repartition(64)
       .write.mode("overwrite").parquet(s"$stage/fragmented")

@@ -488,10 +488,6 @@ object Linkage {
   }
 
   val erPipelineSql: String = {
-    val iters = (1 to 8).map { k =>
-      s"""l$k AS (SELECT e.u AS node, min(l.label) AS label
-         |  FROM ep e JOIN l${k - 1} l ON e.v = l.node GROUP BY e.u)""".stripMargin
-    }.mkString(",\n")
     s"""WITH d AS (SELECT doc_id, lang, text, substring(text, 1, 48) AS pfx
       |           FROM documents),
       |wp AS (SELECT doc_id, pfx,
@@ -508,13 +504,7 @@ object Linkage {
       |pairs AS (SELECT least(doc_id, cand_id) AS da,
       |            greatest(doc_id, cand_id) AS db
       |          FROM c WHERE jaro_winkler_similarity(pfx, cpfx) >= 0.85),
-      |nodes AS (SELECT DISTINCT u AS node FROM
-      |          (SELECT da AS u FROM pairs UNION ALL SELECT db FROM pairs)),
-      |ep AS (SELECT da AS u, db AS v FROM pairs
-      |       UNION ALL SELECT db AS u, da AS v FROM pairs
-      |       UNION ALL SELECT node AS u, node AS v FROM nodes),
-      |l0 AS (SELECT node, node AS label FROM nodes),
-      |$iters
+      |${Llm.ccUnroll()}
       |SELECT label AS entity_id, count(*) AS n_members
       |FROM l8 GROUP BY label ORDER BY entity_id""".stripMargin
   }

@@ -25,6 +25,41 @@ object Llm {
       |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
       |       FROM w WHERE len(w) >= 3)""".stripMargin
 
+  /** The exact-Jaccard strong-pair CTE chain (requires a preceding
+    * `sh(doc_id, shingle)` CTE, i.e. [[shingleCte]]): sizes,
+    * shared-shingle intersections, and `pairs(da, db)` above the
+    * threshold. ONE definition — the dedup-family oracles all build
+    * on it, so the pair semantics cannot drift per query. */
+  private[queries] def strongPairsCte(threshold: Double = 0.6): String =
+    s"""sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT da, db FROM inter
+      |          JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= $threshold)""".stripMargin
+
+  /** The fixed-depth min-label-propagation unroll the CC oracles
+    * share (requires a preceding `pairs(da, db)` CTE; ends with
+    * `l<rounds>(node, label)`). Propagation is idempotent past the
+    * fixpoint, so any convergence depth ≤ rounds yields the identical
+    * labeling — ClusterSpec asserts the fixture converges well
+    * inside 8. ONE definition: if the fixture's graph ever needs a
+    * deeper unroll, every CC oracle moves together. */
+  private[queries] def ccUnroll(rounds: Int = 8): String = {
+    val iters = (1 to rounds).map { k =>
+      s"""l$k AS (SELECT e.u AS node, min(l.label) AS label
+         |  FROM ep e JOIN l${k - 1} l ON e.v = l.node GROUP BY e.u)""".stripMargin
+    }.mkString(",\n")
+    s"""nodes AS (SELECT DISTINCT u AS node FROM
+      |          (SELECT da AS u FROM pairs UNION ALL SELECT db FROM pairs)),
+      |ep AS (SELECT da AS u, db AS v FROM pairs
+      |       UNION ALL SELECT db AS u, da AS v FROM pairs
+      |       UNION ALL SELECT node AS u, node AS v FROM nodes),
+      |l0 AS (SELECT node, node AS label FROM nodes),
+      |$iters""".stripMargin
+  }
+
   /** L1 — exact dedup keyed on content hash, deterministic keeper. */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(s, dir), col("text"), col("doc_id"))
@@ -216,32 +251,15 @@ object Llm {
           .select(col("doc_id_a"), col("doc_id_b")))
       .orderBy(col("doc_id"))
 
-  val dedupClustersSql: String = {
+  val dedupClustersSql: String =
     // Mirrors the engine exactly: self-loops fold "keep your own
     // label" into the per-round min(), so each round is one
     // join+group-by over the static edge relation.
-    val iters = (1 to 8).map { k =>
-      s"""l$k AS (SELECT e.u AS node, min(l.label) AS label
-         |  FROM ep e JOIN l${k - 1} l ON e.v = l.node GROUP BY e.u)""".stripMargin
-    }.mkString(",\n")
     s"""$shingleCte,
-      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2),
-      |pairs AS (SELECT da, db FROM inter
-      |          JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
-      |          WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.6),
-      |nodes AS (SELECT DISTINCT u AS node FROM
-      |          (SELECT da AS u FROM pairs UNION ALL SELECT db FROM pairs)),
-      |ep AS (SELECT da AS u, db AS v FROM pairs
-      |       UNION ALL SELECT db AS u, da AS v FROM pairs
-      |       UNION ALL SELECT node AS u, node AS v FROM nodes),
-      |l0 AS (SELECT node, node AS label FROM nodes),
-      |$iters
+      |${strongPairsCte()},
+      |${ccUnroll()}
       |SELECT node AS doc_id, label AS cluster_id, node = label AS keep
       |FROM l8 ORDER BY doc_id""".stripMargin
-  }
 
   /** L6 — the end-to-end curation composition a training-data pipeline
     * runs: quality gates (length, lexical diversity) + exact-dup drop

@@ -420,7 +420,7 @@ object Metrics {
     val mx = e.agg(max(col("d")).as("mxd"))
     e.crossJoin(broadcast(mx))
       .select(col("user_id"),
-        least(datediff(col("mxd"), col("d")), lit(62)).cast("int").as("age"),
+        least(datediff(col("mxd"), col("d")), lit(30)).cast("int").as("age"),
         expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
       .select(col("user_id"),
         (col("cents").cast("double") /
@@ -435,7 +435,7 @@ object Metrics {
       |mx AS (SELECT max(d) AS mxd FROM e),
       |t AS (SELECT user_id,
       |        CAST(floor(value * 100) AS BIGINT) AS cents,
-      |        least(datediff('day', d, mxd), 62) AS age
+      |        least(datediff('day', d, mxd), 30) AS age
       |      FROM e CROSS JOIN mx)
       |SELECT user_id, count(*) AS n_events,
       |  sum(CAST(cents AS DOUBLE) / CAST(1::BIGINT << age AS DOUBLE))

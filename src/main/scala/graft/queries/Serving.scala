@@ -28,17 +28,11 @@ object Serving {
     val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
     // Hygiene: stage dirs are app-id-unique (two concurrent JVMs must
     // not race one directory), so dirs from DEAD apps would otherwise
-    // accumulate in /tmp forever. Sweep stale ones (>1 h old, not
-    // ours) best-effort at entry; within a session the same two
+    // accumulate in /tmp forever — sweep other apps' stale ones
+    // (graft.etl.Staging policy). Within a session the same two
     // tables/paths are overwritten, not duplicated, and the catalog
     // entries die with the session's in-memory catalog.
-    try {
-      val cutoff = System.currentTimeMillis() - 3600 * 1000L
-      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("graft_bucket_stage_") &&
-          !f.getName.endsWith(s"_$app") && f.lastModified() < cutoff)
-        .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
-    } catch { case _: Throwable => }
+    graft.etl.Staging.sweepStale("graft_bucket_stage_", app)
     val stage = s"/tmp/graft_bucket_stage_${new java.io.File(dir).getName}_$app"
     val ot = s"graft_orders_bkt_$app"
     val ct = s"graft_customer_bkt_$app"

@@ -31,11 +31,12 @@ class ClusterSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (1 to 12).foreach(i => assert(out(i.toLong) == 1L,
       s"node $i labeled ${out(i.toLong)}, expected 1"))
-    // …and a capped run demonstrably stops short (the defect the
-    // counter exists to prevent).
-    val capped = Dedup.dedupClusters(chain, maxIterations = 4)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(capped(12L) != 1L, "4 rounds cannot reach the end of an 11-edge path")
+    // …and an exhausted cap fails LOUDLY instead of returning
+    // partially-propagated labels (4 rounds cannot reach the end of
+    // an 11-edge path, and silent truncation would split the chain).
+    intercept[IllegalArgumentException] {
+      Dedup.dedupClusters(chain, maxIterations = 4).collect()
+    }
   }
 
   test("star contraction labels the same components as label propagation") {

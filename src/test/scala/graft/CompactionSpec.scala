@@ -16,7 +16,7 @@ class CompactionSpec extends SparkSpec {
     val out = tmp()
     val src = Tables.orders(spark, sfDir)
     src.repartition(64).write.parquet(s"$out/fragmented")
-    val (before, _) = Compaction.listBytes(s"$out/fragmented")
+    val (before, _) = Compaction.listBytes(spark, s"$out/fragmented")
     val (nIn, nOut) = Compaction.compact(spark, s"$out/fragmented",
       s"$out/compacted", targetBytes = 64L * 1024 * 1024)
     assert(nIn == 64, s"staging should fragment to 64 files, got $nIn")
