@@ -760,6 +760,47 @@ case class PqCosineF32(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Deflate-compressed size of a string — the corpus-quality signal
+  * behind compression-ratio filters: templated/repetitive text
+  * compresses far below natural prose, so bytes_deflated/bytes_raw
+  * separates boilerplate from content with zero linguistics. The
+  * DEFLATE output for a fixed level/strategy is deterministic for a
+  * given input (same zlib parameters, no timestamps — unlike the gzip
+  * container), so the signal is stable across runs and partitionings;
+  * it is still engine-specific (DuckDB exposes no deflate), hence
+  * no-oracle + spec. Interpreted (CodegenFallback): per-row cost IS
+  * the deflate call. One Deflater per task, reset between rows. */
+case class DeflateSize(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"deflate_size requires STRING, got ${child.dataType}")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "deflate_size"
+
+  // One deflater per task (expressions deserialize per task and a
+  // task is single-threaded); reset() between rows.
+  @transient private lazy val deflater =
+    new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION, true)
+  @transient private lazy val buf = new Array[Byte](8192)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    deflater.reset()
+    deflater.setInput(bytes)
+    deflater.finish()
+    var total = 0
+    while (!deflater.finished()) total += deflater.deflate(buf)
+    total
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration + Column-level wrappers. Registered idempotently via
   * [[graft.Tables.load]] so every query pack can use the fast paths
   * regardless of which entry point built the session. */
@@ -773,6 +814,8 @@ object GraftFunctions {
         exprs => DotProductF32(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("jaro_winkler",
         exprs => JaroWinklerSim(exprs(0), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("deflate_size",
+        exprs => DeflateSize(exprs.head), "scala_udf")
     }
     // Optimizer rules go through the public experimental-methods hook
     // (sessions built with spark.sql.extensions get them from
@@ -783,6 +826,7 @@ object GraftFunctions {
   }
 
   def fnv64(c: Column): Column = call_function("fnv64", c)
+  def deflateSize(c: Column): Column = call_function("deflate_size", c)
   def dotF32(a: Column, b: Column): Column = call_function("dot_f32", a, b)
   def jaroWinkler(a: Column, b: Column): Column = call_function("jaro_winkler", a, b)
 }

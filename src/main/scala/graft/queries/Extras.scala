@@ -71,6 +71,24 @@ object Extras {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** L24 — compression-ratio quality score: deflated/raw bytes per
+    * document (graft.functions.DeflateSize) — the zero-linguistics
+    * boilerplate detector (templated text compresses far below natural
+    * prose; production corpus filters cut on exactly this ratio).
+    * Deterministic for fixed zlib parameters but engine-specific
+    * (DuckDB exposes no deflate) → rows-only check; ExtrasSpec asserts
+    * the signal separates repetitive from diverse fixture docs and is
+    * partitioning-invariant. */
+  def compressRatio(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        GraftFunctions.deflateSize(col("text")).as("n_deflated"))
+      .withColumn("ratio",
+        col("n_deflated").cast("double") / col("n_chars").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Engine-native fingerprint via the codegen'd FNV-1a expression
     * (known-answer vectors asserted in FunctionsSpec). */
   def fnvFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -218,6 +236,7 @@ object Extras {
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_pq" -> (annPq _),
+    "q_compress_ratio" -> (compressRatio _),
     "q_fnv_fingerprint" -> (fnvFingerprint _),
     "q_multimodal_features" -> (multimodalFeatures _),
   )

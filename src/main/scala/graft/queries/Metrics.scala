@@ -442,7 +442,62 @@ object Metrics {
       |    AS decay_score
       |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** B19 — session conversion rate: sessionize each user's events
+    * (30-minute gap, the q_sessionize construction), flag sessions
+    * containing a purchase, and report daily session counts with the
+    * conversion share — the product-analytics readout funnels and
+    * retention both build on. One keyed window pass builds sessions;
+    * the flag is a max() inside the same per-session aggregate; exact
+    * integer counts, one division per day. */
+  def sessionConversion(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    base
+      .withColumn("prev_es", lag(col("es"), 1).over(wOrd))
+      .withColumn("new_session",
+        when(col("prev_es").isNull || col("es") - col("prev_es") > 1800L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("es")).as("start_es"),
+        max((col("event_type") === "purchase").cast("long")).as("converted"))
+      .select(date_add(lit("1970-01-01").cast("date"),
+        (col("start_es") / 86400L).cast("int")).as("d"), col("converted"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("converted")).as("n_converted"))
+      .select(col("d"), col("n_sessions"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n_sessions").cast("double"))
+          .as("conversion_rate"))
+      .orderBy(col("d"))
+  }
+
+  val sessionConversionSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+      |m AS (SELECT user_id, event_id, event_type, es,
+      |        CASE WHEN lag(es) OVER w IS NULL
+      |               OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+      |      FROM e
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+      |sid AS (SELECT user_id, event_type, es,
+      |          sum(ns) OVER (PARTITION BY user_id ORDER BY es, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |        FROM m),
+      |sess AS (SELECT user_id, session_id, min(es) AS start_es,
+      |           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |             AS converted
+      |         FROM sid GROUP BY user_id, session_id)
+      |SELECT DATE '1970-01-01' + CAST(start_es // 86400 AS INT) AS d,
+      |  count(*) AS n_sessions,
+      |  CAST(sum(converted) AS BIGINT) AS n_converted,
+      |  CAST(sum(converted) AS DOUBLE) / count(*) AS conversion_rate
+      |FROM sess GROUP BY 1 ORDER BY d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_conversion" -> (sessionConversion _),
     "q_decay_score" -> (decayScore _),
     "q_semi_additive" -> (semiAdditive _),
     "q_confusion_metrics" -> (confusionMetrics _),
@@ -458,6 +513,7 @@ object Metrics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_session_conversion" -> sessionConversionSql,
     "q_decay_score" -> decayScoreSql,
     "q_semi_additive" -> semiAdditiveSql,
     "q_confusion_metrics" -> confusionMetricsSql,

@@ -50,4 +50,26 @@ class ExtrasSpec extends SparkSpec {
     // KPS guarantee: every item above support appears in the sketch
     assert(trulyFrequent.subsetOf(sketch), s"$trulyFrequent not in $sketch")
   }
+
+  test("compression ratio separates repetitive text and is partitioning-invariant") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "spam " * 200),
+      (2L, (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ratios = docs
+      .select(col("doc_id"),
+        (graft.functions.GraftFunctions.deflateSize(col("text")).cast("double") /
+          length(col("text")).cast("double")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ratios(1L) < ratios(2L) / 3,
+      s"repetitive ${ratios(1L)} should compress far below diverse ${ratios(2L)}")
+    // fixture query: deterministic across partitionings
+    val a = Extras.compressRatio(spark, sfDir).collect().map(_.toSeq).toSeq
+    val wide = spark.newSession()
+    wide.conf.set("spark.sql.shuffle.partitions", "3")
+    val b = Extras.compressRatio(wide, sfDir).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
