@@ -496,7 +496,64 @@ object Metrics {
       |  CAST(sum(converted) AS DOUBLE) / count(*) AS conversion_rate
       |FROM sess GROUP BY 1 ORDER BY d""".stripMargin
 
+  /** TS13 — rolling 7-day correlation between two event streams
+    * (daily purchase vs error counts) — the co-movement monitor that
+    * flags when incidents start tracking revenue. Every rolling
+    * quantity (Σx, Σy, Σxy, Σx², Σy², n) is an EXACT INTEGER sum over
+    * a ROWS window on the bounded day spine, so the Pearson numerator
+    * and the two variance terms are exact int64 and the correlation
+    * is one fixed-order float chain (two sqrts, one division) —
+    * bit-portable with zero rounding. Windows only ever see the
+    * aggregated day relation, never the fact table. */
+  def rollingCorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum((col("event_type") === "purchase").cast("long")).as("x"),
+        sum((col("event_type") === "error").cast("long")).as("y"))
+    val w = Window.orderBy(col("d")).rowsBetween(-6, 0) // bounded day spine
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .filter(col("n") === 7)
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") =!= 0 &&
+        col("n") * col("syy") - col("sy") * col("sy") =!= 0)
+      .select(col("d"), col("x"), col("y"),
+        expr("CAST(n * sxy - sx * sy AS DOUBLE) / " +
+          "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+          "sqrt(CAST(n * syy - sy * sy AS DOUBLE)))").as("corr7"))
+      .orderBy(col("d"))
+  }
+
+  val rollingCorrSql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |r AS (SELECT d, x, y,
+      |        CAST(count(*) OVER w AS BIGINT) AS n,
+      |        CAST(sum(x) OVER w AS BIGINT) AS sx,
+      |        CAST(sum(y) OVER w AS BIGINT) AS sy,
+      |        CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+      |        CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+      |        CAST(sum(y * y) OVER w AS BIGINT) AS syy
+      |      FROM daily
+      |      WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT d, x, y,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr7
+      |FROM r WHERE n = 7
+      |  AND n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+      |ORDER BY d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_corr" -> (rollingCorr _),
     "q_session_conversion" -> (sessionConversion _),
     "q_decay_score" -> (decayScore _),
     "q_semi_additive" -> (semiAdditive _),
@@ -513,6 +570,7 @@ object Metrics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_corr" -> rollingCorrSql,
     "q_session_conversion" -> sessionConversionSql,
     "q_decay_score" -> decayScoreSql,
     "q_semi_additive" -> semiAdditiveSql,
