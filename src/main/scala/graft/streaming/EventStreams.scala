@@ -184,6 +184,29 @@ object EventStreams {
       .select(col("p_id"), col("user_id"), col("o_id"), col("o_type"))
   }
 
+  /** X6b — stream-stream LEFT OUTER join: like [[streamStreamJoin]]
+    * but purchases with NO correlated event still emit (null match
+    * columns) — the shape that catches "conversions without a
+    * preceding touchpoint". The subtlety this pins: outer rows can
+    * only emit once the OTHER side's watermark proves no future match
+    * is possible (past p_ts, the time-bound's upper edge), so
+    * unmatched results trail the event time by the watermark delay —
+    * StreamingSpec choreographs exactly that. Same watermark-bounded
+    * state posture as the inner variant. */
+  def streamStreamLeftJoin(purchases: DataFrame, others: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val o = others.withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("o_id"), col("user_id").as("o_user"),
+        col("ts").as("o_ts"), col("event_type").as("o_type"))
+    p.join(o,
+      col("user_id") === col("o_user") &&
+      col("o_ts") >= col("p_ts") - org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR") &&
+      col("o_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("p_id"), col("user_id"), col("o_id"), col("o_type"))
+  }
+
   /** X7 — stream-static enrichment join: each streaming event joined
     * to a static dimension table (here: per-user profile attributes).
     * The static side is planned per micro-batch as an ordinary batch

@@ -223,6 +223,40 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((10L, 1L)), s"got $rows")
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched purchases after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[EventRow]
+    val others = MemoryStream[EventRow]
+    val q = EventStreams.streamStreamLeftJoin(purchases.toDF(), others.toDF())
+      .writeStream.format("memory").queryName("ssleft")
+      .outputMode(OutputMode.Append()).start()
+    // matched purchase (signup 50 min before) and an UNMATCHED one
+    purchases.addData(mkEvents((10, 120, 1, "purchase", 5.0),
+      (11, 125, 2, "purchase", 7.0)))
+    others.addData(mkEvents((1, 70, 1, "signup", 0.0)))
+    q.processAllAvailable()
+    // the unmatched row must NOT have emitted yet: a match could still
+    // arrive until the other side's watermark passes p_ts
+    val early = spark.table("ssleft").collect()
+      .map(r => (r.getAs[Long]("p_id"), Option(r.get(2)))).toSet
+    assert(!early.exists(e => e._1 == 11L && e._2.isEmpty),
+      s"outer row emitted before the watermark proved no match: $early")
+    // advance BOTH watermarks far past the join bound; outer result
+    // lands in a following micro-batch
+    purchases.addData(mkEvents((98, 1000, 9, "purchase", 0.0)))
+    others.addData(mkEvents((99, 1000, 9, "signup", 0.0)))
+    q.processAllAvailable()
+    purchases.addData(mkEvents((96, 1400, 8, "purchase", 0.0)))
+    others.addData(mkEvents((97, 1400, 8, "signup", 0.0)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssleft").collect()
+      .map(r => (r.getAs[Long]("p_id"), Option(r.get(2)))).toSet
+    assert(rows.contains((10L, Some(1L))), s"matched row missing: $rows")
+    assert(rows.exists(e => e._1 == 11L && e._2.isEmpty),
+      s"unmatched purchase never emitted with null match: $rows")
+  }
+
   test("syncAvailableNow drains new files into the destination (A12 sync)") {
     val base = java.nio.file.Files.createTempDirectory("graft-sync").toString
     val src = Tables.orders(spark, sfDir)
