@@ -552,7 +552,51 @@ object Metrics {
       |  AND n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
       |ORDER BY d""".stripMargin
 
+  /** F2c — weekday activity profile: order counts and exact cents by
+    * day of week, with the weekday derived as (epoch_days + 4) mod 7
+    * in PURE INTEGER arithmetic (1970-01-01 was a Thursday) — the
+    * engine-neutral formula, because built-in dayofweek() numbering
+    * differs across engines (Sunday = 1 on Spark, 0 on DuckDB). */
+  def weekdayProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).as("days"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+          .as("cents"))
+      .select(pmod(col("days") + 4, lit(7)).cast("int").as("dow"), col("cents"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      .orderBy(col("dow"))
+
+  val weekdayProfileSql: String =
+    """SELECT CAST((datediff('day', DATE '1970-01-01',
+      |    CAST(o_orderdate AS DATE)) + 4) % 7 AS INT) AS dow,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM orders GROUP BY 1 ORDER BY dow""".stripMargin
+
+  /** E14 — join fan-out profile: the distribution of lineitems per
+    * order — the statistic that sizes every orders⋈lineitem plan
+    * (expected output rows, skew risk, broadcast viability) and that
+    * an optimizer's ndv estimates approximate; two keyed aggregates. */
+  def fanoutProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+      .groupBy(col("n_items").cast("int").as("items_per_order"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("items_per_order"))
+
+  val fanoutProfileSql: String =
+    """WITH f AS (SELECT l_orderkey, count(*) AS n_items
+      |           FROM lineitem GROUP BY l_orderkey)
+      |SELECT CAST(n_items AS INT) AS items_per_order,
+      |  count(*) AS n_orders
+      |FROM f GROUP BY 1 ORDER BY items_per_order""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weekday_profile" -> (weekdayProfile _),
+    "q_fanout_profile" -> (fanoutProfile _),
     "q_rolling_corr" -> (rollingCorr _),
     "q_session_conversion" -> (sessionConversion _),
     "q_decay_score" -> (decayScore _),
@@ -570,6 +614,8 @@ object Metrics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_weekday_profile" -> weekdayProfileSql,
+    "q_fanout_profile" -> fanoutProfileSql,
     "q_rolling_corr" -> rollingCorrSql,
     "q_session_conversion" -> sessionConversionSql,
     "q_decay_score" -> decayScoreSql,
