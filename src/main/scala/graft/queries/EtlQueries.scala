@@ -512,7 +512,35 @@ object EtlQueries {
       |  FROM orders)
       |GROUP BY rule ORDER BY rule""".stripMargin
 
+  /** S12 — raw text-lines transport round trip: stage document texts
+    * as gzipped line files (`spark.read.text`'s format — the lowest
+    * common denominator every web-corpus delivery uses), read them
+    * back as lines, and aggregate — proving the text path preserves
+    * every line byte-for-byte (count + distinct + total chars). Lines
+    * lose their source ordering in the round trip by design, so the
+    * output is the order-free aggregate; newline-free fixture text
+    * keeps the line↔document bijection exact. Staged under the same
+    * app-unique /tmp hygiene as the other transports. */
+  def textLinesRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    graft.etl.Staging.sweepStale("graft_textlines_", app)
+    val stage = s"/tmp/graft_textlines_${new java.io.File(dir).getName}_$app"
+    Tables.documents(s, dir).select(col("text"))
+      .write.mode("overwrite").option("compression", "gzip").text(stage)
+    s.read.text(stage)
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("value")).as("n_distinct"),
+        sum(length(col("value")).cast("bigint")).as("total_chars"))
+  }
+
+  val textLinesRoundtripSql: String =
+    """SELECT count(*) AS n_lines,
+      |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_lines_roundtrip" -> (textLinesRoundtrip _),
     "q_dead_letter" -> (deadLetter _),
     "q_compaction" -> (compaction _),
     "q_missing_ranges" -> ((s: SparkSession, d: String) => missingRanges(s, d)),
@@ -531,6 +559,7 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_lines_roundtrip" -> textLinesRoundtripSql,
     "q_dead_letter" -> deadLetterSql,
     "q_compaction" -> compactionSql,
     "q_missing_ranges" -> missingRangesSql,
