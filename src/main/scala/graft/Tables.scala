@@ -31,16 +31,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) on disk, which Spark 4 rejects by
-    * default (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the
-    * legacy conf, then convert to Spark's native microsecond
-    * TimestampType with integer division (double division would lose
-    * precision above 2^53 ns). Oracle-checked queries must still only
-    * emit second-or-coarser derivations of ts (SURVEY.md §7.4.2). */
+  /** events.ts is TIMESTAMP(NANOS) on disk. Spark point releases have
+    * changed how that reads — older 4.x rejects it unless the legacy
+    * nanosAsLong conf maps it to raw Long nanos; newer builds ignore
+    * that conf and read it natively as TIMESTAMP_NTZ (nanos floored to
+    * micros). Handle BOTH by dispatching on the schema the read
+    * actually produced; either path lands on Spark's native
+    * microsecond TimestampType with identical values (integer `div`
+    * floors exactly like the native read's truncation — double
+    * division would lose precision above 2^53 ns, and NTZ→TZ cast
+    * under the fixed UTC session timezone re-tags the same wall-clock
+    * instant). Oracle-checked queries must still only emit
+    * second-or-coarser derivations of ts (SURVEY.md §7.4.2). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // native TimestampType already
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
