@@ -1,17 +1,37 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector similarity search over an ArrayType(FloatType) embedding
-  * column: brute-force cosine top-k as the exact baseline, and an
-  * LSH-bucketed approximate variant as the 100 TB scale path.
+  * column: brute-force cosine top-k as the exact baseline, and three
+  * approximate 100 TB scale paths — LSH (bucketing), IVF (inverted
+  * lists), PQ (compressed codes) — plus their two-level composition
+  * IVF-PQ (coarse lists pruned first, PQ codes scored inside the
+  * probed lists only).
   *
   * The dot product accumulates left-to-right in double via the
   * higher-order `aggregate(zip_with(...))` — bit-identical to DuckDB's
   * `list_dot_product` over DOUBLE[], which makes raw cosine values
   * oracle-safe without rounding.
+  *
+  * Ranking shape: every scorer keeps k per probe via the
+  * [[TopKPairsD]] bounded-heap Aggregator — a partial/final aggregate
+  * that combines each partition down to ≤k rows per probe BEFORE the
+  * exchange. The window row_number() form this replaced shuffled every
+  * scored (probe, candidate) pair; at 100 TB that is the difference
+  * between shuffling |probes|×|candidates| scored rows and k rows per
+  * (probe × partition). Identical output under the total order
+  * (cosine DESC, neighbor_id ASC) — the window-based DuckDB oracle for
+  * q_sim_topk stays exact.
+  *
+  * Cache contract: index builders persist intermediates only for the
+  * duration of the build (training passes re-read them); everything is
+  * unpersisted before the result is returned, so running any returned
+  * plan leaves zero cached blocks behind (CacheScopeSpec). The final
+  * action recomputes one narrow assignment/encode pass instead of
+  * reading the build-time cache — a deliberate trade of one cheap pass
+  * for a leak-free library contract.
   */
 object Similarity {
 
@@ -39,12 +59,28 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Keep the k best (cosine DESC, neighbor_id ASC) rows per probe via
+    * the bounded-heap partial/final aggregate — map-side combines to
+    * ≤k rows per (probe × partition), so the exchange carries heaps,
+    * not the scored pair stream. Expects (probe_id, neighbor_id,
+    * cosine); emits (probe_id, rnk, neighbor_id, cosine). */
+  private def heapTopK(scored: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(new TopKPairsD(k))
+    scored
+      .groupBy(col("probe_id"))
+      .agg(agg(col("cosine"), col("neighbor_id")).as("top"))
+      .select(col("probe_id"), explode(col("top")).as("t"))
+      .select(col("probe_id"), col("t._1").cast("int").as("rnk"),
+        col("t._3").as("neighbor_id"), col("t._2").as("cosine"))
+  }
+
   /** Exact brute-force cosine top-k: every probe scored against every
     * candidate. Probes are broadcast (the probe set is small by
     * construction); candidates stream partition-parallel, so the cost
     * is |probes| × |candidates| FLOPs with no shuffle of the candidate
-    * table. Use only for bounded probe sets — the scale path is
-    * [[lshTopK]]. */
+    * table — and the heap aggregate means the only exchange carries
+    * ≤k rows per (probe × partition). Use only for bounded probe
+    * sets — the scale paths are [[lshTopK]]/[[ivfTopK]]/[[pqTopK]]. */
   def bruteForceTopK(probes: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     ensureRegistered(probes)
     val p = probes.select(col("vec_id").as("probe_id"),
@@ -58,13 +94,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("pe"), col("ce")) / (col("pn") * col("cn")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("rnk").cast("int").as("rnk"),
-        col("neighbor_id"), col("cosine"))
+    heapTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component for global plane
@@ -107,105 +137,59 @@ object Similarity {
       .drop("bkts")
   }
 
-  /** Approximate top-k: score only candidates colliding with the probe
-    * in at least one LSH table. At 100 TB this is the plan that
-    * survives: bucket the corpus once (narrow job, written bucketed by
-    * (t, bucket)), then each query touches ~tables/2^bits of the
-    * corpus instead of all of it. Recall vs [[bruteForceTopK]] is
-    * asserted in SimilaritySpec. */
-  /** IVF (inverted-file) approximate top-k — the other classic ANN
-    * scale path next to [[lshTopK]]: train a coarse quantizer, assign
-    * every vector to its nearest centroid's inverted list, and search
-    * only the `nprobe` lists nearest each probe.
-    *
-    * Training is k-means seeded from the label-block means (the
-    * VectorMean Aggregator — a partial/final aggregate whose buffer is
-    * dims×8 bytes regardless of list size) plus `iterations` Lloyd
-    * steps, each one broadcast-scored assignment pass + one mean
-    * shuffle. Centroid components are quantized to 1e-6 fixed point
-    * before every assignment pass: VectorMean accumulates doubles in
-    * shuffle order, so raw means can wobble in the last ulp across
-    * partitionings — after quantization an assignment can only flip
-    * if a d2 tie lands exactly on the quantization boundary (ties on
-    * equal d2 break on cid). The index is therefore stable across
-    * reruns of the same plan and, in practice, across partitionings;
-    * absolute cross-partitioning determinism would need the full
-    * fixed-point accumulation of `vectorCentroidsFp`.
-    *
-    * Scale shape: the centroid table stays tiny and broadcasts; the
-    * corpus is touched in narrow passes (assignment) and the search
-    * join is per-list, so each query scores ~nprobe/nlist of the
-    * corpus. At 100 TB the assigned corpus would be written bucketed
-    * by `cid` so the search join needs no shuffle at all.
-    *
-    * Thread-safety contract (also [[pqTopK]]): each training round
-    * re-registers a fixed-name session temp function whose closure
-    * holds the CURRENT centroids, and relies on DataFrame analysis
-    * being EAGER to bake that version into the plan before the next
-    * registration. That is sound for the single-threaded-per-session
-    * driver pattern every entry point here uses; two threads building
-    * index queries CONCURRENTLY on one SparkSession could interleave
-    * registrations and must use separate sessions
-    * (`spark.newSession()` gives each its own function registry). */
-  def ivfTopK(probes: DataFrame, candidates: DataFrame, k: Int,
-              nprobe: Int = 2, iterations: Int = 1, dims: Int = 64,
-              seedCol: String = "label"): DataFrame = {
-    require(candidates.schema(seedCol).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"ivfTopK seed column '$seedCol' must be numeric (cast to bigint " +
-        "for cluster ids); a non-numeric column would silently collapse " +
-        "the quantizer to one NULL cluster")
-    ensureRegistered(candidates)
+  // ---------------------------------------------------------------
+  // Coarse quantizer (shared by ivfTopK and ivfPqTopK)
+  // ---------------------------------------------------------------
+
+  /** Driver-pinned centroid set: (cid, quantized components, c·c). */
+  private type Cents = (Array[Long], Array[Array[Float]], Array[Double])
+
+  private def collectCents(grouped: DataFrame): Cents = {
+    val rows = grouped.collect().map { r =>
+      val q = r.getSeq[Double](1).map(x => (math.floor(x * 1e6) / 1e6).toFloat).toArray
+      var acc = 0.0
+      var i = 0
+      while (i < q.length) { acc += q(i).toDouble * q(i).toDouble; i += 1 }
+      (r.getLong(0), q, acc)
+    }.sortBy(_._1) // ascending cid: strict-less insertion ties to lowest cid
+    (rows.map(_._1), rows.map(_._2), rows.map(_._3))
+  }
+
+  /** Nearest-`n`-centroid assignment as a pure narrow projection: the
+    * centroid table ships INSIDE the expression as a reference object
+    * ([[graft.functions.NearestCentroidsF32]], the LshBucketsF32
+    * pattern) — no crossJoin row amplification, no argmin shuffle.
+    * Components are 1e-6 fixed-point quantized (see [[ivfTopK]]
+    * scaladoc): kills last-ulp wobble from summation order so
+    * assignments don't flip across partitionings; c·c is precomputed
+    * per centroid so scoring is one dot product per (vector,
+    * centroid). */
+  private def assign(df: DataFrame, embCol: String, cents: Cents, n: Int): Column = {
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nearest_cents",
+      exprs => graft.functions.NearestCentroidsF32(
+        exprs.head, cents._1, cents._2, cents._3, n),
+      "scala_udf")
+    call_function("graft_nearest_cents", col(embCol))
+  }
+
+  /** Train the coarse quantizer over `cand` (columns neighbor_id, ce,
+    * seed): k-means seeded from the label-block means (the VectorMean
+    * Aggregator — a partial/final aggregate whose buffer is dims×8
+    * bytes regardless of list size) plus `iterations` Lloyd steps.
+    * Each Lloyd step is ONE corpus assignment pass (assign, then means
+    * — the means shuffle carries map-side-combined dims×8-byte
+    * buffers, nlist rows per partition). The FINAL step's assignment
+    * IS the inverted-list table, and the final centroids are exactly
+    * those lists' means — each list's representative is its true mean,
+    * and the index costs `iterations` corpus passes, not
+    * iterations+1. Returns (final centroids, assigned lists); `lists`
+    * is persisted — the CALLER must unpersist it when done. */
+  private def trainCoarse(cand: DataFrame, dims: Int, iterations: Int): (Cents, DataFrame) = {
+    require(iterations >= 1, "coarse quantizer needs at least one Lloyd step")
     val vm = udaf(new VectorMean(dims))
-    // The corpus projection carries the seed label so the seed
-    // centroids and every Lloyd pass read the SAME cached relation —
-    // one parquet scan total (caller owns the cache lifecycle).
-    val cand = graft.Tables.widen(candidates).select(
-      col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
-      col(seedCol).cast("bigint").as("seed")).persist()
-    // The centroid table is nlist rows by construction — driver-pin it
-    // (the same place any k-means implementation keeps its centers)
-    // and ship it INSIDE the assignment expression as a reference
-    // object ([[graft.functions.NearestCentroidsF32]], the
-    // LshBucketsF32 pattern). Assignment — the only stage that touches
-    // the whole corpus per Lloyd iteration — is then a pure narrow
-    // projection: no crossJoin row amplification, no argmin shuffle,
-    // and no re-execution of the mean aggregate that produced the
-    // centroids (Spark broadcasts a SUBPLAN, not a result).
-    // Components are quantized to 1e-6 fixed point (see scaladoc):
-    // kills last-ulp wobble from summation order so assignments don't
-    // flip across partitionings; c·c is precomputed per centroid so
-    // scoring is one dot product per (vector, centroid).
-    def collectCents(grouped: DataFrame): (Array[Long], Array[Array[Float]], Array[Double]) = {
-      val rows = grouped.collect().map { r =>
-        val q = r.getSeq[Double](1).map(x => (math.floor(x * 1e6) / 1e6).toFloat).toArray
-        var acc = 0.0
-        var i = 0
-        while (i < q.length) { acc += q(i).toDouble * q(i).toDouble; i += 1 }
-        (r.getLong(0), q, acc)
-      }.sortBy(_._1) // ascending cid: strict-less insertion ties to lowest cid
-      (rows.map(_._1), rows.map(_._2), rows.map(_._3))
-    }
-    def assign(df: DataFrame, embCol: String,
-               cents: (Array[Long], Array[Array[Float]], Array[Double]),
-               n: Int): Column = {
-      df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_nearest_cents",
-        exprs => graft.functions.NearestCentroidsF32(
-          exprs.head, cents._1, cents._2, cents._3, n),
-        "scala_udf")
-      call_function("graft_nearest_cents", col(embCol))
-    }
-    require(iterations >= 1, "ivfTopK needs at least one Lloyd step")
     var cents = collectCents(cand.groupBy(col("seed").as("cid"))
       .agg(vm(col("ce")).as("centroid")))
-    // Each Lloyd step is ONE corpus assignment pass (assign, then
-    // means — the means shuffle carries map-side-combined dims×8-byte
-    // buffers, nlist rows per partition). The FINAL step's assignment
-    // IS the inverted-list table, and the final centroids are exactly
-    // those lists' means — each list's representative is its true
-    // mean, and the index costs `iterations` corpus passes, not
-    // iterations+1.
     var lists = cand.select(col("neighbor_id"), col("ce"),
       element_at(assign(cand, "ce", cents, 1), 1).as("cid")).persist()
     for (i <- 1 to iterations) {
@@ -217,52 +201,94 @@ object Similarity {
         prev.unpersist()
       }
     }
-    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-    val pAssigned = p.select(col("probe_id"), col("pe"),
-      explode(assign(p, "pe", cents, nprobe)).as("cid"))
-    // each candidate lives in exactly one list, so (probe, neighbor)
-    // pairs are unique even with nprobe > 1 — no dedup needed.
-    val scored = lists.join(broadcast(pAssigned), Seq("cid"))
-      .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("pe"), col("ce")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("rnk").cast("int").as("rnk"),
-        col("neighbor_id"), col("cosine"))
+    (cents, lists)
   }
 
-  /** Product-quantization ANN — the MEMORY scale path next to
-    * [[lshTopK]] (bucketing) and [[ivfTopK]] (inverted lists): encode
-    * every corpus vector as `nSub` small codes (one per contiguous
-    * subspace) — at the tuned 16 subspaces × 32 codes that is 16
-    * 5-bit codes ≈ 10 bytes packed where the raw float32 row is 256,
-    * a ~25× compression that keeps a 100 TB corpus's index
-    * RAM-resident (recall@5 matches LSH on the fixture). Scoring is ASYMMETRIC (raw probe vs decoded codes,
-    * [[graft.functions.PqCosineF32]]), so precision loss applies only
-    * to the corpus side.
+  private def requireNumericSeed(candidates: DataFrame, seedCol: String): Unit =
+    require(candidates.schema(seedCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"coarse quantizer seed column '$seedCol' must be numeric (cast to " +
+        "bigint for cluster ids); a non-numeric column would silently " +
+        "collapse the quantizer to one NULL cluster")
+
+  /** IVF (inverted-file) approximate top-k — the other classic ANN
+    * scale path next to [[lshTopK]]: train a coarse quantizer, assign
+    * every vector to its nearest centroid's inverted list, and search
+    * only the `nprobe` lists nearest each probe.
     *
-    * Training is per-subspace k-means exactly like [[ivfTopK]]'s
-    * quantizer: deterministic seed ((vec_id + s) mod k groups), then
-    * `iterations` Lloyd rounds where ONE narrow encode pass + ONE
-    * exploded (sub, code)-keyed VectorMean shuffle updates all
-    * subspace codebooks together; centroids quantize to 1e-6 fixed
-    * point per round (same last-ulp argument as IVF) and pin
-    * driver-side — they ARE the index metadata. Encode and score are
-    * codegen'd narrow projections; the only per-query work is a
-    * broadcast of raw probes over the 8-byte-per-row encoded corpus. */
-  def pqTopK(probes: DataFrame, candidates: DataFrame, k: Int,
-             nSub: Int = 16, codesPerSub: Int = 32, iterations: Int = 2,
-             dims: Int = 64): DataFrame = {
+    * Centroid components are quantized to 1e-6 fixed point before
+    * every assignment pass: VectorMean accumulates doubles in shuffle
+    * order, so raw means can wobble in the last ulp across
+    * partitionings — after quantization an assignment can only flip
+    * if a d2 tie lands exactly on the quantization boundary (ties on
+    * equal d2 break on cid). The index is therefore stable across
+    * reruns of the same plan and, in practice, across partitionings;
+    * absolute cross-partitioning determinism would need the full
+    * fixed-point accumulation of `vectorCentroidsFp`.
+    *
+    * Scale shape: the centroid table stays tiny and driver-pins; the
+    * corpus is touched in narrow passes (assignment) and the search
+    * join is per-list, so each query scores ~nprobe/nlist of the
+    * corpus. At 100 TB the assigned corpus would be written bucketed
+    * by `cid` so the search join needs no shuffle at all.
+    *
+    * Thread-safety contract (also [[pqTopK]]/[[ivfPqTopK]]): each
+    * training round re-registers a fixed-name session temp function
+    * whose closure holds the CURRENT centroids, and relies on
+    * DataFrame analysis being EAGER to bake that version into the plan
+    * before the next registration. That is sound for the
+    * single-threaded-per-session driver pattern every entry point here
+    * uses; two threads building index queries CONCURRENTLY on one
+    * SparkSession could interleave registrations and must use separate
+    * sessions (`spark.newSession()` gives each its own function
+    * registry). */
+  def ivfTopK(probes: DataFrame, candidates: DataFrame, k: Int,
+              nprobe: Int = 2, iterations: Int = 1, dims: Int = 64,
+              seedCol: String = "label"): DataFrame = {
+    requireNumericSeed(candidates, seedCol)
     ensureRegistered(candidates)
-    val subDim = dims / nSub
+    // The corpus projection carries the seed label so the seed
+    // centroids and every Lloyd pass read the SAME cached relation —
+    // one parquet scan per training action.
+    val cand = graft.Tables.widen(candidates).select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      col(seedCol).cast("bigint").as("seed")).persist()
+    try {
+      val (cents, lists) = trainCoarse(cand, dims, iterations)
+      try {
+        val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+        val pAssigned = p.select(col("probe_id"), col("pe"),
+          explode(assign(p, "pe", cents, nprobe)).as("cid"))
+        // each candidate lives in exactly one list, so (probe, neighbor)
+        // pairs are unique even with nprobe > 1 — no dedup needed.
+        val scored = lists.join(broadcast(pAssigned), Seq("cid"))
+          .filter(col("probe_id") =!= col("neighbor_id"))
+          .withColumn("cosine", cosine(col("pe"), col("ce")))
+        heapTopK(scored, k)
+      } finally lists.unpersist()
+    } finally cand.unpersist()
+  }
+
+  // ---------------------------------------------------------------
+  // Product quantization (shared by pqTopK and ivfPqTopK)
+  // ---------------------------------------------------------------
+
+  /** Driver-pinned PQ codebooks: books(sub)(code) = centroid, plus the
+    * per-centroid squared norms. */
+  private type Books = (Array[Array[Array[Float]]], Array[Array[Double]])
+
+  /** Train per-subspace codebooks over `cand` (column ce): exactly
+    * [[ivfTopK]]'s quantizer per subspace — deterministic seed
+    * ((vec_id + sub) mod codesPerSub groups), then `iterations` Lloyd
+    * rounds where ONE narrow encode pass + ONE exploded (sub, code)-
+    * keyed VectorMean shuffle updates all subspace codebooks together;
+    * centroids quantize to 1e-6 fixed point per round (same last-ulp
+    * argument as IVF) and pin driver-side — they ARE the index
+    * metadata. */
+  private def trainBooks(cand: DataFrame, nSub: Int, codesPerSub: Int,
+                         subDim: Int, iterations: Int): Books = {
     val vm = udaf(new VectorMean(subDim))
-    val cand = graft.Tables.widen(candidates)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-      .persist()
-    def collectBooks(assigned: DataFrame): (Array[Array[Array[Float]]], Array[Array[Double]]) = {
+    def collectBooks(assigned: DataFrame): Books = {
       // assigned: (sub, code, subvec) → per-(sub, code) mean
       val rows = assigned.groupBy(col("sub"), col("code"))
         .agg(vm(col("subvec")).as("cent")).collect()
@@ -288,36 +314,114 @@ object Similarity {
       .select(col("e.sub").as("sub"),
         pmod(col("neighbor_id") + col("e.sub"), lit(codesPerSub)).cast("int").as("code"),
         col("e.subvec").as("subvec")))
-    def encodeCol(df: DataFrame, embCol: String): Column = {
-      df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_pq_codes",
-        exprs => graft.functions.PqCodesF32(exprs.head, books._1), "scala_udf")
-      call_function("graft_pq_codes", col(embCol))
-    }
     for (_ <- 1 to iterations) {
       books = collectBooks(cand
-        .select(col("neighbor_id"), encodeCol(cand, "ce").as("codes"),
+        .select(col("neighbor_id"), encodeCol(cand, "ce", books).as("codes"),
           explode(array(subvecs: _*)).as("e"))
         .select(col("e.sub").as("sub"),
           element_at(col("codes"), col("e.sub") + 1).as("code"),
           col("e.subvec").as("subvec")))
     }
-    val encoded = cand.select(col("neighbor_id"), encodeCol(cand, "ce").as("codes"))
-    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-    encoded.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+    books
+  }
+
+  /** Nearest-code encoding as a codegen'd narrow projection
+    * ([[graft.functions.PqCodesF32]]). */
+  private def encodeCol(df: DataFrame, embCol: String, books: Books): Column = {
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_codes",
+      exprs => graft.functions.PqCodesF32(exprs.head, books._1), "scala_udf")
+    call_function("graft_pq_codes", col(embCol))
+  }
+
+  /** Asymmetric cosine (raw probe vs decoded codes,
+    * [[graft.functions.PqCosineF32]]) — precision loss applies only to
+    * the corpus side. */
+  private def pqCosineCol(df: DataFrame, probeCol: String, codesCol: String,
+                          books: Books): Column = {
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_cosine",
       exprs => graft.functions.PqCosineF32(exprs(0), exprs(1), books._1, books._2),
       "scala_udf")
-    val scored = encoded.crossJoin(broadcast(p))
-      .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cosine", call_function("graft_pq_cosine", col("pe"), col("codes")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("rnk").cast("int").as("rnk"),
-        col("neighbor_id"), col("cosine"))
+    call_function("graft_pq_cosine", col(probeCol), col(codesCol))
+  }
+
+  /** Product-quantization ANN — the MEMORY scale path next to
+    * [[lshTopK]] (bucketing) and [[ivfTopK]] (inverted lists): encode
+    * every corpus vector as `nSub` small codes (one per contiguous
+    * subspace) — at the tuned 16 subspaces × 32 codes that is 16
+    * 5-bit codes ≈ 10 bytes packed where the raw float32 row is 256,
+    * a ~25× compression that keeps a 100 TB corpus's index
+    * RAM-resident (recall@5 matches LSH on the fixture). Scoring is
+    * ASYMMETRIC (raw probe vs decoded codes), so precision loss
+    * applies only to the corpus side.
+    *
+    * Flat PQ scans the WHOLE encoded corpus per probe — honest as the
+    * memory path at bench scale, but at 100 TB compose the coarse
+    * stage in front: [[ivfPqTopK]] prunes to nprobe inverted lists
+    * first and PQ-scores only those lists' codes. */
+  def pqTopK(probes: DataFrame, candidates: DataFrame, k: Int,
+             nSub: Int = 16, codesPerSub: Int = 32, iterations: Int = 2,
+             dims: Int = 64): DataFrame = {
+    ensureRegistered(candidates)
+    val subDim = dims / nSub
+    val cand = graft.Tables.widen(candidates)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .persist()
+    try {
+      val books = trainBooks(cand, nSub, codesPerSub, subDim, iterations)
+      val encoded = cand.select(col("neighbor_id"), encodeCol(cand, "ce", books).as("codes"))
+      val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val scored = encoded.crossJoin(broadcast(p))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cosine", pqCosineCol(encoded, "pe", "codes", books))
+      heapTopK(scored, k)
+    } finally cand.unpersist()
+  }
+
+  /** IVF-PQ — the two-level index that closes flat PQ's scale gap:
+    * the coarse quantizer assigns every corpus vector to one of the
+    * label-seeded inverted lists ONCE, vectors are PQ-encoded within
+    * their lists, and a probe PQ-scores only the codes of its `nprobe`
+    * nearest lists. Per-probe work drops from |corpus| code scans
+    * (flat PQ) to ~nprobe/nlist of the corpus, while the index stays
+    * ~25× compressed — the standard composition (Jégou et al.'s
+    * IVFADC shape) re-expressed as two narrow projections + one
+    * per-list broadcast join.
+    *
+    * Codebooks are trained on the raw corpus (not per-list residuals):
+    * scores for surviving candidates are then IDENTICAL to flat PQ's,
+    * so the only recall delta vs [[pqTopK]] is coarse-list pruning —
+    * measured on the fixture in SimilaritySpec. Same determinism
+    * contract as both parents (fixed-point centroids, seeded
+    * assignments, total-order ranking). */
+  def ivfPqTopK(probes: DataFrame, candidates: DataFrame, k: Int,
+                nprobe: Int = 2, iterations: Int = 1,
+                nSub: Int = 16, codesPerSub: Int = 32, pqIterations: Int = 2,
+                dims: Int = 64, seedCol: String = "label"): DataFrame = {
+    requireNumericSeed(candidates, seedCol)
+    ensureRegistered(candidates)
+    val subDim = dims / nSub
+    val cand = graft.Tables.widen(candidates).select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      col(seedCol).cast("bigint").as("seed")).persist()
+    try {
+      val (cents, lists) = trainCoarse(cand, dims, iterations)
+      try {
+        val books = trainBooks(cand, nSub, codesPerSub, subDim, pqIterations)
+        // the inverted-list file of a real deployment: (cid, id, codes)
+        // — at 100 TB written bucketed by cid, ~10 bytes/row.
+        val encoded = lists.select(col("cid"), col("neighbor_id"),
+          encodeCol(lists, "ce", books).as("codes"))
+        val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+        val pAssigned = p.select(col("probe_id"), col("pe"),
+          explode(assign(p, "pe", cents, nprobe)).as("cid"))
+        val scored = encoded.join(broadcast(pAssigned), Seq("cid"))
+          .filter(col("probe_id") =!= col("neighbor_id"))
+          .withColumn("cosine", pqCosineCol(encoded, "pe", "codes", books))
+        heapTopK(scored, k)
+      } finally lists.unpersist()
+    } finally cand.unpersist()
   }
 
   def lshTopK(probes: DataFrame, candidates: DataFrame, k: Int,
@@ -331,12 +435,6 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("pe"), col("ce"))
       .distinct() // collapse multi-table collisions before scoring
     val scored = cand.withColumn("cosine", cosine(col("pe"), col("ce")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("rnk").cast("int").as("rnk"),
-        col("neighbor_id"), col("cosine"))
+    heapTopK(scored, k)
   }
 }

@@ -71,6 +71,18 @@ object Extras {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** ANN — IVF-PQ two-level approximate top-k (coarse inverted lists
+    * pruned first, PQ codes scored only inside the nprobe probed
+    * lists): the composition that keeps per-probe work at
+    * ~nprobe/nlist of the corpus while the index stays ~25×
+    * compressed. Recall vs brute force and vs flat PQ asserted in
+    * SimilaritySpec. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfPqTopK(emb.filter(col("vec_id") < 20), emb, 5, nprobe = 6)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** L24 — compression-ratio quality score: deflated/raw bytes per
     * document (graft.functions.DeflateSize) — the zero-linguistics
     * boilerplate detector (templated text compresses far below natural
@@ -236,6 +248,7 @@ object Extras {
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_pq" -> (annPq _),
+    "q_ann_ivfpq" -> (annIvfPq _),
     "q_compress_ratio" -> (compressRatio _),
     "q_fnv_fingerprint" -> (fnvFingerprint _),
     "q_multimodal_features" -> (multimodalFeatures _),
