@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Query-scoped cache lifecycle — the library-grade replacement for the
+  * old "caller must clearCache() between queries" contract.
+  *
+  * Operators persist() intermediates that feed two readers of ONE
+  * returned plan (self-joins, sizes+pairs passes, pinned sampled range
+  * bounds). Those blocks must be live while the caller's action runs —
+  * the operator cannot unpersist before returning — but nothing should
+  * outlive that action. The scope closes itself:
+  *
+  *  - [[persistScoped]] persists and records the intermediate in a
+  *    thread-local pending set (plan building is driver-thread code);
+  *  - [[own]] — applied to every registered query at the SparkEntry
+  *    boundary — associates the pending intermediates with the
+  *    returned plan and installs (once per session) a
+  *    QueryExecutionListener;
+  *  - when ANY action completes whose analyzed plan contains the owned
+  *    plan as a subtree (count, collect, parquet write — commands wrap
+  *    the query but keep it as a child), the listener unpersists that
+  *    plan's intermediates. Plans never executed can be reclaimed with
+  *    [[drain]] (Bench/Verify call it between queries, belt-and-
+  *    braces).
+  *
+  * Contract shift vs the old scaladoc: a returned plan is good for ONE
+  * action; after it completes the scratch caches are gone, so a second
+  * action on the SAME object recomputes from scratch — rebuild the
+  * query instead. (For the half-dozen operators that pin sampled range
+  * bounds the rebuild also re-pins, which is exactly what the pinning
+  * is for.) CacheScopeSpec asserts zero persisted blocks remain after
+  * a query's action.
+  */
+object Caches {
+
+  private val pending = new ThreadLocal[ArrayBuffer[DataFrame]] {
+    override def initialValue(): ArrayBuffer[DataFrame] = ArrayBuffer.empty
+  }
+
+  /** Owned scopes: consumer analyzed plan → the persisted intermediates
+    * feeding it. Values are swept by the per-session listener. */
+  private val owned =
+    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, Seq[DataFrame]]()
+
+  private val installed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Extension form: `df.persistScoped()` reads like `df.persist()` at
+    * the ~40 operator sites. */
+  implicit final class PersistScoped(private val df: DataFrame) extends AnyVal {
+    def persistScoped(): DataFrame = Caches.persist(df)
+  }
+
+  def persist(df: DataFrame): DataFrame = {
+    df.persist()
+    pending.get() += df
+    df
+  }
+
+  /** Close the building scope: everything persisted on this thread
+    * since the last own()/drain() now belongs to `result` and is
+    * released when an action over `result` completes. */
+  def own(result: DataFrame): DataFrame = {
+    val p = pending.get()
+    if (p.nonEmpty) {
+      owned.put(result.queryExecution.analyzed, p.toSeq)
+      p.clear()
+      install(result.sparkSession)
+    }
+    result
+  }
+
+  /** Unpersist every tracked intermediate (pending and owned) — the
+    * harness-loop safety net for plans that were built but never run. */
+  def drain(): Unit = {
+    val p = pending.get()
+    p.foreach(unpersistQuietly)
+    p.clear()
+    val it = owned.values().iterator()
+    while (it.hasNext) { it.next().foreach(unpersistQuietly); it.remove() }
+  }
+
+  /** Visible for CacheScopeSpec. */
+  private[graft] def ownedCount: Int = owned.size()
+  private[graft] def pendingCount: Int = pending.get().size
+
+  private def unpersistQuietly(df: DataFrame): Unit =
+    try df.unpersist() catch { case _: Throwable => }
+
+  private def install(spark: SparkSession): Unit =
+    if (installed.add(spark)) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+                               durationNs: Long): Unit = release(qe)
+        override def onFailure(funcName: String, qe: QueryExecution,
+                               exception: Exception): Unit = release(qe)
+      })
+    }
+
+  /** Release every owned scope whose consumer plan is a subtree of the
+    * completed execution (sameResult is canonicalized, so cosmetic
+    * differences — command wrappers, reordered projections — don't
+    * mask the match). */
+  private def release(qe: QueryExecution): Unit = {
+    if (owned.isEmpty) return
+    val it = owned.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val hit =
+        try qe.analyzed.exists(node => node.sameResult(e.getKey))
+        catch { case _: Throwable => false }
+      if (hit) {
+        e.getValue.foreach(unpersistQuietly)
+        it.remove()
+      }
+    }
+  }
+}

@@ -12,12 +12,13 @@ import graft.queries.{Alloc, Analytics, Corpus, Curate, EtlQueries, Extras, Feat
   * hash-compares values).
   *
   * Cache contract: operators persist() intermediates that feed two
-  * readers (self-joins, size+pair passes) and do NOT unpersist them —
-  * the blocks are live until the query's final action completes, and
-  * only the CALLER knows when that is. A long-lived session running
-  * many queries MUST `spark.catalog.clearCache()` between them (Bench
-  * and Verify both do, after every query); a one-query-per-session
-  * caller can ignore this. See the Dedup scaladoc for the rationale.
+  * readers of one returned plan (self-joins, size+pair passes) via
+  * [[Caches.persist]]; every query registered here is wrapped in
+  * [[Caches.own]], which releases those intermediates automatically
+  * when the caller's action over the returned plan completes — no
+  * caller-side clearCache() is required (CacheScopeSpec asserts zero
+  * persisted blocks remain after a query runs). One returned plan is
+  * good for one action; rebuild the query for another run.
   */
 object SparkEntry {
 
@@ -48,9 +49,13 @@ object SparkEntry {
       (Metrics.queries, Metrics.oracle),
     )
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Every
+    * entry closes its cache scope via [[Caches.own]]: scratch
+    * persists are released when the caller's action completes. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.iterator.map(_._1).reduce(_ ++ _)
+    packs.iterator.map(_._1).reduce(_ ++ _).map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) => Caches.own(fn(s, dir)))
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker

@@ -35,9 +35,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // Operators persist() intermediates within a query; drop them between
-      // queries so ~100 runs in one session don't accumulate cached blocks.
-      try spark.catalog.clearCache() catch { case _: Throwable => }
+      // Scoped caches self-release when the write completes (Caches);
+      // drain() + clearCache() is the harness belt-and-braces for
+      // queries that errored before their action could release them.
+      try { Caches.drain(); spark.catalog.clearCache() }
+      catch { case _: Throwable => }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Caches.PersistScoped
 
 /** Document-deduplication operators for large-scale training-data
   * pipelines: exact, MinHash-banded, SimHash, and n-gram-Jaccard
@@ -16,12 +17,12 @@ import org.apache.spark.sql.functions._
   * every stage is oracle-checkable in plain SQL; for hot paths where
   * oracle parity is not needed, xxhash64 is the cheaper choice.
   *
-  * Cache lifecycle: operators persist() intermediates that feed a
+  * Cache lifecycle: operators persist intermediates that feed a
   * self-join (re-deriving the whole pipeline per join side would double
-  * the work). The CALLER owns unpersisting — one action-driven query per
-  * session can ignore it; long-lived sessions running many queries
-  * should `spark.catalog.clearCache()` between them (Bench and Verify
-  * do).
+  * the work) via [[graft.Caches.persistScoped]]; the scope closes
+  * itself — the blocks are released when the action over the returned
+  * plan completes (see [[graft.Caches]]). No caller-side clearCache()
+  * is needed.
   */
 object Dedup {
 
@@ -155,7 +156,7 @@ object Dedup {
       // Self-joined below: without persist Spark re-executes the whole
       // signature pipeline for each side. The banded table is tiny
       // (docs × bands), so this is the cheap side to materialize.
-      .persist()
+      .persistScoped()
     val a = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_id_a"))
     val b = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_id_b"))
     a.join(b, Seq("band", "band_sig"))
@@ -180,7 +181,7 @@ object Dedup {
       .select(col("doc_id"), col("is_new"), col("band"),
         expr(s"array_join(slice(sig, band * $rowsPerBand + 1, $rowsPerBand), ',')")
           .as("band_sig"))
-      .persist()
+      .persistScoped()
     val a = bands.filter(col("is_new"))
       .select(col("band"), col("band_sig"), col("doc_id").as("new_id"))
     val b = bands.filter(!col("is_new"))
@@ -254,7 +255,7 @@ object Dedup {
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(expr(s"sequence(0, ${nBands - 1})")).as("b"))
       .withColumn("band_val", expr("(simhash >> (b * 8)) & 255"))
-      .persist() // self-joined below; docs × bands rows
+      .persistScoped() // self-joined below; docs × bands rows
     val a = banded.select(col("b"), col("band_val"),
       col("doc_id").as("doc_id_a"), col("simhash").as("sh_a"))
     val bb = banded.select(col("b"), col("band_val"),
@@ -292,7 +293,7 @@ object Dedup {
         call_function("graft_ngram_hashes", col("text")).as("hs"))
       .filter(col("hs").isNotNull)
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n_sh"))
-      .persist() // both sides of the pair join read it
+      .persistScoped() // both sides of the pair join read it
     val sh = withSets.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("shash"))
     sh.select(col("shash"), col("doc_id").as("doc_id_a"), col("n_sh").as("n_a"))
       .join(sh.select(col("shash"), col("doc_id").as("doc_id_b"), col("n_sh").as("n_b")),
@@ -447,6 +448,15 @@ object Dedup {
     def identical(a: DataFrame, b: DataFrame): Boolean =
       a.join(b, Seq("u", "v"), "left_anti").isEmpty &&
         b.join(a, Seq("u", "v"), "left_anti").isEmpty
+    // star() returns the LAZY plan; the caller decides materialization.
+    // One round = large-star then small-star, but only ONE
+    // localCheckpoint per round (after the small-star): the large-star
+    // intermediate is persist()ed lazily instead, so it materializes as
+    // a side effect of the small-star checkpoint job (its plan reads
+    // the large result three times — two union arms + the min join —
+    // so it must be pinned, but it does not need its own eager job).
+    // Halves the per-round materialization count, the r7 verdict's
+    // named tuning item for this operator.
     def star(e: DataFrame, large: Boolean): DataFrame = {
       val nbrs = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -460,8 +470,7 @@ object Dedup {
           .select(col("v").as("u"), col("m").as("v"))
           .union(m.filter(col("u") =!= col("m"))
             .select(col("u"), col("m").as("v")))
-      out.filter(col("u") =!= col("v")).distinct()
-        .coalesce(width).localCheckpoint()
+      out.filter(col("u") =!= col("v")).distinct().coalesce(width)
     }
     var fp = fingerprint(edges)
     var converged = false
@@ -469,7 +478,9 @@ object Dedup {
     while (!converged && round < maxRounds) {
       round += 1
       val prev = edges
-      edges = star(star(edges, large = true), large = false)
+      val lg = star(edges, large = true).persist()
+      edges = star(lg, large = false).localCheckpoint()
+      lg.unpersist()
       val cur = fingerprint(edges)
       converged = cur == fp && identical(prev, edges)
       fp = cur
@@ -496,7 +507,7 @@ object Dedup {
     val withNorm = emb.select(col("vec_id"), blockKey.as("blk"),
       col("embedding"),
       sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("nrm"))
-      .persist() // both sides of the blocked pair join
+      .persistScoped() // both sides of the blocked pair join
     val a = withNorm.select(col("blk"), col("vec_id").as("vec_id_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = withNorm.select(col("blk"), col("vec_id").as("vec_id_b"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Caches.PersistScoped
 
 /** Allocation, classification, and load-profile operators (round 5
   * extensions beyond SURVEY.md §2B): largest-remainder proration, ABC
@@ -92,11 +93,11 @@ object Alloc {
         (col("l_extendedprice").cast("decimal(18,2)") * 100)
           .cast("bigint").as("cents"))
       .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev"))
-      .persist()
+      .persistScoped()
     val parts = rev
       .repartitionByRange(Tables.shuffleWidth(s), col("rev").desc, col("l_partkey"))
       .withColumn("pid", spark_partition_id())
-      .persist() // pin sampled range bounds: both readers must agree on pid
+      .persistScoped() // pin sampled range bounds: both readers must agree on pid
     val offsets = parts.groupBy(col("pid")).agg(sum(col("rev")).as("c"))
       .withColumn("off", sum(col("c")).over(Window.orderBy(col("pid"))) - col("c"))
       .select(col("pid"), col("off"))
@@ -162,7 +163,7 @@ object Alloc {
     val parts = deltas
       .repartitionByRange(Tables.shuffleWidth(s), col("d"))
       .withColumn("pid", spark_partition_id())
-      .persist() // pin sampled range bounds: both readers must agree on pid
+      .persistScoped() // pin sampled range bounds: both readers must agree on pid
     val offsets = parts.groupBy(col("pid")).agg(sum(col("net")).as("c"))
       .withColumn("off", sum(col("c")).over(Window.orderBy(col("pid"))) - col("c"))
       .select(col("pid"), col("off"))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Dedup
+import graft.Caches.PersistScoped
 
 /** Behavioral / dataset-quality analytics pack (round 3): cohort
   * retention, funnel progression, stratified sampling, central
@@ -237,7 +238,7 @@ object Analytics {
       .select(col("doc_id"), call_function("graft_ngram_hashes", col("text")).as("hs"))
       .filter(col("hs").isNotNull)
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n_sh"))
-      .persist()
+      .persistScoped()
     val benchSh = withSets.filter(col("doc_id") % 100 === 0)
       .select(explode(col("hs")).as("shash")).distinct()
     val hits = withSets.filter(col("doc_id") % 100 =!= 0)
@@ -364,7 +365,7 @@ object Analytics {
       "scala_udf")
     val dst = Tables.orders(s, dir)
       .filter(col("o_orderkey") % 7 =!= 0)
-      .select(col("o_orderkey")).persist()
+      .select(col("o_orderkey")).persistScoped()
     dst.createOrReplaceTempView("graft_bloom_dst")
     val might = expr(
       "graft_might_contain(" +
@@ -376,7 +377,7 @@ object Analytics {
     // aggregate (a scalar subquery is re-evaluated per plan
     // occurrence, so two `might` filters meant two sketch builds).
     val src = Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
-      .withColumn("maybe", might).persist()
+      .withColumn("maybe", might).persistScoped()
     val definite = src.filter(!col("maybe")).drop("maybe")
     val confirmed = src.filter(col("maybe")).drop("maybe")
       .join(dst, col("l_orderkey") === col("o_orderkey"), "left_anti")
@@ -804,7 +805,7 @@ object Analytics {
       .sortWithinPartitions(col("l_returnflag"), col("l_extendedprice"))
       .withColumn("mid", monotonically_increasing_id())
       .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
-      .persist()
+      .persistScoped()
     val counts = parts.groupBy(col("pid"), col("l_returnflag"))
       .agg(count(lit(1)).as("c"), min(col("mid")).as("m0"))
     val offsets = counts
@@ -968,7 +969,7 @@ object Analytics {
   def similarityMeasures(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val prof = Dedup.shingleProfiles(docs, 3, 16)
-      .persist() // feeds the band join once and the verify join twice
+      .persistScoped() // feeds the band join once and the verify join twice
     val cands = Dedup.minhashCandidates(prof.select(col("doc_id"), col("sig")), 4)
     val sets = prof.select(col("doc_id"), col("hs"))
     cands
@@ -1034,7 +1035,7 @@ object Analytics {
   def dedupVerified(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val prof = Dedup.shingleProfiles(docs, 3, 16)
-      .persist() // feeds the band join once and the verify join twice
+      .persistScoped() // feeds the band join once and the verify join twice
     val cands = Dedup.minhashCandidates(prof.select(col("doc_id"), col("sig")), 4)
     val sets = prof.select(col("doc_id"), col("hs"))
     cands

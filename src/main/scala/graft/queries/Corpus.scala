@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Dedup
+import graft.Caches.PersistScoped
 
 /** Round-7 corpus-audit operators: the measurement layer a training-
   * data pipeline runs NEXT TO its dedup/curation passes — how good is
@@ -31,7 +32,7 @@ object Corpus {
   def minhashError(s: SparkSession, dir: String): DataFrame = {
     val prof = Dedup.shingleProfiles(
       Tables.documents(s, dir).select(col("doc_id"), col("text")), 3, 16)
-      .persist() // candidate join + both sides of the verify join
+      .persistScoped() // candidate join + both sides of the verify join
     val cands = Dedup.minhashCandidates(prof.select(col("doc_id"), col("sig")), 4)
     val pa = prof.select(col("doc_id").as("doc_id_a"),
       col("hs").as("ha"), col("sig").as("sa"))
@@ -164,7 +165,7 @@ object Corpus {
       .select(col("source"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
     val st = toks.groupBy(col("source"), col("term"))
-      .agg(count(lit(1)).as("n_st")).persist() // corpus re-agg + the join
+      .agg(count(lit(1)).as("n_st")).persistScoped() // corpus re-agg + the join
     val ct = st.groupBy(col("term")).agg(sum(col("n_st")).as("n_ct"))
     val totS = st.groupBy(col("source")).agg(sum(col("n_st")).as("n_s"))
     val totC = st.agg(sum(col("n_st")).as("n_c"))
@@ -287,7 +288,7 @@ object Corpus {
   def lshRecall(s: SparkSession, dir: String): DataFrame = {
     val prof = Dedup.shingleProfiles(
       Tables.documents(s, dir).select(col("doc_id"), col("text")), 3, 16)
-      .persist() // exact-pair join (both sides) + the band join
+      .persistScoped() // exact-pair join (both sides) + the band join
     val sh = prof.select(col("doc_id"), size(col("hs")).as("n_sh"),
       explode(col("hs")).as("h"))
     val exact = sh.select(col("h"), col("doc_id").as("doc_id_a"), col("n_sh").as("na"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Dedup
+import graft.Caches.PersistScoped
 
 /** Round-6 curation and API-surface operators: per-domain caps,
   * canonical-duplicate selection, quantile normalization, keyset
@@ -115,7 +116,7 @@ object Curate {
       .sortWithinPartitions(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
       .withColumn("mid", monotonically_increasing_id())
       .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
-      .persist()
+      .persistScoped()
     val counts = parts.groupBy(col("pid"), col("o_orderstatus"))
       .agg(count(lit(1)).as("c"), min(col("mid")).as("m0"))
     val offsets = counts
@@ -184,7 +185,7 @@ object Curate {
     val parts = daily
       .repartitionByRange(Tables.shuffleWidth(s), col("d"))
       .withColumn("pid", spark_partition_id())
-      .persist() // pin sampled range bounds: both readers must agree on pid
+      .persistScoped() // pin sampled range bounds: both readers must agree on pid
     val counts = parts.groupBy(col("pid"))
       .agg(sum(col("n")).as("c"), count(lit(1)).as("k"))
     val offsets = counts
@@ -202,7 +203,7 @@ object Curate {
       .select(col("d"), col("n"),
         (col("n_days") * (col("off") + col("cuml")) -
           (col("offk") + col("tl")) * col("tot_n")).as("s_num"))
-      .persist() // read twice: the peak scalar and the flagged output
+      .persistScoped() // read twice: the peak scalar and the flagged output
     val peak = scored.agg(max(abs(col("s_num"))).as("peak"))
     scored.crossJoin(broadcast(peak))
       .select(col("d"), col("n"), col("s_num"),
@@ -299,7 +300,7 @@ object Curate {
   def novelty(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingles(
       Tables.documents(s, dir).select(col("doc_id"), col("text")), 3)
-      .persist() // first-owner aggregate + per-doc join both read it
+      .persistScoped() // first-owner aggregate + per-doc join both read it
     val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
     sh.join(first, Seq("shingle"))
       .groupBy(col("doc_id"))
@@ -371,7 +372,7 @@ object Curate {
     val sh = Dedup.shingles(docs.select(col("doc_id"), col("text")), 3)
       .join(broadcast(docs.select(col("doc_id"), col("source"))), Seq("doc_id"))
       .select(col("source"), col("shingle")).distinct()
-      .persist() // sizes + both sides of the pair join
+      .persistScoped() // sizes + both sides of the pair join
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("shingle"), col("source").as("source_a"))
     val b = sh.select(col("shingle"), col("source").as("source_b"))

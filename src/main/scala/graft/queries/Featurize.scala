@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Caches.PersistScoped
 
 /** Round-6 ML-preparation operators: RFM segmentation, stratified
   * three-way splits, and the feature-hashing trick. All
@@ -26,7 +27,7 @@ object Featurize {
       .sortWithinPartitions(order: _*)
       .withColumn("mid", monotonically_increasing_id())
       .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
-      .persist()
+      .persistScoped()
     val counts = parts.groupBy(col("pid"))
       .agg(count(lit(1)).as("c"), min(col("mid")).as("m0"))
     val offsets = counts
@@ -68,7 +69,7 @@ object Featurize {
         count(lit(1)).as("frequency"),
         sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
           .as("cents"))
-      .persist() // read four times: three rank passes + the final join
+      .persistScoped() // read four times: three rank passes + the final join
     // lower recency = better → rank ascending puts the BEST at rank 1;
     // score 6 − quintile so 5 is always the best bucket on every axis
     val r = rankedBy(s, base, col("recency_days"), col("o_custkey"))

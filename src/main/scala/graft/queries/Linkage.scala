@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions
+import graft.Caches.PersistScoped
 
 /** Record-linkage and evaluation operators (round 5 extensions beyond
   * SURVEY.md §2B): sorted-neighborhood blocking, Jaro-Winkler scoring
@@ -330,7 +331,7 @@ object Linkage {
         sum(when(col("term") === "join", 1L)).as("tf_join"),
         sum(when(col("term") === "hash", 1L)).as("tf_hash"),
         sum(when(col("term") === "vector", 1L)).as("tf_vector"))
-      .persist()
+      .persistScoped()
     val stats = perDoc.agg(
       count(lit(1)).as("n"), sum(col("dl")).as("sumdl"),
       count(col("tf_join")).as("df_join"),

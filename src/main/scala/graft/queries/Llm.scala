@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.Caches.PersistScoped
 
 /** LLM-pipeline operator queries (SURVEY.md §2B L1-L5): the dedup
   * family (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
@@ -471,7 +472,7 @@ object Llm {
         size(filter(col("w"), x => x =!= "")).cast("bigint").as("dl") +:
         terms.map(t =>
           size(filter(col("w"), x => x === t)).cast("bigint").as(s"tf_$t")): _*)
-      .persist() // stats + df + the scored rows all read this one pass
+      .persistScoped() // stats + df + the scored rows all read this one pass
     // n counts docs with >= 1 non-empty token, exactly like the
     // oracle's dl CTE (a token-free doc contributes no dl row there).
     val stats = perDoc.filter(col("dl") > 0)
@@ -529,11 +530,11 @@ object Llm {
       .select(explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .persist()
+      .persistScoped()
     val parts = cnt
       .repartitionByRange(Tables.shuffleWidth(s), col("cnt").desc, col("term"))
       .withColumn("pid", spark_partition_id())
-      .persist()
+      .persistScoped()
     val offsets = parts.groupBy(col("pid")).agg(sum(col("cnt")).as("c"))
       .withColumn("off", sum(col("c")).over(Window.orderBy(col("pid"))) - col("c"))
       .select(col("pid"), col("off"))

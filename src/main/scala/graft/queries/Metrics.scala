@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Caches.PersistScoped
 
 /** Round-7 surface-completion and evaluation-metric operators: bag
   * semantics for set ops (EXCEPT/INTERSECT ALL), the distribution
@@ -159,7 +160,7 @@ object Metrics {
   def mutualInfo(s: SparkSession, dir: String): DataFrame = {
     val cells = Tables.orders(s, dir)
       .groupBy(col("o_orderstatus").as("x"), col("o_orderpriority").as("y"))
-      .agg(count(lit(1)).as("n_xy")).persist() // margins + the joined pass
+      .agg(count(lit(1)).as("n_xy")).persistScoped() // margins + the joined pass
     val mx = cells.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
     val my = cells.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
     val tot = cells.agg(sum(col("n_xy")).as("n"))
@@ -219,7 +220,7 @@ object Metrics {
           .when(col("o_orderpriority").startsWith("3"), "P")
           .otherwise("F").as("b"))
     val cells = rated.groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_ab")).persist() // margins + diagonal
+      .agg(count(lit(1)).as("n_ab")).persistScoped() // margins + diagonal
     val ra = cells.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
     val rb = cells.groupBy(col("b")).agg(sum(col("n_ab")).as("n_b"))
     val agree = cells.filter(col("a") === col("b"))
@@ -361,7 +362,7 @@ object Metrics {
           .when(col("o_orderpriority").startsWith("3"), "P")
           .otherwise("F").as("b"))
     val cells = rated.groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n")).persist() // three margins read it
+      .agg(count(lit(1)).as("n")).persistScoped() // three margins read it
     val tp = cells.filter(col("a") === col("b"))
       .select(col("a").as("cls"), col("n").as("tp"))
     val actual = cells.groupBy(col("a").as("cls")).agg(sum(col("n")).as("n_actual"))

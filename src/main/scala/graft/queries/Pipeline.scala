@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Caches.PersistScoped
 
 /** Data-pipeline operators beyond the round-1 inventory: change-data
   * capture (snapshot diff), batch merge/upsert, deterministic
@@ -229,7 +230,7 @@ object Pipeline {
     // tf is read twice (df's broadcast + the main join); persist so the
     // corpus-wide explode+aggregate runs once, not once per reader.
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .persist()
+      .persistScoped()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(broadcast(df), Seq("term"))
@@ -430,7 +431,7 @@ object Pipeline {
       .sortWithinPartitions(col("o_totalprice"), col("o_orderkey"))
       .withColumn("mid", monotonically_increasing_id())
       .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
-      .persist()
+      .persistScoped()
     val counts = parts.groupBy(col("pid"))
       .agg(count(lit(1)).as("c"), min(col("mid")).as("m0"))
     val offsets = counts

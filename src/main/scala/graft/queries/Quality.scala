@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Caches.PersistScoped
 
 /** Round-6 quality/retrieval operators: winsorized scaling, sparse
   * lexical cosine retrieval, k-anonymity auditing, per-key merged
@@ -28,14 +29,14 @@ object Quality {
     // right before the shuffle pass scans it again. (At 100 TB this is
     // the same call — MEMORY_AND_DISK of two columns — or the sampling
     // pass is accepted as a second pruned column scan.)
-    val proj = li.select(col("l_returnflag"), col("l_extendedprice")).persist()
+    val proj = li.select(col("l_returnflag"), col("l_extendedprice")).persistScoped()
     val parts = proj
       .repartitionByRange(Tables.shuffleWidth(s),
         col("l_returnflag"), col("l_extendedprice"))
       .sortWithinPartitions(col("l_returnflag"), col("l_extendedprice"))
       .withColumn("mid", monotonically_increasing_id())
       .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
-      .persist()
+      .persistScoped()
     val counts = parts.groupBy(col("pid"), col("l_returnflag"))
       .agg(count(lit(1)).as("c"), min(col("mid")).as("m0"))
     val offsets = counts
@@ -103,7 +104,7 @@ object Quality {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .persist()
+      .persistScoped()
     val norms = tf.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("nrm2"))
     val probes = tf.filter(col("doc_id") < 5)
@@ -242,7 +243,7 @@ object Quality {
         (col("l_extendedprice").cast("decimal(18,2)") * 100)
           .cast("bigint").as("c"))
       .groupBy(col("m")).agg(sum(col("c")).as("cents"))
-      .persist() // read twice: the total and the per-month output
+      .persistScoped() // read twice: the total and the per-month output
     val total = cents.agg(sum(col("cents")).as("total"))
     cents.crossJoin(broadcast(total))
       .select(col("m"), col("cents"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Caches.PersistScoped
 
 /** Warehouse-modeling and corpus-assembly operators (round 4
   * extensions beyond SURVEY.md §2B): slowly-changing-dimension
@@ -68,7 +69,7 @@ object Warehouse {
   def basketRules(s: SparkSession, dir: String, minCount: Long = 20L): DataFrame = {
     val items = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("okey"), (col("l_partkey") % 50).as("item"))
-      .distinct().persist() // feeds the pair join twice plus item counts
+      .distinct().persistScoped() // feeds the pair join twice plus item counts
     val nOrders = items.select(col("okey")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val itemCounts = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
@@ -147,7 +148,7 @@ object Warehouse {
       .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("ntok"))
     val parts = d.repartitionByRange(Tables.shuffleWidth(s), col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .persist() // pin sampled range bounds: both readers must agree on pid
+      .persistScoped() // pin sampled range bounds: both readers must agree on pid
     val offsets = parts.groupBy(col("pid")).agg(sum(col("ntok")).as("c"))
       .withColumn("off", sum(col("c")).over(Window.orderBy(col("pid"))) - col("c"))
       .select(col("pid"), col("off"))
@@ -291,7 +292,7 @@ object Warehouse {
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
-      .persist() // iterated over; metadata-scale (≤ |nations|²)
+      .persistScoped() // iterated over; metadata-scale (≤ |nations|²)
     val share = edges
       .withColumn("wsum", sum(col("w")).over(Window.partitionBy(col("src"))))
       .withColumn("share", expr("(w * 1000000L) DIV wsum"))
@@ -414,11 +415,11 @@ object Warehouse {
       // join — and Spark broadcasts a SUBPLAN, not a result, so the
       // `cut` broadcast below would re-run that star join from scratch
       // without this persist (the IVF-centroid lesson).
-      .persist()
+      .persistScoped()
     val cut = und.agg((sum(col("w")).cast("double") / count(lit(1)) / lit(2.0)).as("cut"))
     val e = und.crossJoin(broadcast(cut))
       .filter(col("w").cast("double") >= col("cut"))
-      .select(col("a"), col("b")).persist() // three-way self-joined
+      .select(col("a"), col("b")).persistScoped() // three-way self-joined
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"),
