@@ -13,6 +13,25 @@ object Bench {
     * per query makes it self-evident without a rerun. */
   final case class Sample(wall: Double, cpu: Double, gc: Double)
 
+  /** Host-condition record for the sweep: 1-minute load average at
+    * start and end (host-wide — exactly the signal that explains an
+    * inflated sweep on a shared box) and the JVM's available
+    * processors. [[contendedQueries]] is the per-process signal: in
+    * local mode every executor thread lives in this JVM, so a query
+    * whose wall is more than double its cpu+gc was DESCHEDULED, not
+    * working — no amount of single-threaded narrowness produces that
+    * shape (one busy thread alone keeps process-cpu ≈ wall). A sweep
+    * is labeled contended when ≥3 non-trivial queries show it. */
+  final case class Env(loadStart: Double, loadEnd: Double, nproc: Int)
+
+  def contendedQueries(results: Seq[(String, Sample)]): Seq[String] =
+    results.collect {
+      case (n, s) if s.wall > 0.75 && s.wall > 2.0 * (s.cpu + s.gc) => n
+    }
+
+  def isContended(results: Seq[(String, Sample)]): Boolean =
+    contendedQueries(results).size >= 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -160,6 +179,7 @@ object Bench {
       SparkEntry.queries.filter { case (k, _) => names(k) })
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val loadStart = osBean.getSystemLoadAverage
     def gcMillis: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -172,19 +192,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sample = Sample((System.nanoTime() - w0) / 1e9,
         (osBean.getProcessCpuTime - c0) / 1e9, (gcMillis - g0) / 1e3)
-      // Operators may persist() intermediates they reference twice within a
-      // single query; callers own the cache lifecycle (Dedup scaladoc), so
-      // drop all cached blocks once this query's action is done.
-      try spark.catalog.clearCache() catch { case _: Throwable => }
+      // Scoped caches self-release when the action completes (Caches);
+      // drain() + clearCache() is the harness belt-and-braces for
+      // plans that errored before their action could release them.
+      try { Caches.drain(); spark.catalog.clearCache() }
+      catch { case _: Throwable => }
       name -> sample
     }
-    // stdout keeps the driver-contract shape (wall seconds only); the
-    // detailed {wall, cpu, gc} record goes to the persisted files.
-    val line = renderJson(results.map { case (n, s) => n -> s.wall }, sfDir)
+    val env = Env(loadStart, osBean.getSystemLoadAverage,
+      Runtime.getRuntime.availableProcessors)
+    // stdout keeps the driver-contract shape (wall seconds only) plus
+    // the run-quality self-label; the detailed {wall, cpu, gc} record
+    // goes to the persisted files.
+    val line = renderJson(results.map { case (n, s) => n -> s.wall }, sfDir,
+      Some(env), Some(isContended(results)))
     println(line)
     // The driver's stdout tail has truncated the head of this line in
     // past rounds; persist the full line so totals are always readable.
-    val detailed = renderDetailedJson(results, sfDir)
+    val detailed = renderDetailedJson(results, sfDir, Some(env))
     for (p <- Seq("/tmp/bench_last.json", "BENCH_LOCAL.json")) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), detailed + "\n")
       catch { case _: Throwable => }
@@ -200,25 +225,42 @@ object Bench {
     * and the full line is always in BENCH_LOCAL.json /
     * /tmp/bench_last.json anyway. Key order is irrelevant to any JSON
     * parser. BenchFormatSpec guards format and length. */
-  def renderJson(results: Seq[(String, Double)], sfDir: String): String = {
+  def renderJson(results: Seq[(String, Double)], sfDir: String,
+                 env: Option[Env] = None,
+                 contended: Option[Boolean] = None): String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    s"""{"queries":$qs,"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}"""
+    s"""{"queries":$qs,${envFields(env, contended)}"metric":"total",""" +
+      s""""value":${f3(total)},"unit":"sec","sf":"$sfDir"}"""
+  }
+
+  /** Run-quality fields, placed BEFORE the summary tail so the
+    * metric/value pair stays last (tail-capture property). */
+  private def envFields(env: Option[Env], contended: Option[Boolean]): String = {
+    val e = env.fold("")(e =>
+      s""""load_start":${f3(e.loadStart)},"load_end":${f3(e.loadEnd)},""" +
+        s""""nproc":${e.nproc},""")
+    val c = contended.fold("")(c => s""""contended":$c,""")
+    e + c
   }
 
   /** The persisted-file twin of [[renderJson]]: same summary fields and
     * tail position, but each query carries {wall, cpu, gc} so a
     * contended sweep is self-diagnosing (wall ≫ cpu + gc = the process
     * was descheduled, not working). */
-  def renderDetailedJson(results: Seq[(String, Sample)], sfDir: String): String = {
+  def renderDetailedJson(results: Seq[(String, Sample)], sfDir: String,
+                         env: Option[Env] = None): String = {
     val qs = results.map { case (k, s) =>
       s"""\"$k\":{"wall":${f3(s.wall)},"cpu":${f3(s.cpu)},"gc":${f3(s.gc)}}"""
     }.mkString("{", ",", "}")
     val tw = results.map(_._2.wall).sum
     val tc = results.map(_._2.cpu).sum
     val tg = results.map(_._2.gc).sum
+    val cq = contendedQueries(results)
+    val cqs = cq.map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"queries":$qs,"cpu_total":${f3(tc)},"gc_total":${f3(tg)},""" +
+      s""""contended_queries":$cqs,${envFields(env, Some(isContended(results)))}""" +
       s""""metric":"total","value":${f3(tw)},"unit":"sec","sf":"$sfDir"}"""
   }
 

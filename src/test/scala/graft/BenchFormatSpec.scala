@@ -54,6 +54,31 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!line.contains("\n"))
   }
 
+  test("run-quality self-label: load averages and the contended flag") {
+    val env = Bench.Env(loadStart = 3.5, loadEnd = 40.25, nproc = 32)
+    // 3 non-trivial wall≫cpu+gc queries flip the sweep to contended
+    val bad = (1 to 3).map(i => s"q_slow$i" -> Bench.Sample(5.0, 0.8, 0.1))
+    val good = Seq("q_ok" -> Bench.Sample(2.0, 7.5, 0.2),
+      "q_tiny" -> Bench.Sample(0.1, 0.01, 0.0)) // sub-0.75s never flags
+    assert(Bench.contendedQueries(good).isEmpty)
+    assert(!Bench.isContended(good ++ bad.take(2)))
+    assert(Bench.isContended(good ++ bad))
+    val line = Bench.renderJson((good ++ bad).map { case (n, s) => n -> s.wall },
+      "/d", Some(env), Some(Bench.isContended(good ++ bad)))
+    val node = mapper.readTree(line)
+    assert(node.get("contended").asBoolean())
+    assert(node.get("load_start").asDouble() == 3.5)
+    assert(node.get("load_end").asDouble() == 40.25)
+    assert(node.get("nproc").asInt() == 32)
+    // summary fields still close the line (tail-capture property)
+    val tail = line.takeRight(200)
+    assert(tail.contains("\"metric\":\"total\"") && tail.contains("\"value\":"))
+    val det = Bench.renderDetailedJson(good ++ bad, "/d", Some(env))
+    val dn = mapper.readTree(det)
+    assert(dn.get("contended").asBoolean())
+    assert(dn.get("contended_queries").size() == 3)
+  }
+
   test("locale independence: decimal point, not comma") {
     val prev = java.util.Locale.getDefault
     try {
