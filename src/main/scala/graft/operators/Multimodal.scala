@@ -115,4 +115,147 @@ object Multimodal {
       explode(expr(
         s"transform(sequence(0, CAST(octet_length(payload) / 100 AS INT)), i -> i * $stride)"))
         .as("frame_idx"))
+
+  // ---------------------------------------------------------------
+  // Decoded-content path (real codec, JDK-only)
+  // ---------------------------------------------------------------
+
+  /** PNG decode via the JDK's ImageIO (javax.imageio ships in the
+    * JDK — no external library). Returns None for payloads that are
+    * not a decodable image, so mixed/dirty corpora degrade row-wise,
+    * not job-wise. */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload == null || payload.length == 0) None
+    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Throwable => None }
+
+  def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic nearest-neighbor resample — a manual pixel loop
+    * (integer source-index arithmetic, sx = x·w/w2) rather than
+    * Graphics2D scaling, so the output bytes are identical on every
+    * JVM/platform and the partition-invariance spec can require
+    * byte-equality. */
+  private[operators] def resampleNearest(img: java.awt.image.BufferedImage,
+                                         w2: Int, h2: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(w2, h2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h2) {
+      val sy = (y.toLong * h / h2).toInt
+      var x = 0
+      while (x < w2) {
+        out.setRGB(x, y, img.getRGB((x.toLong * w / w2).toInt, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** DECODED image resize — the real-codec upgrade of [[resize]]:
+    * decode the payload (ImageIO), fit the DECODED dimensions into the
+    * target box preserving aspect ratio, resample nearest-neighbor,
+    * re-encode PNG. Output metadata comes from the decoded content,
+    * never from the (possibly lying) input metadata — MultimodalSpec
+    * feeds deliberately wrong meta dims and asserts the output carries
+    * the content-derived ones. Rows whose payload does not decode pass
+    * through unchanged (the honest mixed-corpus behavior). Still a
+    * narrow map: one codec instance per partition, no shuffle. */
+  def resizeDecoded(media: Dataset[MediaRow], maxW: Int = 64, maxH: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodeImage(r.payload) match {
+          case None => r
+          case Some(img) =>
+            val w = img.getWidth
+            val h = img.getHeight
+            if (w <= maxW && h <= maxH)
+              // already fits: payload untouched, meta corrected to content
+              r.copy(meta = r.meta.copy(width = w, height = h))
+            else {
+              val scale = math.min(maxW.toDouble / w, maxH.toDouble / h)
+              val w2 = math.max(1, math.floor(w * scale).toInt)
+              val h2 = math.max(1, math.floor(h * scale).toInt)
+              r.copy(payload = encodePng(resampleNearest(img, w2, h2)),
+                meta = r.meta.copy(width = w2, height = h2))
+            }
+        }
+      }
+    }
+  }
+
+  /** Raw-video frame container for [[sampleFramesDecoded]]: "GFRV" +
+    * big-endian w, h, nFrames, then nFrames packed RGB frames (3
+    * bytes/pixel). A stand-in CONTAINER, not a stand-in decode: the
+    * sampler genuinely parses the header, slices real frame bytes and
+    * re-encodes each sampled frame as PNG — only the codec (H.264 et
+    * al.) is out of scope offline. */
+  object RawVideo {
+    val Magic: Array[Byte] = "GFRV".getBytes("US-ASCII")
+
+    def pack(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(frames.forall(_.length == w * h * 3), "frames must be w*h*3 RGB")
+      val bb = java.nio.ByteBuffer.allocate(16 + frames.map(_.length).sum)
+      bb.put(Magic).putInt(w).putInt(h).putInt(frames.size)
+      frames.foreach(bb.put)
+      bb.array()
+    }
+
+    /** (w, h, frame bytes at `idx`) — None if not a GFRV payload. */
+    def frame(payload: Array[Byte], idx: Int): Option[(Int, Int, Array[Byte])] = {
+      if (payload == null || payload.length < 16 ||
+        !payload.take(4).sameElements(Magic)) return None
+      val bb = java.nio.ByteBuffer.wrap(payload, 4, 12)
+      val w = bb.getInt; val h = bb.getInt; val n = bb.getInt
+      val sz = w * h * 3
+      if (idx < 0 || idx >= n || payload.length < 16 + (idx + 1).toLong * sz) None
+      else Some((w, h, java.util.Arrays.copyOfRange(
+        payload, 16 + idx * sz, 16 + (idx + 1) * sz)))
+    }
+
+    def frameCount(payload: Array[Byte]): Int =
+      if (payload == null || payload.length < 16 ||
+        !payload.take(4).sameElements(Magic)) 0
+      else java.nio.ByteBuffer.wrap(payload, 12, 4).getInt
+  }
+
+  /** DECODED frame sampling — the real-codec upgrade of
+    * [[sampleFrames]]: parse the container header, take every
+    * `stride`-th frame's actual pixel bytes, and emit each as a
+    * PNG-encoded image row (media_id, frame_idx, width, height, png).
+    * Frame COUNT and CONTENT both come from the payload bytes, not
+    * from metadata or length heuristics. flatMap shape: one output row
+    * per sampled frame, narrow, no shuffle. */
+  def sampleFramesDecoded(media: Dataset[MediaRow], stride: Int = 10): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val n = RawVideo.frameCount(r.payload)
+      (0 until n by stride).iterator.flatMap { idx =>
+        RawVideo.frame(r.payload, idx).map { case (w, h, rgb) =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var p = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, ((rgb(p) & 0xff) << 16) |
+                ((rgb(p + 1) & 0xff) << 8) | (rgb(p + 2) & 0xff))
+              p += 3; x += 1
+            }
+            y += 1
+          }
+          (r.media_id, idx, w, h, encodePng(img))
+        }
+      }
+    }.toDF("media_id", "frame_idx", "width", "height", "png")
+  }
 }

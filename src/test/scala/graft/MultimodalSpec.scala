@@ -73,6 +73,89 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).payload.length == 64 && out(3L).meta.width == 0)
   }
 
+  // ----- decoded-content path: real PNG bytes, JDK codec -----
+
+  /** Deterministic real PNG: pixel (x,y) = position-derived RGB. */
+  private def mkPng(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (((x * 31 + y * 17 + seed) % 256) << 16) |
+        (((x * 7 + seed) % 256) << 8) | ((y * 13 + seed) % 256))
+    graft.operators.Multimodal.encodePng(img)
+  }
+
+  test("decoded resize derives dimensions from CONTENT, not metadata") {
+    import spark.implicits._
+    import graft.operators.{MediaMeta, MediaRow, Multimodal}
+    // metadata LIES about the dimensions on every row — only a real
+    // decode can produce the right output dims
+    val rows = Seq(
+      MediaRow(1L, mkPng(100, 40, 1), MediaMeta("image", 9999, 1, 0)),
+      MediaRow(2L, mkPng(12, 8, 2), MediaMeta("image", 1, 9999, 0)),
+      MediaRow(3L, "not an image".getBytes, MediaMeta("image", 777, 777, 0)))
+    val out = Multimodal.resizeDecoded(rows.toDS(), maxW = 16, maxH = 16)
+      .collect().map(r => r.media_id -> r).toMap
+    // 100x40 fit into 16x16 preserving aspect: scale 0.16 → 16x6
+    assert(out(1L).meta.width == 16 && out(1L).meta.height == 6,
+      s"got ${out(1L).meta}")
+    // already fits: payload untouched, meta corrected to decoded 12x8
+    assert(out(2L).meta.width == 12 && out(2L).meta.height == 8)
+    assert(out(2L).payload.toSeq == rows(1).payload.toSeq)
+    // non-decodable row passes through unchanged
+    assert(out(3L).payload.toSeq == rows(2).payload.toSeq && out(3L).meta.width == 777)
+    // the resized payload is itself a real decodable PNG of the
+    // claimed size whose pixels equal the nearest-neighbor resample
+    val img = Multimodal.decodeImage(out(1L).payload).get
+    assert(img.getWidth == 16 && img.getHeight == 6)
+    val src = Multimodal.decodeImage(rows.head.payload).get
+    for (y <- 0 until 6; x <- 0 until 16)
+      assert((img.getRGB(x, y) & 0xffffff) ==
+        (src.getRGB(x * 100 / 16, y * 40 / 6) & 0xffffff),
+        s"pixel ($x,$y) is not the nearest-neighbor source pixel")
+  }
+
+  test("decoded resize is byte-identical across partitionings") {
+    import spark.implicits._
+    import graft.operators.{MediaMeta, MediaRow, Multimodal}
+    val rows = (0 until 20).map(i =>
+      MediaRow(i.toLong, mkPng(30 + i * 7, 20 + i * 3, i), MediaMeta("image", 0, 0, 0)))
+    def run(ds: org.apache.spark.sql.Dataset[MediaRow]) =
+      Multimodal.resizeDecoded(ds, 16, 16).collect()
+        .sortBy(_.media_id).map(r => (r.media_id, r.meta, r.payload.toSeq)).toSeq
+    assert(run(rows.toDS()) == run(rows.toDS().repartition(7)))
+  }
+
+  test("decoded frame sampling slices real frame bytes by header") {
+    import spark.implicits._
+    import graft.operators.{MediaMeta, MediaRow, Multimodal}
+    val w = 4; val h = 3
+    // frame f's pixel p = (f*50 + p) mod 256 — every frame distinct
+    def frameBytes(f: Int): Array[Byte] =
+      Array.tabulate[Byte](w * h * 3)(p => ((f * 50 + p) % 256).toByte)
+    val vid = Multimodal.RawVideo.pack(w, h, (0 until 25).map(frameBytes))
+    val rows = Seq(
+      MediaRow(1L, vid, MediaMeta("video", 0, 0, 0)),
+      MediaRow(2L, "junk".getBytes, MediaMeta("video", 0, 0, 0)))
+    val out = Multimodal.sampleFramesDecoded(rows.toDS(), stride = 10).collect()
+    // junk row contributes nothing; 25 frames at stride 10 → 0, 10, 20
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq ==
+      Seq((1L, 0), (1L, 10), (1L, 20)))
+    out.foreach { r =>
+      assert(r.getInt(2) == w && r.getInt(3) == h)
+      val img = Multimodal.decodeImage(r.getAs[Array[Byte]]("png")).get
+      val f = r.getInt(1)
+      // decoded PNG pixel content equals the packed RGB slice — the
+      // sample is the FRAME'S bytes, not an index heuristic
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (y * w + x) * 3
+        val expected = (((f * 50 + p) % 256) << 16) |
+          (((f * 50 + p + 1) % 256) << 8) | ((f * 50 + p + 2) % 256)
+        assert((img.getRGB(x, y) & 0xffffff) == expected)
+      }
+    }
+  }
+
   test("frame sampling emits stride-spaced indices per media row") {
     val rows = Multimodal.sampleFrames(media.limit(3), stride = 10)
       .collect().groupBy(_.getLong(0))
