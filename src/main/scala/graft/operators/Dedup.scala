@@ -472,18 +472,31 @@ object Dedup {
             .select(col("u"), col("m").as("v")))
       out.filter(col("u") =!= col("v")).distinct().coalesce(width)
     }
+    // Materialization cadence: odd rounds persist LAZILY and let the
+    // per-round fingerprint aggregate materialize the cache as a side
+    // effect (one job per round, not two); every 2nd round upgrades to
+    // an eager localCheckpoint so lineage depth stays bounded at two
+    // rounds of star plans. Checkpointed rounds are never unpersisted
+    // (their lineage is truncated — dropping the blocks would strand
+    // them); odd-round persists release once the following round's
+    // edges are materialized and the convergence check has read them.
     var fp = fingerprint(edges)
     var converged = false
     var round = 0
+    var prevPersisted: DataFrame = null
     while (!converged && round < maxRounds) {
       round += 1
       val prev = edges
       val lg = star(edges, large = true).persist()
-      edges = star(lg, large = false).localCheckpoint()
+      val next = star(lg, large = false)
+      edges = if (round % 2 == 0) next.localCheckpoint()
+              else next.persistScoped() // query-scoped: released even if the loop exits odd
+      val cur = fingerprint(edges) // materializes the odd-round persist
       lg.unpersist()
-      val cur = fingerprint(edges)
       converged = cur == fp && identical(prev, edges)
       fp = cur
+      if (prevPersisted ne null) { prevPersisted.unpersist(); prevPersisted = null }
+      if (round % 2 != 0) prevPersisted = edges
     }
     require(converged,
       s"star contraction did not converge in $maxRounds rounds — raise maxRounds")
