@@ -75,7 +75,8 @@ object PlanAudit {
     "q_ohlc" -> "open/close argmin/argmax via ONE min/max(struct) partial/final aggregate — no window, no per-day sort",
     "q_domain_cap" -> "skew-salted two-stage top-k: (source, salt-nibble) partial windows bound fan-in, per-source final window re-ranks ≤16·cap survivors",
     "q_kl_sources" -> "two term-keyed partial/final aggregates; per-source totals and the corpus scalar broadcast onto the contribution projection",
-    "q_ann_pq" -> "PQ scoring: codegen'd asymmetric pq_cosine over the encoded corpus with broadcast raw probes — the corpus side carries 16 ints per row, not 64 floats",
+    "q_ann_pq" -> "PQ scoring: codegen'd asymmetric pq_cosine over the encoded corpus with broadcast raw probes — the corpus side carries 16 ints per row, not 64 floats; ranking is the TopKPairsD partial/final ObjectHashAggregate (no Window over scored pairs)",
+    "q_ann_ivfpq" -> "IVF-PQ two-level index: per-list join of broadcast probe assignments against PQ-encoded inverted lists, pq_cosine only inside probed lists, heap-aggregate top-k — no full-corpus scan, no Window",
     "q_survival_curve" -> "KM recursion over the BOUNDED duration spine: fact aggregate first, then reverse-cumulative risk set + quantized-ln cumulative product on ≤91 rows",
     "q_decay_score" -> "dyadic decay weights in a narrow projection (shiftleft division, no pow); one partial/final aggregate with the corpus max date broadcast",
     "q_split_leakage" -> "collision-driven pair stream joined to a narrow md5-split projection on each endpoint; one final cell aggregate",
