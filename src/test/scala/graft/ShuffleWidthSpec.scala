@@ -12,7 +12,12 @@ class ShuffleWidthSpec extends SparkSpec {
 
   private val targets = Seq(
     "q_abc_class", "q_percentile_disc", "q_doc_packing", "q_winsorize",
-    "q_quantile_norm", "q_rfm_segments", "q_concurrency")
+    "q_quantile_norm", "q_rfm_segments", "q_concurrency",
+    // round 8: the ANN scorers rank via the TopKPairsD bounded-heap
+    // aggregate — merge order varies with partitioning, so the strict
+    // total order (cosine DESC, id ASC) is what keeps the output
+    // layout-independent; run the whole family at two widths
+    "q_sim_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq")
 
   test("prefix-sum machinery is shuffle-width invariant") {
     val wide = spark.newSession()
