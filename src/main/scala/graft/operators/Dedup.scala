@@ -455,8 +455,6 @@ object Dedup {
     // a side effect of the small-star checkpoint job (its plan reads
     // the large result three times — two union arms + the min join —
     // so it must be pinned, but it does not need its own eager job).
-    // Halves the per-round materialization count, the r7 verdict's
-    // named tuning item for this operator.
     def star(e: DataFrame, large: Boolean): DataFrame = {
       val nbrs = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -473,30 +471,25 @@ object Dedup {
       out.filter(col("u") =!= col("v")).distinct().coalesce(width)
     }
     // Materialization cadence: odd rounds persist LAZILY and let the
-    // per-round fingerprint aggregate materialize the cache as a side
-    // effect (one job per round, not two); every 2nd round upgrades to
-    // an eager localCheckpoint so lineage depth stays bounded at two
-    // rounds of star plans. Checkpointed rounds are never unpersisted
-    // (their lineage is truncated — dropping the blocks would strand
-    // them); odd-round persists release once the following round's
-    // edges are materialized and the convergence check has read them.
+    // per-round eager localCheckpoint anchor each round: the small-star
+    // plan reads the lazily-persisted large-star relation from several
+    // INDEPENDENT stages, and without an eager materialization between
+    // rounds those stages race the cache and recompute the un-pinned
+    // lineage in parallel — measured 4× slower than paying the one
+    // checkpoint job per round (a skip-every-2nd-round cadence was
+    // tried and reverted on that measurement).
     var fp = fingerprint(edges)
     var converged = false
     var round = 0
-    var prevPersisted: DataFrame = null
     while (!converged && round < maxRounds) {
       round += 1
       val prev = edges
       val lg = star(edges, large = true).persist()
-      val next = star(lg, large = false)
-      edges = if (round % 2 == 0) next.localCheckpoint()
-              else next.persistScoped() // query-scoped: released even if the loop exits odd
-      val cur = fingerprint(edges) // materializes the odd-round persist
+      edges = star(lg, large = false).localCheckpoint()
       lg.unpersist()
+      val cur = fingerprint(edges)
       converged = cur == fp && identical(prev, edges)
       fp = cur
-      if (prevPersisted ne null) { prevPersisted.unpersist(); prevPersisted = null }
-      if (round % 2 != 0) prevPersisted = edges
     }
     require(converged,
       s"star contraction did not converge in $maxRounds rounds — raise maxRounds")
