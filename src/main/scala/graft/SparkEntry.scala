@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Alloc, Analytics, Corpus, Curate, EtlQueries, Extras, Featurize, Joins, Linkage, Llm, Metrics, Pipeline, Quality, Relational, Serving, Trend, Warehouse, Windows}
+import graft.queries.{Alloc, Analytics, Corpus, Curate, Encode, EtlQueries, Extras, Featurize, Infer, Joins, Linkage, Llm, Metrics, Pipeline, Quality, Relational, Serving, Trend, Warehouse, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,6 +47,8 @@ object SparkEntry {
       (Serving.queries, Serving.oracle),
       (Corpus.queries, Corpus.oracle),
       (Metrics.queries, Metrics.oracle),
+      (Encode.queries, Encode.oracle),
+      (Infer.queries, Infer.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. Every

@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-8 statistical-inference operators: Wilson score intervals,
+  * CUPED variance reduction, and a deterministic Poisson bootstrap.
+  * Every statistic is one fixed IEEE chain from exact integer
+  * aggregates (counts, cents, hash coins), so results are bit-portable
+  * across engines and partitionings; conventions per ARCHITECTURE.md
+  * "Cross-engine determinism".
+  */
+object Infer {
+
+  /** W32 — Wilson score interval: per language, the 95% interval for
+    * the share of "long" documents (≥300 chars). The Wilson bounds
+    * stay inside [0,1] and behave at small n / extreme p where the
+    * naive Wald interval collapses — the standard rate CI a metrics
+    * layer publishes. One aggregate (counts only), then a scalar IEEE
+    * chain per group; the expression tree is written identically in
+    * both engines, term by term. */
+  def wilsonCi(s: SparkSession, dir: String): DataFrame = {
+    val z2 = lit(3.8416) // z = 1.96; both engines parse the same literal to the same double
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_chars") >= 300, 1L).otherwise(0L)).as("k"))
+      .withColumn("p_hat", col("k").cast("double") / col("n"))
+      .withColumn("center",
+        (col("p_hat") + z2 / (col("n") * 2)) / (z2 / col("n") + 1.0))
+      .withColumn("half",
+        lit(1.96) * sqrt(col("p_hat") * (lit(1.0) - col("p_hat")) / col("n")
+          + z2 / (col("n") * col("n") * 4)) / (z2 / col("n") + 1.0))
+      .select(col("lang"), col("n"), col("k"), col("p_hat"),
+        (col("center") - col("half")).as("lo"),
+        (col("center") + col("half")).as("hi"))
+      .orderBy(col("lang"))
+  }
+
+  val wilsonCiSql: String =
+    """WITH c AS (SELECT lang, count(*) AS n,
+      |    CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS k
+      |  FROM documents GROUP BY lang),
+      |p AS (SELECT lang, n, k, CAST(k AS DOUBLE) / n AS p_hat FROM c),
+      |w AS (SELECT lang, n, k, p_hat,
+      |        (p_hat + 3.8416 / (n * 2)) / (3.8416 / n + 1.0) AS center,
+      |        1.96 * sqrt(p_hat * (1.0 - p_hat) / n
+      |          + 3.8416 / (n * n * 4)) / (3.8416 / n + 1.0) AS half
+      |      FROM p)
+      |SELECT lang, n, k, p_hat, center - half AS lo, center + half AS hi
+      |FROM w ORDER BY lang""".stripMargin
+
+  /** W33 — CUPED variance reduction (the pre-experiment-covariate
+    * adjustment every mature A/B platform applies): users are split
+    * into two deterministic variants (user_id parity); each user's
+    * pre-period spend (Jan 1–15) is the covariate x, post-period
+    * spend the metric y, both in exact integer cents. θ = cov(x,y)/
+    * var(x) comes from exact decimal moment sums (n·Σxy − Σx·Σy over
+    * n·Σxx − Σx², products carried in decimal(38) so no overflow at
+    * any n), and because the CUPED adjustment is LINEAR, the adjusted
+    * variant mean is mean_y − θ·(mean_x − x̄): every output is a fixed
+    * IEEE chain over exact integer/decimal aggregates — no
+    * order-dependent double summation anywhere. Emits per-variant
+    * mean, adjusted mean, and the variance before/after (the
+    * var_adj/var_y ratio is the sensitivity win). */
+  def cuped(s: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100).cast("bigint")
+    val users = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), cents.as("cents"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < lit("2024-01-16").cast("timestamp"), col("cents"))
+          .otherwise(0L)).as("x"),
+        sum(when(col("ts") >= lit("2024-01-16").cast("timestamp"), col("cents"))
+          .otherwise(0L)).as("y"))
+      .select(col("user_id"), col("x"), col("y"),
+        (col("user_id") % 2).cast("int").as("variant"))
+    val d19 = "decimal(19,0)"
+    val g = users.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x").cast(d19) * col("x").cast(d19)).as("sxx"),
+      sum(col("x").cast(d19) * col("y").cast(d19)).as("sxy"))
+      .select(col("n"), col("sx"),
+        ((col("sxy") * col("n") - col("sx").cast(d19) * col("sy").cast(d19))
+          .cast("double") /
+          (col("sxx") * col("n") - col("sx").cast(d19) * col("sx").cast(d19))
+            .cast("double")).as("theta"),
+        (col("sx").cast("double") / col("n")).as("xbar"))
+    users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("vsx"), sum(col("y")).as("vsy"),
+        sum(col("x").cast(d19) * col("x").cast(d19)).as("vsxx"),
+        sum(col("x").cast(d19) * col("y").cast(d19)).as("vsxy"),
+        sum(col("y").cast(d19) * col("y").cast(d19)).as("vsyy"))
+      .crossJoin(broadcast(g))
+      .select(col("variant"), col("n_users"),
+        (col("vsy").cast("double") / col("n_users")).as("mean_y"),
+        (col("vsy").cast("double") / col("n_users")
+          - col("theta") * (col("vsx").cast("double") / col("n_users") - col("xbar")))
+          .as("mean_adj"),
+        ((col("vsyy") * col("n_users")
+          - col("vsy").cast(d19) * col("vsy").cast(d19)).cast("double")
+          / (col("n_users").cast("double") * col("n_users"))).as("var_y"),
+        (((col("vsyy") * col("n_users")
+            - col("vsy").cast(d19) * col("vsy").cast(d19)).cast("double")
+          - col("theta") * 2.0 * (col("vsxy") * col("n_users")
+            - col("vsx").cast(d19) * col("vsy").cast(d19)).cast("double")
+          + col("theta") * col("theta") * (col("vsxx") * col("n_users")
+            - col("vsx").cast(d19) * col("vsx").cast(d19)).cast("double"))
+          / (col("n_users").cast("double") * col("n_users"))).as("var_adj"))
+      .orderBy(col("variant"))
+  }
+
+  val cupedSql: String =
+    """WITH u AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+      |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+      |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+      |    CAST(user_id % 2 AS INT) AS variant
+      |  FROM events GROUP BY user_id),
+      |g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |        CAST(CAST(sum(CAST(x AS DECIMAL(19,0)) * y) * count(*)
+      |            - CAST(sum(x) AS DECIMAL(19,0)) * sum(y) AS DECIMAL(38,0)) AS DOUBLE)
+      |          / CAST(CAST(sum(CAST(x AS DECIMAL(19,0)) * x) * count(*)
+      |            - CAST(sum(x) AS DECIMAL(19,0)) * sum(x) AS DECIMAL(38,0)) AS DOUBLE)
+      |          AS theta,
+      |        CAST(sum(x) AS DOUBLE) / count(*) AS xbar
+      |      FROM u),
+      |v AS (SELECT variant, count(*) AS n_users,
+      |        CAST(sum(x) AS BIGINT) AS vsx, CAST(sum(y) AS BIGINT) AS vsy,
+      |        CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS vsxx,
+      |        CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS vsxy,
+      |        CAST(sum(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS vsyy
+      |      FROM u GROUP BY variant)
+      |SELECT variant, n_users,
+      |  CAST(vsy AS DOUBLE) / n_users AS mean_y,
+      |  CAST(vsy AS DOUBLE) / n_users
+      |    - theta * (CAST(vsx AS DOUBLE) / n_users - xbar) AS mean_adj,
+      |  CAST(CAST(vsyy * n_users - CAST(vsy AS DECIMAL(19,0)) * vsy
+      |    AS DECIMAL(38,0)) AS DOUBLE)
+      |    / (CAST(n_users AS DOUBLE) * n_users) AS var_y,
+      |  (CAST(CAST(vsyy * n_users - CAST(vsy AS DECIMAL(19,0)) * vsy
+      |      AS DECIMAL(38,0)) AS DOUBLE)
+      |    - theta * 2.0 * CAST(CAST(vsxy * n_users
+      |      - CAST(vsx AS DECIMAL(19,0)) * vsy AS DECIMAL(38,0)) AS DOUBLE)
+      |    + theta * theta * CAST(CAST(vsxx * n_users
+      |      - CAST(vsx AS DECIMAL(19,0)) * vsx AS DECIMAL(38,0)) AS DOUBLE))
+      |    / (CAST(n_users AS DOUBLE) * n_users) AS var_adj
+      |FROM v CROSS JOIN g ORDER BY variant""".stripMargin
+
+  /** Poisson(1) draw from a 32-bit uniform hash coin — the inverse-CDF
+    * ladder with integer thresholds (floor(cdf·2³²)), so the draw is
+    * one exact integer comparison chain, identical in any engine. */
+  private def poisson(u: Column): Column =
+    when(u < 1580030168L, 0L).when(u < 3160060337L, 1L)
+      .when(u < 3950075421L, 2L).when(u < 4213413783L, 3L)
+      .when(u < 4279248373L, 4L).when(u < 4292415291L, 5L)
+      .when(u < 4294609777L, 6L).otherwise(7L)
+
+  /** W34 — deterministic Poisson bootstrap CI for the mean order
+    * value: 64 replicates, each reweighting every order by a
+    * Poisson(1) count drawn from an md5 coin on (orderkey, replicate)
+    * — the single-pass bootstrap that never materializes a resample
+    * (the streaming form survives any corpus size; replicate means are
+    * map-side-combined exact integer sums). The 2.5%/97.5% quantiles
+    * interpolate over the 64 replicate means — metadata-scale. Every
+    * replicate mean is one double division of exact integers, so the
+    * whole CI is bit-portable. */
+  def bootstrapCi(s: SparkSession, dir: String, b: Int = 64): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+    val reps = o.select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+      .select(col("b"), col("cents"),
+        poisson(conv(substring(md5(concat_ws("|",
+          col("o_orderkey"), col("b"))), 1, 8), 16, 10).cast("long")).as("w"))
+      .groupBy(col("b"))
+      .agg((sum(col("w") * col("cents")).cast("double") / sum(col("w")))
+        .as("rep_mean"))
+    val point = o.agg((sum(col("cents")).cast("double") / count(lit(1)))
+      .as("point_mean"))
+    reps.agg(count(lit(1)).as("n_replicates"),
+        expr("percentile(rep_mean, 0.025D)").as("lo"),
+        expr("percentile(rep_mean, 0.975D)").as("hi"))
+      .crossJoin(broadcast(point))
+      .select(col("n_replicates"), col("point_mean"), col("lo"), col("hi"))
+  }
+
+  val bootstrapCiSql: String =
+    """WITH o AS (SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |r AS (SELECT b, cents,
+      |        CAST(concat('0x', substring(md5(concat_ws('|',
+      |          CAST(o_orderkey AS VARCHAR), CAST(b AS VARCHAR))), 1, 8))
+      |          AS BIGINT) AS u
+      |      FROM o, (SELECT unnest(range(0, 64)) AS b)),
+      |w AS (SELECT b, cents,
+      |        CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+      |             WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+      |             WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5
+      |             WHEN u < 4294609777 THEN 6 ELSE 7 END AS w
+      |      FROM r),
+      |m AS (SELECT b, CAST(sum(w * cents) AS DOUBLE) / sum(w) AS rep_mean
+      |      FROM w GROUP BY b),
+      |p AS (SELECT CAST(sum(cents) AS DOUBLE) / count(*) AS point_mean FROM o)
+      |SELECT count(*) AS n_replicates, any_value(point_mean) AS point_mean,
+      |  quantile_cont(rep_mean, 0.025) AS lo,
+      |  quantile_cont(rep_mean, 0.975) AS hi
+      |FROM m CROSS JOIN p""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_wilson_ci" -> (wilsonCi _),
+    "q_cuped" -> (cuped _),
+    "q_bootstrap_ci" -> ((s: SparkSession, d: String) => bootstrapCi(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_wilson_ci" -> wilsonCiSql,
+    "q_cuped" -> cupedSql,
+    "q_bootstrap_ci" -> bootstrapCiSql,
+  )
+}
