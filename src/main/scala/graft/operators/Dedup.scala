@@ -307,6 +307,43 @@ object Dedup {
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
   }
 
+  /** Directional shingle-containment near-dup pairs — the asymmetric
+    * complement of [[ngramJaccardPairs]]: containment(A→B) =
+    * |A∩B|/|A| flags a document NESTED inside a larger one (quote
+    * farms, boilerplate-wrapped copies) that symmetric Jaccard
+    * dilutes below threshold as the host grows. Same scale shape as
+    * the Jaccard pipeline — the per-doc distinct hash set is one
+    * narrow expression, pairs stream from the shared-shingle inverted
+    * join, and only pairs sharing ≥1 shingle are ever scored. Emits
+    * both directions plus Jaccard for triage; keeps pairs whose
+    * LARGER direction clears `minContainment`. */
+  def shingleContainmentPairs(docs: DataFrame, n: Int = 3,
+                              minContainment: Double = 0.8): DataFrame = {
+    docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngram_hashes",
+      exprs => graft.functions.NgramHashes(exprs.head, n),
+      "scala_udf")
+    val withSets = graft.Tables.widen(docs)
+      .select(col("doc_id"),
+        call_function("graft_ngram_hashes", col("text")).as("hs"))
+      .filter(col("hs").isNotNull)
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n_sh"))
+      .persistScoped() // both sides of the pair join read it
+    val sh = withSets.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("shash"))
+    sh.select(col("shash"), col("doc_id").as("doc_id_a"), col("n_sh").as("n_a"))
+      .join(sh.select(col("shash"), col("doc_id").as("doc_id_b"), col("n_sh").as("n_b")),
+        Seq("shash"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (col("inter").cast("double") / col("n_a")).as("c_a"),
+        (col("inter").cast("double") / col("n_b")).as("c_b"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+          .as("jaccard"))
+      .filter(greatest(col("c_a"), col("c_b")) >= minContainment)
+  }
+
   /** Connected components over candidate pairs → duplicate clusters,
     * labeled by the minimum member id (the survivor a curation
     * pipeline keeps). Min-label propagation TO CONVERGENCE, checked at

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+
+/** Round-8 extension pack: asymmetric containment near-dup pairs,
+  * kNN label classification over the embedding corpus, and the
+  * nested-document JSON export (the repeated-record sink shape of the
+  * reference's warehouse target). Conventions per ARCHITECTURE.md
+  * "Cross-engine determinism".
+  */
+object Augment {
+
+  /** L2u — directional shingle containment: pairs where ≥80% of one
+    * document's 3-gram shingles appear in the other — the
+    * doc-inside-doc duplication (quoted copies, boilerplate-wrapped
+    * mirrors) that symmetric Jaccard under-scores as the host
+    * document grows. See [[Dedup.shingleContainmentPairs]]. */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.shingleContainmentPairs(Tables.documents(s, dir), 3, 0.8)
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+
+  val containmentPairsSql: String =
+    s"""${Llm.shingleCte},
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT da AS doc_id_a, db AS doc_id_b,
+      |  CAST(i AS DOUBLE) / sa.n_sh AS c_a,
+      |  CAST(i AS DOUBLE) / sb.n_sh AS c_b,
+      |  CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) AS jaccard
+      |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      |WHERE greatest(CAST(i AS DOUBLE) / sa.n_sh, CAST(i AS DOUBLE) / sb.n_sh)
+      |        >= 0.8
+      |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
+  /** L27 — kNN label classification: every 25th vector plays
+    * "unlabeled probe"; its label is predicted by majority vote over
+    * its 5 nearest labeled neighbors by cosine (ties → more votes
+    * first, then smaller label — fully deterministic). The scoring
+    * reuses the broadcast-probe brute-force scan with the bounded-heap
+    * top-k ([[Similarity.bruteForceTopK]]), so the exchange carries ≤5
+    * rows per (probe × partition); the vote is one 5-rows-per-probe
+    * aggregate with a max(struct) argmax. Emitting the held-out true
+    * label alongside makes the query its own accuracy readout — the
+    * label-propagation / weak-supervision primitive of a training-data
+    * pipeline. */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.filter(col("vec_id") % 25 === 0)
+    val labeled = emb.filter(col("vec_id") % 25 =!= 0)
+    val top = Similarity.bruteForceTopK(probes, labeled, 5)
+    val voted = top
+      .join(broadcast(probes.select(col("vec_id").as("probe_id"),
+        col("label").as("true_label"))), Seq("probe_id"))
+      .join(labeled.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nbr_label")), Seq("neighbor_id"))
+      .groupBy(col("probe_id"), col("true_label"), col("nbr_label"))
+      .agg(count(lit(1)).as("votes"))
+    voted.groupBy(col("probe_id"), col("true_label"))
+      .agg(max(struct(col("votes"), (-col("nbr_label")).as("neg"))).as("m"))
+      .select(col("probe_id"), col("true_label"),
+        (-col("m.neg")).cast("int").as("pred_label"),
+        col("m.votes").as("votes"))
+      .orderBy(col("probe_id"))
+  }
+
+  val knnClassifySql: String =
+    """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+      |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |               CAST(embedding AS DOUBLE[]))) AS nrm
+      |           FROM embeddings),
+      |scored AS (SELECT p.vec_id AS probe_id, p.label AS true_label,
+      |             c.label AS nbr_label,
+      |             list_dot_product(p.e, c.e) / (p.nrm * c.nrm) AS cosine,
+      |             c.vec_id AS neighbor_id
+      |           FROM n p JOIN n c
+      |             ON p.vec_id % 25 = 0 AND c.vec_id % 25 <> 0),
+      |top AS (SELECT * FROM (
+      |          SELECT *, row_number() OVER (PARTITION BY probe_id
+      |            ORDER BY cosine DESC, neighbor_id) AS rnk
+      |          FROM scored) WHERE rnk <= 5),
+      |v AS (SELECT probe_id, true_label, nbr_label, count(*) AS votes
+      |      FROM top GROUP BY 1, 2, 3),
+      |pick AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |           ORDER BY votes DESC, nbr_label) AS rn FROM v)
+      |SELECT probe_id, true_label, CAST(nbr_label AS INT) AS pred_label,
+      |  votes
+      |FROM pick WHERE rn = 1 ORDER BY probe_id""".stripMargin
+
+  /** S13 — nested-document export: each customer's orders folded into
+    * one JSON document with a repeated `orders` record sorted by order
+    * key — the denormalized nested/repeated sink shape of the
+    * reference's warehouse target (a load-ready row per entity, no
+    * join at read time). The document string is assembled with
+    * explicit concatenation so both engines produce identical bytes;
+    * per-customer arrays sort inside the aggregate (array_sort over a
+    * (key, fragment) struct), so output is partitioning-independent.
+    * One shuffle (the per-customer fold); the customer join
+    * broadcasts nothing — the group key IS the customer key. */
+  def nestedExport(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+      concat(lit("{\"o\":"), col("o_orderkey"),
+        lit(",\"d\":\""), date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        lit("\",\"c\":"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"),
+        lit("}")).as("j"))
+    o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        array_sort(collect_list(struct(col("o_orderkey"), col("j")))).as("frags"))
+      .select(col("o_custkey"), col("n_orders"),
+        concat(lit("{\"custkey\":"), col("o_custkey"),
+          lit(",\"orders\":["),
+          array_join(transform(col("frags"), f => f.getField("j")), ","),
+          lit("]}")).as("doc"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val nestedExportSql: String =
+    """WITH o AS (SELECT o_custkey, o_orderkey,
+      |    concat('{"o":', CAST(o_orderkey AS VARCHAR),
+      |      ',"d":"', CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+      |      '","c":', CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |        AS BIGINT) AS VARCHAR), '}') AS j
+      |  FROM orders)
+      |SELECT o_custkey, count(*) AS n_orders,
+      |  concat('{"custkey":', CAST(o_custkey AS VARCHAR), ',"orders":[',
+      |    string_agg(j, ',' ORDER BY o_orderkey), ']}') AS doc
+      |FROM o GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_containment" -> (containmentPairs _),
+    "q_knn_classify" -> (knnClassify _),
+    "q_nested_export" -> (nestedExport _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_containment" -> containmentPairsSql,
+    "q_knn_classify" -> knnClassifySql,
+    "q_nested_export" -> nestedExportSql,
+  )
+}
