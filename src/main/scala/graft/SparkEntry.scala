@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Alloc, Analytics, Augment, Corpus, Curate, Encode, EtlQueries, Extras, Featurize, Infer, Joins, Linkage, Llm, Metrics, Pipeline, Quality, Relational, Serving, Trend, Warehouse, Windows}
+import graft.queries.{Alloc, Analytics, Audit, Augment, Corpus, Curate, Encode, EtlQueries, Extras, Featurize, Infer, Joins, Linkage, Llm, Metrics, Pipeline, Quality, Relational, Serving, Trend, Warehouse, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,6 +50,7 @@ object SparkEntry {
       (Encode.queries, Encode.oracle),
       (Infer.queries, Infer.oracle),
       (Augment.queries, Augment.oracle),
+      (Audit.queries, Audit.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. Every

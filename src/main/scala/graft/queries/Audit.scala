@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-8 corpus/ops audit operators: character-level entropy
+  * scoring, BPE merge-rule induction, a shuffle-key skew profiler,
+  * and an embedding-corpus QA audit. Conventions per ARCHITECTURE.md
+  * "Cross-engine determinism" (exact integer counts, md5 buckets,
+  * round() absorbers on transcendental chains, total ORDER BY).
+  */
+object Audit {
+
+  /** L4r — character-level Shannon entropy per document: the
+    * gibberish/encoding-garbage detector that complements word-level
+    * quality scores (natural language sits in a narrow band; base64
+    * blobs and key-mash spam fall outside it). Char frequencies are
+    * exact integer counts from one explode; the entropy sum spans a
+    * bounded alphabet per doc, with the standard round(4) absorber on
+    * the transcendental chain. */
+  def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.widen(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("doc_id")).agg(sum(col("n")).as("total"))
+    c.join(tot, Seq("doc_id"))
+      .groupBy(col("doc_id"), col("total"))
+      .agg(round(-sum((col("n").cast("double") / col("total")) *
+        log(col("n").cast("double") / col("total"))), 4).as("char_entropy"),
+        count(lit(1)).as("alphabet_size"))
+      .select(col("doc_id"), col("total").as("n_chars_counted"),
+        col("alphabet_size"), col("char_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val charEntropySql: String =
+    """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |            FROM documents),
+      |c AS (SELECT doc_id, ch, count(*) AS n FROM ch WHERE ch <> ''
+      |      GROUP BY 1, 2),
+      |t AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS total FROM c
+      |      GROUP BY doc_id)
+      |SELECT c.doc_id, t.total AS n_chars_counted, count(*) AS alphabet_size,
+      |  round(-sum((CAST(n AS DOUBLE) / total) * ln(CAST(n AS DOUBLE) / total)),
+      |    4) AS char_entropy
+      |FROM c JOIN t ON c.doc_id = t.doc_id
+      |GROUP BY c.doc_id, t.total ORDER BY c.doc_id""".stripMargin
+
+  /** L28 — BPE merge-rule induction, round one: the most frequent
+    * adjacent character pairs across all word occurrences — exactly
+    * the statistic byte-pair-encoding training maximizes at each merge
+    * step (run iteratively it grows a subword vocabulary; round one is
+    * the distributed-count shape). Pair counts are exact integers from
+    * one narrow word→bigram explode; top 20 under a total order. */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    Tables.widen(Tables.documents(s, dir))
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+
+  val bpeMergesSql: String =
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |p AS (SELECT unnest(list_transform(range(1, length(w)),
+      |        i -> substring(w, i, 2))) AS pair
+      |      FROM w WHERE length(w) >= 2)
+      |SELECT pair, count(*) AS cnt FROM p
+      |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
+  /** E17 — shuffle-key skew profiler: the pre-flight audit that
+    * decides whether a join/aggregation key needs salting BEFORE the
+    * job runs at scale. Rows hash (md5 — engine- and
+    * partitioning-portable) into 64 buckets on the candidate key; the
+    * profile emits each bucket's share and skew factor
+    * (share × buckets — 1.0 is perfectly level). A hot key shows as a
+    * bucket far above 1; the operator is one narrow projection + one
+    * 64-row aggregate at any corpus size. */
+  def skewProfile(s: SparkSession, dir: String, buckets: Int = 64): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select((conv(substring(md5(col("l_partkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % buckets).cast("int").as("bucket"))
+    val c = li.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum(col("n")).as("t"))
+    c.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"),
+        (col("n").cast("double") / col("t")).as("share"),
+        (col("n").cast("double") * buckets / col("t")).as("skew_factor"))
+      .orderBy(col("bucket"))
+  }
+
+  val skewProfileSql: String =
+    """WITH b AS (SELECT CAST(CAST(concat('0x',
+      |      substring(md5(CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 64
+      |      AS INT) AS bucket
+      |    FROM lineitem),
+      |c AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+      |SELECT bucket, n, CAST(n AS DOUBLE) / t AS share,
+      |  CAST(n AS DOUBLE) * 64 / t AS skew_factor
+      |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin
+
+  /** L29 — embedding-corpus QA audit: per label, vector count,
+    * zero/degenerate-norm count, and exact norm statistics over
+    * 1e-6-quantized norms (floor — the one rounding mode identical
+    * across engines), so min/max/mean are exact-integer artifacts up
+    * to one terminal division. The pre-index health check an ANN
+    * pipeline runs before building (a zero vector breaks cosine; a
+    * norm collapse signals an upstream encoder bug). One narrow
+    * projection + one aggregate. */
+  def embeddingAudit(s: SparkSession, dir: String): DataFrame =
+    Tables.widen(Tables.embeddings(s, dir))
+      .select(col("label"),
+        floor(sqrt(aggregate(
+          zip_with(col("embedding"), col("embedding"),
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)) * 1e6).cast("bigint").as("normq"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("normq") === 0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("normq")).as("min_normq"),
+        max(col("normq")).as("max_normq"),
+        (sum(col("normq")).cast("double") / count(lit(1))).as("mean_normq"))
+      .orderBy(col("label"))
+
+  val embeddingAuditSql: String =
+    """WITH v AS (SELECT label,
+      |    CAST(floor(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |      CAST(embedding AS DOUBLE[]))) * 1e6) AS BIGINT) AS normq
+      |  FROM embeddings)
+      |SELECT label, count(*) AS n_vecs,
+      |  CAST(sum(CASE WHEN normq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |  min(normq) AS min_normq, max(normq) AS max_normq,
+      |  CAST(sum(normq) AS DOUBLE) / count(*) AS mean_normq
+      |FROM v GROUP BY label ORDER BY label""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_char_entropy" -> (charEntropy _),
+    "q_bpe_merges" -> (bpeMerges _),
+    "q_skew_profile" -> ((s: SparkSession, d: String) => skewProfile(s, d)),
+    "q_embedding_audit" -> (embeddingAudit _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_char_entropy" -> charEntropySql,
+    "q_bpe_merges" -> bpeMergesSql,
+    "q_skew_profile" -> skewProfileSql,
+    "q_embedding_audit" -> embeddingAuditSql,
+  )
+}
