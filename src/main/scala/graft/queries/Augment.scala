@@ -132,15 +132,97 @@ object Augment {
       |FROM o GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+  /** B17 — DAU/MAU stickiness: for each day, distinct users active
+    * that day over distinct users active in the trailing 28 days —
+    * the engagement-intensity ratio next to [[Analytics.rollingActive]]'s
+    * WAU. Same scale shape: the rolling distinct is a BOUNDED 28-day
+    * fan-out explode (28×|user-days|, linear; never a range join that
+    * re-scans activity per day), the daily distinct one keyed
+    * aggregate, and the ratio a single exact-int division. */
+  def stickiness(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val mx = ud.agg(max(col("day")).as("mx"))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val mau = ud
+      .select(col("user_id"), explode(sequence(lit(0), lit(27))).as("i"), col("day"))
+      .select(col("user_id"), expr("date_add(day, i)").as("day"))
+      .distinct()
+      .crossJoin(broadcast(mx))
+      .filter(col("day") <= col("mx"))
+      .groupBy(col("day")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        (col("dau").cast("double") / col("mau")).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  val stickinessSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |mx AS (SELECT max(day) AS mx FROM ud),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+      |sp AS (SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS day
+      |       FROM ud, unnest(range(0, 28)) AS t(i)),
+      |mau AS (SELECT day, count(*) AS mau FROM sp, mx WHERE day <= mx
+      |        GROUP BY day)
+      |SELECT dau.day, dau, mau, CAST(dau AS DOUBLE) / mau AS stickiness
+      |FROM dau JOIN mau ON dau.day = mau.day
+      |ORDER BY dau.day""".stripMargin
+
+  /** B20 — funnel step latency: per user, first signup to first
+    * subsequent purchase; the output is the conversion-latency
+    * quantile profile (exact interpolated p25/p50/p75 over epoch-
+    * microsecond deltas — exact integers) plus the converted-user
+    * count. Two keyed aggregates over the event stream (min per step,
+    * conditional min for the ordered second step) — the time-to-
+    * convert companion of [[Analytics.funnelSteps]]' reach counts. */
+  def funnelLatency(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val steps = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("us"))).as("t0"))
+    val conv = e.join(steps, Seq("user_id"))
+      .filter(col("event_type") === "purchase" && col("us") >= col("t0"))
+      .groupBy(col("user_id"), col("t0")).agg(min(col("us")).as("t1"))
+      // integer DIV to match the oracle's `//` (Column./ is double division)
+      .select(expr("CAST((t1 - t0) DIV 1000000 AS DOUBLE)").as("lag_s"))
+    conv.agg(count(lit(1)).as("n_converted"),
+      expr("percentile(lag_s, 0.25D)").as("p25_s"),
+      expr("percentile(lag_s, 0.5D)").as("p50_s"),
+      expr("percentile(lag_s, 0.75D)").as("p75_s"))
+  }
+
+  val funnelLatencySql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |    epoch_us(ts) AS us FROM events),
+      |s0 AS (SELECT user_id,
+      |         min(CASE WHEN event_type = 'signup' THEN us END) AS t0
+      |       FROM e GROUP BY user_id),
+      |conv AS (SELECT CAST((min(us) - t0) // 1000000 AS DOUBLE) AS lag_s
+      |         FROM e JOIN s0 USING (user_id)
+      |         WHERE event_type = 'purchase' AND us >= t0
+      |         GROUP BY e.user_id, t0)
+      |SELECT count(*) AS n_converted,
+      |  quantile_cont(lag_s, 0.25) AS p25_s,
+      |  quantile_cont(lag_s, 0.5) AS p50_s,
+      |  quantile_cont(lag_s, 0.75) AS p75_s
+      |FROM conv""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_containment" -> (containmentPairs _),
     "q_knn_classify" -> (knnClassify _),
     "q_nested_export" -> (nestedExport _),
+    "q_stickiness" -> (stickiness _),
+    "q_funnel_latency" -> (funnelLatency _),
   )
 
   val oracle: Map[String, String] = Map(
     "q_containment" -> containmentPairsSql,
     "q_knn_classify" -> knnClassifySql,
     "q_nested_export" -> nestedExportSql,
+    "q_stickiness" -> stickinessSql,
+    "q_funnel_latency" -> funnelLatencySql,
   )
 }
