@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Dedup, Similarity}
@@ -210,7 +211,42 @@ object Augment {
       |  quantile_cont(lag_s, 0.75) AS p75_s
       |FROM conv""".stripMargin
 
+  /** B21 — most common opening event paths: each user's first three
+    * events (ordered by ts, event_id — a total order, so the path is
+    * deterministic under any partitioning) concatenated into a path
+    * string, counted across users, top 15 under a total order. The
+    * path build is one per-user window + one per-user aggregate whose
+    * sorted-struct collect is bounded at 3 elements — Markov
+    * transitions (B6) give the 1-step view; this is the short-horizon
+    * multi-step view an onboarding funnel designer reads. */
+  def commonPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val first3 = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    first3.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("k"),
+        array_join(expr("transform(array_sort(collect_list(struct(rn, event_type)))," +
+          " e -> e.event_type)"), ">").as("path"))
+      .filter(col("k") === 3)
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(15)
+  }
+
+  val commonPathsSql: String =
+    """WITH r AS (SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |p AS (SELECT user_id, count(*) AS k,
+      |        string_agg(event_type, '>' ORDER BY rn) AS path
+      |      FROM r WHERE rn <= 3 GROUP BY user_id)
+      |SELECT path, count(*) AS n_users FROM p WHERE k = 3
+      |GROUP BY path ORDER BY n_users DESC, path LIMIT 15""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_common_paths" -> (commonPaths _),
     "q_containment" -> (containmentPairs _),
     "q_knn_classify" -> (knnClassify _),
     "q_nested_export" -> (nestedExport _),
@@ -219,6 +255,7 @@ object Augment {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_common_paths" -> commonPathsSql,
     "q_containment" -> containmentPairsSql,
     "q_knn_classify" -> knnClassifySql,
     "q_nested_export" -> nestedExportSql,

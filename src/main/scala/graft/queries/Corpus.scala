@@ -497,7 +497,92 @@ object Corpus {
       |SELECT CAST(deg AS BIGINT) AS degree, count(*) AS n_docs
       |FROM deg GROUP BY deg ORDER BY degree""".stripMargin
 
+  /** L30 — pairwise-source Jensen-Shannon divergence: the SYMMETRIC,
+    * bounded ([0, ln 2]) companion of L4q's KL — the right measure
+    * when comparing two sources to each other (KL is asymmetric and
+    * infinite on disjoint support; JS against the pairwise mixture is
+    * neither), i.e. the source-similarity matrix a training-mix
+    * designer actually reads. The mixture ratio inside each ln
+    * reduces to exact integer products (2·n1·N2 / (n1·N2 + n2·N1)),
+    * each term's contribution quantizes to 1e-9 fixed point and
+    * integer-sums order-free. One (source, term) aggregate; the pair
+    * scaffold is #sources² metadata, broadcast to the term stream —
+    * total work is O(#pairs × vocab), never doc-pairs. */
+  def jsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val st = toks.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("n_st")).persistScoped() // totals + universe + both sides
+    val ts = st.groupBy(col("source")).agg(sum(col("n_st")).as("n_tot"))
+    val pairs = ts.select(col("source").as("s1"), col("n_tot").as("nt1"))
+      .join(ts.select(col("source").as("s2"), col("n_tot").as("nt2")),
+        col("s1") < col("s2"))
+    val u = st.select(col("source"), col("term"))
+      .join(broadcast(pairs), col("source") === col("s1") || col("source") === col("s2"))
+      .select(col("s1"), col("s2"), col("nt1"), col("nt2"), col("term"))
+      .distinct()
+    val j = u
+      .join(st.select(col("source").as("s1"), col("term"), col("n_st").as("x1")),
+        Seq("s1", "term"), "left")
+      .join(st.select(col("source").as("s2"), col("term"), col("n_st").as("x2")),
+        Seq("s2", "term"), "left")
+      .select(col("s1"), col("s2"), col("nt1"), col("nt2"),
+        coalesce(col("x1"), lit(0L)).as("n1"),
+        coalesce(col("x2"), lit(0L)).as("n2"))
+    val mix = "(CAST(n1 AS DOUBLE) * CAST(nt2 AS DOUBLE) " +
+      "+ CAST(n2 AS DOUBLE) * CAST(nt1 AS DOUBLE))"
+    j.select(col("s1"), col("s2"),
+        expr("CASE WHEN n1 > 0 THEN CAST(floor((CAST(n1 AS DOUBLE) / " +
+          "CAST(nt1 AS DOUBLE)) * ln((CAST(n1 AS DOUBLE) * CAST(nt2 AS DOUBLE) " +
+          s"* 2) / $mix) * 1e9) AS BIGINT) ELSE CAST(0 AS BIGINT) END").as("c1"),
+        expr("CASE WHEN n2 > 0 THEN CAST(floor((CAST(n2 AS DOUBLE) / " +
+          "CAST(nt2 AS DOUBLE)) * ln((CAST(n2 AS DOUBLE) * CAST(nt1 AS DOUBLE) " +
+          s"* 2) / $mix) * 1e9) AS BIGINT) ELSE CAST(0 AS BIGINT) END").as("c2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c1") + col("c2")).as("js_q"))
+      .select(col("s1"), col("s2"), col("n_terms"),
+        (col("js_q").cast("double") / 2e9).as("js"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  val jsDivergenceSql: String =
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
+      |              FROM documents),
+      |st AS (SELECT source, term, count(*) AS n_st FROM toks
+      |       WHERE term <> '' GROUP BY source, term),
+      |ts AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_tot FROM st
+      |       GROUP BY source),
+      |pr AS (SELECT a.source AS s1, a.n_tot AS nt1, b.source AS s2,
+      |         b.n_tot AS nt2
+      |       FROM ts a JOIN ts b ON a.source < b.source),
+      |u AS (SELECT DISTINCT s1, s2, nt1, nt2, term
+      |      FROM st JOIN pr ON st.source = s1 OR st.source = s2),
+      |j AS (SELECT u.s1, u.s2, u.nt1, u.nt2,
+      |        coalesce(x.n_st, 0) AS n1, coalesce(y.n_st, 0) AS n2
+      |      FROM u
+      |      LEFT JOIN st x ON x.source = u.s1 AND x.term = u.term
+      |      LEFT JOIN st y ON y.source = u.s2 AND y.term = u.term),
+      |c AS (SELECT s1, s2,
+      |        CASE WHEN n1 > 0 THEN CAST(floor((CAST(n1 AS DOUBLE) /
+      |          CAST(nt1 AS DOUBLE)) * ln((CAST(n1 AS DOUBLE) *
+      |          CAST(nt2 AS DOUBLE) * 2) / (CAST(n1 AS DOUBLE) *
+      |          CAST(nt2 AS DOUBLE) + CAST(n2 AS DOUBLE) *
+      |          CAST(nt1 AS DOUBLE))) * 1e9) AS BIGINT)
+      |          ELSE CAST(0 AS BIGINT) END AS c1,
+      |        CASE WHEN n2 > 0 THEN CAST(floor((CAST(n2 AS DOUBLE) /
+      |          CAST(nt2 AS DOUBLE)) * ln((CAST(n2 AS DOUBLE) *
+      |          CAST(nt1 AS DOUBLE) * 2) / (CAST(n1 AS DOUBLE) *
+      |          CAST(nt2 AS DOUBLE) + CAST(n2 AS DOUBLE) *
+      |          CAST(nt1 AS DOUBLE))) * 1e9) AS BIGINT)
+      |          ELSE CAST(0 AS BIGINT) END AS c2
+      |      FROM j)
+      |SELECT s1, s2, count(*) AS n_terms,
+      |  CAST(CAST(sum(c1 + c2) AS BIGINT) AS DOUBLE) / 2e9 AS js
+      |FROM c GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_js_divergence" -> (jsDivergence _),
     "q_degree_stats" -> (degreeStats _),
     "q_mix_weights" -> (mixWeights _),
     "q_len_histogram" -> (lenHistogram _),
@@ -511,6 +596,7 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_js_divergence" -> jsDivergenceSql,
     "q_degree_stats" -> degreeStatsSql,
     "q_mix_weights" -> mixWeightsSql,
     "q_len_histogram" -> lenHistogramSql,

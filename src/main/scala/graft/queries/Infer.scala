@@ -210,13 +210,80 @@ object Infer {
       |  quantile_cont(rep_mean, 0.975) AS hi
       |FROM m CROSS JOIN p""".stripMargin
 
+  /** W35 — Welch's unequal-variance t-test on mean event value,
+    * click vs view: the two-sample means test that stays valid when
+    * the groups' variances differ (the textbook pooled t silently
+    * assumes they don't). Values quantize to exact integer micros;
+    * each group's mean and (n−1)-denominator variance come from exact
+    * decimal moment sums (n·Σv² − (Σv)², products in decimal(38) — no
+    * overflow at any n), so t and the Welch–Satterthwaite df are each
+    * ONE fixed IEEE chain written identically in both engines. One
+    * map-side-combined aggregate over the fact table; everything after
+    * is a 2-row pivot. */
+  def welchTtest(s: SparkSession, dir: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val g = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), floor(col("value") * 1e6).cast("bigint").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v").cast(d19) * col("v").cast(d19)).as("svv"))
+      .select(col("event_type"), col("n"),
+        (col("sv").cast("double") / col("n")).as("mean_v"),
+        ((col("svv") * col("n") - col("sv").cast(d19) * col("sv").cast(d19))
+          .cast("double")
+          / (col("n").cast("double") * (col("n") - lit(1)))).as("var_v"))
+    val w = g.agg(
+      max(when(col("event_type") === "click", col("n"))).as("n1"),
+      max(when(col("event_type") === "click", col("mean_v"))).as("mean1"),
+      max(when(col("event_type") === "click", col("var_v"))).as("var1"),
+      max(when(col("event_type") === "view", col("n"))).as("n2"),
+      max(when(col("event_type") === "view", col("mean_v"))).as("mean2"),
+      max(when(col("event_type") === "view", col("var_v"))).as("var2"))
+      .withColumn("se1", col("var1") / col("n1"))
+      .withColumn("se2", col("var2") / col("n2"))
+    w.select(col("n1"), col("n2"), col("mean1"), col("mean2"),
+      ((col("mean1") - col("mean2")) / sqrt(col("se1") + col("se2")))
+        .as("t_stat"),
+      (((col("se1") + col("se2")) * (col("se1") + col("se2")))
+        / (col("se1") * col("se1") / (col("n1") - lit(1))
+          + col("se2") * col("se2") / (col("n2") - lit(1)))).as("df_welch"))
+  }
+
+  val welchTtestSql: String =
+    """WITH v AS (SELECT event_type, CAST(floor(value * 1e6) AS BIGINT) AS v
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |g AS (SELECT event_type, count(*) AS n,
+      |        CAST(sum(v) AS DOUBLE) / count(*) AS mean_v,
+      |        CAST(CAST(sum(CAST(v AS DECIMAL(19,0)) * v) * count(*)
+      |            - CAST(sum(v) AS DECIMAL(19,0)) * sum(v) AS DECIMAL(38,0))
+      |          AS DOUBLE)
+      |          / (CAST(count(*) AS DOUBLE) * (count(*) - 1)) AS var_v
+      |      FROM v GROUP BY event_type),
+      |p AS (SELECT
+      |        max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+      |        max(CASE WHEN event_type = 'click' THEN mean_v END) AS mean1,
+      |        max(CASE WHEN event_type = 'click' THEN var_v END) AS var1,
+      |        max(CASE WHEN event_type = 'view' THEN n END) AS n2,
+      |        max(CASE WHEN event_type = 'view' THEN mean_v END) AS mean2,
+      |        max(CASE WHEN event_type = 'view' THEN var_v END) AS var2
+      |      FROM g),
+      |se AS (SELECT *, var1 / n1 AS se1, var2 / n2 AS se2 FROM p)
+      |SELECT n1, n2, mean1, mean2,
+      |  (mean1 - mean2) / sqrt(se1 + se2) AS t_stat,
+      |  ((se1 + se2) * (se1 + se2))
+      |    / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)) AS df_welch
+      |FROM se""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_welch_ttest" -> (welchTtest _),
     "q_wilson_ci" -> (wilsonCi _),
     "q_cuped" -> (cuped _),
     "q_bootstrap_ci" -> ((s: SparkSession, d: String) => bootstrapCi(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_welch_ttest" -> welchTtestSql,
     "q_wilson_ci" -> wilsonCiSql,
     "q_cuped" -> cupedSql,
     "q_bootstrap_ci" -> bootstrapCiSql,

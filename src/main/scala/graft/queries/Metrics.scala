@@ -595,7 +595,48 @@ object Metrics {
       |  count(*) AS n_orders
       |FROM f GROUP BY 1 ORDER BY items_per_order""".stripMargin
 
+  /** F8 — higher-order array-function surface: filter / exists /
+    * forall / aggregate / array_distinct / array_sort over each
+    * document's word array — the lambda-function family (F4 covered
+    * transform/aggregate on numeric arrays; this is the predicate
+    * side on strings). All codegen-friendly builtins, one narrow
+    * projection, exact integer/boolean outputs (booleans emitted as
+    * int for hash portability); array_sort on ASCII tokens is byte
+    * order in both engines. */
+  def hofFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.widen(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        size(filter(col("ws"), w => length(w) > 4)).as("n_long"),
+        exists(col("ws"), w => w === "spark").cast("int").as("has_spark"),
+        forall(col("ws"), w => length(w) <= 6).cast("int").as("all_short"),
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        element_at(array_sort(col("ws")), 1).as("first_sorted"),
+        aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w))
+          .as("sum_word_chars"))
+      .orderBy(col("doc_id"))
+
+  val hofFuncsSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(ws) AS INT) AS n_words,
+      |  CAST(len(list_filter(ws, w -> length(w) > 4)) AS INT) AS n_long,
+      |  CAST(CASE WHEN len(list_filter(ws, w -> w = 'spark')) > 0
+      |    THEN 1 ELSE 0 END AS INT) AS has_spark,
+      |  CAST(CASE WHEN len(list_filter(ws, w -> length(w) > 6)) = 0
+      |    THEN 1 ELSE 0 END AS INT) AS all_short,
+      |  CAST(len(list_distinct(ws)) AS INT) AS n_distinct,
+      |  list_sort(ws)[1] AS first_sorted,
+      |  CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+      |    AS BIGINT) AS sum_word_chars
+      |FROM t ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hof_funcs" -> (hofFuncs _),
     "q_weekday_profile" -> (weekdayProfile _),
     "q_fanout_profile" -> (fanoutProfile _),
     "q_rolling_corr" -> (rollingCorr _),
@@ -615,6 +656,7 @@ object Metrics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_hof_funcs" -> hofFuncsSql,
     "q_weekday_profile" -> weekdayProfileSql,
     "q_fanout_profile" -> fanoutProfileSql,
     "q_rolling_corr" -> rollingCorrSql,

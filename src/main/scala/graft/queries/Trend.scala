@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Caches.PersistScoped
 
 /** Trend/sequence operators (round 5 extensions beyond SURVEY.md §2B):
   * group-wise least-squares regression, exponentially-weighted moving
@@ -580,7 +581,69 @@ object Trend {
       |         AS DOUBLE) / 1e12) END AS survival
       |FROM q ORDER BY t_days""".stripMargin
 
+  /** TS14 — Theil-Sen robust trend + Mann-Kendall test over the
+    * monthly revenue series: the slope estimator that shrugs off the
+    * outlier months OLS (q_regr_slope) chases, paired with the
+    * distribution-free trend test. Monthly totals are exact integer
+    * cents; every pairwise slope is ONE double division of exact
+    * integers, so the pair set is bit-identical in any engine. The
+    * median slope selects by row position over a total order
+    * (slope, xa, xb) — the n_months² pair relation is bounded
+    * (80 months → 3,160 pairs at any corpus size; the heavy scan is
+    * the one monthly aggregate underneath), so the global row_number
+    * windows metadata, never a fact table. Mann-Kendall S and
+    * Kendall's tau come from the same exact pair signs. */
+  def theilSen(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(s, dir)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("bigint").as("x"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint").as("y"))
+      .persistScoped() // self-joined for pairs + counted for n_months
+    val pairs = m.select(col("x").as("xa"), col("y").as("ya"))
+      .join(m.select(col("x").as("xb"), col("y").as("yb")), col("xa") < col("xb"))
+      .select(col("xa"), col("xb"),
+        ((col("yb") - col("ya")).cast("double") / (col("xb") - col("xa")))
+          .as("slope"),
+        when(col("yb") > col("ya"), 1L).when(col("yb") < col("ya"), -1L)
+          .otherwise(0L).as("sgn"))
+      .persistScoped() // ranked for the median + aggregated for S
+    val ranked = pairs.withColumn("rn",
+      row_number().over(Window.orderBy(col("slope"), col("xa"), col("xb"))))
+    val st = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(col("sgn")).as("mk_s"))
+    val months = m.agg(count(lit(1)).as("n_months"))
+    val med = ranked.crossJoin(broadcast(st))
+      .filter(col("rn") === expr("(n_pairs + 1) DIV 2")
+        || col("rn") === expr("(n_pairs + 2) DIV 2"))
+      .agg(avg(col("slope")).as("sen_slope"))
+    months.crossJoin(broadcast(st)).crossJoin(broadcast(med))
+      .select(col("n_months"), col("n_pairs"), col("sen_slope"), col("mk_s"),
+        (col("mk_s").cast("double") / col("n_pairs")).as("kendall_tau"))
+  }
+
+  val theilSenSql: String =
+    """WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |p AS (SELECT a.x AS xa, b.x AS xb,
+      |        CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope,
+      |        CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+      |      FROM m a JOIN m b ON a.x < b.x),
+      |r AS (SELECT slope, row_number() OVER (ORDER BY slope, xa, xb) AS rn
+      |      FROM p),
+      |st AS (SELECT count(*) AS n_pairs, CAST(sum(sgn) AS BIGINT) AS mk_s
+      |       FROM p),
+      |mm AS (SELECT count(*) AS n_months FROM m),
+      |md AS (SELECT avg(slope) AS sen_slope FROM r CROSS JOIN st
+      |       WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2)
+      |SELECT n_months, n_pairs, sen_slope, mk_s,
+      |  CAST(mk_s AS DOUBLE) / n_pairs AS kendall_tau
+      |FROM mm CROSS JOIN st CROSS JOIN md""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theil_sen" -> (theilSen _),
     "q_survival_curve" -> (survivalCurve _),
     "q_seasonal_forecast" -> (seasonalForecast _),
     "q_stl_decompose" -> (stlDecompose _),
@@ -595,6 +658,7 @@ object Trend {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_theil_sen" -> theilSenSql,
     "q_survival_curve" -> survivalCurveSql,
     "q_seasonal_forecast" -> seasonalForecastSql,
     "q_stl_decompose" -> stlDecomposeSql,

@@ -665,7 +665,84 @@ object Warehouse {
       |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
       |ORDER BY p_brand, p_partkey""".stripMargin
 
+  /** W36 — bounded-hop weighted shortest path (Bellman-Ford, 3
+    * relaxation rounds) from nation 0 over the contracted trade graph
+    * (W9's edge build): edge cost is the exact integer 1000000 DIV
+    * trade-count, so heavily-trading nation pairs are cheap hops and
+    * the 3-round result is the exact min-cost over all ≤3-edge paths —
+    * deterministic pure-integer min-plus algebra, no float anywhere.
+    * Scale shape: the corpus-sized work is the one edge contraction
+    * (fact-table join + group); the relaxation loop iterates a
+    * #nations-sized frontier against a #nations²-bounded edge list —
+    * metadata, mirrored in the oracle as three unrolled CTE rounds
+    * (recursive SQL forbids the per-round min aggregate). */
+  def shortestPath(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val inf = 1000000000000L
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val edges = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .select(col("src"), col("dst"), expr("1000000L DIV w").as("cost"))
+      .persistScoped() // relaxed against every round
+    val nations = Tables.nation(s, dir).select(col("n_nationkey").as("node"))
+    var dist = nations.select(col("node"),
+      when(col("node") === 0, 0L).otherwise(lit(inf)).as("dist"))
+    for (_ <- 1 to rounds) {
+      val relax = dist.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("cost")).as("cand"))
+        .groupBy(col("node")).agg(min(col("cand")).as("cand"))
+      dist = dist.join(relax, Seq("node"), "left")
+        .select(col("node"),
+          least(col("dist"), coalesce(col("cand"), lit(inf))).as("dist"))
+    }
+    dist.select(col("node"), col("dist"),
+        when(col("dist") < inf, 1).otherwise(0).as("reachable"))
+      .orderBy(col("node"))
+  }
+
+  val shortestPathSql: String =
+    """WITH e AS (SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+      |           FROM lineitem
+      |           JOIN orders ON l_orderkey = o_orderkey
+      |           JOIN customer ON o_custkey = c_custkey
+      |           JOIN supplier ON l_suppkey = s_suppkey
+      |           GROUP BY 1, 2),
+      |c AS (SELECT src, dst, CAST(1000000 // w AS BIGINT) AS cost FROM e),
+      |d0 AS (SELECT n_nationkey AS node,
+      |         CAST(CASE WHEN n_nationkey = 0 THEN 0
+      |           ELSE 1000000000000 END AS BIGINT) AS dist
+      |       FROM nation),
+      |d1 AS (SELECT d0.node,
+      |         least(d0.dist, coalesce(r.cand, 1000000000000)) AS dist
+      |       FROM d0 LEFT JOIN (SELECT dst AS node,
+      |           CAST(min(d0.dist + cost) AS BIGINT) AS cand
+      |         FROM d0 JOIN c ON d0.node = c.src GROUP BY dst) r
+      |         USING (node)),
+      |d2 AS (SELECT d1.node,
+      |         least(d1.dist, coalesce(r.cand, 1000000000000)) AS dist
+      |       FROM d1 LEFT JOIN (SELECT dst AS node,
+      |           CAST(min(d1.dist + cost) AS BIGINT) AS cand
+      |         FROM d1 JOIN c ON d1.node = c.src GROUP BY dst) r
+      |         USING (node)),
+      |d3 AS (SELECT d2.node,
+      |         least(d2.dist, coalesce(r.cand, 1000000000000)) AS dist
+      |       FROM d2 LEFT JOIN (SELECT dst AS node,
+      |           CAST(min(d2.dist + cost) AS BIGINT) AS cand
+      |         FROM d2 JOIN c ON d2.node = c.src GROUP BY dst) r
+      |         USING (node))
+      |SELECT node, dist,
+      |  CAST(CASE WHEN dist < 1000000000000 THEN 1 ELSE 0 END AS INT)
+      |    AS reachable
+      |FROM d3 ORDER BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shortest_path" -> ((s: SparkSession, d: String) => shortestPath(s, d)),
     "q_skyline" -> (skyline _),
     "q_ks_test" -> (ksTest _),
     "q_ab_test" -> (abTest _),
@@ -683,6 +760,7 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_shortest_path" -> shortestPathSql,
     "q_skyline" -> skylineSql,
     "q_ks_test" -> ksTestSql,
     "q_ab_test" -> abTestSql,
