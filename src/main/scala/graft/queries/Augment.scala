@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Caches.PersistScoped
 import graft.operators.{Dedup, Similarity}
 
 /** Round-8 extension pack: asymmetric containment near-dup pairs,
@@ -245,7 +246,49 @@ object Augment {
       |SELECT path, count(*) AS n_users FROM p WHERE k = 3
       |GROUP BY path ORDER BY n_users DESC, path LIMIT 15""".stripMargin
 
+  /** G24 — bitmap-index distinct + day-over-day overlap: daily active
+    * users and returning users (yesterday ∩ today) computed from ONE
+    * pass over the fact table via the [[graft.operators.BitmapAgg]]
+    * fixed-universe bitmap aggregate — the map side combines each
+    * partition to an 8 KiB bitmap per day, cardinality is a popcount,
+    * and the overlap is a word-wise AND between two days' bitmaps with
+    * NO second scan or self-join of raw events (the reason engines
+    * keep bitmap indexes). The day-to-day join is calendar-keyed
+    * (day = prev_day + 1), so a silent day gap yields no row rather
+    * than a wrong neighbor. Oracle: the classic two-scan
+    * distinct + self-join formulation — same numbers, twice the reads. */
+  def bitmapRetention(s: SparkSession, dir: String): DataFrame = {
+    val bm = udaf(new graft.operators.BitmapAgg(1 << 16))
+    val daily = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day")).agg(bm(col("user_id")).as("bits"))
+      .persistScoped() // read as both today and yesterday
+    val prev = daily.select(date_add(col("day"), 1).as("day"),
+      col("bits").as("prev_bits"))
+    daily.join(prev, Seq("day"), "left")
+      .select(col("day"),
+        expr("aggregate(transform(bits, w -> bit_count(w)), 0, (a, b) -> a + b)")
+          .cast("bigint").as("dau"),
+        coalesce(
+          expr("aggregate(zip_with(bits, prev_bits, (x, y) -> bit_count(x & y)), " +
+            "0, (a, b) -> a + b)").cast("bigint"),
+          lit(0L)).as("returning"))
+      .orderBy(col("day"))
+  }
+
+  val bitmapRetentionSql: String =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |d AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+      |r AS (SELECT a.day, count(*) AS returning
+      |      FROM du a JOIN du b
+      |        ON b.day = a.day - 1 AND b.user_id = a.user_id
+      |      GROUP BY a.day)
+      |SELECT d.day, d.dau,
+      |  CAST(coalesce(r.returning, 0) AS BIGINT) AS returning
+      |FROM d LEFT JOIN r USING (day) ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bitmap_retention" -> (bitmapRetention _),
     "q_common_paths" -> (commonPaths _),
     "q_containment" -> (containmentPairs _),
     "q_knn_classify" -> (knnClassify _),
@@ -255,6 +298,7 @@ object Augment {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bitmap_retention" -> bitmapRetentionSql,
     "q_common_paths" -> commonPathsSql,
     "q_containment" -> containmentPairsSql,
     "q_knn_classify" -> knnClassifySql,

@@ -48,4 +48,39 @@ class SketchSpec extends SparkSpec {
       .agg(kmv(col("h"))).head.getDouble(0)
     assert(once == tripled)
   }
+
+  // ---- fixed-universe bitmap aggregate (G24) ----
+
+  private def popcount(bits: Seq[Long]): Int = bits.map(java.lang.Long.bitCount).sum
+
+  test("bitmap aggregate counts exactly, ignores duplicates, and is partitioning-invariant") {
+    import spark.implicits._
+    val bm = udaf(new graft.operators.BitmapAgg(1 << 10))
+    val ids = (0 until 700).map(i => (i * 37) % 1000L) // 700 distinct with wraps
+    val base = (ids ++ ids).toDF("id") // every id twice
+    val expected = ids.distinct.size
+    for (p <- Seq(1, 3, 16)) {
+      val bits = base.repartition(p).agg(bm(col("id"))).head.getSeq[Long](0)
+      assert(popcount(bits) == expected, s"cardinality differs at $p partitions")
+    }
+  }
+
+  test("bitmap AND between two groups is the exact set intersection") {
+    import spark.implicits._
+    val bm = udaf(new graft.operators.BitmapAgg(1 << 10))
+    val rows = (0L until 400L).map(("a", _)) ++ (200L until 600L).map(("b", _))
+    val bits = rows.toDF("g", "id").groupBy(col("g")).agg(bm(col("id")).as("b"))
+      .orderBy(col("g")).collect().map(_.getSeq[Long](1))
+    val and = bits(0).zip(bits(1)).map { case (x, y) => x & y }
+    assert(popcount(and) == 200) // [200, 400)
+  }
+
+  test("an id outside the declared universe fails loudly, never aliases") {
+    import spark.implicits._
+    val bm = udaf(new graft.operators.BitmapAgg(64))
+    val ex = intercept[Exception] {
+      Seq(64L).toDF("id").agg(bm(col("id"))).head
+    }
+    assert(ex.getMessage != null)
+  }
 }
