@@ -581,7 +581,78 @@ object Corpus {
       |  CAST(CAST(sum(c1 + c2) AS BIGINT) AS DOUBLE) / 2e9 AS js
       |FROM c GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin
 
+  /** L31 — k-min-sketch cross-source overlap estimate: the
+    * sketch-sized twin of L18's exact overlap matrix. Each source
+    * keeps its 64 smallest distinct doc hashes (md5 — deterministic,
+    * so the "sketch" is exactly reproducible and oracle-checkable);
+    * the pairwise estimate is the classic k-min union trick —
+    * |both ∈ k-min(A ∪ B)| / k — so comparing two 100 TB sources
+    * costs k rows per source after one distinct pass, not a
+    * doc-hash join. The per-source k-min runs on the [[graft
+    * .operators.TopKPairs]] bounded heap (value = −hash): map-side
+    * combine ships ≤k rows per (source × partition), no per-source
+    * sort anywhere; everything after the sketch is pairs × k
+    * metadata. The estimate's error vs the exact matrix is the
+    * q_source_overlap cross-check. */
+  def sketchOverlap(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val heap = udaf(new graft.operators.TopKPairs(k))
+    val d = Tables.widen(Tables.documents(s, dir))
+      .select(col("source"),
+        expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .distinct()
+    val sk = d.groupBy(col("source"))
+      .agg(heap(-col("h"), col("h")).as("top"))
+      .select(col("source"), explode(col("top")).as("t"))
+      .select(col("source"), col("t._3").as("h"))
+      .persistScoped() // both sides of the pair scaffold
+    val srcs = sk.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("s1"))
+      .join(srcs.select(col("source").as("s2")), col("s1") < col("s2"))
+    val tagged = broadcast(pairs).join(sk, col("source") === col("s1"))
+      .select(col("s1"), col("s2"), col("h"), lit(1).as("ina"), lit(0).as("inb"))
+      .union(broadcast(pairs).join(sk, col("source") === col("s2"))
+        .select(col("s1"), col("s2"), col("h"), lit(0).as("ina"), lit(1).as("inb")))
+      .groupBy(col("s1"), col("s2"), col("h"))
+      .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+    tagged.withColumn("rn", row_number().over(
+        Window.partitionBy(col("s1"), col("s2")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("ina") * col("inb")).as("n_both"))
+      .select(col("s1"), col("s2"), col("k_used"), col("n_both"),
+        (col("n_both").cast("double") / col("k_used")).as("est_jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  val sketchOverlapSql: String =
+    """WITH d AS (SELECT DISTINCT source,
+      |    CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS h
+      |  FROM documents),
+      |r AS (SELECT source, h,
+      |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |      FROM d),
+      |sk AS (SELECT source, h FROM r WHERE rn <= 64),
+      |ss AS (SELECT DISTINCT source FROM sk),
+      |pr AS (SELECT a.source AS s1, b.source AS s2 FROM ss a
+      |       JOIN ss b ON a.source < b.source),
+      |m AS (SELECT s1, s2, h, max(ina) AS ina, max(inb) AS inb FROM (
+      |        SELECT s1, s2, h, 1 AS ina, 0 AS inb FROM pr
+      |        JOIN sk ON sk.source = s1
+      |        UNION ALL
+      |        SELECT s1, s2, h, 0 AS ina, 1 AS inb FROM pr
+      |        JOIN sk ON sk.source = s2)
+      |      GROUP BY s1, s2, h),
+      |u AS (SELECT s1, s2, ina, inb,
+      |        row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rn
+      |      FROM m)
+      |SELECT s1, s2, count(*) AS k_used,
+      |  CAST(sum(ina * inb) AS BIGINT) AS n_both,
+      |  CAST(sum(ina * inb) AS DOUBLE) / count(*) AS est_jaccard
+      |FROM u WHERE rn <= 64 GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketch_overlap" -> ((s: SparkSession, d: String) => sketchOverlap(s, d)),
     "q_js_divergence" -> (jsDivergence _),
     "q_degree_stats" -> (degreeStats _),
     "q_mix_weights" -> (mixWeights _),
@@ -596,6 +667,7 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sketch_overlap" -> sketchOverlapSql,
     "q_js_divergence" -> jsDivergenceSql,
     "q_degree_stats" -> degreeStatsSql,
     "q_mix_weights" -> mixWeightsSql,

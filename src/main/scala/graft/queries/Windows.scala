@@ -458,7 +458,50 @@ object Windows {
       |      FROM orders)
       |ORDER BY o_custkey, od, o_orderkey""".stripMargin
 
+  /** W37 — IGNORE NULLS analytic surface: last/first/lag over a
+    * sparsely-populated column (purchase value, NULL on every other
+    * event type) with null-skipping semantics — the
+    * "carry-forward-the-last-real-observation" idiom (last known
+    * price, last non-null sensor reading) that plain last()/lag()
+    * gets wrong the moment the previous row is a gap. Per-user
+    * windows under a (ts, event_id) total order; outputs coalesce to
+    * −1 so the emitted table is null-free (cross-engine null-order
+    * hygiene). Pure window machinery — no shuffle beyond the one
+    * user-keyed exchange. */
+  def ignoreNulls(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("pv", when(col("event_type") === "purchase", col("value")))
+      .select(col("user_id"), col("event_id"),
+        coalesce(last(col("pv"), ignoreNulls = true).over(run), lit(-1.0))
+          .as("last_purchase"),
+        coalesce(lag(col("pv"), 1, null, ignoreNulls = true).over(w), lit(-1.0))
+          .as("prev_purchase"),
+        coalesce(first(col("pv"), ignoreNulls = true).over(run), lit(-1.0))
+          .as("first_purchase"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val ignoreNullsSql: String =
+    """WITH e AS (SELECT user_id, event_id, ts,
+      |    CASE WHEN event_type = 'purchase' THEN value END AS pv
+      |  FROM events)
+      |SELECT user_id, event_id,
+      |  coalesce(last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0)
+      |    AS last_purchase,
+      |  coalesce(lag(pv IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id), -1.0) AS prev_purchase,
+      |  coalesce(first_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0)
+      |    AS first_purchase
+      |FROM e ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ignore_nulls" -> (ignoreNulls _),
     "q_rolling_median" -> (rollingMedian _),
     "q_gapfill" -> (gapFill _),
     "q_interpolate" -> (interpolate _),
@@ -477,6 +520,7 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ignore_nulls" -> ignoreNullsSql,
     "q_rolling_median" -> rollingMedianSql,
     "q_gapfill" -> gapFillSql,
     "q_interpolate" -> interpolateSql,
