@@ -80,6 +80,10 @@ object PlanAudit {
     "q_survival_curve" -> "KM recursion over the BOUNDED duration spine: fact aggregate first, then reverse-cumulative risk set + quantized-ln cumulative product on ≤91 rows",
     "q_decay_score" -> "dyadic decay weights in a narrow projection (shiftleft division, no pow); one partial/final aggregate with the corpus max date broadcast",
     "q_split_leakage" -> "collision-driven pair stream joined to a narrow md5-split projection on each endpoint; one final cell aggregate",
+    "q_bitmap_retention" -> "ONE fact pass: bitmap ObjectHashAggregate per day (8 KiB buffer regardless of group size); the overlap is a calendar self-join of the 30-row bitmap table, popcounts in the projection",
+    "q_sketch_overlap" -> "per-source k-min sketch via the TopKPairs heap aggregate (no per-source sort); everything after the distinct+heap is pairs × k metadata with the pair scaffold broadcast",
+    "q_theil_sen" -> "monthly aggregate is the only fact pass; the pairwise slope join, rank window, and median selection all run on the bounded months² relation",
+    "q_shortest_path" -> "edge contraction is the one fact-table join+aggregate; Bellman-Ford rounds iterate the nations-sized frontier (broadcast joins over metadata)",
   )
 
   def main(args: Array[String]): Unit = {

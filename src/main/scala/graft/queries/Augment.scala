@@ -246,14 +246,15 @@ object Augment {
       |SELECT path, count(*) AS n_users FROM p WHERE k = 3
       |GROUP BY path ORDER BY n_users DESC, path LIMIT 15""".stripMargin
 
-  /** G24 — bitmap-index distinct + day-over-day overlap: daily active
-    * users and returning users (yesterday ∩ today) computed from ONE
-    * pass over the fact table via the [[graft.operators.BitmapAgg]]
-    * fixed-universe bitmap aggregate — the map side combines each
-    * partition to an 8 KiB bitmap per day, cardinality is a popcount,
-    * and the overlap is a word-wise AND between two days' bitmaps with
-    * NO second scan or self-join of raw events (the reason engines
-    * keep bitmap indexes). The day-to-day join is calendar-keyed
+  /** G24 — bitmap-index distinct + day-over-day set algebra: daily
+    * active users, returning users (yesterday ∩ today), and churned
+    * users (yesterday ∖ today) computed from ONE pass over the fact
+    * table via the [[graft.operators.BitmapAgg]] fixed-universe bitmap
+    * aggregate — the map side combines each partition to an 8 KiB
+    * bitmap per day, cardinality is a popcount, and the overlap/churn
+    * are word-wise AND / AND-NOT between two days' bitmaps with NO
+    * second scan or self-join of raw events (the reason engines keep
+    * bitmap indexes). The day-to-day join is calendar-keyed
     * (day = prev_day + 1), so a silent day gap yields no row rather
     * than a wrong neighbor. Oracle: the classic two-scan
     * distinct + self-join formulation — same numbers, twice the reads. */
@@ -272,7 +273,11 @@ object Augment {
         coalesce(
           expr("aggregate(zip_with(bits, prev_bits, (x, y) -> bit_count(x & y)), " +
             "0, (a, b) -> a + b)").cast("bigint"),
-          lit(0L)).as("returning"))
+          lit(0L)).as("returning"),
+        coalesce(
+          expr("aggregate(zip_with(prev_bits, bits, (x, y) -> bit_count(x & ~y)), " +
+            "0, (a, b) -> a + b)").cast("bigint"),
+          lit(0L)).as("churned"))
       .orderBy(col("day"))
   }
 
@@ -282,10 +287,17 @@ object Augment {
       |r AS (SELECT a.day, count(*) AS returning
       |      FROM du a JOIN du b
       |        ON b.day = a.day - 1 AND b.user_id = a.user_id
-      |      GROUP BY a.day)
+      |      GROUP BY a.day),
+      |c AS (SELECT b.day + 1 AS day, count(*) AS churned
+      |      FROM du b
+      |      WHERE NOT EXISTS (SELECT 1 FROM du a
+      |        WHERE a.day = b.day + 1 AND a.user_id = b.user_id)
+      |      GROUP BY b.day + 1)
       |SELECT d.day, d.dau,
-      |  CAST(coalesce(r.returning, 0) AS BIGINT) AS returning
-      |FROM d LEFT JOIN r USING (day) ORDER BY day""".stripMargin
+      |  CAST(coalesce(r.returning, 0) AS BIGINT) AS returning,
+      |  CAST(coalesce(c.churned, 0) AS BIGINT) AS churned
+      |FROM d LEFT JOIN r USING (day) LEFT JOIN c USING (day)
+      |ORDER BY day""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bitmap_retention" -> (bitmapRetention _),

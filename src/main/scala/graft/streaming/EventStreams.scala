@@ -15,6 +15,8 @@ case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
 
 case class KmvCard(hs: Array[Long], n_seen: Long)
 case class TypeCardinality(event_type: String, n_seen: Long, est_users: Double)
+case class BitmapCard(bits: Array[Long], n_seen: Long)
+case class TypeExactCard(event_type: String, n_seen: Long, exact_users: Long)
 
 /** Structured Streaming operators over the events stream (SURVEY.md
   * §2B X1-X8). The reference's only streaming construct is `sync` —
@@ -112,6 +114,34 @@ object EventStreams {
           }
           st.update(KmvCard(buf.hs, n))
           TypeCardinality(tpe, n, sk.finish(buf))
+      }
+  }
+
+  /** X11 — streaming EXACT cardinality with BITMAP state: running
+    * distinct users per event type through the same fixed-universe
+    * bitmap the batch engine oracle-checks (operators.BitmapAgg).
+    * Where X10's KMV state trades exactness for an unbounded id
+    * domain, this is the other corner of the design square: a
+    * universe/8-byte state per key FOREVER (8 KiB at 2^16) that
+    * answers EXACTLY — the right state shape when ids are
+    * dictionary-encoded and finite (they are, in every warehouse
+    * dimension). Stream ≡ batch exactly because bit-set insertion is
+    * order- and batch-boundary-free (asserted in StreamingSpec). */
+  def runningExactUsers(events: Dataset[EventRow],
+                        universe: Int = 1 << 16): Dataset[TypeExactCard] = {
+    import events.sparkSession.implicits._
+    val bm = new graft.operators.BitmapAgg(universe)
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[BitmapCard, TypeExactCard](GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[EventRow], st: GroupState[BitmapCard]) =>
+          val prev = st.getOption.getOrElse(BitmapCard(bm.zero, 0L))
+          val bits = if (prev.bits.isEmpty) bm.zero else prev.bits
+          var n = prev.n_seen
+          rows.foreach { e => bm.reduce(bits, e.user_id); n += 1 }
+          st.update(BitmapCard(bits, n))
+          TypeExactCard(tpe, n,
+            bits.map(w => java.lang.Long.bitCount(w).toLong).sum)
       }
   }
 

@@ -159,6 +159,29 @@ class StreamingSpec extends SparkSpec {
       s"stream ${last.getAs[Double]("est_users")} != batch $batch")
   }
 
+  test("streaming bitmap state counts distinct users exactly across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.runningExactUsers(stream.toDS(), universe = 1 << 10)
+      .writeStream.format("memory").queryName("bmcard")
+      .outputMode(OutputMode.Update()).start()
+    // same duplicate-heavy shape as the KMV test, but the bitmap must
+    // be EXACT: {0..11} = 12 distinct after batch one; batch two adds
+    // {21..29} for 21 cumulative
+    stream.addData(mkEvents((1 to 20).map(i =>
+      (i.toLong, i.toLong, (i % 12).toLong, "a", 1.0)): _*))
+    q.processAllAvailable()
+    stream.addData(mkEvents((21 to 40).map(i =>
+      (i.toLong, i.toLong, (i % 30).toLong, "a", 1.0)): _*))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("bmcard").filter(col("event_type") === "a")
+      .orderBy(col("n_seen")).collect()
+    assert(rows.map(_.getAs[Long]("exact_users")).toSeq == Seq(12L, 21L),
+      "per-batch exact cardinalities")
+    assert(rows.last.getAs[Long]("n_seen") == 40L)
+  }
+
   test("flatMapGroupsWithState emits each session exactly once, on close") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
