@@ -30,7 +30,9 @@ object Pipeline {
     * Snapshots are derived deterministically from the fixture: the
     * "old" snapshot is missing keys ≡3 (mod 10) and has a stale price
     * on keys ≡0 (mod 7); the "new" one is missing keys ≡4 (mod 10). */
-  def changeCapture(s: SparkSession, dir: String): DataFrame = {
+  /** Unsorted I/U/D core shared by C1 (capture, sorted for the
+    * oracle) and C2b (apply, which needs no sort). */
+  private def changelog(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val old = o.filter(expr("o_orderkey % 10 != 3"))
       .select(col("o_orderkey").as("key"),
@@ -45,8 +47,10 @@ object Pipeline {
           .when(col("old_price") =!= col("new_price"), "U"))
       .filter(col("op").isNotNull)
       .select(col("key"), col("op"), col("old_price"), col("new_price"))
-      .orderBy(col("key"))
   }
+
+  def changeCapture(s: SparkSession, dir: String): DataFrame =
+    changelog(s, dir).orderBy(col("key"))
 
   val changeCaptureSql: String =
     """WITH old AS (SELECT o_orderkey AS key,
@@ -532,7 +536,37 @@ object Pipeline {
       |    CAST(count(DISTINCT never_parses) AS BIGINT) FROM base)
       |ORDER BY column_name""".stripMargin
 
+  /** C2b — CDC changelog APPLY, the inverse of C1's capture: replay
+    * an I/U/D changelog onto the old snapshot — survivors are the old
+    * rows left-ANTI-joined against the D∪U keys, upserts are the I∪U
+    * rows' new values, one union, no per-row branching. The ORACLE is
+    * the post-condition, not a re-implementation: applying the
+    * changelog C1 derived between snapshots must reconstruct the new
+    * snapshot EXACTLY (capture∘apply = identity) — a stronger check
+    * than mirroring the apply logic in SQL. Scale shape: one anti
+    * join + one union, both keyed; the changelog side is small by
+    * construction (only changed keys), so at 100 TB the anti join
+    * broadcasts the delta. */
+  def applyChangelog(s: SparkSession, dir: String): DataFrame = {
+    val old = Tables.orders(s, dir).filter(expr("o_orderkey % 10 != 3"))
+      .select(col("o_orderkey").as("key"),
+        expr("CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50.0D " +
+          "ELSE o_totalprice END").as("price"))
+    val log = changelog(s, dir).persistScoped() // anti + upsert sides
+    val survivors = old.join(
+      log.filter(col("op").isin("D", "U")).select(col("key")),
+      Seq("key"), "left_anti")
+    val upserts = log.filter(col("op").isin("I", "U"))
+      .select(col("key"), col("new_price").as("price"))
+    survivors.union(upserts).orderBy(col("key"))
+  }
+
+  val applyChangelogSql: String =
+    """SELECT o_orderkey AS key, o_totalprice AS price
+      |FROM orders WHERE o_orderkey % 10 != 4 ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_apply_changelog" -> (applyChangelog _),
     "q_change_capture" -> (changeCapture _),
     "q_merge_upsert" -> (mergeUpsert _),
     "q_hash_sample" -> (hashSample _),
@@ -551,6 +585,7 @@ object Pipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_apply_changelog" -> applyChangelogSql,
     "q_change_capture" -> changeCaptureSql,
     "q_merge_upsert" -> mergeUpsertSql,
     "q_hash_sample" -> hashSampleSql,
