@@ -17,7 +17,11 @@ class ShuffleWidthSpec extends SparkSpec {
     // aggregate — merge order varies with partitioning, so the strict
     // total order (cosine DESC, id ASC) is what keeps the output
     // layout-independent; run the whole family at two widths
-    "q_sim_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq")
+    "q_sim_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq",
+    // late round 8: bitmap OR-merge and heap k-min sketch merges are
+    // order-sensitive internally but must be layout-independent
+    // externally; Theil-Sen's median selects by rank over pair rows
+    "q_bitmap_retention", "q_sketch_overlap", "q_theil_sen")
 
   test("prefix-sum machinery is shuffle-width invariant") {
     val wide = spark.newSession()

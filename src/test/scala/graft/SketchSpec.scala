@@ -75,6 +75,15 @@ class SketchSpec extends SparkSpec {
     assert(popcount(and) == 200) // [200, 400)
   }
 
+  test("bitmap over an empty input yields the empty set, not a crash") {
+    import spark.implicits._
+    val bm = udaf(new graft.operators.BitmapAgg(1 << 10))
+    val empty = Seq.empty[Long].toDF("id")
+    assert(empty.groupBy(col("id")).agg(bm(col("id"))).count() == 0)
+    val bits = empty.agg(bm(col("id"))).head.getSeq[Long](0)
+    assert(popcount(bits) == 0)
+  }
+
   test("an id outside the declared universe fails loudly, never aliases") {
     import spark.implicits._
     val bm = udaf(new graft.operators.BitmapAgg(64))
