@@ -275,7 +275,56 @@ object Infer {
       |    / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)) AS df_welch
       |FROM se""".stripMargin
 
+  /** W38 — McNemar's paired pre/post test: "made a big purchase
+    * (value ≥ 90) before mid-month" vs "after mid-month" as PAIRED
+    * binary outcomes on the same user — the within-subject
+    * before/after design where W19's two-proportion z and W7's
+    * chi-square independence are both wrong (they assume independent
+    * samples; here every user contributes to both margins). The
+    * statistic reads only the DISCORDANT cells: χ² = (b−c)²/(b+c),
+    * plus the continuity-corrected form. One per-user aggregate, one
+    * 4-cell rollup, exact integers until the terminal division. */
+  def mcnemar(s: SparkSession, dir: String): DataFrame = {
+    val mid = lit("2024-01-16").cast("timestamp")
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("ts") < mid
+          && col("value") >= 90, 1L).otherwise(0L)).as("a"),
+        max(when(col("event_type") === "purchase" && col("ts") >= mid
+          && col("value") >= 90, 1L).otherwise(0L)).as("b"))
+      .agg(sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"),
+        (((col("n10") - col("n01")) * (col("n10") - col("n01")))
+          .cast("double") / (col("n10") + col("n01"))).as("chi2"),
+        (((abs(col("n10") - col("n01")) - 1) * (abs(col("n10") - col("n01")) - 1))
+          .cast("double") / (col("n10") + col("n01"))).as("chi2_cc"))
+  }
+
+  val mcnemarSql: String =
+    """WITH u AS (SELECT user_id,
+      |    CAST(max(CASE WHEN event_type = 'purchase'
+      |      AND ts < TIMESTAMP '2024-01-16' AND value >= 90
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(max(CASE WHEN event_type = 'purchase'
+      |      AND ts >= TIMESTAMP '2024-01-16' AND value >= 90
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS b
+      |  FROM events GROUP BY user_id),
+      |m AS (SELECT CAST(sum(a * b) AS BIGINT) AS n11,
+      |        CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+      |        CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+      |        CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+      |      FROM u)
+      |SELECT n11, n10, n01, n00,
+      |  CAST((n10 - n01) * (n10 - n01) AS DOUBLE) / (n10 + n01) AS chi2,
+      |  CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)
+      |    / (n10 + n01) AS chi2_cc
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mcnemar" -> (mcnemar _),
     "q_welch_ttest" -> (welchTtest _),
     "q_wilson_ci" -> (wilsonCi _),
     "q_cuped" -> (cuped _),
@@ -283,6 +332,7 @@ object Infer {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mcnemar" -> mcnemarSql,
     "q_welch_ttest" -> welchTtestSql,
     "q_wilson_ci" -> wilsonCiSql,
     "q_cuped" -> cupedSql,

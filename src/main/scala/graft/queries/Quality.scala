@@ -299,7 +299,84 @@ object Quality {
       |    ln(1.0 - 2.0 * abs(u - 0.5)) AS noisy_n
       |FROM c ORDER BY lang""".stripMargin
 
+  /** G25 — weighted discrete percentiles: per return flag, the
+    * quantity-weighted p25/p50/p75 of unit price — "the price at
+    * which a quarter of the UNITS (not rows) sold below" — the
+    * shipment/volume-weighted statistic plain percentiles misstate
+    * whenever weight correlates with value. Definition: smallest
+    * price whose cumulative weight reaches q·W (discrete, no
+    * interpolation — engine-neutral). Scale shape: a partial/final
+    * aggregate first collapses the fact table to the (group, price)
+    * weight DISTRIBUTION — the only pass that touches raw rows — then
+    * the q_percentile_disc two-pass machinery (range repartition +
+    * per-pid local windows + broadcast partition offsets) cumulates
+    * weights over that distribution relation, so no group ever
+    * funnels through one task and the one extra exchange carries
+    * |distinct prices| rows, not the fact table. Exact integer cents
+    * and weights throughout; one distribution row per price makes the
+    * threshold crossing tie-free by construction. */
+  def weightedPercentile(s: SparkSession, dir: String): DataFrame = {
+    val dist = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+          .as("cents"),
+        col("l_quantity").cast("bigint").as("w"))
+      .groupBy(col("l_returnflag"), col("cents"))
+      .agg(sum(col("w")).as("w"))
+    val parts = dist
+      .repartitionByRange(Tables.shuffleWidth(s),
+        col("l_returnflag"), col("cents"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("cw_local", sum(col("w")).over(
+        Window.partitionBy(col("pid"), col("l_returnflag"))
+          .orderBy(col("cents"))))
+      .persistScoped() // offsets pass + threshold pass
+    val ptot = parts.groupBy(col("pid"), col("l_returnflag"))
+      .agg(sum(col("w")).as("pw"))
+    val offsets = ptot
+      .withColumn("off", sum(col("pw")).over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))) - col("pw"))
+      .select(col("pid"), col("l_returnflag"), col("off"))
+    val totals = ptot.groupBy(col("l_returnflag")).agg(sum(col("pw")).as("tw"))
+    parts
+      .join(broadcast(offsets), Seq("pid", "l_returnflag"))
+      .join(broadcast(totals), Seq("l_returnflag"))
+      .withColumn("cw", col("off") + col("cw_local"))
+      .groupBy(col("l_returnflag"), col("tw"))
+      .agg(
+        min(when(col("cw") * 4 >= col("tw"), col("cents"))).as("c25"),
+        min(when(col("cw") * 2 >= col("tw"), col("cents"))).as("c50"),
+        min(when(col("cw") * 4 >= col("tw") * 3, col("cents"))).as("c75"))
+      .select(col("l_returnflag"), col("tw").as("total_weight"),
+        (col("c25").cast("double") / 100).as("wp25"),
+        (col("c50").cast("double") / 100).as("wp50"),
+        (col("c75").cast("double") / 100).as("wp75"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val weightedPercentileSql: String =
+    """WITH b AS (SELECT l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT l_returnflag, cents, w,
+      |        CAST(sum(w) OVER (PARTITION BY l_returnflag
+      |          ORDER BY cents
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |          AS cw,
+      |        CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+      |      FROM b)
+      |SELECT l_returnflag, tw AS total_weight,
+      |  CAST(min(CASE WHEN cw * 4 >= tw THEN cents END) AS DOUBLE) / 100
+      |    AS wp25,
+      |  CAST(min(CASE WHEN cw * 2 >= tw THEN cents END) AS DOUBLE) / 100
+      |    AS wp50,
+      |  CAST(min(CASE WHEN cw * 4 >= tw * 3 THEN cents END) AS DOUBLE) / 100
+      |    AS wp75
+      |FROM c GROUP BY l_returnflag, tw ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_percentile" -> (weightedPercentile _),
     "q_dp_counts" -> ((s: SparkSession, d: String) => dpNoisyCounts(s, d)),
     "q_winsorize" -> (winsorize _),
     "q_lexical_cosine" -> ((s: SparkSession, d: String) => lexicalCosine(s, d)),
@@ -309,6 +386,7 @@ object Quality {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_weighted_percentile" -> weightedPercentileSql,
     "q_dp_counts" -> dpNoisyCountsSql,
     "q_winsorize" -> winsorizeSql,
     "q_lexical_cosine" -> lexicalCosineSql,

@@ -21,7 +21,8 @@ class ShuffleWidthSpec extends SparkSpec {
     // late round 8: bitmap OR-merge and heap k-min sketch merges are
     // order-sensitive internally but must be layout-independent
     // externally; Theil-Sen's median selects by rank over pair rows
-    "q_bitmap_retention", "q_sketch_overlap", "q_theil_sen")
+    "q_bitmap_retention", "q_sketch_overlap", "q_theil_sen",
+    "q_weighted_percentile")
 
   test("prefix-sum machinery is shuffle-width invariant") {
     val wide = spark.newSession()
