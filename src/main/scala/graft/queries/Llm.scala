@@ -606,7 +606,51 @@ object Llm {
       |  CAST(df * stf2 - stf * stf AS DOUBLE) / CAST(df * stf AS DOUBLE) AS fano
       |FROM m WHERE df >= 50 ORDER BY term""".stripMargin
 
+  /** L32 — span-corruption pair generation: the T5/masked-LM data-prep
+    * transform that turns each document into a (corrupted input,
+    * recovery target) training pair — every word masks independently
+    * on an md5 coin keyed by (doc_id, 1-based position), so the SAME
+    * pair regenerates on any rerun, any partitioning, any engine (the
+    * determinism that makes training-data provenance auditable).
+    * Pure narrow array-lambda work over one scan: one flags vector,
+    * zip_with for the corrupted text, filter for the target span
+    * list; no shuffle until the output sort. */
+  def maskSpans(s: SparkSession, dir: String, pct: Int = 15): DataFrame =
+    Tables.widen(Tables.documents(s, dir))
+      .select(col("doc_id"), expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+      .withColumn("flags", expr(
+        "transform(sequence(1, size(ws)), i -> " +
+          "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '|', " +
+          s"CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100 < $pct)"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        expr("size(filter(flags, f -> f))").as("n_masked"),
+        expr("array_join(zip_with(ws, flags, (w, f) -> " +
+          "CASE WHEN f THEN '_MASK_' ELSE w END), ' ')").as("input_text"),
+        expr("array_join(filter(zip_with(ws, flags, (w, f) -> " +
+          "CASE WHEN f THEN w END), x -> x IS NOT NULL), ' ')").as("target_text"))
+      .orderBy(col("doc_id"))
+
+  val maskSpansSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      |  FROM documents),
+      |e AS (SELECT doc_id, unnest(ws) AS w,
+      |        generate_subscripts(ws, 1) AS i FROM t),
+      |f AS (SELECT doc_id, w, i,
+      |        CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR),
+      |          '|', CAST(i AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 15 AS m
+      |      FROM e)
+      |SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+      |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS INT) AS n_masked,
+      |  string_agg(CASE WHEN m THEN '_MASK_' ELSE w END, ' ' ORDER BY i)
+      |    AS input_text,
+      |  coalesce(string_agg(CASE WHEN m THEN w END, ' ' ORDER BY i), '')
+      |    AS target_text
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mask_spans" -> ((s: SparkSession, d: String) => maskSpans(s, d)),
     "q_vocab_coverage" -> (vocabCoverage _),
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_dedup_sweep" -> (dedupSweep _),
@@ -632,6 +676,7 @@ object Llm {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mask_spans" -> maskSpansSql,
     "q_vocab_coverage" -> vocabCoverageSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_sweep" -> dedupSweepSql,
