@@ -539,7 +539,43 @@ object EtlQueries {
       |  CAST(sum(length(text)) AS BIGINT) AS total_chars
       |FROM documents""".stripMargin
 
+  /** E18 — late-arriving-dimension repair (Kimball "inferred
+    * members"): facts that reference dimension keys not yet loaded
+    * (simulated: every 5th customer missing) get PLACEHOLDER dim rows
+    * inserted so fact loads never drop or dead-letter on a
+    * referential miss — the repair twin of W8's orphan detection.
+    * Shape: one distinct over the fact's FK column, one anti join
+    * against the dim (broadcastable at scale — the dim is the small
+    * side), one union; the placeholder carries sentinel attributes
+    * and an is_inferred flag the next dim load overwrites (C2's
+    * upsert). */
+  def inferredMembers(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(s, dir)
+      .filter(expr("c_custkey % 5 != 2"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val referenced = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+    val inferred = referenced
+      .join(dim, col("o_custkey") === col("c_custkey"), "left_anti")
+      .select(col("o_custkey").as("c_custkey"),
+        lit(-1L).as("c_nationkey"), lit(1).as("is_inferred"))
+    dim.select(col("c_custkey"), col("c_nationkey"), lit(0).as("is_inferred"))
+      .union(inferred)
+      .orderBy(col("c_custkey"))
+  }
+
+  val inferredMembersSql: String =
+    """WITH dim AS (SELECT c_custkey, c_nationkey FROM customer
+      |             WHERE c_custkey % 5 != 2),
+      |ref AS (SELECT DISTINCT o_custkey FROM orders),
+      |inf AS (SELECT o_custkey AS c_custkey, CAST(-1 AS BIGINT) AS c_nationkey,
+      |          CAST(1 AS INT) AS is_inferred
+      |        FROM ref WHERE o_custkey NOT IN (SELECT c_custkey FROM dim))
+      |SELECT c_custkey, c_nationkey, CAST(0 AS INT) AS is_inferred FROM dim
+      |UNION ALL SELECT * FROM inf
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_inferred_members" -> (inferredMembers _),
     "q_text_lines_roundtrip" -> (textLinesRoundtrip _),
     "q_dead_letter" -> (deadLetter _),
     "q_compaction" -> (compaction _),
@@ -559,6 +595,7 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_inferred_members" -> inferredMembersSql,
     "q_text_lines_roundtrip" -> textLinesRoundtripSql,
     "q_dead_letter" -> deadLetterSql,
     "q_compaction" -> compactionSql,
