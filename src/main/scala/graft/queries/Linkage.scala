@@ -510,7 +510,85 @@ object Linkage {
       |FROM l8 GROUP BY label ORDER BY entity_id""".stripMargin
   }
 
+  /** W39 — Brier score + Murphy decomposition: the scalar companion
+    * of W24's reliability TABLE. Same forecast construction (p =
+    * qty/50, outcome = returned): the raw Brier sum is EXACT integer
+    * arithmetic (Σ(qty − 50·pos)² / 2500N — p is a /50 rational, so
+    * no float accumulates); reliability Σn_k(p̄_k−ō_k)²/N and
+    * resolution Σn_k(ō_k−ō)²/N come from per-bin contributions
+    * computed as fixed IEEE chains over exact integer aggregates,
+    * 1e-6-quantized and integer-summed (order-free across the bounded
+    * bin relation); uncertainty = ō(1−ō). The decomposition identity
+    * rel − res + unc reconstructs the BINNED Brier (bin-averaged
+    * forecast), reported alongside the raw score. */
+  def brier(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .select(floor(col("l_quantity") / 5).cast("long").as("bin"),
+        col("l_quantity").cast("bigint").as("qty"),
+        (col("l_returnflag") === "R").cast("long").as("pos"))
+      .persistScoped() // totals + per-bin passes
+    val tot = base.agg(count(lit(1)).as("n_all"), sum(col("pos")).as("np_all"),
+      sum((col("qty") - col("pos") * 50) * (col("qty") - col("pos") * 50))
+        .as("sq_err"))
+    val bins = base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("sq"),
+        sum(col("pos")).as("np"))
+    val contrib = bins.crossJoin(broadcast(tot))
+      .select(
+        expr("CAST(floor((CAST(sq - 50 * np AS DOUBLE) * " +
+          "CAST(sq - 50 * np AS DOUBLE) / n / 2500) * 1e6) AS BIGINT)")
+          .as("rel_q"),
+        expr("CAST(floor(n * (CAST(np AS DOUBLE) / n - " +
+          "CAST(np_all AS DOUBLE) / n_all) * (CAST(np AS DOUBLE) / n - " +
+          "CAST(np_all AS DOUBLE) / n_all) * 1e6) AS BIGINT)").as("res_q"))
+      .agg(sum(col("rel_q")).as("rel_q"), sum(col("res_q")).as("res_q"))
+    contrib.crossJoin(broadcast(tot))
+      .select(col("n_all").as("n"),
+        (col("sq_err").cast("double") / (col("n_all") * 2500)).as("brier_raw"),
+        (col("rel_q").cast("double") / 1e6 / col("n_all")).as("reliability"),
+        (col("res_q").cast("double") / 1e6 / col("n_all")).as("resolution"),
+        ((col("np_all").cast("double") / col("n_all"))
+          * (lit(1.0) - col("np_all").cast("double") / col("n_all")))
+          .as("uncertainty"))
+      .withColumn("brier_binned",
+        col("reliability") - col("resolution") + col("uncertainty"))
+  }
+
+  val brierSql: String =
+    """WITH b AS (SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS bin,
+      |    CAST(l_quantity AS BIGINT) AS qty,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      |  FROM lineitem),
+      |t AS (SELECT count(*) AS n_all, CAST(sum(pos) AS BIGINT) AS np_all,
+      |        CAST(sum((qty - pos * 50) * (qty - pos * 50)) AS BIGINT)
+      |          AS sq_err
+      |      FROM b),
+      |k AS (SELECT bin, count(*) AS n, CAST(sum(qty) AS BIGINT) AS sq,
+      |        CAST(sum(pos) AS BIGINT) AS np
+      |      FROM b GROUP BY bin),
+      |c AS (SELECT
+      |        CAST(floor((CAST(sq - 50 * np AS DOUBLE) *
+      |          CAST(sq - 50 * np AS DOUBLE) / n / 2500) * 1e6) AS BIGINT)
+      |          AS rel_q,
+      |        CAST(floor(n * (CAST(np AS DOUBLE) / n -
+      |          CAST(np_all AS DOUBLE) / n_all) * (CAST(np AS DOUBLE) / n -
+      |          CAST(np_all AS DOUBLE) / n_all) * 1e6) AS BIGINT) AS res_q
+      |      FROM k CROSS JOIN t),
+      |s AS (SELECT CAST(sum(rel_q) AS BIGINT) AS rel_q,
+      |        CAST(sum(res_q) AS BIGINT) AS res_q FROM c),
+      |f AS (SELECT n_all AS n,
+      |        CAST(sq_err AS DOUBLE) / (n_all * 2500) AS brier_raw,
+      |        CAST(rel_q AS DOUBLE) / 1e6 / n_all AS reliability,
+      |        CAST(res_q AS DOUBLE) / 1e6 / n_all AS resolution,
+      |        (CAST(np_all AS DOUBLE) / n_all)
+      |          * (1.0 - CAST(np_all AS DOUBLE) / n_all) AS uncertainty
+      |      FROM s CROSS JOIN t)
+      |SELECT n, brier_raw, reliability, resolution, uncertainty,
+      |  reliability - resolution + uncertainty AS brier_binned
+      |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_brier" -> (brier _),
     "q_er_pipeline" -> (erPipeline _),
     "q_calibration" -> (calibration _),
     "q_sorted_neighborhood" -> (sortedNeighborhood _),
@@ -522,6 +600,7 @@ object Linkage {
     "q_rrf_fusion" -> (rrfFusion _))
 
   val oracle: Map[String, String] = Map(
+    "q_brier" -> brierSql,
     "q_er_pipeline" -> erPipelineSql,
     "q_calibration" -> calibrationSql,
     "q_sorted_neighborhood" -> sortedNeighborhoodSql,

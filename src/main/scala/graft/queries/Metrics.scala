@@ -635,7 +635,43 @@ object Metrics {
       |    AS BIGINT) AS sum_word_chars
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** G26 — argmax aggregate surface: max_by/min_by (SQL:2023
+    * ARG_MAX/ARG_MIN), count_if, bool_and/bool_or per market segment
+    * — the "attribute of the extreme row" idiom that otherwise costs
+    * a window + filter. The ordering value is acctbal cents × 10⁷ +
+    * custkey — unique by construction, so the argmax is total-order
+    * deterministic in both engines (bare max_by on a tied key is
+    * pick-any, the classic silent nondeterminism). One partial/final
+    * aggregate, no window. */
+  def argmaxFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .withColumn("v",
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint") * 10000000L
+          + col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        expr("max_by(c_name, v)").as("richest"),
+        expr("min_by(c_name, v)").as("poorest"),
+        expr("count_if(c_acctbal < 0)").as("n_negative"),
+        expr("CAST(bool_or(c_acctbal > 9000) AS INT)").as("has_rich"),
+        expr("CAST(bool_and(c_acctbal > -1000) AS INT)").as("all_above_floor"))
+      .orderBy(col("c_mktsegment"))
+
+  val argmaxFuncsSql: String =
+    """WITH t AS (SELECT *,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000
+      |      + c_custkey AS v
+      |  FROM customer)
+      |SELECT c_mktsegment,
+      |  arg_max(c_name, v) AS richest,
+      |  arg_min(c_name, v) AS poorest,
+      |  CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_negative,
+      |  CAST(bool_or(c_acctbal > 9000) AS INT) AS has_rich,
+      |  CAST(bool_and(c_acctbal > -1000) AS INT) AS all_above_floor
+      |FROM t GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_argmax_funcs" -> (argmaxFuncs _),
     "q_hof_funcs" -> (hofFuncs _),
     "q_weekday_profile" -> (weekdayProfile _),
     "q_fanout_profile" -> (fanoutProfile _),
@@ -656,6 +692,7 @@ object Metrics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_argmax_funcs" -> argmaxFuncsSql,
     "q_hof_funcs" -> hofFuncsSql,
     "q_weekday_profile" -> weekdayProfileSql,
     "q_fanout_profile" -> fanoutProfileSql,
