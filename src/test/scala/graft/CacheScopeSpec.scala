@@ -12,7 +12,11 @@ class CacheScopeSpec extends SparkSpec {
   private val targets = Seq(
     "q_dedup_minhash", "q_novelty", "q_bm25", "q_winsorize", "q_abc_class",
     "q_source_overlap", "q_vocab_coverage", "q_mutual_info",
-    "q_basket_rules", "q_rfm_segments")
+    "q_basket_rules", "q_rfm_segments",
+    // late round-8 persistScoped users
+    "q_theil_sen", "q_js_divergence", "q_sketch_overlap", "q_shortest_path",
+    "q_apply_changelog", "q_weighted_percentile", "q_brier",
+    "q_bitmap_retention")
 
   private def persistedIds: Set[Int] =
     spark.sparkContext.getPersistentRDDs.keySet.toSet
@@ -29,9 +33,14 @@ class CacheScopeSpec extends SparkSpec {
     val baseline = persistedIds
     for (name <- targets) {
       SparkEntry.queries(name)(spark, sfDir).count()
-      // the release listener rides the async listener bus — poll
+      // the release listener rides the async listener bus — poll on
+      // BOTH signals: a query whose scratch persist is never
+      // materialized (e.g. its join is eliminated under count()) has
+      // no leaked RDD to wait on, but the scope release is still
+      // asynchronous
       var tries = 0
-      while ((persistedIds -- baseline).nonEmpty && tries < 100) {
+      while ((Caches.ownedCount != 0 || (persistedIds -- baseline).nonEmpty)
+          && tries < 100) {
         Thread.sleep(100); tries += 1
       }
       val leaked = persistedIds -- baseline
