@@ -172,4 +172,26 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bitmap aggregate models a Set for any id multiset and grouping") {
+    // model check: per-group popcount == |distinct ids|, word-wise AND
+    // popcount == |intersection| — against plain Scala Sets, for
+    // generated multisets with duplicates and shared ids across groups
+    import spark.implicits._
+    val ids = Gen.chooseNum(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 99L)))
+    val two = for (a <- ids; b <- ids) yield (a, b)
+    val bm = udaf(new graft.operators.BitmapAgg(128))
+    (0 until 5).flatMap(i => two.apply(Gen.Parameters.default, Seed(7L + i)))
+      .foreach { case (as, bs) =>
+        val df = (as.map(("a", _)) ++ bs.map(("b", _))).toDF("g", "id")
+        val rows = df.groupBy(col("g")).agg(bm(col("id")).as("bits"))
+          .orderBy(col("g")).collect()
+        def pop(x: Seq[Long]) = x.map(java.lang.Long.bitCount).sum
+        val (ba, bb) = (rows(0).getSeq[Long](1), rows(1).getSeq[Long](1))
+        assert(pop(ba) == as.distinct.size && pop(bb) == bs.distinct.size)
+        val and = ba.zip(bb).map { case (x, y) => x & y }
+        assert(pop(and) == (as.toSet & bs.toSet).size)
+      }
+  }
 }
