@@ -17,6 +17,9 @@ case class KmvCard(hs: Array[Long], n_seen: Long)
 case class TypeCardinality(event_type: String, n_seen: Long, est_users: Double)
 case class BitmapCard(bits: Array[Long], n_seen: Long)
 case class TypeExactCard(event_type: String, n_seen: Long, exact_users: Long)
+case class TopKState(vals: Array[Long], ids: Array[Long], n: Int, n_seen: Long)
+case class TypeTopK(event_type: String, n_seen: Long,
+                    top_ids: Seq[Long], top_vals: Seq[Long])
 
 /** Structured Streaming operators over the events stream (SURVEY.md
   * §2B X1-X8). The reference's only streaming construct is `sync` —
@@ -142,6 +145,36 @@ object EventStreams {
           st.update(BitmapCard(bits, n))
           TypeExactCard(tpe, n,
             bits.map(w => java.lang.Long.bitCount(w).toLong).sum)
+      }
+  }
+
+  /** X12 — streaming TOP-K with bounded-heap state: the batch
+    * engine's TopKPairs buffer (k-slot insertion heap under the total
+    * order value DESC, id ASC) carried as `mapGroupsWithState` state —
+    * running "k biggest purchases per event type" with k×16 bytes of
+    * state per key FOREVER. Same unification argument as X10/X11:
+    * because the heap's insert is order-insensitive under its total
+    * order, the stream state equals the batch aggregate over the same
+    * prefix exactly, across any micro-batch boundaries
+    * (StreamingSpec). */
+  def runningTopK(events: Dataset[EventRow], k: Int = 5): Dataset[TypeTopK] = {
+    import events.sparkSession.implicits._
+    val agg = new graft.operators.TopKPairs(k)
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[TopKState, TypeTopK](GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[EventRow], st: GroupState[TopKState]) =>
+          val prev = st.getOption.getOrElse(
+            TopKState(new Array[Long](k), new Array[Long](k), 0, 0L))
+          var buf = graft.operators.TopKBuf(prev.vals, prev.ids, prev.n)
+          var seen = prev.n_seen
+          rows.foreach { e =>
+            buf = agg.reduce(buf, (math.floor(e.value * 1e6).toLong, e.event_id))
+            seen += 1
+          }
+          st.update(TopKState(buf.vals, buf.ids, buf.n, seen))
+          TypeTopK(tpe, seen,
+            (0 until buf.n).map(buf.ids(_)), (0 until buf.n).map(buf.vals(_)))
       }
   }
 

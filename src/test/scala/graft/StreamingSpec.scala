@@ -182,6 +182,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows.last.getAs[Long]("n_seen") == 40L)
   }
 
+  test("streaming heap state keeps the exact batch top-k across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.runningTopK(stream.toDS(), k = 3)
+      .writeStream.format("memory").queryName("topkstate")
+      .outputMode(OutputMode.Update()).start()
+    // values chosen so the top-3 changes across the batch boundary and
+    // includes a tie broken by event_id
+    val batch1 = Seq((1L, 1L, 1L, "a", 5.0), (2L, 2L, 2L, "a", 9.0),
+      (3L, 3L, 3L, "a", 1.0), (4L, 4L, 4L, "a", 9.0))
+    val batch2 = Seq((5L, 5L, 5L, "a", 7.0), (6L, 6L, 6L, "a", 0.5))
+    stream.addData(mkEvents(batch1: _*))
+    q.processAllAvailable()
+    stream.addData(mkEvents(batch2: _*))
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("topkstate").filter(col("event_type") === "a")
+      .orderBy(col("n_seen").desc).collect().head
+    // batch model over the full prefix: (micros DESC, event_id ASC) take 3
+    val model = (batch1 ++ batch2)
+      .map(e => (math.floor(e._5 * 1e6).toLong, e._1))
+      .sortBy { case (v, id) => (-v, id) }.take(3)
+    assert(last.getAs[Long]("n_seen") == 6L)
+    val gotIds = last.getSeq[Long](last.fieldIndex("top_ids")).toList
+    val gotVals = last.getSeq[Long](last.fieldIndex("top_vals")).toList
+    assert(gotIds == model.map(_._2).toList, s"ids $gotIds != ${model.map(_._2)}")
+    assert(gotVals == model.map(_._1).toList)
+  }
+
   test("flatMapGroupsWithState emits each session exactly once, on close") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
