@@ -518,9 +518,16 @@ object Corpus {
     val pairs = ts.select(col("source").as("s1"), col("n_tot").as("nt1"))
       .join(ts.select(col("source").as("s2"), col("n_tot").as("nt2")),
         col("s1") < col("s2"))
-    val u = st.select(col("source"), col("term"))
-      .join(broadcast(pairs), col("source") === col("s1") || col("source") === col("s2"))
+    // union of two broadcast hash equi-joins, NOT one OR-predicate
+    // join: an OR across two columns can't hash-partition and would
+    // plan a nested-loop probe of every pair against every
+    // (source, term) row — the union form keeps O(1) probes per row
+    // and the distinct collapses terms present in both sources
+    val stp = st.select(col("source"), col("term"))
+    val u = stp.join(broadcast(pairs), col("source") === col("s1"))
       .select(col("s1"), col("s2"), col("nt1"), col("nt2"), col("term"))
+      .union(stp.join(broadcast(pairs), col("source") === col("s2"))
+        .select(col("s1"), col("s2"), col("nt1"), col("nt2"), col("term")))
       .distinct()
     val j = u
       .join(st.select(col("source").as("s1"), col("term"), col("n_st").as("x1")),

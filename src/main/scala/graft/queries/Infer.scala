@@ -215,8 +215,11 @@ object Infer {
     * the groups' variances differ (the textbook pooled t silently
     * assumes they don't). Values quantize to exact integer micros;
     * each group's mean and (n−1)-denominator variance come from exact
-    * decimal moment sums (n·Σv² − (Σv)², products in decimal(38) — no
-    * overflow at any n), so t and the Welch–Satterthwaite df are each
+    * decimal moment sums (n·Σv² − (Σv)², products carried in
+    * decimal(38) — exact through that range; past it, under Spark's
+    * default ANSI mode, the int64 Σv and the decimal product both
+    * FAIL LOUDLY rather than wrap), so t and the Welch–Satterthwaite
+    * df are each
     * ONE fixed IEEE chain written identically in both engines. One
     * map-side-combined aggregate over the fact table; everything after
     * is a 2-row pivot. */

@@ -618,10 +618,15 @@ object Llm {
   def maskSpans(s: SparkSession, dir: String, pct: Int = 15): DataFrame =
     Tables.widen(Tables.documents(s, dir))
       .select(col("doc_id"), expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+      // index lambda, NOT sequence(1, size(ws)): sequence runs
+      // DESCENDING for an empty word array (start > stop defaults the
+      // step to -1 — the same pitfall Dedup.minhashCandidates guards),
+      // which would emit phantom mask flags for zero-word documents;
+      // transform over ws itself is vacuously empty-safe
       .withColumn("flags", expr(
-        "transform(sequence(1, size(ws)), i -> " +
+        "transform(ws, (w, i) -> " +
           "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '|', " +
-          s"CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100 < $pct)"))
+          s"CAST(i + 1 AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100 < $pct)"))
       .select(col("doc_id"),
         size(col("ws")).as("n_words"),
         expr("size(filter(flags, f -> f))").as("n_masked"),

@@ -30,14 +30,22 @@ object Pipeline {
     * Snapshots are derived deterministically from the fixture: the
     * "old" snapshot is missing keys ≡3 (mod 10) and has a stale price
     * on keys ≡0 (mod 7); the "new" one is missing keys ≡4 (mod 10). */
+  /** The simulated YESTERDAY snapshot shared by C1 (capture) and C2b
+    * (apply): every 10th key missing (those become inserts), every 7th
+    * price perturbed (those become updates). One definition — the
+    * capture∘apply = identity oracle depends on both operators seeing
+    * the SAME simulation. */
+  private def oldSnapshot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).filter(expr("o_orderkey % 10 != 3"))
+      .select(col("o_orderkey").as("key"),
+        expr("CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50.0D ELSE o_totalprice END")
+          .as("old_price"))
+
   /** Unsorted I/U/D core shared by C1 (capture, sorted for the
     * oracle) and C2b (apply, which needs no sort). */
   private def changelog(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
-    val old = o.filter(expr("o_orderkey % 10 != 3"))
-      .select(col("o_orderkey").as("key"),
-        expr("CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50.0D ELSE o_totalprice END")
-          .as("old_price"))
+    val old = oldSnapshot(s, dir)
     val nw = o.filter(expr("o_orderkey % 10 != 4"))
       .select(col("o_orderkey").as("key"), col("o_totalprice").as("new_price"))
     old.join(nw, Seq("key"), "full_outer")
@@ -548,10 +556,8 @@ object Pipeline {
     * construction (only changed keys), so at 100 TB the anti join
     * broadcasts the delta. */
   def applyChangelog(s: SparkSession, dir: String): DataFrame = {
-    val old = Tables.orders(s, dir).filter(expr("o_orderkey % 10 != 3"))
-      .select(col("o_orderkey").as("key"),
-        expr("CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50.0D " +
-          "ELSE o_totalprice END").as("price"))
+    val old = oldSnapshot(s, dir)
+      .select(col("key"), col("old_price").as("price"))
     val log = changelog(s, dir).persistScoped() // anti + upsert sides
     val survivors = old.join(
       log.filter(col("op").isin("D", "U")).select(col("key")),

@@ -22,15 +22,14 @@ class EntrySpec extends SparkSpec {
     // so a new query can't land without its SURVEY row (or vice versa)
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
-    val cited = "q_[a-z0-9_]+".r.findAllIn(survey).toSet
+    // word-boundaried on both sides: no spurious q_ tokens out of
+    // longer identifiers, and a truncated citation does NOT match a
+    // longer registered name (strict equality below — no prefix hatch)
+    val cited = "(?<![a-z0-9_])q_[a-z0-9_]+".r.findAllIn(survey).toSet
     val registered = SparkEntry.queries.keySet
     assert(registered.diff(cited).isEmpty,
       s"registered but not cited in SURVEY.md: ${registered.diff(cited)}")
-    // cited names that are prose references (q_pricing etc.) are fine
-    // only if a registered query with that exact name exists or the
-    // token is a prefix of one — guard against typo'd citations
-    val unknown = cited.filter(c =>
-      !registered.contains(c) && !registered.exists(_.startsWith(c)))
+    val unknown = cited.diff(registered)
     assert(unknown.isEmpty, s"SURVEY.md cites unknown queries: $unknown")
   }
 
