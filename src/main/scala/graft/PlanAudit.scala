@@ -84,6 +84,9 @@ object PlanAudit {
     "q_sketch_overlap" -> "per-source k-min sketch via the TopKPairs heap aggregate (no per-source sort); everything after the distinct+heap is pairs × k metadata with the pair scaffold broadcast",
     "q_theil_sen" -> "monthly aggregate is the only fact pass; the pairwise slope join, rank window, and median selection all run on the bounded months² relation",
     "q_shortest_path" -> "edge contraction is the one fact-table join+aggregate; Bellman-Ford rounds iterate the nations-sized frontier (broadcast joins over metadata)",
+    "q_weighted_percentile" -> "partial/final aggregate collapses the fact table to the (group, price) weight distribution BEFORE the range exchange; per-pid windows cumulate in parallel, offsets and totals broadcast back",
+    "q_apply_changelog" -> "changelog replay: one anti join + one union over the shared snapshot; the full-outer capture join feeds both without re-derivation (persistScoped)",
+    "q_js_divergence" -> "pair scaffold as a UNION of two broadcast hash equi-joins (no OR-predicate nested loop); one (source, term) aggregate feeds totals, universe, and both contribution sides",
   )
 
   def main(args: Array[String]): Unit = {
