@@ -34,8 +34,16 @@ import scala.collection.mutable.ArrayBuffer
   * action on the SAME object recomputes from scratch — rebuild the
   * query instead. (For the half-dozen operators that pin sampled range
   * bounds the rebuild also re-pins, which is exactly what the pinning
-  * is for.) CacheScopeSpec asserts zero persisted blocks remain after
-  * a query's action.
+  * is for.) Reuse is not silent: released plans leave a bounded
+  * tombstone ring, and an action matching a tombstone logs a loud
+  * contract-breach warning. CacheScopeSpec asserts zero persisted
+  * blocks remain after a query's action.
+  *
+  * Boundary: [[own]] is applied automatically ONLY at the SparkEntry
+  * registry. Code calling graft.operators.* directly must wrap the
+  * returned plan in own() (or call [[drain]] afterwards) — the
+  * thread-local pending buffer holds those persists until one of the
+  * two runs.
   */
 object Caches {
 
@@ -103,13 +111,24 @@ object Caches {
       })
     }
 
+  /** Tombstones of released consumer plans (bounded ring): a SECOND
+    * action over an already-released plan recomputes the scratch
+    * intermediates from scratch — correct but unpinned and slow — so
+    * it is loudly logged as a contract breach instead of passing
+    * silently. */
+  private val released =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[LogicalPlan]())
+  private val ReleasedCap = 64
+
   /** Release every owned scope whose consumer plan is a subtree of the
     * completed execution (sameResult is canonicalized, so cosmetic
     * differences — command wrappers, reordered projections — don't
     * mask the match). */
   private def release(qe: QueryExecution): Unit = {
-    if (owned.isEmpty) return
+    if (owned.isEmpty && released.isEmpty) return
     val it = owned.entrySet().iterator()
+    var matched = false
     while (it.hasNext) {
       val e = it.next()
       val hit =
@@ -117,8 +136,32 @@ object Caches {
         catch { case _: Throwable => false }
       if (hit) {
         e.getValue.foreach(unpersistQuietly)
+        released.synchronized {
+          released.add(e.getKey)
+          while (released.size() > ReleasedCap) released.remove(0)
+        }
         it.remove()
+        matched = true
       }
     }
+    if (!matched) {
+      val reused = released.synchronized {
+        val rit = released.iterator()
+        var hit = false
+        while (!hit && rit.hasNext) {
+          val k = rit.next()
+          hit = try qe.analyzed.exists(node => node.sameResult(k))
+                catch { case _: Throwable => false }
+        }
+        hit
+      }
+      if (reused)
+        log.warn("graft.Caches: action over an ALREADY-RELEASED query plan — " +
+          "the scratch caches were freed after its first action, so this run " +
+          "recomputed them unpinned (slow, and pin-dependent operators should " +
+          "be REBUILT, not re-run). One returned plan is good for one action.")
+    }
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 }

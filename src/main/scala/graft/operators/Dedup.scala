@@ -19,10 +19,14 @@ import graft.Caches.PersistScoped
   *
   * Cache lifecycle: operators persist intermediates that feed a
   * self-join (re-deriving the whole pipeline per join side would double
-  * the work) via [[graft.Caches.persistScoped]]; the scope closes
-  * itself — the blocks are released when the action over the returned
-  * plan completes (see [[graft.Caches]]). No caller-side clearCache()
-  * is needed.
+  * the work) via [[graft.Caches.persistScoped]]. Plans entered through
+  * `SparkEntry.queries` are wrapped in [[graft.Caches.own]] at that
+  * boundary, so the scope closes itself — blocks release when the
+  * action over the returned plan completes, no caller clearCache().
+  * Callers invoking these operators DIRECTLY must close the scope
+  * themselves: wrap the returned plan in `Caches.own(...)` before its
+  * action, or call `Caches.drain()` when done — otherwise the pending
+  * persists are never released.
   */
 object Dedup {
 
@@ -276,14 +280,17 @@ object Dedup {
     * zero overlap have similarity 0 and never materialize). The
     * int/int→double division is a single IEEE op, bit-identical across
     * engines, so the raw similarity is oracle-safe unrounded. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.2): DataFrame = {
-    // Join on a 60-bit shingle hash instead of the shingle text: same
-    // pair counts w.h.p., smaller shuffle keys. The per-document
-    // DISTINCT hash set is built inside ONE narrow expression
-    // (graft.functions.NgramHashes), so there is no distinct shuffle
-    // and the set size is a projection (size(hs)) carried through the
-    // join — no separate sizes aggregate, no sizes joins. Shuffles:
-    // the hash self-join and the per-pair count, nothing else.
+  /** Shared shingle-overlap pair core for [[ngramJaccardPairs]] and
+    * [[shingleContainmentPairs]]: join on a 60-bit shingle hash
+    * instead of the shingle text — same pair counts w.h.p., smaller
+    * shuffle keys. The per-document DISTINCT hash set is built inside
+    * ONE narrow expression (graft.functions.NgramHashes), so there is
+    * no distinct shuffle and the set size is a projection carried
+    * through the join. Shuffles: the hash self-join and the per-pair
+    * count, nothing else. Emits (doc_id_a < doc_id_b, n_a, n_b,
+    * inter) — the two callers differ only in the measure they derive
+    * from those counts. */
+  private def shingleOverlapCounts(docs: DataFrame, n: Int): DataFrame = {
     docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ngram_hashes",
       exprs => graft.functions.NgramHashes(exprs.head, n),
@@ -301,11 +308,14 @@ object Dedup {
       .filter(col("doc_id_a") < col("doc_id_b"))
       .groupBy(col("doc_id_a"), col("doc_id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.2): DataFrame =
+    shingleOverlapCounts(docs, n)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
-  }
 
   /** Directional shingle-containment near-dup pairs — the asymmetric
     * complement of [[ngramJaccardPairs]]: containment(A→B) =
@@ -318,31 +328,14 @@ object Dedup {
     * both directions plus Jaccard for triage; keeps pairs whose
     * LARGER direction clears `minContainment`. */
   def shingleContainmentPairs(docs: DataFrame, n: Int = 3,
-                              minContainment: Double = 0.8): DataFrame = {
-    docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_ngram_hashes",
-      exprs => graft.functions.NgramHashes(exprs.head, n),
-      "scala_udf")
-    val withSets = graft.Tables.widen(docs)
-      .select(col("doc_id"),
-        call_function("graft_ngram_hashes", col("text")).as("hs"))
-      .filter(col("hs").isNotNull)
-      .select(col("doc_id"), col("hs"), size(col("hs")).as("n_sh"))
-      .persistScoped() // both sides of the pair join read it
-    val sh = withSets.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("shash"))
-    sh.select(col("shash"), col("doc_id").as("doc_id_a"), col("n_sh").as("n_a"))
-      .join(sh.select(col("shash"), col("doc_id").as("doc_id_b"), col("n_sh").as("n_b")),
-        Seq("shash"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .groupBy(col("doc_id_a"), col("doc_id_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("inter"))
+                              minContainment: Double = 0.8): DataFrame =
+    shingleOverlapCounts(docs, n)
       .select(col("doc_id_a"), col("doc_id_b"),
         (col("inter").cast("double") / col("n_a")).as("c_a"),
         (col("inter").cast("double") / col("n_b")).as("c_b"),
         (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
           .as("jaccard"))
       .filter(greatest(col("c_a"), col("c_b")) >= minContainment)
-  }
 
   /** Connected components over candidate pairs → duplicate clusters,
     * labeled by the minimum member id (the survivor a curation

@@ -209,13 +209,19 @@ object Multimodal {
       bb.array()
     }
 
-    /** (w, h, frame bytes at `idx`) — None if not a GFRV payload. */
+    /** (w, h, frame bytes at `idx`) — None if not a (valid) GFRV
+      * payload. A CORRUPT header (non-positive or absurd dimensions,
+      * a frame size that overflows Int) also returns None: dirty
+      * corpus rows must degrade row-wise, not crash the executor task
+      * (the same contract as decodeImage). */
     def frame(payload: Array[Byte], idx: Int): Option[(Int, Int, Array[Byte])] = {
       if (payload == null || payload.length < 16 ||
         !payload.take(4).sameElements(Magic)) return None
       val bb = java.nio.ByteBuffer.wrap(payload, 4, 12)
       val w = bb.getInt; val h = bb.getInt; val n = bb.getInt
-      val sz = w * h * 3
+      val szL = w.toLong * h.toLong * 3L
+      if (w <= 0 || h <= 0 || n <= 0 || szL > Int.MaxValue) return None
+      val sz = szL.toInt
       if (idx < 0 || idx >= n || payload.length < 16 + (idx + 1).toLong * sz) None
       else Some((w, h, java.util.Arrays.copyOfRange(
         payload, 16 + idx * sz, 16 + (idx + 1) * sz)))
@@ -224,7 +230,15 @@ object Multimodal {
     def frameCount(payload: Array[Byte]): Int =
       if (payload == null || payload.length < 16 ||
         !payload.take(4).sameElements(Magic)) 0
-      else java.nio.ByteBuffer.wrap(payload, 12, 4).getInt
+      else {
+        // dimensions must be sane too — a corrupt header yields 0
+        // frames rather than driving downstream allocations
+        val bb = java.nio.ByteBuffer.wrap(payload, 4, 12)
+        val w = bb.getInt; val h = bb.getInt; val n = bb.getInt
+        if (w <= 0 || h <= 0 || n <= 0 ||
+          w.toLong * h.toLong * 3L > Int.MaxValue) 0
+        else n
+      }
   }
 
   /** DECODED frame sampling — the real-codec upgrade of

@@ -63,10 +63,18 @@ object Similarity {
     * the bounded-heap partial/final aggregate — map-side combines to
     * ≤k rows per (probe × partition), so the exchange carries heaps,
     * not the scored pair stream. Expects (probe_id, neighbor_id,
-    * cosine); emits (probe_id, rnk, neighbor_id, cosine). */
+    * cosine); emits (probe_id, rnk, neighbor_id, cosine).
+    *
+    * NaN cosines (a zero-norm probe or candidate — the defect
+    * embeddingAudit exists to flag) are EXCLUDED by definition before
+    * the heap: the heap's strict comparator would silently skip them
+    * anyway, but window/sort formulations (and SQL oracles) rank NaN
+    * largest, so without the explicit filter the two formulations
+    * would diverge exactly on the rows that are meaningless. */
   private def heapTopK(scored: DataFrame, k: Int): DataFrame = {
     val agg = udaf(new TopKPairsD(k))
     scored
+      .filter(!isnan(col("cosine")))
       .groupBy(col("probe_id"))
       .agg(agg(col("cosine"), col("neighbor_id")).as("top"))
       .select(col("probe_id"), explode(col("top")).as("t"))

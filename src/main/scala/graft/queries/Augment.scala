@@ -55,9 +55,12 @@ object Augment {
     val probes = emb.filter(col("vec_id") % 25 === 0)
     val labeled = emb.filter(col("vec_id") % 25 =!= 0)
     val top = Similarity.bruteForceTopK(probes, labeled, 5)
-    val voted = top
+    // both lookup joins broadcast the SMALL side (probes and the
+    // k·|probes|-row top table): attaching labels must never shuffle
+    // the corpus-scale labeled projection
+    val voted = broadcast(top
       .join(broadcast(probes.select(col("vec_id").as("probe_id"),
-        col("label").as("true_label"))), Seq("probe_id"))
+        col("label").as("true_label"))), Seq("probe_id")))
       .join(labeled.select(col("vec_id").as("neighbor_id"),
         col("label").as("nbr_label")), Seq("neighbor_id"))
       .groupBy(col("probe_id"), col("true_label"), col("nbr_label"))

@@ -365,7 +365,7 @@ object Llm {
       |SELECT probe_id, CAST(rnk AS INT) AS rnk, neighbor_id, cosine FROM (
       |  SELECT *, row_number() OVER (PARTITION BY probe_id
       |    ORDER BY cosine DESC, neighbor_id) AS rnk
-      |  FROM scored)
+      |  FROM scored WHERE NOT isnan(cosine))
       |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
 
   /** L4a — quality scoring. */

@@ -164,4 +164,31 @@ class MultimodalSpec extends SparkSpec {
       assert(idx.zipWithIndex.forall { case (v, i) => v == i * 10 })
     }
   }
+
+  test("a corrupt GFRV header degrades row-wise, never crashes the task") {
+    // negative width, and dimensions whose frame size overflows Int —
+    // both must parse to 'no frames', same contract as decodeImage
+    def corrupt(w: Int, h: Int, n: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64)
+      bb.put("GFRV".getBytes("US-ASCII")).putInt(w).putInt(h).putInt(n)
+      bb.array()
+    }
+    for (p <- Seq(corrupt(-1, 8, 3), corrupt(40000, 40000, 1),
+        corrupt(8, 8, -2), corrupt(0, 0, 0))) {
+      assert(Multimodal.RawVideo.frameCount(p) == 0)
+      assert(Multimodal.RawVideo.frame(p, 0).isEmpty)
+    }
+    // and through the Spark path: the corrupt row just contributes
+    // zero frames while valid rows still decode
+    import spark.implicits._
+    val good = Multimodal.RawVideo.pack(2, 2,
+      Seq(Array.fill(12)(7.toByte)))
+    val ds = Seq(
+      graft.operators.MediaRow(1L, corrupt(-1, 8, 3),
+        graft.operators.MediaMeta("video", 0, 0, 0)),
+      graft.operators.MediaRow(2L, good,
+        graft.operators.MediaMeta("video", 2, 2, 0))).toDS()
+    val out = Multimodal.sampleFramesDecoded(ds, stride = 1).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(2L))
+  }
 }
