@@ -326,7 +326,56 @@ object Infer {
       |    / (n10 + n01) AS chi2_cc
       |FROM m""".stripMargin
 
+  /** W40 — A/B sample-size (power) calculation: the DESIGN-stage
+    * companion of the readout tests (W19/W33/W35/W38) — given the
+    * observed variance of per-user spend, how many users per arm does
+    * an experiment need to detect a 2% lift at α = 0.05 (two-sided)
+    * with 80% power? n/arm = (z₀.₉₇₅+z₀.₈)²·2σ²/δ². Variance comes
+    * from the same exact decimal moment sums as W35; z literals are
+    * parsed identically by both engines; the only float work is one
+    * fixed chain ending in a ceil. */
+  def sampleSize(s: SparkSession, dir: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(floor(col("value") * 100).cast("bigint")).as("cents"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sv"),
+        sum(col("cents").cast(d19) * col("cents").cast(d19)).as("svv"))
+      .select(col("n"),
+        (col("sv").cast("double") / col("n")).as("mean_cents"),
+        ((col("svv") * col("n") - col("sv").cast(d19) * col("sv").cast(d19))
+          .cast("double")
+          / (col("n").cast("double") * (col("n") - lit(1)))).as("var_cents"))
+      .select(col("n").as("n_observed"), col("mean_cents"), col("var_cents"),
+        (col("mean_cents") * 0.02).as("mde_cents"),
+        ceil(lit(7.8489870956) * 2.0 * col("var_cents")
+          / ((col("mean_cents") * 0.02) * (col("mean_cents") * 0.02)))
+          .cast("bigint").as("n_per_arm"))
+  }
+
+  val sampleSizeSql: String =
+    """WITH u AS (SELECT user_id,
+      |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |m AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sv,
+      |        CAST(sum(CAST(cents AS DECIMAL(19,0)) * cents) AS DECIMAL(38,0))
+      |          AS svv
+      |      FROM u),
+      |v AS (SELECT n, CAST(sv AS DOUBLE) / n AS mean_cents,
+      |        CAST(CAST(svv * n - CAST(sv AS DECIMAL(19,0)) * sv
+      |            AS DECIMAL(38,0)) AS DOUBLE)
+      |          / (CAST(n AS DOUBLE) * (n - 1)) AS var_cents
+      |      FROM m)
+      |SELECT n AS n_observed, mean_cents, var_cents,
+      |  mean_cents * 0.02 AS mde_cents,
+      |  CAST(ceil(7.8489870956 * 2.0 * var_cents
+      |    / ((mean_cents * 0.02) * (mean_cents * 0.02))) AS BIGINT)
+      |    AS n_per_arm
+      |FROM v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_size" -> (sampleSize _),
     "q_mcnemar" -> (mcnemar _),
     "q_welch_ttest" -> (welchTtest _),
     "q_wilson_ci" -> (wilsonCi _),
@@ -335,6 +384,7 @@ object Infer {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_size" -> sampleSizeSql,
     "q_mcnemar" -> mcnemarSql,
     "q_welch_ttest" -> welchTtestSql,
     "q_wilson_ci" -> wilsonCiSql,
