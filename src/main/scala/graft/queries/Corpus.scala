@@ -658,7 +658,58 @@ object Corpus {
       |  CAST(sum(ina * inb) AS DOUBLE) / count(*) AS est_jaccard
       |FROM u WHERE rn <= 64 GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin
 
+  /** L33 — effective sample size of a weighted mix: ESS =
+    * (Σw)²/Σw² per language under the temperature-scaled source
+    * weights of L21's mixing scheme (w = √count per source — the same
+    * temperature-0.5 flattening and the same IEEE-exact sqrt L21
+    * uses; pow(x, 0.7) is NOT correctly rounded across libms and
+    * would wobble the quantization) — the importance-sampling
+    * diagnostic that says how many EQUIVALENT unweighted documents a
+    * weighted corpus is worth (ESS ≪ n means a few heavy sources
+    * dominate and the mix needs flattening). Weights quantize to
+    * exact 1e-6 integers; Σw and Σw² accumulate in decimal — one
+    * aggregate, one fixed terminal chain. */
+  def effectiveSampleSize(s: SparkSession, dir: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val srcW = Tables.documents(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      .select(col("source"),
+        floor(sqrt(col("n_src").cast("double")) * 1e6)
+          .cast("bigint").as("wq"))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"))
+      .join(broadcast(srcW), Seq("source"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("wq")).as("sw"),
+        sum(col("wq").cast(d19) * col("wq").cast(d19)).as("sww"))
+      .select(col("lang"), col("n_docs"),
+        ((col("sw").cast(d19) * col("sw").cast(d19)).cast("double")
+          / col("sww").cast("double")).as("ess"),
+        (((col("sw").cast(d19) * col("sw").cast(d19)).cast("double")
+          / col("sww").cast("double")) / col("n_docs")).as("ess_ratio"))
+      .orderBy(col("lang"))
+  }
+
+  val effectiveSampleSizeSql: String =
+    """WITH sw AS (SELECT source,
+      |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT)
+      |      AS wq
+      |  FROM documents GROUP BY source),
+      |j AS (SELECT d.lang, sw.wq FROM documents d
+      |      JOIN sw ON d.source = sw.source),
+      |a AS (SELECT lang, count(*) AS n_docs, CAST(sum(wq) AS BIGINT) AS s1,
+      |        CAST(sum(CAST(wq AS DECIMAL(19,0)) * wq) AS DECIMAL(38,0)) AS s2
+      |      FROM j GROUP BY lang)
+      |SELECT lang, n_docs,
+      |  CAST(CAST(CAST(s1 AS DECIMAL(19,0)) * s1 AS DECIMAL(38,0)) AS DOUBLE)
+      |    / CAST(s2 AS DOUBLE) AS ess,
+      |  (CAST(CAST(CAST(s1 AS DECIMAL(19,0)) * s1 AS DECIMAL(38,0)) AS DOUBLE)
+      |    / CAST(s2 AS DOUBLE)) / n_docs AS ess_ratio
+      |FROM a ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_effective_sample_size" -> (effectiveSampleSize _),
     "q_sketch_overlap" -> ((s: SparkSession, d: String) => sketchOverlap(s, d)),
     "q_js_divergence" -> (jsDivergence _),
     "q_degree_stats" -> (degreeStats _),
@@ -674,6 +725,7 @@ object Corpus {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_effective_sample_size" -> effectiveSampleSizeSql,
     "q_sketch_overlap" -> sketchOverlapSql,
     "q_js_divergence" -> jsDivergenceSql,
     "q_degree_stats" -> degreeStatsSql,
