@@ -254,8 +254,17 @@ object Dedup {
     * trick. At scale this matters: the candidate-pair stream can be
     * huge, and a distinct over it is a full extra shuffle, while the
     * canonical-band predicate is free map-side work. */
-  def simhashCandidates(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashCandidates(sig: DataFrame, maxHamming: Int = 3,
+                        bits: Int = 32): DataFrame = {
     val nBands = maxHamming + 1
+    // the pigeonhole bands are 8 bits wide; a signature narrower than
+    // (maxHamming+1)·8 bits makes the high bands CONSTANT ZERO and
+    // their self-join all-pairs — results would stay correct (the
+    // hamming filter still runs) but the collision-bounded scale
+    // contract silently evaporates, so refuse loudly instead
+    require(bits >= 8 * nBands,
+      s"simhash width $bits bits cannot carry ${nBands} 8-bit pigeonhole " +
+        s"bands (needs >= ${8 * nBands}); lower maxHamming or widen the signature")
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(expr(s"sequence(0, ${nBands - 1})")).as("b"))
       .withColumn("band_val", expr("(simhash >> (b * 8)) & 255"))
@@ -407,7 +416,11 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var i = 1
-    while (!converged && i < maxIterations) {
+    // convergence is only OBSERVABLE as two consecutive equal sums, so
+    // at least one verification round always runs — maxIterations = 1
+    // would otherwise fail the require below even on already-converged
+    // (e.g. empty) input without ever checking
+    while (!converged && i < math.max(maxIterations, 2)) {
       i += 1
       // shuffle_hash, not sort-merge: the label table is the build
       // side and there is no point re-sorting the static edge

@@ -123,11 +123,14 @@ object Multimodal {
   /** PNG decode via the JDK's ImageIO (javax.imageio ships in the
     * JDK — no external library). Returns None for payloads that are
     * not a decodable image, so mixed/dirty corpora degrade row-wise,
-    * not job-wise. */
+    * not job-wise — but only for NON-fatal failures: an
+    * OutOfMemoryError (decompression-bomb allocation) must kill the
+    * task loudly, not be swallowed as "not an image" on an exhausted
+    * heap. */
   def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (payload == null || payload.length == 0) None
     else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-    catch { case _: Throwable => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -232,12 +235,20 @@ object Multimodal {
         !payload.take(4).sameElements(Magic)) 0
       else {
         // dimensions must be sane too — a corrupt header yields 0
-        // frames rather than driving downstream allocations
+        // frames rather than driving downstream allocations — and the
+        // CLAIMED count is clamped to what the payload actually
+        // carries: a lying n (up to Int.MaxValue) would otherwise make
+        // the sampler spin through ~n/stride useless probe iterations
+        // per corrupt row
         val bb = java.nio.ByteBuffer.wrap(payload, 4, 12)
         val w = bb.getInt; val h = bb.getInt; val n = bb.getInt
         if (w <= 0 || h <= 0 || n <= 0 ||
           w.toLong * h.toLong * 3L > Int.MaxValue) 0
-        else n
+        else {
+          val sz = w * h * 3
+          val carried = ((payload.length - 16L) / sz).toInt
+          math.min(n, carried)
+        }
       }
   }
 

@@ -139,10 +139,12 @@ object Similarity {
       "graft_lsh_buckets",
       exprs => graft.functions.LshBucketsF32(exprs.head, planes, bits, tables),
       "scala_udf")
+    // the full per-table bucket vector (`bkts`, tables ints) rides
+    // along with each exploded (t, bucket) row: it is what lets
+    // lshTopK keep a pair only in its FIRST colliding table map-side
     graft.Tables.widen(emb).withColumn("bkts",
         org.apache.spark.sql.functions.call_function("graft_lsh_buckets", col("embedding")))
       .select(col("*"), posexplode(col("bkts")).as(Seq("t", "bucket")))
-      .drop("bkts")
   }
 
   // ---------------------------------------------------------------
@@ -152,12 +154,21 @@ object Similarity {
   /** Driver-pinned centroid set: (cid, quantized components, c·c). */
   private type Cents = (Array[Long], Array[Array[Float]], Array[Double])
 
+  /** 1e-6 fixed-point quantization of a mean vector plus its squared
+    * norm — the ONE shared quantum both the coarse quantizer and the
+    * PQ codebooks pin their determinism contracts to (a drift between
+    * two inlined copies would silently break one path's stability). */
+  private def quantize(xs: Seq[Double]): (Array[Float], Double) = {
+    val q = xs.map(x => (math.floor(x * 1e6) / 1e6).toFloat).toArray
+    var acc = 0.0
+    var i = 0
+    while (i < q.length) { acc += q(i).toDouble * q(i).toDouble; i += 1 }
+    (q, acc)
+  }
+
   private def collectCents(grouped: DataFrame): Cents = {
     val rows = grouped.collect().map { r =>
-      val q = r.getSeq[Double](1).map(x => (math.floor(x * 1e6) / 1e6).toFloat).toArray
-      var acc = 0.0
-      var i = 0
-      while (i < q.length) { acc += q(i).toDouble * q(i).toDouble; i += 1 }
+      val (q, acc) = quantize(r.getSeq[Double](1))
       (r.getLong(0), q, acc)
     }.sortBy(_._1) // ascending cid: strict-less insertion ties to lowest cid
     (rows.map(_._1), rows.map(_._2), rows.map(_._3))
@@ -257,14 +268,20 @@ object Similarity {
     ensureRegistered(candidates)
     // The corpus projection carries the seed label so the seed
     // centroids and every Lloyd pass read the SAME cached relation —
-    // one parquet scan per training action.
-    val cand = graft.Tables.widen(candidates).select(
-      col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
-      col(seedCol).cast("bigint").as("seed")).persist()
+    // one parquet scan per training action. Rows with a NULL
+    // embedding or NULL seed are un-indexable and are dropped here
+    // (a NULL value passes requireNumericSeed's TYPE check but would
+    // NPE the driver-side centroid collect).
+    val cand = graft.Tables.widen(candidates)
+      .filter(col("embedding").isNotNull && col(seedCol).isNotNull)
+      .select(
+        col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col(seedCol).cast("bigint").as("seed")).persist()
     try {
       val (cents, lists) = trainCoarse(cand, dims, iterations)
       try {
-        val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+        val p = probes.filter(col("embedding").isNotNull)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
         val pAssigned = p.select(col("probe_id"), col("pe"),
           explode(assign(p, "pe", cents, nprobe)).as("cid"))
         // each candidate lives in exactly one list, so (probe, neighbor)
@@ -297,19 +314,17 @@ object Similarity {
                          subDim: Int, iterations: Int): Books = {
     val vm = udaf(new VectorMean(subDim))
     def collectBooks(assigned: DataFrame): Books = {
-      // assigned: (sub, code, subvec) → per-(sub, code) mean
+      // assigned: (sub, code, subvec) → per-(sub, code) mean,
+      // quantized by the SAME shared quantum as the coarse quantizer
       val rows = assigned.groupBy(col("sub"), col("code"))
         .agg(vm(col("subvec")).as("cent")).collect()
       val books = Array.fill(nSub, codesPerSub)(Array.fill(subDim)(0f))
+      val c2 = Array.fill(nSub, codesPerSub)(0.0)
       rows.foreach { r =>
-        books(r.getInt(0))(r.getInt(1)) =
-          r.getSeq[Double](2).map(x => (math.floor(x * 1e6) / 1e6).toFloat).toArray
+        val (q, n2) = quantize(r.getSeq[Double](2))
+        books(r.getInt(0))(r.getInt(1)) = q
+        c2(r.getInt(0))(r.getInt(1)) = n2
       }
-      val c2 = books.map(_.map(cent => {
-        var acc = 0.0; var i = 0
-        while (i < cent.length) { acc += cent(i).toDouble * cent(i).toDouble; i += 1 }
-        acc
-      }))
       (books, c2)
     }
     // sub-vector slices, exploded once per training pass
@@ -371,15 +386,21 @@ object Similarity {
   def pqTopK(probes: DataFrame, candidates: DataFrame, k: Int,
              nSub: Int = 16, codesPerSub: Int = 32, iterations: Int = 2,
              dims: Int = 64): DataFrame = {
+    require(dims % nSub == 0,
+      s"dims=$dims must divide into nSub=$nSub subspaces — a floored " +
+        "subDim would silently truncate the trailing dimensions out of " +
+        "every code while probe norms still include them")
     ensureRegistered(candidates)
     val subDim = dims / nSub
     val cand = graft.Tables.widen(candidates)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
       .persist()
     try {
       val books = trainBooks(cand, nSub, codesPerSub, subDim, iterations)
       val encoded = cand.select(col("neighbor_id"), encodeCol(cand, "ce", books).as("codes"))
-      val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val p = probes.filter(col("embedding").isNotNull)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       val scored = encoded.crossJoin(broadcast(p))
         .filter(col("probe_id") =!= col("neighbor_id"))
         .withColumn("cosine", pqCosineCol(encoded, "pe", "codes", books))
@@ -407,12 +428,18 @@ object Similarity {
                 nprobe: Int = 2, iterations: Int = 1,
                 nSub: Int = 16, codesPerSub: Int = 32, pqIterations: Int = 2,
                 dims: Int = 64, seedCol: String = "label"): DataFrame = {
+    require(dims % nSub == 0,
+      s"dims=$dims must divide into nSub=$nSub subspaces (see pqTopK)")
     requireNumericSeed(candidates, seedCol)
     ensureRegistered(candidates)
     val subDim = dims / nSub
-    val cand = graft.Tables.widen(candidates).select(
-      col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
-      col(seedCol).cast("bigint").as("seed")).persist()
+    // same null-row drop as ivfTopK/pqTopK: un-indexable rows must not
+    // NPE the driver-side training collects
+    val cand = graft.Tables.widen(candidates)
+      .filter(col("embedding").isNotNull && col(seedCol).isNotNull)
+      .select(
+        col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col(seedCol).cast("bigint").as("seed")).persist()
     try {
       val (cents, lists) = trainCoarse(cand, dims, iterations)
       try {
@@ -421,7 +448,8 @@ object Similarity {
         // — at 100 TB written bucketed by cid, ~10 bytes/row.
         val encoded = lists.select(col("cid"), col("neighbor_id"),
           encodeCol(lists, "ce", books).as("codes"))
-        val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+        val p = probes.filter(col("embedding").isNotNull)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
         val pAssigned = p.select(col("probe_id"), col("pe"),
           explode(assign(p, "pe", cents, nprobe)).as("cid"))
         val scored = encoded.join(broadcast(pAssigned), Seq("cid"))
@@ -434,14 +462,23 @@ object Similarity {
 
   def lshTopK(probes: DataFrame, candidates: DataFrame, k: Int,
               bits: Int = 6, tables: Int = 8): DataFrame = {
+    // Multi-table collisions collapse MAP-SIDE via the canonical-
+    // table predicate — a pair survives only in its FIRST colliding
+    // table, tested on the two carried bucket vectors — instead of a
+    // distinct() whose dedup exchange would ship the embedding
+    // payloads per duplicate collision. Each surviving pair is scored
+    // once and flows straight into the heap's map-side combine.
     val p = lshBuckets(probes, bits, tables).select(col("t"), col("bucket"),
-      col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      col("vec_id").as("probe_id"), col("embedding").as("pe"),
+      col("bkts").as("p_bkts"))
     val c = lshBuckets(candidates, bits, tables).select(col("t"), col("bucket"),
-      col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      col("bkts").as("c_bkts"))
     val cand = c.join(broadcast(p), Seq("t", "bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
+      .filter(expr(
+        "array_position(zip_with(p_bkts, c_bkts, (x, y) -> x = y), true) = t + 1"))
       .select(col("probe_id"), col("neighbor_id"), col("pe"), col("ce"))
-      .distinct() // collapse multi-table collisions before scoring
     val scored = cand.withColumn("cosine", cosine(col("pe"), col("ce")))
     heapTopK(scored, k)
   }

@@ -51,7 +51,12 @@ object TextAnalysis {
     }
     scored.select(
       col("doc_id"), col("s_en"), col("s_de"), col("s_es"), col("s_fr"),
-      when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")), "en")
+      // NULL text guard first: with a null w every marker score is
+      // null, every when() condition is null (skipped), and the bare
+      // otherwise would label exactly the dirty rows as 'fr' — emit a
+      // null prediction instead
+      when(col("text").isNull, lit(null).cast("string"))
+        .when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")), "en")
         .when(col("s_de") >= greatest(col("s_es"), col("s_fr")), "de")
         .when(col("s_es") >= col("s_fr"), "es")
         .otherwise("fr").as("pred_lang"))
