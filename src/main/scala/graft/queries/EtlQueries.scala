@@ -574,7 +574,51 @@ object EtlQueries {
       |UNION ALL SELECT * FROM inf
       |ORDER BY c_custkey""".stripMargin
 
+  /** E19 — corrupt-record-capturing JSON parse: the PERMISSIVE-mode
+    * `_corrupt_record` surface of Spark's JSON reader, exercised via
+    * from_json over a deterministically mangled props stream (every
+    * 7th event's JSON truncated). Valid rows parse to typed fields;
+    * invalid rows land WHOLE in the corrupt-record column instead of
+    * killing the load or silently dropping — the reader-level
+    * complement of E5's try_cast tolerance and E13's dead-letter
+    * classification. Oracle mirrors with json_valid(). One narrow
+    * parse + one 2-row rollup. */
+  def corruptRecords(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        when(col("event_id") % 7 === 0,
+          expr("substring(props, 1, length(props) - 2)"))
+          .otherwise(col("props")).as("raw"))
+      .select(col("event_id"),
+        expr("from_json(raw, 'k BIGINT, _corrupt_record STRING', " +
+          "map('columnNameOfCorruptRecord', '_corrupt_record'))").as("j"))
+      .select(
+        when(col("j._corrupt_record").isNotNull, 1).otherwise(0)
+          .as("is_corrupt"),
+        col("j.k").as("k"))
+      .groupBy(col("is_corrupt"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("k")), lit(0L)).as("sum_k"))
+      .orderBy(col("is_corrupt"))
+
+  val corruptRecordsSql: String =
+    """WITH m AS (SELECT event_id,
+      |    CASE WHEN event_id % 7 = 0
+      |      THEN substring(props, 1, length(props) - 2)
+      |      ELSE props END AS raw
+      |  FROM events),
+      |p AS (SELECT
+      |        CAST(CASE WHEN json_valid(raw) THEN 0 ELSE 1 END AS INT)
+      |          AS is_corrupt,
+      |        CASE WHEN json_valid(raw)
+      |          THEN CAST(json_extract(raw, '$.k') AS BIGINT) END AS k
+      |      FROM m)
+      |SELECT is_corrupt, count(*) AS n,
+      |  CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k
+      |FROM p GROUP BY is_corrupt ORDER BY is_corrupt""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corrupt_records" -> (corruptRecords _),
     "q_inferred_members" -> (inferredMembers _),
     "q_text_lines_roundtrip" -> (textLinesRoundtrip _),
     "q_dead_letter" -> (deadLetter _),
@@ -595,6 +639,7 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_corrupt_records" -> corruptRecordsSql,
     "q_inferred_members" -> inferredMembersSql,
     "q_text_lines_roundtrip" -> textLinesRoundtripSql,
     "q_dead_letter" -> deadLetterSql,
