@@ -8,9 +8,13 @@ object Staging {
 
   /** Best-effort removal of OTHER apps' stale stage directories under
     * /tmp matching `prefix`. A directory is presumed dead only after
-    * `maxAgeMs` (default 24 h — generous enough that a long-lived
-    * concurrent session's stage is never reaped mid-run; the
-    * trade-off is a day of stray disk, not correctness). Our own
+    * `maxAgeMs` without mtime changes (default 24 h; the trade-off is
+    * a day of stray disk, not correctness). Caveat: reads don't bump
+    * a directory's mtime, so a concurrent session that STAGES ONCE
+    * and then only reads for longer than maxAgeMs could have its live
+    * stage reaped — sessions with that profile must re-touch their
+    * stage dir periodically or raise maxAgeMs (the in-repo callers
+    * restage per query, so their mtime is always fresh). Our own
     * app's directories are never touched — same-session reruns
     * overwrite in place. */
   def sweepStale(prefix: String, appId: String,

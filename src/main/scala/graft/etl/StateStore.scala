@@ -60,9 +60,25 @@ class StateStore(spark: SparkSession, dir: String) {
     else spark.read.parquet(s"$dir/v=$v").as[BatchRecord].collect().toSeq
   }
 
+  /** Committed versions retained after each upsert: enough history to
+    * debug a bad run, bounded so a long migration's state dir stays
+    * O(1) directories instead of O(batches). */
+  private val keepVersions = 8
+
   /** Upsert keyed on (table, pkLower, pkUpper): replaces any existing
     * record for the same range — re-running a range is idempotent in
-    * the state, matching the reference's retry semantics (A11). */
+    * the state, matching the reference's retry semantics (A11).
+    *
+    * Write amplification note: each upsert rewrites the WHOLE state as
+    * a new version (that is what makes a crashed writer harmless —
+    * readers only ever see a complete committed version), so a
+    * migration of N ranges writes O(N²) records in total. The state is
+    * metadata-scale (a record per RANGE, bytes each), so even a
+    * million-batch migration moves only gigabytes of state over its
+    * whole lifetime — the simplicity-for-amplification trade is
+    * deliberate; an append-log + periodic compaction is the upgrade
+    * path if state ever outgrows that. Old versions are pruned to the
+    * last [[keepVersions]] so the directory count stays bounded. */
   def upsert(records: Seq[BatchRecord]): Unit = {
     val keys = records.map(r => (r.table, r.pkLower, r.pkUpper)).toSet
     val merged = read().filterNot(r => keys.contains((r.table, r.pkLower, r.pkUpper))) ++ records
@@ -70,6 +86,22 @@ class StateStore(spark: SparkSession, dir: String) {
     val path = s"$dir/v=$v"
     merged.toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
     Files.createFile(Paths.get(path, "_COMMITTED"))
+    // prune AFTER the new commit marker exists: a crash mid-prune
+    // leaves extra old versions (harmless), never a missing current one
+    versions.dropRight(keepVersions).foreach { old =>
+      val op = Paths.get(s"$dir/v=$old")
+      // marker goes FIRST: readers discover versions by marker, so the
+      // directory becomes invisible before any data file disappears —
+      // a crash mid-delete can never leave a half-present version that
+      // still looks committed
+      Files.deleteIfExists(op.resolve("_COMMITTED"))
+      val stream = Files.list(op)
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) Files.deleteIfExists(it.next())
+      } finally stream.close()
+      Files.deleteIfExists(op)
+    }
   }
 
   /** Migration frontier: highest DONE pkUpper for a table (the

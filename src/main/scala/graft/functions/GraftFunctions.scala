@@ -142,10 +142,17 @@ case class LshBucketsF32(child: Expression, planes: Array[Array[Float]],
     else TypeCheckResult.TypeCheckFailure(
       s"lsh_buckets requires ARRAY<FLOAT>, got ${child.dataType}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // short embeddings → null, see eval
   override def prettyName: String = "lsh_buckets"
+
+  private val minDims = if (planes.nonEmpty) planes(0).length else 0
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    // dimension-mismatch posture (same as dot_f32/pq_codes): a short
+    // embedding surfaces as a MISSING bucket vector rather than being
+    // truncated into a plausible-looking wrong bucket
+    if (arr.numElements() < minDims) return null
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -178,21 +185,25 @@ case class LshBucketsF32(child: Expression, planes: Array[Array[Float]],
       val p = ctx.freshName("p")
       val n = ctx.freshName("n")
       s"""
-         |long[] $out = new long[$tables];
-         |for (int $t = 0; $t < $tables; $t++) {
-         |  long $b = 0L;
-         |  for (int $i = 0; $i < $bits; $i++) {
-         |    float[] $p = $planesRef[$t * $bits + $i];
-         |    int $n = java.lang.Math.min($c.numElements(), $p.length);
-         |    double $acc = 0.0;
-         |    for (int $d = 0; $d < $n; $d++) {
-         |      $acc += (double) $c.getFloat($d) * (double) $p[$d];
+         |if ($c.numElements() < $minDims) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $out = new long[$tables];
+         |  for (int $t = 0; $t < $tables; $t++) {
+         |    long $b = 0L;
+         |    for (int $i = 0; $i < $bits; $i++) {
+         |      float[] $p = $planesRef[$t * $bits + $i];
+         |      int $n = java.lang.Math.min($c.numElements(), $p.length);
+         |      double $acc = 0.0;
+         |      for (int $d = 0; $d < $n; $d++) {
+         |        $acc += (double) $c.getFloat($d) * (double) $p[$d];
+         |      }
+         |      if ($acc > 0) $b |= (1L << $i);
          |    }
-         |    if ($acc > 0) $b |= (1L << $i);
+         |    $out[$t] = $b;
          |  }
-         |  $out[$t] = $b;
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
   }
@@ -218,6 +229,11 @@ case class LshBucketsF32(child: Expression, planes: Array[Array[Float]],
 case class SimHash32(child: Expression, bits: Int)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  // the coin flips come from a 32-bit digest slice: bits in 33..64
+  // would silently vote every high bit -1 (constant-zero signature
+  // half) and bits > 64 would alias via shift wrap-around
+  require(bits >= 1 && bits <= 32,
+    s"simhash32 carries at most 32 sign bits, got $bits")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -593,10 +609,15 @@ case class PqCodesF32(child: Expression, codebooks: Array[Array[Array[Float]]])
     else TypeCheckResult.TypeCheckFailure(
       s"pq_codes requires ARRAY<FLOAT>, got ${child.dataType}")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true // short embeddings -> null, see eval
   override def prettyName: String = "pq_codes"
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    // dimension-mismatch posture (same as dot_f32): a short embedding
+    // must surface as a MISSING code vector, not be zero-padded into
+    // plausible-looking wrong codes that silently join wrong candidates
+    if (arr.numElements() < nSub * subDim) return null
     val out = new Array[Int](nSub)
     var s = 0
     while (s < nSub) {
@@ -639,6 +660,9 @@ case class PqCodesF32(child: Expression, codebooks: Array[Array[Array[Float]]])
       val cent = ctx.freshName("cent")
       val x = ctx.freshName("x")
       s"""
+         |if ($cv.numElements() < ${nSub * subDim}) {
+         |  ${ev.isNull} = true;
+         |} else {
          |int[] $out = new int[$nSub];
          |for (int $s = 0; $s < $nSub; $s++) {
          |  int $best = 0;
@@ -658,6 +682,7 @@ case class PqCodesF32(child: Expression, codebooks: Array[Array[Array[Float]]])
          |  $out[$s] = $best;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
        """.stripMargin
     })
   }
@@ -782,9 +807,18 @@ case class DeflateSize(child: Expression)
   override def prettyName: String = "deflate_size"
 
   // One deflater per task (expressions deserialize per task and a
-  // task is single-threaded); reset() between rows.
-  @transient private lazy val deflater =
-    new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION, true)
+  // task is single-threaded); reset() between rows. The native zlib
+  // buffer is released by end() at TASK COMPLETION via the context
+  // listener — without it each task instance leaks ~hundreds of KB of
+  // off-heap memory until finalization, which a long-lived executor
+  // running many short tasks can accumulate past its container limit
+  // while the heap looks healthy.
+  @transient private lazy val deflater = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION, true)
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => d.end())
+    d
+  }
   @transient private lazy val buf = new Array[Byte](8192)
 
   override protected def nullSafeEval(input: Any): Any = {
@@ -807,16 +841,18 @@ case class DeflateSize(child: Expression)
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val fid = org.apache.spark.sql.catalyst.FunctionIdentifier("fnv64")
-    if (!reg.functionExists(fid)) {
-      reg.createOrReplaceTempFunction("fnv64", exprs => FnvHash64(exprs.head), "scala_udf")
-      reg.createOrReplaceTempFunction("dot_f32",
-        exprs => DotProductF32(exprs(0), exprs(1)), "scala_udf")
-      reg.createOrReplaceTempFunction("jaro_winkler",
-        exprs => JaroWinklerSim(exprs(0), exprs(1)), "scala_udf")
-      reg.createOrReplaceTempFunction("deflate_size",
-        exprs => DeflateSize(exprs.head), "scala_udf")
-    }
+    // Guard PER FUNCTION, not on one sentinel: a session configured
+    // with GraftExtensions already has fnv64/dot_f32/jaro_winkler from
+    // the extension hook — a single fnv64-existence check would then
+    // skip registering the functions the hook does NOT inject
+    // (deflate_size) and leave them forever unresolvable.
+    def ensure(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    ensure("fnv64", exprs => FnvHash64(exprs.head))
+    ensure("dot_f32", exprs => DotProductF32(exprs(0), exprs(1)))
+    ensure("jaro_winkler", exprs => JaroWinklerSim(exprs(0), exprs(1)))
+    ensure("deflate_size", exprs => DeflateSize(exprs.head))
     // Optimizer rules go through the public experimental-methods hook
     // (sessions built with spark.sql.extensions get them from
     // GraftExtensions instead; both paths are idempotent).

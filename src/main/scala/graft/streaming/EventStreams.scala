@@ -30,10 +30,15 @@ case class TypeTopK(event_type: String, n_seen: Long,
   * carry the DuckDB oracle, and these streaming versions are asserted
   * equivalent in StreamingSpec via MemoryStream.
   *
-  * Scale posture: all state here is keyed (window × type, session ×
-  * user, user) and bounded by the watermark, so state distributes
-  * across executors and old state is evicted — no unbounded driver or
-  * executor growth at 100 TB/day event volumes.
+  * Scale posture: state is keyed (window × type, session × user,
+  * user) and distributes across executors. The windowed/sessionized
+  * operators are watermark-bounded and evict old state. The per-KEY
+  * running aggregates are bounded differently, by STATE SIZE, not
+  * eviction: X5's lifetime rollup is a fixed few fields per user
+  * (O(users) entries — the deliberate lifetime-stats shape; cap with
+  * a state TTL in a deployment that can't hold the user dimension),
+  * and X10/X11/X12 carry constant-size sketch/bitmap/heap buffers per
+  * key forever — that constancy is their entire point.
   */
 object EventStreams {
 
@@ -129,7 +134,12 @@ object EventStreams {
     * answers EXACTLY — the right state shape when ids are
     * dictionary-encoded and finite (they are, in every warehouse
     * dimension). Stream ≡ batch exactly because bit-set insertion is
-    * order- and batch-boundary-free (asserted in StreamingSpec). */
+    * order- and batch-boundary-free (asserted in StreamingSpec).
+    * Contract: ids MUST lie in [0, universe) — an out-of-range id
+    * fails the query loudly (BitmapAgg's require), by design the same
+    * never-silently-alias posture as the batch G24 path; for open id
+    * domains use [[runningDistinctUsers]] (X10, KMV estimate)
+    * instead. */
   def runningExactUsers(events: Dataset[EventRow],
                         universe: Int = 1 << 16): Dataset[TypeExactCard] = {
     import events.sparkSession.implicits._
@@ -212,7 +222,10 @@ object EventStreams {
               val t = e.ts.getTime
               cur = cur match {
                 case Some(b) if t - b.end <= gapMs =>
-                  Some(SessBuf(b.start, math.max(b.end, t), b.n + 1))
+                  // a late cross-batch event may precede the recovered
+                  // session's start — fold it by EXTENDING BOTH ends
+                  // (min/max), matching batch session_window semantics
+                  Some(SessBuf(math.min(b.start, t), math.max(b.end, t), b.n + 1))
                 case Some(b) =>
                   closed ::= ClosedSession(uid, new java.sql.Timestamp(b.start),
                     new java.sql.Timestamp(b.end), b.n)
