@@ -51,10 +51,22 @@ object Caches {
     override def initialValue(): ArrayBuffer[DataFrame] = ArrayBuffer.empty
   }
 
+  /** One tracked consumer plan: the analyzed tree plus its cached
+    * `semanticHash` and root class — the two cheap gates that let the
+    * per-action listener scan skip `sameResult`'s full canonical tree
+    * compare for the ~100% of action nodes that cannot possibly match
+    * (profiled: an ungated `analyzed.exists(_.sameResult(key))` over a
+    * 64-deep tombstone ring of large ANN/dedup plans burned whole
+    * CPU-seconds per UNRELATED action late in a 288-query sweep). */
+  private final class Tracked(val plan: LogicalPlan, val hash: Int,
+                              val rootClass: Class[_]) // identity equality
+  private def track(plan: LogicalPlan): Tracked =
+    new Tracked(plan, plan.semanticHash(), plan.getClass)
+
   /** Owned scopes: consumer analyzed plan → the persisted intermediates
     * feeding it. Values are swept by the per-session listener. */
   private val owned =
-    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, Seq[DataFrame]]()
+    new java.util.concurrent.ConcurrentHashMap[Tracked, Seq[DataFrame]]()
 
   private val installed =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
@@ -77,7 +89,7 @@ object Caches {
   def own(result: DataFrame): DataFrame = {
     val p = pending.get()
     if (p.nonEmpty) {
-      owned.put(result.queryExecution.analyzed, p.toSeq)
+      owned.put(track(result.queryExecution.analyzed), p.toSeq)
       p.clear()
       install(result.sparkSession)
     }
@@ -118,8 +130,37 @@ object Caches {
     * silently. */
   private val released =
     java.util.Collections.synchronizedList(
-      new java.util.ArrayList[LogicalPlan]())
+      new java.util.ArrayList[Tracked]())
   private val ReleasedCap = 64
+
+  /** Gated subtree search: which tracked keys appear (by `sameResult`)
+    * as a node of the completed plan. The root-class gate is a HashMap
+    * probe per node — free — and the semantic-hash gate runs only on a
+    * class hit, so the expensive full canonical tree compare executes
+    * only for genuine matches. The ungated form (`analyzed.exists(
+    * _.sameResult(key))` per key) walked every action node × every
+    * tracked plan; with a tombstone ring full of large ANN/dedup plans
+    * late in a long sweep it burned whole CPU-seconds on the listener
+    * bus for every UNRELATED action. */
+  private def matches(analyzed: LogicalPlan,
+                      keys: Seq[Tracked]): Set[Tracked] = {
+    if (keys.isEmpty) return Set.empty
+    val byClass = keys.groupBy(_.rootClass)
+    val hit = scala.collection.mutable.Set.empty[Tracked]
+    analyzed.foreach { node =>
+      byClass.get(node.getClass).foreach { ks =>
+        // computed at most once per node (and only on a class hit);
+        // canonicalization is lazy-cached on the node instance
+        val h = node.semanticHash()
+        ks.foreach { k =>
+          if (!hit.contains(k) && k.hash == h &&
+              (try node.sameResult(k.plan) catch { case _: Throwable => false }))
+            hit += k
+        }
+      }
+    }
+    hit.toSet
+  }
 
   /** Release every owned scope whose consumer plan is a subtree of the
     * completed execution (sameResult is canonicalized, so cosmetic
@@ -127,40 +168,29 @@ object Caches {
     * mask the match). */
   private def release(qe: QueryExecution): Unit = {
     if (owned.isEmpty && released.isEmpty) return
-    val it = owned.entrySet().iterator()
+    import scala.jdk.CollectionConverters._
+    val ownedKeys = owned.keySet().asScala.toSeq
+    val tombs = released.synchronized { released.asScala.toSeq }
+    val hits =
+      try matches(qe.analyzed, ownedKeys ++ tombs)
+      catch { case _: Throwable => Set.empty[Tracked] }
     var matched = false
-    while (it.hasNext) {
-      val e = it.next()
-      val hit =
-        try qe.analyzed.exists(node => node.sameResult(e.getKey))
-        catch { case _: Throwable => false }
-      if (hit) {
-        e.getValue.foreach(unpersistQuietly)
+    hits.foreach { k =>
+      val v = owned.remove(k)
+      if (v != null) {
+        v.foreach(unpersistQuietly)
         released.synchronized {
-          released.add(e.getKey)
+          released.add(k)
           while (released.size() > ReleasedCap) released.remove(0)
         }
-        it.remove()
         matched = true
       }
     }
-    if (!matched) {
-      val reused = released.synchronized {
-        val rit = released.iterator()
-        var hit = false
-        while (!hit && rit.hasNext) {
-          val k = rit.next()
-          hit = try qe.analyzed.exists(node => node.sameResult(k))
-                catch { case _: Throwable => false }
-        }
-        hit
-      }
-      if (reused)
-        log.warn("graft.Caches: action over an ALREADY-RELEASED query plan — " +
-          "the scratch caches were freed after its first action, so this run " +
-          "recomputed them unpinned (slow, and pin-dependent operators should " +
-          "be REBUILT, not re-run). One returned plan is good for one action.")
-    }
+    if (!matched && hits.nonEmpty)
+      log.warn("graft.Caches: action over an ALREADY-RELEASED query plan — " +
+        "the scratch caches were freed after its first action, so this run " +
+        "recomputed them unpinned (slow, and pin-dependent operators should " +
+        "be REBUILT, not re-run). One returned plan is good for one action.")
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)

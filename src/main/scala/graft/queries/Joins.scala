@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -396,7 +396,100 @@ object Joins {
       |SELECT e_id, user_id, p_id, gap_sec FROM r WHERE rn = 1
       |ORDER BY e_id""".stripMargin
 
+  /** J11 — grid-bucketed spatial nearest-neighbor join: for every
+    * customer, the nearest supplier within 50 km (haversine), without
+    * ever forming the customer × supplier cross product. Coordinates
+    * are deterministic synthetic points (two md5 coins per key → lat ∈
+    * [40, 50), lon ∈ [0, 10) — the fixtures carry no geo columns), so
+    * both engines derive the identical point set.
+    *
+    * Scale shape — the standard geo-join decomposition: every point
+    * buckets into a 1°×1° grid cell; suppliers land in their own cell,
+    * each customer probes its 3×3 cell neighborhood (one 9-row
+    * explode), and the candidate join is a plain EQUI-join on (cell_y,
+    * cell_x) — never a cross join, never a theta join. The 3×3 ring
+    * provably covers the 50 km radius at these latitudes (50 km ≤
+    * 0.45° lat; ≤ 0.70° lon at lat 50.45° where 1° lon ≈ 70.9 km), so
+    * pruning loses no candidate. Per-probe work is bounded by point
+    * density × 9 cells at ANY corpus size; at 100 TB both sides
+    * hash-partition on the cell key and urban-density skew gets the
+    * standard salt treatment (q_join_salted's lever). Nearest = one
+    * argmin aggregate via min(struct(dist, key)); distance quantizes
+    * to whole meters (floor — the cross-engine convention) so the
+    * tie-break is exact in both engines. Customers with no supplier
+    * inside the radius drop out (declared bounded-radius semantics —
+    * an unbounded nearest would need a second escalating ring pass). */
+  def spatialGridJoin(s: SparkSession, dir: String): DataFrame = {
+    def coin(prefix: String, key: Column, off: Int): Column =
+      conv(substring(md5(concat(lit(prefix), key.cast("string"))), off, 8),
+        16, 10).cast("long")
+    def latOf(prefix: String, key: Column): Column =
+      lit(40.0) + (coin(prefix, key, 1) % 1000000L) / 1e6 * 10.0
+    def lonOf(prefix: String, key: Column): Column =
+      (coin(prefix, key, 9) % 1000000L) / 1e6 * 10.0
+    val cust = Tables.customer(s, dir).select(col("c_custkey"),
+        latOf("geo|", col("c_custkey")).as("clat"),
+        lonOf("geo|", col("c_custkey")).as("clon"))
+    val supp = Tables.supplier(s, dir).select(col("s_suppkey"),
+        latOf("sgeo|", col("s_suppkey")).as("slat"),
+        lonOf("sgeo|", col("s_suppkey")).as("slon"))
+      .withColumn("jy", floor(col("slat")).cast("int"))
+      .withColumn("jx", floor(col("slon")).cast("int"))
+    val probes = cust
+      .select(col("c_custkey"), col("clat"), col("clon"),
+        explode(expr("transform(sequence(0, 8), i -> named_struct(" +
+          "'jy', CAST(floor(clat) + i div 3 - 1 AS INT), " +
+          "'jx', CAST(floor(clon) + i % 3 - 1 AS INT)))")).as("cell"))
+      .select(col("c_custkey"), col("clat"), col("clon"),
+        col("cell.jy").as("jy"), col("cell.jx").as("jx"))
+    val dlat = radians(col("slat") - col("clat")) / 2
+    val dlon = radians(col("slon") - col("clon")) / 2
+    val a = sin(dlat) * sin(dlat) +
+      cos(radians(col("clat"))) * cos(radians(col("slat"))) * sin(dlon) * sin(dlon)
+    probes.join(supp, Seq("jy", "jx"))
+      .withColumn("dist_m",
+        floor(lit(2.0) * 6371000.0 * asin(sqrt(a))).cast("bigint"))
+      .filter(col("dist_m") <= 50000L)
+      .groupBy(col("c_custkey"))
+      .agg(min(struct(col("dist_m"), col("s_suppkey"))).as("m"))
+      .select(col("c_custkey"), col("m.s_suppkey").as("s_suppkey"),
+        col("m.dist_m").as("dist_m"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val spatialGridJoinSql: String =
+    """WITH c AS (SELECT c_custkey,
+      |    40.0 + (CAST(concat('0x', substring(md5(concat('geo|',
+      |      CAST(c_custkey AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000)
+      |      / 1e6 * 10.0 AS clat,
+      |    (CAST(concat('0x', substring(md5(concat('geo|',
+      |      CAST(c_custkey AS VARCHAR))), 9, 8)) AS BIGINT) % 1000000)
+      |      / 1e6 * 10.0 AS clon
+      |  FROM customer),
+      |s AS (SELECT s_suppkey,
+      |    40.0 + (CAST(concat('0x', substring(md5(concat('sgeo|',
+      |      CAST(s_suppkey AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000)
+      |      / 1e6 * 10.0 AS slat,
+      |    (CAST(concat('0x', substring(md5(concat('sgeo|',
+      |      CAST(s_suppkey AS VARCHAR))), 9, 8)) AS BIGINT) % 1000000)
+      |      / 1e6 * 10.0 AS slon
+      |  FROM supplier),
+      |d AS (SELECT c_custkey, s_suppkey,
+      |    CAST(floor(2.0 * 6371000.0 * asin(sqrt(
+      |      sin(radians(slat - clat) / 2) * sin(radians(slat - clat) / 2)
+      |      + cos(radians(clat)) * cos(radians(slat))
+      |      * sin(radians(slon - clon) / 2) * sin(radians(slon - clon) / 2))))
+      |      AS BIGINT) AS dist_m
+      |  FROM c CROSS JOIN s),
+      |m AS (SELECT c_custkey,
+      |        min(dist_m * 10000000 + s_suppkey) AS pack
+      |      FROM d WHERE dist_m <= 50000 GROUP BY c_custkey)
+      |SELECT c_custkey, CAST(pack % 10000000 AS BIGINT) AS s_suppkey,
+      |  CAST(pack // 10000000 AS BIGINT) AS dist_m
+      |FROM m ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spatial_grid_join" -> (spatialGridJoin _),
     "q_join_asof_nearest" -> (asofNearestJoin _),
     "q_range_bucket_join" -> (rangeBucketJoin _),
     "q_interval_join" -> (intervalJoin _),
@@ -415,6 +508,7 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_spatial_grid_join" -> spatialGridJoinSql,
     "q_join_asof_nearest" -> asofNearestJoinSql,
     "q_range_bucket_join" -> rangeBucketJoinSql,
     "q_interval_join" -> intervalJoinSql,

@@ -42,6 +42,20 @@ class EntrySpec extends SparkSpec {
     assert(queries.Joins.rangeBucketJoin(spark, sfDir).count() > 0)
   }
 
+  test("spatial grid join stays an equi-join on the cell key (no cartesian)") {
+    val df = queries.Joins.spatialGridJoin(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"grid bucketing failed to produce an equi-join:\n${plan.take(1500)}")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // bounded-radius contract: every emitted distance is within 50 km
+    assert(rows.forall(_.getLong(2) <= 50000L))
+    // nearest-per-customer: one row per customer key
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
   test("broadcast join plans a BroadcastHashJoin") {
     val plan = queries.Joins.broadcastJoin(spark, sfDir)
       .queryExecution.executedPlan.toString
