@@ -419,14 +419,20 @@ object Joins {
     * tie-break is exact in both engines. Customers with no supplier
     * inside the radius drop out (declared bounded-radius semantics —
     * an unbounded nearest would need a second escalating ring pass). */
+  /** Synthetic deterministic geography shared by the spatial operators
+    * (the fixtures carry no geo columns): two md5 coins per key → lat ∈
+    * [40, 50), lon ∈ [0, 10), bit-identical in Spark and DuckDB. */
+  private def geoCoin(prefix: String, key: Column, off: Int): Column =
+    conv(substring(md5(concat(lit(prefix), key.cast("string"))), off, 8),
+      16, 10).cast("long")
+  private[queries] def geoLat(prefix: String, key: Column): Column =
+    lit(40.0) + (geoCoin(prefix, key, 1) % 1000000L) / 1e6 * 10.0
+  private[queries] def geoLon(prefix: String, key: Column): Column =
+    (geoCoin(prefix, key, 9) % 1000000L) / 1e6 * 10.0
+
   def spatialGridJoin(s: SparkSession, dir: String): DataFrame = {
-    def coin(prefix: String, key: Column, off: Int): Column =
-      conv(substring(md5(concat(lit(prefix), key.cast("string"))), off, 8),
-        16, 10).cast("long")
-    def latOf(prefix: String, key: Column): Column =
-      lit(40.0) + (coin(prefix, key, 1) % 1000000L) / 1e6 * 10.0
-    def lonOf(prefix: String, key: Column): Column =
-      (coin(prefix, key, 9) % 1000000L) / 1e6 * 10.0
+    def latOf(prefix: String, key: Column): Column = geoLat(prefix, key)
+    def lonOf(prefix: String, key: Column): Column = geoLon(prefix, key)
     val cust = Tables.customer(s, dir).select(col("c_custkey"),
         latOf("geo|", col("c_custkey")).as("clat"),
         lonOf("geo|", col("c_custkey")).as("clon"))
@@ -488,7 +494,103 @@ object Joins {
       |  CAST(pack // 10000000 AS BIGINT) AS dist_m
       |FROM m ORDER BY c_custkey""".stripMargin
 
+  /** SP1 — grid-density watershed clustering: every populated 1°×1°
+    * cell of the event point cloud is assigned to its density peak by
+    * hill-climbing on the 3×3-smoothed cell counts — the mode-seeking
+    * (mean-shift / watershed) segmentation that groups activity into
+    * basins around local maxima, with no distance threshold to tune.
+    *
+    * Scale shape — three bounded relational steps, all on the CELL
+    * relation (|cells| ≪ |points|; the only pass over raw points is
+    * the first count aggregate):
+    *  1. smoothing and parent selection use the same 9-row ring
+    *     explode + equi-join as q_spatial_grid_join — never a theta
+    *     join (the oracle's `abs(Δ)≤1` pair join IS the anti-shape);
+    *  2. parent = argmax over the present 3×3 neighborhood by the
+    *     total order (smoothed, jy, jx) via ONE max(struct) aggregate.
+    *     The order is strict and self-inclusive, so parent chains
+    *     strictly ascend → the pointer forest is acyclic and every
+    *     chain ends at a genuine local max (parent = self);
+    *  3. peak assignment by POINTER DOUBLING — f ← f∘f seven times
+    *     covers chains of length 2⁷ = 128 > the 100-cell grid bound —
+    *     the O(log n)-round parallel primitive, not an O(diameter)
+    *     propagation loop and never a driver-side walk. At planetary
+    *     cell counts the doubling count grows as log₂(cells) and each
+    *     composition is a self-equi-join on the cell id, optionally
+    *     checkpointed; the oracle unrolls the same seven compositions.
+    * Cell ids pack as jy·100+jx (< 10⁴) and the argmax packs as
+    * s·10⁴+id — exact in int64 on both engines. */
+  def spatialWatershed(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(floor(geoLat("egeo|", col("event_id"))).cast("int").as("jy"),
+        floor(geoLon("egeo|", col("event_id"))).cast("int").as("jx"))
+      .groupBy(col("jy"), col("jx")).agg(count(lit(1)).as("cnt"))
+    def ring(df: DataFrame, keep: Column*): DataFrame = df
+      .select(keep :+ explode(expr("transform(sequence(0, 8), i -> " +
+        "named_struct('ty', CAST(jy + i div 3 - 1 AS INT), " +
+        "'tx', CAST(jx + i % 3 - 1 AS INT)))")).as("t"): _*)
+      .select(keep :+ col("t.ty").as("ty") :+ col("t.tx").as("tx"): _*)
+    // smoothed density: each present cell's 3×3 sum of present counts
+    // (absent neighbors contribute 0 via the inner equi-join)
+    val sm = ring(cells, col("cnt"))
+      .groupBy(col("ty"), col("tx"))
+      .agg(sum(col("cnt")).as("s"))
+      .withColumnRenamed("ty", "jy").withColumnRenamed("tx", "jx")
+      .join(cells, Seq("jy", "jx")) // keep only populated cells
+    // parent: argmax of (s, jy, jx) over the present 3×3 neighborhood
+    val parent = ring(sm, col("s"), col("jy"), col("jx"))
+      .groupBy(col("ty"), col("tx"))
+      .agg(max(struct(col("s"), col("jy"), col("jx"))).as("p"))
+      .join(sm.select(col("jy").as("ty"), col("jx").as("tx")), Seq("ty", "tx"))
+    var f = parent.select((col("ty") * 100 + col("tx")).as("c"),
+      (col("p.jy") * 100 + col("p.jx")).as("p"))
+    for (_ <- 1 to 7) {
+      val g = f.select(col("c").as("gc"), col("p").as("gp"))
+      f = f.join(g, col("p") === col("gc")).select(col("c"), col("gp").as("p"))
+    }
+    f.join(sm.select((col("jy") * 100 + col("jx")).as("c"),
+        col("jy"), col("jx"), col("cnt"), col("s")), Seq("c"))
+      .select(col("jy"), col("jx"), col("cnt"), col("s").as("smoothed"),
+        expr("CAST(p div 100 AS INT)").as("peak_jy"),
+        (col("p") % 100).cast("int").as("peak_jx"),
+        (col("c") === col("p")).as("is_peak"))
+      .orderBy(col("jy"), col("jx"))
+  }
+
+  val spatialWatershedSql: String = {
+    val doublings = (1 to 7).map(i =>
+      s"f$i AS (SELECT a.c, b.p FROM f${i - 1} a JOIN f${i - 1} b ON a.p = b.c)")
+      .mkString(",\n")
+    s"""WITH pts AS (SELECT
+      |    CAST(floor(40.0 + (CAST(concat('0x', substring(md5(concat('egeo|',
+      |      CAST(event_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000)
+      |      / 1e6 * 10.0) AS INT) AS jy,
+      |    CAST(floor((CAST(concat('0x', substring(md5(concat('egeo|',
+      |      CAST(event_id AS VARCHAR))), 9, 8)) AS BIGINT) % 1000000)
+      |      / 1e6 * 10.0) AS INT) AS jx
+      |  FROM events),
+      |cells AS (SELECT jy, jx, count(*) AS cnt FROM pts GROUP BY 1, 2),
+      |sm AS (SELECT c.jy, c.jx, c.cnt, CAST(sum(n.cnt) AS BIGINT) AS s
+      |       FROM cells c JOIN cells n
+      |         ON abs(n.jy - c.jy) <= 1 AND abs(n.jx - c.jx) <= 1
+      |       GROUP BY 1, 2, 3),
+      |par AS (SELECT c.jy, c.jx,
+      |          max(n.s * 10000 + n.jy * 100 + n.jx) AS pk
+      |        FROM sm c JOIN sm n
+      |          ON abs(n.jy - c.jy) <= 1 AND abs(n.jx - c.jx) <= 1
+      |        GROUP BY 1, 2),
+      |f0 AS (SELECT jy * 100 + jx AS c, pk % 10000 AS p FROM par),
+      |$doublings
+      |SELECT sm.jy, sm.jx, sm.cnt, sm.s AS smoothed,
+      |  CAST(f7.p // 100 AS INT) AS peak_jy,
+      |  CAST(f7.p % 100 AS INT) AS peak_jx,
+      |  f7.c = f7.p AS is_peak
+      |FROM f7 JOIN sm ON f7.c = sm.jy * 100 + sm.jx
+      |ORDER BY sm.jy, sm.jx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spatial_watershed" -> (spatialWatershed _),
     "q_spatial_grid_join" -> (spatialGridJoin _),
     "q_join_asof_nearest" -> (asofNearestJoin _),
     "q_range_bucket_join" -> (rangeBucketJoin _),
@@ -508,6 +610,7 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_spatial_watershed" -> spatialWatershedSql,
     "q_spatial_grid_join" -> spatialGridJoinSql,
     "q_join_asof_nearest" -> asofNearestJoinSql,
     "q_range_bucket_join" -> rangeBucketJoinSql,
