@@ -589,7 +589,88 @@ object Joins {
       |ORDER BY sm.jy, sm.jx""".stripMargin
   }
 
+  /** SP2 — inverse-distance-weighted (IDW) field interpolation: the
+    * estimated event-value surface at every populated cell center,
+    * from the events in the cell's 3×3 neighborhood weighted by
+    * 1/(d+1km) — the classic scattered-point → regular-grid
+    * interpolation of spatial analytics.
+    *
+    * Scale shape: each event explodes its 9-cell ring once and meets
+    * the populated-cell relation on a plain EQUI-join (as in
+    * q_spatial_grid_join) — per-cell work is bounded by local point
+    * density at any corpus size, never an all-points×all-cells pass
+    * (which is exactly what the oracle's cross join does, correctly,
+    * at oracle scale). Determinism: distances floor to whole meters,
+    * weights are the INTEGER floor(10¹⁰/(d_m+1000)) ∈ [6.3·10⁴, 10⁷],
+    * values are exact cents, so both weighted sums are exact int64
+    * (≤ 10⁷ · 5.6·10⁴ · |events| ≪ 2⁶³) and the single final
+    * double division is bit-identical on both engines. */
+  def spatialIdw(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(s, dir)
+      .select(col("event_id"), col("value"),
+        geoLat("egeo|", col("event_id")).as("plat"),
+        geoLon("egeo|", col("event_id")).as("plon"),
+        (dec2(col("value")) * 100).cast("bigint").as("cents"))
+      .withColumn("jy", floor(col("plat")).cast("int"))
+      .withColumn("jx", floor(col("plon")).cast("int"))
+    val cells = pts.select(col("jy"), col("jx")).distinct()
+    val contrib = pts
+      .select(col("cents"), col("plat"), col("plon"),
+        explode(expr("transform(sequence(0, 8), i -> " +
+          "named_struct('ty', CAST(jy + i div 3 - 1 AS INT), " +
+          "'tx', CAST(jx + i % 3 - 1 AS INT)))")).as("t"))
+      .select(col("cents"), col("plat"), col("plon"),
+        col("t.ty").as("jy"), col("t.tx").as("jx"))
+      .join(cells, Seq("jy", "jx")) // estimate only at populated cells
+    val clat = col("jy") + lit(0.5)
+    val clon = col("jx") + lit(0.5)
+    val dlat = radians(clat - col("plat")) / 2
+    val dlon = radians(clon - col("plon")) / 2
+    val h = sin(dlat) * sin(dlat) +
+      cos(radians(col("plat"))) * cos(radians(clat)) * sin(dlon) * sin(dlon)
+    contrib
+      .withColumn("d_m", floor(lit(2.0) * 6371000.0 * asin(sqrt(h)))
+        .cast("bigint"))
+      .withColumn("w", expr("10000000000 div (d_m + 1000)"))
+      .groupBy(col("jy"), col("jx"))
+      .agg(count(lit(1)).as("n_pts"),
+        sum(col("w") * col("cents")).as("swv"), sum(col("w")).as("sw"))
+      .select(col("jy"), col("jx"), col("n_pts"),
+        (col("swv").cast("double") / col("sw") / 100.0).as("idw_value"))
+      .orderBy(col("jy"), col("jx"))
+  }
+
+  val spatialIdwSql: String =
+    """WITH pts AS (SELECT
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    40.0 + (CAST(concat('0x', substring(md5(concat('egeo|',
+      |      CAST(event_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000)
+      |      / 1e6 * 10.0 AS plat,
+      |    (CAST(concat('0x', substring(md5(concat('egeo|',
+      |      CAST(event_id AS VARCHAR))), 9, 8)) AS BIGINT) % 1000000)
+      |      / 1e6 * 10.0 AS plon
+      |  FROM events),
+      |g AS (SELECT cents, plat, plon,
+      |        CAST(floor(plat) AS INT) AS jy, CAST(floor(plon) AS INT) AS jx
+      |      FROM pts),
+      |cells AS (SELECT DISTINCT jy, jx FROM g),
+      |contrib AS (SELECT c.jy, c.jx, g.cents,
+      |    10000000000 // (CAST(floor(2.0 * 6371000.0 * asin(sqrt(
+      |      sin(radians((c.jy + 0.5) - g.plat) / 2)
+      |        * sin(radians((c.jy + 0.5) - g.plat) / 2)
+      |      + cos(radians(g.plat)) * cos(radians(c.jy + 0.5))
+      |        * sin(radians((c.jx + 0.5) - g.plon) / 2)
+      |        * sin(radians((c.jx + 0.5) - g.plon) / 2)))) AS BIGINT)
+      |      + 1000) AS w
+      |  FROM g JOIN cells c
+      |    ON abs(g.jy - c.jy) <= 1 AND abs(g.jx - c.jx) <= 1)
+      |SELECT jy, jx, CAST(count(*) AS BIGINT) AS n_pts,
+      |  CAST(CAST(sum(w * cents) AS BIGINT) AS DOUBLE)
+      |    / CAST(sum(w) AS BIGINT) / 100.0 AS idw_value
+      |FROM contrib GROUP BY jy, jx ORDER BY jy, jx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spatial_idw" -> (spatialIdw _),
     "q_spatial_watershed" -> (spatialWatershed _),
     "q_spatial_grid_join" -> (spatialGridJoin _),
     "q_join_asof_nearest" -> (asofNearestJoin _),
@@ -610,6 +691,7 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_spatial_idw" -> spatialIdwSql,
     "q_spatial_watershed" -> spatialWatershedSql,
     "q_spatial_grid_join" -> spatialGridJoinSql,
     "q_join_asof_nearest" -> asofNearestJoinSql,

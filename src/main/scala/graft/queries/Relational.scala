@@ -625,7 +625,40 @@ object Relational {
       |  CAST(len(regexp_extract_all(props, '"([a-z0-9_]+)" *:', 1)) AS INT) AS n_keys
       |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin
 
+  /** P5 — relational division (÷): customers whose orders span EVERY
+    * order-priority class in the data — the "for-all" quantifier of
+    * relational algebra, the shape behind "users who touched every
+    * feature" / "suppliers certified for every region". Implemented as
+    * the count-compare decomposition (the scalable standard): one
+    * partial/final distinct-count per dividend group compared against
+    * the broadcast divisor cardinality — no per-class anti-join chain,
+    * no explosion; at 100 TB it is one aggregate over the fact table
+    * plus a scalar broadcast. The divisor is DERIVED from the data
+    * (count of distinct classes), so the query adapts if classes are
+    * added. */
+  def relationalDivision(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val nClasses = o.agg(
+      countDistinct(col("o_orderpriority")).as("n_classes"))
+    o.groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderpriority")).as("np"),
+        count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(nClasses))
+      .filter(col("np") === col("n_classes"))
+      .select(col("o_custkey"), col("n_orders"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val relationalDivisionSql: String =
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING count(DISTINCT o_orderpriority) =
+      |  (SELECT count(DISTINCT o_orderpriority) FROM orders)
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_relational_division" -> (relationalDivision _),
     "q_grouping_sets" -> (groupingSets _),
     "q_stats_moments" -> (statsMoments _),
     "q_collect_agg" -> (collectAgg _),
@@ -658,6 +691,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_relational_division" -> relationalDivisionSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_stats_moments" -> statsMomentsSql,
     "q_collect_agg" -> collectAggSql,
