@@ -642,7 +642,107 @@ object Trend {
       |  CAST(mk_s AS DOUBLE) / n_pairs AS kendall_tau
       |FROM mm CROSS JOIN st CROSS JOIN md""".stripMargin
 
+  /** B20 — U-shaped (position-based) multi-touch attribution: each
+    * purchase's credit splits 40/20/40 across the touches since the
+    * user's previous purchase — first touch 40%, last touch 40%, the
+    * middles share 20% — vs q_attribution's last-touch single-credit.
+    * Purchases with no preceding touch in their segment credit
+    * 'direct' in full (anti-join on covered segments).
+    *
+    * Determinism at scale: credits are INTEGER parts-per-million; the
+    * middle share 200000 splits by largest-remainder (base = div,
+    * the first `rem` middles get +1 ppm — q_proration's exact rule),
+    * so per-conversion credit sums to exactly 1,000,000 ppm and the
+    * channel totals are exact int64 sums with ONE final double
+    * division. Shape: two keyed windows (user; user×segment) + one
+    * aggregate — linear, no self-join against the event history. */
+  def multitouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val marked = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("is_p", (col("event_type") === "purchase").cast("long"))
+      .withColumn("p_before", coalesce(sum(col("is_p")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val purchases = marked.filter(col("is_p") === 1L)
+      .select(col("user_id"), (col("p_before") + 1).as("seg"))
+    val touches = marked.filter(col("is_p") === 0L)
+      .withColumn("seg", col("p_before") + 1)
+      .join(purchases, Seq("user_id", "seg"), "left_semi") // has a purchase
+    val wSeg = Window.partitionBy(col("user_id"), col("seg"))
+      .orderBy(col("sec"), col("event_id"))
+    val credited = touches
+      .withColumn("rn", row_number().over(wSeg).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("user_id"), col("seg"))))
+      .withColumn("ppm",
+        when(col("n") === 1, 1000000L)
+          .when(col("n") === 2, 500000L)
+          .when(col("rn") === 1 || col("rn") === col("n"), 400000L)
+          .otherwise(expr(
+            "200000 div (n - 2) + IF(rn - 1 <= 200000 % (n - 2), 1, 0)")))
+      .select(col("event_type").as("channel"),
+        (col("user_id") * 10000 + col("seg")).as("conv"), col("ppm"))
+    val direct = purchases
+      .join(touches.select(col("user_id"), col("seg")).distinct(),
+        Seq("user_id", "seg"), "left_anti")
+      .select(lit("direct").as("channel"),
+        (col("user_id") * 10000 + col("seg")).as("conv"),
+        lit(1000000L).as("ppm"))
+    credited.unionByName(direct)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("conv")).as("n_conversions"),
+        sum(col("ppm")).as("sppm"))
+      .select(col("channel"), col("n_touches"), col("n_conversions"),
+        (col("sppm").cast("double") / 1e6).as("credit"))
+      .orderBy(col("channel"))
+  }
+
+  val multitouchAttributionSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      |  FROM events),
+      |m AS (SELECT *, coalesce(CAST(sum(is_p) OVER (PARTITION BY user_id
+      |         ORDER BY sec, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |         0) AS p_before
+      |      FROM e),
+      |purchases AS (SELECT user_id, p_before + 1 AS seg FROM m WHERE is_p = 1),
+      |touches AS (SELECT m.user_id, m.event_id, m.event_type, m.sec,
+      |              m.p_before + 1 AS seg
+      |            FROM m WHERE is_p = 0
+      |              AND EXISTS (SELECT 1 FROM purchases p
+      |                WHERE p.user_id = m.user_id AND p.seg = m.p_before + 1)),
+      |t2 AS (SELECT event_type AS channel,
+      |         user_id * 10000 + seg AS conv,
+      |         row_number() OVER (PARTITION BY user_id, seg
+      |           ORDER BY sec, event_id) AS rn,
+      |         count(*) OVER (PARTITION BY user_id, seg) AS n
+      |       FROM touches),
+      |credited AS (SELECT channel, conv,
+      |         CASE WHEN n = 1 THEN 1000000
+      |              WHEN n = 2 THEN 500000
+      |              WHEN rn = 1 OR rn = n THEN 400000
+      |              ELSE 200000 // (n - 2)
+      |                + (CASE WHEN rn - 1 <= 200000 % (n - 2) THEN 1 ELSE 0 END)
+      |         END AS ppm
+      |       FROM t2),
+      |direct AS (SELECT 'direct' AS channel,
+      |         p.user_id * 10000 + p.seg AS conv, 1000000 AS ppm
+      |       FROM purchases p
+      |       WHERE NOT EXISTS (SELECT 1 FROM touches t
+      |         WHERE t.user_id = p.user_id AND t.seg = p.seg)),
+      |allc AS (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+      |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+      |  CAST(count(DISTINCT conv) AS BIGINT) AS n_conversions,
+      |  CAST(CAST(sum(ppm) AS BIGINT) AS DOUBLE) / 1e6 AS credit
+      |FROM allc GROUP BY channel ORDER BY channel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution_multitouch" -> (multitouchAttribution _),
     "q_theil_sen" -> (theilSen _),
     "q_survival_curve" -> (survivalCurve _),
     "q_seasonal_forecast" -> (seasonalForecast _),
@@ -658,6 +758,7 @@ object Trend {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_attribution_multitouch" -> multitouchAttributionSql,
     "q_theil_sen" -> theilSenSql,
     "q_survival_curve" -> survivalCurveSql,
     "q_seasonal_forecast" -> seasonalForecastSql,
