@@ -280,7 +280,75 @@ object Featurize {
       |FROM e JOIN st ON e.d = st.d
       |ORDER BY vec_id, e.d""".stripMargin
 
+  /** L25 — embedding truncation-fidelity (Matryoshka) audit: how much
+    * cosine similarity distorts when vectors are truncated to their
+    * first d dimensions (d ∈ {8, 16, 32} vs the full 64) — the
+    * measurement behind "can we serve 4× cheaper vectors?". Pairs are
+    * the deterministic consecutive-id chain (vec_id, vec_id+1): one
+    * narrow equi self-join, |pairs| = n−1, no pair explosion; at
+    * 100 TB the same audit runs on any linear or blocked pair stream.
+    * Per (pair, d): cosine over the d-prefix via the shared
+    * left-to-right double dot (oracle-safe bit-identical, see
+    * operators/Similarity), error vs the full cosine FLOORED to 1e-9
+    * units (exact int64), so mean and max are exact integer aggregates
+    * with one final double division each. Zero-norm prefixes are
+    * excluded on both engines (no NaN propagation). */
+  def truncationFidelity(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import graft.functions.GraftFunctions.dotF32
+    val emb = Tables.embeddings(s, dir)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      .join(emb.select((col("vec_id") - 1).as("ida"),
+        col("embedding").as("eb")), Seq("ida"))
+    def cosOn(a: Column, b: Column): Column =
+      dotF32(a, b) / (sqrt(dotF32(a, a)) * sqrt(dotF32(b, b)))
+    val long = pairs
+      .withColumn("c_full", cosOn(col("ea"), col("eb")))
+      .withColumn("d", explode(array(lit(8), lit(16), lit(32))))
+      .withColumn("pa", expr("slice(ea, 1, d)"))
+      .withColumn("pb", expr("slice(eb, 1, d)"))
+      .filter(dotF32(col("pa"), col("pa")) > 0 &&
+        dotF32(col("pb"), col("pb")) > 0)
+      .withColumn("err_q",
+        floor(abs(cosOn(col("pa"), col("pb")) - col("c_full")) * 1e9)
+          .cast("bigint"))
+    long.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("err_q")).as("se"), max(col("err_q")).as("mx"))
+      .select(col("d"), col("n_pairs"),
+        (col("se").cast("double") / col("n_pairs") / 1e9).as("mean_abs_err"),
+        (col("mx").cast("double") / 1e9).as("max_abs_err"))
+      .orderBy(col("d"))
+  }
+
+  val truncationFidelitySql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |           FROM embeddings WHERE embedding IS NOT NULL),
+      |p AS (SELECT a.e AS ea, b.e AS eb,
+      |        list_dot_product(a.e, b.e)
+      |          / (sqrt(list_dot_product(a.e, a.e))
+      |             * sqrt(list_dot_product(b.e, b.e))) AS c_full
+      |      FROM v a JOIN v b ON b.vec_id = a.vec_id + 1),
+      |l AS (SELECT d, ea[1:d] AS pa, eb[1:d] AS pb, c_full
+      |      FROM p, (SELECT unnest([8, 16, 32]) AS d)),
+      |q AS (SELECT d,
+      |        CAST(floor(abs(list_dot_product(pa, pb)
+      |          / (sqrt(list_dot_product(pa, pa))
+      |             * sqrt(list_dot_product(pb, pb))) - c_full) * 1e9)
+      |          AS BIGINT) AS err_q
+      |      FROM l
+      |      WHERE list_dot_product(pa, pa) > 0
+      |        AND list_dot_product(pb, pb) > 0)
+      |SELECT d, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(CAST(sum(err_q) AS BIGINT) AS DOUBLE) / count(*) / 1e9
+      |    AS mean_abs_err,
+      |  CAST(max(err_q) AS DOUBLE) / 1e9 AS max_abs_err
+      |FROM q GROUP BY d ORDER BY d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_truncation_fidelity" -> (truncationFidelity _),
     "q_embedding_standardize" -> (embeddingStandardize _),
     "q_pca_cov" -> (pcaCov _),
     "q_pca_project" -> (pcaProject _),
@@ -290,6 +358,7 @@ object Featurize {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_truncation_fidelity" -> truncationFidelitySql,
     "q_embedding_standardize" -> embeddingStandardizeSql,
     "q_pca_cov" -> pcaCovSql,
     "q_rfm_segments" -> rfmSegmentsSql,

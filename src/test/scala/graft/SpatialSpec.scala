@@ -50,6 +50,24 @@ class SpatialSpec extends SparkSpec {
     }
   }
 
+  test("IDW estimate is a convex combination: inside the value range") {
+    val rows = queries.Joins.spatialIdw(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val (lo, hi) = {
+      import org.apache.spark.sql.functions._
+      val r = Tables.events(spark, sfDir)
+        .agg(min(col("value")), max(col("value"))).head
+      (r.getDouble(0), r.getDouble(1))
+    }
+    rows.foreach { r =>
+      val v = r.getDouble(3)
+      // integer-floored weights and cents can undershoot the true
+      // weighted mean by strictly less than one cent
+      assert(v >= lo - 0.01 && v <= hi + 0.01,
+        s"IDW estimate $v outside the event value range [$lo, $hi]")
+    }
+  }
+
   test("watershed plans only equi-joins (no cartesian/nested loop)") {
     val plan = queries.Joins.spatialWatershed(spark, sfDir)
       .queryExecution.executedPlan.toString
