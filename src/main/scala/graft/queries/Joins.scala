@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Caches.PersistScoped
 
 /** Join inventory (SURVEY.md §2B J1-J7): shuffle equi-join, broadcast
   * hash join, outer joins, semi/anti (the reference's count-compare
@@ -537,16 +538,25 @@ object Joins {
       .agg(sum(col("cnt")).as("s"))
       .withColumnRenamed("ty", "jy").withColumnRenamed("tx", "jx")
       .join(cells, Seq("jy", "jx")) // keep only populated cells
+      .persistScoped() // three readers: parent ring, target filter, output
     // parent: argmax of (s, jy, jx) over the present 3×3 neighborhood
     val parent = ring(sm, col("s"), col("jy"), col("jx"))
       .groupBy(col("ty"), col("tx"))
       .agg(max(struct(col("s"), col("jy"), col("jx"))).as("p"))
       .join(sm.select(col("jy").as("ty"), col("jx").as("tx")), Seq("ty", "tx"))
+    // Each doubling references f TWICE; without truncation the lazy
+    // lineage doubles per round and the point scan underneath replays
+    // 2⁷ times (measured: 76 s at sf0.1 vs ~1 s truncated). The cell
+    // relation is tiny (≤ grid size), so an eager localCheckpoint per
+    // round — the same cadence the star-contraction CC uses — costs
+    // seven ~ms jobs and caps the plan at one composition deep.
     var f = parent.select((col("ty") * 100 + col("tx")).as("c"),
       (col("p.jy") * 100 + col("p.jx")).as("p"))
+      .coalesce(1).localCheckpoint()
     for (_ <- 1 to 7) {
       val g = f.select(col("c").as("gc"), col("p").as("gp"))
       f = f.join(g, col("p") === col("gc")).select(col("c"), col("gp").as("p"))
+        .localCheckpoint()
     }
     f.join(sm.select((col("jy") * 100 + col("jx")).as("c"),
         col("jy"), col("jx"), col("cnt"), col("s")), Seq("c"))
