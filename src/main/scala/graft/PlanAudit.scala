@@ -76,6 +76,7 @@ object PlanAudit {
     "q_relational_division" -> "relational division as count-compare: one partial/final distinct-count aggregate over the fact table + a broadcast scalar divisor — no per-class anti-join chain",
     "q_attribution_multitouch" -> "U-shaped attribution: two keyed windows (user; user×segment) + semi/anti joins on the segment key + one final aggregate — linear in events, no history self-join",
     "q_truncation_fidelity" -> "truncation audit over the consecutive-id pair chain: one equi self-join (pairs = n−1), explode ×3 prefix widths, exact integer error aggregate — no pair explosion",
+    "q_regr_multi" -> "two-predictor OLS: ONE nine-sum partial/final aggregate over the fact scan; the 2×2 Cramer solve is per-group decimal expressions — no second pass, no window",
     "q_minhash_error" -> "one fused digest pass (shingle_profile); the 16-slot agreement count is unrolled comparisons inside whole-stage codegen, not an interpreted HOF",
     "q_kmv_distinct" -> "KMV sketch as an ObjectHashAggregate partial/final pair — the 64-long sorted buffer crosses the exchange, not the rows",
     "q_ohlc" -> "open/close argmin/argmax via ONE min/max(struct) partial/final aggregate — no window, no per-day sort",

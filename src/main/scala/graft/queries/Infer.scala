@@ -374,7 +374,173 @@ object Infer {
       |    AS n_per_arm
       |FROM v""".stripMargin
 
+  /** W41 — grouped multiple linear regression, closed form: per return
+    * flag, price-cents ~ quantity + discount-ppc by the normal
+    * equations in covariance form — the distributed regression shape
+    * that touches the fact table exactly ONCE (nine map-side-combined
+    * exact integer sums; per-row products stay far inside int64:
+    * q ≤ 50, d ≤ 10, y ≤ 10⁷ cents) and then solves the 2×2 system by
+    * Cramer per group. Every centered combination (n·Σxy − Σx·Σy) and
+    * the determinant/numerators are carried in decimal(38,0) (HUGEINT
+    * in the oracle) — exact through ~10³⁸, terminal double division
+    * only. q_regr_slope is the one-predictor special case; adding a
+    * predictor grows the sum list quadratically but never adds a
+    * second pass. Under ANSI mode an out-of-range corpus fails loudly
+    * instead of wrapping. */
+  def regrMulti(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def d(c: Column): Column = c.cast(d38)
+    val g = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("bigint").as("q"),
+        round(col("l_discount") * 100).cast("bigint").as("dd"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+          .as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sq"), sum(col("dd")).as("sd"), sum(col("y")).as("sy"),
+        sum(col("q") * col("q")).as("sqq"),
+        sum(col("dd") * col("dd")).as("sdd"),
+        sum(col("q") * col("dd")).as("sqd"),
+        sum(col("q") * col("y")).as("sqy"),
+        sum(col("dd") * col("y")).as("sdy"))
+      .select(col("l_returnflag"), col("n"), col("sq"), col("sd"), col("sy"),
+        (d(col("n")) * col("sqq") - d(col("sq")) * col("sq")).as("a11"),
+        (d(col("n")) * col("sdd") - d(col("sd")) * col("sd")).as("a22"),
+        (d(col("n")) * col("sqd") - d(col("sq")) * col("sd")).as("a12"),
+        (d(col("n")) * col("sqy") - d(col("sq")) * col("sy")).as("b1"),
+        (d(col("n")) * col("sdy") - d(col("sd")) * col("sy")).as("b2"))
+      .select(col("l_returnflag"), col("n"), col("sq"), col("sd"), col("sy"),
+        (col("a11") * col("a22") - col("a12") * col("a12")).as("det"),
+        (col("a22") * col("b1") - col("a12") * col("b2")).as("numq"),
+        (col("a11") * col("b2") - col("a12") * col("b1")).as("numd"))
+    g.select(col("l_returnflag"), col("n"),
+      round(col("numq").cast("double") / col("det").cast("double"), 6)
+        .as("beta_qty"),
+      round(col("numd").cast("double") / col("det").cast("double"), 6)
+        .as("beta_disc"),
+      round((col("sy").cast("double")
+        - (col("numq").cast("double") / col("det").cast("double"))
+          * col("sq").cast("double")
+        - (col("numd").cast("double") / col("det").cast("double"))
+          * col("sd").cast("double")) / col("n"), 4).as("intercept_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val regrMultiSql: String =
+    """WITH l AS (SELECT l_returnflag,
+      |    CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS dd,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |  FROM lineitem),
+      |g AS (SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(q) AS HUGEINT) AS sq, CAST(sum(dd) AS HUGEINT) AS sd,
+      |    CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(q * q) AS HUGEINT) AS sqq,
+      |    CAST(sum(dd * dd) AS HUGEINT) AS sdd,
+      |    CAST(sum(q * dd) AS HUGEINT) AS sqd,
+      |    CAST(sum(q * y) AS HUGEINT) AS sqy,
+      |    CAST(sum(dd * y) AS HUGEINT) AS sdy
+      |  FROM l GROUP BY l_returnflag),
+      |c AS (SELECT l_returnflag, n, sq, sd, sy,
+      |    n * sqq - sq * sq AS a11, n * sdd - sd * sd AS a22,
+      |    n * sqd - sq * sd AS a12,
+      |    n * sqy - sq * sy AS b1, n * sdy - sd * sy AS b2
+      |  FROM g),
+      |s AS (SELECT l_returnflag, n, sq, sd, sy,
+      |    a11 * a22 - a12 * a12 AS det,
+      |    a22 * b1 - a12 * b2 AS numq, a11 * b2 - a12 * b1 AS numd
+      |  FROM c)
+      |SELECT l_returnflag, n,
+      |  round(CAST(numq AS DOUBLE) / CAST(det AS DOUBLE), 6) AS beta_qty,
+      |  round(CAST(numd AS DOUBLE) / CAST(det AS DOUBLE), 6) AS beta_disc,
+      |  round((CAST(sy AS DOUBLE)
+      |    - (CAST(numq AS DOUBLE) / CAST(det AS DOUBLE)) * CAST(sq AS DOUBLE)
+      |    - (CAST(numd AS DOUBLE) / CAST(det AS DOUBLE)) * CAST(sd AS DOUBLE))
+      |    / n, 4) AS intercept_cents
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
+  /** W42 — difference-in-differences: the pre/post × treat/control
+    * estimator for a rollout that switched on mid-month — subtracting
+    * the control group's drift removes the secular trend a naive
+    * before/after comparison (or W38's within-subject test) absorbs
+    * into the effect. Assignment is the deterministic user-parity
+    * coin (as W33), the boundary the same 2024-01-16 cut. One
+    * conditional aggregate per event type produces all four cell
+    * counts and exact cent sums; the estimate is a fixed IEEE chain
+    * over those eight integers — one pass, any scale. */
+  def did(s: SparkSession, dir: String): DataFrame = {
+    val mid = lit("2024-01-16").cast("timestamp")
+    def cell(t: Int, p: Int, v: Column): Column =
+      sum(when(col("treat") === t && col("post") === p, v).otherwise(0L))
+    val m = Tables.events(s, dir)
+      .select(col("event_type"),
+        (col("user_id") % 2).cast("int").as("treat"),
+        when(col("ts") >= mid, 1).otherwise(0).as("post"),
+        floor(col("value") * 100).cast("bigint").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(cell(1, 0, lit(1L)).as("n_t_pre"), cell(1, 1, lit(1L)).as("n_t_post"),
+        cell(0, 0, lit(1L)).as("n_c_pre"), cell(0, 1, lit(1L)).as("n_c_post"),
+        cell(1, 0, col("cents")).as("s_t_pre"),
+        cell(1, 1, col("cents")).as("s_t_post"),
+        cell(0, 0, col("cents")).as("s_c_pre"),
+        cell(0, 1, col("cents")).as("s_c_post"))
+      .select(col("event_type"),
+        col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+        (col("s_t_pre").cast("double") / col("n_t_pre")).as("m_t_pre"),
+        (col("s_t_post").cast("double") / col("n_t_post")).as("m_t_post"),
+        (col("s_c_pre").cast("double") / col("n_c_pre")).as("m_c_pre"),
+        (col("s_c_post").cast("double") / col("n_c_post")).as("m_c_post"))
+    m.select(col("event_type"),
+      col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+      round(col("m_t_pre"), 4).as("mean_t_pre"),
+      round(col("m_t_post"), 4).as("mean_t_post"),
+      round(col("m_c_pre"), 4).as("mean_c_pre"),
+      round(col("m_c_post"), 4).as("mean_c_post"),
+      round((col("m_t_post") - col("m_t_pre"))
+        - (col("m_c_post") - col("m_c_pre")), 4).as("did_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val didSql: String =
+    """WITH e AS (SELECT event_type,
+      |    CAST(user_id % 2 AS INT) AS treat,
+      |    CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS post,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |g AS (SELECT event_type,
+      |    CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_t_pre,
+      |    CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_t_post,
+      |    CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_c_pre,
+      |    CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_c_post,
+      |    CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN cents ELSE 0 END)
+      |      AS BIGINT) AS s_t_pre,
+      |    CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN cents ELSE 0 END)
+      |      AS BIGINT) AS s_t_post,
+      |    CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN cents ELSE 0 END)
+      |      AS BIGINT) AS s_c_pre,
+      |    CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN cents ELSE 0 END)
+      |      AS BIGINT) AS s_c_post
+      |  FROM e GROUP BY event_type),
+      |m AS (SELECT event_type, n_t_pre, n_t_post, n_c_pre, n_c_post,
+      |    CAST(s_t_pre AS DOUBLE) / n_t_pre AS m_t_pre,
+      |    CAST(s_t_post AS DOUBLE) / n_t_post AS m_t_post,
+      |    CAST(s_c_pre AS DOUBLE) / n_c_pre AS m_c_pre,
+      |    CAST(s_c_post AS DOUBLE) / n_c_post AS m_c_post
+      |  FROM g)
+      |SELECT event_type, n_t_pre, n_t_post, n_c_pre, n_c_post,
+      |  round(m_t_pre, 4) AS mean_t_pre, round(m_t_post, 4) AS mean_t_post,
+      |  round(m_c_pre, 4) AS mean_c_pre, round(m_c_post, 4) AS mean_c_post,
+      |  round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 4) AS did_cents
+      |FROM m ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_regr_multi" -> (regrMulti _),
+    "q_did" -> (did _),
     "q_sample_size" -> (sampleSize _),
     "q_mcnemar" -> (mcnemar _),
     "q_welch_ttest" -> (welchTtest _),
@@ -384,6 +550,8 @@ object Infer {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_regr_multi" -> regrMultiSql,
+    "q_did" -> didSql,
     "q_sample_size" -> sampleSizeSql,
     "q_mcnemar" -> mcnemarSql,
     "q_welch_ttest" -> welchTtestSql,
