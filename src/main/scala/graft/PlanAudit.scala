@@ -73,6 +73,7 @@ object PlanAudit {
     "q_spatial_grid_join" -> "spatial nearest join as a grid-cell equi-join: probes explode a 3×3 cell ring (rows×9), hash join on (cell_y, cell_x) + haversine residual filter, argmin via one min(struct) aggregate — no cross product at any density",
     "q_spatial_watershed" -> "watershed clustering on the CELL relation: one point-count aggregate, ring-explode equi-joins for smoothing and argmax-parent, then 7 pointer-doubling self-joins — no theta join, no per-round driver loop over data",
     "q_spatial_idw" -> "IDW interpolation as one ring-explode equi-join (events×9 vs populated cells) + one partial/final aggregate of exact integer weighted sums — never an all-points × all-cells cross join",
+    "q_dbscan_grid" -> "DBSCAN at cell granularity: one point-scan aggregate, then ring-explode equi-joins on the tiny cell relation; components via the checked-fixpoint CC primitive — no theta join, no per-point pair stream",
     "q_relational_division" -> "relational division as count-compare: one partial/final distinct-count aggregate over the fact table + a broadcast scalar divisor — no per-class anti-join chain",
     "q_attribution_multitouch" -> "U-shaped attribution: two keyed windows (user; user×segment) + semi/anti joins on the segment key + one final aggregate — linear in events, no history self-join",
     "q_truncation_fidelity" -> "truncation audit over the consecutive-id pair chain: one equi self-join (pairs = n−1), explode ×3 prefix widths, exact integer error aggregate — no pair explosion",

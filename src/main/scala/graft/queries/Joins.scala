@@ -679,7 +679,148 @@ object Joins {
       |    / CAST(sum(w) AS BIGINT) / 100.0 AS idw_value
       |FROM contrib GROUP BY jy, jx ORDER BY jy, jx""".stripMargin
 
+  /** SP3 — grid DBSCAN: density-based clustering of the event point
+    * cloud at cell granularity — core cells (count ≥ 2% of all
+    * points), clusters = connected components of 8-adjacent core
+    * cells, border cells (non-core touching a cluster) join their
+    * minimum-labeled neighbor, everything else is noise. Unlike SP1's
+    * watershed (every cell claims a peak; no noise concept), DBSCAN
+    * separates dense regions from background — the standard
+    * cluster-vs-outlier segmentation. The point cloud is deliberately
+    * NON-uniform (SP1's uniform field would make density thresholds
+    * degenerate): two 2°×2° blobs at (41.5..43.5, 1.5..3.5) and
+    * (46.5..48.5, 6.5..8.5) carry 40% of points each, 20% scatter
+    * uniformly — all from md5 coins on event_id, bit-identical in
+    * both engines.
+    *
+    * Scale shape: the ONLY pass over raw points is the first
+    * cell-count aggregate; everything downstream lives on the cell
+    * relation (|cells| ≪ |points|). Core adjacency uses the same
+    * 9-row ring explode + EQUI-join as SP1/SP2 (never a theta join —
+    * the oracle's abs(Δ)≤1 pair join is the oracle-scale anti-shape),
+    * and components come from the library's own checked-fixpoint
+    * label propagation ([[graft.operators.Dedup.dedupClusters]]) —
+    * the same primitive the near-dup pipeline runs, so its scale
+    * posture (static edge relation, one exchange per round, loud
+    * non-convergence) is inherited wholesale. The oracle labels
+    * components by exact recursive transitive closure (any diameter —
+    * fine at cell counts; the engine's fixpoint is depth-free too, so
+    * the two agree by construction). Threshold compares 50·cnt ≥
+    * total in exact integers. */
+  def dbscanGrid(s: SparkSession, dir: String): DataFrame = {
+    def coin(prefix: String, off: Int): Column =
+      conv(substring(md5(concat(lit(prefix), col("event_id").cast("string"))),
+        off, 8), 16, 10).cast("long")
+    val sel = coin("dbs|", 1) % 10
+    val a = coin("dbs|", 9)
+    val b = coin("dbs2|", 1)
+    val lat = when(sel < 4, lit(41.5) + (a % 2000L) / lit(1000.0))
+      .when(sel < 8, lit(46.5) + (a % 2000L) / lit(1000.0))
+      .otherwise(lit(40.0) + (a % 10000L) / lit(1000.0))
+    val lon = when(sel < 4, lit(1.5) + (b % 2000L) / lit(1000.0))
+      .when(sel < 8, lit(6.5) + (b % 2000L) / lit(1000.0))
+      .otherwise((b % 10000L) / lit(1000.0))
+    val base = Tables.events(s, dir)
+      .select(floor(lat).cast("int").as("jy"), floor(lon).cast("int").as("jx"))
+      .groupBy(col("jy"), col("jx")).agg(count(lit(1)).as("n"))
+      .withColumn("id", (col("jy") * 100 + col("jx")).cast("bigint"))
+      // the cell relation is grid-bounded (≤100 rows here; |cells| ≪
+      // |points| always) — collapse it to one partition so every
+      // downstream step broadcasts instead of paying 32-task stages
+      .coalesce(1)
+      .persistScoped() // one point scan feeds total + dense/non-dense legs
+    val cells = base.crossJoin(broadcast(base.agg(sum(col("n")).as("t"))))
+    val dense = cells.filter(col("n") * 50 >= col("t"))
+      .select(col("jy"), col("jx"), col("n"), col("id"))
+    val nond = cells.filter(col("n") * 50 < col("t"))
+      .select(col("jy"), col("jx"), col("n"), col("id"))
+    def ringOf(df: DataFrame, keep: Seq[String]): DataFrame = df
+      .select(keep.map(col) :+ explode(expr("transform(sequence(0, 8), i -> " +
+        "named_struct('ty', CAST(jy + i div 3 - 1 AS INT), " +
+        "'tx', CAST(jx + i % 3 - 1 AS INT)))")).as("t"): _*)
+      .select(keep.map(col) :+ col("t.ty").as("jy") :+ col("t.tx").as("jx"): _*)
+    val denseAt = dense.select(col("jy"), col("jx"), col("id").as("nbr"))
+    val pairs = ringOf(dense, Seq("id")).join(denseAt, Seq("jy", "jx"))
+      .filter(col("id") < col("nbr"))
+      .select(col("id").as("doc_id_a"), col("nbr").as("doc_id_b"))
+    val labels = graft.operators.Dedup.dedupClusters(pairs)
+      .select(col("doc_id").as("id"), col("cluster_id"))
+    // isolated core cells (no core neighbor) label themselves
+    val core = dense.join(labels, Seq("id"), "left")
+      .select(col("jy"), col("jx"), col("n"), lit("core").as("role"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .persistScoped() // output leg + border-label lookup
+    val coreAt = core.select(col("jy"), col("jx"), col("cluster_id").as("cl"))
+    val borderLab = ringOf(nond
+        .select(col("id"), col("n"), col("jy").as("ojy"),
+          col("jx").as("ojx"), col("jy"), col("jx")),
+        Seq("id", "n", "ojy", "ojx"))
+      .join(coreAt, Seq("jy", "jx"))
+      .groupBy(col("id"), col("n"), col("ojy"), col("ojx"))
+      .agg(min(col("cl")).as("cluster_id"))
+    val border = borderLab
+      .select(col("ojy").as("jy"), col("ojx").as("jx"), col("n"),
+        lit("border").as("role"), col("cluster_id"))
+    val noise = nond.join(borderLab.select(col("id")), Seq("id"), "left_anti")
+      .select(col("jy"), col("jx"), col("n"), lit("noise").as("role"),
+        lit(-1L).as("cluster_id"))
+    core.unionAll(border).unionAll(noise)
+      .select(col("jy"), col("jx"), col("n").as("n_points"), col("role"),
+        col("cluster_id"))
+      .orderBy(col("jy"), col("jx"))
+  }
+
+  val dbscanGridSql: String =
+    """WITH RECURSIVE pts AS (SELECT
+      |    CAST(concat('0x', substring(md5(concat('dbs|',
+      |      CAST(event_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10 AS sel,
+      |    CAST(concat('0x', substring(md5(concat('dbs|',
+      |      CAST(event_id AS VARCHAR))), 9, 8)) AS BIGINT) AS a,
+      |    CAST(concat('0x', substring(md5(concat('dbs2|',
+      |      CAST(event_id AS VARCHAR))), 1, 8)) AS BIGINT) AS b
+      |  FROM events),
+      |xy AS (SELECT
+      |    CASE WHEN sel < 4 THEN 41.5 + (a % 2000) / 1000.0
+      |         WHEN sel < 8 THEN 46.5 + (a % 2000) / 1000.0
+      |         ELSE 40.0 + (a % 10000) / 1000.0 END AS lat,
+      |    CASE WHEN sel < 4 THEN 1.5 + (b % 2000) / 1000.0
+      |         WHEN sel < 8 THEN 6.5 + (b % 2000) / 1000.0
+      |         ELSE (b % 10000) / 1000.0 END AS lon
+      |  FROM pts),
+      |cells AS (SELECT CAST(floor(lat) AS INT) AS jy,
+      |    CAST(floor(lon) AS INT) AS jx, count(*) AS n
+      |  FROM xy GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells),
+      |dense AS (SELECT jy, jx, n, CAST(jy * 100 + jx AS BIGINT) AS id
+      |  FROM cells, tot WHERE n * 50 >= t),
+      |nond AS (SELECT jy, jx, n, CAST(jy * 100 + jx AS BIGINT) AS id
+      |  FROM cells, tot WHERE n * 50 < t),
+      |edges AS (SELECT a.id AS src, b.id AS dst FROM dense a JOIN dense b
+      |  ON abs(a.jy - b.jy) <= 1 AND abs(a.jx - b.jx) <= 1
+      |    AND a.id <> b.id),
+      |reach AS (SELECT id, id AS r FROM dense
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+      |lab AS (SELECT id, CAST(min(r) AS BIGINT) AS cluster_id
+      |  FROM reach GROUP BY id),
+      |core AS (SELECT d.jy, d.jx, d.n, 'core' AS role, l.cluster_id
+      |  FROM dense d JOIN lab l ON d.id = l.id),
+      |bord AS (SELECT nd.jy, nd.jx, nd.n, 'border' AS role,
+      |    CAST(min(c.cluster_id) AS BIGINT) AS cluster_id
+      |  FROM nond nd JOIN core c
+      |    ON abs(nd.jy - c.jy) <= 1 AND abs(nd.jx - c.jx) <= 1
+      |  GROUP BY nd.jy, nd.jx, nd.n),
+      |noise AS (SELECT nd.jy, nd.jx, nd.n, 'noise' AS role,
+      |    CAST(-1 AS BIGINT) AS cluster_id
+      |  FROM nond nd WHERE NOT EXISTS (SELECT 1 FROM dense d
+      |    WHERE abs(nd.jy - d.jy) <= 1 AND abs(nd.jx - d.jx) <= 1))
+      |SELECT jy, jx, n AS n_points, role, cluster_id FROM core
+      |UNION ALL SELECT jy, jx, n, role, cluster_id FROM bord
+      |UNION ALL SELECT jy, jx, n, role, cluster_id FROM noise
+      |ORDER BY jy, jx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dbscan_grid" -> (dbscanGrid _),
     "q_spatial_idw" -> (spatialIdw _),
     "q_spatial_watershed" -> (spatialWatershed _),
     "q_spatial_grid_join" -> (spatialGridJoin _),
@@ -701,6 +842,7 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dbscan_grid" -> dbscanGridSql,
     "q_spatial_idw" -> spatialIdwSql,
     "q_spatial_watershed" -> spatialWatershedSql,
     "q_spatial_grid_join" -> spatialGridJoinSql,
