@@ -9,10 +9,21 @@ object Sketches {
     * `conv(substring(md5(x), 1, 15), 16, 10)`, so driver-side code
     * (streaming state transitions, model checks) hashes exactly like
     * the distributed expressions. */
+  // digest() resets the instance, so a per-thread MessageDigest is
+  // safely reusable — getInstance per call costs more than the hash
+  // itself in per-row hot paths (CmsSketch runs d of these per row).
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def hash60(x: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(x.getBytes("UTF-8"))
-    java.lang.Long.parseLong(md.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    val d = md5.get().digest(x.getBytes("UTF-8"))
+    // first 15 hex digits = the top 60 bits of the first 8 bytes
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4 // drop the 16th hex digit, as substring(md5, 1, 15) does
   }
 }
 
@@ -80,4 +91,61 @@ class KmvSketch(k: Int) extends Aggregator[Long, KmvBuf, Double] {
 
   override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+/** Count-min buffer: d×w int64 counters, flattened row-major. Bounded
+  * at d·w·8 bytes regardless of stream length — the frequency twin of
+  * [[KmvBuf]]'s distinct sketch. Empty until the first reduce so the
+  * zero value costs nothing to ship. */
+case class CmsBuf(c: Array[Long])
+
+/** Count-min sketch as a typed Aggregator: every key increments one
+  * counter per hash row (d independent 60-bit md5 hashes, mod w); a
+  * key's frequency estimate is the MINIMUM of its d counters — always
+  * ≥ the true count (counters only ever add mass), with collision
+  * inflation bounded by ~N/w per row and the min over d rows keeping
+  * only the luckiest. merge() is elementwise addition, so the sketch
+  * is exactly mergeable through partial/final aggregation — d·w longs
+  * cross the exchange, never the stream.
+  *
+  * Like [[KmvSketch]] (and unlike the engine's opaque HLL/quantile
+  * sketch bytes), the counters are FULLY DETERMINISTIC given the hash
+  * convention — `hash60(r + "|" + key)` is bit-identical to the SQL
+  * form `conv(substring(md5(concat(r, '|', key)), 1, 15), 16, 10)` —
+  * so a plain-SQL oracle recomputes every counter and every min
+  * exactly. */
+class CmsSketch(d: Int, w: Int) extends Aggregator[String, CmsBuf, Array[Long]] {
+  require(d >= 1 && w >= 2, s"CMS needs d >= 1, w >= 2, got d=$d w=$w")
+
+  override def zero: CmsBuf = CmsBuf(Array.empty)
+
+  private def ensure(b: CmsBuf): Array[Long] =
+    if (b.c.length == d * w) b.c else new Array[Long](d * w)
+
+  override def reduce(b: CmsBuf, key: String): CmsBuf = {
+    val c = ensure(b)
+    var r = 0
+    while (r < d) {
+      val bucket = (Sketches.hash60(r.toString + "|" + key) % w).toInt
+      c(r * w + bucket) += 1L
+      r += 1
+    }
+    CmsBuf(c)
+  }
+
+  override def merge(x: CmsBuf, y: CmsBuf): CmsBuf =
+    if (x.c.length == 0) y
+    else if (y.c.length == 0) x
+    else {
+      val out = x.c.clone()
+      var i = 0
+      while (i < out.length) { out(i) += y.c(i); i += 1 }
+      CmsBuf(out)
+    }
+
+  override def finish(b: CmsBuf): Array[Long] = ensure(b)
+
+  override def bufferEncoder: Encoder[CmsBuf] = Encoders.product[CmsBuf]
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

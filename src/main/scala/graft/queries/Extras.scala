@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Caches.PersistScoped
 import graft.functions.GraftFunctions
 import graft.operators.{Multimodal, Similarity, VectorMean}
 
@@ -237,7 +238,70 @@ object Extras {
       |         / CAST(max(CASE WHEN rk = 64 THEN h END) AS DOUBLE) END AS est
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** G26 — count-min sketch heavy-hitter readout (operators.CmsSketch):
+    * a Zipf-distributed key (rank = floor(exp(u·ln 1000)) from a
+    * uniform md5 coin — rank r carries ~1/r of the mass, the
+    * distribution CMS exists for; TPC-H's near-uniform keys would
+    * drown any w-bounded sketch) streams into a 4×1024 counter sketch;
+    * the top-20 true keys are then read back through the sketch and
+    * emitted next to their exact counts with the one-sided-error flag
+    * (CMS never underestimates — counters only gain mass). The
+    * counters are deterministic md5 sums, so the oracle rebuilds every
+    * counter and every min in plain SQL — the same full-check posture
+    * as G23's KMV, not a tolerance test. Scale shape: ONE pass builds
+    * the sketch (4096 longs cross the exchange, never the stream), one
+    * group-count finds the truth to compare against; the probe side is
+    * a 20-row broadcast. */
+  def cmsTopk(s: SparkSession, dir: String): DataFrame = {
+    val d = 4; val w = 1024
+    val src = Tables.lineitem(s, dir)
+      .select(expr("CAST(floor(exp((CAST(conv(substring(md5(concat(" +
+        "'cms|', CAST(l_orderkey AS STRING), '|', " +
+        "CAST(l_linenumber AS STRING))), 1, 8), 16, 10) AS BIGINT) " +
+        "% 1000000) / 1e6 * ln(1000.0D))) AS BIGINT)").as("zkey"))
+      .persistScoped() // sketch-build leg + exact-count leg
+    val cms = udaf(new graft.operators.CmsSketch(d, w))
+    val counters = src.agg(cms(col("zkey").cast("string")).as("c"))
+    val top = src.groupBy(col("zkey")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("zkey")).limit(20)
+    val est = (0 until d).map { r =>
+      element_at(col("c"),
+        (lit(r * w) + expr(s"CAST(conv(substring(md5(concat('$r', '|', " +
+          s"CAST(zkey AS STRING))), 1, 15), 16, 10) AS BIGINT) % $w") + 1)
+          .cast("int"))
+    }.reduce(least(_, _))
+    top.crossJoin(broadcast(counters))
+      .select(col("zkey"), col("true_cnt"), est.as("cms_cnt"))
+      .withColumn("overestimate", col("cms_cnt") >= col("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("zkey"))
+  }
+
+  val cmsTopkSql: String =
+    """WITH src AS (SELECT CAST(floor(exp((CAST(concat('0x',
+      |      substring(md5(concat('cms|', CAST(l_orderkey AS VARCHAR), '|',
+      |        CAST(l_linenumber AS VARCHAR))), 1, 8)) AS BIGINT)
+      |      % 1000000) / 1e6 * ln(1000.0))) AS BIGINT) AS zkey
+      |  FROM lineitem),
+      |cnt AS (SELECT zkey, count(*) AS true_cnt FROM src GROUP BY zkey),
+      |top AS (SELECT zkey, true_cnt FROM cnt
+      |        ORDER BY true_cnt DESC, zkey LIMIT 20),
+      |ctr AS (SELECT r, CAST(concat('0x', substring(md5(concat(
+      |      CAST(r AS VARCHAR), '|', CAST(zkey AS VARCHAR))), 1, 15))
+      |      AS BIGINT) % 1024 AS b, count(*) AS c
+      |    FROM src CROSS JOIN (SELECT unnest(range(0, 4)) AS r)
+      |    GROUP BY 1, 2),
+      |est AS (SELECT t.zkey, t.true_cnt, CAST(min(ctr.c) AS BIGINT) AS cms_cnt
+      |    FROM top t CROSS JOIN (SELECT unnest(range(0, 4)) AS r2)
+      |    JOIN ctr ON ctr.r = r2
+      |      AND ctr.b = CAST(concat('0x', substring(md5(concat(
+      |        CAST(r2 AS VARCHAR), '|', CAST(t.zkey AS VARCHAR))), 1, 15))
+      |        AS BIGINT) % 1024
+      |    GROUP BY t.zkey, t.true_cnt)
+      |SELECT zkey, true_cnt, cms_cnt, cms_cnt >= true_cnt AS overestimate
+      |FROM est ORDER BY true_cnt DESC, zkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cms_topk" -> (cmsTopk _),
     "q_kmv_distinct" -> (kmvDistinct _),
     "q_json_roundtrip" -> (jsonRoundtrip _),
     "q_percentile_approx" -> (percentileApprox _),
@@ -260,6 +324,7 @@ object Extras {
     * hashes and float32 accumulations); the driver falls back to a
     * rows-only check and the real assertions live in ScalaTest. */
   val oracle: Map[String, String] = Map(
+    "q_cms_topk" -> cmsTopkSql,
     "q_kmv_distinct" -> kmvDistinctSql,
     "q_json_roundtrip" ->
       """SELECT event_id, event_type, value FROM events

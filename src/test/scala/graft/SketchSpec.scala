@@ -92,4 +92,53 @@ class SketchSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  // ---- count-min sketch (G26) ----
+
+  private def cmsEstimates(df: org.apache.spark.sql.DataFrame,
+      d: Int, w: Int): Map[String, Long] = {
+    val cms = udaf(new graft.operators.CmsSketch(d, w))
+    val counters = df.agg(cms(col("k"))).head.getSeq[Long](0)
+    df.select(col("k")).distinct().collect().map(_.getString(0)).map { key =>
+      key -> (0 until d).map(r =>
+        counters(r * w + (operators.Sketches.hash60(s"$r|$key") % w).toInt)).min
+    }.toMap
+  }
+
+  test("CMS never underestimates, and is exact when buckets are collision-free") {
+    import spark.implicits._
+    // 30 keys × varying multiplicities into a 4×256 sketch: far below
+    // saturation, so estimates should be one-sided AND mostly tight
+    val rows = (1 to 30).flatMap(i => Seq.fill(i)(s"key$i"))
+    val df = rows.toDF("k")
+    val truth = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val est = cmsEstimates(df, 4, 256)
+    truth.foreach { case (k, n) =>
+      assert(est(k) >= n, s"$k: estimate ${est(k)} under true $n")
+    }
+    // one-sided error with this load factor (465 rows / 256 buckets,
+    // min over 4 rows) should be exact for ALL keys here
+    assert(truth.forall { case (k, n) => est(k) == n })
+  }
+
+  test("CMS counters are partitioning-invariant (mergeable partial states)") {
+    import spark.implicits._
+    val cms = udaf(new graft.operators.CmsSketch(4, 128))
+    val df = (1 to 2000).map(i => s"key${i % 97}").toDF("k")
+    val expected = df.coalesce(1).agg(cms(col("k"))).head.getSeq[Long](0)
+    for (p <- Seq(2, 7, 16)) {
+      val got = df.repartition(p).agg(cms(col("k"))).head.getSeq[Long](0)
+      assert(got == expected, s"counters differ at $p partitions")
+    }
+  }
+
+  test("CMS saturation inflates estimates but never below truth") {
+    import spark.implicits._
+    // 500 distinct keys through a deliberately tiny 2×32 sketch:
+    // heavy collisions everywhere, one-sided error must still hold
+    val rows = (1 to 500).map(i => s"k$i")
+    val est = cmsEstimates(rows.toDF("k"), 2, 32)
+    assert(rows.forall(k => est(k) >= 1L))
+    assert(est.values.max > 1L, "tiny sketch should show collision inflation")
+  }
 }
