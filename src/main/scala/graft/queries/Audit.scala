@@ -73,6 +73,81 @@ object Audit {
       |SELECT pair, count(*) AS cnt FROM p
       |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  /** L28b — BPE merge-rule induction, ITERATED: five full rounds of
+    * the byte-pair-encoding training loop (L28's q_bpe_merges is round
+    * one's statistic alone) — count adjacent symbol pairs across the
+    * corpus, adopt the most frequent as a merge rule, rewrite the
+    * corpus, repeat. So round 2+ counts pairs over MERGED symbols
+    * (multi-char units), exactly how a real subword vocabulary grows.
+    *
+    * Tokenization state is one string per word in leading-space form
+    * (" a b" — every symbol carries its own leading space), which
+    * makes the rewrite a plain left-to-right `replace(s, ' a b',
+    * ' ab')`: the leading space anchors symbol starts so a pair can
+    * never match a symbol's suffix, adjacent occurrences never
+    * overlap, and replace()'s scan order IS BPE's greedy order —
+    * identical semantics in both engines, no regex lookarounds needed.
+    *
+    * Scale shape: each round is one narrow pair-explode aggregate
+    * (map-side combined) + a 1-row broadcast into the rewrite map — no
+    * driver-side collect, no shuffle of the corpus; the tokenization
+    * is persisted per round (5 scoped persists, released with the
+    * query's action). Ties break to the lexicographically largest
+    * pair under one max(struct); the oracle unrolls the same five
+    * rounds. */
+  def bpeApply(s: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
+    import graft.Caches.PersistScoped
+    var words = Tables.widen(Tables.documents(s, dir))
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .select(regexp_replace(col("w"), "(.)", " $1").as("s"))
+      .persistScoped()
+    val rules = (1 to rounds).map { r =>
+      // materialize the 1-row winner eagerly: it has TWO readers (the
+      // rule output and the next round's broadcast rewrite) and its
+      // plan is a full corpus pair-count — without truncation every
+      // round's aggregate would run twice (measured 7.3 s vs 3.4 s)
+      val top = words
+        .select(split(expr("substring(s, 2)"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr("transform(sequence(1, size(t) - 1), i -> " +
+          "concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .agg(max(struct(col("cnt"), col("pair"))).as("m"))
+        .select(col("m.pair").as("pair"), col("m.cnt").as("cnt"))
+        .localCheckpoint()
+      words = words.crossJoin(broadcast(top))
+        .select(expr("replace(s, concat(' ', pair), " +
+          "concat(' ', replace(pair, ' ', '')))").as("s"))
+        .persistScoped()
+      top.select(lit(r).as("round"), col("pair"),
+        expr("replace(pair, ' ', '')").as("merged"), col("cnt"))
+    }
+    rules.reduce(_.unionAll(_)).orderBy(col("round"))
+  }
+
+  val bpeApplySql: String = {
+    val rounds = (1 to 5).map { r =>
+      s"""p$r AS (SELECT pair, count(*) AS cnt FROM (
+         |  SELECT unnest(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i + 1])) AS pair
+         |  FROM (SELECT string_split(substring(s, 2), ' ') AS t FROM w${r - 1})
+         |  WHERE len(t) >= 2)
+         |  GROUP BY pair ORDER BY cnt DESC, pair DESC LIMIT 1),
+         |w$r AS (SELECT replace(s, ' ' || (SELECT pair FROM p$r),
+         |  ' ' || replace((SELECT pair FROM p$r), ' ', '')) AS s FROM w${r - 1})"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (SELECT regexp_replace(w, '(.)', ' \\1', 'g') AS s
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) >= 1),
+      |$rounds
+      |${(1 to 5).map(r =>
+        s"SELECT $r AS round, pair, replace(pair, ' ', '') AS merged, cnt FROM p$r")
+        .mkString("\nUNION ALL ")}
+      |ORDER BY round""".stripMargin
+  }
+
   /** E17 — shuffle-key skew profiler: the pre-flight audit that
     * decides whether a join/aggregation key needs salting BEFORE the
     * job runs at scale. Rows hash (md5 — engine- and
@@ -142,6 +217,7 @@ object Audit {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_char_entropy" -> (charEntropy _),
     "q_bpe_merges" -> (bpeMerges _),
+    "q_bpe_apply" -> ((s: SparkSession, d: String) => bpeApply(s, d)),
     "q_skew_profile" -> ((s: SparkSession, d: String) => skewProfile(s, d)),
     "q_embedding_audit" -> (embeddingAudit _),
   )
@@ -149,6 +225,7 @@ object Audit {
   val oracle: Map[String, String] = Map(
     "q_char_entropy" -> charEntropySql,
     "q_bpe_merges" -> bpeMergesSql,
+    "q_bpe_apply" -> bpeApplySql,
     "q_skew_profile" -> skewProfileSql,
     "q_embedding_audit" -> embeddingAuditSql,
   )
