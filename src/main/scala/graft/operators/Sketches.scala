@@ -93,6 +93,83 @@ class KmvSketch(k: Int) extends Aggregator[Long, KmvBuf, Double] {
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 
+/** HLL register file: m int8-sized register values carried as longs
+  * (Encoders keep it simple; the exchange cost is m×8 bytes either
+  * way at m = 256). Empty until the first reduce. */
+case class HllBuf(m: Array[Long])
+
+/** HyperLogLog as a typed Aggregator over the engine's 60-bit md5
+  * hash: bucket = top log₂(m) bits, register = max over the bucket of
+  * ρ(remaining bits) (1 + leading-zero count), merge = elementwise
+  * max — the canonical mergeable cardinality sketch, m registers
+  * across the exchange regardless of stream size.
+  *
+  * Unlike the engine's built-in HLL (`approx_count_distinct`, opaque
+  * serialized bytes), every register here is a DETERMINISTIC function
+  * of the md5 hash convention, so a plain-SQL oracle can rebuild the
+  * register file and the estimate exactly: ρ of the low 52 bits is
+  * `53 − length(bin(v))` (bin() drops leading zeros in both engines)
+  * and the harmonic sum Σ2^(−M_j) is carried as the exact integer
+  * Σ2^(64−M_j) in decimal/HUGEINT — no float accumulation order
+  * anywhere, one terminal division. Small-range correction (linear
+  * counting when the raw estimate < 2.5m and zero registers exist)
+  * matches the standard HLL recipe. */
+class HllSketch(p: Int) extends Aggregator[Long, HllBuf, Double] {
+  require(p >= 4 && p <= 16, s"HLL needs 4 <= p <= 16, got $p")
+  private val m = 1 << p
+
+  override def zero: HllBuf = HllBuf(Array.empty)
+
+  private def ensure(b: HllBuf): Array[Long] =
+    if (b.m.length == m) b.m else new Array[Long](m)
+
+  override def reduce(b: HllBuf, h: Long): HllBuf = {
+    val regs = ensure(b)
+    // h is the 60-bit hash60 value: top p bits pick the register,
+    // the low (60 - p) bits feed rho. With p = 8 that leaves 52 bits:
+    // rho = 53 - bitlength(v), and v = 0 (probability 2^-52) maps to
+    // the max rho 53 — same convention the SQL oracle spells out.
+    val bucket = (h >>> (60 - p)).toInt
+    val v = h & ((1L << (60 - p)) - 1)
+    val rho = (60 - p) + 1 - (64 - java.lang.Long.numberOfLeadingZeros(v))
+    if (rho > regs(bucket)) regs(bucket) = rho
+    HllBuf(regs)
+  }
+
+  override def merge(x: HllBuf, y: HllBuf): HllBuf =
+    if (x.m.length == 0) y
+    else if (y.m.length == 0) x
+    else {
+      val out = x.m.clone()
+      var i = 0
+      while (i < m) { if (y.m(i) > out(i)) out(i) = y.m(i); i += 1 }
+      HllBuf(out)
+    }
+
+  override def finish(b: HllBuf): Double = {
+    val regs = ensure(b)
+    // alpha_m for m >= 128 (standard HLL constant)
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // exact integer harmonic sum, rescaled by 2^maxRho so it fits
+    // int64: sum of 2^(maxRho - M_j) <= m * 2^maxRho <= 2^61
+    val maxRho = 60 - p + 1
+    var sum = 0L
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      sum += 1L << (maxRho - regs(i).toInt)
+      if (regs(i) == 0L) zeros += 1
+      i += 1
+    }
+    val raw = alpha * m * m * math.pow(2.0, maxRho) / sum.toDouble
+    if (raw < 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+    else raw
+  }
+
+  override def bufferEncoder: Encoder[HllBuf] = Encoders.product[HllBuf]
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
 /** Count-min buffer: d×w int64 counters, flattened row-major. Bounded
   * at d·w·8 bytes regardless of stream length — the frequency twin of
   * [[KmvBuf]]'s distinct sketch. Empty until the first reduce so the

@@ -300,7 +300,66 @@ object Extras {
       |SELECT zkey, true_cnt, cms_cnt, cms_cnt >= true_cnt AS overestimate
       |FROM est ORDER BY true_cnt DESC, zkey""".stripMargin
 
+  /** G27 — HyperLogLog as the library's OWN typed Aggregator
+    * (operators.HllSketch, p=8 → 256 registers): bucket = top 8 hash
+    * bits, register = max ρ(low 52 bits), merge = elementwise max.
+    * The estimate chain is the standard HLL recipe (α_m bias constant,
+    * harmonic mean, linear-counting small-range correction) — but
+    * unlike the engine's opaque approx_count_distinct bytes, every
+    * register is a deterministic function of the md5 hash convention
+    * and the harmonic sum is carried as the EXACT int64 Σ2^(53−M_j),
+    * so the DuckDB oracle rebuilds the full register file (a 256-row
+    * spine left-joined against observed buckets) and the identical
+    * IEEE estimate chain — the same full-check posture as G23/G26,
+    * which no float-accumulating HLL could offer. ~6.5% standard
+    * error at m=256; next to n_exact the readout shows it. */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val hll = udaf(new graft.operators.HllSketch(8))
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) " +
+          "AS BIGINT)").as("h"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("h")).as("n_exact"),
+        round(hll(col("h")), 4).as("hll_est"))
+      .orderBy(col("event_type"))
+  }
+
+  val hllDistinctSql: String =
+    """WITH h AS (SELECT DISTINCT event_type,
+      |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM events),
+      |r AS (SELECT event_type, CAST(h >> 52 AS INT) AS bucket,
+      |        h & ((CAST(1 AS BIGINT) << 52) - 1) AS v
+      |      FROM h),
+      |reg AS (SELECT event_type, bucket,
+      |        max(CASE WHEN v = 0 THEN 53
+      |                 ELSE 53 - length(bin(v)) END) AS mj
+      |      FROM r GROUP BY 1, 2),
+      |spine AS (SELECT DISTINCT event_type FROM events),
+      |regs AS (SELECT s.event_type, b.bucket, coalesce(reg.mj, 0) AS mj
+      |      FROM spine s
+      |      CROSS JOIN (SELECT unnest(range(0, 256)) AS bucket) b
+      |      LEFT JOIN reg ON reg.event_type = s.event_type
+      |        AND reg.bucket = b.bucket),
+      |agg AS (SELECT event_type,
+      |        CAST(sum(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT) AS s,
+      |        CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+      |      FROM regs GROUP BY 1),
+      |est AS (SELECT event_type, zeros,
+      |        (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256
+      |          * 9007199254740992.0 / CAST(s AS DOUBLE) AS raw
+      |      FROM agg),
+      |x AS (SELECT event_type, count(DISTINCT h) AS n_exact FROM h GROUP BY 1)
+      |SELECT x.event_type, x.n_exact,
+      |  round(CASE WHEN raw < 2.5 * 256 AND zeros > 0
+      |             THEN 256 * ln(256.0 / zeros) ELSE raw END, 4) AS hll_est
+      |FROM x JOIN est ON x.event_type = est.event_type
+      |ORDER BY x.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_distinct" -> (hllDistinct _),
     "q_cms_topk" -> (cmsTopk _),
     "q_kmv_distinct" -> (kmvDistinct _),
     "q_json_roundtrip" -> (jsonRoundtrip _),
@@ -324,6 +383,7 @@ object Extras {
     * hashes and float32 accumulations); the driver falls back to a
     * rows-only check and the real assertions live in ScalaTest. */
   val oracle: Map[String, String] = Map(
+    "q_hll_distinct" -> hllDistinctSql,
     "q_cms_topk" -> cmsTopkSql,
     "q_kmv_distinct" -> kmvDistinctSql,
     "q_json_roundtrip" ->

@@ -132,6 +132,38 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  // ---- HyperLogLog (G27) ----
+
+  test("HLL estimate lands in the 1.04/sqrt(m) error regime") {
+    val hll = udaf(new graft.operators.HllSketch(8))
+    for (n <- Seq(500, 5000, 20000)) {
+      val est = hashed(n).agg(hll(col("h"))).head.getDouble(0)
+      val rel = math.abs(est - n) / n
+      // ~6.5% SE at m=256; 4-sigma guard
+      assert(rel < 0.26, s"HLL estimate $est for $n distinct (rel err $rel)")
+    }
+  }
+
+  test("HLL small-range correction kicks in and stays accurate") {
+    val hll = udaf(new graft.operators.HllSketch(8))
+    val est = hashed(30).agg(hll(col("h"))).head.getDouble(0)
+    // linear counting at 30 distinct over 256 registers is near-exact
+    assert(math.abs(est - 30) <= 2, s"small-range estimate $est for 30")
+  }
+
+  test("HLL registers are partitioning-invariant and duplicate-blind") {
+    val hll = udaf(new graft.operators.HllSketch(8))
+    val base = hashed(3000)
+    val expected = base.coalesce(1).agg(hll(col("h"))).head.getDouble(0)
+    for (p <- Seq(2, 7, 16)) {
+      val got = base.repartition(p).agg(hll(col("h"))).head.getDouble(0)
+      assert(got == expected, s"estimate differs at $p partitions")
+    }
+    val tripled = base.union(base).union(base)
+      .agg(hll(col("h"))).head.getDouble(0)
+    assert(tripled == expected)
+  }
+
   test("CMS saturation inflates estimates but never below truth") {
     import spark.implicits._
     // 500 distinct keys through a deliberately tiny 2×32 sketch:
