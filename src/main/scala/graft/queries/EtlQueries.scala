@@ -617,7 +617,37 @@ object EtlQueries {
       |  CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k
       |FROM p GROUP BY is_corrupt ORDER BY is_corrupt""".stripMargin
 
+  /** S13 — the library's OWN DataSource V2 connector
+    * ([[graft.sources.RangeSource]]): a deterministic PK-ranged table
+    * served in stride-sized input partitions — the reference's ranged
+    * batching (A1/A14) as a first-class connector. The query reads a
+    * 1M-row table with a pushed id-range predicate: the connector
+    * narrows the PLANNED range (pruned partitions are never created —
+    * SourceSpec asserts 10 → 1) and materializes only the pruned-to
+    * columns. Rows are deterministic functions of id (md5-derived
+    * cents), so the DuckDB oracle rebuilds the identical slice from
+    * range(). */
+  def rangeSourceScan(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.RangeSource")
+      .option("lo", "0").option("hi", "1000000").option("stride", "100000")
+      .load()
+      .filter(col("id") >= 250000L && col("id") < 350000L)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("bucket"))
+
+  val rangeSourceScanSql: String =
+    """WITH r AS (SELECT CAST(range AS BIGINT) AS id
+      |           FROM range(250000, 350000)),
+      |v AS (SELECT CAST(id % 100 AS INT) AS bucket,
+      |        CAST(concat('0x', substring(md5(CAST(id AS VARCHAR)), 1, 15))
+      |          AS BIGINT) % 1000000 AS cents
+      |      FROM r)
+      |SELECT bucket, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM v GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_source" -> (rangeSourceScan _),
     "q_corrupt_records" -> (corruptRecords _),
     "q_inferred_members" -> (inferredMembers _),
     "q_text_lines_roundtrip" -> (textLinesRoundtrip _),
@@ -639,6 +669,7 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_range_source" -> rangeSourceScanSql,
     "q_corrupt_records" -> corruptRecordsSql,
     "q_inferred_members" -> inferredMembersSql,
     "q_text_lines_roundtrip" -> textLinesRoundtripSql,

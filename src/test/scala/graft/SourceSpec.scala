@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** DataSource V2 connector invariants (graft.sources.RangeSource):
+  * correctness of the generated rows, filter pushdown that actually
+  * prunes planned partitions, column pruning that reaches the reader,
+  * and residual (non-pushable) filters staying correct Spark-side. */
+class SourceSpec extends SparkSpec {
+
+  private def ranged(opts: (String, String)*): DataFrame = {
+    val base = spark.read.format("graft.sources.RangeSource")
+    opts.foldLeft(base)((r, kv) => r.option(kv._1, kv._2)).load()
+  }
+
+  private def scanOf(df: DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+
+  test("rows are the declared deterministic functions of id") {
+    val got = ranged("lo" -> "0", "hi" -> "1000", "stride" -> "250")
+      .orderBy("id").collect()
+    assert(got.length == 1000)
+    val r7 = got(7)
+    assert(r7.getLong(0) == 7L)
+    assert(r7.getLong(1) == operators.Sketches.hash60("7") % 1000000L)
+    assert(r7.getInt(2) == 7)
+  }
+
+  test("id-range filters prune planned partitions, not just rows") {
+    val df = ranged("lo" -> "0", "hi" -> "1000000", "stride" -> "100000")
+    assert(df.rdd.getNumPartitions == 10)
+    val pruned = df.filter(col("id") >= 250000L && col("id") < 350000L)
+    assert(pruned.rdd.getNumPartitions == 1,
+      "a one-stride id slice must plan exactly one partition")
+    assert(pruned.count() == 100000L)
+    // the pushed range is exact: no Spark-side re-filtering lost rows
+    assert(pruned.agg(min(col("id")), max(col("id"))).head.toSeq
+      == Seq(250000L, 349999L))
+  }
+
+  test("the pushed range is visible in the plan's scan description") {
+    val df = ranged("lo" -> "0", "hi" -> "10000", "stride" -> "1000")
+      .filter(col("id") < 3000L)
+    // the scan itself reports the NARROWED range — the filter reached
+    // partition planning, not just row filtering
+    assert(scanOf(df).toString.contains("graft_range[0,3000)"))
+    assert(df.rdd.getNumPartitions == 3)
+  }
+
+  test("column pruning reaches the reader schema") {
+    val df = ranged("lo" -> "0", "hi" -> "100", "stride" -> "50")
+      .select(col("bucket"))
+    assert(scanOf(df).schema.fieldNames.toSeq == Seq("bucket"))
+    assert(df.distinct().count() == 100)
+  }
+
+  test("non-pushable filters stay correct as residuals") {
+    val df = ranged("lo" -> "0", "hi" -> "1000", "stride" -> "250")
+      .filter(col("bucket") === 42)
+    // bucket isn't pushable: all 4 partitions planned, rows still right
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 10)
+    assert(df.select(col("id")).collect().forall(_.getLong(0) % 100 == 42))
+  }
+
+  test("an empty pushed range plans zero partitions") {
+    val df = ranged("lo" -> "0", "hi" -> "1000", "stride" -> "250")
+      .filter(col("id") > 5000L)
+    assert(df.count() == 0)
+    assert(df.rdd.getNumPartitions == 0)
+  }
+}
