@@ -7,6 +7,7 @@ import scala.collection.JavaConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -50,7 +51,8 @@ class RangeSource extends TableProvider {
     new RangeTable(
       properties.getOrDefault("lo", "0").toLong,
       properties.getOrDefault("hi", "1000000").toLong,
-      properties.getOrDefault("stride", "100000").toLong)
+      properties.getOrDefault("stride", "100000").toLong,
+      properties.getOrDefault("rate", "100000").toLong)
 }
 
 object RangeSource {
@@ -60,18 +62,20 @@ object RangeSource {
     StructField("bucket", IntegerType, nullable = false)))
 }
 
-private[sources] class RangeTable(lo: Long, hi: Long, stride: Long)
+private[sources] class RangeTable(lo: Long, hi: Long, stride: Long, rate: Long)
     extends Table with SupportsRead {
   require(stride > 0, s"stride must be positive, got $stride")
+  require(rate > 0, s"rate must be positive, got $rate")
   override def name(): String = s"graft_range[$lo,$hi)"
   override def schema(): StructType = RangeSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RangeScanBuilder(lo, hi, stride)
+    new RangeScanBuilder(lo, hi, stride, rate)
 }
 
-private[sources] class RangeScanBuilder(lo: Long, hi: Long, stride: Long)
+private[sources] class RangeScanBuilder(lo: Long, hi: Long, stride: Long,
+    rate: Long)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -99,29 +103,82 @@ private[sources] class RangeScanBuilder(lo: Long, hi: Long, stride: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new RangeScan(curLo, curHi, stride, required)
+  override def build(): Scan = new RangeScan(curLo, curHi, stride, rate, required)
 }
 
 private[sources] case class RangePartition(start: Long, end: Long)
   extends InputPartition
 
-private[sources] class RangeScan(lo: Long, hi: Long, stride: Long,
+private[sources] class RangeScan(lo: Long, hi: Long, stride: Long, rate: Long,
     required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    if (hi <= lo) Array.empty
-    else (lo until hi by stride)
-      .map(s => RangePartition(s, math.min(s + stride, hi)): InputPartition)
-      .toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    RangeScan.split(lo, hi, stride)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RangeReaderFactory(required.fieldNames)
 
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new RangeMicroBatchStream(lo, hi, stride, rate, required)
+
   override def description(): String =
     s"graft_range[$lo,$hi) stride=$stride cols=${required.fieldNames.mkString(",")}"
+}
+
+private[sources] object RangeScan {
+  def split(lo: Long, hi: Long, stride: Long): Array[InputPartition] =
+    if (hi <= lo) Array.empty
+    else (lo until hi by stride)
+      .map(s => RangePartition(s, math.min(s + stride, hi)): InputPartition)
+      .toArray
+}
+
+/** Streaming offset = the next unread id. Serialized as the bare
+  * number, so checkpointed offsets are human-auditable. */
+private[sources] case class RangeStreamOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+/** The reference's incremental tail-sync loop (SURVEY §2A A12:
+  * advance a PK frontier, emit [frontier, frontier+rate), commit,
+  * repeat) as a real MicroBatchStream: Structured Streaming
+  * checkpoints the frontier and replays only the uncommitted slice
+  * after a crash — the at-least-once-resume the reference implements
+  * by hand with a metadata table, here inherited from the engine's
+  * offset log. Admission control caps each micro-batch at `rate`
+  * rows; each batch splits into stride-sized partitions like the
+  * batch path. */
+private[sources] class RangeMicroBatchStream(lo: Long, hi: Long, stride: Long,
+    rate: Long, required: StructType)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = RangeStreamOffset(lo)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) should be called for admission control")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[RangeStreamOffset].v
+    RangeStreamOffset(math.min(hi, s + rate))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rate)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    RangeScan.split(start.asInstanceOf[RangeStreamOffset].v,
+      end.asInstanceOf[RangeStreamOffset].v, stride)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeReaderFactory(required.fieldNames)
+
+  override def deserializeOffset(json: String): Offset =
+    RangeStreamOffset(json.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] class RangeReaderFactory(cols: Array[String])
