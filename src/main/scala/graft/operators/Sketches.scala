@@ -109,9 +109,10 @@ case class HllBuf(m: Array[Long])
   * of the md5 hash convention, so a plain-SQL oracle can rebuild the
   * register file and the estimate exactly: ρ of the low 52 bits is
   * `53 − length(bin(v))` (bin() drops leading zeros in both engines)
-  * and the harmonic sum Σ2^(−M_j) is carried as the exact integer
-  * Σ2^(64−M_j) in decimal/HUGEINT — no float accumulation order
-  * anywhere, one terminal division. Small-range correction (linear
+  * and the harmonic sum Σ2^(−M_j) is rescaled by 2^maxRho (2^53 at
+  * p = 8) into the exact int64 Σ2^(53−M_j) ≤ m·2^53 — no float
+  * accumulation order anywhere, one terminal division against the
+  * matching 2^53 constant. Small-range correction (linear
   * counting when the raw estimate < 2.5m and zero registers exist)
   * matches the standard HLL recipe. */
 class HllSketch(p: Int) extends Aggregator[Long, HllBuf, Double] {

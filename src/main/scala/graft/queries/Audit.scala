@@ -80,13 +80,16 @@ object Audit {
     * corpus, repeat. So round 2+ counts pairs over MERGED symbols
     * (multi-char units), exactly how a real subword vocabulary grows.
     *
-    * Tokenization state is one string per word in leading-space form
-    * (" a b" — every symbol carries its own leading space), which
-    * makes the rewrite a plain left-to-right `replace(s, ' a b',
-    * ' ab')`: the leading space anchors symbol starts so a pair can
-    * never match a symbol's suffix, adjacent occurrences never
-    * overlap, and replace()'s scan order IS BPE's greedy order —
-    * identical semantics in both engines, no regex lookarounds needed.
+    * Tokenization state is one string per word with every symbol
+    * wrapped in pipes ("|a||b|"), which makes the rewrite a plain
+    * left-to-right `replace(s, '|a||b|', '|ab|')`: the wrapper
+    * anchors BOTH symbol boundaries — a pair can match neither a
+    * symbol's suffix ("|h||e|" never fires inside "|xh||e|") nor a
+    * longer symbol's prefix ("|h||e|" never fires inside "|h||er|") —
+    * adjacent occurrences share no characters, and replace()'s scan
+    * order IS BPE's greedy left-to-right order. Identical semantics
+    * in both engines, no regex lookarounds needed. Words are
+    * restricted to [a-z0-9]+ so '|' can never occur as data.
     *
     * Scale shape: each round is one narrow pair-explode aggregate
     * (map-side combined) + a 1-row broadcast into the rewrite map — no
@@ -99,8 +102,8 @@ object Audit {
     import graft.Caches.PersistScoped
     var words = Tables.widen(Tables.documents(s, dir))
       .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) >= 1)
-      .select(regexp_replace(col("w"), "(.)", " $1").as("s"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .select(regexp_replace(col("w"), "(.)", "|$1|").as("s"))
       .persistScoped()
     val rules = (1 to rounds).map { r =>
       // materialize the 1-row winner eagerly: it has TWO readers (the
@@ -108,7 +111,7 @@ object Audit {
       // plan is a full corpus pair-count — without truncation every
       // round's aggregate would run twice (measured 7.3 s vs 3.4 s)
       val top = words
-        .select(split(expr("substring(s, 2)"), " ").as("t"))
+        .select(split(expr("substring(s, 2, length(s) - 2)"), "\\|\\|").as("t"))
         .filter(size(col("t")) >= 2)
         .select(explode(expr("transform(sequence(1, size(t) - 1), i -> " +
           "concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("pair"))
@@ -117,8 +120,8 @@ object Audit {
         .select(col("m.pair").as("pair"), col("m.cnt").as("cnt"))
         .localCheckpoint()
       words = words.crossJoin(broadcast(top))
-        .select(expr("replace(s, concat(' ', pair), " +
-          "concat(' ', replace(pair, ' ', '')))").as("s"))
+        .select(expr("replace(s, concat('|', replace(pair, ' ', '||'), '|'), " +
+          "concat('|', replace(pair, ' ', ''), '|'))").as("s"))
         .persistScoped()
       top.select(lit(r).as("round"), col("pair"),
         expr("replace(pair, ' ', '')").as("merged"), col("cnt"))
@@ -131,16 +134,19 @@ object Audit {
       s"""p$r AS (SELECT pair, count(*) AS cnt FROM (
          |  SELECT unnest(list_transform(range(1, len(t)),
          |    i -> t[i] || ' ' || t[i + 1])) AS pair
-         |  FROM (SELECT string_split(substring(s, 2), ' ') AS t FROM w${r - 1})
+         |  FROM (SELECT string_split(substring(s, 2, length(s) - 2), '||') AS t
+         |        FROM w${r - 1})
          |  WHERE len(t) >= 2)
          |  GROUP BY pair ORDER BY cnt DESC, pair DESC LIMIT 1),
-         |w$r AS (SELECT replace(s, ' ' || (SELECT pair FROM p$r),
-         |  ' ' || replace((SELECT pair FROM p$r), ' ', '')) AS s FROM w${r - 1})"""
+         |w$r AS (SELECT replace(s,
+         |  '|' || replace((SELECT pair FROM p$r), ' ', '||') || '|',
+         |  '|' || replace((SELECT pair FROM p$r), ' ', '') || '|') AS s
+         |  FROM w${r - 1})"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH w0 AS (SELECT regexp_replace(w, '(.)', ' \\1', 'g') AS s
+    s"""WITH w0 AS (SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s
       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-      |  WHERE length(w) >= 1),
+      |  WHERE regexp_matches(w, '^[a-z0-9]+$$')),
       |$rounds
       |${(1 to 5).map(r =>
         s"SELECT $r AS round, pair, replace(pair, ' ', '') AS merged, cnt FROM p$r")

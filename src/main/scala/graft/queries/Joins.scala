@@ -431,6 +431,18 @@ object Joins {
   private[queries] def geoLon(prefix: String, key: Column): Column =
     (geoCoin(prefix, key, 9) % 1000000L) / 1e6 * 10.0
 
+  /** 3×3 cell-ring explode shared by the grid operators (watershed,
+    * DBSCAN): one row per (kept columns, neighbor cell), the neighbor
+    * coordinates emitted under (outY, outX). Input must carry jy/jx;
+    * they are consumed by the explode and dropped unless re-listed in
+    * `keep`. */
+  private def ring3x3(df: DataFrame, keep: Seq[String],
+      outY: String, outX: String): DataFrame = df
+    .select(keep.map(col) :+ explode(expr("transform(sequence(0, 8), i -> " +
+      "named_struct('ty', CAST(jy + i div 3 - 1 AS INT), " +
+      "'tx', CAST(jx + i % 3 - 1 AS INT)))")).as("t"): _*)
+    .select(keep.map(col) :+ col("t.ty").as(outY) :+ col("t.tx").as(outX): _*)
+
   def spatialGridJoin(s: SparkSession, dir: String): DataFrame = {
     def latOf(prefix: String, key: Column): Column = geoLat(prefix, key)
     def lonOf(prefix: String, key: Column): Column = geoLon(prefix, key)
@@ -526,21 +538,16 @@ object Joins {
       .select(floor(geoLat("egeo|", col("event_id"))).cast("int").as("jy"),
         floor(geoLon("egeo|", col("event_id"))).cast("int").as("jx"))
       .groupBy(col("jy"), col("jx")).agg(count(lit(1)).as("cnt"))
-    def ring(df: DataFrame, keep: Column*): DataFrame = df
-      .select(keep :+ explode(expr("transform(sequence(0, 8), i -> " +
-        "named_struct('ty', CAST(jy + i div 3 - 1 AS INT), " +
-        "'tx', CAST(jx + i % 3 - 1 AS INT)))")).as("t"): _*)
-      .select(keep :+ col("t.ty").as("ty") :+ col("t.tx").as("tx"): _*)
     // smoothed density: each present cell's 3×3 sum of present counts
     // (absent neighbors contribute 0 via the inner equi-join)
-    val sm = ring(cells, col("cnt"))
+    val sm = ring3x3(cells, Seq("cnt"), "ty", "tx")
       .groupBy(col("ty"), col("tx"))
       .agg(sum(col("cnt")).as("s"))
       .withColumnRenamed("ty", "jy").withColumnRenamed("tx", "jx")
       .join(cells, Seq("jy", "jx")) // keep only populated cells
       .persistScoped() // three readers: parent ring, target filter, output
     // parent: argmax of (s, jy, jx) over the present 3×3 neighborhood
-    val parent = ring(sm, col("s"), col("jy"), col("jx"))
+    val parent = ring3x3(sm, Seq("s", "jy", "jx"), "ty", "tx")
       .groupBy(col("ty"), col("tx"))
       .agg(max(struct(col("s"), col("jy"), col("jx"))).as("p"))
       .join(sm.select(col("jy").as("ty"), col("jx").as("tx")), Seq("ty", "tx"))
@@ -708,12 +715,9 @@ object Joins {
     * the two agree by construction). Threshold compares 50·cnt ≥
     * total in exact integers. */
   def dbscanGrid(s: SparkSession, dir: String): DataFrame = {
-    def coin(prefix: String, off: Int): Column =
-      conv(substring(md5(concat(lit(prefix), col("event_id").cast("string"))),
-        off, 8), 16, 10).cast("long")
-    val sel = coin("dbs|", 1) % 10
-    val a = coin("dbs|", 9)
-    val b = coin("dbs2|", 1)
+    val sel = geoCoin("dbs|", col("event_id"), 1) % 10
+    val a = geoCoin("dbs|", col("event_id"), 9)
+    val b = geoCoin("dbs2|", col("event_id"), 1)
     val lat = when(sel < 4, lit(41.5) + (a % 2000L) / lit(1000.0))
       .when(sel < 8, lit(46.5) + (a % 2000L) / lit(1000.0))
       .otherwise(lit(40.0) + (a % 10000L) / lit(1000.0))
@@ -734,13 +738,9 @@ object Joins {
       .select(col("jy"), col("jx"), col("n"), col("id"))
     val nond = cells.filter(col("n") * 50 < col("t"))
       .select(col("jy"), col("jx"), col("n"), col("id"))
-    def ringOf(df: DataFrame, keep: Seq[String]): DataFrame = df
-      .select(keep.map(col) :+ explode(expr("transform(sequence(0, 8), i -> " +
-        "named_struct('ty', CAST(jy + i div 3 - 1 AS INT), " +
-        "'tx', CAST(jx + i % 3 - 1 AS INT)))")).as("t"): _*)
-      .select(keep.map(col) :+ col("t.ty").as("jy") :+ col("t.tx").as("jx"): _*)
     val denseAt = dense.select(col("jy"), col("jx"), col("id").as("nbr"))
-    val pairs = ringOf(dense, Seq("id")).join(denseAt, Seq("jy", "jx"))
+    val pairs = ring3x3(dense, Seq("id"), "jy", "jx")
+      .join(denseAt, Seq("jy", "jx"))
       .filter(col("id") < col("nbr"))
       .select(col("id").as("doc_id_a"), col("nbr").as("doc_id_b"))
     val labels = graft.operators.Dedup.dedupClusters(pairs)
@@ -751,10 +751,10 @@ object Joins {
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
       .persistScoped() // output leg + border-label lookup
     val coreAt = core.select(col("jy"), col("jx"), col("cluster_id").as("cl"))
-    val borderLab = ringOf(nond
+    val borderLab = ring3x3(nond
         .select(col("id"), col("n"), col("jy").as("ojy"),
           col("jx").as("ojx"), col("jy"), col("jx")),
-        Seq("id", "n", "ojy", "ojx"))
+        Seq("id", "n", "ojy", "ojx"), "jy", "jx")
       .join(coreAt, Seq("jy", "jx"))
       .groupBy(col("id"), col("n"), col("ojy"), col("ojx"))
       .agg(min(col("cl")).as("cluster_id"))

@@ -162,7 +162,17 @@ private[sources] class RangeMicroBatchStream(lo: Long, hi: Long, stride: Long,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[RangeStreamOffset].v
-    RangeStreamOffset(math.min(hi, s + rate))
+    // honor the engine's admission control: Trigger.Once/AvailableNow
+    // ask for all available rows; an explicit max-rows cap wins over
+    // the source's own rate
+    val step = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        m.maxRows()
+      case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable =>
+        hi - s
+      case _ => rate
+    }
+    RangeStreamOffset(math.min(hi, s + math.max(step, 1L)))
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rate)

@@ -97,32 +97,31 @@ class SourceSpec extends SparkSpec {
     // keyed by batchId — the idempotent-sink discipline, so a replayed
     // trailing batch after the kill cannot double-count
     val seen = scala.collection.concurrent.TrieMap.empty[Long, Array[Long]]
-    def run(drain: Boolean): Unit = {
+    def run(injectKill: Boolean): Unit = {
       val q = spark.readStream.format("graft.sources.RangeSource")
-        .option("lo", "0").option("hi", "40000")
+        .option("lo", "0").option("hi", "8000")
         .option("stride", "1000").option("rate", "2000")
         .load()
         .writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch { (df: DataFrame, id: Long) =>
+          // deterministic mid-stream crash: batch 2 dies BEFORE its
+          // offset commits, so batches 0-1 are durable and batch 2
+          // must replay (same id, same slice) after restart
+          if (injectKill && id >= 2) sys.error("injected kill")
           seen(id) = df.select("id").collect().map(_.getLong(0)); ()
         }
         .start()
-      try {
-        if (drain) q.processAllAvailable()
-        else { // kill after the first committed batch
-          val deadline = System.currentTimeMillis() + 30000
-          while (seen.isEmpty && System.currentTimeMillis() < deadline)
-            Thread.sleep(50)
-          assert(seen.nonEmpty, "no batch arrived before the kill")
-        }
-      } finally q.stop()
+      try q.processAllAvailable()
+      catch { case e: Exception
+          if e.getMessage != null || injectKill => () } // query died as planned
+      finally q.stop()
     }
-    run(drain = false) // phase 1: at least one batch, then kill
+    run(injectKill = true) // phase 1: two committed batches, then crash
     val afterKill = seen.values.map(_.length).sum
-    run(drain = true) // phase 2: resume from the offset log
-    assert(afterKill < 40000, "the kill should have landed mid-stream")
-    assert(seen.values.flatten.toSeq.sorted == (0L until 40000L),
+    assert(afterKill == 4000, s"expected exactly 2 committed batches, got $afterKill rows")
+    run(injectKill = false) // phase 2: resume from the offset log
+    assert(seen.values.flatten.toSeq.sorted == (0L until 8000L),
       "resume must cover the range exactly once (by batchId)")
   }
 }
