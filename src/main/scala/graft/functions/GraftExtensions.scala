@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
       (exprs: Seq[Expression]) => JaroWinklerSim(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert_key"),
+      new ExpressionInfo(classOf[HilbertKey].getName, "hilbert_key"),
+      (exprs: Seq[Expression]) => HilbertKey(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
   }
 }

@@ -835,6 +835,79 @@ case class DeflateSize(child: Expression)
     copy(child = newChild)
 }
 
+/** Hilbert-curve clustering key (order 16: two 16-bit axes → one
+  * key in [0, 2³²)) — the space-filling layout key whose consecutive
+  * values are ALWAYS grid-adjacent, unlike the Z-order key (W15)
+  * whose bit-interleave takes long diagonal jumps at power-of-two
+  * boundaries; for range-scan locality over two correlated columns
+  * the Hilbert layout dominates. The classic iterative xy2d: 16
+  * rounds high-bit→low of quadrant code + rotate/reflect, pure
+  * integer ops — codegen'd into a tight loop (native Expression >
+  * UDF), and exactly reproducible in SQL (the oracle unrolls the same
+  * rounds in a recursive CTE). KernelSpec proves the defining
+  * property on the coarse 16×16 lattice: sorted by key, every
+  * consecutive pair of points is grid-adjacent (one stride apart in
+  * exactly one axis) — the locality guarantee Z-order lacks. */
+case class HilbertKey(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hilbert_key requires (BIGINT, BIGINT), got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_key"
+
+  override protected def nullSafeEval(xIn: Any, yIn: Any): Any = {
+    var x = xIn.asInstanceOf[Long]
+    var y = yIn.asInstanceOf[Long]
+    var d = 0L
+    var s = 32768L
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) { // rotate the quadrant so the sub-curve connects;
+        // reflect over the FULL grid (65535 = n-1, all-ones): later
+        // rounds only read bits below s, and (n-1-x) mod s =
+        // s-1-(x mod s) borrow-free — s-1-x would go negative once a
+        // reflection has set bits >= s
+        val nx = if (rx == 1) 65535L - y else y
+        val ny = if (rx == 1) 65535L - x else x
+        x = nx; y = ny
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xc, yc) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val d = ctx.freshName("d"); val s = ctx.freshName("s")
+      val rx = ctx.freshName("rx"); val ry = ctx.freshName("ry")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      s"""
+         |long $x = $xc; long $y = $yc; long $d = 0L;
+         |for (long $s = 32768L; $s > 0; $s >>= 1) {
+         |  long $rx = (($x & $s) > 0) ? 1L : 0L;
+         |  long $ry = (($y & $s) > 0) ? 1L : 0L;
+         |  $d += $s * $s * ((3L * $rx) ^ $ry);
+         |  if ($ry == 0) {
+         |    long $nx = ($rx == 1) ? 65535L - $y : $y;
+         |    long $ny = ($rx == 1) ? 65535L - $x : $x;
+         |    $x = $nx; $y = $ny;
+         |  }
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** Registration + Column-level wrappers. Registered idempotently via
   * [[graft.Tables.load]] so every query pack can use the fast paths
   * regardless of which entry point built the session. */
@@ -853,6 +926,7 @@ object GraftFunctions {
     ensure("dot_f32", exprs => DotProductF32(exprs(0), exprs(1)))
     ensure("jaro_winkler", exprs => JaroWinklerSim(exprs(0), exprs(1)))
     ensure("deflate_size", exprs => DeflateSize(exprs.head))
+    ensure("hilbert_key", exprs => HilbertKey(exprs(0), exprs(1)))
     // Optimizer rules go through the public experimental-methods hook
     // (sessions built with spark.sql.extensions get them from
     // GraftExtensions instead; both paths are idempotent).
@@ -865,4 +939,5 @@ object GraftFunctions {
   def deflateSize(c: Column): Column = call_function("deflate_size", c)
   def dotF32(a: Column, b: Column): Column = call_function("dot_f32", a, b)
   def jaroWinkler(a: Column, b: Column): Column = call_function("jaro_winkler", a, b)
+  def hilbertKey(x: Column, y: Column): Column = call_function("hilbert_key", x, y)
 }

@@ -524,6 +524,52 @@ object Warehouse {
       |ORDER BY morton, o_orderkey""".stripMargin
   }
 
+  /** W15b — Hilbert clustering key over the same (customer,
+    * order-day) pair as W15's Z-order: the space-filling layout whose
+    * consecutive keys are ALWAYS grid-adjacent — Z-order's
+    * bit-interleave takes long diagonal jumps at every power-of-two
+    * boundary, so a range scan over a Morton-sorted file reads more
+    * unrelated rows than the same scan over a Hilbert-sorted one; at
+    * scale this query IS the write's sort key
+    * (repartitionByRange(hkey) + sortWithinPartitions, as W15). The
+    * key is the library's own codegen'd Catalyst expression
+    * ([[graft.functions.HilbertKey]] — 16 rotate/reflect rounds of
+    * pure integer ops, native Expression > UDF); the oracle replays
+    * the identical rounds in a recursive CTE, and KernelSpec proves
+    * the defining unit-step adjacency on the coarse 16×16 lattice
+    * (the independent check a round-replaying oracle cannot give). */
+  def hilbertKeyQ(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+      .cast("bigint")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), day.as("day"))
+      .withColumn("hkey", graft.functions.GraftFunctions.hilbertKey(
+        col("o_custkey").bitwiseAND(lit(65535L)),
+        col("day").bitwiseAND(lit(65535L))))
+      .orderBy(col("hkey"), col("o_orderkey"))
+  }
+
+  val hilbertKeySql: String =
+    """WITH RECURSIVE base AS (SELECT o_orderkey, o_custkey,
+      |    CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS day
+      |  FROM orders),
+      |h AS (SELECT o_orderkey, o_custkey & 65535 AS xx, day & 65535 AS yy,
+      |        CAST(32768 AS BIGINT) AS s, CAST(0 AS BIGINT) AS d
+      |      FROM base
+      |  UNION ALL
+      |  SELECT o_orderkey,
+      |    CASE WHEN (yy & s) = 0 THEN
+      |      CASE WHEN (xx & s) > 0 THEN 65535 - yy ELSE yy END ELSE xx END,
+      |    CASE WHEN (yy & s) = 0 THEN
+      |      CASE WHEN (xx & s) > 0 THEN 65535 - xx ELSE xx END ELSE yy END,
+      |    s // 2,
+      |    d + s * s * xor(CASE WHEN (xx & s) > 0 THEN 3 ELSE 0 END,
+      |                    CASE WHEN (yy & s) > 0 THEN 1 ELSE 0 END)
+      |  FROM h WHERE s > 0)
+      |SELECT b.o_orderkey, b.o_custkey, b.day, h.d AS hkey
+      |FROM h JOIN base b USING (o_orderkey) WHERE h.s = 0
+      |ORDER BY hkey, o_orderkey""".stripMargin
+
   /** Two-sample Kolmogorov-Smirnov statistic — the nonparametric
     * drift/shift audit next to [[psiDrift]]'s binned divergence: the
     * max gap between the empirical CDFs of returned ('R') vs current
@@ -747,6 +793,7 @@ object Warehouse {
     "q_ks_test" -> (ksTest _),
     "q_ab_test" -> (abTest _),
     "q_zorder_key" -> (zorderKey _),
+    "q_hilbert_key" -> (hilbertKeyQ _),
     "q_benford" -> (benfordAudit _),
     "q_psi_drift" -> (psiDrift _),
     "q_triangle_nations" -> (triangleNations _),
@@ -765,6 +812,7 @@ object Warehouse {
     "q_ks_test" -> ksTestSql,
     "q_ab_test" -> abTestSql,
     "q_zorder_key" -> zorderKeySql,
+    "q_hilbert_key" -> hilbertKeySql,
     "q_benford" -> benfordAuditSql,
     "q_psi_drift" -> psiDriftSql,
     "q_triangle_nations" -> triangleNationsSql,

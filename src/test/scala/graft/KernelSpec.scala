@@ -55,4 +55,25 @@ class KernelSpec extends AnyFunSuite {
     assert(math.abs(v(0) - v(1)) < 1e-9, v.toSeq.toString)
     assert(math.abs(v(0) - 1.0 / math.sqrt(2.0)) < 1e-9)
   }
+
+  test("hilbert_key coarse lattice: injective, in range, unit-step adjacent") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // the defining Hilbert property (which Z-order lacks): on the
+    // 16×16 stride-4096 lattice, sorting by key must visit the cells
+    // in a path whose every step is one grid-adjacent move — this is
+    // exactly the test that caught the s-1-x (vs n-1-x) reflection
+    // bug the SQL oracle was blind to (it replays the same rounds)
+    val rows = for (i <- 0 until 16; j <- 0 until 16) yield {
+      val k = graft.functions.HilbertKey(Literal(i * 4096L), Literal(j * 4096L))
+        .eval(null).asInstanceOf[Long]
+      (i * 4096L, j * 4096L, k)
+    }
+    assert(rows.map(_._3).distinct.size == 256, "keys must be injective")
+    assert(rows.forall(r => r._3 >= 0L && r._3 < (1L << 32)), "keys in [0, 2^32)")
+    val sorted = rows.sortBy(_._3)
+    sorted.sliding(2).foreach { case Seq((x1, y1, _), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 4096L,
+        s"non-adjacent consecutive keys: ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
 }
