@@ -171,6 +171,56 @@ class HllSketch(p: Int) extends Aggregator[Long, HllBuf, Double] {
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 
+/** Bloom filter as a typed Aggregator: m bits in m/64 longs, k
+  * membership bits per key from the engine's md5 hash convention
+  * (`hash60(r + "|" + key) % m`, r = 0..k-1), merge = word-wise OR —
+  * the mergeable pre-filter shape: the filter crosses the exchange
+  * (m/8 bytes), never the build side's rows. One-sided by
+  * construction: a present key always hits all its bits; an absent
+  * key false-positives at ≈ (1 − e^(−kn/m))^k.
+  *
+  * Like the other graft sketches (and unlike the engine's opaque
+  * `bloom_filter_agg` bytes), every bit is a deterministic function
+  * of the hash convention, so a plain-SQL oracle reproduces the
+  * exact bit set (as a DISTINCT position relation) and the exact
+  * per-probe verdicts — false positives included. */
+class BloomAgg(m: Int, k: Int) extends Aggregator[String, CmsBuf, Array[Long]] {
+  require(m % 64 == 0 && m > 0, s"m must be a positive multiple of 64, got $m")
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def zero: CmsBuf = CmsBuf(Array.empty)
+
+  private def ensure(b: CmsBuf): Array[Long] =
+    if (b.c.length == m / 64) b.c else new Array[Long](m / 64)
+
+  override def reduce(b: CmsBuf, key: String): CmsBuf = {
+    val bits = ensure(b)
+    var r = 0
+    while (r < k) {
+      val pos = (Sketches.hash60(r.toString + "|" + key) % m).toInt
+      bits(pos >> 6) |= (1L << (pos & 63))
+      r += 1
+    }
+    CmsBuf(bits)
+  }
+
+  override def merge(x: CmsBuf, y: CmsBuf): CmsBuf =
+    if (x.c.length == 0) y
+    else if (y.c.length == 0) x
+    else {
+      val out = x.c.clone()
+      var i = 0
+      while (i < out.length) { out(i) |= y.c(i); i += 1 }
+      CmsBuf(out)
+    }
+
+  override def finish(b: CmsBuf): Array[Long] = ensure(b)
+
+  override def bufferEncoder: Encoder[CmsBuf] = Encoders.product[CmsBuf]
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
 /** Count-min buffer: d×w int64 counters, flattened row-major. Bounded
   * at d·w·8 bytes regardless of stream length — the frequency twin of
   * [[KmvBuf]]'s distinct sketch. Empty until the first reduce so the

@@ -358,7 +358,91 @@ object Extras {
       |FROM x JOIN est ON x.event_type = est.event_type
       |ORDER BY x.event_type""".stripMargin
 
+  /** E8b — own Bloom filter (operators.BloomAgg, 65536 bits × 4
+    * hashes, word-wise-OR merge) built over the customers that placed
+    * orders and probed with EVERY customer — the broadcast pre-filter
+    * shape of E8's builtin `bloom_filter_agg`, but with every bit a
+    * deterministic md5 function, so the oracle reproduces the exact
+    * bit set (as a DISTINCT position relation) and the exact
+    * per-probe verdicts INCLUDING which probes false-positive. The
+    * readout proves the one-sided contract: n_missed must be 0 (a
+    * present key always hits), and the measured fp_rate sits near the
+    * (1−e^(−kn/m))^k design point. Scale shape: the filter crosses
+    * the exchange (8 KB), never the build rows; probing is a narrow
+    * broadcast map. */
+  def bloomOwn(s: SparkSession, dir: String): DataFrame = {
+    val m = 65536; val k = 4
+    val bloom = udaf(new graft.operators.BloomAgg(m, k))
+    val filt = Tables.orders(s, dir)
+      .agg(bloom(col("o_custkey").cast("string")).as("bits"))
+    val present = Tables.orders(s, dir)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+      .withColumn("present", lit(true))
+    // probe with every customer PLUS a shifted guaranteed-absent twin
+    // per customer (keys live far below 10⁶ at any bench sf), so the
+    // false-positive denominator is never empty
+    val probes = Tables.customer(s, dir)
+      .select(explode(array(col("c_custkey"),
+        col("c_custkey") + 1000000L)).as("c_custkey"))
+      .join(present, Seq("c_custkey"), "left")
+      .na.fill(false, Seq("present"))
+    val hit = (0 until k).map { r =>
+      val pos = s"(CAST(conv(substring(md5(concat('$r', '|', " +
+        s"CAST(c_custkey AS STRING))), 1, 15), 16, 10) AS BIGINT) % $m)"
+      expr(s"((element_at(bits, CAST($pos div 64 AS INT) + 1) " +
+        s">> CAST($pos % 64 AS INT)) & 1) = 1")
+    }.reduce(_ && _)
+    probes.crossJoin(broadcast(filt))
+      .select(col("c_custkey"), col("present"), hit.as("in_bloom"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("present"), 1L).otherwise(0L)).as("n_present"),
+        sum(when(col("in_bloom"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(when(col("in_bloom") && !col("present"), 1L).otherwise(0L))
+          .as("n_false_pos"),
+        sum(when(!col("in_bloom") && col("present"), 1L).otherwise(0L))
+          .as("n_missed"))
+      .select(col("n_probes"), col("n_present"), col("n_bloom_hits"),
+        col("n_false_pos"), col("n_missed"),
+        round(col("n_false_pos").cast("double") /
+          (col("n_probes") - col("n_present")), 6).as("fp_rate"))
+  }
+
+  val bloomOwnSql: String =
+    """WITH bk AS (SELECT DISTINCT o_custkey FROM orders),
+      |r4 AS (SELECT unnest(range(0, 4)) AS r),
+      |pos AS (SELECT DISTINCT CAST(concat('0x', substring(md5(concat(
+      |      CAST(r AS VARCHAR), '|', CAST(o_custkey AS VARCHAR))), 1, 15))
+      |      AS BIGINT) % 65536 AS p
+      |    FROM bk CROSS JOIN r4),
+      |pk AS (SELECT unnest([c_custkey, c_custkey + 1000000]) AS c_custkey
+      |    FROM customer),
+      |probe AS (SELECT pk.c_custkey,
+      |      (bk.o_custkey IS NOT NULL) AS present
+      |    FROM pk LEFT JOIN bk ON bk.o_custkey = pk.c_custkey),
+      |pp AS (SELECT c_custkey, CAST(concat('0x', substring(md5(concat(
+      |      CAST(r AS VARCHAR), '|', CAST(c_custkey AS VARCHAR))), 1, 15))
+      |      AS BIGINT) % 65536 AS p
+      |    FROM probe CROSS JOIN r4),
+      |ph AS (SELECT pp.c_custkey, count(pos.p) AS nhit
+      |    FROM pp LEFT JOIN pos ON pp.p = pos.p GROUP BY pp.c_custkey),
+      |v AS (SELECT probe.c_custkey, probe.present,
+      |      (ph.nhit = 4) AS in_bloom
+      |    FROM probe JOIN ph ON probe.c_custkey = ph.c_custkey)
+      |SELECT count(*) AS n_probes,
+      |  CAST(sum(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS n_present,
+      |  CAST(sum(CASE WHEN in_bloom THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bloom_hits,
+      |  CAST(sum(CASE WHEN in_bloom AND NOT present THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_false_pos,
+      |  CAST(sum(CASE WHEN present AND NOT in_bloom THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_missed,
+      |  round(CAST(sum(CASE WHEN in_bloom AND NOT present THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / (count(*) - sum(CASE WHEN present THEN 1 ELSE 0 END)),
+      |    6) AS fp_rate
+      |FROM v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_own" -> (bloomOwn _),
     "q_hll_distinct" -> (hllDistinct _),
     "q_cms_topk" -> (cmsTopk _),
     "q_kmv_distinct" -> (kmvDistinct _),
@@ -383,6 +467,7 @@ object Extras {
     * hashes and float32 accumulations); the driver falls back to a
     * rows-only check and the real assertions live in ScalaTest. */
   val oracle: Map[String, String] = Map(
+    "q_bloom_own" -> bloomOwnSql,
     "q_hll_distinct" -> hllDistinctSql,
     "q_cms_topk" -> cmsTopkSql,
     "q_kmv_distinct" -> kmvDistinctSql,

@@ -132,6 +132,39 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  // ---- Bloom filter (E8b) ----
+
+  private def bloomHit(bits: Seq[Long], m: Int, k: Int, key: String): Boolean =
+    (0 until k).forall { r =>
+      val pos = (operators.Sketches.hash60(s"$r|$key") % m).toInt
+      (bits(pos >> 6) >> (pos & 63) & 1L) == 1L
+    }
+
+  test("Bloom never misses a present key, and is partitioning-invariant") {
+    import spark.implicits._
+    val bloom = udaf(new graft.operators.BloomAgg(4096, 4))
+    val keys = (1 to 300).map(i => s"key$i")
+    val base = keys.toDF("k")
+    val expected = base.coalesce(1).agg(bloom(col("k"))).head.getSeq[Long](0)
+    for (p <- Seq(2, 7, 16)) {
+      val got = base.repartition(p).agg(bloom(col("k"))).head.getSeq[Long](0)
+      assert(got == expected, s"bits differ at $p partitions")
+    }
+    assert(keys.forall(bloomHit(expected, 4096, 4, _)), "a present key missed")
+  }
+
+  test("Bloom false-positive rate sits near the design point, zero misses") {
+    import spark.implicits._
+    val m = 4096; val k = 4; val n = 500
+    val bloom = udaf(new graft.operators.BloomAgg(m, k))
+    val bits = (1 to n).map(i => s"in$i").toDF("k")
+      .agg(bloom(col("k"))).head.getSeq[Long](0)
+    val fp = (1 to 2000).count(i => bloomHit(bits, m, k, s"out$i")) / 2000.0
+    val design = math.pow(1 - math.exp(-k.toDouble * n / m), k)
+    assert(fp < design * 3 + 0.01, s"fp rate $fp vs design $design")
+    assert(fp > 0, "a half-loaded filter should show SOME false positives")
+  }
+
   // ---- HyperLogLog (G27) ----
 
   test("HLL estimate lands in the 1.04/sqrt(m) error regime") {
