@@ -125,6 +125,35 @@ object EventStreams {
       }
   }
 
+  /** X14 — streaming cardinality with HLL REGISTER state: the
+    * industry-default streaming counter — a fixed 256-long register
+    * file per key FOREVER (vs X10's k-min buffer, which adapts but
+    * rebalances on insert, and X11's exact bitmap, which needs a
+    * finite universe). Registers only ever take elementwise max, so
+    * the update is insertion-order- and batch-boundary-free and the
+    * emitted estimate is IDENTICAL to the batch q_hll_distinct
+    * aggregate over the same prefix (StreamingSpec asserts equality;
+    * operators.HllSketch keeps the harmonic sum exact-int64, so there
+    * is no float-order drift to hide behind). */
+  def runningDistinctUsersHll(events: Dataset[EventRow], p: Int = 8): Dataset[TypeCardinality] = {
+    import events.sparkSession.implicits._
+    val sk = new graft.operators.HllSketch(p)
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[KmvCard, TypeCardinality](GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[EventRow], st: GroupState[KmvCard]) =>
+          val prev = st.getOption.getOrElse(KmvCard(Array.empty, 0L))
+          var buf = graft.operators.HllBuf(prev.hs)
+          var n = prev.n_seen
+          rows.foreach { e =>
+            buf = sk.reduce(buf, graft.operators.Sketches.hash60(e.user_id.toString))
+            n += 1
+          }
+          st.update(KmvCard(buf.m, n))
+          TypeCardinality(tpe, n, sk.finish(buf))
+      }
+  }
+
   /** X11 — streaming EXACT cardinality with BITMAP state: running
     * distinct users per event type through the same fixed-universe
     * bitmap the batch engine oracle-checks (operators.BitmapAgg).

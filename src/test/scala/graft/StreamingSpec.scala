@@ -159,6 +159,33 @@ class StreamingSpec extends SparkSpec {
       s"stream ${last.getAs[Double]("est_users")} != batch $batch")
   }
 
+  test("streaming HLL register state agrees with the batch sketch exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.runningDistinctUsersHll(stream.toDS(), p = 8)
+      .writeStream.format("memory").queryName("hllcard")
+      .outputMode(OutputMode.Update()).start()
+    stream.addData(mkEvents((1 to 20).map(i =>
+      (i.toLong, i.toLong, (i % 12).toLong, "a", 1.0)): _*))
+    q.processAllAvailable()
+    stream.addData(mkEvents((21 to 40).map(i =>
+      (i.toLong, i.toLong, (i % 30).toLong, "a", 1.0)): _*))
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("hllcard").filter(col("event_type") === "a")
+      .orderBy(col("n_seen").desc).collect().head
+    assert(last.getAs[Long]("n_seen") == 40L)
+    // batch twin over the same prefix: same registers, same estimate
+    val hll = udaf(new graft.operators.HllSketch(8))
+    val batch = ((1 to 20).map(_ % 12) ++ (21 to 40).map(_ % 30))
+      .map(_.toLong).toDF("user_id")
+      .select(expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), " +
+        "16, 10) AS BIGINT)").as("h"))
+      .agg(hll(col("h"))).head.getDouble(0)
+    assert(last.getAs[Double]("est_users") == batch,
+      s"stream ${last.getAs[Double]("est_users")} != batch $batch")
+  }
+
   test("streaming bitmap state counts distinct users exactly across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
