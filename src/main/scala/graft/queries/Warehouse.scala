@@ -570,6 +570,84 @@ object Warehouse {
       |FROM h JOIN base b USING (o_orderkey) WHERE h.s = 0
       |ORDER BY hkey, o_orderkey""".stripMargin
 
+  /** W15c — layout-locality audit: the measured justification for
+    * W15b next to W15 — walk each curve over the full 64×64 coarse
+    * lattice (stride-1024 points, so the audit exercises the real
+    * order-16 keys) in KEY order and measure the spatial step between
+    * consecutive cells. Hilbert's defining property shows up as data:
+    * every step is exactly one stride (avg = max = 1024); Z-order's
+    * bit-interleave shows its diagonal jumps (avg ~1.7 strides, max =
+    * a half-grid leap), which is precisely the extra read
+    * amplification a range scan pays on a Morton-sorted table. The
+    * lattice is generated (4096 rows), the two rankings are windows
+    * over it, and the oracle replays the Hilbert rounds in the same
+    * recursive CTE as W15b. */
+  def layoutLocality(s: SparkSession, dir: String): DataFrame = {
+    // the lattice is generated, not read, so Tables.load never ran —
+    // make the custom-function registry explicit (idempotent)
+    graft.functions.GraftFunctions.register(s)
+    val lattice = s.range(0, 4096).toDF("i")
+      .select(((col("i") / 64).cast("bigint") * 1024).as("x"),
+        ((col("i") % 64) * 1024).as("y"))
+    val morton = (0 until 16).map { j =>
+      (shiftleft(shiftright(col("x"), j).bitwiseAND(lit(1L)), 2 * j) +
+        shiftleft(shiftright(col("y"), j).bitwiseAND(lit(1L)), 2 * j + 1)): Column
+    }.reduce(_ + _)
+    val keyed = lattice
+      .withColumn("hkey", graft.functions.GraftFunctions.hilbertKey(col("x"), col("y")))
+      .withColumn("mkey", morton)
+    def steps(keyCol: String, label: String): DataFrame = {
+      val w = Window.orderBy(col(keyCol))
+      keyed
+        .withColumn("dx", abs(col("x") - lag(col("x"), 1).over(w)))
+        .withColumn("dy", abs(col("y") - lag(col("y"), 1).over(w)))
+        .filter(col("dx").isNotNull)
+        .agg(count(lit(1)).as("n_steps"),
+          round(avg(col("dx") + col("dy")), 2).as("avg_step"),
+          max(col("dx") + col("dy")).as("max_step"))
+        .select(lit(label).as("curve"), col("n_steps"), col("avg_step"),
+          col("max_step"))
+    }
+    // the lattice is 4096 rows — a global window over it is metadata,
+    // not a fact-table sort (the documented bounded-relation exception)
+    steps("hkey", "hilbert").unionAll(steps("mkey", "morton"))
+      .orderBy(col("curve"))
+  }
+
+  val layoutLocalitySql: String =
+    """WITH RECURSIVE lat AS (SELECT (CAST(range AS BIGINT) // 64) * 1024 AS x,
+      |    (CAST(range AS BIGINT) % 64) * 1024 AS y
+      |  FROM range(0, 4096)),
+      |h AS (SELECT x, y, x AS xx, y AS yy,
+      |        CAST(32768 AS BIGINT) AS s, CAST(0 AS BIGINT) AS d
+      |      FROM lat
+      |  UNION ALL
+      |  SELECT x, y,
+      |    CASE WHEN (yy & s) = 0 THEN
+      |      CASE WHEN (xx & s) > 0 THEN 65535 - yy ELSE yy END ELSE xx END,
+      |    CASE WHEN (yy & s) = 0 THEN
+      |      CASE WHEN (xx & s) > 0 THEN 65535 - xx ELSE xx END ELSE yy END,
+      |    s // 2,
+      |    d + s * s * xor(CASE WHEN (xx & s) > 0 THEN 3 ELSE 0 END,
+      |                    CASE WHEN (yy & s) > 0 THEN 1 ELSE 0 END)
+      |  FROM h WHERE s > 0),
+      |hk AS (SELECT x, y, d AS hkey FROM h WHERE s = 0),
+      |mk AS (SELECT x, y,
+      |    CAST(MORTON_TERMS AS BIGINT) AS mkey
+      |  FROM lat),
+      |hs AS (SELECT abs(x - lag(x) OVER (ORDER BY hkey))
+      |        + abs(y - lag(y) OVER (ORDER BY hkey)) AS step FROM hk),
+      |ms AS (SELECT abs(x - lag(x) OVER (ORDER BY mkey))
+      |        + abs(y - lag(y) OVER (ORDER BY mkey)) AS step FROM mk)
+      |SELECT 'hilbert' AS curve, count(step) AS n_steps,
+      |  round(avg(step), 2) AS avg_step, max(step) AS max_step FROM hs
+      |UNION ALL
+      |SELECT 'morton', count(step), round(avg(step), 2), max(step) FROM ms
+      |ORDER BY curve""".stripMargin
+      .replace("MORTON_TERMS", (0 until 16).map { j =>
+        s"(((x >> $j) & 1) << ${2 * j}) + (((y >> $j) & 1) << ${2 * j + 1})"
+      }.mkString(" + "))
+
   /** Two-sample Kolmogorov-Smirnov statistic — the nonparametric
     * drift/shift audit next to [[psiDrift]]'s binned divergence: the
     * max gap between the empirical CDFs of returned ('R') vs current
@@ -794,6 +872,7 @@ object Warehouse {
     "q_ab_test" -> (abTest _),
     "q_zorder_key" -> (zorderKey _),
     "q_hilbert_key" -> (hilbertKeyQ _),
+    "q_layout_locality" -> (layoutLocality _),
     "q_benford" -> (benfordAudit _),
     "q_psi_drift" -> (psiDrift _),
     "q_triangle_nations" -> (triangleNations _),
@@ -813,6 +892,7 @@ object Warehouse {
     "q_ab_test" -> abTestSql,
     "q_zorder_key" -> zorderKeySql,
     "q_hilbert_key" -> hilbertKeySql,
+    "q_layout_locality" -> layoutLocalitySql,
     "q_benford" -> benfordAuditSql,
     "q_psi_drift" -> psiDriftSql,
     "q_triangle_nations" -> triangleNationsSql,
