@@ -286,6 +286,37 @@ object Curate {
       |GROUP BY o.o_orderpriority
       |ORDER BY priority""".stripMargin
 
+  /** D7 — correlated LATERAL subquery: each customer's top-2 orders
+    * by value through the SQL-standard lateral form (the per-row
+    * table subquery a window-function top-k expresses relationally —
+    * T2 is the DataFrame twin; this is the dialect surface a SQL user
+    * migrating correlated-apply workloads expects). Catalyst
+    * decorrelates the ORDER BY … LIMIT subquery into a ranked join —
+    * no per-row re-execution; ties are impossible (cents, o_orderkey)
+    * is a total order. Both engines run the identical statement
+    * modulo view names. */
+  def lateralTopn(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_lv")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_lv")
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.cents
+        |FROM customer_lv c, LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders_lv WHERE o_custkey = c.c_custkey
+        |  ORDER BY cents DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, cents DESC, o.o_orderkey""".stripMargin)
+  }
+
+  val lateralTopnSql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.cents
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders WHERE o_custkey = c.c_custkey
+      |  ORDER BY cents DESC, o_orderkey LIMIT 2) o
+      |ORDER BY c.c_custkey, cents DESC, o.o_orderkey""".stripMargin
+
   /** L13 — first-owner novelty scoring: for each document, the share
     * of its distinct 3-shingles that it is the FIRST (lowest doc id)
     * owner of across the whole corpus — the curation metric that
@@ -509,6 +540,7 @@ object Curate {
     "q_change_point" -> (changePoint _),
     "q_filtered_agg" -> (filteredAgg _),
     "q_sql_api" -> (sqlApi _),
+    "q_lateral_topn" -> (lateralTopn _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -524,5 +556,6 @@ object Curate {
     "q_change_point" -> changePointSql,
     "q_filtered_agg" -> filteredAggSql,
     "q_sql_api" -> sqlApiSql,
+    "q_lateral_topn" -> lateralTopnSql,
   )
 }
