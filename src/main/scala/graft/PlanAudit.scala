@@ -84,6 +84,7 @@ object PlanAudit {
     "q_range_source" -> "own DSv2 connector: the id-range predicate narrows partition PLANNING (BatchScan description shows the pushed range; 1 of 10 strides planned), aggregate is partial/final on top",
     "q_hilbert_key" -> "hilbert_key is one codegen'd expression inside the project (no UDF boundary, no 16-round column chain); the only exchange is the final range sort — the write-path sort key shape",
     "q_lateral_topn" -> "the correlated LATERAL … ORDER BY LIMIT decorrelates into a per-key ranked join (window + filter) — no per-customer re-execution of the inner query",
+    "q_markov_attribution" -> "journey build = two keyed windows + one count aggregate (the only fact-table passes); the 16 value-iteration rounds are 1-row projections over the pivoted matrix",
     "q_ohlc" -> "open/close argmin/argmax via ONE min/max(struct) partial/final aggregate — no window, no per-day sort",
     "q_domain_cap" -> "skew-salted two-stage top-k: (source, salt-nibble) partial windows bound fan-in, per-source final window re-ranks ≤16·cap survivors",
     "q_kl_sources" -> "two term-keyed partial/final aggregates; per-source totals and the corpus scalar broadcast onto the contribution projection",

@@ -741,7 +741,170 @@ object Trend {
       |  CAST(CAST(sum(ppm) AS BIGINT) AS DOUBLE) / 1e6 AS credit
       |FROM allc GROUP BY channel ORDER BY channel""".stripMargin
 
+  /** B21 — Markov removal-effect attribution (the data-driven
+    * multi-touch model next to B10's last-touch and B20's U-shaped
+    * position rule): per-user journeys truncate at the first
+    * purchase, feed a first-order transition matrix over the FIXED
+    * state space {start, click, view, signup, error} → {…, conv,
+    * null}, and each channel's credit is its REMOVAL EFFECT — how
+    * much the start→conv probability drops when journeys can no
+    * longer pass through that channel (forcing its value to 0 in the
+    * absorption equations).
+    *
+    * Determinism engineering: the state space is a fixed enum, so the
+    * transition matrix PIVOTS into one wide row (p_src_tgt columns,
+    * exact n/Σn divisions) and the absorption probabilities come from
+    * 16 rounds of bounded-horizon VALUE ITERATION as a fixed
+    * expression tree — v'_s = p_s_c1·v_c1 + … written in one declared
+    * term order, so there is no float-summation order to drift (a
+    * per-round SQL sum() would be order-nondeterministic). Both
+    * engines run the identical 16 unrolled rounds; the emitted number
+    * is the 16-step conversion probability, documented as such
+    * (the fixpoint residual is geometric and identical on both
+    * sides). Each round localCheckpoints the 1-row frame — without
+    * truncation CollapseProject would substitute 16 rounds into one
+    * exponentially-blown expression. Scale shape: the ONLY fact-table
+    * work is the journey build (two keyed windows + one count
+    * aggregate); everything after lives on a ≤5×6 matrix. */
+  private val attrChannels = Seq("click", "view", "signup", "error")
+
+  def markovAttribution(s: SparkSession, dir: String, rounds: Int = 16): DataFrame = {
+    val sources = "start" +: attrChannels
+    val targets = attrChannels ++ Seq("conv", "null")
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // journeys truncated at the first purchase (inclusive)
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("pb", sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).over(wU.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(coalesce(col("pb"), lit(0L)) === 0L)
+      .withColumn("prev", lag(col("event_type"), 1).over(wU))
+      .withColumn("nxt", lead(col("event_type"), 1).over(wU))
+    val pairT = ev.select(coalesce(col("prev"), lit("start")).as("src"),
+      when(col("event_type") === "purchase", "conv")
+        .otherwise(col("event_type")).as("tgt"))
+    val endT = ev.filter(col("nxt").isNull && col("event_type") =!= "purchase")
+      .select(col("event_type").as("src"), lit("null").as("tgt"))
+    val counts = pairT.unionAll(endT)
+      .groupBy(col("src"), col("tgt")).agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy(col("src")).agg(sum(col("n")).as("tn"))
+    val probs = counts.join(tot, Seq("src"))
+      .select(col("src"), col("tgt"),
+        (col("n").cast("double") / col("tn")).as("p"))
+    // the whole matrix as ONE wide row of fixed columns — from here
+    // every arithmetic expression has a declared term order, so the
+    // float chain is identical on both engines (a per-round SQL sum()
+    // over rows would not be)
+    val cells = for { s0 <- sources; t0 <- targets } yield
+      coalesce(max(when(col("src") === s0 && col("tgt") === t0, col("p"))),
+        lit(0.0)).as(s"p_${s0}_${t0}")
+    val pCols = sources.flatMap(s0 => targets.map(t0 => col(s"p_${s0}_${t0}")))
+    val scns = ("full", "") +: attrChannels.map(c => (s"no_$c", c))
+    var cur = probs.agg(cells.head, cells.tail: _*)
+      .select(pCols ++ scns.flatMap { case (scn, _) =>
+        sources.map(st => lit(0.0).as(s"v_${scn}_$st")) }: _*)
+      .coalesce(1).localCheckpoint()
+    for (r <- 1 to rounds) {
+      val upd = scns.flatMap { case (scn, removed) =>
+        sources.map { st =>
+          targets.map { t =>
+            val vt: Column = t match {
+              case "conv" => lit(1.0)
+              case "null" => lit(0.0)
+              case c if c == removed => lit(0.0)
+              case c => col(s"v_${scn}_$c")
+            }
+            col(s"p_${st}_$t") * vt
+          }.reduce(_ + _).as(s"v_${scn}_$st")
+        }
+      }
+      // 1-row frame: truncate every 2nd round — CollapseProject's
+      // substitution grows ~6× per uncheckpointed round (two rounds ≈
+      // 36 terms per value, fine; sixteen would be 6^16), and each
+      // checkpoint is a ~0.1 s job
+      cur = cur.select(pCols ++ upd: _*)
+      if (r % 2 == 0 || r == rounds) cur = cur.localCheckpoint()
+    }
+    val withEff = cur
+      .select(col("v_full_start") +: attrChannels.map(c =>
+        (col("v_full_start") - col(s"v_no_${c}_start")).as(s"eff_$c")): _*)
+      .withColumn("tot_eff",
+        attrChannels.map(c => col(s"eff_$c")).reduce(_ + _))
+    attrChannels.map { c =>
+      withEff.select(lit(c).as("channel"),
+        round(col("v_full_start"), 6).as("conv_prob"),
+        round(col(s"eff_$c"), 6).as("removal_effect"),
+        round(when(col("tot_eff") =!= 0.0, col(s"eff_$c") / col("tot_eff"))
+          .otherwise(lit(0.0)), 6).as("share"))
+    }.reduce(_.unionAll(_)).orderBy(col("channel"))
+  }
+
+  val markovAttributionSql: String = {
+    val sources = "start" +: attrChannels
+    val targets = attrChannels ++ Seq("conv", "null")
+    val scns = ("full", "") +: attrChannels.map(c => (s"no_$c", c))
+    val pSel = (for { s0 <- sources; t0 <- targets } yield
+      s"coalesce(max(CASE WHEN src = '$s0' AND tgt = '$t0' " +
+        s"THEN CAST(n AS DOUBLE) / tn END), 0.0) AS p_${s0}_${t0}")
+      .mkString(",\n      |    ")
+    val pKeep = sources.flatMap(s0 => targets.map(t0 => s"p_${s0}_${t0}"))
+      .mkString(", ")
+    val v0 = scns.flatMap { case (scn, _) =>
+      sources.map(st => s"0.0 AS v_${scn}_$st") }.mkString(", ")
+    val roundCtes = (1 to 16).map { r =>
+      val upd = scns.flatMap { case (scn, removed) =>
+        sources.map { st =>
+          targets.map { t =>
+            val vt = t match {
+              case "conv" => "1.0"
+              case "null" => "0.0"
+              case c if c == removed => "0.0"
+              case c => s"v_${scn}_$c"
+            }
+            s"p_${st}_$t * $vt"
+          }.mkString(" + ") + s" AS v_${scn}_$st"
+        }
+      }.mkString(",\n      |    ")
+      s"v$r AS (SELECT $pKeep,\n      |    $upd\n      |  FROM v${r - 1})"
+    }.mkString(",\n      |")
+    val effs = attrChannels.map(c =>
+      s"v_full_start - v_no_${c}_start AS eff_$c").mkString(", ")
+    val totEff = attrChannels.map(c => s"eff_$c").mkString(" + ")
+    val outs = attrChannels.map(c =>
+      s"""SELECT '$c' AS channel, round(v_full_start, 6) AS conv_prob,
+         |  round(eff_$c, 6) AS removal_effect,
+         |  round(CASE WHEN tot_eff <> 0.0 THEN eff_$c / tot_eff
+         |        ELSE 0.0 END, 6) AS share FROM e2""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH j AS (SELECT user_id, ts, event_id, event_type,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb
+      |  FROM events),
+      |t0 AS (SELECT user_id, ts, event_id, event_type FROM j
+      |       WHERE coalesce(pb, 0) = 0),
+      |l AS (SELECT user_id, event_type,
+      |        lag(event_type) OVER w AS prev, lead(event_type) OVER w AS nxt
+      |      FROM t0 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |tr AS (SELECT coalesce(prev, 'start') AS src,
+      |         CASE WHEN event_type = 'purchase' THEN 'conv'
+      |              ELSE event_type END AS tgt FROM l
+      |  UNION ALL SELECT event_type, 'null' FROM l
+      |    WHERE nxt IS NULL AND event_type <> 'purchase'),
+      |c AS (SELECT src, tgt, count(*) AS n FROM tr GROUP BY 1, 2),
+      |tt AS (SELECT src, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY src),
+      |v0 AS (SELECT $pSel,
+      |    $v0
+      |  FROM c JOIN tt USING (src)),
+      |$roundCtes,
+      |e AS (SELECT v_full_start, $effs FROM v16),
+      |e2 AS (SELECT *, $totEff AS tot_eff FROM e)
+      |$outs
+      |ORDER BY channel""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_markov_attribution" -> ((s: SparkSession, d: String) => markovAttribution(s, d)),
     "q_attribution_multitouch" -> (multitouchAttribution _),
     "q_theil_sen" -> (theilSen _),
     "q_survival_curve" -> (survivalCurve _),
@@ -758,6 +921,7 @@ object Trend {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_markov_attribution" -> markovAttributionSql,
     "q_attribution_multitouch" -> multitouchAttributionSql,
     "q_theil_sen" -> theilSenSql,
     "q_survival_curve" -> survivalCurveSql,
