@@ -670,7 +670,77 @@ object Metrics {
       |  CAST(bool_and(c_acctbal > -1000) AS INT) AS all_above_floor
       |FROM t GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** B22 — growth accounting: the new/retained/resurrected/churned
+    * decomposition of daily active users — the growth-team ledger that
+    * explains EVERY DAU change (dau = new + retained + resurrected;
+    * Δdau = new + resurrected − churned, an identity the output makes
+    * checkable row by row) where B1's cohort triangle only shows decay
+    * and B16's rolling window only shows level. Presence collapses to
+    * one distinct (user, day) relation — the only fact-table pass —
+    * then per-user day-gaps come from one keyed lag window:
+    * new = first day, retained = gap 1, resurrected = gap > 1,
+    * churned on d = present d−1 but not d (the lead-gap mirror).
+    * Exact integer counts throughout; days without activity simply
+    * don't appear (the fixture month is fully populated). */
+  def growthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val pres = Tables.events(s, dir)
+      .select(col("user_id"), dayofmonth(col("ts")).as("d"))
+      .distinct()
+      .persistScoped() // arrival-classification leg + churn leg
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val arrivals = pres
+      .withColumn("prev", lag(col("d"), 1).over(w))
+      .select(col("d"),
+        when(col("prev").isNull, "new")
+          .when(col("d") - col("prev") === 1, "retained")
+          .otherwise("resurrected").as("kind"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("kind") === "new", 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("kind") === "retained", 1L).otherwise(0L)).as("retained"),
+        sum(when(col("kind") === "resurrected", 1L).otherwise(0L))
+          .as("resurrected"))
+    val churn = pres
+      .withColumn("nxt", lead(col("d"), 1).over(w))
+      .filter(col("nxt").isNull || col("nxt") =!= col("d") + 1)
+      .select((col("d") + 1).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("churned"))
+    arrivals.join(churn, Seq("d"), "left")
+      .select(col("d").as("day"), col("dau"), col("new_users"),
+        col("retained"), col("resurrected"),
+        coalesce(col("churned"), lit(0L)).as("churned"))
+      .orderBy(col("day"))
+  }
+
+  val growthAccountingSql: String =
+    """WITH pres AS (SELECT DISTINCT user_id,
+      |    CAST(datepart('day', ts) AS INT) AS d FROM events),
+      |a AS (SELECT d,
+      |        CASE WHEN prev IS NULL THEN 'new'
+      |             WHEN d - prev = 1 THEN 'retained'
+      |             ELSE 'resurrected' END AS kind
+      |      FROM (SELECT d, lag(d) OVER (PARTITION BY user_id ORDER BY d)
+      |              AS prev FROM pres)),
+      |arr AS (SELECT d, count(*) AS dau,
+      |        CAST(sum(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS new_users,
+      |        CAST(sum(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS retained,
+      |        CAST(sum(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS resurrected
+      |      FROM a GROUP BY d),
+      |ch AS (SELECT d + 1 AS d, count(*) AS churned
+      |      FROM (SELECT d, lead(d) OVER (PARTITION BY user_id ORDER BY d)
+      |              AS nxt FROM pres)
+      |      WHERE nxt IS NULL OR nxt <> d + 1 GROUP BY d + 1)
+      |SELECT arr.d AS day, arr.dau, arr.new_users, arr.retained,
+      |  arr.resurrected,
+      |  CAST(coalesce(ch.churned, 0) AS BIGINT) AS churned
+      |FROM arr LEFT JOIN ch ON arr.d = ch.d
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_growth_accounting" -> (growthAccounting _),
     "q_argmax_funcs" -> (argmaxFuncs _),
     "q_hof_funcs" -> (hofFuncs _),
     "q_weekday_profile" -> (weekdayProfile _),
@@ -692,6 +762,7 @@ object Metrics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_growth_accounting" -> growthAccountingSql,
     "q_argmax_funcs" -> argmaxFuncsSql,
     "q_hof_funcs" -> hofFuncsSql,
     "q_weekday_profile" -> weekdayProfileSql,
