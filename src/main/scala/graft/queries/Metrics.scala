@@ -739,8 +739,65 @@ object Metrics {
       |FROM arr LEFT JOIN ch ON arr.d = ch.d
       |ORDER BY day""".stripMargin
 
+  /** W43 — price-volume revenue bridge: the FP&A waterfall that
+    * explains a period-over-period revenue change as price effect
+    * ((p₁−p₀)·q₁) plus volume effect ((q₁−q₀)·p₀) per product bucket
+    * — the two terms sum to Δrev exactly by construction (the output
+    * carries Δrev so the identity is checkable per row). 1996 vs 1997
+    * ship-years over l_partkey mod 20 buckets; revenues and
+    * quantities aggregate as exact integer cents/units (one
+    * conditional-sum pass over the fact table, no join of two period
+    * scans), and each effect is one fixed IEEE chain off the exact
+    * integers, written identically in both engines. */
+  def priceVolumeBridge(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(year(col("l_shipdate")).isin(1996, 1997))
+      .select((col("l_partkey") % 20).as("bucket"),
+        (year(col("l_shipdate")) === 1997).as("is1"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+          .as("cents"),
+        col("l_quantity").cast("bigint").as("qty"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(!col("is1"), col("cents")).otherwise(0L)).as("r0"),
+        sum(when(col("is1"), col("cents")).otherwise(0L)).as("r1"),
+        sum(when(!col("is1"), col("qty")).otherwise(0L)).as("q0"),
+        sum(when(col("is1"), col("qty")).otherwise(0L)).as("q1"))
+      .filter(col("q0") > 0 && col("q1") > 0)
+    li.select(col("bucket"), col("r0"), col("r1"), col("q0"), col("q1"),
+      (col("r1") - col("r0")).as("delta_rev"),
+      round((col("r1").cast("double") / col("q1")
+        - col("r0").cast("double") / col("q0")) * col("q1"), 2)
+        .as("price_effect"),
+      round((col("q1") - col("q0")).cast("double")
+        * (col("r0").cast("double") / col("q0")), 2).as("volume_effect"))
+      .orderBy(col("bucket"))
+  }
+
+  val priceVolumeBridgeSql: String =
+    """WITH g AS (SELECT l_partkey % 20 AS bucket,
+      |    CAST(sum(CASE WHEN datepart('year', l_shipdate) = 1996
+      |      THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS r0,
+      |    CAST(sum(CASE WHEN datepart('year', l_shipdate) = 1997
+      |      THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS r1,
+      |    CAST(sum(CASE WHEN datepart('year', l_shipdate) = 1996
+      |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q0,
+      |    CAST(sum(CASE WHEN datepart('year', l_shipdate) = 1997
+      |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q1
+      |  FROM lineitem WHERE datepart('year', l_shipdate) IN (1996, 1997)
+      |  GROUP BY 1)
+      |SELECT bucket, r0, r1, q0, q1, r1 - r0 AS delta_rev,
+      |  round((CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0) * q1, 2)
+      |    AS price_effect,
+      |  round(CAST(q1 - q0 AS DOUBLE) * (CAST(r0 AS DOUBLE) / q0), 2)
+      |    AS volume_effect
+      |FROM g WHERE q0 > 0 AND q1 > 0
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_growth_accounting" -> (growthAccounting _),
+    "q_price_volume_bridge" -> (priceVolumeBridge _),
     "q_argmax_funcs" -> (argmaxFuncs _),
     "q_hof_funcs" -> (hofFuncs _),
     "q_weekday_profile" -> (weekdayProfile _),
@@ -763,6 +820,7 @@ object Metrics {
 
   val oracle: Map[String, String] = Map(
     "q_growth_accounting" -> growthAccountingSql,
+    "q_price_volume_bridge" -> priceVolumeBridgeSql,
     "q_argmax_funcs" -> argmaxFuncsSql,
     "q_hof_funcs" -> hofFuncsSql,
     "q_weekday_profile" -> weekdayProfileSql,
