@@ -386,13 +386,20 @@ object Extras {
         col("c_custkey") + 1000000L)).as("c_custkey"))
       .join(present, Seq("c_custkey"), "left")
       .na.fill(false, Seq("present"))
+    // hash each probe position ONCE into a column, then test its bit
+    // (inlining the md5 into both div and mod would double the digest
+    // work on any non-CSE evaluation path)
+    val posCols = (0 until k).map { r =>
+      expr(s"CAST(conv(substring(md5(concat('$r', '|', " +
+        s"CAST(c_custkey AS STRING))), 1, 15), 16, 10) AS BIGINT) % $m")
+        .as(s"pos_$r")
+    }
     val hit = (0 until k).map { r =>
-      val pos = s"(CAST(conv(substring(md5(concat('$r', '|', " +
-        s"CAST(c_custkey AS STRING))), 1, 15), 16, 10) AS BIGINT) % $m)"
-      expr(s"((element_at(bits, CAST($pos div 64 AS INT) + 1) " +
-        s">> CAST($pos % 64 AS INT)) & 1) = 1")
+      expr(s"((element_at(bits, CAST(pos_$r div 64 AS INT) + 1) " +
+        s">> CAST(pos_$r % 64 AS INT)) & 1) = 1")
     }.reduce(_ && _)
     probes.crossJoin(broadcast(filt))
+      .select(col("c_custkey") +: col("present") +: col("bits") +: posCols: _*)
       .select(col("c_custkey"), col("present"), hit.as("in_bloom"))
       .agg(count(lit(1)).as("n_probes"),
         sum(when(col("present"), 1L).otherwise(0L)).as("n_present"),

@@ -683,8 +683,10 @@ object Metrics {
     * Exact integer counts throughout; days without activity simply
     * don't appear (the fixture month is fully populated). */
   def growthAccounting(s: SparkSession, dir: String): DataFrame = {
+    // day identity is the full DATE (to_date convention of the other
+    // DAU queries) — a day-of-month key would collapse months
     val pres = Tables.events(s, dir)
-      .select(col("user_id"), dayofmonth(col("ts")).as("d"))
+      .select(col("user_id"), to_date(col("ts")).as("d"))
       .distinct()
       .persistScoped() // arrival-classification leg + churn leg
     val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
@@ -692,7 +694,7 @@ object Metrics {
       .withColumn("prev", lag(col("d"), 1).over(w))
       .select(col("d"),
         when(col("prev").isNull, "new")
-          .when(col("d") - col("prev") === 1, "retained")
+          .when(col("d") === date_add(col("prev"), 1), "retained")
           .otherwise("resurrected").as("kind"))
       .groupBy(col("d"))
       .agg(count(lit(1)).as("dau"),
@@ -702,8 +704,8 @@ object Metrics {
           .as("resurrected"))
     val churn = pres
       .withColumn("nxt", lead(col("d"), 1).over(w))
-      .filter(col("nxt").isNull || col("nxt") =!= col("d") + 1)
-      .select((col("d") + 1).as("d"))
+      .filter(col("nxt").isNull || col("nxt") =!= date_add(col("d"), 1))
+      .select(date_add(col("d"), 1).as("d"))
       .groupBy(col("d")).agg(count(lit(1)).as("churned"))
     arrivals.join(churn, Seq("d"), "left")
       .select(col("d").as("day"), col("dau"), col("new_users"),
@@ -714,10 +716,10 @@ object Metrics {
 
   val growthAccountingSql: String =
     """WITH pres AS (SELECT DISTINCT user_id,
-      |    CAST(datepart('day', ts) AS INT) AS d FROM events),
+      |    CAST(ts AS DATE) AS d FROM events),
       |a AS (SELECT d,
       |        CASE WHEN prev IS NULL THEN 'new'
-      |             WHEN d - prev = 1 THEN 'retained'
+      |             WHEN d = prev + 1 THEN 'retained'
       |             ELSE 'resurrected' END AS kind
       |      FROM (SELECT d, lag(d) OVER (PARTITION BY user_id ORDER BY d)
       |              AS prev FROM pres)),

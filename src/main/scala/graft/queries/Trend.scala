@@ -795,14 +795,29 @@ object Trend {
     // every arithmetic expression has a declared term order, so the
     // float chain is identical on both engines (a per-round SQL sum()
     // over rows would not be)
-    val cells = for { s0 <- sources; t0 <- targets } yield
+    val cells = (for { s0 <- sources; t0 <- targets } yield
       coalesce(max(when(col("src") === s0 && col("tgt") === t0, col("p"))),
-        lit(0.0)).as(s"p_${s0}_${t0}")
+        lit(0.0)).as(s"p_${s0}_${t0}")) :+
+      // loud coverage guard: any transition mass OUTSIDE the fixed
+      // enum would silently vanish at the pivot while still inflating
+      // tn — fail the query instead (the oracle replays the same enum,
+      // so t2 could never catch a new event type on its own)
+      coalesce(max(when(!col("src").isin(sources: _*) ||
+        !col("tgt").isin(targets: _*), col("p"))), lit(0.0)).as("p_bad")
     val pCols = sources.flatMap(s0 => targets.map(t0 => col(s"p_${s0}_${t0}")))
     val scns = ("full", "") +: attrChannels.map(c => (s"no_$c", c))
     var cur = probs.agg(cells.head, cells.tail: _*)
       .select(pCols ++ scns.flatMap { case (scn, _) =>
-        sources.map(st => lit(0.0).as(s"v_${scn}_$st")) }: _*)
+        sources.map { st =>
+          // thread the guard through a value column so it cannot be
+          // pruned: evaluates to the 0.0 init, or raises
+          val init = if (scn == "full" && st == "start")
+            when(col("p_bad") === 0.0, lit(0.0)).otherwise(
+              raise_error(lit("markovAttribution: event type outside the " +
+                "declared state enum — extend attrChannels")).cast("double"))
+          else lit(0.0)
+          init.as(s"v_${scn}_$st")
+        } }: _*)
       .coalesce(1).localCheckpoint()
     for (r <- 1 to rounds) {
       val upd = scns.flatMap { case (scn, removed) =>

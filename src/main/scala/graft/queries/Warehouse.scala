@@ -495,14 +495,24 @@ object Warehouse {
     * terms per dimension — pure codegen'd integer ops, no UDF; at
     * scale the table is written `repartitionByRange(morton)` +
     * sortWithinPartitions and this query IS the write's sort key. */
-  def zorderKey(s: SparkSession, dir: String): DataFrame = {
-    val bx = col("o_custkey").bitwiseAND(lit(65535L))
-    val by = datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
-      .cast("bigint").bitwiseAND(lit(65535L))
-    val morton = (0 until 16).map { j =>
-      (shiftleft(shiftright(bx, j).bitwiseAND(lit(1L)), 2 * j) +
-        shiftleft(shiftright(by, j).bitwiseAND(lit(1L)), 2 * j + 1)): Column
+  /** 16-bit Morton (Z-order) interleave shared by the layout-key
+    * query and the locality audit — one definition, so the audit can
+    * never measure a different key than the layout writes. */
+  private def mortonOf(x: Column, y: Column): Column =
+    (0 until 16).map { j =>
+      (shiftleft(shiftright(x, j).bitwiseAND(lit(1L)), 2 * j) +
+        shiftleft(shiftright(y, j).bitwiseAND(lit(1L)), 2 * j + 1)): Column
     }.reduce(_ + _)
+
+  private def mortonSql(x: String, y: String): String =
+    (0 until 16).map { j =>
+      s"((($x >> $j) & 1) << ${2 * j}) + ((($y >> $j) & 1) << ${2 * j + 1})"
+    }.mkString(" + ")
+
+  def zorderKey(s: SparkSession, dir: String): DataFrame = {
+    val morton = mortonOf(col("o_custkey").bitwiseAND(lit(65535L)),
+      datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+        .cast("bigint").bitwiseAND(lit(65535L)))
     Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"),
         datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
@@ -511,18 +521,14 @@ object Warehouse {
       .orderBy(col("morton"), col("o_orderkey"))
   }
 
-  val zorderKeySql: String = {
-    val terms = (0 until 16).map { j =>
-      s"((((o_custkey & 65535) >> $j) & 1) << ${2 * j}) + " +
-        s"((((day & 65535) >> $j) & 1) << ${2 * j + 1})"
-    }.mkString(" +\n      |    ")
+  val zorderKeySql: String =
     s"""SELECT o_orderkey, o_custkey, day,
-      |  CAST($terms AS BIGINT) AS morton
+      |  CAST(${mortonSql("(o_custkey & 65535)", "(day & 65535)")} AS BIGINT)
+      |    AS morton
       |FROM (SELECT o_orderkey, o_custkey,
       |        CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS day
       |      FROM orders)
       |ORDER BY morton, o_orderkey""".stripMargin
-  }
 
   /** W15b — Hilbert clustering key over the same (customer,
     * order-day) pair as W15's Z-order: the space-filling layout whose
@@ -576,9 +582,10 @@ object Warehouse {
     * order-16 keys) in KEY order and measure the spatial step between
     * consecutive cells. Hilbert's defining property shows up as data:
     * every step is exactly one stride (avg = max = 1024); Z-order's
-    * bit-interleave shows its diagonal jumps (avg ~1.7 strides, max =
-    * a half-grid leap), which is precisely the extra read
-    * amplification a range scan pays on a Morton-sorted table. The
+    * bit-interleave shows its diagonal jumps (avg ≈ 2 strides, max =
+    * a full-grid 65536 leap at the main diagonal), which is precisely
+    * the extra read amplification a range scan pays on a
+    * Morton-sorted table. The
     * lattice is generated (4096 rows), the two rankings are windows
     * over it, and the oracle replays the Hilbert rounds in the same
     * recursive CTE as W15b. */
@@ -589,10 +596,7 @@ object Warehouse {
     val lattice = s.range(0, 4096).toDF("i")
       .select(((col("i") / 64).cast("bigint") * 1024).as("x"),
         ((col("i") % 64) * 1024).as("y"))
-    val morton = (0 until 16).map { j =>
-      (shiftleft(shiftright(col("x"), j).bitwiseAND(lit(1L)), 2 * j) +
-        shiftleft(shiftright(col("y"), j).bitwiseAND(lit(1L)), 2 * j + 1)): Column
-    }.reduce(_ + _)
+    val morton = mortonOf(col("x"), col("y"))
     val keyed = lattice
       .withColumn("hkey", graft.functions.GraftFunctions.hilbertKey(col("x"), col("y")))
       .withColumn("mkey", morton)
@@ -644,9 +648,7 @@ object Warehouse {
       |UNION ALL
       |SELECT 'morton', count(step), round(avg(step), 2), max(step) FROM ms
       |ORDER BY curve""".stripMargin
-      .replace("MORTON_TERMS", (0 until 16).map { j =>
-        s"(((x >> $j) & 1) << ${2 * j}) + (((y >> $j) & 1) << ${2 * j + 1})"
-      }.mkString(" + "))
+      .replace("MORTON_TERMS", mortonSql("x", "y"))
 
   /** Two-sample Kolmogorov-Smirnov statistic — the nonparametric
     * drift/shift audit next to [[psiDrift]]'s binned divergence: the
