@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Caches.PersistScoped
 
 /** ETL-parity operators (SURVEY.md §2B E1-E3, F4): the reference's
   * type-mapping cast pipeline (A7), its count-compare validation
@@ -646,7 +647,80 @@ object EtlQueries {
       |SELECT bucket, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM v GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** E20 — consistent-hash ring assignment + the minimal-migration
+    * readout: keys route to the next virtual node clockwise on a
+    * 60-bit md5 ring (4 nodes × 64 vnodes), then the ring grows to 5
+    * nodes and the output is the full migration matrix — the
+    * defining property shows as data: every moved key moves TO the
+    * new node (no node→old-node row exists) and the moved share sits
+    * near 1/5, where a mod-N rehash would move ~4/5. This is the
+    * shard-routing shape of every distributed cache/store the ETL
+    * layer feeds.
+    *
+    * Scale shape: the ring is metadata (≤ 320 rows, broadcast); the
+    * successor lookup is a broadcast theta join + one
+    * map-side-combined min aggregate per key — per-key work bounded
+    * by ring size at any corpus. Determinism: vnode positions and key
+    * hashes are the engine's md5 convention; the (pos, node) argmin
+    * packs as pos·8+nid so ties (impossible at 60 bits, but still)
+    * break identically everywhere. */
+  def hashRing(s: SparkSession, dir: String): DataFrame = {
+    def ring(n: Int): DataFrame = s.range(0, 64L * n).toDF("i")
+      .select((col("i") % n).cast("int").as("nid"),
+        expr("CAST(conv(substring(md5(concat('ring|node', " +
+          "CAST(i % " + n + " AS STRING), '|', CAST(i div " + n +
+          " AS STRING))), 1, 15), 16, 10) AS BIGINT)").as("pos"))
+    def assign(keys: DataFrame, n: Int, outCol: String): DataFrame = {
+      val r = ring(n)
+      val wrap = r.agg(min(col("pos") * 8 + col("nid")).as("wrap"))
+      keys.join(broadcast(r), col("pos") >= col("h"), "left")
+        .groupBy(col("c_custkey"), col("h"))
+        .agg(min(col("pos") * 8 + col("nid")).as("succ"))
+        .crossJoin(broadcast(wrap))
+        .select(col("c_custkey"),
+          (coalesce(col("succ"), col("wrap")) % 8).cast("int").as(outCol))
+    }
+    val keys = Tables.customer(s, dir).select(col("c_custkey"),
+      expr("CAST(conv(substring(md5(concat('key|', " +
+        "CAST(c_custkey AS STRING))), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .persistScoped() // both ring lookups
+    assign(keys, 4, "nb").join(assign(keys, 5, "na"), Seq("c_custkey"))
+      .groupBy(col("nb"), col("na")).agg(count(lit(1)).as("n_keys"))
+      .select(concat(lit("node"), col("nb")).as("node_before"),
+        concat(lit("node"), col("na")).as("node_after"), col("n_keys"))
+      .orderBy(col("node_before"), col("node_after"))
+  }
+
+  val hashRingSql: String = {
+    def ringCte(name: String, n: Int) =
+      s"""$name AS (SELECT CAST(i % $n AS INT) AS nid,
+         |    CAST(concat('0x', substring(md5(concat('ring|node',
+         |      CAST(i % $n AS VARCHAR), '|', CAST(i // $n AS VARCHAR))),
+         |      1, 15)) AS BIGINT) AS pos
+         |  FROM (SELECT unnest(range(0, ${64 * n})) AS i))"""
+    def assignCte(name: String, ringName: String) =
+      s"""$name AS (SELECT k.c_custkey,
+         |    CAST(coalesce(min(CASE WHEN r.pos >= k.h
+         |        THEN r.pos * 8 + r.nid END),
+         |      (SELECT min(pos * 8 + nid) FROM $ringName)) % 8 AS INT) AS nid
+         |  FROM k LEFT JOIN $ringName r ON r.pos >= k.h
+         |  GROUP BY k.c_custkey)"""
+    s"""WITH k AS (SELECT c_custkey,
+      |    CAST(concat('0x', substring(md5(concat('key|',
+      |      CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+      |  FROM customer),
+      |${ringCte("r4", 4)},
+      |${ringCte("r5", 5)},
+      |${assignCte("a4", "r4")},
+      |${assignCte("a5", "r5")}
+      |SELECT concat('node', a4.nid) AS node_before,
+      |  concat('node', a5.nid) AS node_after, count(*) AS n_keys
+      |FROM a4 JOIN a5 ON a4.c_custkey = a5.c_custkey
+      |GROUP BY 1, 2 ORDER BY node_before, node_after""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hash_ring" -> (hashRing _),
     "q_range_source" -> (rangeSourceScan _),
     "q_corrupt_records" -> (corruptRecords _),
     "q_inferred_members" -> (inferredMembers _),
@@ -669,6 +743,7 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_hash_ring" -> hashRingSql,
     "q_range_source" -> rangeSourceScanSql,
     "q_corrupt_records" -> corruptRecordsSql,
     "q_inferred_members" -> inferredMembersSql,
