@@ -16,7 +16,10 @@ class CacheScopeSpec extends SparkSpec {
     // late round-8 persistScoped users
     "q_theil_sen", "q_js_divergence", "q_sketch_overlap", "q_shortest_path",
     "q_apply_changelog", "q_weighted_percentile", "q_brier",
-    "q_bitmap_retention")
+    "q_bitmap_retention",
+    // round-8 continuation persistScoped users (the checkpointing ones
+    // — dbscan/bpe/markov — are excluded per the delta-assertion note)
+    "q_cms_topk", "q_growth_accounting", "q_hash_ring")
 
   private def persistedIds: Set[Int] =
     spark.sparkContext.getPersistentRDDs.keySet.toSet

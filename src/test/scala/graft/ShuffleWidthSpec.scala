@@ -22,7 +22,13 @@ class ShuffleWidthSpec extends SparkSpec {
     // order-sensitive internally but must be layout-independent
     // externally; Theil-Sen's median selects by rank over pair rows
     "q_bitmap_retention", "q_sketch_overlap", "q_theil_sen",
-    "q_weighted_percentile")
+    "q_weighted_percentile",
+    // round-8 continuation: CMS add-merge, HLL max-merge, Bloom
+    // OR-merge, and the hash-ring packed argmin are all internally
+    // merge-order-sensitive but must be externally layout-free; DBSCAN
+    // runs the checked-fixpoint CC under two widths
+    "q_cms_topk", "q_hll_distinct", "q_bloom_own", "q_hash_ring",
+    "q_dbscan_grid")
 
   test("prefix-sum machinery is shuffle-width invariant") {
     val wide = spark.newSession()
