@@ -60,8 +60,16 @@ object Caches {
     * CPU-seconds per UNRELATED action late in a 288-query sweep). */
   private final class Tracked(val plan: LogicalPlan, val hash: Int,
                               val rootClass: Class[_]) // identity equality
+  /** rootClass is the CANONICALIZED root's class: wrappers whose
+    * doCanonicalize collapses into the child (SubqueryAlias et al.)
+    * never appear as a raw node class in any completed plan, so gating
+    * on the raw root class would make those scopes unreleasable. The
+    * canonicalization is computed once here and cached on the plan;
+    * semanticHash needs it anyway. Node-side raw classes stay correct
+    * because foreach also visits the wrapper's child, whose raw class
+    * equals its canonical class. */
   private def track(plan: LogicalPlan): Tracked =
-    new Tracked(plan, plan.semanticHash(), plan.getClass)
+    new Tracked(plan, plan.semanticHash(), plan.canonicalized.getClass)
 
   /** Owned scopes: consumer analyzed plan → the persisted intermediates
     * feeding it. Values are swept by the per-session listener. */
@@ -150,8 +158,11 @@ object Caches {
     analyzed.foreach { node =>
       byClass.get(node.getClass).foreach { ks =>
         // computed at most once per node (and only on a class hit);
-        // canonicalization is lazy-cached on the node instance
-        val h = node.semanticHash()
+        // canonicalization is lazy-cached on the node instance. A node
+        // whose canonicalization throws is skipped for ALL keys (its
+        // hash is unknowable), but other nodes keep scanning — failure
+        // isolation is per node × per key, never whole-batch.
+        val h = try node.semanticHash() catch { case _: Throwable => 0 }
         ks.foreach { k =>
           if (!hit.contains(k) && k.hash == h &&
               (try node.sameResult(k.plan) catch { case _: Throwable => false }))
@@ -171,9 +182,11 @@ object Caches {
     import scala.jdk.CollectionConverters._
     val ownedKeys = owned.keySet().asScala.toSeq
     val tombs = released.synchronized { released.asScala.toSeq }
-    val hits =
-      try matches(qe.analyzed, ownedKeys ++ tombs)
-      catch { case _: Throwable => Set.empty[Tracked] }
+    // No blanket catch here: matches() isolates failures per node and
+    // per key (a single pathological plan must not suppress release of
+    // every unrelated scope), and the plain tree traversal around those
+    // guarded calls cannot throw.
+    val hits = matches(qe.analyzed, ownedKeys ++ tombs)
     var matched = false
     hits.foreach { k =>
       val v = owned.remove(k)

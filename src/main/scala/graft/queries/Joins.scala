@@ -476,6 +476,14 @@ object Joins {
       .orderBy(col("c_custkey"))
   }
 
+  /** Oracle twin of the grid join's `min(struct(dist_m, s_suppkey))`
+    * argmin, packed as one BIGINT because DuckDB lacks struct-min:
+    * `pack = dist_m·10⁹ + s_suppkey`. The 10⁹ multiplier bounds
+    * validity at s_suppkey < 10⁹ (TPC-H sf < 10⁵ — suppkey is
+    * 10⁴·sf); dist_m ≤ 50000 keeps pack ≤ 5·10¹³, ample int64
+    * headroom. A narrower multiplier would silently decode wrong
+    * keys once suppkey outgrew it while the Spark side stayed
+    * correct. */
   val spatialGridJoinSql: String =
     """WITH c AS (SELECT c_custkey,
       |    40.0 + (CAST(concat('0x', substring(md5(concat('geo|',
@@ -501,10 +509,10 @@ object Joins {
       |      AS BIGINT) AS dist_m
       |  FROM c CROSS JOIN s),
       |m AS (SELECT c_custkey,
-      |        min(dist_m * 10000000 + s_suppkey) AS pack
+      |        min(dist_m * 1000000000 + s_suppkey) AS pack
       |      FROM d WHERE dist_m <= 50000 GROUP BY c_custkey)
-      |SELECT c_custkey, CAST(pack % 10000000 AS BIGINT) AS s_suppkey,
-      |  CAST(pack // 10000000 AS BIGINT) AS dist_m
+      |SELECT c_custkey, CAST(pack % 1000000000 AS BIGINT) AS s_suppkey,
+      |  CAST(pack // 1000000000 AS BIGINT) AS dist_m
       |FROM m ORDER BY c_custkey""".stripMargin
 
   /** SP1 — grid-density watershed clustering: every populated 1°×1°

@@ -47,12 +47,18 @@ class RangeSource extends TableProvider {
     RangeSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // DataFrameReader options are conventionally case-insensitive
+    // (inferSchema already receives a CaseInsensitiveStringMap); a raw
+    // getOrDefault would silently hand .option("Lo", …) the default
+    // range — wrap before lookup so casing never changes the scan.
+    val opts = new CaseInsensitiveStringMap(properties)
     new RangeTable(
-      properties.getOrDefault("lo", "0").toLong,
-      properties.getOrDefault("hi", "1000000").toLong,
-      properties.getOrDefault("stride", "100000").toLong,
-      properties.getOrDefault("rate", "100000").toLong)
+      opts.getLong("lo", 0L),
+      opts.getLong("hi", 1000000L),
+      opts.getLong("stride", 100000L),
+      opts.getLong("rate", 100000L))
+  }
 }
 
 object RangeSource {

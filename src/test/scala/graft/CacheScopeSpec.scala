@@ -55,6 +55,27 @@ class CacheScopeSpec extends SparkSpec {
     }
   }
 
+  test("a scope whose tracked root canonicalizes away is still released") {
+    // own() a SubqueryAlias-rooted plan (Dataset.as) — its
+    // doCanonicalize collapses into the child, so no node of any
+    // completed plan ever carries the raw root class. The release
+    // gate must therefore key on the CANONICALIZED root class; the
+    // raw-class gate would strand this scope forever. The action runs
+    // the UNWRAPPED twin, the worst case for the gate.
+    Caches.drain()
+    spark.catalog.clearCache()
+    import org.apache.spark.sql.functions.col
+    val scratch = Caches.persist(spark.range(1000).toDF("id"))
+    val result = scratch.groupBy((col("id") % 10).as("k")).count()
+    Caches.own(result.as("wrapped").toDF())
+    assert(Caches.ownedCount >= 1)
+    result.count() // semantically equal, alias-free
+    var tries = 0
+    while (Caches.ownedCount != 0 && tries < 100) { Thread.sleep(100); tries += 1 }
+    assert(Caches.ownedCount == 0,
+      "alias-rooted scope was never released — canonical root-class gate broken")
+  }
+
   test("a plan built but never run is reclaimed by drain()") {
     Caches.drain()
     spark.catalog.clearCache()
