@@ -276,9 +276,18 @@ object EtlQueries {
     * through the directory name, not the data files. */
   def partitionPrune(s: SparkSession, dir: String): DataFrame = {
     val stage = partitionStageDir(dir)
-    Tables.orders(s, dir)
-      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(stage)
-    s.read.parquet(stage)
+    val orders = Tables.orders(s, dir)
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(stage)
+    // Read back with the WRITER's schema (data columns, partition
+    // column last — the hive-partitioned layout) instead of
+    // inference: an empty input writes zero part files, and schema
+    // inference over a fileless dir throws where the explicit schema
+    // yields the correct empty relation. Pruning is unaffected —
+    // partition discovery still keys the filter to directories.
+    val readSchema = org.apache.spark.sql.types.StructType(
+      orders.schema.filterNot(_.name == "o_orderpriority") :+
+        orders.schema("o_orderpriority"))
+    s.read.schema(readSchema).parquet(stage)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice"), col("o_orderpriority"))
