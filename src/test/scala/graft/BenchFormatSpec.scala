@@ -38,6 +38,37 @@ class BenchFormatSpec extends AnyFunSuite {
       s"summary fields not in tail: ...${line.takeRight(120)}")
   }
 
+  test("compact trailer line fits the driver's 2000-char tail window") {
+    // The driver keeps the LAST 2000 chars of stdout and json-parses a
+    // line out of it (BENCH_r08.json: tail length exactly 2000,
+    // "parsed": null because the full line's head was cut). The compact
+    // line is the one guaranteed-parseable record; it must fit the
+    // window with ~200 chars of headroom for sbt's closing lines.
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 123.456789)
+    val env = Bench.Env(6.5, 8.2, 32)
+    val line = Bench.renderCompactJson(results, "/root/testdata/sf0.1",
+      Some(env), Some(false))
+    assert(line.length < 1800, s"compact line is ${line.length} chars")
+    val node = mapper.readTree(line)
+    assert(node.get("metric").asText() == "total")
+    assert(node.get("unit").asText() == "sec")
+    // total covers ALL queries, not just the shown subset
+    assert(math.abs(node.get("value").asDouble() - 123.457 * results.size) < 0.5)
+    assert(node.get("queries").size() == math.min(25, results.size))
+    assert(node.get("queries_total_n").asInt() == results.size)
+    assert(node.get("queries_shown").asInt() == math.min(25, results.size))
+    assert(!line.contains("\n"))
+  }
+
+  test("compact trailer keeps the slowest queries") {
+    val results = Seq("q_fast" -> 0.1, "q_slow" -> 9.0, "q_mid" -> 1.0)
+    val line = Bench.renderCompactJson(results, "/d", maxShown = 2)
+    val node = mapper.readTree(line)
+    assert(node.get("queries").has("q_slow") && node.get("queries").has("q_mid"))
+    assert(!node.get("queries").has("q_fast"))
+    assert(math.abs(node.get("value").asDouble() - 10.1) < 1e-9)
+  }
+
   test("detailed render carries {wall, cpu, gc} per query plus the summary tail") {
     val line = Bench.renderDetailedJson(
       Seq("q_a" -> Bench.Sample(2.0, 1.5, 0.25), "q_b" -> Bench.Sample(1.0, 0.5, 0.0)),

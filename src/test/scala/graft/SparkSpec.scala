@@ -13,8 +13,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // local[4,2]: 4 threads, spark.task.maxFailures=2 — task retries
+    // are ON so RetrySpec can inject first-attempt failures and prove
+    // recomputation determinism. Passing tests are unaffected; the
+    // existing crash/resume tests inject DRIVER-side failures (thrown
+    // on every invocation), so they still fail their jobs as before.
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4,2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
