@@ -39,21 +39,26 @@ object Augment {
       |        >= 0.8
       |ORDER BY doc_id_a, doc_id_b""".stripMargin
 
-  /** L27 — kNN label classification: every 25th vector plays
-    * "unlabeled probe"; its label is predicted by majority vote over
-    * its 5 nearest labeled neighbors by cosine (ties → more votes
-    * first, then smaller label — fully deterministic). The scoring
-    * reuses the broadcast-probe brute-force scan with the bounded-heap
-    * top-k ([[Similarity.bruteForceTopK]]), so the exchange carries ≤5
-    * rows per (probe × partition); the vote is one 5-rows-per-probe
+  /** L27 — kNN label classification: the first 20 vectors play
+    * "unlabeled probes" (a FIXED-SIZE held-out prefix — the probe set
+    * is broadcast, so it must not grow with the corpus; the original
+    * every-25th-vector holdout was 4% of the data and would have
+    * broadcast a corpus-sized relation at 100 TB — caught by
+    * PlanGuardSpec's boundedness proof); each probe's label is
+    * predicted by majority vote over its 5 nearest labeled neighbors
+    * by cosine (ties → more votes first, then smaller label — fully
+    * deterministic). The scoring reuses the broadcast-probe
+    * brute-force scan with the bounded-heap top-k
+    * ([[Similarity.bruteForceTopK]]), so the exchange carries ≤5 rows
+    * per (probe × partition); the vote is one 5-rows-per-probe
     * aggregate with a max(struct) argmax. Emitting the held-out true
     * label alongside makes the query its own accuracy readout — the
     * label-propagation / weak-supervision primitive of a training-data
     * pipeline. */
   def knnClassify(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val probes = emb.filter(col("vec_id") % 25 === 0)
-    val labeled = emb.filter(col("vec_id") % 25 =!= 0)
+    val probes = emb.filter(col("vec_id") < 20)
+    val labeled = emb.filter(col("vec_id") >= 20)
     val top = Similarity.bruteForceTopK(probes, labeled, 5)
     // both lookup joins broadcast the SMALL side (probes and the
     // k·|probes|-row top table): attaching labels must never shuffle
@@ -83,7 +88,7 @@ object Augment {
       |             list_dot_product(p.e, c.e) / (p.nrm * c.nrm) AS cosine,
       |             c.vec_id AS neighbor_id
       |           FROM n p JOIN n c
-      |             ON p.vec_id % 25 = 0 AND c.vec_id % 25 <> 0),
+      |             ON p.vec_id < 20 AND c.vec_id >= 20),
       |top AS (SELECT * FROM (
       |          SELECT *, row_number() OVER (PARTITION BY probe_id
       |            ORDER BY cosine DESC, neighbor_id) AS rnk

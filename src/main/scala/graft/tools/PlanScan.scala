@@ -16,23 +16,124 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanScan {
 
-  /** Node-name hits for the unsafe shapes in `plan`'s formatted
-    * explain (subqueries included — formatted mode prints them). */
-  def unsafeNodes(explain: String): Seq[String] =
-    explain.linesIterator.filter(l =>
-      l.contains("CartesianProduct") || l.contains("BroadcastNestedLoopJoin"))
-      .map(_.trim).toSeq
-
-  /** Count of shuffle exchanges (hash/range/single-partition) in a
-    * plan string; BroadcastExchange intentionally excluded — broadcast
-    * is the shape we WANT for dim joins. */
-  def shuffleCount(explain: String): Int =
-    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
-      .findAllIn(explain).size
+  /** Count of shuffle exchanges in a plan tree; BroadcastExchange
+    * intentionally excluded — broadcast is the shape we WANT for dim
+    * joins. Callers must hand a NON-adaptive plan (AQE's wrapper node
+    * hides the physical tree from collect). */
+  def shuffleExchanges(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    plan.collect { case _: ShuffleExchangeExec => 1 }.sum
+  }
 
   def formatted(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  /** Conservative proof that a physical subtree's output cardinality
+    * is independent of the data scale — the soundness condition for a
+    * nested-loop broadcast side. True iff every path from the root to
+    * a leaf passes through a bound: a grouping-free aggregate (≤1 row),
+    * a LIMIT / top-k, or a constant relation (literal local table,
+    * literal range). Grouped aggregates, joins, unions, generators and
+    * all row-preserving unary nodes propagate their children's bound;
+    * a file/JDBC/stream scan reached without a bound above it means
+    * the subtree grows with the corpus → false. Used by PlanGuardSpec
+    * to adjudicate every BroadcastNestedLoopJoin in the registry. */
+  /** Unique-key column per fixture table: an equality or small
+    * literal-range predicate on one of these bounds the scan's output
+    * independent of corpus size (the ANN/eval queries select their
+    * probe sets as fixed key prefixes — `vec_id < 20` is ≤20 rows at
+    * every scale factor because the key is dense-unique from 0). */
+  private val uniqueKeyOf = Map(
+    "embeddings.parquet" -> "vec_id", "documents.parquet" -> "doc_id",
+    "customer.parquet" -> "c_custkey", "orders.parquet" -> "o_orderkey",
+    "part.parquet" -> "p_partkey", "supplier.parquet" -> "s_suppkey",
+    "nation.parquet" -> "n_nationkey", "region.parquet" -> "r_regionkey")
+
+  /** Enumeration dimensions: constant-cardinality at every TPC-H scale
+    * factor (region = 5, nation = 25) — a full scan of one is bounded. */
+  private val constantDims = Set("region.parquet", "nation.parquet")
+
+  /** The fixture table name a file scan reads, from its location. */
+  private def scanTable(
+      scan: org.apache.spark.sql.execution.FileSourceScanExec): String =
+    scan.relation.location.rootPaths.headOption
+      .map(_.getName).getOrElse("")
+
+  /** True iff the scan's pushed data filters pin its unique key to a
+    * constant set: equality/IN (≤ a handful of rows) or a `< n` /
+    * `<= n` prefix with small literal n. */
+  private def keyBoundedScan(
+      scan: org.apache.spark.sql.execution.FileSourceScanExec): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val key = uniqueKeyOf.getOrElse(scanTable(scan), return false)
+    def isKey(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == key
+      case _ => false
+    }
+    def small(l: Any): Boolean = l match {
+      case n: Number => n.longValue >= 0 && n.longValue <= 100000L
+      case _ => false
+    }
+    scan.dataFilters.exists {
+      case EqualTo(a, _: Literal) if isKey(a) => true
+      case EqualTo(_: Literal, b) if isKey(b) => true
+      case In(a, vs) if isKey(a) && vs.forall(_.isInstanceOf[Literal]) => true
+      case LessThan(a, Literal(v, _)) if isKey(a) => small(v)
+      case LessThanOrEqual(a, Literal(v, _)) if isKey(a) => small(v)
+      case GreaterThan(Literal(v, _), b) if isKey(b) => small(v)
+      case GreaterThanOrEqual(Literal(v, _), b) if isKey(b) => small(v)
+      case _ => false
+    }
+  }
+
+  def boundedOutput(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate._
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    p match {
+      case a: HashAggregateExec =>
+        a.groupingExpressions.isEmpty || boundedOutput(a.child)
+      case a: ObjectHashAggregateExec =>
+        a.groupingExpressions.isEmpty || boundedOutput(a.child)
+      case a: SortAggregateExec =>
+        a.groupingExpressions.isEmpty || boundedOutput(a.child)
+      case _: TakeOrderedAndProjectExec | _: CollectLimitExec |
+           _: GlobalLimitExec | _: LocalLimitExec => true
+      case _: LocalTableScanExec | _: RangeExec => true // constant relations
+      case r: ReusedExchangeExec => boundedOutput(r.child)
+      case j: BaseJoinExec => boundedOutput(j.left) && boundedOutput(j.right)
+      case f: FileSourceScanExec =>
+        constantDims(scanTable(f)) || keyBoundedScan(f)
+      case _: LeafExecNode => false // file/JDBC/stream scan: grows with data
+      case other => other.children.forall(boundedOutput)
+    }
+  }
+
+  /** All BroadcastNestedLoopJoin build sides in `plan` that fail
+    * [[boundedOutput]], as printable snippets; empty = scale-safe. */
+  def unboundedNestedLoops(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    plan.collect {
+      case j: BroadcastNestedLoopJoinExec =>
+        val build = j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }
+        if (boundedOutput(build)) None
+        else Some(s"${j.joinType} build=${j.buildSide}:\n" +
+          build.toString.linesIterator.take(12).mkString("\n"))
+    }.flatten
+  }
+
+  /** CartesianProduct nodes in `plan` — never acceptable at scale. */
+  def cartesians(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    plan.collect { case _: CartesianProductExec => 1 }.sum
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -40,17 +141,20 @@ object PlanScan {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // static plans: AQE's wrapper node hides the tree from collect
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val ex = formatted(fn(spark, sfDir))
-        val bad = unsafeNodes(ex)
-        if (bad.nonEmpty)
-          println(s"UNSAFE $name :: ${bad.mkString(" | ")}")
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        val cart = cartesians(plan)
+        val nlj = unboundedNestedLoops(plan)
+        if (cart > 0 || nlj.nonEmpty)
+          println(s"UNSAFE $name :: cartesians=$cart ${nlj.mkString(" | ")}")
         else
-          println(s"ok $name shuffles=${shuffleCount(ex)}")
+          println(s"ok $name shuffles=${shuffleExchanges(plan)}")
       } catch {
         case e: Throwable => println(s"ERR $name ${e.getClass.getSimpleName}: ${e.getMessage}")
       } finally {

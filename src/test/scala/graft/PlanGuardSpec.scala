@@ -1,0 +1,83 @@
+package graft
+
+import graft.tools.PlanScan
+
+/** Registry-wide physical-plan guard: the two shapes that do not
+  * survive a 100× scale-up are (a) CartesianProduct — |A|×|B| work —
+  * and (b) BroadcastNestedLoopJoin whose broadcast side GROWS with the
+  * data (the driver OOMs building the broadcast long before the
+  * executors get to burn the quadratic work). The repo's own idiom
+  * `crossJoin(broadcast(one-row aggregate))` also plans a BNLJ but is
+  * scale-safe by construction; [[PlanScan.boundedOutput]] separates
+  * the two by PROOF over the plan tree (every leaf path passes a
+  * grouping-free aggregate, a limit, or a constant relation) instead
+  * of a per-query allowlist — so a future edit that accidentally
+  * broadcasts a corpus-sized relation fails here by name, and a new
+  * safe scalar-broadcast needs no spec change at all. Runs in a
+  * no-AQE session so `executedPlan` is the final static tree. */
+class PlanGuardSpec extends SparkSpec {
+
+  private lazy val planner = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
+  /** The only nested-loop broadcasts the proof can't see: a per-SOURCE
+    * relation self-joined under `s1 < s2`. Its cardinality is
+    * #distinct sources — a domain enumeration (cc/books/wiki/…)
+    * independent of corpus size, and the pairwise #sources² matrix is
+    * these queries' OUTPUT, so the scaffold is exactly output-sized.
+    * Anything newly flagged must either extend the proof or earn its
+    * own justified entry here. */
+  private val perSourceScaffold = Set("q_js_divergence", "q_sketch_overlap")
+
+  test("registry-wide: no cartesian products, every nested-loop broadcast side provably bounded") {
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(planner, sfDir).queryExecution.executedPlan
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+      if (PlanScan.cartesians(plan) > 0)
+        offenders += s"$name: CartesianProduct in plan"
+      if (!perSourceScaffold(name))
+        PlanScan.unboundedNestedLoops(plan).foreach(snippet =>
+          offenders += s"$name: UNBOUNDED nested-loop broadcast side\n$snippet")
+      try { Caches.drain(); planner.catalog.clearCache() }
+      catch { case _: Throwable => }
+    }
+    assert(offenders.isEmpty,
+      s"${offenders.size} scale-unsafe join shape(s):\n\n${offenders.mkString("\n\n")}")
+  }
+
+  test("boundedOutput: positive and negative shapes") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.load(planner, sfDir, "orders")
+    // grouping-free aggregate → bounded
+    assert(PlanScan.boundedOutput(
+      orders.agg(count(lit(1))).queryExecution.executedPlan))
+    // limit → bounded
+    assert(PlanScan.boundedOutput(
+      orders.limit(5).queryExecution.executedPlan))
+    // grouped aggregate over a scan → NOT bounded (groups grow with data)
+    assert(!PlanScan.boundedOutput(
+      orders.groupBy(col("o_orderpriority")).count().queryExecution.executedPlan))
+    // raw scan of a growing table → NOT bounded
+    assert(!PlanScan.boundedOutput(orders.queryExecution.executedPlan))
+    // constant enumeration dim (region: 5 rows at every SF) → bounded
+    assert(PlanScan.boundedOutput(
+      Tables.load(planner, sfDir, "region").queryExecution.executedPlan))
+    // unique-key prefix predicate → bounded; non-key predicate → not
+    assert(PlanScan.boundedOutput(
+      orders.filter(col("o_orderkey") < 20).queryExecution.executedPlan))
+    assert(!PlanScan.boundedOutput(
+      orders.filter(col("o_totalprice") < 1000).queryExecution.executedPlan))
+    // modulo selection on the key grows with the data → NOT bounded
+    assert(!PlanScan.boundedOutput(
+      orders.filter(col("o_orderkey") % 25 === 0).queryExecution.executedPlan))
+    // join of bounded × bounded → bounded
+    assert(PlanScan.boundedOutput(
+      orders.limit(3).crossJoin(orders.agg(count(lit(1))))
+        .queryExecution.executedPlan))
+  }
+}
