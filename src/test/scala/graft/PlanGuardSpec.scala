@@ -50,6 +50,37 @@ class PlanGuardSpec extends SparkSpec {
       s"${offenders.size} scale-unsafe join shape(s):\n\n${offenders.mkString("\n\n")}")
   }
 
+  /** Shuffle-exchange budgets for the headline queries, pinned at the
+    * counts the current plans produce (BroadcastExchange excluded —
+    * broadcast is the desired dim-join shape). The counts include the
+    * post-aggregation sort exchanges the determinism convention
+    * requires (total ORDER BY), which move already-reduced data; the
+    * budget's job is to fail loudly when an edit adds a NEW exchange —
+    * the classic regression being a lost broadcast hint or a
+    * repartition sneaking in front of a join — so the plan gets
+    * re-read instead of silently shipping a corpus-scale shuffle. */
+  private val shuffleBudget = Seq(
+    "q_projection" -> 1, "q_ranged_scan" -> 1, "q_topk" -> 0,
+    "q_hash_sample" -> 1, "q_token_count" -> 1,
+    "q_pricing_summary" -> 2, "q_join_inner" -> 2, "q_join_broadcast" -> 2,
+    "q_join_star" -> 2, "q_bucketed_join" -> 2, "q_dedup_exact" -> 2,
+    "q_dedup_minhash" -> 2, "q_sessionize" -> 2, "q_window_rank" -> 2,
+    "q_topk_pergroup" -> 2, "q_count_distinct" -> 3, "q_tfidf" -> 3,
+    "q_sim_topk" -> 3, "q_equidepth_hist" -> 6, "q_winsorize" -> 7,
+    "q_rfm_segments" -> 14)
+
+  test("headline queries stay within their pinned shuffle budgets") {
+    val over = shuffleBudget.flatMap { case (name, budget) =>
+      val plan = SparkEntry.queries(name)(planner, sfDir)
+        .queryExecution.executedPlan
+      val n = PlanScan.shuffleExchanges(plan)
+      try { Caches.drain(); planner.catalog.clearCache() }
+      catch { case _: Throwable => }
+      if (n > budget) Some(s"$name: $n shuffles (budget $budget)") else None
+    }
+    assert(over.isEmpty, over.mkString("\n"))
+  }
+
   test("boundedOutput: positive and negative shapes") {
     import org.apache.spark.sql.functions._
     val orders = Tables.load(planner, sfDir, "orders")
