@@ -24,6 +24,13 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // SpillSpec forces few-row spill thresholds; Spark's spill READER
+      // allocates read-ahead buffers + a thread per reader, and
+      // unbounded-following window frames re-create a reader per output
+      // row — an allocation storm that OOMed even an 8g test JVM.
+      // Core-level (context-init) conf, so set here. (The reader buffer
+      // itself is clamped to ≥1 MB and stays default.)
+      .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
