@@ -39,6 +39,25 @@ class AqeInvarianceSpec extends SparkSpec {
     }
   }
 
+  test("scan-split invariance: tiny maxPartitionBytes does not change results") {
+    // At 100 TB a parquet scan arrives as thousands of splits, not the
+    // 1-4 partitions the test fixtures produce. Forcing 64 KB splits
+    // (plus zero open-cost so even small files split apart) makes the
+    // local scan layout as fragmented as a cluster's — the
+    // layout-derived machinery must not notice.
+    val shredded = spark.newSession()
+    shredded.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    shredded.conf.set("spark.sql.files.openCostInBytes", "0")
+    targets.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val a = fn(spark, sfDir).collect().map(_.toSeq).toSeq
+      spark.catalog.clearCache()
+      val b = fn(shredded, sfDir).collect().map(_.toSeq).toSeq
+      shredded.catalog.clearCache()
+      assert(a == b, s"$name differs under 64KB scan splits")
+    }
+  }
+
   test("skew-join auto-splitting does not change salted-path results") {
     // The salted operators do their own skew handling; AQE's skew-join
     // splitter layered on top must not perturb them. Force-enable the

@@ -104,6 +104,34 @@ class RetrySpec extends SparkSpec {
     assert(sample(flaky(src)) == sample(src))
   }
 
+  test("streaming micro-batch aggregation survives task retries exactly-once") {
+    // The streaming twin: a task failing INSIDE a micro-batch must be
+    // retried by the batch's job without double-counting state — the
+    // exactly-once story at the task level (StreamingSpec's
+    // checkpoint-restart test is the driver-level twin). Every task of
+    // the flaky stage fails its first attempt in EVERY micro-batch.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Double)]
+    val q = flaky(stream.toDF().toDF("k", "v"))
+      .groupBy(col("k") % 3)
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("retry_agg")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      stream.addData((1L, 1.0), (2L, 2.0), (3L, 4.0))
+      q.processAllAvailable()
+      stream.addData((4L, 8.0), (5L, 16.0), (6L, 32.0))
+      q.processAllAvailable()
+      val got = spark.table("retry_agg").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(got == Set((0L, 36.0, 2L), (1L, 9.0, 2L), (2L, 18.0, 2L)),
+        s"retried streaming aggregation diverged: ${got.toSeq.sorted}")
+    } finally q.stop()
+  }
+
   test("parquet commit discards failed attempts: no loss, no duplicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_retry_w").toString
     val out = s"$dir/t.parquet"
