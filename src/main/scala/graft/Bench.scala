@@ -204,9 +204,9 @@ object Bench {
     // stdout keeps the driver-contract shape (wall seconds only) plus
     // the run-quality self-label; the detailed {wall, cpu, gc} record
     // goes to the persisted files.
-    val line = renderJson(results.map { case (n, s) => n -> s.wall }, sfDir,
-      Some(env), Some(isContended(results)))
-    println(line)
+    val walls = results.map { case (n, s) => n -> s.wall }
+    val contended = Some(isContended(results))
+    println(renderJson(walls, sfDir, Some(env), contended))
     // The driver stores only the LAST 2000 chars of stdout and tries to
     // parse a JSON line out of that window; the full-inventory line is
     // ~7k chars, so its head is always cut off and the parse fails

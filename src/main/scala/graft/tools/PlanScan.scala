@@ -25,20 +25,6 @@ object PlanScan {
     plan.collect { case _: ShuffleExchangeExec => 1 }.sum
   }
 
-  def formatted(df: org.apache.spark.sql.DataFrame): String =
-    df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-
-  /** Conservative proof that a physical subtree's output cardinality
-    * is independent of the data scale — the soundness condition for a
-    * nested-loop broadcast side. True iff every path from the root to
-    * a leaf passes through a bound: a grouping-free aggregate (≤1 row),
-    * a LIMIT / top-k, or a constant relation (literal local table,
-    * literal range). Grouped aggregates, joins, unions, generators and
-    * all row-preserving unary nodes propagate their children's bound;
-    * a file/JDBC/stream scan reached without a bound above it means
-    * the subtree grows with the corpus → false. Used by PlanGuardSpec
-    * to adjudicate every BroadcastNestedLoopJoin in the registry. */
   /** Unique-key column per fixture table: an equality or small
     * literal-range predicate on one of these bounds the scan's output
     * independent of corpus size (the ANN/eval queries select their
@@ -87,20 +73,47 @@ object PlanScan {
     }
   }
 
+  /** A grouping-free aggregate emits ONE row, but that row is only a
+    * scale-independent BOUND if no aggregate function accumulates the
+    * input into its output — collect_list/collect_set (and the listagg
+    * family) produce a single row whose payload is corpus-sized, which
+    * OOMs a broadcast build exactly like an unbounded relation. */
+  private def accumulatesInput(fns: Seq[Any]): Boolean =
+    fns.exists { f =>
+      val n = f.getClass.getSimpleName
+      n.contains("Collect") || n.contains("ListAgg")
+    }
+
+  /** Conservative proof that a physical subtree's output cardinality
+    * is independent of the data scale — the soundness condition for a
+    * nested-loop broadcast side. True iff every path from the root to
+    * a leaf passes through a bound: a grouping-free aggregate (≤1 row),
+    * a TOTAL-row limit/top-k, or a constant relation (literal local table,
+    * literal range). Grouped aggregates, joins, unions, generators and
+    * all row-preserving unary nodes propagate their children's bound;
+    * a file/JDBC/stream scan reached without a bound above it means
+    * the subtree grows with the corpus → false. Used by PlanGuardSpec
+    * to adjudicate every BroadcastNestedLoopJoin in the registry. */
   def boundedOutput(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
     import org.apache.spark.sql.execution._
     import org.apache.spark.sql.execution.aggregate._
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def ungroupedBound(a: BaseAggregateExec): Boolean =
+      a.groupingExpressions.isEmpty &&
+        !accumulatesInput(a.aggregateExpressions.map(_.aggregateFunction))
     p match {
-      case a: HashAggregateExec =>
-        a.groupingExpressions.isEmpty || boundedOutput(a.child)
+      case a: HashAggregateExec => ungroupedBound(a) || boundedOutput(a.child)
       case a: ObjectHashAggregateExec =>
-        a.groupingExpressions.isEmpty || boundedOutput(a.child)
-      case a: SortAggregateExec =>
-        a.groupingExpressions.isEmpty || boundedOutput(a.child)
+        ungroupedBound(a) || boundedOutput(a.child)
+      case a: SortAggregateExec => ungroupedBound(a) || boundedOutput(a.child)
+      // GlobalLimit/CollectLimit/TakeOrdered cap TOTAL rows; a bare
+      // LocalLimit does NOT (it caps rows PER PARTITION, and partition
+      // count grows with the corpus — LimitPushDown pushes LocalLimit
+      // below joins while the global cap stays above, so certifying it
+      // here would bless k × num_splits broadcast rows)
       case _: TakeOrderedAndProjectExec | _: CollectLimitExec |
-           _: GlobalLimitExec | _: LocalLimitExec => true
+           _: GlobalLimitExec => true
       case _: LocalTableScanExec | _: RangeExec => true // constant relations
       case r: ReusedExchangeExec => boundedOutput(r.child)
       case j: BaseJoinExec => boundedOutput(j.left) && boundedOutput(j.right)

@@ -110,5 +110,12 @@ class PlanGuardSpec extends SparkSpec {
     assert(PlanScan.boundedOutput(
       orders.limit(3).crossJoin(orders.agg(count(lit(1))))
         .queryExecution.executedPlan))
+    // grouping-free collect_list emits ONE row with a corpus-sized
+    // payload — one row is not a bound when the row IS the data
+    assert(!PlanScan.boundedOutput(
+      orders.agg(collect_list(col("o_orderkey"))).queryExecution.executedPlan))
+    // ...while a grouping-free SUM genuinely bounds the payload too
+    assert(PlanScan.boundedOutput(
+      orders.agg(sum(col("o_totalprice"))).queryExecution.executedPlan))
   }
 }
