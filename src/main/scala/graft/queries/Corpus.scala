@@ -506,15 +506,23 @@ object Corpus {
     * reduces to exact integer products (2·n1·N2 / (n1·N2 + n2·N1)),
     * each term's contribution quantizes to 1e-9 fixed point and
     * integer-sums order-free. One (source, term) aggregate; the pair
-    * scaffold is #sources² metadata, broadcast to the term stream —
-    * total work is O(#pairs × vocab), never doc-pairs. */
+    * scaffold is #sources² metadata (capped at the top-64 sources by
+    * token volume so the nested-loop broadcast is PROVABLY bounded —
+    * PlanGuardSpec), broadcast to the term stream — total work is
+    * O(#pairs × vocab), never doc-pairs. */
   def jsDivergence(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
     val st = toks.groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("n_st")).persistScoped() // totals + universe + both sides
+    // top-64 sources by token volume (ties → source asc): the pairwise
+    // matrix is #sources² and its scaffold is broadcast through a
+    // nested-loop self-join, so the source list must be PROVABLY
+    // bounded (PlanGuardSpec) — an uncapped domain enum is usually
+    // tiny, but "usually" is not a bound. No-op below 65 sources.
     val ts = st.groupBy(col("source")).agg(sum(col("n_st")).as("n_tot"))
+      .orderBy(col("n_tot").desc, col("source")).limit(64)
     val pairs = ts.select(col("source").as("s1"), col("n_tot").as("nt1"))
       .join(ts.select(col("source").as("s2"), col("n_tot").as("nt2")),
         col("s1") < col("s2"))
@@ -558,8 +566,10 @@ object Corpus {
       |              FROM documents),
       |st AS (SELECT source, term, count(*) AS n_st FROM toks
       |       WHERE term <> '' GROUP BY source, term),
-      |ts AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_tot FROM st
-      |       GROUP BY source),
+      |ts AS (SELECT source, n_tot FROM (
+      |         SELECT source, CAST(sum(n_st) AS BIGINT) AS n_tot FROM st
+      |         GROUP BY source)
+      |       ORDER BY n_tot DESC, source LIMIT 64),
       |pr AS (SELECT a.source AS s1, a.n_tot AS nt1, b.source AS s2,
       |         b.n_tot AS nt2
       |       FROM ts a JOIN ts b ON a.source < b.source),
@@ -600,19 +610,31 @@ object Corpus {
     * combine ships ≤k rows per (source × partition), no per-source
     * sort anywhere; everything after the sketch is pairs × k
     * metadata. The estimate's error vs the exact matrix is the
-    * q_source_overlap cross-check. */
+    * q_source_overlap cross-check. The pair scaffold caps at the
+    * top-64 sources by distinct-doc volume (one extra count in the
+    * same sketch aggregate), making the nested-loop broadcast
+    * PROVABLY bounded (PlanGuardSpec). */
   def sketchOverlap(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
     val heap = udaf(new graft.operators.TopKPairs(k))
     val d = Tables.widen(Tables.documents(s, dir))
       .select(col("source"),
         expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)").as("h"))
       .distinct()
-    val sk = d.groupBy(col("source"))
-      .agg(heap(-col("h"), col("h")).as("top"))
+    // ONE aggregate produces both the k-min sketch and the source's
+    // distinct-doc volume — the volume exists solely to make the pair
+    // scaffold provably bounded (top-64 sources by volume, ties →
+    // source asc; no-op below 65 sources): the #sources² matrix is
+    // broadcast through a nested-loop self-join, so PlanGuardSpec
+    // demands a structural bound, not a domain-enum assumption.
+    val agg0 = d.groupBy(col("source"))
+      .agg(heap(-col("h"), col("h")).as("top"), count(lit(1)).as("vol"))
+      .persistScoped() // sketch rows + the capped source list
+    val sk = agg0
       .select(col("source"), explode(col("top")).as("t"))
       .select(col("source"), col("t._3").as("h"))
       .persistScoped() // both sides of the pair scaffold
-    val srcs = sk.select(col("source")).distinct()
+    val srcs = agg0.orderBy(col("vol").desc, col("source")).limit(64)
+      .select(col("source"))
     val pairs = srcs.select(col("source").as("s1"))
       .join(srcs.select(col("source").as("s2")), col("s1") < col("s2"))
     val tagged = broadcast(pairs).join(sk, col("source") === col("s1"))
@@ -640,7 +662,9 @@ object Corpus {
       |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
       |      FROM d),
       |sk AS (SELECT source, h FROM r WHERE rn <= 64),
-      |ss AS (SELECT DISTINCT source FROM sk),
+      |ss AS (SELECT source FROM (
+      |         SELECT source, count(*) AS vol FROM d GROUP BY source)
+      |       ORDER BY vol DESC, source LIMIT 64),
       |pr AS (SELECT a.source AS s1, b.source AS s2 FROM ss a
       |       JOIN ss b ON a.source < b.source),
       |m AS (SELECT s1, s2, h, max(ina) AS ina, max(inb) AS inb FROM (

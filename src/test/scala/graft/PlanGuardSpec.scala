@@ -23,14 +23,11 @@ class PlanGuardSpec extends SparkSpec {
     s
   }
 
-  /** The only nested-loop broadcasts the proof can't see: a per-SOURCE
-    * relation self-joined under `s1 < s2`. Its cardinality is
-    * #distinct sources — a domain enumeration (cc/books/wiki/…)
-    * independent of corpus size, and the pairwise #sources² matrix is
-    * these queries' OUTPUT, so the scaffold is exactly output-sized.
-    * Anything newly flagged must either extend the proof or earn its
-    * own justified entry here. */
-  private val perSourceScaffold = Set("q_js_divergence", "q_sketch_overlap")
+  // No allowlist: the two per-source pairwise-matrix queries
+  // (q_js_divergence, q_sketch_overlap) once needed one — their
+  // scaffold was a domain-enum ASSUMPTION — until both gained a
+  // top-64-by-volume cap that makes the bound structural. A newly
+  // flagged query must extend the proof or get the same treatment.
 
   test("registry-wide: no cartesian products, every nested-loop broadcast side provably bounded") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
@@ -40,9 +37,8 @@ class PlanGuardSpec extends SparkSpec {
         catch { case e: Throwable => fail(s"$name failed to plan: $e") }
       if (PlanScan.cartesians(plan) > 0)
         offenders += s"$name: CartesianProduct in plan"
-      if (!perSourceScaffold(name))
-        PlanScan.unboundedNestedLoops(plan).foreach(snippet =>
-          offenders += s"$name: UNBOUNDED nested-loop broadcast side\n$snippet")
+      PlanScan.unboundedNestedLoops(plan).foreach(snippet =>
+        offenders += s"$name: UNBOUNDED nested-loop broadcast side\n$snippet")
       try { Caches.drain(); planner.catalog.clearCache() }
       catch { case _: Throwable => }
     }
