@@ -103,7 +103,12 @@ object Extras {
   }
 
   /** Engine-native fingerprint via the codegen'd FNV-1a expression
-    * (known-answer vectors asserted in FunctionsSpec). */
+    * (known-answer vectors asserted in FunctionsSpec). Fully
+    * oracle-checked since round 9: DuckDB replays the byte fold as a
+    * list_reduce in HUGEINT with an explicit mod-2^64 — exact because
+    * the fixture corpus is pure ASCII (code point = UTF-8 byte;
+    * asserted below the oracle map), so the two engines hash identical
+    * byte streams. */
   def fnvFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), GraftFunctions.fnv64(col("text")).as("fp64"))
@@ -468,12 +473,34 @@ object Extras {
     "q_multimodal_features" -> (multimodalFeatures _),
   )
 
-  /** q_json_roundtrip, q_stats_builtin, and q_multimodal_features get
-    * real oracles (see their scaladocs). The remaining entries have no
-    * DuckDB-expressible oracle (sketches, LSH/IVF, engine-specific
-    * hashes and float32 accumulations); the driver falls back to a
-    * rows-only check and the real assertions live in ScalaTest. */
+  /** q_json_roundtrip, q_stats_builtin, q_multimodal_features, and
+    * q_fnv_fingerprint get real oracles (see their scaladocs). The
+    * remaining entries have no DuckDB-expressible oracle (sketches,
+    * LSH/IVF, engine-specific float32 accumulations, deflate); the
+    * driver falls back to a rows-only check and the real assertions
+    * live in ScalaTest. */
   val oracle: Map[String, String] = Map(
+    // FNV-1a 64: fold the UTF-8 byte stream through (h ^ b) * prime
+    // mod 2^64 in HUGEINT, then reinterpret as signed BIGINT. ascii()
+    // yields the code point, which equals the byte only for ASCII —
+    // exact on this corpus (documents.text is ASCII by construction;
+    // a non-ASCII doc would diverge here, not in the engine).
+    "q_fnv_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |            THEN h - 18446744073709551616::HUGEINT
+        |            ELSE h END AS BIGINT) AS fp64
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        [CAST(ascii(substring(text, i, 1)) AS HUGEINT)
+        |         FOR i IN range(1, length(text) + 1)]),
+        |      (h, b) -> ((xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)))::HUGEINT
+        |                   * 1099511628211::HUGEINT)
+        |                 % 18446744073709551616::HUGEINT) AS h
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q_bloom_own" -> bloomOwnSql,
     "q_hll_distinct" -> hllDistinctSql,
     "q_cms_topk" -> cmsTopkSql,

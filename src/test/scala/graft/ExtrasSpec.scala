@@ -8,6 +8,18 @@ import graft.queries.{Extras, Relational}
   * with their exact/deterministic twins within tolerance. */
 class ExtrasSpec extends SparkSpec {
 
+  test("documents corpus is pure ASCII (soundness condition of the FNV oracle)") {
+    // The q_fnv_fingerprint DuckDB oracle folds ascii(char) per
+    // character, which equals the UTF-8 byte only for code points
+    // < 128 — this assertion is what makes that oracle exact. If the
+    // fixture generator ever emits non-ASCII text, this fails HERE
+    // with a clear message instead of as an opaque hash mismatch.
+    import org.apache.spark.sql.functions._
+    val nonAscii = Tables.documents(spark, sfDir)
+      .filter(not(col("text").rlike("^[\\x00-\\x7F]*$"))).count()
+    assert(nonAscii == 0, s"$nonAscii non-ASCII documents break the FNV oracle")
+  }
+
   test("approx percentiles are bounded by min/max and ordered") {
     Extras.percentileApprox(spark, sfDir).collect().foreach { r =>
       val (p50, p90) = (r.getDouble(1), r.getDouble(2))
