@@ -49,4 +49,26 @@ class InterpretedModeSpec extends SparkSpec {
       assert(a == b, s"$name differs between codegen and interpreted eval")
     }
   }
+
+  test("row-based parquet reader + no pushdown ≡ vectorized pushed-down scans") {
+    // The other silent fallback: Spark drops to the row-based
+    // parquet-mr reader for schemas the vectorized reader can't handle
+    // (historically a source of decimal/timestamp divergence), and
+    // filter pushdown is an optimization that must never change
+    // results. Cover the decimal-heavy, timestamp-heavy, and
+    // filter-heavy scan paths under both toggles at once.
+    val rowReader = spark.newSession()
+    rowReader.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+    rowReader.conf.set("spark.sql.parquet.filterPushdown", "false")
+    Seq("q_pricing_summary", "q_decimal_fidelity", "q_date_funcs",
+      "q_ranged_scan", "q_filter_complex", "q_win_tumbling")
+      .foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val a = fn(spark, sfDir).collect().map(_.toSeq).toSeq
+        spark.catalog.clearCache()
+        val b = fn(rowReader, sfDir).collect().map(_.toSeq).toSeq
+        rowReader.catalog.clearCache()
+        assert(a == b, s"$name differs under the row-based parquet reader")
+      }
+  }
 }
