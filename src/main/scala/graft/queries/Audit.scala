@@ -91,37 +91,47 @@ object Audit {
     * in both engines, no regex lookarounds needed. Words are
     * restricted to [a-z0-9]+ so '|' can never occur as data.
     *
-    * Scale shape: each round is one narrow pair-explode aggregate
-    * (map-side combined) + a 1-row broadcast into the rewrite map — no
-    * driver-side collect, no shuffle of the corpus; the tokenization
-    * is persisted per round (5 scoped persists, released with the
-    * query's action). Ties break to the lexicographically largest
-    * pair under one max(struct); the oracle unrolls the same five
-    * rounds. */
+    * Scale shape — the real trainer's: the corpus collapses ONCE to
+    * the distinct-word frequency table (vocab-sized — Zipf makes this
+    * orders of magnitude smaller than the occurrence stream), and all
+    * five rounds iterate over THAT, weighting every pair count by the
+    * word's corpus frequency (`sum(n)` ≡ the occurrence stream's
+    * `count(*)` exactly, in integers). Each round is then one
+    * vocab-sized pair-explode aggregate + a 1-row broadcast into the
+    * rewrite map — no driver-side collect, and the corpus itself is
+    * scanned exactly once regardless of `rounds`. The per-round
+    * tokenizations are scoped-persisted (released with the query's
+    * action). Ties break to the lexicographically largest pair under
+    * one max(struct); the oracle unrolls the same five rounds over the
+    * same weighted vocabulary. */
   def bpeApply(s: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
     import graft.Caches.PersistScoped
     var words = Tables.widen(Tables.documents(s, dir))
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$"))
-      .select(regexp_replace(col("w"), "(.)", "|$1|").as("s"))
+      .groupBy(regexp_replace(col("w"), "(.)", "|$1|").as("s"))
+      .agg(count(lit(1)).as("n"))
       .persistScoped()
     val rules = (1 to rounds).map { r =>
       // materialize the 1-row winner eagerly: it has TWO readers (the
       // rule output and the next round's broadcast rewrite) and its
-      // plan is a full corpus pair-count — without truncation every
-      // round's aggregate would run twice (measured 7.3 s vs 3.4 s)
+      // plan is a full vocab pair-count — without truncation every
+      // round's aggregate would run twice (measured 7.3 s vs 3.4 s on
+      // the pre-vocab occurrence-stream shape)
       val top = words
-        .select(split(expr("substring(s, 2, length(s) - 2)"), "\\|\\|").as("t"))
+        .select(split(expr("substring(s, 2, length(s) - 2)"), "\\|\\|").as("t"),
+          col("n"))
         .filter(size(col("t")) >= 2)
         .select(explode(expr("transform(sequence(1, size(t) - 1), i -> " +
-          "concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+          "concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("pair"),
+          col("n"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
         .agg(max(struct(col("cnt"), col("pair"))).as("m"))
         .select(col("m.pair").as("pair"), col("m.cnt").as("cnt"))
         .localCheckpoint()
       words = words.crossJoin(broadcast(top))
         .select(expr("replace(s, concat('|', replace(pair, ' ', '||'), '|'), " +
-          "concat('|', replace(pair, ' ', ''), '|'))").as("s"))
+          "concat('|', replace(pair, ' ', ''), '|'))").as("s"), col("n"))
         .persistScoped()
       top.select(lit(r).as("round"), col("pair"),
         expr("replace(pair, ' ', '')").as("merged"), col("cnt"))
@@ -131,22 +141,24 @@ object Audit {
 
   val bpeApplySql: String = {
     val rounds = (1 to 5).map { r =>
-      s"""p$r AS (SELECT pair, count(*) AS cnt FROM (
+      s"""p$r AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
          |  SELECT unnest(list_transform(range(1, len(t)),
-         |    i -> t[i] || ' ' || t[i + 1])) AS pair
-         |  FROM (SELECT string_split(substring(s, 2, length(s) - 2), '||') AS t
+         |    i -> t[i] || ' ' || t[i + 1])) AS pair, n
+         |  FROM (SELECT string_split(substring(s, 2, length(s) - 2), '||') AS t, n
          |        FROM w${r - 1})
          |  WHERE len(t) >= 2)
          |  GROUP BY pair ORDER BY cnt DESC, pair DESC LIMIT 1),
          |w$r AS (SELECT replace(s,
          |  '|' || replace((SELECT pair FROM p$r), ' ', '||') || '|',
-         |  '|' || replace((SELECT pair FROM p$r), ' ', '') || '|') AS s
+         |  '|' || replace((SELECT pair FROM p$r), ' ', '') || '|') AS s, n
          |  FROM w${r - 1})"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH w0 AS (SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s
+    s"""WITH w0 AS (SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s,
+      |    count(*) AS n
       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-      |  WHERE regexp_matches(w, '^[a-z0-9]+$$')),
+      |  WHERE regexp_matches(w, '^[a-z0-9]+$$')
+      |  GROUP BY 1),
       |$rounds
       |${(1 to 5).map(r =>
         s"SELECT $r AS round, pair, replace(pair, ' ', '') AS merged, cnt FROM p$r")
