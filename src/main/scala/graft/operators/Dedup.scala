@@ -547,6 +547,85 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
+  /** BFS hop distance from each duplicate family's canonical root —
+    * the chain-depth QA signal behind a near-dup clustering: exact-dup
+    * families are stars (every member 1 hop from the root), while
+    * LSH/Jaccard TRANSITIVE chains (A≈B≈C with A̸≈C) show as hops ≥ 2,
+    * so the hop histogram is the standard audit for
+    * threshold-too-low chaining before a cluster's members are
+    * collapsed to one survivor.
+    *
+    * Same engine as [[dedupClusters]] — min propagation over the
+    * static both-directions+self-loops edge relation to a CHECKED
+    * Σ-fixpoint — but the propagated state is the lexicographic pair
+    * (component-min label, hops to it), packed into one BIGINT as
+    * `label·1024 + hops` so the per-round relax stays ONE min()
+    * aggregate: a self-loop contributes the node's own pack (+0), an
+    * edge contributes the neighbor's pack +1 (Bellman-Ford in min-plus
+    * form). While hops < 1024 the packed min IS the lexicographic min,
+    * and hops ≤ round count ≤ `maxIterations` ≪ 1024 by construction;
+    * labels must stay below 2⁵³ for the ×1024 to be exact (require'd —
+    * at 100 TB doc ids fit comfortably). Packs are monotonically
+    * non-increasing per node (own pack is always a candidate), so
+    * Σpack strictly decreases until the fixpoint and is constant
+    * exactly there — the same O(1)-rows-per-round convergence check,
+    * never an assumed depth. At the fixpoint pack = root·1024 +
+    * dist(node, root): the min label reaches a node along shortest
+    * paths, so both components converge together in diameter rounds.
+    *
+    * Output: (doc_id, cluster_id, hops) — cluster_id matches
+    * [[dedupClusters]]' labeling exactly; roots have hops = 0. */
+  def bfsHops(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+    val width = graft.Tables.shuffleWidth(pairs.sparkSession)
+    val edgesPlus = pairs.coalesce(width)
+      .select(explode(array(
+        struct(col("doc_id_a").as("u"), col("doc_id_b").as("v")),
+        struct(col("doc_id_b").as("u"), col("doc_id_a").as("v")),
+        struct(col("doc_id_a").as("u"), col("doc_id_a").as("v")),
+        struct(col("doc_id_b").as("u"), col("doc_id_b").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .repartition(col("v"))
+      .localCheckpoint()
+    // ×1024 must be exact in a double-free integer domain: Long
+    // overflow at ids ≥ 2⁶³/1024 would wrap packs negative and
+    // corrupt every min() silently.
+    val maxId = edgesPlus.agg(max(col("v"))).head
+    require(maxId.isNullAt(0) || maxId.getLong(0) < (1L << 53),
+      "bfsHops packs label*1024 + hops into one BIGINT — ids must be < 2^53")
+    def packSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("pack").cast("decimal(38,0)"))).head.getDecimal(0)
+    // Round 1, join-free (every node's initial pack is node·1024):
+    // an edge (u,v) contributes v·1024 + [u ≠ v].
+    var state = edgesPlus.groupBy(col("u"))
+      .agg(min(col("v") * 1024 + when(col("u") === col("v"), 0L).otherwise(1L))
+        .as("pack"))
+      .withColumnRenamed("u", "node").localCheckpoint()
+    var prevSum = packSum(state)
+    var converged = false
+    var i = 1
+    while (!converged && i < math.max(maxIterations, 2)) {
+      i += 1
+      state = edgesPlus.join(state.hint("shuffle_hash"),
+          edgesPlus("v") === state("node"))
+        .groupBy(col("u"))
+        .agg(min(col("pack") + when(edgesPlus("u") === edgesPlus("v"), 0L)
+          .otherwise(1L)).as("pack"))
+        .withColumnRenamed("u", "node")
+        .localCheckpoint()
+      val curSum = packSum(state)
+      converged = (prevSum == null && curSum == null) ||
+        (prevSum != null && curSum != null && prevSum.compareTo(curSum) == 0)
+      prevSum = curSum
+    }
+    require(converged,
+      s"BFS relaxation did not converge in $maxIterations rounds — " +
+        "raise maxIterations (hops stay exact up to 1023)")
+    // integer div, not `/`: double division would lose ulps above 2^53
+    state.select(col("node").as("doc_id"),
+      expr("pack div 1024").as("cluster_id"),
+      pmod(col("pack"), lit(1024L)).as("hops"))
+  }
+
   /** Near-dup by embedding cosine, blocked on a partition key (here a
     * label/cluster id) so the pair space is per-block, not global —
     * the blocking column is the scale lever: at 100 TB it would be a

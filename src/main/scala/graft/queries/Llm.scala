@@ -61,6 +61,47 @@ object Llm {
       |$iters""".stripMargin
   }
 
+  /** The packed BFS unroll [[bfsHopsSql]] uses (same `pairs` contract
+    * and 8-round convergence argument as [[ccUnroll]]; state is
+    * label·1024 + hops, self-loops relax +0, edges +1 — see
+    * Dedup.bfsHops for the lexicographic-min-as-packed-min proof). */
+  private[queries] def bfsUnroll(rounds: Int = 8): String = {
+    val iters = (1 to rounds).map { k =>
+      s"""h$k AS (SELECT e.u AS node,
+         |  min(h.pack + CASE WHEN e.u = e.v THEN 0 ELSE 1 END) AS pack
+         |  FROM ep e JOIN h${k - 1} h ON e.v = h.node GROUP BY e.u)""".stripMargin
+    }.mkString(",\n")
+    s"""nodes AS (SELECT DISTINCT u AS node FROM
+      |          (SELECT da AS u FROM pairs UNION ALL SELECT db FROM pairs)),
+      |ep AS (SELECT da AS u, db AS v FROM pairs
+      |       UNION ALL SELECT db AS u, da AS v FROM pairs
+      |       UNION ALL SELECT node AS u, node AS v FROM nodes),
+      |h0 AS (SELECT node, node * 1024 AS pack FROM nodes),
+      |$iters""".stripMargin
+  }
+
+  /** L2t — duplicate-family chain depth: BFS hop distance from each
+    * cluster's canonical (min-id) root over the strong near-dup pair
+    * graph. Hops ≥ 2 expose transitive chains (A≈B≈C with A̸≈C) —
+    * the audit that catches threshold-too-low chaining BEFORE a
+    * family collapses to one survivor. Engine: Dedup.bfsHops'
+    * packed min-plus propagation to a checked Σ-fixpoint; oracle:
+    * the same relax unrolled 8 rounds (identical past the fixpoint —
+    * the fixture converges well inside 8, ClusterSpec). */
+  def dedupHops(s: SparkSession, dir: String): DataFrame =
+    Dedup.bfsHops(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6)
+          .select(col("doc_id_a"), col("doc_id_b")))
+      .orderBy(col("doc_id"))
+
+  val dedupHopsSql: String =
+    s"""$shingleCte,
+      |${strongPairsCte()},
+      |${bfsUnroll()}
+      |SELECT node AS doc_id, CAST(pack // 1024 AS BIGINT) AS cluster_id,
+      |  CAST(pack % 1024 AS BIGINT) AS hops
+      |FROM h8 ORDER BY doc_id""".stripMargin
+
   /** L1 — exact dedup keyed on content hash, deterministic keeper. */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(s, dir), col("text"), col("doc_id"))
@@ -668,6 +709,7 @@ object Llm {
     "q_dedup_embcos" -> (dedupEmbCos _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_clusters_star" -> (dedupClustersStar _),
+    "q_dedup_hops" -> (dedupHops _),
     "q_curation_pipeline" -> (curationPipeline _),
     "q_text_scrub" -> (textScrub _),
     "q_text_normalize" -> (textNormalize _),
@@ -694,6 +736,7 @@ object Llm {
     "q_dedup_embcos" -> dedupEmbCosSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_clusters_star" -> dedupClustersSql,
+    "q_dedup_hops" -> dedupHopsSql,
     "q_curation_pipeline" -> curationPipelineSql,
     "q_text_scrub" -> textScrubSql,
     "q_text_normalize" -> textNormalizeSql,

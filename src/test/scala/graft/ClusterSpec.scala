@@ -72,6 +72,35 @@ class ClusterSpec extends SparkSpec {
     assert(prop == star, "the two CC algorithms must agree exactly")
   }
 
+  test("BFS hops measure exact chain depth and agree with CC labels") {
+    // Path 1-2-…-12 (hops = position), a 3-cycle with a tail
+    // (20-21-22-20, 22-23: shortest paths through the cycle), and a
+    // star (30 center): hop distances must be graph distances to the
+    // min-id root, not propagation-round artifacts.
+    val out = Dedup.bfsHops(pairsDf(
+        ((1 to 11).map(i => (i.toLong, i + 1L)) ++
+          Seq((20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L),
+            (30L, 31L), (30L, 32L), (30L, 33L))): _*))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (1 to 12).foreach(i => assert(out(i.toLong) == ((1L, i - 1L)),
+      s"node $i: ${out(i.toLong)}, expected (1, ${i - 1})"))
+    assert(out(21L) == ((20L, 1L)) && out(22L) == ((20L, 1L))
+      && out(23L) == ((20L, 2L)), s"cycle hops wrong: $out")
+    assert(out(30L) == ((30L, 0L)) && out(31L) == ((30L, 1L)))
+    // labels agree with dedupClusters on the same graph
+    val cc = Dedup.dedupClusters(pairsDf(
+        ((1 to 11).map(i => (i.toLong, i + 1L)) ++
+          Seq((20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L),
+            (30L, 31L), (30L, 32L), (30L, 33L))): _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.view.mapValues(_._1).toMap == cc)
+    // exhausted cap fails loudly, never returns partial distances
+    intercept[IllegalArgumentException] {
+      Dedup.bfsHops(pairsDf((1 to 11).map(i => (i.toLong, i + 1L)): _*),
+        maxIterations = 4).collect()
+    }
+  }
+
   test("the run-time fixpoint matches the oracle's 8-round unroll on the corpus") {
     val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir), 3, 0.6)
       .select(col("doc_id_a"), col("doc_id_b"))
