@@ -101,9 +101,12 @@ object Audit {
     * rewrite map — no driver-side collect, and the corpus itself is
     * scanned exactly once regardless of `rounds`. The per-round
     * tokenizations are scoped-persisted (released with the query's
-    * action). Ties break to the lexicographically largest pair under
-    * one max(struct); the oracle unrolls the same five rounds over the
-    * same weighted vocabulary. */
+    * action). Each rule row also carries the trainer's compression
+    * curve — exact corpus token count after that round's merge
+    * (Σ frequency × symbols-per-word). Ties break to the
+    * lexicographically largest pair under one max(struct); the oracle
+    * unrolls the same five rounds over the same weighted
+    * vocabulary. */
   def bpeApply(s: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
     import graft.Caches.PersistScoped
     var words = Tables.widen(Tables.documents(s, dir))
@@ -133,8 +136,16 @@ object Audit {
         .select(expr("replace(s, concat('|', replace(pair, ' ', '||'), '|'), " +
           "concat('|', replace(pair, ' ', ''), '|'))").as("s"), col("n"))
         .persistScoped()
-      top.select(lit(r).as("round"), col("pair"),
-        expr("replace(pair, ' ', '')").as("merged"), col("cnt"))
+      // the trainer's compression curve: corpus tokens AFTER this
+      // round's merge (each symbol is |…|-wrapped, so symbols/word =
+      // pipes/2 — exact integer div, summed weighted by frequency)
+      val tokensAfter = words.agg(expr(
+        "sum(n * ((length(s) - length(replace(s, '|', ''))) div 2))")
+        .cast("bigint").as("corpus_tokens"))
+      top.crossJoin(broadcast(tokensAfter))
+        .select(lit(r).as("round"), col("pair"),
+          expr("replace(pair, ' ', '')").as("merged"), col("cnt"),
+          col("corpus_tokens"))
     }
     rules.reduce(_.unionAll(_)).orderBy(col("round"))
   }
@@ -159,9 +170,14 @@ object Audit {
       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       |  WHERE regexp_matches(w, '^[a-z0-9]+$$')
       |  GROUP BY 1),
-      |$rounds
+      |$rounds,
       |${(1 to 5).map(r =>
-        s"SELECT $r AS round, pair, replace(pair, ' ', '') AS merged, cnt FROM p$r")
+        s"""t$r AS (SELECT CAST(sum(n * ((length(s) - length(replace(s, '|', ''))) // 2))
+           |  AS BIGINT) AS corpus_tokens FROM w$r)""".stripMargin)
+        .mkString(",\n")}
+      |${(1 to 5).map(r =>
+        s"SELECT $r AS round, pair, replace(pair, ' ', '') AS merged, cnt, " +
+          s"corpus_tokens FROM p$r CROSS JOIN t$r")
         .mkString("\nUNION ALL ")}
       |ORDER BY round""".stripMargin
   }
