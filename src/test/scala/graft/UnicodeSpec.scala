@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.operators.Dedup
+
+/** Multilingual-corpus robustness: the fixture corpus is ASCII (the
+  * FNV oracle's soundness condition, ExtrasSpec), but a 100 TB
+  * training corpus is not — these tests pin how the text operators
+  * behave on CJK, emoji (non-BMP, surrogate pairs in UTF-16),
+  * combining accents, and RTL text. Two claims: (1) Spark's string
+  * primitives the operators build on are CODE-POINT based
+  * (UTF8String), so char-level ops never split a surrogate pair;
+  * (2) the dedup/fingerprint surfaces are deterministic and
+  * semantically sane on non-ASCII input — byte-identical text
+  * collapses, visually-identical-but-differently-normalized (NFC vs
+  * NFD) text does NOT (normalization is an explicit upstream step,
+  * not something hashes guess at).
+  */
+class UnicodeSpec extends SparkSpec {
+
+  // CJK (space-tokenized for the word-shingle operators), an
+  // astral-plane emoji doc, NFC/NFD é, Arabic RTL
+  private val cjk = "大規模 言語 モデル の 学習 データ"
+  private val emoji = "data 🎉 pipeline 🚀 works"
+  private val nfc = java.text.Normalizer.normalize("café quality",
+    java.text.Normalizer.Form.NFC)          // é precomposed (U+00E9)
+  private val nfd = java.text.Normalizer.normalize(nfc,
+    java.text.Normalizer.Form.NFD)          // e + combining acute (U+0301)
+  private val rtl = "مرحبا world"
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("string primitives are code-point based — surrogate pairs never split") {
+    val r = docs((1L, emoji)).select(
+      length(col("text")).as("len"),
+      split(col("text"), "").as("chars"),
+      substring(col("text"), 6, 1).as("sub")).collect()(0)
+    // 23 code points; a UTF-16-unit engine would report 25 (each
+    // astral emoji is a surrogate pair)
+    assert(r.getAs[Int]("len") == 23, s"length = ${r.getAs[Int]("len")}")
+    val chars = r.getSeq[String](1).filter(_.nonEmpty)
+    assert(chars.length == 23, s"split-to-chars gave ${chars.length} units")
+    assert(chars(5) == "🎉", s"char 5 is '${chars(5)}', not the whole emoji")
+    assert(chars.forall(c => !Character.isLowSurrogate(c.charAt(0)) ||
+        Character.isHighSurrogate(c.charAt(0))),
+      "split produced a lone surrogate")
+    assert(r.getAs[String]("sub") == "🎉", "substring broke the emoji")
+    // CJK length is per ideograph (9 ideographs + 5 spaces = 14... plus
+    // kana): count it from the source of truth
+    val cjkCp = cjk.codePointCount(0, cjk.length)
+    assert(docs((1L, cjk)).select(length(col("text"))).head.getInt(0) == cjkCp)
+  }
+
+  test("exact dedup collapses byte-identical unicode, keeps NFC vs NFD apart") {
+    assert(nfc != nfd, "fixture strings must differ in normalization form")
+    val out = Dedup.exact(
+        docs((1L, cjk), (2L, cjk), (3L, nfc), (4L, nfd), (5L, rtl)),
+        col("text"), col("doc_id"))
+      .collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies"))
+      .toMap
+    assert(out(1L) == 2L, "identical CJK docs must collapse")
+    assert(out(3L) == 1L && out(4L) == 1L,
+      "NFC and NFD spell the same glyphs but are different code-point " +
+        "sequences — hashes must NOT conflate them")
+    assert(out(5L) == 1L)
+  }
+
+  test("shingle dedup scores unicode duplicates at jaccard 1.0, deterministically") {
+    val cjkNear = cjk + " 追加 の 文"
+    def run() = Dedup.ngramJaccardPairs(
+        docs((1L, emoji), (2L, emoji), (10L, cjk), (11L, cjkNear)), 3, 0.1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    val got = run()
+    assert(got((1L, 2L)) == 1.0, s"emoji duplicate pair scored ${got.get((1L, 2L))}")
+    val nearJ = got((10L, 11L))
+    assert(nearJ > 0.1 && nearJ < 1.0, s"CJK near-dup scored $nearJ")
+    // rerun determinism (md5 over UTF-8 bytes has no locale/charset knob)
+    assert(run() == got)
+  }
+
+  test("simhash and fingerprint expressions are total and stable on non-ASCII") {
+    GraftFunctions.register(spark)
+    val d = docs((1L, cjk), (2L, emoji), (3L, nfc), (4L, nfd), (5L, rtl))
+    def sigs() = Dedup.simhashNarrow(d, 32)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val s1 = sigs()
+    assert(s1.size == 5 && s1.values.forall(v => v >= 0 && v < (1L << 32)))
+    assert(sigs() == s1, "simhash must be rerun-stable on non-ASCII input")
+    def fnv() = d.select(col("doc_id"), GraftFunctions.fnv64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val f1 = fnv()
+    assert(f1 == fnv() && f1.values.toSet.size == 5,
+      "FNV over UTF-8 bytes must be injective-on-fixture and rerun-stable")
+  }
+}
