@@ -33,6 +33,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hilbert_key"),
       new ExpressionInfo(classOf[HilbertKey].getName, "hilbert_key"),
       (exprs: Seq[Expression]) => HilbertKey(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (exprs: Seq[Expression]) =>
+        UnicodeNormalize(exprs(0), GraftFunctions.literalForm(exprs(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccentsExpr].getName, "strip_accents"),
+      (exprs: Seq[Expression]) => StripAccentsExpr(exprs.head)))
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
   }
 }

@@ -908,6 +908,94 @@ case class HilbertKey(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) as a native Catalyst
+  * expression — Spark has no builtin for it, yet a multilingual
+  * corpus MUST normalize before any hash-based dedup: NFC and NFD
+  * spell identical glyphs with different code-point sequences, so
+  * un-normalized corpora silently under-deduplicate (UnicodeSpec
+  * pins that hashes do not conflate the forms). Delegates to
+  * `java.text.Normalizer` (Unicode-standard tables shipped with the
+  * JDK); codegen emits the direct static call, so the expression
+  * stays inside whole-stage codegen. DuckDB's `nfc_normalize` is the
+  * oracle twin for the NFC form. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+    s"unicode_normalize form must be NFC|NFD|NFKC|NFKD, got '$form'")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"unicode_normalize requires STRING, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.valueOf(form)))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+       |  java.text.Normalizer.normalize($c.toString(),
+       |    java.text.Normalizer.Form.$form));
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Accent stripping: NFD-decompose, drop non-spacing combining marks
+  * (Unicode category Mn), re-compose to NFC — 'café' → 'cafe' for any
+  * composed OR decomposed input. The folding step of accent-blind
+  * blocking keys (entity resolution, search); oracle twin is DuckDB's
+  * `strip_accents`, and the two agree on ALL scripts because both
+  * drop every Mn mark — which means non-Latin combining marks fold
+  * too (Japanese dakuten: デ → テ, UnicodeSpec pins it). That is the
+  * standard strip-accents semantic, but it is LOSSY outside
+  * Latin-script fields — use it for blocking keys, not for canonical
+  * text. */
+case class StripAccentsExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"strip_accents requires STRING, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_accents"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      StripAccentsExpr.strip(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+       |  graft.functions.StripAccentsExpr.strip($c.toString()));
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object StripAccentsExpr {
+  /** Static so generated code can call it directly. */
+  def strip(s: String): String = {
+    val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var i = 0
+    while (i < d.length) {
+      val cp = d.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC)
+  }
+}
+
 /** Registration + Column-level wrappers. Registered idempotently via
   * [[graft.Tables.load]] so every query pack can use the fast paths
   * regardless of which entry point built the session. */
@@ -927,6 +1015,9 @@ object GraftFunctions {
     ensure("jaro_winkler", exprs => JaroWinklerSim(exprs(0), exprs(1)))
     ensure("deflate_size", exprs => DeflateSize(exprs.head))
     ensure("hilbert_key", exprs => HilbertKey(exprs(0), exprs(1)))
+    ensure("unicode_normalize",
+      exprs => UnicodeNormalize(exprs(0), literalForm(exprs(1))))
+    ensure("strip_accents", exprs => StripAccentsExpr(exprs.head))
     // Optimizer rules go through the public experimental-methods hook
     // (sessions built with spark.sql.extensions get them from
     // GraftExtensions instead; both paths are idempotent).
@@ -935,9 +1026,21 @@ object GraftFunctions {
         spark.experimental.extraOptimizations :+ LevenshteinPrefilter
   }
 
+  /** The normalization form must be a foldable string literal — it
+    * selects a code path, it is not data. */
+  private[functions] def literalForm(e: Expression): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(s: UTF8String, StringType) =>
+      s.toString
+    case other => throw new IllegalArgumentException(
+      s"unicode_normalize form must be a string literal, got $other")
+  }
+
   def fnv64(c: Column): Column = call_function("fnv64", c)
   def deflateSize(c: Column): Column = call_function("deflate_size", c)
   def dotF32(a: Column, b: Column): Column = call_function("dot_f32", a, b)
   def jaroWinkler(a: Column, b: Column): Column = call_function("jaro_winkler", a, b)
   def hilbertKey(x: Column, y: Column): Column = call_function("hilbert_key", x, y)
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    call_function("unicode_normalize", c, org.apache.spark.sql.functions.lit(form))
+  def stripAccents(c: Column): Column = call_function("strip_accents", c)
 }

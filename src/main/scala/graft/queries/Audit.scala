@@ -248,12 +248,54 @@ object Audit {
       |  CAST(sum(normq) AS DOUBLE) / count(*) AS mean_normq
       |FROM v GROUP BY label ORDER BY label""".stripMargin
 
+  /** L4s — Unicode normalization + accent folding: the explicit
+    * pre-dedup step a multilingual corpus needs (NFC vs NFD spell
+    * identical glyphs as different code-point sequences — hashes must
+    * not be left to conflate them, UnicodeSpec). The fixture corpus
+    * is ASCII, so the query CONSTRUCTS the two normalization forms
+    * per document (é as U+00E9 vs e+U+0301 — built with explicit
+    * escapes/chr() so no tooling can silently re-normalize the
+    * source) and asserts cross-engine byte equality of: NFC
+    * re-normalization output, form-invariant code-point lengths, the
+    * match flag, and the accent-stripped fold. Engine side is the
+    * codegen'd [[graft.functions.UnicodeNormalize]] /
+    * [[graft.functions.StripAccentsExpr]] pair; oracle is DuckDB's
+    * nfc_normalize / strip_accents. Narrow projections only. */
+  def unicodeNormalizeQ(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import graft.functions.GraftFunctions.{unicodeNormalize, stripAccents}
+    Tables.widen(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        concat(lit("caf\u00e9 "), substring(col("text"), 1, 16)).as("nfc_str"),
+        concat(lit("cafe\u0301 "), substring(col("text"), 1, 16)).as("nfd_str"))
+      .select(col("doc_id"),
+        length(col("nfd_str")).as("n_nfd"),
+        length(col("nfc_str")).as("n_nfc"),
+        unicodeNormalize(col("nfd_str")).as("normalized"),
+        (unicodeNormalize(col("nfd_str")) === col("nfc_str"))
+          .as("renormalized_match"),
+        stripAccents(col("nfc_str")).as("stripped"))
+      .orderBy(col("doc_id"))
+  }
+
+  val unicodeNormalizeSql: String =
+    """WITH f AS (SELECT doc_id,
+      |    'caf' || chr(233) || ' ' || substring(text, 1, 16) AS nfc_str,
+      |    'cafe' || chr(769) || ' ' || substring(text, 1, 16) AS nfd_str
+      |  FROM documents)
+      |SELECT doc_id, length(nfd_str) AS n_nfd, length(nfc_str) AS n_nfc,
+      |  nfc_normalize(nfd_str) AS normalized,
+      |  nfc_normalize(nfd_str) = nfc_str AS renormalized_match,
+      |  strip_accents(nfc_str) AS stripped
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_char_entropy" -> (charEntropy _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_apply" -> ((s: SparkSession, d: String) => bpeApply(s, d)),
     "q_skew_profile" -> ((s: SparkSession, d: String) => skewProfile(s, d)),
     "q_embedding_audit" -> (embeddingAudit _),
+    "q_unicode_normalize" -> (unicodeNormalizeQ _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -262,5 +304,6 @@ object Audit {
     "q_bpe_apply" -> bpeApplySql,
     "q_skew_profile" -> skewProfileSql,
     "q_embedding_audit" -> embeddingAuditSql,
+    "q_unicode_normalize" -> unicodeNormalizeSql,
   )
 }

@@ -37,7 +37,9 @@ class InterpretedModeSpec extends SparkSpec {
     "q_sim_topk", "q_ann_pq", "q_ann_ivf", "q_ann_lsh", "q_ann_ivfpq",
     "q_vector_quantize",
     // multimodal feature extraction (fnv checksums over binary)
-    "q_multimodal_features")
+    "q_multimodal_features",
+    // UnicodeNormalize + StripAccentsExpr
+    "q_unicode_normalize")
 
   test("custom expressions: interpreted eval ≡ codegen output") {
     targets.foreach { name =>

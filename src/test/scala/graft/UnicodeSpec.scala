@@ -83,6 +83,42 @@ class UnicodeSpec extends SparkSpec {
     assert(run() == got)
   }
 
+  test("unicode_normalize and strip_accents fold forms the hashes keep apart") {
+    GraftFunctions.register(spark)
+    import GraftFunctions.{stripAccents, unicodeNormalize}
+    val d = docs((1L, nfc), (2L, nfd), (3L, cjk), (4L, emoji))
+    val r = d.select(col("doc_id"),
+        unicodeNormalize(col("text")).as("norm"),
+        stripAccents(col("text")).as("flat"),
+        unicodeNormalize(col("text"), "NFD").as("denorm")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3)))
+      .toMap
+    // NFC(nfd) == nfc: normalization closes exactly the gap exact-dedup
+    // keeps open (the upstream step a multilingual pipeline must run)
+    assert(r(2L)._1 == nfc, "NFC normalization must fold NFD input")
+    assert(r(1L)._1 == nfc)
+    assert(r(1L)._3 == nfd, "NFD direction works too")
+    // accent folding is form-blind and idempotent on unaccented text
+    assert(r(1L)._2 == "cafe quality" && r(2L)._2 == "cafe quality")
+    // …and it drops ALL Mn marks, not just Latin accents: Japanese
+    // dakuten fold too (デ = テ + U+3099 under NFD) — exactly DuckDB
+    // strip_accents' behavior (its oracle twin), documented as the
+    // blocking-key (lossy) semantic, never canonical text
+    assert(r(3L)._2 == "大規模 言語 モテル の 学習 テータ",
+      s"dakuten folding changed: ${r(3L)._2}")
+    assert(r(4L)._2 == emoji)
+    // SQL registration path (the pure-SQL user's spelling)
+    d.createOrReplaceTempView("unicode_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, unicode_normalize(text, 'NFC') AS n, " +
+        "strip_accents(text) AS f FROM unicode_docs WHERE doc_id = 2").collect()(0)
+    assert(viaSql.getString(1) == nfc && viaSql.getString(2) == "cafe quality")
+    // non-literal form is a loud analysis error, not a silent default
+    intercept[Exception] {
+      spark.sql("SELECT unicode_normalize(text, text) FROM unicode_docs").collect()
+    }
+  }
+
   test("simhash and fingerprint expressions are total and stable on non-ASCII") {
     GraftFunctions.register(spark)
     val d = docs((1L, cjk), (2L, emoji), (3L, nfc), (4L, nfd), (5L, rtl))
