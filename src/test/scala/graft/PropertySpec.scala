@@ -194,4 +194,53 @@ class PropertySpec extends SparkSpec {
         assert(pop(and) == (as.toSet & bs.toSet).size)
       }
   }
+
+  test("bfsHops matches a reference BFS on random graphs") {
+    import spark.implicits._
+    // random sparse undirected graphs: up to 14 nodes, random edges —
+    // mixes chains, cycles, stars, and disconnected components
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 14)
+      m <- Gen.chooseNum(1, 20)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong - 1)
+        b <- Gen.chooseNum(0L, n.toLong - 1)
+      } yield (a, b))
+    } yield es.filter { case (a, b) => a != b }
+    def referenceBfs(edges: List[(Long, Long)]): Map[Long, (Long, Long)] = {
+      val adj = (edges ++ edges.map(_.swap)).groupMap(_._1)(_._2)
+      val nodes = adj.keySet
+      // component via DFS, then BFS hops from the component min
+      var seen = Set.empty[Long]
+      nodes.toSeq.sorted.flatMap { start =>
+        if (seen(start)) Nil
+        else {
+          var comp = Set(start); var frontier = List(start)
+          while (frontier.nonEmpty) {
+            val next = frontier.flatMap(adj(_)).filterNot(comp)
+            comp ++= next; frontier = next.distinct
+          }
+          seen ++= comp
+          val root = comp.min
+          var hops = Map(root -> 0L); var ring = List(root); var d = 0L
+          while (ring.nonEmpty) {
+            d += 1
+            val nxt = ring.flatMap(adj(_)).distinct.filterNot(hops.contains)
+            nxt.foreach(v => hops += v -> d); ring = nxt
+          }
+          comp.toSeq.map(v => v -> (root, hops(v)))
+        }
+      }.toMap
+    }
+    (0 until 6).flatMap(i => edgeGen.apply(Gen.Parameters.default, Seed(99L + i)))
+      .foreach { edges =>
+        if (edges.nonEmpty) {
+          val got = graft.operators.Dedup.bfsHops(
+              edges.toDF("doc_id_a", "doc_id_b"))
+            .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+          assert(got == referenceBfs(edges),
+            s"bfsHops diverged from reference on $edges")
+        }
+      }
+  }
 }
