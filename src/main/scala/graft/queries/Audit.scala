@@ -289,6 +289,55 @@ object Audit {
       |  strip_accents(nfc_str) AS stripped
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** L4t — script-aware multilingual token counting: whitespace
+    * tokenization UNDERCOUNTS CJK by treating whole clauses as one
+    * "word" (CJK has no word spaces), so the standard fallback counts
+    * Han/Hiragana/Katakana code points as one token each and
+    * whitespace-words for the rest — the estimator real pipelines use
+    * to budget context windows for mixed corpora. The fixture is
+    * ASCII, so the query splices a fixed CJK clause into each doc
+    * (explicit \\u escapes / chr() so no tooling can re-normalize the
+    * source) and both engines classify scripts with their regex
+    * engine's Unicode script classes (verified identical: Java
+    * `\\p{IsHan}` ≡ RE2 `\\p{Han}`). Narrow projections only. */
+  def mixedTokens(s: SparkSession, dir: String): DataFrame = {
+    val cjk = "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]"
+    val clause = "\u5927\u898f\u6a21\u8a00\u8a9e\u30e2\u30c7\u30eb\u306e\u5b66\u7fd2"
+    Tables.widen(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 24), lit(" "), lit(clause),
+          lit(" "), substring(col("text"), 25, 12)).as("mixed"))
+      .select(col("doc_id"),
+        (length(col("mixed")) - length(regexp_replace(col("mixed"), cjk, "")))
+          .cast("bigint").as("cjk_tokens"),
+        // DataFrame-API regex (NOT expr): a SQL string literal would
+        // eat the \p escape before the pattern ever reached RE2/Java
+        size(filter(split(regexp_replace(col("mixed"), cjk + "+", " "), " "),
+          x => x =!= lit(""))).cast("bigint").as("word_tokens"))
+      .withColumn("total_tokens", col("cjk_tokens") + col("word_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mixedTokensSql: String = {
+    val clause = (Seq(22823, 35215, 27169, 35328, 35486, 12514, 12487,
+      12523, 12398, 23398, 32722)).map(c => s"chr($c)").mkString(" || ")
+    s"""WITH f AS (SELECT doc_id,
+      |    substring(text, 1, 24) || ' ' || $clause || ' ' ||
+      |      substring(text, 25, 12) AS mixed
+      |  FROM documents),
+      |t AS (SELECT doc_id,
+      |    CAST(length(mixed) - length(regexp_replace(mixed,
+      |      '[\\p{Han}\\p{Hiragana}\\p{Katakana}]', '', 'g')) AS BIGINT)
+      |      AS cjk_tokens,
+      |    CAST(len(list_filter(string_split(regexp_replace(mixed,
+      |      '[\\p{Han}\\p{Hiragana}\\p{Katakana}]+', ' ', 'g'), ' '),
+      |      x -> x <> '')) AS BIGINT) AS word_tokens
+      |  FROM f)
+      |SELECT doc_id, cjk_tokens, word_tokens,
+      |  cjk_tokens + word_tokens AS total_tokens
+      |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_char_entropy" -> (charEntropy _),
     "q_bpe_merges" -> (bpeMerges _),
@@ -296,6 +345,7 @@ object Audit {
     "q_skew_profile" -> ((s: SparkSession, d: String) => skewProfile(s, d)),
     "q_embedding_audit" -> (embeddingAudit _),
     "q_unicode_normalize" -> (unicodeNormalizeQ _),
+    "q_mixed_tokens" -> (mixedTokens _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -305,5 +355,6 @@ object Audit {
     "q_skew_profile" -> skewProfileSql,
     "q_embedding_audit" -> embeddingAuditSql,
     "q_unicode_normalize" -> unicodeNormalizeSql,
+    "q_mixed_tokens" -> mixedTokensSql,
   )
 }
