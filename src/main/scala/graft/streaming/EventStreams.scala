@@ -341,6 +341,84 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** X13 — closed-session emission on the Spark 4 state API v2
+    * (`transformWithState`): the SAME session semantics as X9's
+    * flatMapGroupsWithState emitter, re-expressed as a
+    * [[StatefulProcessor]] with typed ValueState + explicit event-time
+    * TIMERS (registerTimer/handleExpiredTimer replace the v1
+    * setTimeoutTimestamp/hasTimedOut protocol). The v2 API is where
+    * streaming state is headed — per-state TTL, multiple typed state
+    * variables, timer multiplexing — and this twin pins the migration
+    * path: StreamingSpec asserts its output is IDENTICAL to X9's on
+    * the same input, including timeout-emitted sessions. Timer
+    * hygiene: extending a session deletes the stale timer before
+    * registering the new close time, so a session can never be
+    * emitted twice. */
+  class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventRow, ClosedSession] {
+    @transient private var session:
+      org.apache.spark.sql.streaming.ValueState[SessBuf] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      session = getHandle.getValueState[SessBuf]("session",
+        org.apache.spark.sql.Encoders.product[SessBuf],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[EventRow],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ClosedSession] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      var closed = List.empty[ClosedSession]
+      var cur: Option[SessBuf] = if (session.exists()) Some(session.get()) else None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur = cur match {
+          case Some(b) if t - b.end <= gapMs =>
+            Some(SessBuf(math.min(b.start, t), math.max(b.end, t), b.n + 1))
+          case Some(b) =>
+            closed ::= ClosedSession(uid, new java.sql.Timestamp(b.start),
+              new java.sql.Timestamp(b.end), b.n)
+            Some(SessBuf(t, t, 1))
+          case None => Some(SessBuf(t, t, 1))
+        }
+      }
+      cur.foreach { b =>
+        // one live timer per key: drop the stale close time, arm the
+        // new one (v1's setTimeoutTimestamp overwrote implicitly)
+        getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts))
+        session.update(b)
+        getHandle.registerTimer(b.end + gapMs)
+      }
+      closed.reverse.iterator
+    }
+
+    override def handleExpiredTimer(uid: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[ClosedSession] = {
+      val out: Iterator[ClosedSession] =
+        if (session.exists()) {
+          val b = session.get()
+          Iterator.single(ClosedSession(uid, new java.sql.Timestamp(b.start),
+            new java.sql.Timestamp(b.end), b.n))
+        } else Iterator.empty
+      session.clear()
+      out
+    }
+  }
+
+  def closedSessionsV2(events: Dataset[EventRow], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** A12 sync, Spark-native: treat the source directory as an
     * append-only stream (new files = new PK ranges), drain everything
     * currently available, write to the destination, and stop — exactly

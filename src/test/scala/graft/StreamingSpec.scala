@@ -266,6 +266,46 @@ class StreamingSpec extends SparkSpec {
     assert(all == Seq((1L, 3L), (1L, 1L), (2L, 1L)).sorted)
   }
 
+  test("transformWithState (state API v2) twin matches flatMapGroupsWithState exactly") {
+    // v2 state (multiple column families: state variables + timers)
+    // requires the RocksDB provider — the backend a scale deployment
+    // runs anyway (StateBackendSpec)
+    val rocks = spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import rocks.implicits._
+    implicit val sqlCtx = rocks.sqlContext
+    // identical input schedule to the X9 test — both the in-batch
+    // close path (handleInputRows) and the watermark-timer path
+    // (handleExpiredTimer replaces hasTimedOut) must land the SAME
+    // three sessions, each exactly once
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.closedSessionsV2(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_v2")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(mkEvents(
+      (1, 0, 1, "a", 1.0), (2, 10, 1, "a", 1.0), (3, 25, 1, "a", 1.0),
+      (4, 100, 1, "a", 1.0)))
+    q.processAllAvailable()
+    val afterBatch1 = rocks.table("sessions_v2").as[ClosedSession].collect()
+    assert(afterBatch1.map(s => (s.user_id, s.n_events)).toSeq == Seq((1L, 3L)),
+      "in-batch close path diverged from the v1 emitter")
+    stream.addData(mkEvents((5, 400, 2, "b", 1.0)))
+    q.processAllAvailable()
+    stream.addData(mkEvents((6, 900, 2, "b", 1.0)))
+    q.processAllAvailable(); q.stop()
+    val all = rocks.table("sessions_v2").as[ClosedSession].collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime,
+        s.n_events)).sorted.toSeq
+    // full-resolution comparison (starts/ends too, not just counts):
+    // the v2 emitter must reproduce v1's exact session boundaries
+    val expected = Seq(
+      (1L, ts(0).getTime, ts(25).getTime, 3L),
+      (1L, ts(100).getTime, ts(100).getTime, 1L),
+      (2L, ts(400).getTime, ts(400).getTime, 1L)).sorted
+    assert(all == expected, s"v2 sessions $all != v1 model $expected")
+  }
+
   test("session_window (batch mode) agrees with the lag-gap sessionizer") {
     import spark.implicits._
     // Three sessions for user 1 (gaps > 30 min at minutes 100 and 200),
