@@ -338,6 +338,78 @@ object Audit {
       |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** F5c — VARIANT semi-structured extraction (Spark 4's open-format
+    * answer to schema-on-read JSON): `parse_json` once into the binary
+    * variant encoding, then typed-path `variant_get` extraction — at
+    * scale this beats per-access `get_json_object` re-parsing (the
+    * variant is parsed ONCE and stored columnar-friendly; Parquet can
+    * shred it). The query parses events.props, extracts `$.k` as
+    * BIGINT, proves absent-path totality (`try_variant_get` → NULL,
+    * never an error), and aggregates per event type; the oracle reads
+    * the same JSON through DuckDB's native ->> extraction. */
+  def variantExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("v", parse_json(col("props")))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'bigint')").as("absent"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(when(col("absent").isNull, 1L).otherwise(0L)).as("n_absent"))
+      .orderBy(col("event_type"))
+
+  val variantExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(props ->> 'k' AS BIGINT)) AS min_k,
+      |  max(CAST(props ->> 'k' AS BIGINT)) AS max_k,
+      |  CAST(sum(CASE WHEN props ->> 'missing' IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_absent
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** F1d — collation-aware grouping (Spark 4 collations): group
+    * case-insensitively by declaring the COLUMN's comparison semantics
+    * (`collate(s, 'UTF8_LCASE')`) instead of materializing a lower()
+    * key — the engine-native path that lets every comparison operator
+    * (GROUP BY, =, ORDER BY, joins) share one declared collation at
+    * scale. The fixture text is lowercase, so the query first
+    * constructs case variants deterministically (initcap on even doc
+    * ids), then proves the collated grouping collapses them: per
+    * group, member count, count of distinct BINARY spellings (> 1
+    * where initcap changed anything), and the min doc id. Output keys
+    * are the BINARY min spelling (deterministic — the collated group's
+    * representative value is implementation-chosen and never
+    * emitted). Oracle: the same grouping through lower(). */
+  def collatedGroup(s: SparkSession, dir: String): DataFrame =
+    Tables.widen(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        substring(when(pmod(col("doc_id"), lit(2)) === 0,
+            initcap(col("text"))).otherwise(col("text")), 1, 24).as("sp"))
+      .groupBy(collate(col("sp"), "UTF8_LCASE").as("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(collate(col("sp"), "UTF8_BINARY")).as("n_spellings"),
+        min(collate(col("sp"), "UTF8_BINARY")).as("spelling_repr"),
+        min(col("doc_id")).as("min_doc"))
+      .select(col("n_docs"), col("n_spellings"), col("spelling_repr"),
+        col("min_doc"))
+      .orderBy(col("min_doc"))
+
+  val collatedGroupSql: String =
+    """WITH v AS (SELECT doc_id,
+      |    substring(CASE WHEN doc_id % 2 = 0
+      |      THEN list_aggregate(list_transform(string_split(text, ' '),
+      |        w -> upper(substring(w, 1, 1)) || substring(w, 2)), 'string_agg', ' ')
+      |      ELSE text END, 1, 24) AS sp
+      |  FROM documents)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT sp) AS BIGINT) AS n_spellings,
+      |  min(sp) AS spelling_repr,
+      |  CAST(min(doc_id) AS BIGINT) AS min_doc
+      |FROM v GROUP BY lower(sp) ORDER BY min_doc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_char_entropy" -> (charEntropy _),
     "q_bpe_merges" -> (bpeMerges _),
@@ -346,6 +418,8 @@ object Audit {
     "q_embedding_audit" -> (embeddingAudit _),
     "q_unicode_normalize" -> (unicodeNormalizeQ _),
     "q_mixed_tokens" -> (mixedTokens _),
+    "q_variant_extract" -> (variantExtract _),
+    "q_collated_group" -> (collatedGroup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -356,5 +430,7 @@ object Audit {
     "q_embedding_audit" -> embeddingAuditSql,
     "q_unicode_normalize" -> unicodeNormalizeSql,
     "q_mixed_tokens" -> mixedTokensSql,
+    "q_variant_extract" -> variantExtractSql,
+    "q_collated_group" -> collatedGroupSql,
   )
 }
