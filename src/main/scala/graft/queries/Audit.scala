@@ -410,6 +410,60 @@ object Audit {
       |  CAST(min(doc_id) AS BIGINT) AS min_doc
       |FROM v GROUP BY lower(sp) ORDER BY min_doc""".stripMargin
 
+  /** D7 — SQL pipe syntax (Spark 4): the linear `FROM … |> WHERE …
+    * |> AGGREGATE …` form — each stage reads top-to-bottom in
+    * execution order, the way the DataFrame API composes, and
+    * compiles to the IDENTICAL plan as the nested-SELECT spelling.
+    * The oracle is that plain-SQL equivalent (DuckDB has no pipe
+    * parser), which is itself the point: pipe syntax is parse-time
+    * sugar, not new semantics. Exact integer cents throughout. */
+  def sqlPipe(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_p")
+    s.sql(
+      """FROM lineitem_p
+        #|> WHERE l_shipdate >= DATE'1995-01-01'
+        #|> EXTEND CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        #|> AGGREGATE COUNT(*) AS n, SUM(cents) AS sum_cents GROUP BY l_returnflag
+        #|> ORDER BY l_returnflag""".stripMargin('#'))
+  }
+
+  val sqlPipeSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** D8 — SQL scalar UDF (Spark 4 `CREATE FUNCTION … RETURN expr`):
+    * reusable business logic declared IN SQL and inlined by the
+    * analyzer into the calling plan (no JVM round trip, full codegen —
+    * the D1 Scala UDF's opposite trade). The function computes
+    * discounted price in exact integer units (cents × basis points):
+    * every step is integer-exact on both engines, sidestepping the
+    * decimal→BIGINT cast divergence (Spark truncates, DuckDB rounds —
+    * ARCHITECTURE.md rule 7). Oracle inlines the same expression. */
+  def sqlUdf(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_u")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_units(
+        |  p DECIMAL(18,2), d DECIMAL(18,2)) RETURNS BIGINT
+        |RETURN CAST(p * 100 AS BIGINT) * (100 - CAST(d * 100 AS BIGINT))""".stripMargin)
+    s.sql(
+      """SELECT l_returnflag,
+        |  SUM(graft_disc_units(CAST(l_extendedprice AS DECIMAL(18,2)),
+        |    CAST(l_discount AS DECIMAL(18,2)))) AS disc_units,
+        |  COUNT(*) AS n
+        |FROM lineitem_u GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val sqlUdfSql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+      |    (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)))
+      |    AS BIGINT) AS disc_units,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_char_entropy" -> (charEntropy _),
     "q_bpe_merges" -> (bpeMerges _),
@@ -420,6 +474,8 @@ object Audit {
     "q_mixed_tokens" -> (mixedTokens _),
     "q_variant_extract" -> (variantExtract _),
     "q_collated_group" -> (collatedGroup _),
+    "q_sql_pipe" -> (sqlPipe _),
+    "q_sql_udf" -> (sqlUdf _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -432,5 +488,7 @@ object Audit {
     "q_mixed_tokens" -> mixedTokensSql,
     "q_variant_extract" -> variantExtractSql,
     "q_collated_group" -> collatedGroupSql,
+    "q_sql_pipe" -> sqlPipeSql,
+    "q_sql_udf" -> sqlUdfSql,
   )
 }
