@@ -100,6 +100,11 @@ object PlanAudit {
     "q_weighted_percentile" -> "partial/final aggregate collapses the fact table to the (group, price) weight distribution BEFORE the range exchange; per-pid windows cumulate in parallel, offsets and totals broadcast back",
     "q_apply_changelog" -> "changelog replay: one anti join + one union over the shared snapshot; the full-outer capture join feeds both without re-derivation (persistScoped)",
     "q_js_divergence" -> "pair scaffold as a UNION of two broadcast hash equi-joins (no OR-predicate nested loop); one (source, term) aggregate feeds totals, universe, and both contribution sides",
+    "q_dedup_hops" -> "packed min-plus BFS: the converged state table reads from a localCheckpoint RDD (lineage truncated per round); one integer div/pmod projection unpacks (root, hops)",
+    "q_bpe_apply" -> "all five merge rounds iterate the distinct-word frequency table (InMemoryRelation, vocab-sized); the corpus scan + regex + groupBy appears ONCE; each round is a vocab aggregate + 1-row broadcast joins",
+    "q_mixed_tokens" -> "one narrow projection per doc (two regexp_replace + higher-order filter), no shuffle before the final sort",
+    "q_variant_extract" -> "parse_json + variant_get stay in the scan-side projection (one parse per row); partial/final hash aggregate on event_type",
+    "q_collated_group" -> "hash aggregate keyed on the UTF8_LCASE-collated column — the collation rides the grouping key, no lower() projection materialized",
   )
 
   def main(args: Array[String]): Unit = {
