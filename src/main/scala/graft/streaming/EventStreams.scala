@@ -13,6 +13,9 @@ case class SessBuf(start: Long, end: Long, n: Long)
 case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                          session_end: java.sql.Timestamp, n_events: Long)
 
+case class RecentEvent(ms: Long, event_id: Long, value: Double)
+case class UserRecent(user_id: Long, n_seen: Long, recent_ids: Seq[Long])
+
 case class KmvCard(hs: Array[Long], n_seen: Long)
 case class TypeCardinality(event_type: String, n_seen: Long, est_users: Double)
 case class BitmapCard(bits: Array[Long], n_seen: Long)
@@ -407,6 +410,62 @@ object EventStreams {
       session.clear()
       out
     }
+  }
+
+  /** X15 — bounded recent-events buffer per user on v2 ListState: the
+    * online-feature-store state shape ("last N events per user" feeds
+    * real-time features) that v1's single-value GroupState can only
+    * fake by packing a list into one blob rewritten per batch.
+    * ListState is element-appendable in the store; the buffer is
+    * re-trimmed to the N NEWEST under (ts, event_id) only when it
+    * overflows. Emission per batch: the user's current buffer (ids
+    * newest-first) plus a lifetime event count — deterministic for
+    * any arrival order because the trim order is total
+    * (StreamingSpec: stream ≡ batch last-N model across micro-batch
+    * splits). State is N small rows per user FOREVER — the same
+    * bounded-forever posture as X10/X11/X12, with per-state TTL the
+    * v2 lever to cap the user dimension in a deployment. */
+  class RecentEventsProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventRow, UserRecent] {
+    @transient private var buf:
+      org.apache.spark.sql.streaming.ListState[RecentEvent] = _
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[RecentEvent]("recent",
+        org.apache.spark.sql.Encoders.product[RecentEvent],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[EventRow],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserRecent] = {
+      val incoming = rows.map(e =>
+        RecentEvent(e.ts.getTime, e.event_id, e.value)).toArray
+      val merged = (buf.get().toArray ++ incoming)
+        .sortBy(r => (r.ms, r.event_id))
+      val trimmed = if (merged.length > n) merged.takeRight(n) else merged
+      buf.put(trimmed)
+      val total = (if (seen.exists()) seen.get() else 0L) + incoming.length
+      seen.update(total)
+      Iterator.single(UserRecent(uid, total,
+        trimmed.reverse.map(_.event_id).toSeq))
+    }
+  }
+
+  def recentEvents(events: Dataset[EventRow], n: Int = 3): Dataset[UserRecent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RecentEventsProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
   }
 
   def closedSessionsV2(events: Dataset[EventRow], gapMinutes: Int = 30): Dataset[ClosedSession] = {

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.{ClosedSession, EventRow, EventStreams}
+import graft.streaming.{ClosedSession, EventRow, EventStreams, UserRecent}
 
 /** Structured Streaming operators via MemoryStream, plus batch/stream
   * equivalence: the streaming aggregations must agree with the batch
@@ -304,6 +304,38 @@ class StreamingSpec extends SparkSpec {
       (1L, ts(100).getTime, ts(100).getTime, 1L),
       (2L, ts(400).getTime, ts(400).getTime, 1L)).sorted
     assert(all == expected, s"v2 sessions $all != v1 model $expected")
+  }
+
+  test("ListState recent-events buffer: stream equals batch last-N across splits") {
+    val rocks = spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import rocks.implicits._
+    implicit val sqlCtx = rocks.sqlContext
+    val all = mkEvents(
+      (1, 0, 1, "a", 1.0), (2, 5, 1, "a", 1.0), (3, 3, 1, "a", 1.0),
+      (4, 9, 1, "a", 1.0), (5, 7, 1, "a", 1.0),
+      (6, 2, 2, "b", 1.0), (7, 1, 2, "b", 1.0))
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.recentEvents(stream.toDS(), n = 3)
+      .writeStream.format("memory").queryName("recent")
+      .outputMode(OutputMode.Update()).start()
+    // deliberately ragged micro-batches: the buffer must trim under
+    // the TOTAL order (ts, event_id), not arrival order
+    stream.addData(all.take(2)); q.processAllAvailable()
+    stream.addData(all.slice(2, 5)); q.processAllAvailable()
+    stream.addData(all.drop(5)); q.processAllAvailable(); q.stop()
+    // Update mode: the LAST emission per user is the current state
+    val last = rocks.table("recent").as[UserRecent].collect()
+      .groupBy(_.user_id).map { case (u, rows) =>
+        u -> rows.maxBy(_.n_seen) }
+    // batch model: newest 3 under (ts, event_id), newest-first ids
+    def model(uid: Long) = all.filter(_.user_id == uid)
+      .sortBy(e => (e.ts.getTime, e.event_id)).takeRight(3)
+      .reverse.map(_.event_id)
+    assert(last(1L).n_seen == 5L && last(1L).recent_ids == model(1L),
+      s"user 1: ${last(1L)} vs ${model(1L)}")
+    assert(last(2L).n_seen == 2L && last(2L).recent_ids == model(2L))
   }
 
   test("session_window (batch mode) agrees with the lag-gap sessionizer") {
