@@ -527,8 +527,41 @@ object Curate {
     s.sql(sqlSharedText)
   }
 
+  /** D9 — RECURSIVE shared SQL (Spark 4 `WITH RECURSIVE`): ONE
+    * recursive query string executed VERBATIM by spark.sql AND the
+    * DuckDB oracle — the hierarchy walk (region → nation → customer
+    * over a unified edge relation, one recursive arm) that needed an
+    * engine-side iterative loop (Dedup.bfsHops) or a fixed-depth
+    * oracle unroll (ccUnroll) before Spark grew a recursion operator.
+    * Depth counters and per-level counts are exact integers; count(*)
+    * lands as int64 on both engines, so the shared string needs no
+    * per-dialect casts. */
+  val sqlRecursiveText: String =
+    """WITH RECURSIVE
+      |e AS (SELECT 'R' || CAST(n_regionkey AS VARCHAR(20)) AS parent,
+      |             'N' || CAST(n_nationkey AS VARCHAR(20)) AS child FROM nation
+      |      UNION ALL
+      |      SELECT 'N' || CAST(c_nationkey AS VARCHAR(20)),
+      |             'C' || CAST(c_custkey AS VARCHAR(20)) FROM customer),
+      |walk AS (SELECT 'R' || CAST(r_regionkey AS VARCHAR(20)) AS node,
+      |                'R' || CAST(r_regionkey AS VARCHAR(20)) AS root, 0 AS depth
+      |         FROM region
+      |         UNION ALL
+      |         SELECT e.child, w.root, w.depth + 1
+      |         FROM e JOIN walk w ON e.parent = w.node)
+      |SELECT root, depth, count(*) AS n_nodes, min(node) AS first_node
+      |FROM walk GROUP BY root, depth ORDER BY root, depth""".stripMargin
+
+  def sqlRecursive(s: SparkSession, dir: String): DataFrame = {
+    Tables.region(s, dir).createOrReplaceTempView("region")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql(sqlRecursiveText)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_shared" -> (sqlShared _),
+    "q_sql_recursive" -> (sqlRecursive _),
     "q_filter_funnel" -> (filterFunnel _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_novelty" -> (novelty _),
@@ -545,6 +578,7 @@ object Curate {
 
   val oracle: Map[String, String] = Map(
     "q_sql_shared" -> sqlSharedText,
+    "q_sql_recursive" -> sqlRecursiveText,
     "q_filter_funnel" -> filterFunnelSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_novelty" -> noveltySql,
