@@ -28,7 +28,13 @@ class ShuffleWidthSpec extends SparkSpec {
     // merge-order-sensitive but must be externally layout-free; DBSCAN
     // runs the checked-fixpoint CC under two widths
     "q_cms_topk", "q_hll_distinct", "q_bloom_own", "q_hash_ring",
-    "q_dbscan_grid")
+    "q_dbscan_grid",
+    // round 9: the packed min-plus BFS iterates checkpointed rounds
+    // whose count may vary with layout but whose fixpoint must not;
+    // BPE's per-round max(struct) winner and weighted counts must be
+    // partition-order free; collated grouping must pick the same
+    // binary-min representative at any width
+    "q_dedup_hops", "q_bpe_apply", "q_collated_group")
 
   test("prefix-sum machinery is shuffle-width invariant") {
     val wide = spark.newSession()
