@@ -36,8 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
-      (exprs: Seq[Expression]) =>
-        UnicodeNormalize(exprs(0), GraftFunctions.literalForm(exprs(1)))))
+      (exprs: Seq[Expression]) => GraftFunctions.unicodeNormalizeBuilder(exprs)))
     ext.injectFunction((
       new FunctionIdentifier("strip_accents"),
       new ExpressionInfo(classOf[StripAccentsExpr].getName, "strip_accents"),

@@ -930,10 +930,14 @@ case class UnicodeNormalize(child: Expression, form: String)
   override def dataType: DataType = StringType
   override def prettyName: String = "unicode_normalize"
 
+  // resolved once — form is fixed per expression instance (and
+  // already require-validated); interpreted eval must not pay a
+  // valueOf lookup per row
+  @transient private lazy val nf = java.text.Normalizer.Form.valueOf(form)
+
   override protected def nullSafeEval(input: Any): Any =
     UTF8String.fromString(java.text.Normalizer.normalize(
-      input.asInstanceOf[UTF8String].toString,
-      java.text.Normalizer.Form.valueOf(form)))
+      input.asInstanceOf[UTF8String].toString, nf))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
@@ -1015,8 +1019,7 @@ object GraftFunctions {
     ensure("jaro_winkler", exprs => JaroWinklerSim(exprs(0), exprs(1)))
     ensure("deflate_size", exprs => DeflateSize(exprs.head))
     ensure("hilbert_key", exprs => HilbertKey(exprs(0), exprs(1)))
-    ensure("unicode_normalize",
-      exprs => UnicodeNormalize(exprs(0), literalForm(exprs(1))))
+    ensure("unicode_normalize", unicodeNormalizeBuilder)
     ensure("strip_accents", exprs => StripAccentsExpr(exprs.head))
     // Optimizer rules go through the public experimental-methods hook
     // (sessions built with spark.sql.extensions get them from
@@ -1034,6 +1037,18 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(
       s"unicode_normalize form must be a string literal, got $other")
   }
+
+  /** SQL builder shared by register() and GraftExtensions: 1-arg form
+    * defaults to NFC (the Column wrapper's default), 2-arg form must
+    * be a string literal; anything else is a clear argument error,
+    * never a raw IndexOutOfBounds. */
+  private[functions] def unicodeNormalizeBuilder(exprs: Seq[Expression]): Expression =
+    exprs match {
+      case Seq(c) => UnicodeNormalize(c, "NFC")
+      case Seq(c, f) => UnicodeNormalize(c, literalForm(f))
+      case _ => throw new IllegalArgumentException(
+        s"unicode_normalize takes (string[, form]), got ${exprs.length} arguments")
+    }
 
   def fnv64(c: Column): Column = call_function("fnv64", c)
   def deflateSize(c: Column): Column = call_function("deflate_size", c)

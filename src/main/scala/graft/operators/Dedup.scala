@@ -587,11 +587,14 @@ object Dedup {
       .repartition(col("v"))
       .localCheckpoint()
     // ×1024 must be exact in a double-free integer domain: Long
-    // overflow at ids ≥ 2⁶³/1024 would wrap packs negative and
-    // corrupt every min() silently.
-    val maxId = edgesPlus.agg(max(col("v"))).head
-    require(maxId.isNullAt(0) || maxId.getLong(0) < (1L << 53),
-      "bfsHops packs label*1024 + hops into one BIGINT — ids must be < 2^53")
+    // overflow at ids ≥ 2⁶³/1024 would wrap packs negative, and a
+    // NEGATIVE id breaks the decode (`div` truncates toward zero
+    // while pmod floors, so pack -5118 would unpack as cluster -4,
+    // hops 2) — both corrupt silently, so both bounds are require'd.
+    val bounds = edgesPlus.agg(min(col("v")), max(col("v"))).head
+    require(bounds.isNullAt(0) ||
+        (bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 53)),
+      "bfsHops packs label*1024 + hops into one BIGINT — ids must be in [0, 2^53)")
     def packSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("pack").cast("decimal(38,0)"))).head.getDecimal(0)
     // Round 1, join-free (every node's initial pack is node·1024):

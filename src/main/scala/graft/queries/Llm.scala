@@ -47,16 +47,24 @@ object Llm {
     * labeling — ClusterSpec asserts the fixture converges well
     * inside 8. ONE definition: if the fixture's graph ever needs a
     * deeper unroll, every CC oracle moves together. */
+  /** The symmetrized-edges + self-loops scaffold BOTH iterative-graph
+    * oracles build on (requires a preceding `pairs(da, db)` CTE; the
+    * self-loop is what folds "keep your own state" into each round's
+    * min()). ONE definition: a drift between the CC and BFS oracles'
+    * edge semantics would make them silently disagree. */
+  private[queries] val edgeScaffoldCte: String =
+    """nodes AS (SELECT DISTINCT u AS node FROM
+      |          (SELECT da AS u FROM pairs UNION ALL SELECT db FROM pairs)),
+      |ep AS (SELECT da AS u, db AS v FROM pairs
+      |       UNION ALL SELECT db AS u, da AS v FROM pairs
+      |       UNION ALL SELECT node AS u, node AS v FROM nodes)""".stripMargin
+
   private[queries] def ccUnroll(rounds: Int = 8): String = {
     val iters = (1 to rounds).map { k =>
       s"""l$k AS (SELECT e.u AS node, min(l.label) AS label
          |  FROM ep e JOIN l${k - 1} l ON e.v = l.node GROUP BY e.u)""".stripMargin
     }.mkString(",\n")
-    s"""nodes AS (SELECT DISTINCT u AS node FROM
-      |          (SELECT da AS u FROM pairs UNION ALL SELECT db FROM pairs)),
-      |ep AS (SELECT da AS u, db AS v FROM pairs
-      |       UNION ALL SELECT db AS u, da AS v FROM pairs
-      |       UNION ALL SELECT node AS u, node AS v FROM nodes),
+    s"""$edgeScaffoldCte,
       |l0 AS (SELECT node, node AS label FROM nodes),
       |$iters""".stripMargin
   }
@@ -71,11 +79,7 @@ object Llm {
          |  min(h.pack + CASE WHEN e.u = e.v THEN 0 ELSE 1 END) AS pack
          |  FROM ep e JOIN h${k - 1} h ON e.v = h.node GROUP BY e.u)""".stripMargin
     }.mkString(",\n")
-    s"""nodes AS (SELECT DISTINCT u AS node FROM
-      |          (SELECT da AS u FROM pairs UNION ALL SELECT db FROM pairs)),
-      |ep AS (SELECT da AS u, db AS v FROM pairs
-      |       UNION ALL SELECT db AS u, da AS v FROM pairs
-      |       UNION ALL SELECT node AS u, node AS v FROM nodes),
+    s"""$edgeScaffoldCte,
       |h0 AS (SELECT node, node * 1024 AS pack FROM nodes),
       |$iters""".stripMargin
   }

@@ -450,8 +450,13 @@ object EventStreams {
         RecentEvent(e.ts.getTime, e.event_id, e.value)).toArray
       val merged = (buf.get().toArray ++ incoming)
         .sortBy(r => (r.ms, r.event_id))
+      // storage order is free (every read re-sorts under the total
+      // order), so the store write is APPEND-ONLY while the buffer
+      // fits — the element-appendable win over v1's rewrite-the-blob;
+      // only an overflow trim rewrites the list
       val trimmed = if (merged.length > n) merged.takeRight(n) else merged
-      buf.put(trimmed)
+      if (merged.length <= n) buf.appendList(incoming)
+      else buf.put(trimmed)
       val total = (if (seen.exists()) seen.get() else 0L) + incoming.length
       seen.update(total)
       Iterator.single(UserRecent(uid, total,

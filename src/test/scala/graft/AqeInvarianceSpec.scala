@@ -15,16 +15,11 @@ package graft
   * the two specs guard the same invariant along different axes. */
 class AqeInvarianceSpec extends SparkSpec {
 
-  private val targets = Seq(
-    "q_abc_class", "q_percentile_disc", "q_doc_packing", "q_winsorize",
-    "q_quantile_norm", "q_rfm_segments", "q_concurrency",
-    "q_sim_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq",
-    "q_bitmap_retention", "q_sketch_overlap", "q_theil_sen",
-    "q_weighted_percentile",
-    "q_cms_topk", "q_hll_distinct", "q_bloom_own", "q_hash_ring",
-    "q_dbscan_grid",
-    // plus the two-pass rank/histogram machinery not in the width list
-    "q_equidepth_hist", "q_percentile_exact")
+  // the SHARED list (one definition — a query added to the width spec
+  // is automatically AQE-guarded) plus the two-pass rank/histogram
+  // machinery not in the width list
+  private val targets = ShuffleWidthSpec.targets ++
+    Seq("q_equidepth_hist", "q_percentile_exact")
 
   test("layout-sensitive machinery is AQE-toggle invariant") {
     val noAqe = spark.newSession()

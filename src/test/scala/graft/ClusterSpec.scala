@@ -99,6 +99,11 @@ class ClusterSpec extends SparkSpec {
       Dedup.bfsHops(pairsDf((1 to 11).map(i => (i.toLong, i + 1L)): _*),
         maxIterations = 4).collect()
     }
+    // negative ids break the pack decode (div truncates, pmod floors)
+    // — refused loudly, never unpacked wrong
+    intercept[IllegalArgumentException] {
+      Dedup.bfsHops(pairsDf((-5L, 2L))).collect()
+    }
   }
 
   test("the run-time fixpoint matches the oracle's 8-round unroll on the corpus") {

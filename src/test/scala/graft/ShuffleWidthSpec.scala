@@ -8,9 +8,11 @@ package graft
   * and require identical output. (A full-inventory sweep at widths 8
   * vs 17 was run once — 201/201 dumps bit-identical; this spec guards
   * the load-bearing subset in CI.) */
-class ShuffleWidthSpec extends SparkSpec {
-
-  private val targets = Seq(
+object ShuffleWidthSpec {
+  /** Shared with [[AqeInvarianceSpec]] — the two specs guard the same
+    * layout-sensitivity invariant along different axes, so a query
+    * added here is automatically covered there too. */
+  val targets: Seq[String] = Seq(
     "q_abc_class", "q_percentile_disc", "q_doc_packing", "q_winsorize",
     "q_quantile_norm", "q_rfm_segments", "q_concurrency",
     // round 8: the ANN scorers rank via the TopKPairsD bounded-heap
@@ -35,6 +37,10 @@ class ShuffleWidthSpec extends SparkSpec {
     // partition-order free; collated grouping must pick the same
     // binary-min representative at any width
     "q_dedup_hops", "q_bpe_apply", "q_collated_group")
+}
+
+class ShuffleWidthSpec extends SparkSpec {
+  private val targets = ShuffleWidthSpec.targets
 
   test("prefix-sum machinery is shuffle-width invariant") {
     val wide = spark.newSession()

@@ -45,8 +45,10 @@ class UnicodeSpec extends SparkSpec {
     val chars = r.getSeq[String](1).filter(_.nonEmpty)
     assert(chars.length == 23, s"split-to-chars gave ${chars.length} units")
     assert(chars(5) == "🎉", s"char 5 is '${chars(5)}', not the whole emoji")
-    assert(chars.forall(c => !Character.isLowSurrogate(c.charAt(0)) ||
-        Character.isHighSurrogate(c.charAt(0))),
+    // a single-char element that is ANY surrogate half is a broken
+    // pair (a whole emoji is 2 UTF-16 units, length 2)
+    assert(chars.forall(c =>
+        !(c.length == 1 && Character.isSurrogate(c.charAt(0)))),
       "split produced a lone surrogate")
     assert(r.getAs[String]("sub") == "🎉", "substring broke the emoji")
     // CJK length is per ideograph (9 ideographs + 5 spaces = 14... plus
@@ -113,7 +115,12 @@ class UnicodeSpec extends SparkSpec {
       "SELECT doc_id, unicode_normalize(text, 'NFC') AS n, " +
         "strip_accents(text) AS f FROM unicode_docs WHERE doc_id = 2").collect()(0)
     assert(viaSql.getString(1) == nfc && viaSql.getString(2) == "cafe quality")
-    // non-literal form is a loud analysis error, not a silent default
+    // 1-arg SQL spelling defaults to NFC like the Column wrapper
+    val oneArg = spark.sql(
+      "SELECT unicode_normalize(text) AS n FROM unicode_docs WHERE doc_id = 2")
+      .collect()(0).getString(0)
+    assert(oneArg == nfc)
+    // non-literal form is a loud argument error, not a silent default
     intercept[Exception] {
       spark.sql("SELECT unicode_normalize(text, text) FROM unicode_docs").collect()
     }
