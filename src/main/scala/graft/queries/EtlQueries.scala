@@ -728,7 +728,69 @@ object EtlQueries {
       |GROUP BY 1, 2 ORDER BY node_before, node_after""".stripMargin
   }
 
+  /** E15 — identifier sanitization mapping (ref A7's naming half):
+    * RDBMS column names with spaces/symbols/case/leading digits must
+    * map onto the destination's `[a-zA-Z_][a-zA-Z0-9_]*` field
+    * grammar deterministically, with collisions numbered. The query
+    * derives an adversarial name corpus from fixture data — p_type
+    * values, a symbol variant (spaces → '-', sanitizes IDENTICALLY so
+    * every pair collides), and a leading-digit variant — sorts it
+    * (making encounter order reproducible in SQL), and emits the
+    * (original, safe) mapping computed by the same rules as
+    * [[graft.etl.Identifiers]]: lowercase → non-alnum to '_' →
+    * digit-prefix guard → row_number collision suffix. EtlSpec pins
+    * the library function against this query's rules. */
+  def nameSanitize(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("safe1")).orderBy(col("orig_name"))
+    val base = Tables.part(s, dir).select(col("p_type").as("n")).distinct()
+    // distinct AFTER the union: a space-free p_type makes the dashed
+    // variant a duplicate ORIGINAL, and duplicate originals would get
+    // tie-ordered arbitrarily by the collision window
+    // the lowercase variant GUARANTEES collisions (ECONOMY vs economy
+    // sanitize identically) even when p_type is space-free
+    val names = base
+      .union(base.select(regexp_replace(col("n"), " ", "-").as("n")))
+      .union(base.select(concat(lit("1 "), col("n")).as("n")))
+      .union(base.select(lower(col("n")).as("n")))
+      .select(col("n").as("orig_name")).distinct()
+    names
+      .withColumn("base",
+        lower(regexp_replace(col("orig_name"), "[^a-zA-Z0-9]", "_")))
+      .withColumn("safe1",
+        when(substring(col("base"), 1, 1).rlike("^[0-9]"),
+          concat(lit("_"), col("base"))).otherwise(col("base")))
+      .withColumn("rn", row_number().over(w))
+      .select(col("orig_name"),
+        when(col("rn") === 1, col("safe1"))
+          .otherwise(concat(col("safe1"), lit("_"), col("rn"))).as("safe_name"))
+      .orderBy(col("orig_name"))
+  }
+
+  val nameSanitizeSql: String =
+    """WITH b AS (SELECT DISTINCT p_type AS n FROM part),
+      |names AS (SELECT DISTINCT orig_name FROM (
+      |          SELECT n AS orig_name FROM b
+      |          UNION ALL SELECT replace(n, ' ', '-') FROM b
+      |          UNION ALL SELECT '1 ' || n FROM b
+      |          UNION ALL SELECT lower(n) FROM b)),
+      |s AS (SELECT orig_name,
+      |        lower(regexp_replace(orig_name, '[^a-zA-Z0-9]', '_', 'g')) AS base
+      |      FROM names),
+      |s1 AS (SELECT orig_name,
+      |         CASE WHEN substring(base, 1, 1) BETWEEN '0' AND '9'
+      |           THEN '_' || base ELSE base END AS safe1
+      |       FROM s),
+      |r AS (SELECT orig_name, safe1,
+      |        row_number() OVER (PARTITION BY safe1 ORDER BY orig_name) AS rn
+      |      FROM s1)
+      |SELECT orig_name,
+      |  CASE WHEN rn = 1 THEN safe1
+      |       ELSE safe1 || '_' || CAST(rn AS VARCHAR) END AS safe_name
+      |FROM r ORDER BY orig_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_name_sanitize" -> (nameSanitize _),
     "q_hash_ring" -> (hashRing _),
     "q_range_source" -> (rangeSourceScan _),
     "q_corrupt_records" -> (corruptRecords _),
@@ -752,6 +814,7 @@ object EtlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_name_sanitize" -> nameSanitizeSql,
     "q_hash_ring" -> hashRingSql,
     "q_range_source" -> rangeSourceScanSql,
     "q_corrupt_records" -> corruptRecordsSql,

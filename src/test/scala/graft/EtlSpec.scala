@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.etl.{BatchRecord, IncrementalRunner, JdbcRangedSource, ParquetRangeSink, StateStore}
+import graft.etl.{BatchRecord, Identifiers, IncrementalRunner, JdbcRangedSource, ParquetRangeSink, StateStore}
 
 /** Crash/resume, idempotency, and validation semantics of the
   * incremental frontier loop (the reference's run/check/retry/sync
@@ -253,5 +253,36 @@ class EtlSpec extends SparkSpec {
       == full.count())
     // count-compare validation over the JDBC source agrees per range
     assert(runner.validate(src, "orders", "o_orderkey").isEmpty)
+  }
+
+  test("identifier sanitization: grammar, collisions, idempotence, renamer") {
+    import Identifiers._
+    // rule 1+2: lowercase, non-alnum folds to _, leading digit guarded
+    assert(sanitize("Order Date") == "order_date")
+    assert(sanitize("total$amount (USD)") == "total_amount__usd_")
+    assert(sanitize("2nd_col") == "_2nd_col")
+    assert(sanitize("") == "_")
+    // every output matches the destination grammar
+    val uglies = Seq("Order Date", "order-date", "ORDER DATE", "2fast",
+      "x", "_x", "total$", "", "a b c")
+    val mapped = sanitizeAll(uglies)
+    mapped.foreach { case (_, safe) =>
+      assert(safe.matches("[a-z_][a-z0-9_]*"), s"'$safe' breaks the grammar")
+    }
+    // collisions number by encounter order, outputs stay distinct
+    assert(mapped.map(_._2).distinct.length == uglies.length)
+    assert(mapped.toMap.apply("Order Date") == "order_date")
+    assert(mapped.toMap.apply("order-date") == "order_date_2")
+    assert(mapped.toMap.apply("ORDER DATE") == "order_date_3")
+    // a literal name equal to a taken suffix keeps counting until free
+    val tricky = sanitizeAll(Seq("a b", "a-b", "a_b_2"))
+    assert(tricky.map(_._2) == Seq("a_b", "a_b_2", "a_b_2_2"))
+    // already-clean names are fixpoints (sanitize twice = once)
+    mapped.foreach { case (_, safe) => assert(sanitize(safe) == safe) }
+    // the DataFrame renamer applies the same mapping in schema order
+    import spark.implicits._
+    val df = Seq((1, 2, 3)).toDF("Order Key", "order-key", "2nd")
+    assert(Identifiers.sanitizeColumns(df).columns.toSeq ==
+      Seq("order_key", "order_key_2", "_2nd"))
   }
 }
