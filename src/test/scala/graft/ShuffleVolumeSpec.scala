@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** RUNTIME shuffle-volume assertions: PlanGuardSpec pins how many
+  * exchanges a plan has; this spec pins how much DATA actually moves
+  * through them — the number that decides whether a plan survives a
+  * 100× scale-up. Map-side combine, broadcast placement, and the
+  * bounded-heap aggregate all claim to collapse the fact stream
+  * BEFORE the wire; here the executed plan's own SQL metrics
+  * (shuffleRecordsWritten per ShuffleExchange) prove it. AQE is off
+  * in the measuring session so the executed tree is statically
+  * traversable. */
+class ShuffleVolumeSpec extends SparkSpec {
+
+  private lazy val noAqe = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
+  /** Total records written across every shuffle exchange of the
+    * EXECUTED plan (fails loudly if the metric key ever renames). */
+  private def shuffledRecords(df: DataFrame): Long = {
+    df.collect()
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected at least one shuffle to measure")
+    exchanges.map { e =>
+      val m = e.metrics.getOrElse("shuffleRecordsWritten",
+        fail(s"shuffleRecordsWritten metric missing; keys=${e.metrics.keys}"))
+      m.value
+    }.sum
+  }
+
+  private val factRows = 6005L // lineitem at sf0.001 (order of magnitude)
+
+  test("partial aggregation collapses the fact stream before the exchange") {
+    val n = shuffledRecords(SparkEntry.queries("q_pricing_summary")(noAqe, sfDir))
+    // 4 flag×status groups × ≤4 map partitions + the 4-row sort
+    // exchange: map-side combine means the wire carries group rows,
+    // never the ~6k fact rows
+    assert(n < 100, s"$n records shuffled — partial aggregation is not combining")
+    noAqe.catalog.clearCache()
+  }
+
+  test("broadcast join ships zero fact rows through the shuffle") {
+    val n = shuffledRecords(SparkEntry.queries("q_join_broadcast")(noAqe, sfDir))
+    // the dim side broadcasts (no shuffle) and the join output is
+    // aggregated before the final ORDER BY exchange
+    assert(n < 100, s"$n records shuffled — the broadcast placement regressed")
+    noAqe.catalog.clearCache()
+  }
+
+  test("bounded-heap top-k emits at most k rows per group per map partition") {
+    val n = shuffledRecords(SparkEntry.queries("q_topk_heap")(noAqe, sfDir))
+    // the heap aggregate's partial buffers carry ≤k pairs each; the
+    // wire must see heap buffers + k-row outputs, not the fact table
+    assert(n < 1000 && n < factRows / 5,
+      s"$n records shuffled — the heap aggregate stopped combining map-side")
+    noAqe.catalog.clearCache()
+  }
+
+  test("exact dedup shuffles hash-group rows, not document payloads") {
+    val n = shuffledRecords(SparkEntry.queries("q_dedup_exact")(noAqe, sfDir))
+    // one (hash → min id, count) row per distinct text + the ordered
+    // output exchange — bounded by 2×distinct texts (500 docs)
+    assert(n <= 1100, s"$n records shuffled — dedup is shipping raw rows")
+    noAqe.catalog.clearCache()
+  }
+}
