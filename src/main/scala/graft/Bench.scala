@@ -215,8 +215,7 @@ object Bench {
     // survive the window intact, so the driver always has one
     // parseable line. Totals are identical; the full map lives in the
     // long line above and in BENCH_LOCAL.json.
-    println(renderCompactJson(results.map { case (n, s) => n -> s.wall }, sfDir,
-      Some(env), Some(isContended(results))))
+    println(renderCompactJson(walls, sfDir, Some(env), contended))
     // The driver's stdout tail has truncated the head of this line in
     // past rounds; persist the full line so totals are always readable.
     val detailed = renderDetailedJson(results, sfDir, Some(env))
@@ -237,13 +236,22 @@ object Bench {
     * parser. BenchFormatSpec guards format and length. */
   def renderJson(results: Seq[(String, Double)], sfDir: String,
                  env: Option[Env] = None,
-                 contended: Option[Boolean] = None): String = {
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+                 contended: Option[Boolean] = None): String =
+    s"""{"queries":${queriesMap(results)},""" +
+      summaryTail(results, sfDir, env, contended)
+
+  /** The per-query map and the summary tail are shared by BOTH
+    * renderers — the compact line's "totals are identical" promise is
+    * structural, not copy-discipline. (Sum of an empty Seq[Double] is
+    * 0.0, so no empty-case branch is needed.) */
+  private def queriesMap(results: Seq[(String, Double)]): String =
+    results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    s"""{"queries":$qs,${envFields(env, contended)}"metric":"total",""" +
-      s""""value":${f3(total)},"unit":"sec","sf":"$sfDir"}"""
-  }
+
+  private def summaryTail(results: Seq[(String, Double)], sfDir: String,
+                          env: Option[Env], contended: Option[Boolean]): String =
+    s"""${envFields(env, contended)}"metric":"total",""" +
+      s""""value":${f3(results.map(_._2).sum)},"unit":"sec","sf":"$sfDir"}"""
 
   /** The tail-window-safe twin of [[renderJson]]: only the `maxShown`
     * slowest queries appear in the map (the interesting ones — the
@@ -258,13 +266,9 @@ object Bench {
                         contended: Option[Boolean] = None,
                         maxShown: Int = 25): String = {
     val shown = results.sortBy(-_._2).take(maxShown).sortBy(_._1)
-    val qs = shown.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    s"""{"queries":$qs,"queries_shown":${shown.size},""" +
+    s"""{"queries":${queriesMap(shown)},"queries_shown":${shown.size},""" +
       s""""queries_total_n":${results.size},"full":"BENCH_LOCAL.json",""" +
-      s"""${envFields(env, contended)}"metric":"total",""" +
-      s""""value":${f3(total)},"unit":"sec","sf":"$sfDir"}"""
+      summaryTail(results, sfDir, env, contended)
   }
 
   /** Run-quality fields, placed BEFORE the summary tail so the

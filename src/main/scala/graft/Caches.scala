@@ -159,14 +159,19 @@ object Caches {
       byClass.get(node.getClass).foreach { ks =>
         // computed at most once per node (and only on a class hit);
         // canonicalization is lazy-cached on the node instance. A node
-        // whose canonicalization throws is skipped for ALL keys (its
-        // hash is unknowable), but other nodes keep scanning — failure
-        // isolation is per node × per key, never whole-batch.
-        val h = try node.semanticHash() catch { case _: Throwable => 0 }
-        ks.foreach { k =>
-          if (!hit.contains(k) && k.hash == h &&
-              (try node.sameResult(k.plan) catch { case _: Throwable => false }))
-            hit += k
+        // whose canonicalization throws is skipped for ALL keys — as
+        // an Option, not a sentinel value: a sentinel (e.g. 0) could
+        // collide with a legitimate semanticHash and silently route
+        // correctness through sameResult re-throwing. Other nodes keep
+        // scanning — failure isolation is per node × per key, never
+        // whole-batch.
+        val h = try Some(node.semanticHash()) catch { case _: Throwable => None }
+        h.foreach { hv =>
+          ks.foreach { k =>
+            if (!hit.contains(k) && k.hash == hv &&
+                (try node.sameResult(k.plan) catch { case _: Throwable => false }))
+              hit += k
+          }
         }
       }
     }

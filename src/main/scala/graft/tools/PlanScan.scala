@@ -18,8 +18,11 @@ object PlanScan {
 
   /** Count of shuffle exchanges in a plan tree; BroadcastExchange
     * intentionally excluded — broadcast is the shape we WANT for dim
-    * joins. Callers must hand a NON-adaptive plan (AQE's wrapper node
-    * hides the physical tree from collect). */
+    * joins. Deliberately MAIN-TREE-ONLY (unlike the safety sweeps
+    * below): the pinned budgets are defined on the driving plan, and
+    * a scalar subquery's internal exchange executes once against
+    * subquery-sized data. Callers must hand a NON-adaptive plan
+    * (AQE's wrapper node hides the physical tree from collect). */
   def shuffleExchanges(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     plan.collect { case _: ShuffleExchangeExec => 1 }.sum
@@ -125,12 +128,16 @@ object PlanScan {
   }
 
   /** All BroadcastNestedLoopJoin build sides in `plan` that fail
-    * [[boundedOutput]], as printable snippets; empty = scale-safe. */
+    * [[boundedOutput]], as printable snippets; empty = scale-safe.
+    * SAFETY sweeps traverse WITH subqueries: `collect` alone never
+    * descends into the physical subquery trees hanging off
+    * expressions, so an unbounded join hidden inside a scalar/IN
+    * subquery would otherwise escape the registry-wide guard. */
   def unboundedNestedLoops(
       plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-    plan.collect {
+    plan.collectWithSubqueries {
       case j: BroadcastNestedLoopJoinExec =>
         val build = j.buildSide match {
           case BuildLeft => j.left
@@ -142,10 +149,11 @@ object PlanScan {
     }.flatten
   }
 
-  /** CartesianProduct nodes in `plan` — never acceptable at scale. */
+  /** CartesianProduct nodes in `plan` (subquery trees included —
+    * see [[unboundedNestedLoops]]) — never acceptable at scale. */
   def cartesians(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
-    plan.collect { case _: CartesianProductExec => 1 }.sum
+    plan.collectWithSubqueries { case _: CartesianProductExec => 1 }.sum
   }
 
   def main(args: Array[String]): Unit = {
