@@ -105,6 +105,8 @@ object PlanAudit {
     "q_mixed_tokens" -> "one narrow projection per doc (two regexp_replace + higher-order filter), no shuffle before the final sort",
     "q_variant_extract" -> "parse_json + variant_get stay in the scan-side projection (one parse per row); partial/final hash aggregate on event_type",
     "q_collated_group" -> "hash aggregate keyed on the UTF8_LCASE-collated column — the collation rides the grouping key, no lower() projection materialized",
+    "q_sql_recursive" -> "Spark 4 recursion operator (UnionLoop): the anchor seeds the loop, each step joins the static edge relation to the previous iteration — the engine-managed form of the hand-rolled localCheckpoint loops",
+    "q_name_sanitize" -> "schema-metadata scale: distinct p_type (25-ish rows) drives everything after one fact-column distinct; collision window runs on the name corpus, never on data",
   )
 
   def main(args: Array[String]): Unit = {
