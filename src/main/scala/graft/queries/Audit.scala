@@ -464,6 +464,47 @@ object Audit {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** F1e — accent+case-insensitive collation (UNICODE_CI_AI)
+    * cross-validated against the EXPLICIT fold: grouping under the
+    * declared collation must land the exact groups that
+    * strip-accents-then-lowercase materializes — the agreement that
+    * lets a pipeline pick either path (declare the column's
+    * comparison semantics, or fold a blocking key) and get identical
+    * dedup families. Three spellings per doc (accented lowercase,
+    * unaccented uppercase, unaccented lowercase — built with explicit
+    * escapes) must always co-group; representatives are binary mins
+    * (the collated group's own representative is
+    * implementation-chosen and never emitted). */
+  def collatedFold(s: SparkSession, dir: String): DataFrame =
+    Tables.widen(Tables.documents(s, dir))
+      .select(col("doc_id"), substring(col("text"), 1, 16).as("sp"))
+      .select(col("doc_id"), explode(array(
+        concat(lit("caf\u00e9 "), col("sp")),
+        concat(lit("CAFE "), upper(col("sp"))),
+        concat(lit("cafe "), col("sp")))).as("v"))
+      .groupBy(collate(col("v"), "UNICODE_CI_AI").as("g"))
+      .agg(count(lit(1)).as("n_variants"),
+        count_distinct(collate(col("v"), "UTF8_BINARY")).as("n_spellings"),
+        min(collate(col("v"), "UTF8_BINARY")).as("spelling_repr"),
+        min(col("doc_id")).as("min_doc"))
+      .select(col("n_variants"), col("n_spellings"), col("spelling_repr"),
+        col("min_doc"))
+      .orderBy(col("min_doc"), col("spelling_repr"))
+
+  val collatedFoldSql: String =
+    """WITH sp AS (SELECT doc_id, substring(text, 1, 16) AS sp FROM documents),
+      |v AS (SELECT doc_id, unnest([
+      |        'caf' || chr(233) || ' ' || sp,
+      |        'CAFE ' || upper(sp),
+      |        'cafe ' || sp]) AS v
+      |      FROM sp)
+      |SELECT CAST(count(*) AS BIGINT) AS n_variants,
+      |  CAST(count(DISTINCT v) AS BIGINT) AS n_spellings,
+      |  min(v) AS spelling_repr,
+      |  CAST(min(doc_id) AS BIGINT) AS min_doc
+      |FROM v GROUP BY strip_accents(lower(v))
+      |ORDER BY min_doc, spelling_repr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_char_entropy" -> (charEntropy _),
     "q_bpe_merges" -> (bpeMerges _),
@@ -476,6 +517,7 @@ object Audit {
     "q_collated_group" -> (collatedGroup _),
     "q_sql_pipe" -> (sqlPipe _),
     "q_sql_udf" -> (sqlUdf _),
+    "q_collated_fold" -> (collatedFold _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -490,5 +532,6 @@ object Audit {
     "q_collated_group" -> collatedGroupSql,
     "q_sql_pipe" -> sqlPipeSql,
     "q_sql_udf" -> sqlUdfSql,
+    "q_collated_fold" -> collatedFoldSql,
   )
 }
