@@ -8,13 +8,19 @@ import org.apache.spark.sql.DataFrame
   * (BigQuery: `[a-zA-Z_][a-zA-Z0-9_]*`) rejects. Rules, applied
   * deterministically so re-runs and the SQL oracle agree:
   *
-  *  1. lowercase, then every character outside `[a-z0-9]` becomes `_`
+  *  1. every character outside `[a-zA-Z0-9]` becomes `_`, THEN the
+  *     (now pure-ASCII) result lowercases — strip-first makes the
+  *     lowercase locale-free by construction (no İ/ı surprises under
+  *     a Turkish default locale; Locale.ROOT belt-and-braces) and
+  *     matches `q_name_sanitize`'s SQL exactly
   *  2. a leading digit gets a `_` prefix (empty input becomes `_`)
   *  3. collisions number by ENCOUNTER ORDER: the first keeps the bare
-  *     name, later ones get `_2`, `_3`, … (callers that need a
-  *     canonical order sort the names first — `q_name_sanitize`
-  *     sorts alphabetically, making encounter order reproducible in
-  *     plain SQL as a row_number)
+  *     name, later ones get `_2`, `_3`, … counting past taken literal
+  *     names until free — [[sanitizeAll]]'s outputs are always
+  *     distinct. (`q_name_sanitize` replays rules 1-2 and the window
+  *     form of rule 3 in SQL; the loop-until-free refinement for a
+  *     corpus that already spells a suffixed form is library-side
+  *     only — see the query's scaladoc.)
   *
   * Sanitization is schema metadata (driver-side, O(columns)) — the
   * data itself never moves.
@@ -22,7 +28,8 @@ import org.apache.spark.sql.DataFrame
 object Identifiers {
 
   def sanitize(name: String): String = {
-    val base = name.toLowerCase.replaceAll("[^a-z0-9]", "_")
+    val base = name.replaceAll("[^a-zA-Z0-9]", "_")
+      .toLowerCase(java.util.Locale.ROOT)
     if (base.isEmpty) "_"
     else if (base.charAt(0).isDigit) "_" + base
     else base
@@ -47,11 +54,12 @@ object Identifiers {
 
   /** Rename every column to its sanitized name (encounter order =
     * schema order). The usual pre-sink step before writing to a
-    * name-restricted destination. */
-  def sanitizeColumns(df: DataFrame): DataFrame = {
-    val mapping = sanitizeAll(df.columns.toSeq)
-    mapping.foldLeft(df) { case (d, (from, to)) =>
-      if (from == to) d else d.withColumnRenamed(from, to)
-    }
-  }
+    * name-restricted destination. Positional `toDF`, NOT a
+    * `withColumnRenamed` fold: the fold renames every column matching
+    * a name, so an original that equals another column's sanitized
+    * target (("A B", "a_b") → both become "a_b_2") — or a post-join
+    * frame with duplicate names — would end up with duplicate
+    * columns, the exact condition the sanitizer exists to prevent. */
+  def sanitizeColumns(df: DataFrame): DataFrame =
+    df.toDF(sanitizeAll(df.columns.toSeq).map(_._2): _*)
 }

@@ -736,10 +736,15 @@ object EtlQueries {
     * values, a symbol variant (spaces → '-', sanitizes IDENTICALLY so
     * every pair collides), and a leading-digit variant — sorts it
     * (making encounter order reproducible in SQL), and emits the
-    * (original, safe) mapping computed by the same rules as
-    * [[graft.etl.Identifiers]]: lowercase → non-alnum to '_' →
-    * digit-prefix guard → row_number collision suffix. EtlSpec pins
-    * the library function against this query's rules. */
+    * (original, safe) mapping computed by [[graft.etl.Identifiers]]'
+    * rules 1-2 plus the WINDOW form of the collision rule: non-alnum
+    * to '_' → lowercase → digit-prefix guard → row_number suffix.
+    * One refinement is library-side only: sanitizeAll counts PAST a
+    * taken literal name (a corpus containing both "a b" and a
+    * literal "a_b_2" would need it), which a single window pass
+    * cannot express — this corpus cannot spell a suffixed form
+    * (p_type has no digits), so the two agree here; EtlSpec pins
+    * both the shared rules and the refinement. */
   def nameSanitize(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("safe1")).orderBy(col("orig_name"))

@@ -284,5 +284,15 @@ class EtlSpec extends SparkSpec {
     val df = Seq((1, 2, 3)).toDF("Order Key", "order-key", "2nd")
     assert(Identifiers.sanitizeColumns(df).columns.toSeq ==
       Seq("order_key", "order_key_2", "_2nd"))
+    // an original equal to another column's sanitized TARGET must not
+    // collapse into duplicate columns (positional toDF, not a
+    // rename-by-name fold)
+    val aliased = Seq((1, 2)).toDF("A B", "a_b")
+    assert(Identifiers.sanitizeColumns(aliased).columns.toSeq ==
+      Seq("a_b", "a_b_2"))
+    // even duplicate input names stay distinct after sanitization
+    val dup = spark.range(1).selectExpr("id AS `x y`", "id + 1 AS `x y`")
+    assert(Identifiers.sanitizeColumns(dup).columns.toSeq ==
+      Seq("x_y", "x_y_2"))
   }
 }
