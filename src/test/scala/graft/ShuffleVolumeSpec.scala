@@ -64,6 +64,22 @@ class ShuffleVolumeSpec extends SparkSpec {
     noAqe.catalog.clearCache()
   }
 
+  test("the metric detects non-combining shapes (negative control)") {
+    // distinct over an already-unique key: map-side combine removes
+    // NOTHING, so the wire must see ~factRows — proving the other
+    // tests' small numbers measure combining, not a metric that reads
+    // zero for everything. (collect_list would NOT work as the
+    // control: its partial buffers are one row-per-group carrying the
+    // whole list, so record counts stay tiny even though bytes grow.)
+    val df = Tables.lineitem(noAqe, sfDir)
+      .select("l_orderkey", "l_linenumber").distinct()
+    val n = shuffledRecords(df)
+    assert(n > factRows / 2,
+      s"only $n records shuffled for a non-combining aggregate — " +
+        "the measurement itself is broken")
+    noAqe.catalog.clearCache()
+  }
+
   test("exact dedup shuffles hash-group rows, not document payloads") {
     val n = shuffledRecords(SparkEntry.queries("q_dedup_exact")(noAqe, sfDir))
     // one (hash → min id, count) row per distinct text + the ordered
