@@ -357,10 +357,14 @@ object EventStreams {
     * hygiene: extending a session deletes the stale timer before
     * registering the new close time, so a session can never be
     * emitted twice. */
-  class SessionProcessor(gapMs: Long)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, EventRow, ClosedSession] {
-    @transient private var session:
+  /** The shared v2 session state machine — mixed into BOTH the plain
+    * processor (X13) and the initial-state bootstrap variant (X16) so
+    * the two can never drift. */
+  trait SessionLogicV2 {
+    self: org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EventRow, ClosedSession] =>
+    protected def gapMs: Long
+    @transient protected var session:
       org.apache.spark.sql.streaming.ValueState[SessBuf] = _
 
     override def init(outputMode: OutputMode,
@@ -409,6 +413,28 @@ object EventStreams {
         } else Iterator.empty
       session.clear()
       out
+    }
+  }
+
+  class SessionProcessor(protected val gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventRow, ClosedSession] with SessionLogicV2
+
+  /** X16 — the reference's OWN lifecycle as v2 state: "full migrate,
+    * then tail-sync" = seed streaming state from a BATCH snapshot
+    * (`StatefulProcessorWithInitialState`), then continue the stream.
+    * Each user's trailing OPEN session from history becomes initial
+    * ValueState with its close timer armed; live events then extend
+    * or close it exactly as if the stream had run from the beginning —
+    * StreamingSpec proves split-at-T (batch history + bootstrapped
+    * stream) ≡ the uninterrupted run. */
+  class BootstrappedSessionProcessor(protected val gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, EventRow, ClosedSession, SessBuf] with SessionLogicV2 {
+    override def handleInitialState(uid: Long, b: SessBuf,
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit = {
+      session.update(b)
+      getHandle.registerTimer(b.end + gapMs)
     }
   }
 
@@ -481,6 +507,66 @@ object EventStreams {
       .transformWithState(new SessionProcessor(gapMinutes * 60000L),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
+  }
+
+  /** Per-user session fold over BATCH history, shared by the two X16
+    * helpers: returns (closed sessions, trailing open buffer). */
+  private def foldSessions(rows: Iterator[EventRow], gapMs: Long)
+      : (List[SessBuf], Option[SessBuf]) = {
+    val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+    var closed = List.empty[SessBuf]
+    var cur: Option[SessBuf] = None
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur = cur match {
+        case Some(b) if t - b.end <= gapMs =>
+          Some(SessBuf(math.min(b.start, t), math.max(b.end, t), b.n + 1))
+        case Some(b) => closed ::= b; Some(SessBuf(t, t, 1))
+        case None => Some(SessBuf(t, t, 1))
+      }
+    }
+    (closed.reverse, cur)
+  }
+
+  /** X16 helper — history's CLOSED sessions (the "full migration"
+    * output: everything the batch half of the cutover emits). */
+  def historyClosedSessions(history: Dataset[EventRow], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import history.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    history.groupByKey(_.user_id).flatMapGroups { (uid, rows) =>
+      foldSessions(rows, gapMs)._1.iterator.map(b =>
+        ClosedSession(uid, new java.sql.Timestamp(b.start),
+          new java.sql.Timestamp(b.end), b.n))
+    }
+  }
+
+  /** X16 helper — each user's trailing OPEN session, i.e. the state
+    * snapshot the streaming half boots from. */
+  def historyOpenSessions(history: Dataset[EventRow], gapMinutes: Int = 30): Dataset[(Long, SessBuf)] = {
+    import history.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    history.groupByKey(_.user_id).flatMapGroups { (uid, rows) =>
+      foldSessions(rows, gapMs)._2.iterator.map(uid -> _)
+    }
+  }
+
+  /** X16 — closed sessions CONTINUED from a batch snapshot: the
+    * open-session state from [[historyOpenSessions]] seeds the
+    * processor via `transformWithState`'s initial-state overload, so
+    * cutting a pipeline over from batch history to the live stream
+    * loses no session and emits none twice (StreamingSpec: history's
+    * closed set + this stream's output ≡ the uninterrupted run). */
+  def closedSessionsBootstrapped(events: Dataset[EventRow],
+      openSessions: Dataset[(Long, SessBuf)],
+      gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val init = openSessions.groupByKey(_._1).mapValues(_._2)
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new BootstrappedSessionProcessor(gapMinutes * 60000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append(), init)
   }
 
   /** A12 sync, Spark-native: treat the source directory as an

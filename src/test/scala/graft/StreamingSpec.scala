@@ -338,6 +338,54 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L).n_seen == 2L && last(2L).recent_ids == model(2L))
   }
 
+  test("batch-to-stream cutover loses no session: initial state ≡ uninterrupted run") {
+    // the reference's own lifecycle — full migrate (batch), then tail
+    // sync (stream) — as v2 initial state: split the schedule at T,
+    // seed the stream from history's open sessions, and the union of
+    // history-closed + stream-emitted must equal the uninterrupted run
+    val rocks = spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import rocks.implicits._
+    implicit val sqlCtx = rocks.sqlContext
+    val all = mkEvents(
+      (1, 0, 1, "a", 1.0), (2, 10, 1, "a", 1.0),        // closed in history
+      (3, 100, 1, "a", 1.0),                            // OPEN at the cut…
+      (4, 115, 1, "a", 1.0),                            // …extended live
+      (5, 50, 2, "b", 1.0),                             // open at cut, dies by timer
+      (6, 400, 1, "a", 1.0), (7, 900, 3, "c", 1.0))     // live activity
+    val cut = 110 // minutes: history = events strictly before the cut
+    val (hist, live) = all.partition(_.ts.getTime < ts(cut).getTime)
+    // uninterrupted reference run (plain v2 stream over everything)
+    val full = MemoryStream[EventRow]
+    val qf = EventStreams.closedSessionsV2(full.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("cut_full")
+      .outputMode(OutputMode.Append()).start()
+    full.addData(all); qf.processAllAvailable(); qf.stop()
+    val reference = rocks.table("cut_full").as[ClosedSession].collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime,
+        s.n_events)).toSet
+    // cutover run: batch history + bootstrapped stream
+    val histDs = hist.toDS()
+    val batchClosed = EventStreams.historyClosedSessions(histDs).collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime,
+        s.n_events)).toSet
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.closedSessionsBootstrapped(stream.toDS(),
+        EventStreams.historyOpenSessions(histDs))
+      .writeStream.format("memory").queryName("cut_boot")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(live); q.processAllAvailable(); q.stop()
+    val streamClosed = rocks.table("cut_boot").as[ClosedSession].collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime,
+        s.n_events)).toSet
+    assert(batchClosed.intersect(streamClosed).isEmpty,
+      "a session was emitted by BOTH halves of the cutover")
+    assert(batchClosed.union(streamClosed) == reference,
+      s"cutover diverged: batch=$batchClosed stream=$streamClosed " +
+        s"reference=$reference")
+  }
+
   test("session_window (batch mode) agrees with the lag-gap sessionizer") {
     import spark.implicits._
     // Three sessions for user 1 (gaps > 30 min at minutes 100 and 200),
