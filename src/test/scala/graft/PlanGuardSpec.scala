@@ -63,7 +63,15 @@ class PlanGuardSpec extends SparkSpec {
     "q_dedup_minhash" -> 2, "q_sessionize" -> 2, "q_window_rank" -> 2,
     "q_topk_pergroup" -> 2, "q_count_distinct" -> 3, "q_tfidf" -> 3,
     "q_sim_topk" -> 3, "q_equidepth_hist" -> 6, "q_winsorize" -> 7,
-    "q_rfm_segments" -> 14)
+    "q_rfm_segments" -> 14,
+    // round 9 (counts from PLANGUARD.md's sweep): the BFS emits one
+    // post-loop sort exchange, the narrow text/variant/SQL-surface
+    // queries stay at scan+sort, BPE pays one exchange per vocab
+    // round, the collation/sanitize windows add their rank exchanges
+    "q_dedup_hops" -> 1, "q_mixed_tokens" -> 2, "q_unicode_normalize" -> 2,
+    "q_variant_extract" -> 2, "q_sql_pipe" -> 2, "q_sql_udf" -> 2,
+    "q_sql_recursive" -> 2, "q_collated_group" -> 4, "q_name_sanitize" -> 4,
+    "q_bpe_apply" -> 5)
 
   test("headline queries stay within their pinned shuffle budgets") {
     val over = shuffleBudget.flatMap { case (name, budget) =>
