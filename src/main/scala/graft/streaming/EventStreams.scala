@@ -344,22 +344,13 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** X13 — closed-session emission on the Spark 4 state API v2
-    * (`transformWithState`): the SAME session semantics as X9's
-    * flatMapGroupsWithState emitter, re-expressed as a
-    * [[StatefulProcessor]] with typed ValueState + explicit event-time
-    * TIMERS (registerTimer/handleExpiredTimer replace the v1
-    * setTimeoutTimestamp/hasTimedOut protocol). The v2 API is where
-    * streaming state is headed — per-state TTL, multiple typed state
-    * variables, timer multiplexing — and this twin pins the migration
-    * path: StreamingSpec asserts its output is IDENTICAL to X9's on
-    * the same input, including timeout-emitted sessions. Timer
-    * hygiene: extending a session deletes the stale timer before
-    * registering the new close time, so a session can never be
-    * emitted twice. */
   /** The shared v2 session state machine — mixed into BOTH the plain
-    * processor (X13) and the initial-state bootstrap variant (X16) so
-    * the two can never drift. */
+    * processor (X13) and the initial-state bootstrap variant (X16),
+    * with the per-batch fold DELEGATED to [[foldSessions]] (also the
+    * batch-history helpers' fold), so none of the four surfaces can
+    * drift. (The v1 flatMapGroupsWithState emitter keeps its OWN
+    * inline fold on purpose: it is the independent baseline the
+    * X13-parity test compares against.) */
   trait SessionLogicV2 {
     self: org.apache.spark.sql.streaming.StatefulProcessor[
       Long, EventRow, ClosedSession] =>
@@ -376,21 +367,8 @@ object EventStreams {
     override def handleInputRows(uid: Long, rows: Iterator[EventRow],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[ClosedSession] = {
-      val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
-      var closed = List.empty[ClosedSession]
-      var cur: Option[SessBuf] = if (session.exists()) Some(session.get()) else None
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        cur = cur match {
-          case Some(b) if t - b.end <= gapMs =>
-            Some(SessBuf(math.min(b.start, t), math.max(b.end, t), b.n + 1))
-          case Some(b) =>
-            closed ::= ClosedSession(uid, new java.sql.Timestamp(b.start),
-              new java.sql.Timestamp(b.end), b.n)
-            Some(SessBuf(t, t, 1))
-          case None => Some(SessBuf(t, t, 1))
-        }
-      }
+      val (closed, cur) = foldSessions(rows, gapMs,
+        if (session.exists()) Some(session.get()) else None)
       cur.foreach { b =>
         // one live timer per key: drop the stale close time, arm the
         // new one (v1's setTimeoutTimestamp overwrote implicitly)
@@ -398,7 +376,8 @@ object EventStreams {
         session.update(b)
         getHandle.registerTimer(b.end + gapMs)
       }
-      closed.reverse.iterator
+      closed.iterator.map(b => ClosedSession(uid,
+        new java.sql.Timestamp(b.start), new java.sql.Timestamp(b.end), b.n))
     }
 
     override def handleExpiredTimer(uid: Long,
@@ -416,6 +395,19 @@ object EventStreams {
     }
   }
 
+  /** X13 — closed-session emission on the Spark 4 state API v2
+    * (`transformWithState`): the SAME session semantics as X9's
+    * flatMapGroupsWithState emitter, re-expressed as a
+    * [[StatefulProcessor]] with typed ValueState + explicit event-time
+    * TIMERS (registerTimer/handleExpiredTimer replace the v1
+    * setTimeoutTimestamp/hasTimedOut protocol). The v2 API is where
+    * streaming state is headed — per-state TTL, multiple typed state
+    * variables, timer multiplexing — and this twin pins the migration
+    * path: StreamingSpec asserts its output is IDENTICAL to X9's on
+    * the same input, including timeout-emitted sessions. Timer
+    * hygiene: extending a session deletes the stale timer before
+    * registering the new close time, so a session can never be
+    * emitted twice. */
   class SessionProcessor(protected val gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, EventRow, ClosedSession] with SessionLogicV2
@@ -509,13 +501,17 @@ object EventStreams {
         OutputMode.Append())
   }
 
-  /** Per-user session fold over BATCH history, shared by the two X16
-    * helpers: returns (closed sessions, trailing open buffer). */
-  private def foldSessions(rows: Iterator[EventRow], gapMs: Long)
-      : (List[SessBuf], Option[SessBuf]) = {
+  /** THE per-user session fold — the one definition behind the v2
+    * processors (via [[SessionLogicV2.handleInputRows]], with the
+    * recovered state as `initial`) and the batch-history helpers:
+    * sort the (small per-key) batch under the total (ts, event_id)
+    * order, extend-or-close under the gap, return (closed sessions in
+    * close order, trailing open buffer). */
+  private[streaming] def foldSessions(rows: Iterator[EventRow], gapMs: Long,
+      initial: Option[SessBuf] = None): (List[SessBuf], Option[SessBuf]) = {
     val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
     var closed = List.empty[SessBuf]
-    var cur: Option[SessBuf] = None
+    var cur: Option[SessBuf] = initial
     sorted.foreach { e =>
       val t = e.ts.getTime
       cur = cur match {
@@ -528,26 +524,35 @@ object EventStreams {
     (closed.reverse, cur)
   }
 
-  /** X16 helper — history's CLOSED sessions (the "full migration"
-    * output: everything the batch half of the cutover emits). */
-  def historyClosedSessions(history: Dataset[EventRow], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+  /** X16 — ONE tagged pass over batch history: every session, closed
+    * ones tagged is_open=false, the per-user trailing open one
+    * is_open=true. Callers needing both views (a cutover does)
+    * persist THIS and filter — one shuffle and one sort over the
+    * "full migration" data, not two. */
+  def historySessions(history: Dataset[EventRow], gapMinutes: Int = 30)
+      : Dataset[(Long, SessBuf, Boolean)] = {
     import history.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
     history.groupByKey(_.user_id).flatMapGroups { (uid, rows) =>
-      foldSessions(rows, gapMs)._1.iterator.map(b =>
-        ClosedSession(uid, new java.sql.Timestamp(b.start),
-          new java.sql.Timestamp(b.end), b.n))
+      val (closed, open) = foldSessions(rows, gapMs)
+      closed.iterator.map((uid, _, false)) ++
+        open.iterator.map((uid, _, true))
     }
   }
 
-  /** X16 helper — each user's trailing OPEN session, i.e. the state
-    * snapshot the streaming half boots from. */
+  /** History's CLOSED sessions (the "full migration" output). */
+  def historyClosedSessions(history: Dataset[EventRow], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import history.sparkSession.implicits._
+    historySessions(history, gapMinutes).filter(!_._3)
+      .map { case (uid, b, _) => ClosedSession(uid,
+        new java.sql.Timestamp(b.start), new java.sql.Timestamp(b.end), b.n) }
+  }
+
+  /** Each user's trailing OPEN session — the bootstrap snapshot. */
   def historyOpenSessions(history: Dataset[EventRow], gapMinutes: Int = 30): Dataset[(Long, SessBuf)] = {
     import history.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
-    history.groupByKey(_.user_id).flatMapGroups { (uid, rows) =>
-      foldSessions(rows, gapMs)._2.iterator.map(uid -> _)
-    }
+    historySessions(history, gapMinutes).filter(_._3)
+      .map { case (uid, b, _) => (uid, b) }
   }
 
   /** X16 — closed sessions CONTINUED from a batch snapshot: the
@@ -557,10 +562,14 @@ object EventStreams {
     * loses no session and emits none twice (StreamingSpec: history's
     * closed set + this stream's output ≡ the uninterrupted run). */
   def closedSessionsBootstrapped(events: Dataset[EventRow],
-      openSessions: Dataset[(Long, SessBuf)],
+      history: Dataset[EventRow],
       gapMinutes: Int = 30): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
-    val init = openSessions.groupByKey(_._1).mapValues(_._2)
+    // ONE gap value threads through snapshot and stream — a snapshot
+    // folded under a different gap than the armed timers would lose
+    // or merge boundary sessions silently
+    val init = historyOpenSessions(history, gapMinutes).groupByKey(_._1)
+      .mapValues(_._2)
     events
       .withWatermark("ts", s"$gapMinutes minutes")
       .groupByKey(_.user_id)

@@ -57,9 +57,10 @@ class ShuffleVolumeSpec extends SparkSpec {
   test("bounded-heap top-k emits at most k rows per group per map partition") {
     val n = shuffledRecords(SparkEntry.queries("q_topk_heap")(noAqe, sfDir))
     // the heap aggregate's partial buffers carry ≤k pairs each; the
-    // wire must see heap buffers + k-row outputs — a small fraction
-    // of the fact table at ANY fixture size
-    assert(n < factRows / 5,
+    // wire must see heap buffers + k-row outputs. Absolute cap pinned
+    // to THIS fixture (factRows is the sf0.001 constant, so the
+    // relative form would not scale anyway — and it is looser)
+    assert(n < 1000,
       s"$n records shuffled — the heap aggregate stopped combining map-side")
     noAqe.catalog.clearCache()
   }

@@ -371,8 +371,7 @@ class StreamingSpec extends SparkSpec {
       .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime,
         s.n_events)).toSet
     val stream = MemoryStream[EventRow]
-    val q = EventStreams.closedSessionsBootstrapped(stream.toDS(),
-        EventStreams.historyOpenSessions(histDs))
+    val q = EventStreams.closedSessionsBootstrapped(stream.toDS(), histDs)
       .writeStream.format("memory").queryName("cut_boot")
       .outputMode(OutputMode.Append()).start()
     stream.addData(live); q.processAllAvailable(); q.stop()
