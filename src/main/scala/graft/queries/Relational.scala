@@ -409,7 +409,11 @@ object Relational {
     * oracle). Kept OFF the hot path elsewhere: UDFs block codegen and
     * pushdown, so built-ins are preferred engine-wide. */
   def scalarUdf(s: SparkSession, dir: String): DataFrame = {
-    val normName = udf((x: String) => if (x == null) null else x.trim.toUpperCase.reverse)
+    // Locale.ROOT: default-locale toUpperCase is the classic Turkish-i
+    // hazard (i → İ under tr-TR), and the oracle's upper() is
+    // locale-free — LocaleSpec runs this query under tr-TR to pin it.
+    val normName = udf((x: String) =>
+      if (x == null) null else x.trim.toUpperCase(java.util.Locale.ROOT).reverse)
     Tables.customer(s, dir)
       .filter(col("c_custkey") < 300)
       .select(col("c_custkey"), normName(col("c_name")).as("name_norm"))
