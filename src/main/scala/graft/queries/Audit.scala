@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -505,6 +505,197 @@ object Audit {
       |FROM v GROUP BY strip_accents(lower(v))
       |ORDER BY min_doc, spelling_repr""".stripMargin
 
+  /** E21 — declarative data-contract validation: the rule-report form
+    * of the reference's validation surface (its count-compare checks
+    * generalized to the dbt-test / Great-Expectations shape a modern
+    * ingest pipeline gates on). Nine rules across four rule classes —
+    * not-null, accepted-values/range/format, key uniqueness, and
+    * referential integrity — each emitting (n_checked, n_violations,
+    * passed) so a scheduler can gate on `passed` and an operator can
+    * triage by count.
+    *
+    * Scale shape: the four lineitem row-level rules share ONE scan via
+    * conditional sums (map-side combined to a single row); the
+    * uniqueness probes are one partial/final count per key group
+    * summed; referential integrity is a distinct-FK anti join (narrow
+    * key columns only — at 100 TB the distinct collapses the fact
+    * table to its key cardinality before the join shuffles anything).
+    * Three rules FAIL naturally on the fixture (the synthetic
+    * lineitem repeats (l_orderkey, l_linenumber) pairs, some
+    * o_orderpriority values break the ^[1-5]-[A-Z]+$ shape, and
+    * o_custkey has repeat customers), so the report's violation path
+    * is exercised by real data, not a rigged fixture. */
+  def expectations(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    // rules 1-4: one shared lineitem scan, conditional sums
+    val liRules = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v1"),
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+          .otherwise(0L)).as("v2"),
+        sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
+          .otherwise(0L)).as("v3"),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.10, 1L)
+          .otherwise(0L)).as("v4"))
+      .select(explode(array(
+        struct(lit(1).as("rule_id"), lit("lineitem_shipdate_not_null").as("rule_name"), col("n").as("n_checked"), col("v1").as("n_violations")),
+        struct(lit(2).as("rule_id"), lit("lineitem_returnflag_values").as("rule_name"), col("n").as("n_checked"), col("v2").as("n_violations")),
+        struct(lit(3).as("rule_id"), lit("lineitem_quantity_range").as("rule_name"), col("n").as("n_checked"), col("v3").as("n_violations")),
+        struct(lit(4).as("rule_id"), lit("lineitem_discount_range").as("rule_name"), col("n").as("n_checked"), col("v4").as("n_violations"))))
+        .as("r"))
+      .select(col("r.*"))
+    // rule 5: PK uniqueness — per-group counts, surplus rows are the
+    // violations; n_checked is the number of key groups probed
+    val pkRule = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_checked"),
+        sum(col("c") - lit(1)).as("n_violations"))
+      .select(lit(5).as("rule_id"),
+        lit("lineitem_pk_unique").as("rule_name"),
+        col("n_checked"), col("n_violations"))
+    // rule 6: referential integrity — distinct FKs carrying their row
+    // counts, anti-joined against the parent key; violations = orphan
+    // ROWS (the count an operator must quarantine)
+    val fkRule = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+      .join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_violations"))
+      .crossJoin(broadcast(li.agg(count(lit(1)).as("nc"))))
+      .select(lit(6).as("rule_id"),
+        lit("lineitem_orderkey_in_orders").as("rule_name"),
+        col("nc").as("n_checked"), col("n_violations"))
+    // rules 7-9: one shared orders scan — format regex, candidate-key
+    // probe (count − count distinct; FAILS here: repeat customers),
+    // and date bounds
+    val ordRules = ord.agg(
+        count(lit(1)).as("n"),
+        sum(when(!col("o_orderpriority").rlike("^[1-5]-[A-Z]+$"), 1L)
+          .otherwise(0L)).as("v7"),
+        (count(lit(1)) - count_distinct(col("o_custkey"))).as("v8"),
+        sum(when(col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+          col("o_orderdate") >= lit("2006-01-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("v9"))
+      .select(explode(array(
+        struct(lit(7).as("rule_id"), lit("orders_priority_format").as("rule_name"), col("n").as("n_checked"), col("v7").as("n_violations")),
+        struct(lit(8).as("rule_id"), lit("orders_custkey_unique").as("rule_name"), col("n").as("n_checked"), col("v8").as("n_violations")),
+        struct(lit(9).as("rule_id"), lit("orders_orderdate_bounds").as("rule_name"), col("n").as("n_checked"), col("v9").as("n_violations"))))
+        .as("r"))
+      .select(col("r.*"))
+    liRules.unionByName(pkRule).unionByName(fkRule).unionByName(ordRules)
+      .select(col("rule_id"), col("rule_name"),
+        col("n_checked").cast("bigint").as("n_checked"),
+        col("n_violations").cast("bigint").as("n_violations"),
+        when(col("n_violations") === 0, 1).otherwise(0).as("passed"))
+      .orderBy(col("rule_id"))
+  }
+
+  val expectationsSql: String =
+    """WITH li AS (SELECT count(*) AS n,
+      |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v1,
+      |    sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS v2,
+      |    sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS v3,
+      |    sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.10 THEN 1 ELSE 0 END) AS v4
+      |  FROM lineitem),
+      |pk AS (SELECT count(*) AS n_checked, sum(c - 1) AS n_violations
+      |       FROM (SELECT count(*) AS c FROM lineitem
+      |             GROUP BY l_orderkey, l_linenumber)),
+      |fk AS (SELECT coalesce(sum(c), 0) AS n_violations
+      |       FROM (SELECT l_orderkey, count(*) AS c FROM lineitem
+      |             GROUP BY l_orderkey) f
+      |       WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                         WHERE o.o_orderkey = f.l_orderkey)),
+      |ord AS (SELECT count(*) AS n,
+      |    sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$')
+      |        THEN 1 ELSE 0 END) AS v7,
+      |    count(*) - count(DISTINCT o_custkey) AS v8,
+      |    sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01' OR
+      |        o_orderdate >= TIMESTAMP '2006-01-01' THEN 1 ELSE 0 END) AS v9
+      |  FROM orders),
+      |r AS (
+      |  SELECT 1 AS rule_id, 'lineitem_shipdate_not_null' AS rule_name,
+      |    n AS n_checked, v1 AS n_violations FROM li
+      |  UNION ALL SELECT 2, 'lineitem_returnflag_values', n, v2 FROM li
+      |  UNION ALL SELECT 3, 'lineitem_quantity_range', n, v3 FROM li
+      |  UNION ALL SELECT 4, 'lineitem_discount_range', n, v4 FROM li
+      |  UNION ALL SELECT 5, 'lineitem_pk_unique', n_checked, n_violations FROM pk
+      |  UNION ALL SELECT 6, 'lineitem_orderkey_in_orders',
+      |    (SELECT n FROM li), n_violations FROM fk
+      |  UNION ALL SELECT 7, 'orders_priority_format', n, v7 FROM ord
+      |  UNION ALL SELECT 8, 'orders_custkey_unique', n, v8 FROM ord
+      |  UNION ALL SELECT 9, 'orders_orderdate_bounds', n, v9 FROM ord)
+      |SELECT rule_id, rule_name, CAST(n_checked AS BIGINT) AS n_checked,
+      |  CAST(n_violations AS BIGINT) AS n_violations,
+      |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+      |FROM r ORDER BY rule_id""".stripMargin
+
+  /** W44 — Simpson's-paradox audit: per-stratum regression slope SIGN
+    * vs the pooled sign, the aggregation-reversal check that belongs
+    * next to any segmented A/B or trend readout (a pooled trend whose
+    * strata all disagree is a confounding alarm, not a finding). The
+    * trend is quantity-on-discount within each return flag.
+    *
+    * Signs come from the covariance numerator n·Σxy − Σx·Σy in EXACT
+    * decimal(38,0) arithmetic (x the exact integer discount
+    * percentage, y the integral quantity — the q_regr_slope
+    * convention), so the sign is bit-determined with no float
+    * tolerance. The pooled sums are re-aggregated from the per-stratum
+    * rows — metadata-scale, no second fact scan — and broadcast back
+    * onto the stratum rows. (The fixture genuinely reverses: strata A
+    * and N trend positive while the pooled sign is negative.) */
+  def simpsonsAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val per = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("stratum"),
+        (col("l_discount").cast("decimal(4,2)") * 100)
+          .cast("decimal(38,0)").as("x"),
+        floor(col("l_quantity")).cast("decimal(38,0)").as("y"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+    def sign(cov: Column): Column =
+      when(cov > 0, 1).when(cov < 0, -1).otherwise(0)
+    val stratum = per.select(col("stratum"), col("n"),
+      sign(d(col("n")) * col("sxy") - col("sx") * col("sy"))
+        .as("slope_sign"))
+    val pooled = per.agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+        sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"))
+      .select(sign(d(col("n")) * col("sxy") - col("sx") * col("sy"))
+        .as("pooled_sign"))
+    stratum.crossJoin(broadcast(pooled))
+      .select(col("stratum"), col("n").cast("bigint").as("n"),
+        col("slope_sign"), col("pooled_sign"),
+        when(col("slope_sign") =!= 0 && col("pooled_sign") =!= 0 &&
+          col("slope_sign") =!= col("pooled_sign"), 1).otherwise(0)
+          .as("simpson_flip"))
+      .orderBy(col("stratum"))
+  }
+
+  val simpsonsAuditSql: String =
+    """WITH b AS (SELECT l_returnflag AS stratum,
+      |    CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS x,
+      |    CAST(floor(l_quantity) AS BIGINT) AS y
+      |  FROM lineitem),
+      |per AS (SELECT stratum, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |          sum(x * y) AS sxy
+      |        FROM b GROUP BY stratum),
+      |pooled AS (SELECT CASE
+      |    WHEN sum(n) * sum(sxy) - sum(sx) * sum(sy) > 0 THEN 1
+      |    WHEN sum(n) * sum(sxy) - sum(sx) * sum(sy) < 0 THEN -1
+      |    ELSE 0 END AS pooled_sign FROM per)
+      |SELECT stratum, CAST(n AS BIGINT) AS n,
+      |  CASE WHEN n * sxy - sx * sy > 0 THEN 1
+      |       WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS slope_sign,
+      |  pooled_sign,
+      |  CASE WHEN (CASE WHEN n * sxy - sx * sy > 0 THEN 1
+      |                  WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END) <> 0
+      |        AND pooled_sign <> 0
+      |        AND (CASE WHEN n * sxy - sx * sy > 0 THEN 1
+      |                  WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END)
+      |            <> pooled_sign
+      |       THEN 1 ELSE 0 END AS simpson_flip
+      |FROM per, pooled ORDER BY stratum""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_char_entropy" -> (charEntropy _),
     "q_bpe_merges" -> (bpeMerges _),
@@ -518,6 +709,8 @@ object Audit {
     "q_sql_pipe" -> (sqlPipe _),
     "q_sql_udf" -> (sqlUdf _),
     "q_collated_fold" -> (collatedFold _),
+    "q_expectations" -> (expectations _),
+    "q_simpsons_audit" -> (simpsonsAudit _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -533,5 +726,7 @@ object Audit {
     "q_sql_pipe" -> sqlPipeSql,
     "q_sql_udf" -> sqlUdfSql,
     "q_collated_fold" -> collatedFoldSql,
+    "q_expectations" -> expectationsSql,
+    "q_simpsons_audit" -> simpsonsAuditSql,
   )
 }
