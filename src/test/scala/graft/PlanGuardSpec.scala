@@ -71,7 +71,13 @@ class PlanGuardSpec extends SparkSpec {
     "q_dedup_hops" -> 1, "q_mixed_tokens" -> 2, "q_unicode_normalize" -> 2,
     "q_variant_extract" -> 2, "q_sql_pipe" -> 2, "q_sql_udf" -> 2,
     "q_sql_recursive" -> 2, "q_collated_group" -> 4, "q_name_sanitize" -> 4,
-    "q_bpe_apply" -> 5, "q_collated_fold" -> 4)
+    "q_bpe_apply" -> 5, "q_collated_fold" -> 4,
+    // q_expectations: 4 rule-family aggregates (2 conditional-sum
+    // scans + PK-uniqueness partial/final + distinct-FK anti join)
+    // unioned, plus the ORDER BY — each moves rule-report rows, never
+    // a second fact scan. q_simpsons_audit: stratum agg + pooled
+    // re-agg + sort; the pooled side re-aggregates 3 stratum rows.
+    "q_expectations" -> 8, "q_simpsons_audit" -> 3)
 
   test("headline queries stay within their pinned shuffle budgets") {
     val over = shuffleBudget.flatMap { case (name, budget) =>
