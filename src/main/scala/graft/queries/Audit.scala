@@ -517,14 +517,18 @@ object Audit {
     * Scale shape: the four lineitem row-level rules share ONE scan via
     * conditional sums (map-side combined to a single row); the
     * uniqueness probes are one partial/final count per key group
-    * summed; referential integrity is a distinct-FK anti join (narrow
+    * summed; referential integrity is a distinct-FK left join (narrow
     * key columns only — at 100 TB the distinct collapses the fact
-    * table to its key cardinality before the join shuffles anything).
+    * table to its key cardinality before the join shuffles anything),
+    * with BOTH the checked total and the orphan count read off the
+    * same grouped relation so the rule costs one fact scan, not two.
     * Three rules FAIL naturally on the fixture (the synthetic
     * lineitem repeats (l_orderkey, l_linenumber) pairs, some
     * o_orderpriority values break the ^[1-5]-[A-Z]+$ shape, and
     * o_custkey has repeat customers), so the report's violation path
-    * is exercised by real data, not a rigged fixture. */
+    * is exercised by real data, not a rigged fixture — and an
+    * all-empty slice (a pruned incremental day) reports every rule
+    * passed with zero counts, never a NULL-poisoned gate (AuditSpec). */
   def expectations(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val ord = Tables.orders(s, dir)
@@ -555,16 +559,19 @@ object Audit {
         lit("lineitem_pk_unique").as("rule_name"),
         col("n_checked"), col("n_violations"))
     // rule 6: referential integrity — distinct FKs carrying their row
-    // counts, anti-joined against the parent key; violations = orphan
-    // ROWS (the count an operator must quarantine)
+    // counts, left-joined against the (unique) parent key; violations
+    // = orphan ROWS (the count an operator must quarantine) and
+    // n_checked = Σc = total fact rows, both off the grouped relation
+    // — no second scan of the fact table for its count
     val fkRule = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
       .join(ord.select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left_anti")
-      .agg(coalesce(sum(col("c")), lit(0L)).as("n_violations"))
-      .crossJoin(broadcast(li.agg(count(lit(1)).as("nc"))))
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(sum(col("c")).as("n_checked"),
+        sum(when(col("o_orderkey").isNull, col("c")).otherwise(0L))
+          .as("n_violations"))
       .select(lit(6).as("rule_id"),
         lit("lineitem_orderkey_in_orders").as("rule_name"),
-        col("nc").as("n_checked"), col("n_violations"))
+        col("n_checked"), col("n_violations"))
     // rules 7-9: one shared orders scan — format regex, candidate-key
     // probe (count − count distinct; FAILS here: repeat customers),
     // and date bounds
@@ -582,11 +589,16 @@ object Audit {
         struct(lit(9).as("rule_id"), lit("orders_orderdate_bounds").as("rule_name"), col("n").as("n_checked"), col("v9").as("n_violations"))))
         .as("r"))
       .select(col("r.*"))
+    // coalesce EVERY count: sums over zero rows are NULL, and a NULL
+    // violation count must read as a clean pass (0), not a blocked
+    // gate — the empty slice is routine at scale, not an error
     liRules.unionByName(pkRule).unionByName(fkRule).unionByName(ordRules)
       .select(col("rule_id"), col("rule_name"),
-        col("n_checked").cast("bigint").as("n_checked"),
-        col("n_violations").cast("bigint").as("n_violations"),
-        when(col("n_violations") === 0, 1).otherwise(0).as("passed"))
+        coalesce(col("n_checked").cast("bigint"), lit(0L)).as("n_checked"),
+        coalesce(col("n_violations").cast("bigint"), lit(0L))
+          .as("n_violations"),
+        when(coalesce(col("n_violations"), lit(0L)) === 0, 1).otherwise(0)
+          .as("passed"))
       .orderBy(col("rule_id"))
   }
 
@@ -600,11 +612,12 @@ object Audit {
       |pk AS (SELECT count(*) AS n_checked, sum(c - 1) AS n_violations
       |       FROM (SELECT count(*) AS c FROM lineitem
       |             GROUP BY l_orderkey, l_linenumber)),
-      |fk AS (SELECT coalesce(sum(c), 0) AS n_violations
+      |fk AS (SELECT sum(c) AS n_checked,
+      |         sum(CASE WHEN o.o_orderkey IS NULL THEN c ELSE 0 END)
+      |           AS n_violations
       |       FROM (SELECT l_orderkey, count(*) AS c FROM lineitem
       |             GROUP BY l_orderkey) f
-      |       WHERE NOT EXISTS (SELECT 1 FROM orders o
-      |                         WHERE o.o_orderkey = f.l_orderkey)),
+      |       LEFT JOIN orders o ON o.o_orderkey = f.l_orderkey),
       |ord AS (SELECT count(*) AS n,
       |    sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$')
       |        THEN 1 ELSE 0 END) AS v7,
@@ -620,13 +633,14 @@ object Audit {
       |  UNION ALL SELECT 4, 'lineitem_discount_range', n, v4 FROM li
       |  UNION ALL SELECT 5, 'lineitem_pk_unique', n_checked, n_violations FROM pk
       |  UNION ALL SELECT 6, 'lineitem_orderkey_in_orders',
-      |    (SELECT n FROM li), n_violations FROM fk
+      |    n_checked, n_violations FROM fk
       |  UNION ALL SELECT 7, 'orders_priority_format', n, v7 FROM ord
       |  UNION ALL SELECT 8, 'orders_custkey_unique', n, v8 FROM ord
       |  UNION ALL SELECT 9, 'orders_orderdate_bounds', n, v9 FROM ord)
-      |SELECT rule_id, rule_name, CAST(n_checked AS BIGINT) AS n_checked,
-      |  CAST(n_violations AS BIGINT) AS n_violations,
-      |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+      |SELECT rule_id, rule_name,
+      |  CAST(coalesce(n_checked, 0) AS BIGINT) AS n_checked,
+      |  CAST(coalesce(n_violations, 0) AS BIGINT) AS n_violations,
+      |  CASE WHEN coalesce(n_violations, 0) = 0 THEN 1 ELSE 0 END AS passed
       |FROM r ORDER BY rule_id""".stripMargin
 
   /** W44 — Simpson's-paradox audit: per-stratum regression slope SIGN
@@ -641,8 +655,12 @@ object Audit {
     * convention), so the sign is bit-determined with no float
     * tolerance. The pooled sums are re-aggregated from the per-stratum
     * rows — metadata-scale, no second fact scan — and broadcast back
-    * onto the stratum rows. (The fixture genuinely reverses: strata A
-    * and N trend positive while the pooled sign is negative.) */
+    * onto the stratum rows. (The reversal is scale-dependent on the
+    * fixture: at sf0.01 strata A and N trend positive against a
+    * negative pooled sign, at sf0.1 stratum R flips against the
+    * pooled negative, and the sf0.001 smoke slice is too small to
+    * reverse at all — AuditSpec pins the sf0.01 flip and
+    * cross-checks every sign against covar_pop.) */
   def simpsonsAudit(s: SparkSession, dir: String): DataFrame = {
     val d = (c: Column) => c.cast("decimal(38,0)")
     val per = Tables.lineitem(s, dir)

@@ -72,4 +72,72 @@ class AuditSpec extends SparkSpec {
     assert(a.length == b.length)
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
+
+  test("expectations: exactly rules 5/7/8 fail on the fixture, passed ≡ zero violations") {
+    val rows = queries.Audit.expectations(spark, sfDir).collect()
+    assert(rows.length == 9)
+    val failed = rows.filter(_.getInt(4) == 0).map(_.getInt(0)).toSet
+    assert(failed == Set(5, 7, 8), s"failed rules: $failed")
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0, s"rule ${r.getInt(0)}: n_checked")
+      // the gate column must be the violations indicator, nothing else
+      assert((r.getLong(3) == 0) == (r.getInt(4) == 1), s"rule ${r.getInt(0)}")
+    }
+    // rule 6 must agree with rules 1-4 on what "all fact rows" means:
+    // its n_checked is Σ per-FK counts, theirs is count(*)
+    val byId = rows.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(byId(6) == byId(1))
+  }
+
+  test("expectations: an all-empty slice reports every rule passed with zero counts") {
+    // the routine 100 TB event (pruned incremental day) must read as a
+    // clean pass — a NULL-poisoned sum flipping `passed` to 0 would
+    // block a healthy load at the scheduler gate
+    val dir = java.nio.file.Files.createTempDirectory("graft_exp_empty").toString
+    Seq("lineitem", "orders").foreach { n =>
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          Tables.load(spark, sfDir, n).schema)
+        .write.mode("overwrite").parquet(s"$dir/$n.parquet")
+    }
+    val rows = queries.Audit.expectations(spark, dir).collect()
+    assert(rows.length == 9)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0 && r.getLong(3) == 0 && r.getInt(4) == 1,
+        s"rule ${r.getInt(0)}: ${r.mkString(",")}")
+    }
+  }
+
+  test("simpsons audit: signs cross-check against covar_pop; the sf0.01 flip fires") {
+    // independent method: double-precision population covariance —
+    // asserted only away from the float-noise region (|cov| > 1e-6;
+    // the fixture's smallest magnitude is orders larger)
+    val ref = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("stratum"),
+        (col("l_discount").cast("double") * 100).as("x"),
+        floor(col("l_quantity")).cast("double").as("y"))
+      .groupBy(col("stratum"))
+      .agg(covar_pop(col("x"), col("y")).as("cov"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val out = queries.Audit.simpsonsAudit(spark, sfDir).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val cov = ref(r.getString(0))
+      if (math.abs(cov) > 1e-6)
+        assert(r.getInt(2) == math.signum(cov).toInt,
+          s"stratum ${r.getString(0)}: exact sign ${r.getInt(2)} vs covar_pop $cov")
+      // flip indicator ≡ its definition, row by row
+      val flip = if (r.getInt(2) != 0 && r.getInt(3) != 0 &&
+        r.getInt(2) != r.getInt(3)) 1 else 0
+      assert(r.getInt(4) == flip, s"stratum ${r.getString(0)}")
+    }
+    // one pooled sign, replicated onto every stratum row
+    assert(out.map(_.getInt(3)).toSet.size == 1)
+    // the documented reversal: at the oracle scale, strata A and N
+    // trend positive against a negative pooled sign
+    val oracleScale = queries.Audit.simpsonsAudit(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(oracleScale("A").getInt(4) == 1 && oracleScale("N").getInt(4) == 1,
+      "expected the A/N Simpson flip at sf0.01")
+    assert(oracleScale.values.forall(_.getInt(3) == -1))
+  }
 }

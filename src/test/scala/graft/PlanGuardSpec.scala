@@ -73,11 +73,12 @@ class PlanGuardSpec extends SparkSpec {
     "q_sql_recursive" -> 2, "q_collated_group" -> 4, "q_name_sanitize" -> 4,
     "q_bpe_apply" -> 5, "q_collated_fold" -> 4,
     // q_expectations: 4 rule-family aggregates (2 conditional-sum
-    // scans + PK-uniqueness partial/final + distinct-FK anti join)
+    // scans + PK-uniqueness partial/final + distinct-FK left join
+    // reading n_checked and violations off one grouped relation)
     // unioned, plus the ORDER BY — each moves rule-report rows, never
     // a second fact scan. q_simpsons_audit: stratum agg + pooled
     // re-agg + sort; the pooled side re-aggregates 3 stratum rows.
-    "q_expectations" -> 8, "q_simpsons_audit" -> 3)
+    "q_expectations" -> 7, "q_simpsons_audit" -> 3)
 
   test("headline queries stay within their pinned shuffle budgets") {
     val over = shuffleBudget.flatMap { case (name, budget) =>
