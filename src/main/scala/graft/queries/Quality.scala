@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -375,7 +375,76 @@ object Quality {
       |    AS wp75
       |FROM c GROUP BY l_returnflag, tw ORDER BY l_returnflag""".stripMargin
 
+  /** G28 — bounded-sample quantiles over a deterministic KMV row
+    * sample: the quantile member of the sketch family (KMV distinct /
+    * HLL / CMS / Bloom / bitmap), and the only APPROXIMATE quantile
+    * here that is fully oracle-checkable — because the "randomness"
+    * is a pure function of the data. The sample is the k=1024 rows
+    * with the smallest 60-bit md5 hash of the row key (orderkey |
+    * linenumber | cents): selection-by-smallest-hash is a uniform
+    * without-replacement draw that is commutative, idempotent, and
+    * mergeable (the k smallest of a union are the k smallest of the
+    * parts' k-smallest), so Spark plans it as map-side-combined
+    * TakeOrdered — at most k rows leave any partition, never the fact
+    * table — and both engines rebuild the identical sample
+    * bit-for-bit (no RNG, no partition-order dependence). Estimates
+    * are the discrete inverse CDF over the sample (smallest value
+    * whose sample rank reaches ceil(p·m)); rank-space error is
+    * O(1/√k), pinned against the exact percentiles in QualitySpec.
+    * An empty slice yields zero rows (no sample, no estimates). */
+  def sampleQuantiles(s: SparkSession, dir: String, k: Int = 1024): DataFrame = {
+    val b = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+          .as("cents"))
+      // integer-only hash key: a float column through CAST-AS-STRING
+      // would be a cross-engine formatting trap (25.0 vs 25)
+      .select(col("cents"),
+        expr("CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), " +
+          "'|', CAST(l_linenumber AS STRING), '|', " +
+          "CAST(cents AS STRING))), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    // the KMV draw: k smallest hashes, (h, cents) total order so a
+    // boundary tie picks rows of identical content either way
+    val sample = b.orderBy(col("h"), col("cents")).limit(k)
+    // global windows over ≤k rows — the bounded-relation exception
+    val ranked = sample.select(col("cents"),
+      row_number().over(Window.orderBy(col("cents"), col("h"))).as("rn"),
+      count(lit(1)).over(Window.partitionBy()).as("m"))
+    def est(num: Int, den: Int): Column =
+      (min(when(col("rn") * den >= col("m") * num, col("cents")))
+        .cast("double") / 100)
+    ranked.groupBy(col("m"))
+      .agg(est(1, 4).as("e25"), est(1, 2).as("e50"), est(3, 4).as("e75"),
+        est(9, 10).as("e90"), est(99, 100).as("e99"))
+      .select(col("m").cast("bigint").as("sample_rows"),
+        col("e25"), col("e50"), col("e75"), col("e90"), col("e99"))
+  }
+
+  val sampleQuantilesSql: String =
+    """WITH b AS (SELECT
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents, l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |h AS (SELECT cents,
+      |    CAST(concat('0x', substring(md5(concat(
+      |      CAST(l_orderkey AS VARCHAR), '|', CAST(l_linenumber AS VARCHAR),
+      |      '|', CAST(cents AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+      |  FROM b),
+      |s AS (SELECT cents, h FROM h ORDER BY h, cents LIMIT 1024),
+      |r AS (SELECT cents,
+      |        row_number() OVER (ORDER BY cents, h) AS rn,
+      |        count(*) OVER () AS m
+      |      FROM s)
+      |SELECT CAST(m AS BIGINT) AS sample_rows,
+      |  CAST(min(CASE WHEN rn * 4 >= m THEN cents END) AS DOUBLE) / 100 AS e25,
+      |  CAST(min(CASE WHEN rn * 2 >= m THEN cents END) AS DOUBLE) / 100 AS e50,
+      |  CAST(min(CASE WHEN rn * 4 >= m * 3 THEN cents END) AS DOUBLE) / 100 AS e75,
+      |  CAST(min(CASE WHEN rn * 10 >= m * 9 THEN cents END) AS DOUBLE) / 100 AS e90,
+      |  CAST(min(CASE WHEN rn * 100 >= m * 99 THEN cents END) AS DOUBLE) / 100 AS e99
+      |FROM r GROUP BY m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_quantiles" -> ((s: SparkSession, d: String) => sampleQuantiles(s, d)),
     "q_weighted_percentile" -> (weightedPercentile _),
     "q_dp_counts" -> ((s: SparkSession, d: String) => dpNoisyCounts(s, d)),
     "q_winsorize" -> (winsorize _),
@@ -386,6 +455,7 @@ object Quality {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_quantiles" -> sampleQuantilesSql,
     "q_weighted_percentile" -> weightedPercentileSql,
     "q_dp_counts" -> dpNoisyCountsSql,
     "q_winsorize" -> winsorizeSql,

@@ -78,7 +78,11 @@ class PlanGuardSpec extends SparkSpec {
     // unioned, plus the ORDER BY — each moves rule-report rows, never
     // a second fact scan. q_simpsons_audit: stratum agg + pooled
     // re-agg + sort; the pooled side re-aggregates 3 stratum rows.
-    "q_expectations" -> 7, "q_simpsons_audit" -> 3)
+    "q_expectations" -> 7, "q_simpsons_audit" -> 3,
+    // q_sample_quantiles: the KMV draw is map-side TakeOrdered and
+    // the windows run over the ≤1024-row sample — ZERO exchanges is
+    // the operator's whole scale story; any new exchange is a bug
+    "q_sample_quantiles" -> 0)
 
   test("headline queries stay within their pinned shuffle budgets") {
     val over = shuffleBudget.flatMap { case (name, budget) =>

@@ -53,4 +53,41 @@ class QualitySpec extends SparkSpec {
     // indices average to exactly 1 up to float error
     assert(math.abs(rows.map(_.getDouble(2)).sum / 12.0 - 1.0) < 1e-9)
   }
+
+  test("sample quantiles: rank-space error within the O(1/sqrt k) regime, sample exact-size, order preserved") {
+    val out = Quality.sampleQuantiles(spark, sfDir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val n = Tables.lineitem(spark, sfDir).count()
+    assert(r.getLong(0) == math.min(1024L, n))
+    val est = (1 to 5).map(r.getDouble)
+    // estimates are a CDF read-out: monotone non-decreasing
+    est.sliding(2).foreach { case Seq(a, b) => assert(a <= b) }
+    // rank-space check: each estimate's TRUE CDF position must sit
+    // within ±5% of its target quantile (≥3σ for k=1024 with the
+    // finite-population correction; deterministic, not a flaky draw)
+    val prices = Tables.lineitem(spark, sfDir)
+      .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").as("c"))
+    val total = n.toDouble
+    Seq(0.25, 0.50, 0.75, 0.90, 0.99).zip(est).foreach { case (p, e) =>
+      val cents = math.round(e * 100)
+      val below = prices.filter(col("c") <= cents).count().toDouble / total
+      assert(math.abs(below - p) <= 0.05,
+        s"p=$p: estimate $e sits at true CDF $below")
+    }
+  }
+
+  test("sample quantiles: the KMV draw is partitioning-invariant by construction") {
+    // same data through 5 vs 23 input partitions — the k-smallest-hash
+    // sample is a pure function of the values, so the single output
+    // row must be bit-identical (TakeOrdered merges per-partition
+    // top-k; no RNG, no partition-order dependence)
+    val base = Quality.sampleQuantiles(spark, sfDir).collect().toSeq
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "23")
+    s2.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    val alt = Quality.sampleQuantiles(s2, sfDir).collect().toSeq
+    assert(base == alt)
+  }
 }
