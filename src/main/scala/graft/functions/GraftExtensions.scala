@@ -42,5 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StripAccentsExpr].getName, "strip_accents"),
       (exprs: Seq[Expression]) => StripAccentsExpr(exprs.head)))
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
+    // whole-operator extension: plans graft.plans.AsofJoin to the
+    // merge AsofJoinExec (programmatic sessions get it idempotently
+    // from Asof.ensureStrategy at the DSL entry point)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
   }
 }

@@ -206,6 +206,56 @@ object Joins {
       |GROUP BY p.event_id, p.user_id
       |ORDER BY p.event_id""".stripMargin
 
+  /** J6d — merge as-of join through the engine's own PHYSICAL
+    * operator ([[graft.plans.AsofJoinExec]]): same backward
+    * at-or-before semantics as q_join_asof, but carrying PAYLOAD
+    * columns from the matched row (orderkey + exact price cents) and
+    * LEFT-OUTER (events with no prior order emit null-extended) —
+    * the two things the composed join+window form pays a pair-stream
+    * shuffle for. The custom operator's merge cursor emits one row
+    * per event in one pass; the only shuffled rows are the two
+    * inputs plus the 3000-row result sort (runtime-asserted in
+    * AsofSpec). Date ties within a user break on o_orderkey (the
+    * operator's explicit tiebreak ordering), so the pick is
+    * deterministic on both engines. */
+  def asofMergeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("event_id") < 3000)
+      .select(col("event_id"), col("user_id"),
+        // the operator requires ONE time type on both sides (no
+        // silent coercion); events carries µs TIMESTAMP, orders' date
+        // parquet type differs — align explicitly
+        col("ts").cast("timestamp").as("ts"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("o_orderdate"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+          .as("price_cents"))
+    graft.plans.Asof.backward(ev, o,
+        on = Seq("user_id" -> "o_custkey"), time = "ts" -> "o_orderdate",
+        tiebreak = Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("o_orderdate")).as("last_order_epoch"),
+        col("o_orderkey").as("last_orderkey"),
+        col("price_cents").as("last_price_cents"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofMergeJoinSql: String =
+    """WITH e AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_id < 3000),
+      |m AS (SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+      |        CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |          AS price_cents,
+      |        row_number() OVER (PARTITION BY e.event_id
+      |          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |      FROM e JOIN orders o
+      |        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+      |SELECT e.event_id, e.user_id,
+      |  CAST(floor(epoch(m.o_orderdate)) AS BIGINT) AS last_order_epoch,
+      |  m.o_orderkey AS last_orderkey, m.price_cents AS last_price_cents
+      |FROM e LEFT JOIN m ON m.event_id = e.event_id AND m.rn = 1
+      |ORDER BY e.event_id""".stripMargin
+
   /** J7 — bounded cross join (region × nation). */
   def crossJoinQ(s: SparkSession, dir: String): DataFrame =
     Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
@@ -845,6 +895,7 @@ object Joins {
     "q_join_theta" -> (thetaJoin _),
     "q_join_asof" -> (asofJoin _),
     "q_join_asof_forward" -> (asofForwardJoin _),
+    "q_join_asof_merge" -> (asofMergeJoin _),
     "q_join_cross" -> (crossJoinQ _),
     "q_join_star" -> (starJoin _),
   )
@@ -867,6 +918,7 @@ object Joins {
     "q_join_theta" -> thetaJoinSql,
     "q_join_asof" -> asofJoinSql,
     "q_join_asof_forward" -> asofForwardJoinSql,
+    "q_join_asof_merge" -> asofMergeJoinSql,
     "q_join_cross" -> crossJoinSql,
     "q_join_star" -> starJoinSql,
   )

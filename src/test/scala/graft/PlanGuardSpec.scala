@@ -82,7 +82,12 @@ class PlanGuardSpec extends SparkSpec {
     // q_sample_quantiles: the KMV draw is map-side TakeOrdered and
     // the windows run over the ≤1024-row sample — ZERO exchanges is
     // the operator's whole scale story; any new exchange is a bug
-    "q_sample_quantiles" -> 0)
+    "q_sample_quantiles" -> 0,
+    // q_join_asof_merge: the custom exec's two input exchanges plus
+    // the result ORDER BY — a 4th exchange would mean the pair
+    // stream started shuffling again (AsofSpec pins the record
+    // counts; this pins the count of exchanges)
+    "q_join_asof_merge" -> 3)
 
   test("headline queries stay within their pinned shuffle budgets") {
     val over = shuffleBudget.flatMap { case (name, budget) =>
