@@ -55,6 +55,19 @@ case class AsofJoin(
     "as-of join key types must match pairwise (cast explicitly)")
   require(leftTime.dataType == rightTime.dataType,
     "as-of join time columns must share one type (cast explicitly)")
+  // Catalyst's NormalizeFloatingNumbers rule rewrites only BUILT-IN
+  // join/aggregate/window nodes, so a float key here would hash and
+  // order -0.0 apart from 0.0 — silently diverging from SQL equality.
+  // Reject rather than normalize: a float equi/as-of key is a design
+  // smell the caller should cast away deliberately.
+  require((leftKeys ++ rightKeys :+ leftTime :+ rightTime).forall(e =>
+      e.dataType != org.apache.spark.sql.types.DoubleType &&
+        e.dataType != org.apache.spark.sql.types.FloatType),
+    "as-of join keys/times must not be float/double (-0.0 vs 0.0 would " +
+      "diverge from SQL equality) — cast to decimal/long/timestamp")
+  // NOTE: the shared-lineage guard lives in Asof.backward, NOT here —
+  // a node-body outputSet check would trip during canonicalization,
+  // which rewrites BOTH children's exprIds to positional ids.
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -195,10 +208,12 @@ object Asof {
 
   /** Idempotently add [[AsofStrategy]] through the public
     * experimental-methods hook (mirrors how LevenshteinPrefilter
-    * registers; conf-configured sessions get it from
-    * GraftExtensions). */
+    * registers). The guard checks the PLANNER's assembled strategy
+    * list, which already includes both the extension-injected copy
+    * (conf path: GraftExtensions) and experimental.extraStrategies —
+    * so neither path ever double-registers. */
   def ensureStrategy(s: SparkSession): Unit =
-    if (!s.experimental.extraStrategies.contains(AsofStrategy))
+    if (!s.sessionState.planner.strategies.contains(AsofStrategy))
       s.experimental.extraStrategies =
         s.experimental.extraStrategies :+ AsofStrategy
 
@@ -216,10 +231,25 @@ object Asof {
     ensureStrategy(s)
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
+    // Shared-lineage sides would duplicate exprIds in output and bind
+    // right-side columns to left values — fail fast instead (as-of
+    // self-joins must alias one side through a fresh projection).
+    require(lp.outputSet.intersect(rp.outputSet).isEmpty,
+      "as-of join sides share attribute lineage — alias one side " +
+        "through a fresh projection (toDF) first")
+    // resolve names the way analysis would: honor spark.sql.caseSensitive
+    // and refuse ambiguity instead of silently binding the first match
+    val resolver = s.sessionState.analyzer.resolver
     def attr(p: LogicalPlan, n: String, side: String): Attribute =
-      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-        s"as-of join: column '$n' not found on the $side side " +
-          s"(${p.output.map(_.name).mkString(", ")})"))
+      p.output.filter(a => resolver(a.name, n)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"as-of join: column '$n' not found on the $side side " +
+            s"(${p.output.map(_.name).mkString(", ")})")
+        case many => throw new IllegalArgumentException(
+          s"as-of join: column '$n' is ambiguous on the $side side " +
+            s"(${many.size} matches)")
+      }
     GraftSqlShim.ofRows(s, AsofJoin(lp, rp,
       on.map(k => attr(lp, k._1, "left")), on.map(k => attr(rp, k._2, "right")),
       attr(lp, time._1, "left"), attr(rp, time._2, "right"),

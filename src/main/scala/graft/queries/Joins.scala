@@ -218,7 +218,10 @@ object Joins {
     * AsofSpec). Date ties within a user break on o_orderkey (the
     * operator's explicit tiebreak ordering), so the pick is
     * deterministic on both engines. */
-  def asofMergeJoin(s: SparkSession, dir: String): DataFrame = {
+  /** Shared input prep for q_join_asof_merge and AsofSpec's composed
+    * reference — ONE definition so the operator and its certifying
+    * spec can never silently test different inputs. */
+  private[graft] def asofMergeInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ev = Tables.events(s, dir).filter(col("event_id") < 3000)
       .select(col("event_id"), col("user_id"),
         // the operator requires ONE time type on both sides (no
@@ -230,6 +233,11 @@ object Joins {
         col("o_orderdate").cast("timestamp").as("o_orderdate"),
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
           .as("price_cents"))
+    (ev, o)
+  }
+
+  def asofMergeJoin(s: SparkSession, dir: String): DataFrame = {
+    val (ev, o) = asofMergeInputs(s, dir)
     graft.plans.Asof.backward(ev, o,
         on = Seq("user_id" -> "o_custkey"), time = "ts" -> "o_orderdate",
         tiebreak = Seq("o_orderkey"))

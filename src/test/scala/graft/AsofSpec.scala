@@ -15,14 +15,9 @@ class AsofSpec extends SparkSpec {
 
   test("merge as-of ≡ composed join+argmax reference (left-outer, payload, tiebreak)") {
     val out = queries.Joins.asofMergeJoin(spark, sfDir).collect().toSeq
-    val ev = Tables.events(spark, sfDir).filter(col("event_id") < 3000)
-      .select(col("event_id"), col("user_id"),
-        col("ts").cast("timestamp").as("ts"))
-    val o = Tables.orders(spark, sfDir)
-      .select(col("o_custkey"), col("o_orderkey"),
-        col("o_orderdate").cast("timestamp").as("o_orderdate"),
-        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
-          .as("price_cents"))
+    // the SAME prepared inputs the query uses — only the downstream
+    // computation is independent
+    val (ev, o) = queries.Joins.asofMergeInputs(spark, sfDir)
     val matched = ev.join(o,
         col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
       .groupBy(col("event_id").as("eid"))
@@ -97,6 +92,38 @@ class AsofSpec extends SparkSpec {
       .select(col("id"), col("v")).orderBy(col("id"))
       .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) "" else r.getString(1)))
     assert(out.toSeq == Seq((1L, "x"), (2L, ""), (3L, "")))
+  }
+
+  test("guards: float keys, shared lineage, case/ambiguity resolution") {
+    val left = Seq((1L, 1L, 10L)).toDF("id", "lk", "lt")
+    val right = Seq((1L, 5L, "x")).toDF("rk", "rt", "v")
+    // float/double keys or times diverge from SQL equality on -0.0 —
+    // rejected at construction
+    val fl = Seq((1L, 0.0, 10L)).toDF("id", "lk", "lt")
+    val fr = Seq((-0.0, 5L, "x")).toDF("rk", "rt", "v")
+    intercept[IllegalArgumentException] {
+      Asof.backward(fl, fr, Seq("lk" -> "rk"), "lt" -> "rt")
+    }
+    // shared lineage = duplicated exprIds = silent misbinding — reject
+    intercept[IllegalArgumentException] {
+      Asof.backward(left, left.filter(col("lt") > 0L),
+        Seq("lk" -> "lk"), "lt" -> "lt")
+    }
+    // name resolution honors spark.sql.caseSensitive=false…
+    assert(Asof.backward(left, right, Seq("LK" -> "RK"), "LT" -> "RT")
+      .count() == 1)
+    // …and refuses ambiguity instead of binding the first match
+    val dup = right.select(col("rk"), col("rt"), col("v"),
+      lit("other").as("v"))
+    intercept[IllegalArgumentException] {
+      Asof.backward(left, dup, Seq("lk" -> "rk"), "lt" -> "rt",
+        tiebreak = Seq("v"))
+    }
+    // canonicalization survives the guards (it rewrites BOTH sides'
+    // exprIds positionally — a node-body lineage require would trip)
+    val plan = Asof.backward(left, right, Seq("lk" -> "rk"), "lt" -> "rt")
+      .queryExecution.analyzed
+    assert(plan.canonicalized.semanticHash() == plan.canonicalized.semanticHash())
   }
 
   test("empty sides degrade to the outer contract") {
