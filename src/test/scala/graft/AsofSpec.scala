@@ -94,6 +94,57 @@ class AsofSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "x"), (2L, ""), (3L, "")))
   }
 
+  test("bucketed inputs satisfy the distribution requirement — zero-exchange as-of") {
+    // the 100 TB layout claim made in the operator's scaladoc, proven:
+    // both sides pre-bucketed on the key (and sorted by key+time)
+    // satisfy ClusteredDistribution, so EnsureRequirements inserts NO
+    // exchange — the recurring as-of against a reference table costs
+    // zero shuffles per query after a one-time layout write
+    // static session: AdaptiveSparkPlanExec hides its tree from collect
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    // report the bucket files' sortBy order at the scan (off by
+    // default since 3.0 because a multi-file bucket interleaves; the
+    // writes below repartition to exactly one file per bucket, the
+    // precondition that makes the order real)
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val (ev, o) = queries.Joins.asofMergeInputs(s, sfDir)
+    try {
+      // one file per bucket (repartition on the bucket key): the scan
+      // reports the bucket sort order only then, which is what lets
+      // the plan elide the sorts as well as the exchanges
+      ev.repartition(4, col("user_id"))
+        .write.bucketBy(4, "user_id").sortBy("user_id", "ts")
+        .mode("overwrite").saveAsTable("asof_ev_b")
+      o.repartition(4, col("o_custkey"))
+        .write.bucketBy(4, "o_custkey")
+        .sortBy("o_custkey", "o_orderdate", "o_orderkey")
+        .mode("overwrite").saveAsTable("asof_o_b")
+      val joined = graft.plans.Asof.backward(
+        s.table("asof_ev_b"), s.table("asof_o_b"),
+        on = Seq("user_id" -> "o_custkey"), time = "ts" -> "o_orderdate",
+        tiebreak = Seq("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan
+      joined.collect()
+      assert(plan.collectWithSubqueries { case e: AsofJoinExec => e }.nonEmpty)
+      assert(plan.collect {
+        case e: ShuffleExchangeExec => e
+      }.isEmpty, s"bucketed as-of still shuffles:\n${plan.toString.take(1500)}")
+      // matching the bucket-and-sort layout also elides the sorts
+      assert(!plan.toString.contains("Sort "),
+        s"bucketed as-of still sorts:\n${plan.toString.take(1500)}")
+      // and it is still the same relation the shuffled plan produces
+      val viaShuffle = graft.plans.Asof.backward(ev, o,
+          on = Seq("user_id" -> "o_custkey"), time = "ts" -> "o_orderdate",
+          tiebreak = Seq("o_orderkey"))
+        .orderBy(col("event_id")).collect().toSeq
+      assert(joined.sort(col("event_id")).collect().toSeq == viaShuffle)
+    } finally {
+      s.sql("DROP TABLE IF EXISTS asof_ev_b")
+      s.sql("DROP TABLE IF EXISTS asof_o_b")
+    }
+  }
+
   test("guards: float keys, shared lineage, case/ambiguity resolution") {
     val left = Seq((1L, 1L, 10L)).toDF("id", "lk", "lt")
     val right = Seq((1L, 5L, "x")).toDF("rk", "rt", "v")
