@@ -107,6 +107,8 @@ object PlanAudit {
     "q_collated_group" -> "hash aggregate keyed on the UTF8_LCASE-collated column — the collation rides the grouping key, no lower() projection materialized",
     "q_sql_recursive" -> "Spark 4 recursion operator (UnionLoop): the anchor seeds the loop, each step joins the static edge relation to the previous iteration — the engine-managed form of the hand-rolled localCheckpoint loops",
     "q_name_sanitize" -> "schema-metadata scale: distinct p_type (25-ish rows) drives everything after one fact-column distinct; collision window runs on the name corpus, never on data",
+    "q_join_asof_merge" -> "the custom AsofJoin node in the tree: two input exchanges+sorts placed by EnsureRequirements, NO pair-stream shuffle, NO window — one merge pass emits one row per event",
+    "q_sample_quantiles" -> "KMV draw plans TakeOrderedAndProject (map-side top-k, zero exchanges); windows run over the ≤1024-row sample relation only",
   )
 
   def main(args: Array[String]): Unit = {
