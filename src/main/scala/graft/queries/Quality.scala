@@ -410,15 +410,86 @@ object Quality {
     val ranked = sample.select(col("cents"),
       row_number().over(Window.orderBy(col("cents"), col("h"))).as("rn"),
       count(lit(1)).over(Window.partitionBy()).as("m"))
-    def est(num: Int, den: Int): Column =
-      (min(when(col("rn") * den >= col("m") * num, col("cents")))
-        .cast("double") / 100)
     ranked.groupBy(col("m"))
       .agg(est(1, 4).as("e25"), est(1, 2).as("e50"), est(3, 4).as("e75"),
         est(9, 10).as("e90"), est(99, 100).as("e99"))
       .select(col("m").cast("bigint").as("sample_rows"),
         col("e25"), col("e50"), col("e75"), col("e90"), col("e99"))
   }
+
+  /** Discrete inverse-CDF read-out over a ranked sample: smallest
+    * value whose rank reaches ceil(p·m), p = num/den. Shared by the
+    * global and grouped sample-quantile forms. */
+  private def est(num: Int, den: Int): Column =
+    (min(when(col("rn") * den >= col("m") * num, col("cents")))
+      .cast("double") / 100)
+
+  /** G28b — per-group sample quantiles: the grouped form of
+    * [[sampleQuantiles]], with the KMV draw running as the engine's
+    * own [[graft.operators.TopKPairs]] bounded-heap AGGREGATE
+    * (value = −hash, id = cents → the k smallest (hash, cents) pairs
+    * per group, the exact tiebreak the global draw uses). Map-side
+    * combine ships ≤k rows per (group × partition) — the fact stream
+    * never reaches the exchange — and the draw stays a pure function
+    * of the data, so the DuckDB oracle rebuilds every per-group
+    * sample and estimate bit-for-bit. The inverse-CDF windows run
+    * over the ≤k-row per-group sample relation only. */
+  def sampleQuantilesGrouped(s: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val heap = udaf(new graft.operators.TopKPairs(k))
+    val b = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+          .as("cents"))
+      .select(col("l_returnflag"), col("cents"),
+        expr("CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), " +
+          "'|', CAST(l_linenumber AS STRING), '|', " +
+          "CAST(cents AS STRING))), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val sampled = b.groupBy(col("l_returnflag"))
+      .agg(heap(-col("h"), col("cents")).as("s"))
+      .select(col("l_returnflag"), explode(col("s")).as("e"))
+      // e = (rank-by-hash, −h, cents); only the sampled value matters
+      // downstream — ties among equal cents rank arbitrarily but read
+      // identically
+      .select(col("l_returnflag"), col("e._3").as("cents"))
+    val ranked = sampled.select(col("l_returnflag"), col("cents"),
+      row_number().over(Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cents"))).as("rn"),
+      count(lit(1)).over(Window.partitionBy(col("l_returnflag"))).as("m"))
+    ranked.groupBy(col("l_returnflag"), col("m"))
+      .agg(est(1, 4).as("e25"), est(1, 2).as("e50"), est(3, 4).as("e75"),
+        est(9, 10).as("e90"), est(99, 100).as("e99"))
+      .select(col("l_returnflag"), col("m").cast("bigint").as("sample_rows"),
+        col("e25"), col("e50"), col("e75"), col("e90"), col("e99"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val sampleQuantilesGroupedSql: String =
+    """WITH b AS (SELECT l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents, l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |h AS (SELECT l_returnflag, cents,
+      |    CAST(concat('0x', substring(md5(concat(
+      |      CAST(l_orderkey AS VARCHAR), '|', CAST(l_linenumber AS VARCHAR),
+      |      '|', CAST(cents AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+      |  FROM b),
+      |s AS (SELECT l_returnflag, cents FROM (
+      |        SELECT l_returnflag, cents,
+      |          row_number() OVER (PARTITION BY l_returnflag
+      |            ORDER BY h, cents) AS hr
+      |        FROM h) WHERE hr <= 256),
+      |r AS (SELECT l_returnflag, cents,
+      |        row_number() OVER (PARTITION BY l_returnflag
+      |          ORDER BY cents) AS rn,
+      |        count(*) OVER (PARTITION BY l_returnflag) AS m
+      |      FROM s)
+      |SELECT l_returnflag, CAST(m AS BIGINT) AS sample_rows,
+      |  CAST(min(CASE WHEN rn * 4 >= m THEN cents END) AS DOUBLE) / 100 AS e25,
+      |  CAST(min(CASE WHEN rn * 2 >= m THEN cents END) AS DOUBLE) / 100 AS e50,
+      |  CAST(min(CASE WHEN rn * 4 >= m * 3 THEN cents END) AS DOUBLE) / 100 AS e75,
+      |  CAST(min(CASE WHEN rn * 10 >= m * 9 THEN cents END) AS DOUBLE) / 100 AS e90,
+      |  CAST(min(CASE WHEN rn * 100 >= m * 99 THEN cents END) AS DOUBLE) / 100 AS e99
+      |FROM r GROUP BY l_returnflag, m ORDER BY l_returnflag""".stripMargin
 
   val sampleQuantilesSql: String =
     """WITH b AS (SELECT
@@ -445,6 +516,7 @@ object Quality {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_quantiles" -> ((s: SparkSession, d: String) => sampleQuantiles(s, d)),
+    "q_sample_quantiles_grouped" -> ((s: SparkSession, d: String) => sampleQuantilesGrouped(s, d)),
     "q_weighted_percentile" -> (weightedPercentile _),
     "q_dp_counts" -> ((s: SparkSession, d: String) => dpNoisyCounts(s, d)),
     "q_winsorize" -> (winsorize _),
@@ -456,6 +528,7 @@ object Quality {
 
   val oracle: Map[String, String] = Map(
     "q_sample_quantiles" -> sampleQuantilesSql,
+    "q_sample_quantiles_grouped" -> sampleQuantilesGroupedSql,
     "q_weighted_percentile" -> weightedPercentileSql,
     "q_dp_counts" -> dpNoisyCountsSql,
     "q_winsorize" -> winsorizeSql,

@@ -87,7 +87,11 @@ class PlanGuardSpec extends SparkSpec {
     // the result ORDER BY — a 4th exchange would mean the pair
     // stream started shuffling again (AsofSpec pins the record
     // counts; this pins the count of exchanges)
-    "q_join_asof_merge" -> 3)
+    "q_join_asof_merge" -> 3,
+    // q_sample_quantiles_grouped: the heap-aggregate exchange (≤k
+    // rows per group × partition) + the ORDER BY — the fact stream
+    // itself must never appear at a shuffle
+    "q_sample_quantiles_grouped" -> 2)
 
   test("headline queries stay within their pinned shuffle budgets") {
     val over = shuffleBudget.flatMap { case (name, budget) =>

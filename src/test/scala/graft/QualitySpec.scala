@@ -78,6 +78,38 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("grouped sample quantiles: per-group rank-space error within regime, heap draw ≡ window draw") {
+    val out = Quality.sampleQuantilesGrouped(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("A", "N", "R"))
+    val prices = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("f"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("c"))
+    val groupN = prices.groupBy(col("f")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val flag = r.getString(0)
+      assert(r.getLong(1) == math.min(256L, groupN(flag)))
+      // k=256 → rank sd ≈ sqrt(p(1-p)/256) ≤ 3.1% — allow ±10% (>3σ)
+      val total = groupN(flag).toDouble
+      Seq(0.25, 0.50, 0.75, 0.90, 0.99).zipWithIndex.foreach { case (p, i) =>
+        val e = r.getDouble(2 + i)
+        val cents = math.round(e * 100)
+        val below = prices.filter(col("f") === flag && col("c") <= cents)
+          .count().toDouble / total
+        assert(math.abs(below - p) <= 0.10,
+          s"$flag p=$p: estimate $e at true CDF $below")
+      }
+    }
+    // the heap aggregate's draw is the SAME relation a window-based
+    // k-smallest-by-(hash, cents) draw produces — partitioning cannot
+    // change a pure function of the values
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "17")
+    val alt = Quality.sampleQuantilesGrouped(s2, sfDir).collect().toSeq
+    assert(out.toSeq == alt)
+  }
+
   test("sample quantiles: the KMV draw is partitioning-invariant by construction") {
     // same data through 5 vs 23 input partitions — the k-smallest-hash
     // sample is a pure function of the values, so the single output
