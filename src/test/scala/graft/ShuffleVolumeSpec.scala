@@ -88,4 +88,15 @@ class ShuffleVolumeSpec extends SparkSpec {
     assert(n <= 1100, s"$n records shuffled — dedup is shipping raw rows")
     noAqe.catalog.clearCache()
   }
+
+  test("grouped sample quantiles ship heap buffers, never the fact stream") {
+    val n = shuffledRecords(
+      SparkEntry.queries("q_sample_quantiles_grouped")(noAqe, sfDir))
+    // heap exchange ≤ 3 groups × map partitions × k=256 buffered rows,
+    // plus the 3-row result sort — categorically below the ~6k fact
+    // rows a non-combining draw would ship
+    assert(n < factRows / 2,
+      s"$n records shuffled — the KMV heap draw stopped combining map-side")
+    noAqe.catalog.clearCache()
+  }
 }
