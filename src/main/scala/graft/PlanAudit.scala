@@ -109,6 +109,13 @@ object PlanAudit {
     "q_name_sanitize" -> "schema-metadata scale: distinct p_type (25-ish rows) drives everything after one fact-column distinct; collision window runs on the name corpus, never on data",
     "q_join_asof_merge" -> "the custom AsofJoin node in the tree: two input exchanges+sorts placed by EnsureRequirements, NO pair-stream shuffle, NO window — one merge pass emits one row per event",
     "q_sample_quantiles" -> "KMV draw plans TakeOrderedAndProject (map-side top-k, zero exchanges); windows run over the ≤1024-row sample relation only",
+    "q_dpp_join" -> "dynamicpruning subquery in the staged scan's PartitionFilters; the 25-row nation dim broadcast is reused as the pruning value source",
+    "q_join_existence" -> "ExistenceJoin attaches the exists flag (broadcast build over the BUILDING probe set); the fact scan appears ONCE — no union-of-two-scans rewrite",
+    "q_partition_reload" -> "read-back scan lists the re-staged day directories; one groupBy(day) with distinct-count expand, no second pass over the staging dir",
+    "q_holt_trend" -> "monthly aggregate → per-flag rank window → 12-element collect; the 12-step recurrence is one codegen'd higher-order aggregate projection, zero extra exchanges",
+    "q_kcore" -> "returned plan reads the converged localCheckpoint edge relation: one degree aggregate + sort — the peel rounds' semi-joins never appear in the result plan",
+    "q_preference_pairs" -> "single partial/final aggregate carries BOTH packed-struct argmax and argmin; no window, no second scan of documents",
+    "q_curriculum" -> "per-source rank window is the only data exchange; the global interleave position computes on a TakeOrderedAndProject 40-row prefix",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, StructField, StructType}
+import graft.Tables
+
+/** Round-10 planner/ETL pack: the three runtime-planning surfaces a
+  * 100 TB deployment leans on daily — dynamic partition pruning (the
+  * join-driven twin of S6's static pruning), the ExistenceJoin
+  * rewrite (IN-subquery under a disjunction — the one subquery shape
+  * that can neither become a semi join nor a plain filter), and the
+  * idempotent day-partition re-load (the reference's "re-run one
+  * day's failed batch" lifecycle as Spark's dynamic
+  * partitionOverwriteMode). Conventions per ARCHITECTURE.md
+  * "Cross-engine determinism".
+  */
+object Adaptive {
+
+  /** sf-keyed staging dirs, same contract as
+    * [[EtlQueries.ndjsonStageDir]]: the oracle never reads these (it
+    * recomputes from the source tables), but two sf sweeps must not
+    * clobber each other's staged layouts mid-flight. */
+  def dppStageDir(dir: String): String =
+    s"/tmp/graft_dpp_stage_${new java.io.File(dir).getName}"
+
+  def reloadStageDir(dir: String): String =
+    s"/tmp/graft_reload_stage_${new java.io.File(dir).getName}"
+
+  /** S14 — dynamic partition pruning: the classic star shape — a fact
+    * table staged hive-partitioned by its dim FOREIGN KEY (customers
+    * by nation), joined to a genuinely small dim (nation, 25 rows)
+    * filtered on a NON-join attribute (region) — so the surviving
+    * partition keys exist only after the dim filter evaluates at
+    * runtime; no static rule can prune the scan (the predicate names
+    * `n_regionkey`, the partitions are keyed by `c_nationkey`). Spark
+    * plans a `dynamicpruning` subquery into the scan's
+    * PartitionFilters, reusing the dim's broadcast (asserted in
+    * AdaptiveSpec) — at 100 TB this is the difference between
+    * scanning the selected region's 10 nation partitions and scanning
+    * all 25. The benefit heuristic needs the pruning subquery to be
+    * cheap relative to the pruned scan, which is exactly why the dim
+    * here must be the SMALL relation — a dim derived from the fact
+    * itself costs the scan it would save. The oracle recomputes from
+    * the unstaged tables: pruning must be a pure layout optimization
+    * with zero effect on results. */
+  def dppJoin(s: SparkSession, dir: String): DataFrame = {
+    val stage = dppStageDir(dir)
+    val customer = Tables.customer(s, dir)
+    customer.write.mode("overwrite").partitionBy("c_nationkey").parquet(stage)
+    // explicit reader schema, same reason as EtlQueries.partitionPrune:
+    // an all-empty input stages zero part files and inference throws
+    val readSchema = StructType(
+      customer.schema.filterNot(_.name == "c_nationkey") :+
+        customer.schema("c_nationkey"))
+    val fact = s.read.schema(readSchema).parquet(stage)
+    val dim = Tables.nation(s, dir)
+      .filter(col("n_regionkey") < 2)
+      .select(col("n_nationkey"), col("n_name"))
+    fact.join(broadcast(dim), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_nationkey"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum((col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint"))
+          .as("acctbal_cents"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val dppJoinSql: String =
+    """SELECT c_nationkey, n_name, count(*) AS n_customers,
+      |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS acctbal_cents
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE n_regionkey < 2
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  /** J12 — existence join: an IN-subquery under a disjunction is the
+    * one subquery position the optimizer can turn into neither a left
+    * semi join (the OR keeps non-matching rows alive) nor a pushed
+    * filter — Spark rewrites it to its dedicated ExistenceJoin type,
+    * which attaches a boolean `exists` column and lets the filter read
+    * it (plan-asserted in AdaptiveSpec). The query runs ONE SQL string
+    * through the session (the surface a BI tool emits); the customer
+    * probe side stays a broadcast, the fact side is never duplicated
+    * into a union of two scans — the rewrite this operator exists to
+    * avoid. */
+  def existenceJoin(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_xv")
+    Tables.customer(s, dir).createOrReplaceTempView("customer_xv")
+    s.sql(
+      """SELECT o_orderpriority AS priority, count(*) AS n_orders,
+        |  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS cents
+        |FROM orders_xv
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer_xv
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |   OR o_totalprice > 400000.0
+        |GROUP BY o_orderpriority ORDER BY priority""".stripMargin)
+  }
+
+  val existenceJoinSql: String =
+    """SELECT o_orderpriority AS priority, count(*) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS cents
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'BUILDING')
+      |   OR o_totalprice > 400000.0
+      |GROUP BY o_orderpriority ORDER BY priority""".stripMargin
+
+  /** E22 — idempotent day-partition re-load: the reference's daily
+    * lifecycle (load a day-partitioned warehouse table, re-run one
+    * day's batch after a correction) expressed as Spark's DYNAMIC
+    * partition overwrite — the re-load replaces exactly the one day
+    * directory it writes, never the table (static overwrite semantics
+    * would silently truncate the other 29 days: the classic re-run
+    * data-loss bug this mode exists to prevent). The corrected batch
+    * drops the day's 'click' rows (a late-arriving filter fix); the
+    * read-back per-day profile proves untouched days byte-identical
+    * and the re-run day replaced. The overwrite-mode conf is set
+    * around the EAGER write and restored in a finally — it never
+    * leaks into the session's later queries. */
+  def partitionReload(s: SparkSession, dir: String): DataFrame = {
+    val stage = reloadStageDir(dir)
+    val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("day").parquet(stage)
+    // re-load day = min(day)+3 — one metadata-scale row; null on
+    // all-empty input, in which case there is no batch to re-run
+    val rd = ev.agg(date_add(min(col("day")), 3).as("rd")).head.getDate(0)
+    if (rd != null) {
+      val corrected = ev.filter(col("day") === lit(rd) &&
+        col("event_type") =!= "click")
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try corrected.write.mode("overwrite").partitionBy("day").parquet(stage)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    }
+    val readSchema = StructType(
+      ev.schema.filterNot(_.name == "day").toSeq :+
+        StructField("day", DateType))
+    s.read.schema(readSchema).parquet(stage)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        max(col("event_id")).as("max_event_id"))
+      .orderBy(col("day"))
+  }
+
+  /** The oracle applies the correction relationally: untouched days
+    * pass through, the re-run day keeps only non-click rows. */
+  val partitionReloadSql: String =
+    """WITH d AS (SELECT event_id, user_id, event_type,
+      |    CAST(ts AS DATE) AS day FROM events),
+      |r AS (SELECT min(day) + 3 AS rd FROM d),
+      |f AS (SELECT * FROM d, r WHERE day <> rd OR event_type <> 'click')
+      |SELECT day, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users, max(event_id) AS max_event_id
+      |FROM f GROUP BY day ORDER BY day""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dpp_join" -> (dppJoin _),
+    "q_join_existence" -> (existenceJoin _),
+    "q_partition_reload" -> (partitionReload _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dpp_join" -> dppJoinSql,
+    "q_join_existence" -> existenceJoinSql,
+    "q_partition_reload" -> partitionReloadSql,
+  )
+}

@@ -1,0 +1,293 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Caches.PersistScoped
+
+/** Round-10 training-data & sequence pack: preference-pair
+  * construction and curriculum interleave ordering (the two dataset-
+  * assembly steps between curation and the trainer), Holt double-
+  * exponential smoothing in exact dyadic integer arithmetic (the
+  * trend member of the EWMA/STL family), and k-core graph pruning
+  * (the density filter the near-dup / co-occurrence graph family
+  * lacked). Conventions per ARCHITECTURE.md "Cross-engine
+  * determinism".
+  */
+object Train {
+
+  /** Shared per-doc quality score (lexical diversity = distinct words
+    * / words): the SAME uniq_ratio emitted by L4's quality profile,
+    * recomputed here as a single narrow projection. Both engines
+    * compute the one double division on identical integers. */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        (size(array_distinct(col("w"))).cast("double") / size(col("w")))
+          .as("score"))
+
+  private val scoredDocsCte: String =
+    """sdoc AS (SELECT doc_id, lang, source,
+      |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS score
+      |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) > 0)""".stripMargin
+
+  /** L26 — preference-pair construction: within each (lang, source)
+    * prompt group, the highest-scoring document becomes `chosen` and
+    * the lowest `rejected` — the RLHF/DPO pair-assembly step that
+    * turns pointwise quality scores into contrastive training rows.
+    * Both argmax and argmin ride ONE aggregate over packed structs
+    * (no window, no second scan); score ties break to the SMALLER
+    * doc_id on the chosen side and the LARGER on the rejected side
+    * (the -doc_id packing), so a constant-score group still yields a
+    * well-defined, distinct pair. Groups of one cannot form a pair
+    * and drop out. */
+  def preferencePairs(s: SparkSession, dir: String): DataFrame =
+    scoredDocs(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_group"),
+        max(struct(col("score"), (-col("doc_id")).as("nid"))).as("best"),
+        min(struct(col("score"), (-col("doc_id")).as("nid"))).as("worst"))
+      .filter(col("n_group") >= 2)
+      .select(col("lang"), col("source"), col("n_group"),
+        (-col("best.nid")).cast("bigint").as("chosen_id"),
+        (-col("worst.nid")).cast("bigint").as("rejected_id"),
+        (col("best.score") - col("worst.score")).as("margin"))
+      .orderBy(col("lang"), col("source"))
+
+  val preferencePairsSql: String =
+    s"""WITH $scoredDocsCte,
+      |b AS (SELECT lang, source, doc_id AS chosen_id, score AS bs,
+      |        row_number() OVER (PARTITION BY lang, source
+      |          ORDER BY score DESC, doc_id) AS rn
+      |      FROM sdoc),
+      |w2 AS (SELECT lang, source, doc_id AS rejected_id, score AS ws,
+      |        row_number() OVER (PARTITION BY lang, source
+      |          ORDER BY score ASC, doc_id DESC) AS rn
+      |      FROM sdoc),
+      |g AS (SELECT lang, source, count(*) AS n_group FROM sdoc
+      |      GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT g.lang, g.source, g.n_group, b.chosen_id, w2.rejected_id,
+      |  b.bs - w2.ws AS margin
+      |FROM g JOIN b ON b.lang = g.lang AND b.source = g.source AND b.rn = 1
+      |JOIN w2 ON w2.lang = g.lang AND w2.source = g.source AND w2.rn = 1
+      |ORDER BY g.lang, g.source""".stripMargin
+
+  /** L34 — curriculum interleave ordering: documents ranked
+    * easiest-first (score DESC) WITHIN each source, then emitted in
+    * source-interleaved global order (all the rank-1 docs across
+    * sources, then the rank-2s, …) — the anti-clumping read order a
+    * trainer wants so no single source monopolizes a training window.
+    * Scale shape: the per-source rank is a partitioned window; the
+    * global interleave position is derived on the TOP-40 prefix only
+    * (TakeOrdered — map-side top-k under the total order
+    * (src_rank, source); the global row_number then runs over a ≤40
+    * row bounded relation, never the corpus). */
+  def curriculum(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = scoredDocs(s, dir).withColumn("src_rank",
+      row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("doc_id"))))
+    val top = perSrc
+      .orderBy(col("src_rank"), col("source"), col("doc_id")).limit(40)
+    top.withColumn("pos",
+        row_number().over(Window.orderBy(col("src_rank"), col("source"))))
+      .select(col("pos"), col("doc_id"), col("source"), col("src_rank"),
+        col("score"))
+      .orderBy(col("pos"))
+  }
+
+  val curriculumSql: String =
+    s"""WITH $scoredDocsCte,
+      |r AS (SELECT doc_id, source, score,
+      |        row_number() OVER (PARTITION BY source
+      |          ORDER BY score DESC, doc_id) AS src_rank
+      |      FROM sdoc),
+      |t AS (SELECT * FROM r ORDER BY src_rank, source, doc_id LIMIT 40)
+      |SELECT CAST(row_number() OVER (ORDER BY src_rank, source) AS INT)
+      |    AS pos,
+      |  doc_id, source, CAST(src_rank AS INT) AS src_rank, score
+      |FROM t ORDER BY pos""".stripMargin
+
+  /** TS15 — Holt double-exponential smoothing (level + trend), the
+    * trend-aware member of the smoothing family (EWMA = level only;
+    * STL = seasonal decomposition): per return flag over the first 12
+    * monthly revenue points, `L_t = (y_t + L_{t-1} + B_{t-1})/2`,
+    * `B_t = (L_t - L_{t-1} + B_{t-1})/2` (α = β = ½). Arithmetic is
+    * EXACT dyadic integers: values are pre-scaled by 2²² so every
+    * intermediate is an integer and every halving divides an even
+    * number exactly (denominators grow as 2^(2t-2) ≤ 2²² for t ≤ 12)
+    * — floor vs truncate division can never disagree across engines,
+    * and the fold is sequential-by-definition yet partitioning-free.
+    * Spark runs the recurrence as a codegen'd higher-order `aggregate`
+    * over each group's 12-element sorted array (the per-group state is
+    * 3 fields, never a shuffle concern); the oracle runs the same
+    * recurrence as a recursive CTE. Scaled magnitudes stay < 2⁶³ for
+    * monthly group revenue up to ~2×10¹² cents (≈ sf 100); the output
+    * emits the exact scaled integers (the claim) plus one double
+    * projection for readability. Groups with fewer than 12 months
+    * have no 12-step fold and drop out. */
+  def holtTrend(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        date_trunc("month", col("l_shipdate")).as("mon"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+          .as("cents"))
+      .groupBy(col("l_returnflag"), col("mon")).agg(sum(col("cents")).as("y"))
+    val series = m
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("mon"))))
+      .filter(col("rn") <= 12)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("k"),
+        expr("transform(array_sort(collect_list(struct(rn, y))), e -> e.y)")
+          .as("ys"))
+      .filter(col("k") === 12)
+    series.select(col("l_returnflag"),
+        expr("""aggregate(ys,
+          named_struct('L', CAST(0 AS BIGINT), 'B', CAST(0 AS BIGINT), 't', 0),
+          (acc, y) -> IF(acc.t = 0,
+            named_struct('L', y * 4194304L, 'B', CAST(0 AS BIGINT), 't', 1),
+            named_struct(
+              'L', (y * 4194304L + acc.L + acc.B) div 2,
+              'B', (((y * 4194304L + acc.L + acc.B) div 2) - acc.L + acc.B)
+                     div 2,
+              't', acc.t + 1)))""").as("st"))
+      .select(col("l_returnflag"),
+        col("st.L").as("level_units"), col("st.B").as("trend_units"),
+        (col("st.L") + col("st.B")).as("forecast_units"))
+      .withColumn("forecast_next",
+        col("forecast_units").cast("double") / 4194304d / 100d)
+      .orderBy(col("l_returnflag"))
+  }
+
+  val holtTrendSql: String =
+    """WITH RECURSIVE m AS (SELECT l_returnflag,
+      |    date_trunc('month', l_shipdate) AS mon,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS y
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT l_returnflag, y,
+      |        row_number() OVER (PARTITION BY l_returnflag ORDER BY mon) AS rn
+      |      FROM m),
+      |s AS (SELECT * FROM r WHERE rn <= 12),
+      |g AS (SELECT l_returnflag FROM s GROUP BY 1 HAVING count(*) = 12),
+      |h AS (
+      |  SELECT s.l_returnflag, 1 AS t,
+      |    CAST(s.y * 4194304 AS BIGINT) AS L, CAST(0 AS BIGINT) AS B
+      |  FROM s JOIN g USING (l_returnflag) WHERE s.rn = 1
+      |  UNION ALL
+      |  SELECT h.l_returnflag, h.t + 1,
+      |    CAST((s.y * 4194304 + h.L + h.B) // 2 AS BIGINT),
+      |    CAST(((s.y * 4194304 + h.L + h.B) // 2 - h.L + h.B) // 2 AS BIGINT)
+      |  FROM h JOIN s ON s.l_returnflag = h.l_returnflag AND s.rn = h.t + 1
+      |  WHERE h.t < 12)
+      |SELECT l_returnflag, L AS level_units, B AS trend_units,
+      |  L + B AS forecast_units,
+      |  CAST(L + B AS DOUBLE) / 4194304 / 100 AS forecast_next
+      |FROM h WHERE t = 12 ORDER BY l_returnflag""".stripMargin
+
+  /** W45 — k-core pruning (bounded peel to a checked fixpoint): the
+    * density filter over the BUILDING-segment customer co-purchase
+    * graph (edge = two customers sharing ≥3 distinct parts — the
+    * co-occurrence pair stream is per-part collision-bounded, the
+    * same linear bound as the basket/LSH families, never an all-pairs
+    * matrix). Each peel round removes nodes of degree < k and their
+    * edges; because the edge set only ever SHRINKS along a subset
+    * chain, an unchanged edge COUNT proves set equality — the count
+    * fingerprint alone is an exact fixpoint check here (unlike star
+    * contraction's swap-vulnerable fingerprint). Rounds truncate
+    * lineage via localCheckpoint; `maxRounds` is a loud backstop
+    * (require), never a silent cap. Output: each 2-core member with
+    * its within-core degree — the subgraph where every member has ≥2
+    * co-purchase partners who themselves survive. */
+  def kcore(s: SparkSession, dir: String, minShared: Int = 3, k: Int = 2,
+            maxRounds: Int = 40): DataFrame = {
+    val cp = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .persistScoped() // both sides of the pair self-join
+    val pairs = cp.as("a")
+      .join(cp.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+      .groupBy(col("a.c").as("u"), col("b.c").as("v"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("u"), col("v"))
+    var edges = pairs
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var n = edges.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val alive = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("u").as("node"))
+      val next = edges
+        .join(alive.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(alive.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .localCheckpoint()
+      val nn = next.count()
+      converged = nn == n // subset chain: equal count ⇒ equal set
+      edges = next
+      n = nn
+    }
+    require(converged,
+      s"k-core peel did not converge in $maxRounds rounds — raise maxRounds")
+    edges.groupBy(col("u")).agg(count(lit(1)).as("core_degree"))
+      .select(col("u").as("c_custkey"), col("core_degree"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** The oracle unrolls 8 peel rounds — idempotent once converged, so
+    * any depth ≥ the data's true round count (1 at sf0.01, 5 at
+    * sf0.1) yields the fixpoint; the Spark side's require() is the
+    * loud guard if data ever needs more. */
+  val kcoreSql: String = {
+    // each round references the previous round THREE times (degree agg
+    // + two endpoint joins); DuckDB inlines CTEs by default, so an
+    // un-materialized unroll expands 3^8 copies of the base scan and
+    // exhausts file handles — MATERIALIZED pins each round to one scan
+    val rounds = (1 to 8).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT u FROM e${i - 1} GROUP BY u
+         |        HAVING count(*) >= 2),
+         |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+         |        JOIN a$i x ON e.u = x.u JOIN a$i y ON e.v = y.u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cp AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      |  FROM orders o
+      |  JOIN customer cu ON cu.c_custkey = o.o_custkey
+      |    AND cu.c_mktsegment = 'BUILDING'
+      |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |pr AS MATERIALIZED (SELECT a.c AS u, b.c AS v FROM cp a
+      |       JOIN cp b ON a.p = b.p AND a.c < b.c
+      |       GROUP BY 1, 2 HAVING count(*) >= 3),
+      |e0 AS MATERIALIZED (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr),
+      |$rounds
+      |SELECT u AS c_custkey, CAST(count(*) AS BIGINT) AS core_degree
+      |FROM e8 GROUP BY u ORDER BY c_custkey""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_preference_pairs" -> (preferencePairs _),
+    "q_curriculum" -> (curriculum _),
+    "q_holt_trend" -> (holtTrend _),
+    "q_kcore" -> ((s: SparkSession, d: String) => kcore(s, d)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_preference_pairs" -> preferencePairsSql,
+    "q_curriculum" -> curriculumSql,
+    "q_holt_trend" -> holtTrendSql,
+    "q_kcore" -> kcoreSql,
+  )
+}

@@ -91,7 +91,18 @@ class PlanGuardSpec extends SparkSpec {
     // q_sample_quantiles_grouped: the heap-aggregate exchange (≤k
     // rows per group × partition) + the ORDER BY — the fact stream
     // itself must never appear at a shuffle
-    "q_sample_quantiles_grouped" -> 2)
+    "q_sample_quantiles_grouped" -> 2,
+    // round 10: the DPP/existence joins keep their dims broadcast
+    // (agg + sort only); the reload profile pays groupBy +
+    // distinct-count expand + sort; the Holt fold is month-agg +
+    // rank window + per-flag collect folded into 3; curriculum's
+    // global interleave is TakeOrdered (no exchange) after the one
+    // per-source rank window; k-core's loop rounds checkpoint
+    // outside the returned plan — only the final degree agg + sort
+    // remain
+    "q_dpp_join" -> 2, "q_join_existence" -> 2, "q_partition_reload" -> 3,
+    "q_preference_pairs" -> 2, "q_curriculum" -> 1, "q_holt_trend" -> 3,
+    "q_kcore" -> 2)
 
   test("headline queries stay within their pinned shuffle budgets") {
     val over = shuffleBudget.flatMap { case (name, budget) =>

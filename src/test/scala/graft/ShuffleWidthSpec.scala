@@ -36,7 +36,12 @@ object ShuffleWidthSpec {
     // BPE's per-round max(struct) winner and weighted counts must be
     // partition-order free; collated grouping must pick the same
     // binary-min representative at any width
-    "q_dedup_hops", "q_bpe_apply", "q_collated_group")
+    "q_dedup_hops", "q_bpe_apply", "q_collated_group",
+    // round 10: the k-core peel iterates checkpointed rounds whose
+    // shrinking edge set must reach the same fixpoint at any width;
+    // the Holt fold and the preference argmax/argmin packs are
+    // merge-order-sensitive internally but must be layout-free
+    "q_kcore", "q_holt_trend", "q_preference_pairs")
 }
 
 class ShuffleWidthSpec extends SparkSpec {
