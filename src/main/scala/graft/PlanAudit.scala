@@ -116,6 +116,9 @@ object PlanAudit {
     "q_kcore" -> "returned plan reads the converged localCheckpoint edge relation: one degree aggregate + sort — the peel rounds' semi-joins never appear in the result plan",
     "q_preference_pairs" -> "single partial/final aggregate carries BOTH packed-struct argmax and argmin; no window, no second scan of documents",
     "q_curriculum" -> "per-source rank window is the only data exchange; the global interleave position computes on a TakeOrderedAndProject 40-row prefix",
+    "q_merge_schema_read" -> "ONE merged scan over both drifted batch dirs (mergeSchema unions footers at planning); per-batch profile is one partial/final aggregate",
+    "q_sprt" -> "event stream collapses to (variant, day) in one keyed aggregate; the cumulative window runs over the ~30-row daily relation, never raw events",
+    "q_boilerplate_scrub" -> "chunk relation persisted once (InMemoryRelation feeds census, anti-join, and totals); boilerplate census is a partial/final countDistinct; re-assembly is a sorted-struct collect per doc",
   )
 
   def main(args: Array[String]): Unit = {

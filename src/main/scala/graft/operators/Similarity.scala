@@ -460,6 +460,137 @@ object Similarity {
     } finally cand.unpersist()
   }
 
+  /** Persistent IVF-PQ index — the build-once / search-many split a
+    * production deployment actually runs (every `*TopK` entry point
+    * above retrains per call because the oracle gate needs
+    * self-contained queries; a serving path must not). [[buildIndex]]
+    * trains the coarse quantizer + codebooks ONCE and materializes
+    * three parquet relations under `dir`:
+    *
+    *  - `data/` — (neighbor_id, codes) hive-partitioned by `cid`: one
+    *    directory per inverted list, ~10 bytes/row, so a search that
+    *    probes nprobe lists can prune to nprobe directories at plan
+    *    time (the S14 dynamic-pruning layout applied to an ANN index);
+    *  - `cents/` — (cid, cent, c2): the driver-pinnable coarse
+    *    centroids (nlist rows);
+    *  - `books/` — (sub, code, cent, c2): the PQ codebooks
+    *    (nSub×codesPerSub rows).
+    *
+    * [[loadIndex]] re-pins the metadata (a metadata-scale collect —
+    * nlist + 512 rows) and [[searchIndex]] runs the probe-side-only
+    * plan: assign probes to lists with the pinned centroids, join the
+    * partitioned data relation, PQ-score, heap top-k. No training
+    * pass, no corpus-wide scan, and the stored codes/centroids
+    * round-trip parquet floats exactly — SimilaritySpec asserts
+    * search-from-disk ≡ the self-contained [[ivfPqTopK]] bit for bit. */
+  def buildIndex(candidates: DataFrame, dir: String,
+                 nSub: Int = 16, codesPerSub: Int = 32,
+                 iterations: Int = 1, pqIterations: Int = 2,
+                 dims: Int = 64, seedCol: String = "label"): Unit = {
+    require(dims % nSub == 0,
+      s"dims=$dims must divide into nSub=$nSub subspaces (see pqTopK)")
+    requireNumericSeed(candidates, seedCol)
+    ensureRegistered(candidates)
+    val s = candidates.sparkSession
+    val cand = graft.Tables.widen(candidates)
+      .filter(col("embedding").isNotNull && col(seedCol).isNotNull)
+      .select(
+        col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col(seedCol).cast("bigint").as("seed")).persist()
+    try {
+      val (cents, lists) = trainCoarse(cand, dims, iterations)
+      try {
+        val books = trainBooks(cand, nSub, codesPerSub, dims / nSub, pqIterations)
+        lists.select(col("neighbor_id"),
+            encodeCol(lists, "ce", books).as("codes"), col("cid"))
+          .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/data")
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          cents._1.indices.map(i => org.apache.spark.sql.Row(
+            cents._1(i), cents._2(i).toSeq, cents._3(i))).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("cid",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cent",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.FloatType)),
+            org.apache.spark.sql.types.StructField("c2",
+              org.apache.spark.sql.types.DoubleType))))
+          .write.mode("overwrite").parquet(s"$dir/cents")
+        val bookRows = for {
+          sub <- books._1.indices; code <- books._1(sub).indices
+        } yield org.apache.spark.sql.Row(
+          sub, code, books._1(sub)(code).toSeq, books._2(sub)(code))
+        s.createDataFrame(bookRows.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("sub",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("code",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("cent",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.FloatType)),
+            org.apache.spark.sql.types.StructField("c2",
+              org.apache.spark.sql.types.DoubleType))))
+          .write.mode("overwrite").parquet(s"$dir/books")
+      } finally lists.unpersist()
+    } finally cand.unpersist()
+  }
+
+  /** Driver-pinned index metadata re-read from a [[buildIndex]] dir. */
+  final class Index private[Similarity] (
+      private[Similarity] val dir: String,
+      private[Similarity] val cents: Cents,
+      private[Similarity] val books: Books)
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {
+    val cRows = spark.read.parquet(s"$dir/cents").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val cents: Cents = (cRows.map(_._1), cRows.map(_._2), cRows.map(_._3))
+    val bRows = spark.read.parquet(s"$dir/books").collect()
+    val nSub = bRows.map(_.getInt(0)).max + 1
+    val nCode = bRows.map(_.getInt(1)).max + 1
+    val dims0 = bRows.head.getSeq[Float](2).length
+    val b1 = Array.fill(nSub, nCode)(Array.fill(dims0)(0f))
+    val b2 = Array.fill(nSub, nCode)(0.0)
+    bRows.foreach { r =>
+      b1(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
+      b2(r.getInt(0))(r.getInt(1)) = r.getDouble(3)
+    }
+    new Index(dir, cents, (b1, b2))
+  }
+
+  /** Probe-side-only search over a loaded index: no training action,
+    * and the index scan is STATICALLY pruned to the probed lists'
+    * directories — the probed cid set is metadata-scale by
+    * construction (≤ min(nprobe·|probes|, nlist) values; the probe
+    * relation is bounded in every caller), so collecting it and
+    * pushing an IN filter turns the scan into a plan-time partition
+    * prune (PartitionFilters carries the literal list — asserted in
+    * SimilaritySpec) instead of a full-index read filtered at the
+    * join. */
+  def searchIndex(idx: Index, probes: DataFrame, k: Int,
+                  nprobe: Int = 2): DataFrame = {
+    ensureRegistered(probes)
+    val s = probes.sparkSession
+    val p = probes.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val pAssigned = p.select(col("probe_id"), col("pe"),
+      explode(assign(p, "pe", idx.cents, nprobe)).as("cid"))
+      .persist()
+    try {
+      val probed = pAssigned.select(col("cid")).distinct()
+        .collect().map(_.getLong(0))
+      val encoded = s.read.parquet(s"${idx.dir}/data")
+        .filter(col("cid").isin(probed.map(Long.box): _*))
+      val scored = encoded.join(broadcast(pAssigned), Seq("cid"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cosine", pqCosineCol(encoded, "pe", "codes", idx.books))
+      heapTopK(scored, k)
+    } finally pAssigned.unpersist()
+  }
+
   def lshTopK(probes: DataFrame, candidates: DataFrame, k: Int,
               bits: Int = 6, tables: Int = 8): DataFrame = {
     // Multi-table collisions collapse MAP-SIDE via the canonical-

@@ -156,15 +156,60 @@ object Adaptive {
       |  count(DISTINCT user_id) AS n_users, max(event_id) AS max_event_id
       |FROM f GROUP BY day ORDER BY day""".stripMargin
 
+  def driftStageDir(dir: String): String =
+    s"/tmp/graft_drift_stage_${new java.io.File(dir).getName}"
+
+  /** E24 — schema-drift union on READ (`mergeSchema`): two staged
+    * batches of one logical table disagree — the newer batch added
+    * `o_year` and dropped `o_orderpriority` (the additive+subtractive
+    * drift a long-lived ingest dir accumulates) — and the reader,
+    * not a re-write job, reconciles them: `mergeSchema=true` unions
+    * the column sets across footers and nulls the absent columns per
+    * batch. This is the at-rest twin of E6's in-flight
+    * unionByName: at 100 TB you cannot rewrite old partitions to
+    * chase every schema change, so the read path must absorb drift.
+    * The per-batch profile (non-null counts per drifted column, value
+    * checksum) proves which batch carries which columns and that
+    * values survive the merge. */
+  def mergeSchemaRead(s: SparkSession, dir: String): DataFrame = {
+    val stage = driftStageDir(dir)
+    val orders = Tables.orders(s, dir)
+    orders.write.mode("overwrite").parquet(s"$stage/batch=1")
+    orders.withColumn("o_year", year(col("o_orderdate")))
+      .drop("o_orderpriority")
+      .write.mode("overwrite").parquet(s"$stage/batch=2")
+    s.read.option("mergeSchema", "true").option("basePath", stage)
+      .parquet(s"$stage/batch=1", s"$stage/batch=2")
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_year")).as("n_year"),
+        count(col("o_orderpriority")).as("n_prio"),
+        coalesce(sum(col("o_year")).cast("bigint"), lit(0L)).as("year_sum"))
+      .orderBy(col("batch"))
+  }
+
+  /** The oracle reconstructs the drift relationally: batch 1 is the
+    * original shape (no o_year), batch 2 carries o_year and no
+    * priority. */
+  val mergeSchemaReadSql: String =
+    """SELECT 1 AS batch, count(*) AS n_rows, CAST(0 AS BIGINT) AS n_year,
+      |  count(*) AS n_prio, CAST(0 AS BIGINT) AS year_sum FROM orders
+      |UNION ALL
+      |SELECT 2, count(*), count(*), CAST(0 AS BIGINT),
+      |  CAST(sum(year(o_orderdate)) AS BIGINT) FROM orders
+      |ORDER BY batch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dpp_join" -> (dppJoin _),
     "q_join_existence" -> (existenceJoin _),
     "q_partition_reload" -> (partitionReload _),
+    "q_merge_schema_read" -> (mergeSchemaRead _),
   )
 
   val oracle: Map[String, String] = Map(
     "q_dpp_join" -> dppJoinSql,
     "q_join_existence" -> existenceJoinSql,
     "q_partition_reload" -> partitionReloadSql,
+    "q_merge_schema_read" -> mergeSchemaReadSql,
   )
 }

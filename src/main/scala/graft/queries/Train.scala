@@ -277,11 +277,143 @@ object Train {
       |FROM e8 GROUP BY u ORDER BY c_custkey""".stripMargin
   }
 
+  /** W46 — sequential probability ratio test (SPRT) trajectory: the
+    * always-valid sequential companion to the fixed-horizon A/B
+    * readouts (W19/W22) — after each day, the cumulative
+    * log-likelihood ratio of H1: p=0.4 vs H0: p=0.3 over engagement
+    * trials (success = purchase|click), with Wald boundaries
+    * ±ln(19) (α = β = 0.05). The day is the atomic step: one keyed
+    * aggregate collapses the event stream to (variant, day)
+    * trial/success counts — the only pass over raw rows — and the
+    * cumulative window runs on the ~30-row-per-variant daily relation
+    * (the bounded-relation exception). LLR = s·ln(p1/p0) +
+    * (n−s)·ln((1−p1)/(1−p0)) on exact integer counts. The ln factors
+    * are FIXED DECIMAL LITERALS (ln(4/3) = 0.287682072, ln(6/7) =
+    * −0.154150680, ln(19) = 2.944438979, each to 9 places) rather
+    * than engine-evaluated `ln()` calls: the two engines' libm ln
+    * disagree in the last ulp, and an s·ln(·) product that lands on a
+    * 0.5e-6 rounding boundary then flips the 6th decimal (observed on
+    * the fixture at day 1). With literal constants both engines run
+    * the identical IEEE multiply-add chain, so the rounded LLR and
+    * the decision column are bit-stable. */
+  def sprt(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      pmod(col("user_id"), lit(2)).cast("int").as("variant"),
+      to_date(col("ts")).as("day"),
+      when(col("event_type").isin("purchase", "click"), 1L).otherwise(0L)
+        .as("succ"))
+    val daily = e.groupBy(col("variant"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("succ")).as("s"))
+    val w = Window.partitionBy(col("variant")).orderBy(col("day"))
+    val thr = lit(2.944438979)
+    daily
+      .withColumn("n_cum", sum(col("n")).over(w))
+      .withColumn("s_cum", sum(col("s")).over(w))
+      .select(col("variant"), col("day"), col("n_cum"), col("s_cum"),
+        round(col("s_cum") * lit(0.287682072) -
+          (col("n_cum") - col("s_cum")) * lit(0.154150680), 6).as("llr"))
+      .withColumn("decision",
+        when(col("llr") >= thr, "accept_h1")
+          .when(col("llr") <= -thr, "accept_h0")
+          .otherwise("continue"))
+      .orderBy(col("variant"), col("day"))
+  }
+
+  val sprtSql: String =
+    """WITH e AS (SELECT CAST(user_id % 2 AS INT) AS variant,
+      |    CAST(ts AS DATE) AS day,
+      |    CASE WHEN event_type IN ('purchase', 'click') THEN 1 ELSE 0 END
+      |      AS succ
+      |  FROM events),
+      |daily AS (SELECT variant, day, count(*) AS n,
+      |            CAST(sum(succ) AS BIGINT) AS s
+      |          FROM e GROUP BY 1, 2),
+      |cum AS (SELECT variant, day,
+      |          CAST(sum(n) OVER (PARTITION BY variant ORDER BY day)
+      |            AS BIGINT) AS n_cum,
+      |          CAST(sum(s) OVER (PARTITION BY variant ORDER BY day)
+      |            AS BIGINT) AS s_cum
+      |        FROM daily),
+      |-- literals CAST AS DOUBLE: DuckDB parses bare decimal literals
+      |-- as DECIMAL and would run exact decimal arithmetic where Spark
+      |-- runs the IEEE double chain — the cast keeps both engines on
+      |-- the identical multiply-add sequence
+      |l AS (SELECT variant, day, n_cum, s_cum,
+      |        round(s_cum * CAST(0.287682072 AS DOUBLE) -
+      |          (n_cum - s_cum) * CAST(0.154150680 AS DOUBLE), 6) AS llr
+      |      FROM cum)
+      |SELECT variant, day, n_cum, s_cum, llr,
+      |  CASE WHEN llr >= 2.944438979 THEN 'accept_h1'
+      |       WHEN llr <= -2.944438979 THEN 'accept_h0'
+      |       ELSE 'continue' END AS decision
+      |FROM l ORDER BY variant, day""".stripMargin
+
+  /** L35 — boilerplate-chunk scrubbing: the REWRITE form of chunk
+    * dedup — a 10-word chunk occurring in ≥3 DISTINCT documents is
+    * boilerplate (headers, templates, navigation text; the CCNet/C4
+    * preprocessing step), and every document is re-assembled from its
+    * surviving chunks in position order. Where L1b only REPORTS
+    * duplicated chunks, this emits the per-document scrub ledger:
+    * total/kept/dropped chunk counts plus the md5 of the cleaned
+    * text (portable across engines; a fully-scrubbed document keeps
+    * the empty-string md5 rather than a NULL). One exploded chunk
+    * pass is shared (persistScoped) by the boilerplate census, the
+    * anti-join, and the per-doc totals. */
+  def boilerplateScrub(s: SparkSession, dir: String): DataFrame = {
+    val ch = graft.Tables.widen(Tables.documents(s, dir))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, CAST((size(w) - 1) / 10 AS INT)), " +
+          "c -> concat_ws(' ', slice(w, c * 10 + 1, 10)))"))
+        .as(Seq("chunk_idx", "chunk")))
+      .withColumn("h", md5(col("chunk")))
+      .persistScoped()
+    val bp = ch.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 3).select(col("h"))
+    val kept = ch.join(bp, Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(struct(chunk_idx, chunk))), " +
+            "e -> e.chunk)"), " ")).as("clean_md5"))
+    val tot = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    tot.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val boilerplateScrubSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |chx AS (SELECT doc_id, CAST(c AS INT) AS chunk_idx,
+      |         array_to_string(list_slice(w, c * 10 + 1, c * 10 + 10), ' ')
+      |           AS chunk
+      |       FROM w, unnest(range(0, CAST((len(w) - 1) // 10 AS INT) + 1))
+      |         AS t(c)),
+      |hx AS (SELECT doc_id, chunk_idx, chunk, md5(chunk) AS h FROM chx),
+      |bp AS (SELECT h FROM hx GROUP BY h HAVING count(DISTINCT doc_id) >= 3),
+      |kept AS (SELECT doc_id, count(*) AS n_kept,
+      |           md5(string_agg(chunk, ' ' ORDER BY chunk_idx)) AS clean_md5
+      |         FROM hx WHERE h NOT IN (SELECT h FROM bp)
+      |         GROUP BY doc_id),
+      |tot AS (SELECT doc_id, count(*) AS n_chunks FROM hx GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_chunks,
+      |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(t.n_chunks - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped,
+      |  coalesce(k.clean_md5, md5('')) AS clean_md5
+      |FROM tot t LEFT JOIN kept k USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_preference_pairs" -> (preferencePairs _),
     "q_curriculum" -> (curriculum _),
     "q_holt_trend" -> (holtTrend _),
     "q_kcore" -> ((s: SparkSession, d: String) => kcore(s, d)),
+    "q_sprt" -> (sprt _),
+    "q_boilerplate_scrub" -> (boilerplateScrub _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -289,5 +421,7 @@ object Train {
     "q_curriculum" -> curriculumSql,
     "q_holt_trend" -> holtTrendSql,
     "q_kcore" -> kcoreSql,
+    "q_sprt" -> sprtSql,
+    "q_boilerplate_scrub" -> boilerplateScrubSql,
   )
 }

@@ -102,7 +102,12 @@ class PlanGuardSpec extends SparkSpec {
     // remain
     "q_dpp_join" -> 2, "q_join_existence" -> 2, "q_partition_reload" -> 3,
     "q_preference_pairs" -> 2, "q_curriculum" -> 1, "q_holt_trend" -> 3,
-    "q_kcore" -> 2)
+    "q_kcore" -> 2,
+    // q_merge_schema_read: merged-read agg + sort; q_sprt: one daily
+    // aggregate + the per-variant cumulative window + sort;
+    // q_boilerplate_scrub: chunk census + anti-join + kept/total aggs
+    // + sort — all over the ONE persisted chunk relation
+    "q_merge_schema_read" -> 2, "q_sprt" -> 3, "q_boilerplate_scrub" -> 5)
 
   test("headline queries stay within their pinned shuffle budgets") {
     val over = shuffleBudget.flatMap { case (name, budget) =>

@@ -41,7 +41,10 @@ object ShuffleWidthSpec {
     // shrinking edge set must reach the same fixpoint at any width;
     // the Holt fold and the preference argmax/argmin packs are
     // merge-order-sensitive internally but must be layout-free
-    "q_kcore", "q_holt_trend", "q_preference_pairs")
+    "q_kcore", "q_holt_trend", "q_preference_pairs",
+    // boilerplate scrub reassembles text from a sorted-struct collect
+    // whose merge order varies with partitioning
+    "q_boilerplate_scrub")
 }
 
 class ShuffleWidthSpec extends SparkSpec {

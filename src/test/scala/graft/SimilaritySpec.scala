@@ -86,6 +86,38 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfPq == pairs(Similarity.ivfPqTopK(probes, emb, 5, nprobe = 6)))
   }
 
+  test("persistent IVF-PQ index: search-from-disk equals the self-contained build bit for bit") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") < 10)
+    val dir = "/tmp/graft_ivfpq_index_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    Similarity.buildIndex(emb, dir)
+    // the inverted lists are at rest as one directory per cid —
+    // the layout a probed search prunes to nprobe directories of
+    val cidDirs = new java.io.File(s"$dir/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+    assert(cidDirs.length >= 2, "expected one directory per inverted list")
+    val idx = Similarity.loadIndex(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("probe_id"), col("rnk")).collect().map(_.toSeq).toSeq
+    // the serving plan prunes the index scan to the probed lists at
+    // PLAN time: the data scan must carry a partition filter (cid IN
+    // literal set), not a post-scan filter over the whole index
+    val search = Similarity.searchIndex(idx, probes, 5, nprobe = 6)
+    val plan = search.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid") && plan.contains(" IN ("),
+      s"index scan must be partition-pruned to the probed cid set\n${plan.take(1500)}")
+    val fromDisk = rows(search)
+    val direct = rows(Similarity.ivfPqTopK(probes, emb, 5, nprobe = 6))
+    // same deterministic training (fixed-point centroids, seeded
+    // codes) + exact float round-trip through parquet ⇒ identical
+    // output including the raw cosine doubles
+    assert(fromDisk == direct)
+    // search-many: a second search over the SAME loaded index is free
+    // of training actions and identical
+    assert(rows(Similarity.searchIndex(idx, probes, 5, nprobe = 6)) == fromDisk)
+  }
+
   test("custom dot_f32 expression equals HOF dot bit-for-bit") {
     GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir).limit(50)
