@@ -22,7 +22,36 @@ object Bench {
     * working — no amount of single-threaded narrowness produces that
     * shape (one busy thread alone keeps process-cpu ≈ wall). A sweep
     * is labeled contended when ≥3 non-trivial queries show it. */
-  final case class Env(loadStart: Double, loadEnd: Double, nproc: Int)
+  final case class Env(loadStart: Double, loadEnd: Double, nproc: Int,
+                       probeStartMs: Double, probeEndMs: Double)
+
+  /** Direct single-thread CPU-speed probe: a fixed 200M-iteration
+    * xorshift spin, reported in milliseconds. The load average catches
+    * DESCHEDULING (wall ≫ cpu), but a shared box can also hand out
+    * SLOW cycles — frequency scaling, steal inside the cpu accounting
+    * — where wall ≈ cpu yet everything runs 2-5× long and no existing
+    * signal fires (observed: one sweep's isolated rerun halved every
+    * number while wall ≈ cpu throughout). A fixed-work spin is immune
+    * to both JIT variance (one hot loop, no allocation) and data. The
+    * probe is fixed work, so values compare directly ACROSS sweeps:
+    * the bench history in README records the probe next to each
+    * committed total, and a sweep whose probe reads 2× the history's
+    * is machine-degraded regardless of what the load average says
+    * (first recorded values on this sandbox: ~444-494 ms during a
+    * window where isolated query reruns ran 2-3× their committed
+    * times). */
+  def cpuProbeMs(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 200000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (x == 42L) print("") // defeat dead-code elimination
+    ms
+  }
 
   def contendedQueries(results: Seq[(String, Sample)]): Seq[String] =
     results.collect {
@@ -180,6 +209,7 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val loadStart = osBean.getSystemLoadAverage
+    val probeStart = cpuProbeMs()
     def gcMillis: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -200,7 +230,7 @@ object Bench {
       name -> sample
     }
     val env = Env(loadStart, osBean.getSystemLoadAverage,
-      Runtime.getRuntime.availableProcessors)
+      Runtime.getRuntime.availableProcessors, probeStart, cpuProbeMs())
     // stdout keeps the driver-contract shape (wall seconds only) plus
     // the run-quality self-label; the detailed {wall, cpu, gc} record
     // goes to the persisted files.
@@ -276,7 +306,8 @@ object Bench {
   private def envFields(env: Option[Env], contended: Option[Boolean]): String = {
     val e = env.fold("")(e =>
       s""""load_start":${f3(e.loadStart)},"load_end":${f3(e.loadEnd)},""" +
-        s""""nproc":${e.nproc},""")
+        s""""nproc":${e.nproc},"cpu_probe_start_ms":${f3(e.probeStartMs)},""" +
+        s""""cpu_probe_end_ms":${f3(e.probeEndMs)},""")
     val c = contended.fold("")(c => s""""contended":$c,""")
     e + c
   }

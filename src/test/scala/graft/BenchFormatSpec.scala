@@ -45,7 +45,7 @@ class BenchFormatSpec extends AnyFunSuite {
     // line is the one guaranteed-parseable record; it must fit the
     // window with ~200 chars of headroom for sbt's closing lines.
     val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 123.456789)
-    val env = Bench.Env(6.5, 8.2, 32)
+    val env = Bench.Env(6.5, 8.2, 32, 70.5, 72.25)
     val line = Bench.renderCompactJson(results, "/root/testdata/sf0.1",
       Some(env), Some(false))
     assert(line.length < 1800, s"compact line is ${line.length} chars")
@@ -86,7 +86,7 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("run-quality self-label: load averages and the contended flag") {
-    val env = Bench.Env(loadStart = 3.5, loadEnd = 40.25, nproc = 32)
+    val env = Bench.Env(loadStart = 3.5, loadEnd = 40.25, nproc = 32, probeStartMs = 70.5, probeEndMs = 150.0)
     // 3 non-trivial wall≫cpu+gc queries flip the sweep to contended
     val bad = (1 to 3).map(i => s"q_slow$i" -> Bench.Sample(5.0, 0.8, 0.1))
     val good = Seq("q_ok" -> Bench.Sample(2.0, 7.5, 0.2),
