@@ -119,6 +119,7 @@ object PlanAudit {
     "q_merge_schema_read" -> "ONE merged scan over both drifted batch dirs (mergeSchema unions footers at planning); per-batch profile is one partial/final aggregate",
     "q_sprt" -> "event stream collapses to (variant, day) in one keyed aggregate; the cumulative window runs over the ~30-row daily relation, never raw events",
     "q_boilerplate_scrub" -> "chunk relation persisted once (InMemoryRelation feeds census, anti-join, and totals); boilerplate census is a partial/final countDistinct; re-assembly is a sorted-struct collect per doc",
+    "q_scd2_merge" -> "incremental dimension maintenance: base change set persisted once, touched keys split by semi/anti join, replay window runs over change points + delta only — never the full raw history",
   )
 
   def main(args: Array[String]): Unit = {

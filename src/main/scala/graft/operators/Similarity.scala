@@ -427,14 +427,40 @@ object Similarity {
   def ivfPqTopK(probes: DataFrame, candidates: DataFrame, k: Int,
                 nprobe: Int = 2, iterations: Int = 1,
                 nSub: Int = 16, codesPerSub: Int = 32, pqIterations: Int = 2,
-                dims: Int = 64, seedCol: String = "label"): DataFrame = {
+                dims: Int = 64, seedCol: String = "label"): DataFrame =
+    withIvfPqTraining(candidates, nSub, codesPerSub, iterations,
+        pqIterations, dims, seedCol) { (cents, lists, books) =>
+      // the inverted-list file of a real deployment: (cid, id, codes)
+      // — at 100 TB written bucketed by cid, ~10 bytes/row (the
+      // persistent form IS [[buildIndex]]'s data relation).
+      val encoded = lists.select(col("cid"), col("neighbor_id"),
+        encodeCol(lists, "ce", books).as("codes"))
+      val p = probes.filter(col("embedding").isNotNull)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val pAssigned = p.select(col("probe_id"), col("pe"),
+        explode(assign(p, "pe", cents, nprobe)).as("cid"))
+      val scored = encoded.join(broadcast(pAssigned), Seq("cid"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cosine", pqCosineCol(encoded, "pe", "codes", books))
+      heapTopK(scored, k)
+    }
+
+  /** Shared IVF-PQ training scaffold: de-nulled corpus projection
+    * (un-indexable rows must not NPE the driver-side training
+    * collects), coarse quantizer, codebooks — then `f` consumes
+    * (cents, lists, books) and the build-time caches release. ONE
+    * definition of the pipeline, so the self-contained query path and
+    * the persistent index builder cannot drift apart (SimilaritySpec's
+    * search-from-disk ≡ in-memory equality is structural, not
+    * copy-discipline — cf. the quantize() doc's warning about inlined
+    * copies). */
+  private def withIvfPqTraining[T](candidates: DataFrame, nSub: Int,
+      codesPerSub: Int, iterations: Int, pqIterations: Int, dims: Int,
+      seedCol: String)(f: (Cents, DataFrame, Books) => T): T = {
     require(dims % nSub == 0,
       s"dims=$dims must divide into nSub=$nSub subspaces (see pqTopK)")
     requireNumericSeed(candidates, seedCol)
     ensureRegistered(candidates)
-    val subDim = dims / nSub
-    // same null-row drop as ivfTopK/pqTopK: un-indexable rows must not
-    // NPE the driver-side training collects
     val cand = graft.Tables.widen(candidates)
       .filter(col("embedding").isNotNull && col(seedCol).isNotNull)
       .select(
@@ -443,19 +469,8 @@ object Similarity {
     try {
       val (cents, lists) = trainCoarse(cand, dims, iterations)
       try {
-        val books = trainBooks(cand, nSub, codesPerSub, subDim, pqIterations)
-        // the inverted-list file of a real deployment: (cid, id, codes)
-        // — at 100 TB written bucketed by cid, ~10 bytes/row.
-        val encoded = lists.select(col("cid"), col("neighbor_id"),
-          encodeCol(lists, "ce", books).as("codes"))
-        val p = probes.filter(col("embedding").isNotNull)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-        val pAssigned = p.select(col("probe_id"), col("pe"),
-          explode(assign(p, "pe", cents, nprobe)).as("cid"))
-        val scored = encoded.join(broadcast(pAssigned), Seq("cid"))
-          .filter(col("probe_id") =!= col("neighbor_id"))
-          .withColumn("cosine", pqCosineCol(encoded, "pe", "codes", books))
-        heapTopK(scored, k)
+        val books = trainBooks(cand, nSub, codesPerSub, dims / nSub, pqIterations)
+        f(cents, lists, books)
       } finally lists.unpersist()
     } finally cand.unpersist()
   }
@@ -486,56 +501,35 @@ object Similarity {
   def buildIndex(candidates: DataFrame, dir: String,
                  nSub: Int = 16, codesPerSub: Int = 32,
                  iterations: Int = 1, pqIterations: Int = 2,
-                 dims: Int = 64, seedCol: String = "label"): Unit = {
-    require(dims % nSub == 0,
-      s"dims=$dims must divide into nSub=$nSub subspaces (see pqTopK)")
-    requireNumericSeed(candidates, seedCol)
-    ensureRegistered(candidates)
-    val s = candidates.sparkSession
-    val cand = graft.Tables.widen(candidates)
-      .filter(col("embedding").isNotNull && col(seedCol).isNotNull)
-      .select(
-        col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
-        col(seedCol).cast("bigint").as("seed")).persist()
-    try {
-      val (cents, lists) = trainCoarse(cand, dims, iterations)
-      try {
-        val books = trainBooks(cand, nSub, codesPerSub, dims / nSub, pqIterations)
-        lists.select(col("neighbor_id"),
-            encodeCol(lists, "ce", books).as("codes"), col("cid"))
-          .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/data")
-        import scala.jdk.CollectionConverters._
-        s.createDataFrame(
-          cents._1.indices.map(i => org.apache.spark.sql.Row(
-            cents._1(i), cents._2(i).toSeq, cents._3(i))).asJava,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("cid",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("cent",
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.FloatType)),
-            org.apache.spark.sql.types.StructField("c2",
-              org.apache.spark.sql.types.DoubleType))))
-          .write.mode("overwrite").parquet(s"$dir/cents")
-        val bookRows = for {
-          sub <- books._1.indices; code <- books._1(sub).indices
-        } yield org.apache.spark.sql.Row(
-          sub, code, books._1(sub)(code).toSeq, books._2(sub)(code))
-        s.createDataFrame(bookRows.asJava,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("sub",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("code",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("cent",
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.FloatType)),
-            org.apache.spark.sql.types.StructField("c2",
-              org.apache.spark.sql.types.DoubleType))))
-          .write.mode("overwrite").parquet(s"$dir/books")
-      } finally lists.unpersist()
-    } finally cand.unpersist()
-  }
+                 dims: Int = 64, seedCol: String = "label"): Unit =
+    withIvfPqTraining(candidates, nSub, codesPerSub, iterations,
+        pqIterations, dims, seedCol) { (cents, lists, books) =>
+      val s = candidates.sparkSession
+      lists.select(col("neighbor_id"),
+          encodeCol(lists, "ce", books).as("codes"), col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/data")
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
+      s.createDataFrame(
+        cents._1.indices.map(i => org.apache.spark.sql.Row(
+          cents._1(i), cents._2(i).toSeq, cents._3(i))).asJava,
+        StructType(Seq(
+          StructField("cid", LongType),
+          StructField("cent", ArrayType(FloatType)),
+          StructField("c2", DoubleType))))
+        .write.mode("overwrite").parquet(s"$dir/cents")
+      val bookRows = for {
+        sub <- books._1.indices; code <- books._1(sub).indices
+      } yield org.apache.spark.sql.Row(
+        sub, code, books._1(sub)(code).toSeq, books._2(sub)(code))
+      s.createDataFrame(bookRows.asJava,
+        StructType(Seq(
+          StructField("sub", IntegerType),
+          StructField("code", IntegerType),
+          StructField("cent", ArrayType(FloatType)),
+          StructField("c2", DoubleType))))
+        .write.mode("overwrite").parquet(s"$dir/books")
+    }
 
   /** Driver-pinned index metadata re-read from a [[buildIndex]] dir. */
   final class Index private[Similarity] (
@@ -576,19 +570,22 @@ object Similarity {
     val s = probes.sparkSession
     val p = probes.filter(col("embedding").isNotNull)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    // pAssigned is read twice (the cid collect now, the broadcast side
+    // when the caller runs the plan) but deliberately NOT persisted: a
+    // persist would have to outlive this call to help the second
+    // reader, and the recompute is one narrow projection over the
+    // bounded probe relation — cheaper than handing the caller a cache
+    // lifetime to manage.
     val pAssigned = p.select(col("probe_id"), col("pe"),
       explode(assign(p, "pe", idx.cents, nprobe)).as("cid"))
-      .persist()
-    try {
-      val probed = pAssigned.select(col("cid")).distinct()
-        .collect().map(_.getLong(0))
-      val encoded = s.read.parquet(s"${idx.dir}/data")
-        .filter(col("cid").isin(probed.map(Long.box): _*))
-      val scored = encoded.join(broadcast(pAssigned), Seq("cid"))
-        .filter(col("probe_id") =!= col("neighbor_id"))
-        .withColumn("cosine", pqCosineCol(encoded, "pe", "codes", idx.books))
-      heapTopK(scored, k)
-    } finally pAssigned.unpersist()
+    val probed = pAssigned.select(col("cid")).distinct()
+      .collect().map(_.getLong(0))
+    val encoded = s.read.parquet(s"${idx.dir}/data")
+      .filter(col("cid").isin(probed.map(Long.box): _*))
+    val scored = encoded.join(broadcast(pAssigned), Seq("cid"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", pqCosineCol(encoded, "pe", "codes", idx.books))
+    heapTopK(scored, k)
   }
 
   def lshTopK(probes: DataFrame, candidates: DataFrame, k: Int,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, StructField, StructType}
 import graft.Tables
+import graft.Caches.PersistScoped
 
 /** Round-10 planner/ETL pack: the three runtime-planning surfaces a
   * 100 TB deployment leans on daily — dynamic partition pruning (the
@@ -129,10 +130,22 @@ object Adaptive {
     if (rd != null) {
       val corrected = ev.filter(col("day") === lit(rd) &&
         col("event_type") =!= "click")
-      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try corrected.write.mode("overwrite").partitionBy("day").parquet(stage)
-      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      // Production footgun this operator must own: dynamic overwrite
+      // only replaces partitions PRESENT in the written data, so a
+      // correction that empties the day entirely would leave the stale
+      // directory untouched (the read-back would silently report the
+      // uncorrected rows). The empty-batch re-run is an explicit
+      // partition delete, exactly what a warehouse day-reload does.
+      if (corrected.isEmpty) {
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$stage/day=$rd"))
+      } else {
+        val prev =
+          s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try corrected.write.mode("overwrite").partitionBy("day").parquet(stage)
+        finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      }
     }
     val readSchema = StructType(
       ev.schema.filterNot(_.name == "day").toSeq :+
@@ -199,8 +212,58 @@ object Adaptive {
       |  CAST(sum(year(o_orderdate)) AS BIGINT) FROM orders
       |ORDER BY batch""".stripMargin
 
+  /** E25 — incremental SCD2 merge: maintain the W5 slowly-changing
+    * dimension WITHOUT a full-history rebuild. The batch boundary
+    * splits events at min(day)+14; the base table is the SCD2 change
+    * set of the old batch, and the merge recomputes ONLY the keys the
+    * delta touches — untouched keys' rows pass through untouched;
+    * touched keys replay their base CHANGE POINTS (the compressed
+    * history the dimension itself carries — no raw-history re-scan)
+    * unioned with their delta events through the same change-detect +
+    * close-out machinery. Cross-boundary dedup falls out: a delta
+    * event continuing the base's last state is dropped by the same
+    * lag test that built the base. At 100 TB this is the difference
+    * between scanning the delta + the touched slice of a dimension
+    * and re-scanning years of history.
+    *
+    * The ORACLE IS THE FULL REBUILD ([[Warehouse.scd2BuildSql]]
+    * verbatim): the claim "incremental maintenance ≡ rebuild" runs
+    * through the hash gate itself rather than a spec assertion. */
+  def scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type").as("state"),
+        unix_timestamp(col("ts")).as("sec"), to_date(col("ts")).as("day"))
+    val t = ev.agg(date_add(min(col("day")), 14).as("t"))
+    val bounded = ev.crossJoin(broadcast(t))
+    // change-detect is ONE definition applied to base and merged
+    // streams — the equivalence claim depends on it not drifting
+    def changes(e: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+      e.withColumn("prev_state", lag(col("state"), 1).over(w))
+        .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+        .select(col("user_id"), col("event_id"), col("state"), col("sec"))
+    }
+    val base = changes(bounded.filter(col("day") < col("t"))).persistScoped()
+    val delta = bounded.filter(col("day") >= col("t"))
+      .select(col("user_id"), col("event_id"), col("state"), col("sec"))
+    val touched = delta.select(col("user_id")).distinct()
+    val untouched = base.join(touched, Seq("user_id"), "left_anti")
+    val replayed = changes(
+      base.join(touched, Seq("user_id"), "left_semi").unionByName(delta))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    untouched.unionByName(replayed)
+      .withColumn("valid_from", col("sec"))
+      .withColumn("valid_to",
+        coalesce(lead(col("valid_from"), 1).over(w2), lit(9999999999L)))
+      .select(col("user_id"), col("state"), col("valid_from"), col("valid_to"),
+        (col("valid_to") === 9999999999L).as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("state"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dpp_join" -> (dppJoin _),
+    "q_scd2_merge" -> (scd2Merge _),
     "q_join_existence" -> (existenceJoin _),
     "q_partition_reload" -> (partitionReload _),
     "q_merge_schema_read" -> (mergeSchemaRead _),
@@ -208,6 +271,7 @@ object Adaptive {
 
   val oracle: Map[String, String] = Map(
     "q_dpp_join" -> dppJoinSql,
+    "q_scd2_merge" -> Warehouse.scd2BuildSql,
     "q_join_existence" -> existenceJoinSql,
     "q_partition_reload" -> partitionReloadSql,
     "q_merge_schema_read" -> mergeSchemaReadSql,

@@ -250,8 +250,11 @@ object Train {
 
   /** The oracle unrolls 8 peel rounds — idempotent once converged, so
     * any depth ≥ the data's true round count (1 at sf0.01, 5 at
-    * sf0.1) yields the fixpoint; the Spark side's require() is the
-    * loud guard if data ever needs more. */
+    * sf0.1) yields the fixpoint. The REGISTERED query passes
+    * maxRounds = 8 so the Spark side's require() fires exactly when
+    * the data outruns this unroll — the loud guard; a deeper default
+    * would let Spark converge at round 9+ and hand the harness an
+    * opaque hash mismatch instead. */
   val kcoreSql: String = {
     // each round references the previous round THREE times (degree agg
     // + two endpoint joins); DuckDB inlines CTEs by default, so an
@@ -411,7 +414,12 @@ object Train {
     "q_preference_pairs" -> (preferencePairs _),
     "q_curriculum" -> (curriculum _),
     "q_holt_trend" -> (holtTrend _),
-    "q_kcore" -> ((s: SparkSession, d: String) => kcore(s, d)),
+    // maxRounds = 8 here, NOT the function default: the DuckDB oracle
+    // unrolls exactly 8 peel rounds, so the registered query must fail
+    // LOUDLY (require) rather than converge at round 9-40 and hand the
+    // harness an opaque hash mismatch against a short-unrolled oracle.
+    // Fixture depths: 1 round at sf0.01, 5 at sf0.1.
+    "q_kcore" -> ((s: SparkSession, d: String) => kcore(s, d, maxRounds = 8)),
     "q_sprt" -> (sprt _),
     "q_boilerplate_scrub" -> (boilerplateScrub _),
   )

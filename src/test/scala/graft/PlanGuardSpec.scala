@@ -107,7 +107,11 @@ class PlanGuardSpec extends SparkSpec {
     // aggregate + the per-variant cumulative window + sort;
     // q_boilerplate_scrub: chunk census + anti-join + kept/total aggs
     // + sort — all over the ONE persisted chunk relation
-    "q_merge_schema_read" -> 2, "q_sprt" -> 3, "q_boilerplate_scrub" -> 5)
+    "q_merge_schema_read" -> 2, "q_sprt" -> 3, "q_boilerplate_scrub" -> 5,
+    // q_scd2_merge: base change-detect window + replay window + final
+    // close-out window + sort, all partitioned by user_id; the
+    // touched/untouched semi/anti joins ride the same keyed exchanges
+    "q_scd2_merge" -> 4)
 
   test("headline queries stay within their pinned shuffle budgets") {
     val over = shuffleBudget.flatMap { case (name, budget) =>
