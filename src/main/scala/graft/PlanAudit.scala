@@ -120,6 +120,8 @@ object PlanAudit {
     "q_sprt" -> "event stream collapses to (variant, day) in one keyed aggregate; the cumulative window runs over the ~30-row daily relation, never raw events",
     "q_boilerplate_scrub" -> "chunk relation persisted once (InMemoryRelation feeds census, anti-join, and totals); boilerplate census is a partial/final countDistinct; re-assembly is a sorted-struct collect per doc",
     "q_scd2_merge" -> "incremental dimension maintenance: base change set persisted once, touched keys split by semi/anti join, replay window runs over change points + delta only — never the full raw history",
+    "q_mann_kendall" -> "ONE fact-table aggregate to the monthly relation (persisted); the sign-pair join, tie census, and n counts all exchange month rows only",
+    "q_runs_test" -> "monthly aggregate persisted; median join + lag window + run aggregate run over the bounded month relation",
   )
 
   def main(args: Array[String]): Unit = {

@@ -410,6 +410,165 @@ object Train {
       |FROM tot t LEFT JOIN kept k USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin
 
+  /** W48 — Mann-Kendall trend test: the SIGNIFICANCE companion to
+    * Theil-Sen (TS slope says how steep; MK says whether a monotonic
+    * trend exists at all), per return flag over the monthly revenue
+    * series. S = Σ_{i<j} sign(y_j − y_i) over the ≤84-month bounded
+    * relation (the pair join is flag-keyed with a month inequality —
+    * an equi join with residual, ~3.5k pairs per group, never a fact
+    * cartesian); the tie-corrected variance numerator
+    * n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) stays an exact integer, and the
+    * only float step is z = (S∓1)/√(var/18) — division and sqrt are
+    * IEEE-correctly-rounded on both engines (no libm risk), rounded
+    * to 6. The trend verdict compares the ROUNDED z against 1.96. */
+  def mannKendall(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"),
+        date_trunc("month", col("l_shipdate")).as("mon"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")).as("y"))
+      .persistScoped() // pair self-join + tie census + n
+    val pairs = m.select(col("l_returnflag"), col("mon").as("ma"), col("y").as("ya"))
+      .join(m.select(col("l_returnflag"), col("mon").as("mb"), col("y").as("yb")),
+        Seq("l_returnflag"))
+      .filter(col("ma") < col("mb"))
+    val sstat = pairs.groupBy(col("l_returnflag"))
+      .agg(sum(signum(col("yb") - col("ya")).cast("bigint")).as("s_stat"))
+    val base = m.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val ties = m.groupBy(col("l_returnflag"), col("y")).agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_adj"))
+    base.join(sstat, Seq("l_returnflag"), "left")
+      .join(ties, Seq("l_returnflag"), "left")
+      .select(col("l_returnflag"), col("n"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+        (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) -
+          coalesce(col("tie_adj"), lit(0L))).as("var_num"))
+      .withColumn("z",
+        when(col("var_num") === 0, lit(0.0))
+          .when(col("s_stat") > 0, round((col("s_stat") - 1).cast("double") /
+            sqrt(col("var_num").cast("double") / 18d), 6))
+          .when(col("s_stat") < 0, round((col("s_stat") + 1).cast("double") /
+            sqrt(col("var_num").cast("double") / 18d), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("trend",
+        when(col("z") >= 1.96, "increasing")
+          .when(col("z") <= -1.96, "decreasing")
+          .otherwise("no_trend"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val mannKendallSql: String =
+    """WITH m AS (SELECT l_returnflag, date_trunc('month', l_shipdate) AS mon,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS y
+      |  FROM lineitem GROUP BY 1, 2),
+      |p AS (SELECT a.l_returnflag, CAST(sum(sign(b.y - a.y)) AS BIGINT)
+      |          AS s_stat
+      |      FROM m a JOIN m b
+      |        ON a.l_returnflag = b.l_returnflag AND a.mon < b.mon
+      |      GROUP BY 1),
+      |nn AS (SELECT l_returnflag, count(*) AS n FROM m GROUP BY 1),
+      |tt AS (SELECT l_returnflag,
+      |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_adj
+      |       FROM (SELECT l_returnflag, y, count(*) AS t FROM m GROUP BY 1, 2)
+      |       WHERE t > 1 GROUP BY 1),
+      |v AS (SELECT nn.l_returnflag, nn.n,
+      |        CAST(coalesce(p.s_stat, 0) AS BIGINT) AS s_stat,
+      |        CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+      |          - coalesce(tt.tie_adj, 0) AS BIGINT) AS var_num
+      |      FROM nn LEFT JOIN p USING (l_returnflag)
+      |      LEFT JOIN tt USING (l_returnflag)),
+      |zz AS (SELECT l_returnflag, n, s_stat, var_num,
+      |         CASE WHEN var_num = 0 THEN 0.0
+      |              WHEN s_stat > 0 THEN
+      |                round((s_stat - 1) / sqrt(var_num / 18.0), 6)
+      |              WHEN s_stat < 0 THEN
+      |                round((s_stat + 1) / sqrt(var_num / 18.0), 6)
+      |              ELSE 0.0 END AS z
+      |       FROM v)
+      |SELECT l_returnflag, n, s_stat, var_num, CAST(z AS DOUBLE) AS z,
+      |  CASE WHEN z >= 1.96 THEN 'increasing'
+      |       WHEN z <= -1.96 THEN 'decreasing'
+      |       ELSE 'no_trend' END AS trend
+      |FROM zz ORDER BY l_returnflag""".stripMargin
+
+  /** W49 — Wald-Wolfowitz runs test: the RANDOMNESS audit next to
+    * W48's trend test — a monthly revenue series that wanders above
+    * and below its median in long streaks is serially dependent even
+    * when no monotonic trend exists. Per flag: months classify
+    * above/below the exact interpolated median (median-equal months
+    * drop, the classic convention; both engines interpolate the same
+    * integers to the same double), the run count R is 1 + the number
+    * of sign flips (one lag window over the ≤84-month bounded
+    * relation), and z = (R − E[R])/√Var with E = 2·n1·n2/n + 1 and
+    * Var = 2n1n2(2n1n2−n)/(n²(n−1)) — plain arithmetic + sqrt, both
+    * IEEE-exact cross-engine, rounded to 6. Degenerate one-sided
+    * groups (n1 = 0 or n2 = 0, Var = 0) read z = 0. */
+  def runsTest(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"),
+        date_trunc("month", col("l_shipdate")).as("mon"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")).as("y"))
+      .persistScoped() // median pass + classified sequence pass
+    val med = m.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(y, 0.5D)").as("med"))
+    val cls = m.join(med, Seq("l_returnflag"))
+      .filter(col("y") =!= col("med"))
+      .select(col("l_returnflag"), col("mon"),
+        (col("y") > col("med")).cast("int").as("up"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("mon"))
+    cls
+      .withColumn("flip",
+        when(lag(col("up"), 1).over(w).isNull, 1)
+          .when(lag(col("up"), 1).over(w) =!= col("up"), 1).otherwise(0))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("flip")).as("runs"),
+        sum(col("up")).cast("bigint").as("n1"),
+        sum(lit(1) - col("up")).cast("bigint").as("n2"))
+      .withColumn("z", {
+        val n = col("n1") + col("n2")
+        val e = lit(2.0) * col("n1") * col("n2") / n + 1.0
+        val v = (lit(2.0) * col("n1") * col("n2") *
+          (lit(2.0) * col("n1") * col("n2") - n)) /
+          (n.cast("double") * n * (n - 1))
+        when(col("n1") === 0 || col("n2") === 0, lit(0.0))
+          .otherwise(round((col("runs") - e) / sqrt(v), 6))
+      })
+      .select(col("l_returnflag"), col("runs"), col("n1"), col("n2"), col("z"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val runsTestSql: String =
+    """WITH m AS (SELECT l_returnflag, date_trunc('month', l_shipdate) AS mon,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS y
+      |  FROM lineitem GROUP BY 1, 2),
+      |md AS (SELECT l_returnflag, quantile_cont(y, 0.5) AS med
+      |       FROM m GROUP BY 1),
+      |c AS (SELECT m.l_returnflag, m.mon,
+      |        CAST(m.y > md.med AS INT) AS up
+      |      FROM m JOIN md USING (l_returnflag) WHERE m.y <> md.med),
+      |f AS (SELECT l_returnflag, up,
+      |        CASE WHEN lag(up) OVER (PARTITION BY l_returnflag
+      |               ORDER BY mon) IS NULL THEN 1
+      |             WHEN lag(up) OVER (PARTITION BY l_returnflag
+      |               ORDER BY mon) <> up THEN 1 ELSE 0 END AS flip
+      |      FROM c),
+      |g AS (SELECT l_returnflag, CAST(sum(flip) AS BIGINT) AS runs,
+      |        CAST(sum(up) AS BIGINT) AS n1,
+      |        CAST(sum(1 - up) AS BIGINT) AS n2
+      |      FROM f GROUP BY 1)
+      |SELECT l_returnflag, runs, n1, n2,
+      |  CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
+      |       ELSE round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0)) /
+      |         sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))) /
+      |           (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))), 6)
+      |  END AS z
+      |FROM g ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_preference_pairs" -> (preferencePairs _),
     "q_curriculum" -> (curriculum _),
@@ -422,6 +581,8 @@ object Train {
     "q_kcore" -> ((s: SparkSession, d: String) => kcore(s, d, maxRounds = 8)),
     "q_sprt" -> (sprt _),
     "q_boilerplate_scrub" -> (boilerplateScrub _),
+    "q_mann_kendall" -> (mannKendall _),
+    "q_runs_test" -> (runsTest _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -431,5 +592,7 @@ object Train {
     "q_kcore" -> kcoreSql,
     "q_sprt" -> sprtSql,
     "q_boilerplate_scrub" -> boilerplateScrubSql,
+    "q_mann_kendall" -> mannKendallSql,
+    "q_runs_test" -> runsTestSql,
   )
 }

@@ -111,7 +111,11 @@ class PlanGuardSpec extends SparkSpec {
     // q_scd2_merge: base change-detect window + replay window + final
     // close-out window + sort, all partitioned by user_id; the
     // touched/untouched semi/anti joins ride the same keyed exchanges
-    "q_scd2_merge" -> 4)
+    "q_scd2_merge" -> 4,
+    // both tests aggregate the fact table to the ≤84-row monthly
+    // relation FIRST; everything after (pair join, tie census, lag
+    // window) exchanges month-relation rows only
+    "q_mann_kendall" -> 5, "q_runs_test" -> 3)
 
   test("headline queries stay within their pinned shuffle budgets") {
     val over = shuffleBudget.flatMap { case (name, budget) =>
