@@ -44,7 +44,11 @@ object ShuffleWidthSpec {
     "q_kcore", "q_holt_trend", "q_preference_pairs",
     // boilerplate scrub reassembles text from a sorted-struct collect
     // whose merge order varies with partitioning
-    "q_boilerplate_scrub")
+    "q_boilerplate_scrub",
+    // scd2 merge unions anti/semi branches whose row order varies with
+    // layout before the close-out window; mann-kendall's sign-pair sum
+    // merges in partition order
+    "q_scd2_merge", "q_mann_kendall")
 }
 
 class ShuffleWidthSpec extends SparkSpec {
