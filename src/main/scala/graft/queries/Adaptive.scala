@@ -137,8 +137,15 @@ object Adaptive {
       // uncorrected rows). The empty-batch re-run is an explicit
       // partition delete, exactly what a warehouse day-reload does.
       if (corrected.isEmpty) {
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(s"$stage/day=$rd"))
+        // loud delete: a swallowed failure here would silently
+        // reintroduce the stale-partition hazard this branch prevents
+        // (a day with no events at all never staged a directory — that
+        // absence is fine, a FAILED delete of an existing one is not)
+        val stale = new java.io.File(s"$stage/day=$rd")
+        if (stale.exists)
+          require(org.apache.commons.io.FileUtils.deleteQuietly(stale),
+            s"failed to delete stale partition $stale — re-run would " +
+              "read uncorrected rows")
       } else {
         val prev =
           s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
@@ -230,35 +237,25 @@ object Adaptive {
     * verbatim): the claim "incremental maintenance ≡ rebuild" runs
     * through the hash gate itself rather than a spec assertion. */
   def scd2Merge(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("event_type").as("state"),
         unix_timestamp(col("ts")).as("sec"), to_date(col("ts")).as("day"))
     val t = ev.agg(date_add(min(col("day")), 14).as("t"))
     val bounded = ev.crossJoin(broadcast(t))
-    // change-detect is ONE definition applied to base and merged
-    // streams — the equivalence claim depends on it not drifting
-    def changes(e: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
-      e.withColumn("prev_state", lag(col("state"), 1).over(w))
-        .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
-        .select(col("user_id"), col("event_id"), col("state"), col("sec"))
-    }
-    val base = changes(bounded.filter(col("day") < col("t"))).persistScoped()
+    // change-detect and interval close-out are Warehouse.scd2Changes /
+    // scd2CloseOut — the SAME definitions the full rebuild runs, so
+    // the incremental ≡ rebuild equivalence is structural, not
+    // copy-discipline
+    val base = Warehouse.scd2Changes(bounded.filter(col("day") < col("t")))
+      .persistScoped()
     val delta = bounded.filter(col("day") >= col("t"))
       .select(col("user_id"), col("event_id"), col("state"), col("sec"))
+      .persistScoped() // touched keys + the replay union both read it
     val touched = delta.select(col("user_id")).distinct()
     val untouched = base.join(touched, Seq("user_id"), "left_anti")
-    val replayed = changes(
+    val replayed = Warehouse.scd2Changes(
       base.join(touched, Seq("user_id"), "left_semi").unionByName(delta))
-    val w2 = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
-    untouched.unionByName(replayed)
-      .withColumn("valid_from", col("sec"))
-      .withColumn("valid_to",
-        coalesce(lead(col("valid_from"), 1).over(w2), lit(9999999999L)))
-      .select(col("user_id"), col("state"), col("valid_from"), col("valid_to"),
-        (col("valid_to") === 9999999999L).as("is_current"))
-      .orderBy(col("user_id"), col("valid_from"), col("state"))
+    Warehouse.scd2CloseOut(untouched.unionByName(replayed))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -17,6 +17,18 @@ import graft.Caches.PersistScoped
   */
 object Train {
 
+  /** Shared monthly-revenue series (l_returnflag, mon, y=cents): the
+    * ONE definition the smoothing/trend/randomness trio (holtTrend,
+    * mannKendall, runsTest) all fold over — three inlined copies
+    * would have to track any cents-convention change in lockstep with
+    * three SQL oracles. */
+  private def monthlyRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"),
+        date_trunc("month", col("l_shipdate")).as("mon"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")).as("y"))
+
   /** Shared per-doc quality score (lexical diversity = distinct words
     * / words): the SAME uniq_ratio emitted by L4's quality profile,
     * recomputed here as a single narrow projection. Both engines
@@ -132,12 +144,7 @@ object Train {
     * projection for readability. Groups with fewer than 12 months
     * have no 12-step fold and drop out. */
   def holtTrend(s: SparkSession, dir: String): DataFrame = {
-    val m = Tables.lineitem(s, dir)
-      .select(col("l_returnflag"),
-        date_trunc("month", col("l_shipdate")).as("mon"),
-        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
-          .as("cents"))
-      .groupBy(col("l_returnflag"), col("mon")).agg(sum(col("cents")).as("y"))
+    val m = monthlyRevenue(s, dir)
     val series = m
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("l_returnflag")).orderBy(col("mon"))))
@@ -422,11 +429,7 @@ object Train {
     * IEEE-correctly-rounded on both engines (no libm risk), rounded
     * to 6. The trend verdict compares the ROUNDED z against 1.96. */
   def mannKendall(s: SparkSession, dir: String): DataFrame = {
-    val m = Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"),
-        date_trunc("month", col("l_shipdate")).as("mon"))
-      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
-        .cast("bigint")).as("y"))
+    val m = monthlyRevenue(s, dir)
       .persistScoped() // pair self-join + tie census + n
     val pairs = m.select(col("l_returnflag"), col("mon").as("ma"), col("y").as("ya"))
       .join(m.select(col("l_returnflag"), col("mon").as("mb"), col("y").as("yb")),
@@ -507,11 +510,7 @@ object Train {
     * IEEE-exact cross-engine, rounded to 6. Degenerate one-sided
     * groups (n1 = 0 or n2 = 0, Var = 0) read z = 0. */
   def runsTest(s: SparkSession, dir: String): DataFrame = {
-    val m = Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"),
-        date_trunc("month", col("l_shipdate")).as("mon"))
-      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
-        .cast("bigint")).as("y"))
+    val m = monthlyRevenue(s, dir)
       .persistScoped() // median pass + classified sequence pass
     val med = m.groupBy(col("l_returnflag"))
       .agg(expr("percentile(y, 0.5D)").as("med"))
@@ -573,12 +572,14 @@ object Train {
     "q_preference_pairs" -> (preferencePairs _),
     "q_curriculum" -> (curriculum _),
     "q_holt_trend" -> (holtTrend _),
-    // maxRounds = 8 here, NOT the function default: the DuckDB oracle
-    // unrolls exactly 8 peel rounds, so the registered query must fail
-    // LOUDLY (require) rather than converge at round 9-40 and hand the
-    // harness an opaque hash mismatch against a short-unrolled oracle.
-    // Fixture depths: 1 round at sf0.01, 5 at sf0.1.
-    "q_kcore" -> ((s: SparkSession, d: String) => kcore(s, d, maxRounds = 8)),
+    // maxRounds = 9, NOT the function default: the DuckDB oracle
+    // unrolls exactly 8 peel rounds, and observing a fixpoint of true
+    // depth d costs d+1 Spark rounds (the last round must see the
+    // count unchanged) — 9 lets depth-8 data pass while anything
+    // deeper fails the require() LOUDLY instead of handing the
+    // harness an opaque hash mismatch against a short-unrolled
+    // oracle. Fixture depths: 1 round at sf0.01, 5 at sf0.1.
+    "q_kcore" -> ((s: SparkSession, d: String) => kcore(s, d, maxRounds = 9)),
     "q_sprt" -> (sprt _),
     "q_boilerplate_scrub" -> (boilerplateScrub _),
     "q_mann_kendall" -> (mannKendall _),

@@ -23,24 +23,40 @@ object Warehouse {
     * ordering differs; sentinel keeps the compare total). Bounds are
     * epoch seconds — integer-exact on both engines. Two windows, both
     * keyed by user_id: skew-safe, no global sort, scales linearly. */
-  def scd2Build(s: SparkSession, dir: String): DataFrame = {
+  /** SCD2 change detection over a (user_id, event_id, state, sec)
+    * stream — ONE definition shared by the full rebuild ([[scd2Build]])
+    * and the incremental merge ([[Adaptive.scd2Merge]]): the
+    * incremental ≡ rebuild equivalence is structural only while both
+    * paths run the identical lag test. */
+  private[queries] def scd2Changes(e: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
-    val e = Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"), col("event_type").as("state"),
-        unix_timestamp(col("ts")).as("sec"))
-      .withColumn("prev_state", lag(col("state"), 1).over(w))
-    val changes = e
+    e.withColumn("prev_state", lag(col("state"), 1).over(w))
       .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
-      .withColumn("valid_from", col("sec"))
-    val w2 = Window.partitionBy(col("user_id")).orderBy(col("valid_from"), col("event_id"))
+      .select(col("user_id"), col("event_id"), col("state"), col("sec"))
+  }
+
+  /** SCD2 interval close-out over change rows — the shared tail of
+    * [[scd2Build]] and [[Adaptive.scd2Merge]]. The output sort carries
+    * valid_to as the final key: a state flipping X→Y→X within one
+    * SECOND produces two rows tied on (user_id, valid_from, state)
+    * that only valid_to distinguishes, and a non-total sort would
+    * order them by layout. */
+  private[queries] def scd2CloseOut(changes: DataFrame): DataFrame = {
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
     changes
+      .withColumn("valid_from", col("sec"))
       .withColumn("valid_to",
         coalesce(lead(col("valid_from"), 1).over(w2), lit(9999999999L)))
       .select(col("user_id"), col("state"),
         col("valid_from"), col("valid_to"),
         (col("valid_to") === 9999999999L).as("is_current"))
-      .orderBy(col("user_id"), col("valid_from"), col("state"))
+      .orderBy(col("user_id"), col("valid_from"), col("state"), col("valid_to"))
   }
+
+  def scd2Build(s: SparkSession, dir: String): DataFrame =
+    scd2CloseOut(scd2Changes(Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type").as("state"),
+        unix_timestamp(col("ts")).as("sec"))))
 
   val scd2BuildSql: String =
     """WITH e AS (SELECT user_id, event_id, event_type AS state,
@@ -55,7 +71,7 @@ object Warehouse {
       |           9999999999) AS valid_to,
       |  coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id),
       |           9999999999) = 9999999999 AS is_current
-      |FROM ch ORDER BY user_id, valid_from, state""".stripMargin
+      |FROM ch ORDER BY user_id, valid_from, state, valid_to""".stripMargin
 
   /** Market-basket association rules over order baskets: per-order
     * item sets (parts bucketed mod 50 to a catalog of bounded
