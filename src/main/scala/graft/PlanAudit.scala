@@ -122,6 +122,20 @@ object PlanAudit {
     "q_scd2_merge" -> "incremental dimension maintenance: base change set persisted once, touched keys split by semi/anti join, replay window runs over change points + delta only — never the full raw history",
     "q_mann_kendall" -> "ONE fact-table aggregate to the monthly relation (persisted); the sign-pair join, tie census, and n counts all exchange month rows only",
     "q_runs_test" -> "monthly aggregate persisted; median join + lag window + run aggregate run over the bounded month relation",
+    "q_kendall_tau" -> "ONE fact aggregate to the persisted monthly relation; concordance pair join and n counts exchange month rows only",
+    "q_acf" -> "fact collapses to the persisted monthly relation; centered series joins broadcast stats; the 6-lag spine is a constant relation crossed against month rows only",
+    "q_anova" -> "one partial/final aggregate to k=5 group rows (count/sum/sum-of-squares); F computes on the 1-row grand relation",
+    "q_brown_forsythe" -> "customer cents persisted once; exact per-group median broadcast back; same 5-row ANOVA collapse as q_anova",
+    "q_jackknife_ratio" -> "two fact passes only: group totals broadcast back, replicates floor-quantized map-side, moments partial/final aggregated — no fact window",
+    "q_horvitz_thompson" -> "the whole design is one map-side projection (coin + stratum weight) feeding one partial/final aggregate",
+    "q_adamic_adar" -> "ONE fact-fact join collapses trade to the distinct nation edge set (persisted); degree census, wedge join, and scoring all run on the bounded adjacency",
+    "q_copeland" -> "one fact aggregate to the (lang, source) relation (persisted); duels and the reversed-pair join are bounded self-joins",
+    "q_mrr" -> "brute-force top-k: probes broadcast, candidates stream, heap aggregate ships <=k rows per probe x partition; per-probe and mean rows read one persisted relation",
+    "q_capture_recapture" -> "two-level aggregate: (lang, text-hash) membership flags first, then per-lang counts — text never shuffles twice",
+    "q_ordinal_assoc" -> "same persisted monthly census as q_kendall_tau; gamma/somers are projections of the bounded count relation",
+    "q_logrank" -> "order durations collapse to the <=91-day spine in one aggregate; at-risk counts are a reverse-cumulative window over that bounded spine; expectation/variance terms are exact decimal divisions",
+    "q_cochran_armitage" -> "one fact aggregate to 3 band rows, then 1-row integer algebra — the z never touches raw orders again",
+    "q_lexical_richness" -> "one exploded (lang, word) count exchange; per-language richness is a second bounded aggregate",
   )
 
   def main(args: Array[String]): Unit = {

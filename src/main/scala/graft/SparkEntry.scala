@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Adaptive, Alloc, Analytics, Audit, Augment, Corpus, Curate, Encode, EtlQueries, Extras, Featurize, Infer, Joins, Linkage, Llm, Metrics, Pipeline, Quality, Relational, Serving, Train, Trend, Warehouse, Windows}
+import graft.queries.{Adaptive, Alloc, Analytics, Audit, Augment, Corpus, Curate, Encode, EtlQueries, Evaluate, Extras, Featurize, Infer, Joins, Linkage, Llm, Metrics, Pipeline, Quality, Relational, Serving, Train, Trend, Warehouse, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -53,6 +53,7 @@ object SparkEntry {
       (Audit.queries, Audit.oracle),
       (Adaptive.queries, Adaptive.oracle),
       (Train.queries, Train.oracle),
+      (Evaluate.queries, Evaluate.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. Every

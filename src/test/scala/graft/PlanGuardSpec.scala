@@ -115,7 +115,23 @@ class PlanGuardSpec extends SparkSpec {
     // both tests aggregate the fact table to the ≤84-row monthly
     // relation FIRST; everything after (pair join, tie census, lag
     // window) exchanges month-relation rows only
-    "q_mann_kendall" -> 5, "q_runs_test" -> 3)
+    "q_mann_kendall" -> 5, "q_runs_test" -> 3,
+    // round-10 evaluation pack: each fact table collapses in ONE keyed
+    // aggregate (+ persisted-relation exchanges and the final sort);
+    // the retrieval metrics pay the heap-aggregate exchange + label
+    // joins; adamic-adar's 4 includes the one fact-fact join — the
+    // graph steps after it exchange nation rows only
+    "q_kendall_tau" -> 3, "q_acf" -> 2, "q_anova" -> 2,
+    "q_brown_forsythe" -> 3, "q_mrr" -> 2, "q_precision_at_k" -> 4,
+    "q_copeland" -> 3, "q_adamic_adar" -> 4, "q_readability" -> 2,
+    "q_horvitz_thompson" -> 2, "q_jackknife_ratio" -> 3,
+    "q_capture_recapture" -> 3,
+    // the association/survival additions share the collapsed-relation
+    // shape: ordinal reads kendall's persisted census, logrank windows
+    // the bounded day spine, cochran is 3 band rows, richness pays the
+    // one (lang, word) count exchange
+    "q_ordinal_assoc" -> 3, "q_logrank" -> 3, "q_cochran_armitage" -> 2,
+    "q_lexical_richness" -> 3)
 
   test("headline queries stay within their pinned shuffle budgets") {
     val over = shuffleBudget.flatMap { case (name, budget) =>

@@ -48,7 +48,14 @@ object ShuffleWidthSpec {
     // scd2 merge unions anti/semi branches whose row order varies with
     // layout before the close-out window; mann-kendall's sign-pair sum
     // merges in partition order
-    "q_scd2_merge", "q_mann_kendall")
+    "q_scd2_merge", "q_mann_kendall",
+    // round-10 evaluation pack: the jackknife's floor-quantized
+    // replicate moments and kendall's concordance counts merge in
+    // partition order; mrr rides the bounded-heap top-k whose merge
+    // order varies with layout; logrank's quantized expectation sums
+    // and the richness decimal sums must be layout-free too
+    "q_jackknife_ratio", "q_kendall_tau", "q_mrr", "q_logrank",
+    "q_lexical_richness")
 }
 
 class ShuffleWidthSpec extends SparkSpec {
