@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Adaptive, Alloc, Analytics, Audit, Augment, Corpus, Curate, Encode, EtlQueries, Evaluate, Extras, Featurize, Infer, Joins, Linkage, Llm, Metrics, Pipeline, Quality, Relational, Serving, Train, Trend, Warehouse, Windows}
+import graft.queries.{Adaptive, Alloc, Analytics, Audit, Augment, Corpus, Curate, Encode, EtlQueries, Evaluate, Extras, Featurize, Infer, Joins, Linkage, Llm, Metrics, Network, Pipeline, Quality, Relational, Serving, Train, Trend, Warehouse, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -54,6 +54,7 @@ object SparkEntry {
       (Adaptive.queries, Adaptive.oracle),
       (Train.queries, Train.oracle),
       (Evaluate.queries, Evaluate.oracle),
+      (Network.queries, Network.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. Every

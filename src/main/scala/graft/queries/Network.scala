@@ -1,0 +1,324 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Caches.PersistScoped
+
+/** Round-10 network-analytics pack: the graph-structure measures next
+  * to PageRank/triangles/k-core (W9/W13/W45) — degree assortativity
+  * (do high-degree parts attach to high-degree suppliers?), HITS
+  * hubs/authorities (the asymmetric companion to PageRank on the
+  * directed trade graph), and partition modularity (the QA score for
+  * any community assignment, here the region partition of nations).
+  * All three collapse facts to bounded relations first and run the
+  * graph arithmetic in exact integers (fixed-point iterations follow
+  * the W9 PageRank integer-DIV pattern).
+  */
+object Network {
+
+  /** W41 — bipartite degree assortativity: the Pearson correlation
+    * between part-degree and supplier-degree across the distinct
+    * (part, supplier) supply edges — positive means busy suppliers
+    * carry popular parts (hub-hub attachment), negative means a
+    * hub-and-spoke layout. All five moment sums are exact integer/
+    * decimal(38,0) accumulations over the edge relation; the
+    * correlation is the one rounded double at the end. Scale shape:
+    * one distinct on the projected fact, two degree aggregates joined
+    * back by key, one moment aggregate — no pair stream, no window. */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sg"))
+      .distinct()
+      .persistScoped() // degree censuses + the moment pass
+    val dp = e.groupBy(col("p")).agg(count(lit(1)).as("dp"))
+    val ds = e.groupBy(col("sg")).agg(count(lit(1)).as("ds"))
+    e.join(dp, Seq("p")).join(ds, Seq("sg"))
+      .agg(count(lit(1)).as("n"), sum(col("dp")).as("sx"),
+        sum(col("ds")).as("sy"),
+        sum((col("dp").cast("decimal(38,0)") * col("ds"))
+          .cast("decimal(38,0)")).as("sxy"),
+        sum((col("dp").cast("decimal(38,0)") * col("dp"))
+          .cast("decimal(38,0)")).as("sxx"),
+        sum((col("ds").cast("decimal(38,0)") * col("ds"))
+          .cast("decimal(38,0)")).as("syy"))
+      .select(col("n").as("n_edges"),
+        round(col("sx").cast("double") / col("n").cast("double"), 6)
+          .as("mean_part_degree"),
+        round(col("sy").cast("double") / col("n").cast("double"), 6)
+          .as("mean_supp_degree"),
+        (col("n").cast("decimal(38,0)") * col("sxy") -
+          col("sx").cast("decimal(38,0)") * col("sy")).as("num"),
+        (col("n").cast("decimal(38,0)") * col("sxx") -
+          col("sx").cast("decimal(38,0)") * col("sx")).as("dx"),
+        (col("n").cast("decimal(38,0)") * col("syy") -
+          col("sy").cast("decimal(38,0)") * col("sy")).as("dy"))
+      .select(col("n_edges"), col("mean_part_degree"),
+        col("mean_supp_degree"),
+        when(col("dx") <= 0 || col("dy") <= 0, lit(0.0))
+          .otherwise(round(col("num").cast("double") /
+            sqrt(col("dx").cast("double") * col("dy").cast("double")), 6))
+          .as("assortativity"))
+  }
+
+  // MATERIALIZED pins each multiply-referenced CTE to one evaluation —
+  // DuckDB inlines CTEs by default, so the edge relation would
+  // otherwise recompute once per reference (the kcore-oracle lesson)
+  val assortativitySql: String =
+    """WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS p,
+      |             l_suppkey AS sg
+      |           FROM lineitem),
+      |dp AS MATERIALIZED (SELECT p, count(*) AS dp FROM e GROUP BY p),
+      |ds AS MATERIALIZED (SELECT sg, count(*) AS ds FROM e GROUP BY sg),
+      |mo AS (SELECT count(*) AS n, CAST(sum(dp.dp) AS BIGINT) AS sx,
+      |         CAST(sum(ds.ds) AS BIGINT) AS sy,
+      |         sum(CAST(dp.dp AS HUGEINT) * ds.ds) AS sxy,
+      |         sum(CAST(dp.dp AS HUGEINT) * dp.dp) AS sxx,
+      |         sum(CAST(ds.ds AS HUGEINT) * ds.ds) AS syy
+      |       FROM e JOIN dp USING (p) JOIN ds USING (sg)),
+      |d AS (SELECT n, sx, sy,
+      |        CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |        CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+      |        CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy
+      |      FROM mo)
+      |SELECT n AS n_edges,
+      |  round(CAST(sx AS DOUBLE) / n, 6) AS mean_part_degree,
+      |  round(CAST(sy AS DOUBLE) / n, 6) AS mean_supp_degree,
+      |  CASE WHEN dx <= 0 OR dy <= 0 THEN 0.0
+      |       ELSE round(CAST(num AS DOUBLE) /
+      |         sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6)
+      |  END AS assortativity
+      |FROM d""".stripMargin
+
+  /** W42 — HITS hubs & authorities: the asymmetric centrality pair on
+    * the DIRECTED nation trade graph (customer-nation → supplier-
+    * nation, weight = lineitem count) — a good HUB buys from the
+    * nations everyone supplies through; a good AUTHORITY supplies the
+    * nations everyone buys from. PageRank (W9) cannot separate the two
+    * roles. Arithmetic follows W9's integer fixed-point pattern:
+    * weights quantize once to ppm shares of the global total, each
+    * half-iteration is Σ(share·score) DIV 10⁶ followed by a max-
+    * normalization to 10¹² units via exact decimal/HUGEINT division —
+    * every round is pure integer algebra, so `iters` rounds are
+    * bit-identical to the oracle's unrolled CTEs. */
+  def hits(s: SparkSession, dir: String, iters: Int = 4): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val edges = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .persistScoped() // iterated over; metadata-scale (<= |nations|^2)
+    val share = edges
+      .withColumn("wtot", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("src"), col("dst"),
+        expr("(w * 1000000L) DIV wtot").as("share"))
+      .persistScoped() // read 2x per iteration
+    val nations = Tables.nation(s, dir).select(col("n_nationkey").as("node"))
+    def normalize(raw: DataFrame): DataFrame = {
+      // max-normalize to 1e12 units: the max is a 1-row broadcast
+      val mx = raw.agg(max(col("v")).as("mx"))
+      nations.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          when(col("mx").isNull || col("mx") <= 0, lit(0L))
+            .otherwise(expr(
+              "CAST(CAST(coalesce(v, 0L) AS DECIMAL(38,0)) * 1000000000000L" +
+                " DIV mx AS BIGINT)")).as("v"))
+    }
+    var h = nations.withColumn("v", lit(1000000000000L))
+    var a = nations.withColumn("v", lit(1000000000000L))
+    for (_ <- 1 to iters) {
+      // score relations are |nations| rows — broadcast them onto the
+      // persisted share table so each half-iteration's only exchange
+      // is the bounded per-node aggregate
+      a = normalize(share
+        .join(broadcast(h.withColumnRenamed("node", "src")), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(share * v) DIV 1000000L").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("v")))
+      h = normalize(share
+        .join(broadcast(a.withColumnRenamed("node", "dst")), Seq("dst"))
+        .select(col("src").as("node"),
+          expr("(share * v) DIV 1000000L").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("v")))
+    }
+    h.withColumnRenamed("v", "hub_units")
+      .join(a.withColumnRenamed("v", "auth_units"), Seq("node"))
+      .select(col("node"), col("hub_units"), col("auth_units"),
+        (col("hub_units").cast("double") / 1e12).as("hub"),
+        (col("auth_units").cast("double") / 1e12).as("authority"))
+      .orderBy(col("node"))
+  }
+
+  /** Oracle: the same `iters` rounds unrolled as CTE pairs — each
+    * half-iteration is one aggregate + one max-normalization, exactly
+    * the engine's integer operations. */
+  def hitsSql(iters: Int = 4): String = {
+    // every per-round CTE is MATERIALIZED: the rounds chain 2-3
+    // references deep, and DuckDB's default inlining would expand the
+    // unrolled recursion multiplicatively (3^iters plan copies)
+    def half(iter: Int, out: String, in: String, joinKey: String,
+             emitKey: String): String =
+      s"""${out}r$iter AS MATERIALIZED (SELECT sh.$emitKey AS node,
+         |    CAST(sum((sh.share * x.v) // 1000000) AS BIGINT) AS v
+         |  FROM sh JOIN ${in} x ON sh.$joinKey = x.node GROUP BY 1),
+         |$out$iter AS MATERIALIZED (SELECT n.node,
+         |    CASE WHEN mx.mx IS NULL OR mx.mx <= 0 THEN 0
+         |         ELSE CAST(CAST(coalesce(r.v, 0) AS HUGEINT)
+         |           * 1000000000000 // mx.mx AS BIGINT) END AS v
+         |  FROM nodes n
+         |  LEFT JOIN ${out}r$iter r ON n.node = r.node
+         |  CROSS JOIN (SELECT max(v) AS mx FROM ${out}r$iter) mx)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      half(i, "a", if (i == 1) "h0" else s"h${i - 1}", "src", "dst") + ",\n" +
+        half(i, "h", s"a$i", "dst", "src")
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT c_nationkey AS src,
+      |    s_nationkey AS dst, count(*) AS w
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2),
+      |sh AS MATERIALIZED (SELECT src, dst,
+      |         (w * 1000000) // (SELECT sum(w) FROM e) AS share FROM e),
+      |nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+      |h0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS v FROM nodes),
+      |$rounds
+      |SELECT n.node, h$iters.v AS hub_units, a$iters.v AS auth_units,
+      |  CAST(h$iters.v AS DOUBLE) / 1e12 AS hub,
+      |  CAST(a$iters.v AS DOUBLE) / 1e12 AS authority
+      |FROM nodes n
+      |JOIN h$iters ON n.node = h$iters.node
+      |JOIN a$iters ON n.node = a$iters.node
+      |ORDER BY n.node""".stripMargin
+  }
+
+  /** W43 — partition modularity: the quality score of a community
+    * assignment — here, does the REGION partition of nations explain
+    * the trade graph's weight structure? Q = Σ_c (e_c·m₂ − d_c²)/m₂²
+    * over the undirected weighted nation graph (e_c = both-direction
+    * intra-region weight, d_c = total degree of region members,
+    * m₂ = total degree) — exact integer/decimal algebra with ONE
+    * rounded division per row. Emits each region's contribution plus
+    * the ALL summary row (the modularity itself, region_key = −1).
+    * Near 0 = regions don't structure trade; the SAME query run on a
+    * detected community assignment is the standard acceptance gate. */
+  def modularity(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("u"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
+      .agg(count(lit(1)).as("w"))
+      .persistScoped() // degree census + intra-region census
+    val nreg = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("nk"), col("n_regionkey").as("rk"))
+    val withReg = pairs
+      .join(broadcast(nreg.withColumnRenamed("nk", "u")
+        .withColumnRenamed("rk", "ru")), Seq("u"))
+      .join(broadcast(nreg.withColumnRenamed("nk", "v")
+        .withColumnRenamed("rk", "rv")), Seq("v"))
+      .persistScoped() // degree sums + intra sums read it twice
+    // per-region total degree: each undirected edge contributes w to
+    // BOTH endpoints' regions (2w when both ends share the region)
+    val deg = withReg.select(col("ru").as("rk"), col("w"))
+      .unionAll(withReg.select(col("rv").as("rk"), col("w")))
+      .groupBy(col("rk")).agg(sum(col("w")).as("d_c"))
+    val intra = withReg.filter(col("ru") === col("rv"))
+      .groupBy(col("ru").as("rk"))
+      .agg((sum(col("w")) * 2).as("e_c"))
+    val m2 = deg.agg(sum(col("d_c")).as("m2"))
+    val regions = Tables.region(s, dir)
+      .select(col("r_regionkey").as("rk"), col("r_name"))
+    val per = regions
+      .join(deg, Seq("rk"), "left").join(intra, Seq("rk"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("rk").cast("int").as("region_key"), col("r_name"),
+        coalesce(col("e_c"), lit(0L)).as("intra2"),
+        coalesce(col("d_c"), lit(0L)).as("degree"),
+        when(col("m2") <= 0, lit(0.0))
+          .otherwise(round(
+            (coalesce(col("e_c"), lit(0L)).cast("decimal(38,0)") * col("m2") -
+              coalesce(col("d_c"), lit(0L)).cast("decimal(38,0)") *
+                coalesce(col("d_c"), lit(0L))).cast("double") /
+              (col("m2").cast("double") * col("m2").cast("double")), 9))
+          .as("contribution"))
+    val total = per.agg(sum(col("intra2")).as("intra2"),
+        sum(col("degree")).as("degree"),
+        round(sum(col("contribution")), 9).as("contribution"))
+      .select(lit(-1).as("region_key"), lit("ALL").as("r_name"),
+        col("intra2"), col("degree"), col("contribution"))
+    per.unionAll(total).orderBy(col("region_key"))
+  }
+
+  val modularitySql: String =
+    """WITH p0 AS MATERIALIZED (SELECT least(c_nationkey, s_nationkey) AS u,
+      |    greatest(c_nationkey, s_nationkey) AS v, count(*) AS w
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE c_nationkey <> s_nationkey
+      |  GROUP BY 1, 2),
+      |wr AS MATERIALIZED (SELECT p0.u, p0.v, p0.w, nu.n_regionkey AS ru,
+      |         nv.n_regionkey AS rv
+      |       FROM p0 JOIN nation nu ON p0.u = nu.n_nationkey
+      |       JOIN nation nv ON p0.v = nv.n_nationkey),
+      |deg AS (SELECT rk, CAST(sum(w) AS BIGINT) AS d_c FROM (
+      |          SELECT ru AS rk, w FROM wr
+      |          UNION ALL SELECT rv AS rk, w FROM wr)
+      |        GROUP BY rk),
+      |intra AS (SELECT ru AS rk, CAST(sum(w) * 2 AS BIGINT) AS e_c
+      |          FROM wr WHERE ru = rv GROUP BY 1),
+      |m2 AS (SELECT CAST(sum(d_c) AS BIGINT) AS m2 FROM deg),
+      |per AS (SELECT CAST(r.r_regionkey AS INT) AS region_key, r.r_name,
+      |          CAST(coalesce(i.e_c, 0) AS BIGINT) AS intra2,
+      |          CAST(coalesce(d.d_c, 0) AS BIGINT) AS degree,
+      |          CASE WHEN m2.m2 <= 0 THEN 0.0
+      |               ELSE round(CAST(CAST(coalesce(i.e_c, 0) AS HUGEINT)
+      |                   * m2.m2 - CAST(coalesce(d.d_c, 0) AS HUGEINT)
+      |                   * coalesce(d.d_c, 0) AS DOUBLE) /
+      |                 (CAST(m2.m2 AS DOUBLE) * CAST(m2.m2 AS DOUBLE)), 9)
+      |          END AS contribution
+      |        FROM region r
+      |        LEFT JOIN deg d ON d.rk = r.r_regionkey
+      |        LEFT JOIN intra i ON i.rk = r.r_regionkey
+      |        CROSS JOIN m2)
+      |SELECT * FROM (
+      |  SELECT region_key, r_name, intra2, degree, contribution FROM per
+      |  UNION ALL
+      |  SELECT -1 AS region_key, 'ALL' AS r_name,
+      |    CAST(sum(intra2) AS BIGINT), CAST(sum(degree) AS BIGINT),
+      |    round(sum(contribution), 9)
+      |  FROM per)
+      |ORDER BY region_key""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assortativity" -> (assortativity _),
+    "q_hits" -> ((s: SparkSession, d: String) => hits(s, d)),
+    "q_modularity" -> (modularity _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_assortativity" -> assortativitySql,
+    "q_hits" -> hitsSql(),
+    "q_modularity" -> modularitySql,
+  )
+}

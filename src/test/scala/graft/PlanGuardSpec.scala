@@ -131,7 +131,12 @@ class PlanGuardSpec extends SparkSpec {
     // the bounded day spine, cochran is 3 band rows, richness pays the
     // one (lang, word) count exchange
     "q_ordinal_assoc" -> 3, "q_logrank" -> 3, "q_cochran_armitage" -> 2,
-    "q_lexical_richness" -> 3)
+    "q_lexical_richness" -> 3,
+    // network trio: assortativity is three keyed aggregates; HITS pays
+    // one bounded per-node aggregate per half-iteration (scores are
+    // BROADCAST onto the persisted share table — a join exchange here
+    // means a lost hint); modularity's exchanges all move nation rows
+    "q_assortativity" -> 3, "q_hits" -> 10, "q_modularity" -> 8)
 
   test("headline queries stay within their pinned shuffle budgets") {
     val over = shuffleBudget.flatMap { case (name, budget) =>
