@@ -137,7 +137,7 @@ object PlanAudit {
     "q_cochran_armitage" -> "one fact aggregate to 3 band rows, then 1-row integer algebra — the z never touches raw orders again",
     "q_lexical_richness" -> "one exploded (lang, word) count exchange; per-language richness is a second bounded aggregate",
     "q_assortativity" -> "distinct edge projection persisted; two degree aggregates join back by key; one moment aggregate — no pair stream, no window",
-    "q_hits" -> "one fact-fact collapse to the persisted nation edge relation; every half-iteration is a bounded aggregate + 1-row max broadcast",
+    "q_hits" -> "returned plan reads the converged localCheckpoint score relations (one join + sort); the half-iterations' bounded aggregates never appear in the result plan",
     "q_modularity" -> "fact collapses to the undirected nation edge set once; region joins broadcast the 25-row dim; contributions are 5-row arithmetic",
   )
 

@@ -138,17 +138,25 @@ object Network {
     for (_ <- 1 to iters) {
       // score relations are |nations| rows — broadcast them onto the
       // persisted share table so each half-iteration's only exchange
-      // is the bounded per-node aggregate
+      // is the bounded per-node aggregate. Each half ends in an EAGER
+      // localCheckpoint: every round's plan embeds the previous
+      // round's tree THREE times (join + the normalize's left join and
+      // max), so without truncation the logical plan grows ~3^(2·iters)
+      // — an 85k-line formatted plan at iters=4 whose analysis cost
+      // dwarfs the 25-row data (same lesson as the CC loops, at the
+      // plan level rather than the lineage level).
       a = normalize(share
         .join(broadcast(h.withColumnRenamed("node", "src")), Seq("src"))
         .select(col("dst").as("node"),
           expr("(share * v) DIV 1000000L").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("v")))
+        .localCheckpoint()
       h = normalize(share
         .join(broadcast(a.withColumnRenamed("node", "dst")), Seq("dst"))
         .select(col("src").as("node"),
           expr("(share * v) DIV 1000000L").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("v")))
+        .localCheckpoint()
     }
     h.withColumnRenamed("v", "hub_units")
       .join(a.withColumnRenamed("v", "auth_units"), Seq("node"))

@@ -132,11 +132,11 @@ class PlanGuardSpec extends SparkSpec {
     // one (lang, word) count exchange
     "q_ordinal_assoc" -> 3, "q_logrank" -> 3, "q_cochran_armitage" -> 2,
     "q_lexical_richness" -> 3,
-    // network trio: assortativity is three keyed aggregates; HITS pays
-    // one bounded per-node aggregate per half-iteration (scores are
-    // BROADCAST onto the persisted share table — a join exchange here
-    // means a lost hint); modularity's exchanges all move nation rows
-    "q_assortativity" -> 3, "q_hits" -> 10, "q_modularity" -> 8)
+    // network trio: assortativity is three keyed aggregates; HITS
+    // iterates via eager localCheckpoints during build, so the
+    // RETURNED plan is just the converged join + sort; modularity's
+    // exchanges all move nation rows
+    "q_assortativity" -> 3, "q_hits" -> 1, "q_modularity" -> 8)
 
   test("headline queries stay within their pinned shuffle budgets") {
     val over = shuffleBudget.flatMap { case (name, budget) =>
