@@ -139,6 +139,8 @@ object PlanAudit {
     "q_assortativity" -> "distinct edge projection persisted; two degree aggregates join back by key; one moment aggregate — no pair stream, no window",
     "q_hits" -> "returned plan reads the converged localCheckpoint score relations (one join + sort); the half-iterations' bounded aggregates never appear in the result plan",
     "q_modularity" -> "fact collapses to the undirected nation edge set once; region joins broadcast the 25-row dim; contributions are 5-row arithmetic",
+    "q_label_prop" -> "returned plan reads the converged localCheckpoint label relation (size join + sort); each sync round was one vote aggregate + packed argmax over the bounded adjacency",
+    "q_hodges_lehmann" -> "ONE fact aggregate to the persisted monthly relation; Walsh pair join and both medians exchange month rows only",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1078,8 +1078,53 @@ object Evaluate {
       |  END AS simpson_ix
       |FROM g ORDER BY lang""".stripMargin
 
+  /** G28 — Hodges-Lehmann robust location estimate: the median of all
+    * Walsh averages (yᵢ+yⱼ)/2, i ≤ j — the location estimator behind
+    * the Wilcoxon signed-rank test, robust like the median but ~1.5×
+    * more efficient at the normal. Per flag over the bounded monthly
+    * revenue series: pair SUMS stay exact bigints (the ÷2 moves to the
+    * end), the interpolated median of integers lands on exact .5
+    * steps in double, and the emitted dollars are two exactly-rounded
+    * divisions. The plain median rides along — HL ≠ median is the
+    * skewness signal the estimator exists to resist. */
+  def hodgesLehmann(s: SparkSession, dir: String): DataFrame = {
+    val m = monthlySeries(s, dir)
+      .persistScoped() // pair self-join + plain-median pass
+    val a = m.select(col("l_returnflag"), col("mon").as("ma"), col("x").as("xa"))
+    val b = m.select(col("l_returnflag"), col("mon").as("mb"), col("x").as("xb"))
+    val walsh = a.join(b, Seq("l_returnflag")).filter(col("ma") <= col("mb"))
+      .select(col("l_returnflag"), (col("xa") + col("xb")).as("s2"))
+    val hl = walsh.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(s2, 0.5D)").as("p2"))
+    val med = m.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(x, 0.5D)").as("pm"))
+    hl.join(med, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_pairs"),
+        round(col("p2") / 200.0, 6).as("hl_dollars"),
+        round(col("pm") / 100.0, 6).as("median_dollars"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val hodgesLehmannSql: String =
+    s"""WITH $monthlySeriesCte,
+      |walsh AS (SELECT a.l_returnflag, a.x + b.x AS s2
+      |          FROM m a JOIN m b
+      |            ON a.l_returnflag = b.l_returnflag AND a.mon <= b.mon),
+      |hl AS (SELECT l_returnflag, count(*) AS n_pairs,
+      |         quantile_cont(s2, 0.5) AS p2
+      |       FROM walsh GROUP BY 1),
+      |md AS (SELECT l_returnflag, quantile_cont(x, 0.5) AS pm
+      |       FROM m GROUP BY 1)
+      |SELECT hl.l_returnflag, hl.n_pairs,
+      |  round(hl.p2 / 200.0, 6) AS hl_dollars,
+      |  round(md.pm / 100.0, 6) AS median_dollars
+      |FROM hl JOIN md USING (l_returnflag)
+      |ORDER BY hl.l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kendall_tau" -> (kendallTau _),
+    "q_hodges_lehmann" -> (hodgesLehmann _),
     "q_ordinal_assoc" -> (ordinalAssoc _),
     "q_logrank" -> (logrank _),
     "q_cochran_armitage" -> (cochranArmitage _),
@@ -1099,6 +1144,7 @@ object Evaluate {
 
   val oracle: Map[String, String] = Map(
     "q_kendall_tau" -> kendallTauSql,
+    "q_hodges_lehmann" -> hodgesLehmannSql,
     "q_ordinal_assoc" -> ordinalAssocSql,
     "q_logrank" -> logrankSql,
     "q_cochran_armitage" -> cochranArmitageSql,

@@ -318,15 +318,116 @@ object Network {
       |  FROM per)
       |ORDER BY region_key""".stripMargin
 
+  /** W44 — label-propagation community detection: K synchronous
+    * rounds of "adopt the label carrying the most incident edge
+    * weight" over the undirected nation trade graph — the cheap
+    * community detector whose output q_modularity (W43) is built to
+    * score. Determinism: the per-node vote is ONE integer argmax —
+    * candidate labels pack as `wsum·128 + (127 − label)` (labels are
+    * require'd < 128; nations are 25), so max(pack) IS the
+    * weight-argmax with ties breaking to the SMALLEST label, and a
+    * self-vote of weight 1 damps the two-coloring oscillation plain
+    * synchronous LPA exhibits on near-bipartite graphs. K is fixed
+    * (unrolled in the oracle), not run to a fixpoint: LPA has no
+    * monotone fixpoint certificate, so a checked-convergence loop
+    * could legitimately never terminate — fixed-round LPA is the
+    * honest distributed form. Output: each nation's community label
+    * after K rounds plus the community size. */
+  def labelProp(s: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val und = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("u"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
+      .agg(count(lit(1)).as("w"))
+    // both directions from ONE pass over the fact collapse (a union of
+    // two selects would scan the 4-way join twice inside the
+    // checkpoint job); bounded (<= 2|nations|^2 rows)
+    val adj = und.select(explode(array(
+        struct(col("u").as("node"), col("v").as("nb"), col("w")),
+        struct(col("v").as("node"), col("u").as("nb"), col("w")))).as("e"))
+      .select(col("e.node").as("node"), col("e.nb").as("nb"),
+        col("e.w").as("w"))
+      .localCheckpoint() // iterated over
+
+    val nodes = Tables.nation(s, dir).select(col("n_nationkey").as("node"))
+    require(rounds >= 1, "label propagation needs at least one round")
+    var lab = nodes.withColumn("lab", col("node"))
+    for (_ <- 1 to rounds) {
+      // neighbor votes (weight w per edge) plus the self-vote (weight
+      // 1); argmax-with-min-label-tie as ONE packed integer max
+      val votes = adj
+        .join(broadcast(lab.withColumnRenamed("node", "nb")), Seq("nb"))
+        .select(col("node"), col("lab"), col("w"))
+        .unionAll(lab.select(col("node"), col("lab"), lit(1L).as("w")))
+        .groupBy(col("node"), col("lab"))
+        .agg(sum(col("w")).as("wsum"))
+      lab = votes
+        .groupBy(col("node"))
+        .agg(max(col("wsum") * 128 + (lit(127) - col("lab"))).as("pack"))
+        .select(col("node"),
+          (lit(127) - pmod(col("pack"), lit(128))).cast("int").as("lab"))
+        .localCheckpoint() // truncate the per-round plan growth
+    }
+    val sizes = lab.groupBy(col("lab")).agg(count(lit(1)).as("community_size"))
+    lab.join(broadcast(sizes), Seq("lab"))
+      .select(col("node"), col("lab").as("community"), col("community_size"))
+      .orderBy(col("node"))
+  }
+
+  /** Oracle: the same `rounds` synchronous updates unrolled — one
+    * vote aggregate + one packed argmax per round, MATERIALIZED. */
+  def labelPropSql(rounds: Int = 4): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""v$i AS MATERIALIZED (SELECT node, lab,
+         |    CAST(sum(w) AS BIGINT) AS wsum FROM (
+         |    SELECT a.node, l.lab, a.w
+         |    FROM adj a JOIN l${i - 1} l ON a.nb = l.node
+         |    UNION ALL SELECT node, lab, 1 AS w FROM l${i - 1})
+         |  GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT node,
+         |    CAST(127 - max(wsum * 128 + (127 - lab)) % 128 AS INT) AS lab
+         |  FROM v$i GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH und AS MATERIALIZED (SELECT least(c_nationkey, s_nationkey) AS u,
+      |    greatest(c_nationkey, s_nationkey) AS v, count(*) AS w
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE c_nationkey <> s_nationkey
+      |  GROUP BY 1, 2),
+      |adj AS MATERIALIZED (SELECT u AS node, v AS nb, w FROM und
+      |       UNION ALL SELECT v, u, w FROM und),
+      |l0 AS MATERIALIZED (SELECT n_nationkey AS node,
+      |       CAST(n_nationkey AS INT) AS lab FROM nation),
+      |$steps,
+      |sz AS (SELECT lab, count(*) AS community_size FROM l$rounds
+      |       GROUP BY lab)
+      |SELECT l.node, l.lab AS community, sz.community_size
+      |FROM l$rounds l JOIN sz USING (lab)
+      |ORDER BY l.node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_assortativity" -> (assortativity _),
     "q_hits" -> ((s: SparkSession, d: String) => hits(s, d)),
     "q_modularity" -> (modularity _),
+    "q_label_prop" -> ((s: SparkSession, d: String) => labelProp(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
     "q_assortativity" -> assortativitySql,
     "q_hits" -> hitsSql(),
     "q_modularity" -> modularitySql,
+    "q_label_prop" -> labelPropSql(),
   )
 }

@@ -27,10 +27,10 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(mapper.readTree(line).get("queries").size() == results.size)
     // Soft budget only: the load-bearing property is the tail check
     // below (the driver keeps the END of stdout, and the full line is
-    // always persisted to BENCH_LOCAL.json anyway). 210 queries at
-    // worst-case 3-decimal widths is ~5.7k chars; headroom for the
-    // next round's inventory growth.
-    assert(line.length < 9000, s"line is ${line.length} chars — capture window risk")
+    // always persisted to BENCH_LOCAL.json anyway). 358 queries at
+    // worst-case 3-decimal widths is ~9.1k chars; headroom for the
+    // next rounds' inventory growth.
+    assert(line.length < 13000, s"line is ${line.length} chars — capture window risk")
     // head truncation is the observed failure mode; the summary fields
     // must sit in the LAST 200 chars so a tail capture always has them
     val tail = line.takeRight(200)

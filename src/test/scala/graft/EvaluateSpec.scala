@@ -242,6 +242,32 @@ class EvaluateSpec extends SparkSpec {
     }
   }
 
+  test("hodges-lehmann matches a driver-side Walsh-average recompute") {
+    val out = queries.Evaluate.hodgesLehmann(spark, sfDir).collect()
+    assert(out.length == 3)
+    val series = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), date_trunc("month", col("l_shipdate")))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")).as("x"))
+      .collect().groupBy(_.getString(0))
+    def medianOf(xs: Seq[Long]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2).toDouble
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    out.foreach { r =>
+      val ys = series(r.getString(0)).map(_.getLong(2))
+      val walsh = for (i <- ys.indices; j <- ys.indices if i <= j)
+        yield ys(i) + ys(j)
+      assert(r.getLong(1) == walsh.length.toLong)
+      val wantHl = math.rint(medianOf(walsh) / 200.0 * 1e6) / 1e6
+      assert(math.abs(r.getDouble(2) - wantHl) <= 1e-9,
+        s"${r.getString(0)}: hl ${r.getDouble(2)} != $wantHl")
+      val wantMed = math.rint(medianOf(ys) / 100.0 * 1e6) / 1e6
+      assert(math.abs(r.getDouble(3) - wantMed) <= 1e-9)
+    }
+  }
+
   test("ordinal association: gamma/somers agree in sign with tau and dominate it in magnitude") {
     val tau = queries.Evaluate.kendallTau(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(4)).toMap

@@ -77,6 +77,43 @@ class NetworkSpec extends SparkSpec {
     }
   }
 
+  test("label propagation: exact integer replay of the synchronous rounds agrees") {
+    val out = queries.Network.labelProp(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val und = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("u"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
+      .count()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val adj = und.flatMap { case (u, v, w) => Seq((u, v, w), (v, u, w)) }
+    val nodes = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey")).collect().map(_.getInt(0))
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      val votes = scala.collection.mutable.Map
+        .empty[(Int, Int), Long].withDefaultValue(0L)
+      adj.foreach { case (n, nb, w) => votes((n, lab(nb))) += w }
+      nodes.foreach(n => votes((n, lab(n))) += 1L)
+      lab = votes.toSeq.groupBy(_._1._1).map { case (n, vs) =>
+        val best = vs.map { case ((_, l), w) => w * 128 + (127 - l) }.max
+        n -> (127 - (best % 128)).toInt
+      }
+    }
+    val sizes = lab.values.groupBy(identity).map { case (l, xs) => l -> xs.size }
+    out.foreach { r =>
+      val n = r.getInt(0)
+      assert(r.getInt(1) == lab(n), s"community($n): ${r.getInt(1)} != ${lab(n)}")
+      assert(r.getLong(2) == sizes(lab(n)).toLong)
+    }
+  }
+
   test("modularity: degree conservation and the ALL row sums the region contributions") {
     val out = queries.Network.modularity(spark, sfDir).collect()
     val (all, regions) = out.partition(_.getInt(0) == -1)

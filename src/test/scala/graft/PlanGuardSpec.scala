@@ -136,7 +136,11 @@ class PlanGuardSpec extends SparkSpec {
     // iterates via eager localCheckpoints during build, so the
     // RETURNED plan is just the converged join + sort; modularity's
     // exchanges all move nation rows
-    "q_assortativity" -> 3, "q_hits" -> 1, "q_modularity" -> 8)
+    "q_assortativity" -> 3, "q_hits" -> 1, "q_modularity" -> 8,
+    // label propagation iterates via checkpoints like HITS (returned
+    // plan = size join + sort); Hodges-Lehmann is the kendall census
+    // shape (persisted month relation + pair join + median)
+    "q_label_prop" -> 2, "q_hodges_lehmann" -> 3)
 
   test("headline queries stay within their pinned shuffle budgets") {
     val over = shuffleBudget.flatMap { case (name, budget) =>
