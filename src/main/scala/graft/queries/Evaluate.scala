@@ -37,7 +37,7 @@ object Evaluate {
           .cast("bigint")).as("y"))
 
   private val monthlySeriesCte: String =
-    """m AS (SELECT l_returnflag, date_trunc('month', l_shipdate) AS mon,
+    """m AS MATERIALIZED (SELECT l_returnflag, date_trunc('month', l_shipdate) AS mon,
       |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
       |      AS BIGINT)) AS BIGINT) AS x,
       |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
@@ -231,9 +231,9 @@ object Evaluate {
 
   val acfSql: String =
     s"""WITH $monthlySeriesCte,
-      |st AS (SELECT l_returnflag, count(*) AS n,
+      |st AS MATERIALIZED (SELECT l_returnflag, count(*) AS n,
       |         CAST(sum(x) AS BIGINT) AS sx FROM m GROUP BY 1),
-      |c AS (SELECT m.l_returnflag, st.n,
+      |c AS MATERIALIZED (SELECT m.l_returnflag, st.n,
       |        row_number() OVER (PARTITION BY m.l_returnflag
       |          ORDER BY m.mon) AS rn,
       |        CAST(st.n * m.x - st.sx AS BIGINT) AS c
@@ -281,7 +281,11 @@ object Evaluate {
         sum(col("sj")).as("s"), sum(col("qj")).as("sumq"),
         sum(col("sxx")).as("sumxx"))
       .select(col("k"), col("n"),
-        (col("sumq") - expr("CAST(s AS DECIMAL(38,0)) * s div n"))
+        // clamp at 0: the per-group ⌊S²/n⌋ floors each lose <1 unit,
+        // so near-equal group means can land the raw difference in
+        // [-k, 0) — a negative F is impossible and must read 0
+        greatest(lit(0L),
+          col("sumq") - expr("CAST(s AS DECIMAL(38,0)) * s div n"))
           .as("ssb"),
         (col("sumxx").cast("decimal(38,0)") - col("sumq"))
           .cast("bigint").as("ssw"),
@@ -310,12 +314,14 @@ object Evaluate {
       |        CAST(sum(sj) AS BIGINT) AS s, sum(qj) AS sumq,
       |        sum(sxx) AS sumxx FROM q)
       |SELECT k, n,
-      |  CAST(sumq - CAST(s AS HUGEINT) * s // n AS BIGINT) AS ssb,
+      |  greatest(CAST(0 AS BIGINT),
+      |    CAST(sumq - CAST(s AS HUGEINT) * s // n AS BIGINT)) AS ssb,
       |  CAST(sumxx - sumq AS BIGINT) AS ssw,
       |  CASE WHEN k <= 1 OR n <= k
       |         OR CAST(sumxx - sumq AS BIGINT) <= 0 THEN 0.0
       |       ELSE round(
-      |         (CAST(CAST(sumq - CAST(s AS HUGEINT) * s // n AS BIGINT)
+      |         (CAST(greatest(CAST(0 AS BIGINT),
+      |            CAST(sumq - CAST(s AS HUGEINT) * s // n AS BIGINT))
       |            AS DOUBLE) / (k - 1)) /
       |         (CAST(CAST(sumxx - sumq AS BIGINT) AS DOUBLE) / (n - k)), 6)
       |  END AS f_stat
@@ -357,7 +363,7 @@ object Evaluate {
   }
 
   val brownForsytheSql: String = anovaFSql(
-    """WITH x4 AS (SELECT c_mktsegment AS g,
+    """WITH x4 AS MATERIALIZED (SELECT c_mktsegment AS g,
       |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 400 AS BIGINT) AS v4
       |  FROM customer),
       |md AS (SELECT g, quantile_cont(v4, 0.5) AS med4 FROM x4 GROUP BY g),
@@ -387,7 +393,7 @@ object Evaluate {
   /** DuckDB twin of [[labeledTopK]]: CTE `r` = (probe_id, rnk, pl,
     * rel). */
   private def labeledTopKCte(k: Int): String =
-    s"""n AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+    s"""n AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
       |             CAST(embedding AS DOUBLE[]) AS e,
       |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
       |               CAST(embedding AS DOUBLE[]))) AS nrm
@@ -523,13 +529,13 @@ object Evaluate {
   }
 
   val copelandSql: String =
-    """WITH ls AS (SELECT lang, source,
+    """WITH ls AS MATERIALIZED (SELECT lang, source,
       |    CAST(sum(len(list_distinct(w))) AS BIGINT) AS sw,
       |    count(*) AS nd
       |  FROM (SELECT lang, source, string_split(text, ' ') AS w
       |        FROM documents)
       |  WHERE len(w) > 0 GROUP BY 1, 2),
-      |duels AS (SELECT a.source AS u, b.source AS v,
+      |duels AS MATERIALIZED (SELECT a.source AS u, b.source AS v,
       |            CAST(sum(CASE WHEN a.sw * b.nd > b.sw * a.nd
       |                     THEN 1 ELSE 0 END) AS BIGINT) AS wins
       |          FROM ls a JOIN ls b
@@ -598,7 +604,7 @@ object Evaluate {
   }
 
   val adamicAdarSql: String =
-    """WITH e0 AS (SELECT DISTINCT
+    """WITH e0 AS MATERIALIZED (SELECT DISTINCT
       |    least(c.c_nationkey, s.s_nationkey) AS u,
       |    greatest(c.c_nationkey, s.s_nationkey) AS v
       |  FROM lineitem l
@@ -606,7 +612,7 @@ object Evaluate {
       |  JOIN customer c ON o.o_custkey = c.c_custkey
       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |  WHERE c.c_nationkey <> s.s_nationkey),
-      |adj AS (SELECT u AS node, v AS nb FROM e0
+      |adj AS MATERIALIZED (SELECT u AS node, v AS nb FROM e0
       |        UNION ALL SELECT v, u FROM e0),
       |wz AS (SELECT nb, CAST(floor(1e12 / log2(CAST(count(*) AS DOUBLE)))
       |           AS BIGINT) AS wq
@@ -762,7 +768,7 @@ object Evaluate {
   }
 
   val jackknifeRatioSql: String =
-    """WITH li AS (SELECT l_returnflag,
+    """WITH li AS MATERIALIZED (SELECT l_returnflag,
       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS a,
       |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS b
       |  FROM lineitem),

@@ -17,6 +17,42 @@ import graft.Caches.PersistScoped
   */
 object Network {
 
+  /** The directed nation trade graph's fact collapse (customer-nation,
+    * supplier-nation) — the ONE 4-way join hits/modularity/labelProp
+    * all start from (shared so the three graph builds cannot drift). */
+  private def tradeJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+  }
+
+  /** Undirected weighted nation graph: self-loops dropped, endpoints
+    * ordered, weight = lineitem count. */
+  private def undirectedTradeGraph(s: SparkSession, dir: String): DataFrame =
+    tradeJoin(s, dir)
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("u"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
+      .agg(count(lit(1)).as("w"))
+
+  /** DuckDB twin of [[undirectedTradeGraph]] (CTE body, no WITH). */
+  private val undirectedTradeCte: String =
+    """SELECT least(c_nationkey, s_nationkey) AS u,
+      |    greatest(c_nationkey, s_nationkey) AS v, count(*) AS w
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE c_nationkey <> s_nationkey
+      |  GROUP BY 1, 2""".stripMargin
+
   /** W41 — bipartite degree assortativity: the Pearson correlation
     * between part-degree and supplier-degree across the distinct
     * (part, supplier) supply edges — positive means busy suppliers
@@ -102,25 +138,18 @@ object Network {
     * every round is pure integer algebra, so `iters` rounds are
     * bit-identical to the oracle's unrolled CTEs. */
   def hits(s: SparkSession, dir: String, iters: Int = 4): DataFrame = {
-    val cust = Tables.customer(s, dir)
-      .select(col("c_custkey"), col("c_nationkey"))
-    val supp = Tables.supplier(s, dir)
-      .select(col("s_suppkey"), col("s_nationkey"))
-    val edges = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    // the directed fact collapse has exactly ONE reader (the share
+    // projection below) — only share, which the iteration re-reads
+    // twice per round, earns a persist
+    val edges = tradeJoin(s, dir)
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
-      .persistScoped() // iterated over; metadata-scale (<= |nations|^2)
     val share = edges
       .withColumn("wtot", sum(col("w")).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(col("src"), col("dst"),
         expr("(w * 1000000L) DIV wtot").as("share"))
-      .persistScoped() // read 2x per iteration
+      .persistScoped() // iterated over; metadata-scale (<= |nations|^2)
     val nations = Tables.nation(s, dir).select(col("n_nationkey").as("node"))
     def normalize(raw: DataFrame): DataFrame = {
       // max-normalize to 1e12 units: the max is a 1-row broadcast
@@ -221,20 +250,7 @@ object Network {
     * Near 0 = regions don't structure trade; the SAME query run on a
     * detected community assignment is the standard acceptance gate. */
   def modularity(s: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.customer(s, dir)
-      .select(col("c_custkey"), col("c_nationkey"))
-    val supp = Tables.supplier(s, dir)
-      .select(col("s_suppkey"), col("s_nationkey"))
-    val pairs = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .filter(col("c_nationkey") =!= col("s_nationkey"))
-      .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("u"),
-        greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
-      .agg(count(lit(1)).as("w"))
+    val pairs = undirectedTradeGraph(s, dir)
       .persistScoped() // degree census + intra-region census
     val nreg = Tables.nation(s, dir)
       .select(col("n_nationkey").as("nk"), col("n_regionkey").as("rk"))
@@ -277,14 +293,7 @@ object Network {
   }
 
   val modularitySql: String =
-    """WITH p0 AS MATERIALIZED (SELECT least(c_nationkey, s_nationkey) AS u,
-      |    greatest(c_nationkey, s_nationkey) AS v, count(*) AS w
-      |  FROM lineitem
-      |  JOIN orders ON l_orderkey = o_orderkey
-      |  JOIN customer ON o_custkey = c_custkey
-      |  JOIN supplier ON l_suppkey = s_suppkey
-      |  WHERE c_nationkey <> s_nationkey
-      |  GROUP BY 1, 2),
+    s"""WITH p0 AS MATERIALIZED ($undirectedTradeCte),
       |wr AS MATERIALIZED (SELECT p0.u, p0.v, p0.w, nu.n_regionkey AS ru,
       |         nv.n_regionkey AS rv
       |       FROM p0 JOIN nation nu ON p0.u = nu.n_nationkey
@@ -334,20 +343,7 @@ object Network {
     * honest distributed form. Output: each nation's community label
     * after K rounds plus the community size. */
   def labelProp(s: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
-    val cust = Tables.customer(s, dir)
-      .select(col("c_custkey"), col("c_nationkey"))
-    val supp = Tables.supplier(s, dir)
-      .select(col("s_suppkey"), col("s_nationkey"))
-    val und = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .filter(col("c_nationkey") =!= col("s_nationkey"))
-      .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("u"),
-        greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
-      .agg(count(lit(1)).as("w"))
+    val und = undirectedTradeGraph(s, dir)
     // both directions from ONE pass over the fact collapse (a union of
     // two selects would scan the 4-way join twice inside the
     // checkpoint job); bounded (<= 2|nations|^2 rows)
@@ -360,6 +356,13 @@ object Network {
 
     val nodes = Tables.nation(s, dir).select(col("n_nationkey").as("node"))
     require(rounds >= 1, "label propagation needs at least one round")
+    // the packed argmax (wsum·128 + (127 − label)) aliases silently if
+    // a label reaches 128 — enforce the bound for real (metadata-scale
+    // check: the node relation is the 25-row nation dim)
+    val maxNode = nodes.agg(max(col("node"))).head().getInt(0)
+    require(maxNode < 128,
+      s"labelProp's 128-way label packing needs node ids < 128, max is " +
+        s"$maxNode — widen the pack factor for a larger node domain")
     var lab = nodes.withColumn("lab", col("node"))
     for (_ <- 1 to rounds) {
       // neighbor votes (weight w per edge) plus the self-vote (weight
@@ -397,14 +400,7 @@ object Network {
          |    CAST(127 - max(wsum * 128 + (127 - lab)) % 128 AS INT) AS lab
          |  FROM v$i GROUP BY node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH und AS MATERIALIZED (SELECT least(c_nationkey, s_nationkey) AS u,
-      |    greatest(c_nationkey, s_nationkey) AS v, count(*) AS w
-      |  FROM lineitem
-      |  JOIN orders ON l_orderkey = o_orderkey
-      |  JOIN customer ON o_custkey = c_custkey
-      |  JOIN supplier ON l_suppkey = s_suppkey
-      |  WHERE c_nationkey <> s_nationkey
-      |  GROUP BY 1, 2),
+    s"""WITH und AS MATERIALIZED ($undirectedTradeCte),
       |adj AS MATERIALIZED (SELECT u AS node, v AS nb, w FROM und
       |       UNION ALL SELECT v, u, w FROM und),
       |l0 AS MATERIALIZED (SELECT n_nationkey AS node,

@@ -54,8 +54,8 @@ object ShuffleWidthSpec {
     // partition order; mrr rides the bounded-heap top-k whose merge
     // order varies with layout; logrank's quantized expectation sums
     // and the richness decimal sums must be layout-free too
-    "q_jackknife_ratio", "q_kendall_tau", "q_mrr", "q_logrank",
-    "q_lexical_richness",
+    "q_jackknife_ratio", "q_kendall_tau", "q_mrr", "q_precision_at_k",
+    "q_logrank", "q_lexical_richness",
     // the HITS fixed-point iterates integer aggregates whose partial
     // merges happen in layout order; the converged units must not
     "q_hits")
