@@ -358,8 +358,10 @@ object Network {
     require(rounds >= 1, "label propagation needs at least one round")
     // the packed argmax (wsum·128 + (127 − label)) aliases silently if
     // a label reaches 128 — enforce the bound for real (metadata-scale
-    // check: the node relation is the 25-row nation dim)
-    val maxNode = nodes.agg(max(col("node"))).head().getInt(0)
+    // check: the node relation is the 25-row nation dim; an EMPTY node
+    // table reads max = NULL and vacuously passes)
+    val maxNode = Option(nodes.agg(max(col("node"))).head().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(-1)
     require(maxNode < 128,
       s"labelProp's 128-way label packing needs node ids < 128, max is " +
         s"$maxNode — widen the pack factor for a larger node domain")
