@@ -141,6 +141,8 @@ object PlanAudit {
     "q_modularity" -> "fact collapses to the undirected nation edge set once; region joins broadcast the 25-row dim; contributions are 5-row arithmetic",
     "q_label_prop" -> "returned plan reads the converged localCheckpoint label relation (size join + sort); each sync round was one vote aggregate + packed argmax over the bounded adjacency",
     "q_hodges_lehmann" -> "ONE fact aggregate to the persisted monthly relation; Walsh pair join and both medians exchange month rows only",
+    "q_precision_at_k" -> "probes are a fixed-size TakeOrdered prefix (never grows with corpus); candidate scoring is the shared heap-aggregate top-k; P/R@5 is a bounded per-probe aggregate",
+    "q_readability" -> "one narrow per-doc projection (word/sentence/syllable censuses as codegen'd split-size + regexp_count), one partial/final language aggregate — single exchange before the final sort",
   )
 
   def main(args: Array[String]): Unit = {

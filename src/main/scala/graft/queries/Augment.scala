@@ -180,7 +180,7 @@ object Augment {
       |FROM dau JOIN mau ON dau.day = mau.day
       |ORDER BY dau.day""".stripMargin
 
-  /** B20 — funnel step latency: per user, first signup to first
+  /** B23 — funnel step latency: per user, first signup to first
     * subsequent purchase; the output is the conversion-latency
     * quantile profile (exact interpolated p25/p50/p75 over epoch-
     * microsecond deltas — exact integers) plus the converted-user

@@ -286,7 +286,7 @@ object Curate {
       |GROUP BY o.o_orderpriority
       |ORDER BY priority""".stripMargin
 
-  /** D7 — correlated LATERAL subquery: each customer's top-2 orders
+  /** D10 — correlated LATERAL subquery: each customer's top-2 orders
     * by value through the SQL-standard lateral form (the per-row
     * table subquery a window-function top-k expresses relationally —
     * T2 is the DataFrame twin; this is the dialect surface a SQL user

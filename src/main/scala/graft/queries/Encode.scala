@@ -76,7 +76,7 @@ object Encode {
       |FROM lv CROSS JOIN tot
       |GROUP BY 1 ORDER BY level_out""".stripMargin
 
-  /** E15 — Tukey-fence (1.5×IQR) outlier audit: per return flag, the
+  /** E26 — Tukey-fence (1.5×IQR) outlier audit: per return flag, the
     * exact interpolated quartiles of extended price, the derived
     * fences, and how many rows fall outside them — the standard
     * robust pre-training outlier screen (the fence variant of

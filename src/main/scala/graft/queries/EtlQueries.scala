@@ -627,7 +627,7 @@ object EtlQueries {
       |  CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k
       |FROM p GROUP BY is_corrupt ORDER BY is_corrupt""".stripMargin
 
-  /** S13 — the library's OWN DataSource V2 connector
+  /** S15 — the library's OWN DataSource V2 connector
     * ([[graft.sources.RangeSource]]): a deterministic PK-ranged table
     * served in stride-sized input partitions — the reference's ranged
     * batching (A1/A14) as a first-class connector. The query reads a

@@ -44,7 +44,7 @@ object Evaluate {
       |      AS BIGINT)) AS BIGINT) AS y
       |  FROM lineitem GROUP BY 1, 2)""".stripMargin
 
-  /** G26 — Kendall τ-b rank correlation: the CONCORDANCE companion to
+  /** G30 — Kendall τ-b rank correlation: the CONCORDANCE companion to
     * Spearman (G10) — per return flag, do monthly revenue and monthly
     * quantity move together pair-by-pair? Concordant/discordant/tied
     * pair counts come from the flag-keyed month self-join (≤3.5k pairs
@@ -139,7 +139,7 @@ object Evaluate {
       |  END AS tau
       |FROM d ORDER BY l_returnflag""".stripMargin
 
-  /** G27 — ordinal association family (Goodman-Kruskal γ, Somers' D):
+  /** G32 — ordinal association family (Goodman-Kruskal γ, Somers' D):
     * the two tie-handling alternatives to τ-b over the SAME
     * concordance census — γ ignores ties entirely ((C−D)/(C+D), the
     * measure for heavily-tied ordinal scales), Somers' D conditions on
@@ -327,7 +327,7 @@ object Evaluate {
       |  END AS f_stat
       |FROM t""".stripMargin
 
-  /** W32 — one-way ANOVA: does mean account balance differ across
+  /** W50 — one-way ANOVA: does mean account balance differ across
     * market segments? The F readout over customer balance cents —
     * the k-group generalization of the two-sample t (W19/W39 family).
     * One fact aggregate to k=5 group rows; see [[anovaF]] for the
@@ -342,7 +342,7 @@ object Evaluate {
       |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
       |  FROM customer)""".stripMargin)
 
-  /** W33 — Brown-Forsythe homogeneity-of-variance test: ANOVA's
+  /** W51 — Brown-Forsythe homogeneity-of-variance test: ANOVA's
     * gatekeeper — W32's F assumes equal group variances; this tests
     * that assumption by running the SAME F machinery on absolute
     * deviations from each group's MEDIAN (the Brown-Forsythe robust
@@ -409,7 +409,7 @@ object Evaluate {
       |            FROM scored)
       |      WHERE rnk <= $k)""".stripMargin
 
-  /** L25 — mean reciprocal rank (MRR@10): the first-hit metric next to
+  /** L36 — mean reciprocal rank (MRR@10): the first-hit metric next to
     * NDCG's graded gain — per probe, 1/rank of the FIRST relevant
     * neighbor in the exact cosine top-10 (0 when none), plus the
     * corpus MRR as the probe_id = −1 summary row. Reciprocals are
@@ -449,7 +449,7 @@ object Evaluate {
       |ORDER BY probe_id""".stripMargin
   }
 
-  /** L29 — precision/recall@5: the set-overlap retrieval readout next
+  /** L37 — precision/recall@5: the set-overlap retrieval readout next
     * to NDCG (rank-weighted) and MRR (first hit) — per probe,
     * |relevant ∩ top-5|/5 and /|relevant in corpus| (the probe's
     * cluster size minus itself). Both are single exactly-rounded
@@ -486,7 +486,7 @@ object Evaluate {
       |  END AS r_at_5
       |FROM pp JOIN cs USING (pl) ORDER BY pp.probe_id""".stripMargin
 
-  /** W34 — Copeland pairwise-preference aggregation: the tournament
+  /** W52 — Copeland pairwise-preference aggregation: the tournament
     * rule that turns per-context pairwise comparisons into one global
     * ranking — the shape of LLM-eval leaderboards built from pairwise
     * preference judgments. Contexts are languages; source a beats
@@ -555,7 +555,7 @@ object Evaluate {
       |    AS INT) AS rank
       |FROM sc ORDER BY rank""".stripMargin
 
-  /** W36 — Adamic-Adar link scoring: common-neighbor similarity that
+  /** W53 — Adamic-Adar link scoring: common-neighbor similarity that
     * discounts promiscuous hubs — the classic link-prediction feature
     * over the nation trade graph (edge = any customer in u buys from
     * any supplier in v). Per node pair, AA = Σ_z 1/log₂(deg z) over
@@ -627,7 +627,7 @@ object Evaluate {
       |FROM p LEFT JOIN e0 ON e0.u = p.u AND e0.v = p.v
       |ORDER BY p.u, p.v""".stripMargin
 
-  /** L27 — Flesch reading-ease profile: the readability member of the
+  /** L38 — Flesch reading-ease profile: the readability member of the
     * text-quality family (L4) — per language, 206.835 − 1.015·(W/S) −
     * 84.6·(SYL/W) over corpus-aggregate word / sentence / syllable
     * counts (sentence ≈ terminal-punctuation runs, syllable ≈ vowel
@@ -675,7 +675,7 @@ object Evaluate {
       |    CAST(84.6 AS DOUBLE) * syllables / words, 4) AS fre
       |FROM g ORDER BY lang""".stripMargin
 
-  /** C11 — Horvitz-Thompson estimation under unequal-probability
+  /** C13 — Horvitz-Thompson estimation under unequal-probability
     * sampling: the DESIGN-BASED estimator that makes a biased sample
     * unbiased — orders sample at π = 1/10 (low-value), 1/2 (mid), 1
     * (high-value certainty stratum) on the deterministic md5 coin, and
@@ -730,7 +730,7 @@ object Evaluate {
       |    CAST(sum(cents) AS DOUBLE), 6) AS rel_err
       |FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** G25 — delete-one jackknife variance of a ratio estimator: the
+  /** G31 — delete-one jackknife variance of a ratio estimator: the
     * standard error a plain variance formula CANNOT give for
     * R = Σrev/Σqty (a ratio of two correlated totals) — each row's
     * leave-one-out replicate R₍ᵢ₎ = (S_a−aᵢ)/(S_b−bᵢ) is one narrow
@@ -749,8 +749,13 @@ object Evaluate {
         sum(col("b")).as("sb"))
     li.join(broadcast(tot), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n"), col("sa"), col("sb"),
-        expr("CAST(floor(CAST(sa - a AS DOUBLE) / CAST(sb - b AS DOUBLE)" +
-          " * 1e9) AS BIGINT)").as("q"))
+        // a one-row group (or a row owning its group's whole quantity
+        // total) makes sb - b = 0: Spark would cast the Infinity
+        // replicate to Long.MaxValue while DuckDB errors on
+        // CAST(inf AS BIGINT) — emit 0 in BOTH engines instead
+        expr("CASE WHEN sb - b > 0 THEN CAST(floor(CAST(sa - a AS DOUBLE)" +
+          " / CAST(sb - b AS DOUBLE) * 1e9) AS BIGINT)" +
+          " ELSE CAST(0 AS BIGINT) END").as("q"))
       .groupBy(col("l_returnflag"), col("n"), col("sa"), col("sb"))
       .agg(sum(col("q").cast("decimal(38,0)")).as("sq"),
         sum((col("q").cast("decimal(38,0)") * col("q"))
@@ -776,8 +781,10 @@ object Evaluate {
       |          CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb
       |        FROM li GROUP BY 1),
       |q AS (SELECT li.l_returnflag, t.n, t.sa, t.sb,
-      |        CAST(floor(CAST(t.sa - li.a AS DOUBLE) /
-      |          CAST(t.sb - li.b AS DOUBLE) * 1e9) AS BIGINT) AS q
+      |        CASE WHEN t.sb - li.b > 0
+      |             THEN CAST(floor(CAST(t.sa - li.a AS DOUBLE) /
+      |               CAST(t.sb - li.b AS DOUBLE) * 1e9) AS BIGINT)
+      |             ELSE CAST(0 AS BIGINT) END AS q
       |      FROM li JOIN tot t USING (l_returnflag)),
       |g AS (SELECT l_returnflag, n, sa, sb,
       |        sum(CAST(q AS HUGEINT)) AS sq,
@@ -792,7 +799,7 @@ object Evaluate {
       |    AS jk_se
       |FROM g ORDER BY l_returnflag""".stripMargin
 
-  /** L28 — capture-recapture corpus-size estimation: how many DISTINCT
+  /** L39 — capture-recapture corpus-size estimation: how many DISTINCT
     * texts exist per language when you can only afford two overlapping
     * crawl samples? Chapman's estimator (n₁+1)(n₂+1)/(m+1) − 1 over
     * two deterministic doc_id-keyed samples (%2 / %3 — overlap %6),
@@ -834,7 +841,7 @@ object Evaluate {
       |  true_distinct
       |FROM g ORDER BY lang""".stripMargin
 
-  /** W37 — log-rank test: the two-group survival comparison on top of
+  /** W54 — log-rank test: the two-group survival comparison on top of
     * TS12's Kaplan-Meier curve — do BUILDING-segment orders fulfill on
     * a different time-to-first-ship distribution than the rest? At
     * each event day t over the shared risk table, the group-1 expected
@@ -957,7 +964,7 @@ object Evaluate {
       |    THEN 'different' ELSE 'no_evidence' END AS verdict
       |FROM t""".stripMargin
 
-  /** W38 — Cochran-Armitage trend test: does the fulfilled-order rate
+  /** W55 — Cochran-Armitage trend test: does the fulfilled-order rate
     * move MONOTONICALLY across the ordered price bands (the dose-
     * response readout that a flat k-group chi-square cannot give)?
     * Scores 0/1/2 on the three HT price strata; the statistic
@@ -1034,7 +1041,7 @@ object Evaluate {
       |    AS verdict
       |FROM z""".stripMargin
 
-  /** L30 — lexical-richness profile: the vocabulary-structure health
+  /** L40 — lexical-richness profile: the vocabulary-structure health
     * check next to Zipf slope (L4p) and vocab coverage (L16) — per
     * language: type-token ratio, hapax-legomena share (singleton
     * types / types; the fresh-vocabulary signal), and Simpson's
@@ -1084,7 +1091,7 @@ object Evaluate {
       |  END AS simpson_ix
       |FROM g ORDER BY lang""".stripMargin
 
-  /** G28 — Hodges-Lehmann robust location estimate: the median of all
+  /** G33 — Hodges-Lehmann robust location estimate: the median of all
     * Walsh averages (yᵢ+yⱼ)/2, i ≤ j — the location estimator behind
     * the Wilcoxon signed-rank test, robust like the median but ~1.5×
     * more efficient at the normal. Per flag over the bounded monthly

@@ -243,7 +243,7 @@ object Extras {
       |         / CAST(max(CASE WHEN rk = 64 THEN h END) AS DOUBLE) END AS est
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** G26 — count-min sketch heavy-hitter readout (operators.CmsSketch):
+  /** G29 — count-min sketch heavy-hitter readout (operators.CmsSketch):
     * a Zipf-distributed key (rank = floor(exp(u·ln 1000)) from a
     * uniform md5 coin — rank r carries ~1/r of the mass, the
     * distribution CMS exists for; TPC-H's near-uniform keys would

@@ -53,7 +53,7 @@ object Network {
       |  WHERE c_nationkey <> s_nationkey
       |  GROUP BY 1, 2""".stripMargin
 
-  /** W41 — bipartite degree assortativity: the Pearson correlation
+  /** W56 — bipartite degree assortativity: the Pearson correlation
     * between part-degree and supplier-degree across the distinct
     * (part, supplier) supply edges — positive means busy suppliers
     * carry popular parts (hub-hub attachment), negative means a
@@ -126,7 +126,7 @@ object Network {
       |  END AS assortativity
       |FROM d""".stripMargin
 
-  /** W42 — HITS hubs & authorities: the asymmetric centrality pair on
+  /** W57 — HITS hubs & authorities: the asymmetric centrality pair on
     * the DIRECTED nation trade graph (customer-nation → supplier-
     * nation, weight = lineitem count) — a good HUB buys from the
     * nations everyone supplies through; a good AUTHORITY supplies the
@@ -239,7 +239,7 @@ object Network {
       |ORDER BY n.node""".stripMargin
   }
 
-  /** W43 — partition modularity: the quality score of a community
+  /** W58 — partition modularity: the quality score of a community
     * assignment — here, does the REGION partition of nations explain
     * the trade graph's weight structure? Q = Σ_c (e_c·m₂ − d_c²)/m₂²
     * over the undirected weighted nation graph (e_c = both-direction
@@ -271,24 +271,36 @@ object Network {
     val m2 = deg.agg(sum(col("d_c")).as("m2"))
     val regions = Tables.region(s, dir)
       .select(col("r_regionkey").as("rk"), col("r_name"))
-    val per = regions
+    // carry the EXACT integer numerator (e_c*m2 - d_c^2) per region:
+    // the ALL row sums these decimals (order-free) and performs ONE
+    // rounded division, instead of float-adding per-region doubles
+    // pre-rounded to 9 decimals (a half-ULP boundary there could flip
+    // the 9th digit across engines or shuffle widths)
+    val perRaw = regions
       .join(deg, Seq("rk"), "left").join(intra, Seq("rk"), "left")
       .crossJoin(broadcast(m2))
       .select(col("rk").cast("int").as("region_key"), col("r_name"),
         coalesce(col("e_c"), lit(0L)).as("intra2"),
         coalesce(col("d_c"), lit(0L)).as("degree"),
+        (coalesce(col("e_c"), lit(0L)).cast("decimal(38,0)") * col("m2") -
+          coalesce(col("d_c"), lit(0L)).cast("decimal(38,0)") *
+            coalesce(col("d_c"), lit(0L))).cast("decimal(38,0)").as("num"),
+        col("m2"))
+    val per = perRaw
+      .select(col("region_key"), col("r_name"), col("intra2"), col("degree"),
         when(col("m2") <= 0, lit(0.0))
-          .otherwise(round(
-            (coalesce(col("e_c"), lit(0L)).cast("decimal(38,0)") * col("m2") -
-              coalesce(col("d_c"), lit(0L)).cast("decimal(38,0)") *
-                coalesce(col("d_c"), lit(0L))).cast("double") /
-              (col("m2").cast("double") * col("m2").cast("double")), 9))
+          .otherwise(round(col("num").cast("double") /
+            (col("m2").cast("double") * col("m2").cast("double")), 9))
           .as("contribution"))
-    val total = per.agg(sum(col("intra2")).as("intra2"),
+    val total = perRaw.agg(sum(col("intra2")).as("intra2"),
         sum(col("degree")).as("degree"),
-        round(sum(col("contribution")), 9).as("contribution"))
+        sum(col("num")).as("num"), max(col("m2")).as("m2"))
       .select(lit(-1).as("region_key"), lit("ALL").as("r_name"),
-        col("intra2"), col("degree"), col("contribution"))
+        col("intra2"), col("degree"),
+        when(coalesce(col("m2"), lit(0L)) <= 0, lit(0.0))
+          .otherwise(round(col("num").cast("double") /
+            (col("m2").cast("double") * col("m2").cast("double")), 9))
+          .as("contribution"))
     per.unionAll(total).orderBy(col("region_key"))
   }
 
@@ -308,26 +320,32 @@ object Network {
       |per AS (SELECT CAST(r.r_regionkey AS INT) AS region_key, r.r_name,
       |          CAST(coalesce(i.e_c, 0) AS BIGINT) AS intra2,
       |          CAST(coalesce(d.d_c, 0) AS BIGINT) AS degree,
-      |          CASE WHEN m2.m2 <= 0 THEN 0.0
-      |               ELSE round(CAST(CAST(coalesce(i.e_c, 0) AS HUGEINT)
-      |                   * m2.m2 - CAST(coalesce(d.d_c, 0) AS HUGEINT)
-      |                   * coalesce(d.d_c, 0) AS DOUBLE) /
-      |                 (CAST(m2.m2 AS DOUBLE) * CAST(m2.m2 AS DOUBLE)), 9)
-      |          END AS contribution
+      |          CAST(coalesce(i.e_c, 0) AS HUGEINT) * m2.m2
+      |            - CAST(coalesce(d.d_c, 0) AS HUGEINT)
+      |            * coalesce(d.d_c, 0) AS num,
+      |          m2.m2 AS m2
       |        FROM region r
       |        LEFT JOIN deg d ON d.rk = r.r_regionkey
       |        LEFT JOIN intra i ON i.rk = r.r_regionkey
       |        CROSS JOIN m2)
       |SELECT * FROM (
-      |  SELECT region_key, r_name, intra2, degree, contribution FROM per
+      |  SELECT region_key, r_name, intra2, degree,
+      |    CASE WHEN m2 <= 0 THEN 0.0
+      |         ELSE round(CAST(num AS DOUBLE) /
+      |           (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 9)
+      |    END AS contribution
+      |  FROM per
       |  UNION ALL
       |  SELECT -1 AS region_key, 'ALL' AS r_name,
       |    CAST(sum(intra2) AS BIGINT), CAST(sum(degree) AS BIGINT),
-      |    round(sum(contribution), 9)
+      |    CASE WHEN coalesce(max(m2), 0) <= 0 THEN 0.0
+      |         ELSE round(CAST(sum(num) AS DOUBLE) /
+      |           (CAST(max(m2) AS DOUBLE) * CAST(max(m2) AS DOUBLE)), 9)
+      |    END
       |  FROM per)
       |ORDER BY region_key""".stripMargin
 
-  /** W44 — label-propagation community detection: K synchronous
+  /** W59 — label-propagation community detection: K synchronous
     * rounds of "adopt the label carrying the most incident edge
     * weight" over the undirected nation trade graph — the cheap
     * community detector whose output q_modularity (W43) is built to
@@ -357,15 +375,17 @@ object Network {
     val nodes = Tables.nation(s, dir).select(col("n_nationkey").as("node"))
     require(rounds >= 1, "label propagation needs at least one round")
     // the packed argmax (wsum·128 + (127 − label)) aliases silently if
-    // a label reaches 128 — enforce the bound for real (metadata-scale
-    // check: the node relation is the 25-row nation dim; an EMPTY node
-    // table reads max = NULL and vacuously passes)
-    val maxNode = Option(nodes.agg(max(col("node"))).head().get(0))
-      .map(_.asInstanceOf[Int]).getOrElse(-1)
-    require(maxNode < 128,
-      s"labelProp's 128-way label packing needs node ids < 128, max is " +
-        s"$maxNode — widen the pack factor for a larger node domain")
-    var lab = nodes.withColumn("lab", col("node"))
+    // a label reaches 128 — enforce the bound per-row INSIDE the first
+    // round's job (labels only ever come from initial node ids, so
+    // guarding the seed covers every round). A standalone driver-side
+    // max() pre-action here would make merely CONSTRUCTING this plan
+    // trigger a Spark job (PlanAudit, BudgetProbe, plan-only tooling).
+    var lab = nodes.withColumn("lab",
+      when(col("node") < 128, col("node"))
+        .otherwise(raise_error(concat(
+          lit("labelProp's 128-way label packing needs node ids < 128, " +
+            "got "), col("node"),
+          lit(" — widen the pack factor for a larger node domain")))))
     for (_ <- 1 to rounds) {
       // neighbor votes (weight w per edge) plus the self-vote (weight
       // 1); argmax-with-min-label-tie as ONE packed integer max

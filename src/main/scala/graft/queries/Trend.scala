@@ -741,7 +741,7 @@ object Trend {
       |  CAST(CAST(sum(ppm) AS BIGINT) AS DOUBLE) / 1e6 AS credit
       |FROM allc GROUP BY channel ORDER BY channel""".stripMargin
 
-  /** B21 — Markov removal-effect attribution (the data-driven
+  /** B24 — Markov removal-effect attribution (the data-driven
     * multi-touch model next to B10's last-touch and B20's U-shaped
     * position rule): per-user journeys truncate at the first
     * purchase, feed a first-order transition matrix over the FIXED

@@ -33,6 +33,18 @@ class EntrySpec extends SparkSpec {
     assert(unknown.isEmpty, s"SURVEY.md cites unknown queries: $unknown")
   }
 
+  test("SURVEY.md §2 operator ids are unique (the coverage ledger's key)") {
+    // round-10 verdict found 26 duplicated §2B ids — the id column is
+    // the ledger's key, so a collision forces position-disambiguation
+    // in every audit; keep it a key structurally
+    val idRow = """^\| ([A-Z]+[0-9]+[a-z]?) \|""".r
+    val ids = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("SURVEY.md")).toArray.toSeq
+      .flatMap(l => idRow.findFirstMatchIn(l.toString).map(_.group(1)))
+    val dups = ids.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
+    assert(dups.isEmpty, s"duplicate SURVEY.md operator ids: $dups")
+  }
+
   test("keyless banded range join never degenerates to a nested loop") {
     val plan = queries.Joins.rangeBucketJoin(spark, sfDir)
       .queryExecution.executedPlan.toString

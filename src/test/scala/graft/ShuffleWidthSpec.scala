@@ -58,7 +58,7 @@ object ShuffleWidthSpec {
     "q_logrank", "q_lexical_richness",
     // the HITS fixed-point iterates integer aggregates whose partial
     // merges happen in layout order; the converged units must not
-    "q_hits")
+    "q_hits", "q_modularity")
 }
 
 class ShuffleWidthSpec extends SparkSpec {

@@ -93,7 +93,7 @@ class SketchSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
-  // ---- count-min sketch (G26) ----
+  // ---- count-min sketch (G29) ----
 
   private def cmsEstimates(df: org.apache.spark.sql.DataFrame,
       d: Int, w: Int): Map[String, Long] = {
