@@ -110,6 +110,67 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(dn.get("contended_queries").size() == 3)
   }
 
+  test("degraded-window detection: >1.5× the sweep's fastest probe") {
+    val probes = Seq(450.0, 460.0, 1200.0, 440.0, 670.0)
+    // ref = the sweep min (440): windows 2 (1200 > 660) and 4 (670 > 660)
+    assert(Bench.degradedWindows(probes, probes.min) == Seq(2, 4))
+    assert(Bench.degradedWindows(Seq(450.0, 460.0), 440.0).isEmpty)
+    // probe evidence alone flips the sweep label to contended
+    val calm = Seq("q_ok" -> Bench.Sample(1.0, 0.9, 0.05))
+    assert(!Bench.isContended(calm, Seq.empty))
+    assert(Bench.isContended(calm, Seq(2)))
+  }
+
+  test("probe/self-correction fields ride all three renderers") {
+    val pi = Bench.ProbeInfo(windowSize = 25,
+      probesMs = Seq(450.0, 1200.0), refMs = 450.0, degraded = Seq(1),
+      rerun = Seq("q_x", "q_y"), rerunProbeMs = 455.0, valueRaw = 30.0)
+    val walls = Seq("q_x" -> 2.0, "q_y" -> 3.0)
+    val env = Bench.Env(1.0, 1.5, 32, 450.0, 452.0)
+    val full = mapper.readTree(
+      Bench.renderJson(walls, "/d", Some(env), Some(true), Some(pi)))
+    assert(full.get("probes_ms").size() == 2)
+    assert(full.get("degraded_windows").get(0).asInt() == 1)
+    assert(full.get("rerun").size() == 2 && full.get("rerun_n").asInt() == 2)
+    assert(full.get("value_raw").asDouble() == 30.0)
+    assert(full.get("value_corrected").asDouble() == 5.0)
+    assert(full.get("value").asDouble() == 5.0) // gate input = corrected
+    val compact = mapper.readTree(Bench.renderCompactJson(
+      walls, "/d", Some(env), Some(true), probes = Some(pi)))
+    assert(compact.get("rerun_n").asInt() == 2)
+    assert(compact.get("rerun") == null) // names only on unbounded lines
+    assert(compact.get("value_raw").asDouble() == 30.0)
+    val det = mapper.readTree(Bench.renderDetailedJson(
+      Seq("q_x" -> Bench.Sample(2.0, 1.8, 0.1), "q_y" -> Bench.Sample(3.0, 2.7, 0.1)),
+      "/d", Some(env), Some(pi), rawWalls = Map("q_x" -> 9.5)))
+    assert(det.get("queries").get("q_x").get("wall_raw").asDouble() == 9.5)
+    assert(det.get("queries").get("q_y").get("wall_raw") == null)
+    assert(det.get("contended").asBoolean()) // degraded window ⇒ contended
+    // summary fields still close every line (tail-capture property)
+    for (line <- Seq(
+        Bench.renderJson(walls, "/d", Some(env), Some(true), Some(pi)),
+        Bench.renderCompactJson(walls, "/d", Some(env), Some(true), probes = Some(pi)),
+        Bench.renderDetailedJson(Seq("q_x" -> Bench.Sample(2.0, 1.8, 0.1)),
+          "/d", Some(env), Some(pi)))) {
+      val tail = line.takeRight(200)
+      assert(tail.contains("\"metric\":\"total\"") && tail.contains("\"value\":"))
+      assert(!line.contains("\n"))
+    }
+  }
+
+  test("compact trailer with full probe evidence still fits the tail window") {
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 123.456789)
+    // worst realistic shape: every window probed, several degraded
+    val nw = (results.size + 24) / 25
+    val pi = Bench.ProbeInfo(25, Seq.fill(nw)(1234.567), 445.0,
+      (0 until nw).toSeq, results.take(150).map(_._1), 1234.5,
+      results.size * 123.456789 * 2)
+    val line = Bench.renderCompactJson(results, "/root/testdata/sf0.1",
+      Some(Bench.Env(6.5, 8.2, 32, 445.0, 450.0)), Some(true), probes = Some(pi))
+    assert(line.length < 1800, s"compact line is ${line.length} chars")
+    assert(mapper.readTree(line).get("value") != null)
+  }
+
   test("locale independence: decimal point, not comma") {
     val prev = java.util.Locale.getDefault
     try {
