@@ -457,6 +457,15 @@ object Dedup {
     * ANY graph shape, so a pathological near-dup chain (depth ≫ the
     * propagation backstop) still labels correctly.
     *
+    * `seedRounds` (≥1) cheap min-label propagation rounds run FIRST
+    * and the star loop operates on the label-contracted graph: real
+    * near-dup components are stars/short chains that vanish entirely
+    * at contraction (zero star rounds — the star machinery costs one
+    * isEmpty), while an adversarial deep chain enters the checked star
+    * fixpoint pre-contracted `seedRounds`-fold. The prefix is a pure
+    * relabeling with no convergence claim, so correctness never
+    * depends on it.
+    *
     * Per round: large-star hangs every larger neighbor of u under
     * min(Γ⁺(u)); small-star hangs the smaller ones (and u itself).
     * Each is one groupBy-min + one join + distinct over the CURRENT
@@ -469,14 +478,50 @@ object Dedup {
     * endpoint swaps across components can preserve it); `maxRounds`
     * is a loud backstop (require), never a silent cap. Output schema
     * matches [[dedupClusters]]: (doc_id, cluster_id, keep). */
-  def dedupClustersStar(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+  def dedupClustersStar(pairs: DataFrame, maxRounds: Int = 30,
+                        seedRounds: Int = 2): DataFrame = {
+    require(seedRounds >= 1, "the contraction seed needs at least one round")
     val width = graft.Tables.shuffleWidth(pairs.sparkSession)
-    var edges = pairs
+    val raw = pairs
       .select(col("doc_id_a").as("u"), col("doc_id_b").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct().coalesce(width).localCheckpoint()
-    val nodes = edges.select(col("u").as("node"))
-      .union(edges.select(col("v").as("node"))).distinct().localCheckpoint()
+    val nodes = raw.select(col("u").as("node"))
+      .union(raw.select(col("v").as("node"))).distinct().localCheckpoint()
+    // Propagation-seeded contraction (round-10 verdict's suggestion):
+    // `seedRounds` UNCHECKED min-label propagation rounds first — after
+    // k rounds every node holds its k-hop-neighborhood min, so the
+    // label-contracted graph {(lab(u), lab(v)) : lab(u) ≠ lab(v)}
+    // retains only components DEEPER than ~k hops. Real near-dup
+    // graphs are stars/short chains, so the contracted edge set is
+    // typically EMPTY and zero star rounds run; a pathological chain
+    // still reaches the checked star fixpoint below, just on a graph
+    // already contracted k-fold. Correctness does not depend on the
+    // prefix converging (it is a relabeling, not a fixpoint claim):
+    // min composes — star's component-min over k-hop-min labels IS the
+    // component min over nodes, because every label is a member node
+    // id and the component's min node labels itself.
+    val both = raw.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")),
+        struct(col("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .repartition(col("v")).localCheckpoint()
+    var lab = both.groupBy(col("u")).agg(min(col("v")).as("label"))
+      .withColumnRenamed("u", "node").localCheckpoint()
+    for (_ <- 2 to seedRounds)
+      lab = both.join(lab.hint("shuffle_hash"), both("v") === lab("node"))
+        .groupBy(col("u")).agg(min(col("label")).as("label"))
+        .withColumnRenamed("u", "node").localCheckpoint()
+    val seeded = lab
+    var edges = raw
+      .join(seeded.hint("shuffle_hash"), raw("u") === seeded("node"))
+      .select(col("label").as("lu"), col("v"))
+      .join(seeded.hint("shuffle_hash"), col("v") === seeded("node"))
+      .select(least(col("lu"), col("label")).as("u"),
+        greatest(col("lu"), col("label")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().coalesce(width).localCheckpoint()
     def fingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
       val r = e.agg(count(lit(1)).as("n"),
         sum((col("u").cast("decimal(38,0)") * 2147483648L) + col("v")).as("s")).head
@@ -521,8 +566,11 @@ object Dedup {
     // lineage in parallel — measured 4× slower than paying the one
     // checkpoint job per round (a skip-every-2nd-round cadence was
     // tried and reverted on that measurement).
+    // the common case after seeding: nothing deeper than `seedRounds`
+    // hops survives contraction — zero star rounds, one cheap isEmpty
+    // on the checkpointed relation
     var fp = fingerprint(edges)
-    var converged = false
+    var converged = edges.isEmpty
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
@@ -536,14 +584,17 @@ object Dedup {
     }
     require(converged,
       s"star contraction did not converge in $maxRounds rounds — raise maxRounds")
-    // At fixpoint the edge set is the star {(member, root)}; roots
-    // label themselves, members read their single edge.
-    val labels = edges.select(col("u").as("node"), col("v").as("label"))
-      .union(edges.select(col("v").as("node"), col("v").as("label")))
-      .groupBy(col("node")).agg(min(col("label")).as("label"))
-    nodes.join(labels, Seq("node"), "left")
+    // At fixpoint the contracted edge set is the star {(member-label,
+    // root-label)}; compose: node → seed label → star label. Both maps
+    // default to identity (roots label themselves; nodes whose
+    // component vanished at contraction keep their seed label).
+    val starLabels = edges.select(col("u").as("label"), col("v").as("slabel"))
+      .union(edges.select(col("v").as("label"), col("v").as("slabel")))
+      .groupBy(col("label")).agg(min(col("slabel")).as("slabel"))
+    nodes.join(seeded.hint("shuffle_hash"), Seq("node"), "left")
+      .join(starLabels.hint("shuffle_hash"), Seq("label"), "left")
       .select(col("node").as("doc_id"),
-        coalesce(col("label"), col("node")).as("cluster_id"))
+        coalesce(col("slabel"), col("label"), col("node")).as("cluster_id"))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 

@@ -155,6 +155,9 @@ object Alloc {
     val deltas = spans.select(col("open_d").as("d"), lit(1L).as("delta"))
       .unionAll(spans.select(date_add(col("close_d"), 1).as("d"), lit(-1L).as("delta")))
       .groupBy(col("d")).agg(sum(col("delta")).as("net"))
+      // pin before the range repartition: its bound-sampling job would
+      // otherwise re-run the join + union aggregate a second time
+      .persistScoped()
     // The day relation grows with the covered time span, so the running
     // sum uses the same scale-safe two-pass prefix sum as docPacking:
     // range-repartition by day, per-partition net totals broadcast as

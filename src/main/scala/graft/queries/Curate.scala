@@ -182,6 +182,9 @@ object Curate {
     val daily = Tables.orders(s, dir)
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(count(lit(1)).as("n"))
+      // pin before the range repartition: its bound-sampling job would
+      // otherwise re-run the daily aggregate a second time
+      .persistScoped()
     val parts = daily
       .repartitionByRange(Tables.shuffleWidth(s), col("d"))
       .withColumn("pid", spark_partition_id())

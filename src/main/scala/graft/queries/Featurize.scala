@@ -22,7 +22,11 @@ object Featurize {
     * the lower 33). One data shuffle total, no single-partition
     * window. The order must be TOTAL (include a unique key). */
   private def rankedBy(s: SparkSession, df: DataFrame, order: Column*): DataFrame = {
-    val parts = df
+    // pin the input before the range repartition: bound-sampling runs
+    // as its own job and would re-execute the caller's (often
+    // aggregate) lineage right before the shuffle pass does it again
+    val pinned = df.persistScoped()
+    val parts = pinned
       .repartitionByRange(Tables.shuffleWidth(s), order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("mid", monotonically_increasing_id())

@@ -323,6 +323,10 @@ object Quality {
         col("l_quantity").cast("bigint").as("w"))
       .groupBy(col("l_returnflag"), col("cents"))
       .agg(sum(col("w")).as("w"))
+      // range repartitioning SAMPLES its input in a separate job —
+      // un-persisted, that sampling pass re-runs the whole fact
+      // collapse (the query's only raw-row pass) a second time
+      .persistScoped()
     val parts = dist
       .repartitionByRange(Tables.shuffleWidth(s),
         col("l_returnflag"), col("cents"))

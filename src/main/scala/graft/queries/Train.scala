@@ -237,6 +237,12 @@ object Train {
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
+      // degree aggregate + two ALIVE semi-joins: the alive set shrinks
+      // monotonically, so both semi-joins broadcast — the edge relation
+      // never re-shuffles inside a round. (A fused tag-then-pair-
+      // aggregate round was tried and reverted: it replaces the two
+      // broadcast probes with a full pair-keyed exchange — strictly
+      // more data motion at every scale.)
       val alive = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("u").as("node"))
       val next = edges

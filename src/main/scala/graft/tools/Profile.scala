@@ -37,7 +37,19 @@ object Profile {
     val names = sys.env.get("SPARK_GRAFT_PROFILE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq("q_dedup_clusters"))
-    names.foreach { name =>
+    if (names == Seq("ann_phases")) {
+      // Cost breakdown of the PQ/IVF-PQ training ladder by parameter
+      // deltas (the private phases aren't separately callable).
+      val emb = Tables.embeddings(spark, sfDir)
+      val probes = emb.filter(col("vec_id") < 20)
+      import graft.operators.Similarity
+      (1 to reps).foreach { r =>
+        time(s"pq iters=0 run$r") { Similarity.pqTopK(probes, emb, 5, iterations = 0).count() }
+        time(s"pq iters=2 run$r") { Similarity.pqTopK(probes, emb, 5).count() }
+        time(s"ivfpq pq=0 run$r") { Similarity.ivfPqTopK(probes, emb, 5, nprobe = 6, pqIterations = 0).count() }
+        time(s"ivfpq full run$r") { Similarity.ivfPqTopK(probes, emb, 5, nprobe = 6).count() }
+      }
+    } else names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       (1 to reps).foreach { r =>
         time(s"$name run$r") { fn(spark, sfDir).count() }
