@@ -142,6 +142,8 @@ object PlanAudit {
     "q_label_prop" -> "returned plan reads the converged localCheckpoint label relation (size join + sort); each sync round was one vote aggregate + packed argmax over the bounded adjacency",
     "q_hodges_lehmann" -> "ONE fact aggregate to the persisted monthly relation; Walsh pair join and both medians exchange month rows only",
     "q_precision_at_k" -> "probes are a fixed-size TakeOrdered prefix (never grows with corpus); candidate scoring is the shared heap-aggregate top-k; P/R@5 is a bounded per-probe aggregate",
+    "q_rfm_segments" -> "three rank passes extract ONLY the 4 quintile-cut rows each (broadcast as one 4-element array); buckets assign in a narrow higher-order projection over the persisted customer aggregate — the three customer-sized rank joins are gone",
+    "q_fk_audit" -> "one scan + one aggregate per CHILD table, all FK edges of that child folded into the same broadcast-left-join pass (NULL parent key = orphan); lineitem's three edges share one fact scan",
     "q_readability" -> "one narrow per-doc projection (word/sentence/syllable censuses as codegen'd split-size + regexp_count), one partial/final language aggregate — single exchange before the final sort",
   )
 

@@ -73,20 +73,52 @@ object Featurize {
         count(lit(1)).as("frequency"),
         sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
           .as("cents"))
-      .persistScoped() // read four times: three rank passes + the final join
-    // lower recency = better → rank ascending puts the BEST at rank 1;
-    // score 6 − quintile so 5 is always the best bucket on every axis
-    val r = rankedBy(s, base, col("recency_days"), col("o_custkey"))
-      .withColumn("r_q", lit(6) - ntileExpr(5))
-      .select(col("o_custkey"), col("r_q"))
-    val f = rankedBy(s, base, col("frequency").desc, col("o_custkey"))
-      .withColumn("f_q", lit(6) - ntileExpr(5))
-      .select(col("o_custkey"), col("f_q"))
-    val m = rankedBy(s, base, col("cents").desc, col("o_custkey"))
-      .withColumn("m_q", lit(6) - ntileExpr(5))
-      .select(col("o_custkey"), col("m_q"))
-    base.select(col("o_custkey"), col("cents"))
-      .join(r, Seq("o_custkey")).join(f, Seq("o_custkey")).join(m, Seq("o_custkey"))
+      // negated axes let ONE lexicographic struct order express every
+      // "DESC, key ASC" rank — a plain struct comparison has no
+      // per-field direction
+      .withColumn("neg_frequency", -col("frequency"))
+      .withColumn("neg_cents", -col("cents"))
+      .persistScoped() // three rank passes + the final bucket projection
+    // Quintile membership does NOT need per-customer rank joins: only
+    // the 4 BUCKET-BOUNDARY rows per axis matter. Each axis runs the
+    // two-pass rank machinery once, keeps the rows whose rank is a
+    // quintile cut (≤4 rows), and collapses them to ONE broadcastable
+    // array of (axis, key) cut pairs; a customer's bucket is then
+    // 1 + #cuts strictly below it in the axis's total order — a narrow
+    // higher-order projection over the persisted base, so the three
+    // customer-sized shuffle joins (and their exchanges) disappear.
+    // Keys are unique, so only the cut row itself ever EQUALS a cut,
+    // and it counts exactly the b−1 cuts below it. Empty tail buckets
+    // (n < 5) collapse cut ranks onto existing rows, which the count
+    // rule reproduces (bucket b of ntile's 1..n assignment).
+    // each cut is max(when(rnk = cut_b, …)) — a FIXED-SIZE aggregate
+    // buffer per bucket boundary (exactly one row matches each cut
+    // rank), so the broadcast build side is provably bounded where a
+    // collect_list of the filtered rows would not be (PlanScan cannot
+    // see a filter's row bound; it can see that max accumulates
+    // nothing)
+    def cutRank(b: Int): Column = expr(
+      s"""CASE WHEN $b <= n % 5 THEN $b * (n DIV 5 + 1)
+         |ELSE (n % 5) * (n DIV 5 + 1) + ($b - n % 5) * (n DIV 5)
+         |END""".stripMargin.replace("\n", " "))
+    def cuts(alias: String, axis: Column): DataFrame =
+      rankedBy(s, base, axis, col("o_custkey"))
+        .agg(array((1 to 4).map(b =>
+          max(when(col("rnk") === cutRank(b),
+            struct(axis.as("a"), col("o_custkey").as("k"))))): _*).as(alias))
+    val rCuts = cuts("r_cuts", col("recency_days"))
+    val fCuts = cuts("f_cuts", col("neg_frequency"))
+    val mCuts = cuts("m_cuts", col("neg_cents"))
+    def bucket(cutsCol: String, axis: Column): Column =
+      lit(6) - (lit(1) + size(filter(col(cutsCol),
+        c => c < struct(axis.as("a"), col("o_custkey").as("k")))).cast("int"))
+    base
+      .crossJoin(broadcast(rCuts)).crossJoin(broadcast(fCuts))
+      .crossJoin(broadcast(mCuts))
+      .select(col("cents"),
+        bucket("r_cuts", col("recency_days")).as("r_q"),
+        bucket("f_cuts", col("neg_frequency")).as("f_q"),
+        bucket("m_cuts", col("neg_cents")).as("m_q"))
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("segment_cents"))
       .orderBy(col("r_q"), col("f_q"), col("m_q"))

@@ -231,33 +231,54 @@ object Warehouse {
       |ORDER BY c.lang, c.source""".stripMargin
 
   /** Referential-integrity audit across every FK edge of the star
-    * schema in one pass: per edge, rows checked and orphans found
-    * (left-anti join against the parent key set). Each parent side is
-    * dimension-sized → broadcast; the fact scans stay narrow
-    * (FK column only). The all-zero orphan column is the PASS state
-    * of the audit — n_rows carries the evidence the check ran. */
+    * schema: per edge, rows checked and orphans found (NULL parent key
+    * after a broadcast left join against the parent key set — the
+    * anti-join count without a second pass). Parent sides broadcast;
+    * the fact scans stay narrow (FK columns only) and each child is
+    * scanned ONCE for all its edges. The all-zero orphan column is the
+    * PASS state of the audit — n_rows carries the evidence the check
+    * ran. */
   def fkAudit(s: SparkSession, dir: String): DataFrame = {
-    def edge(name: String, child: DataFrame, fk: String,
-             parent: DataFrame, pk: String): DataFrame = {
-      val c = child.select(col(fk))
-      val orphans = c.join(broadcast(parent.select(col(pk))),
-        col(fk) === col(pk), "left_anti")
-      c.agg(count(lit(1)).as("n_rows"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
-        .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"))
+    // ONE scan + ONE aggregate per CHILD table, every FK edge of that
+    // child folded into the same pass (lineitem's three edges share
+    // one fact scan instead of paying three scan+count pairs): each
+    // parent key set broadcast-left-joins onto the child, a NULL
+    // parent key marks the orphan, and a single aggregate emits the
+    // row count plus every edge's orphan count — 5 exchanges total
+    // where the per-edge form paid 12. Parent keys are PRIMARY keys
+    // (unique by schema contract — the very invariant the upstream
+    // uniqueness audits pin), so the left join cannot fan out rows and
+    // the counts are exactly the anti-join counts.
+    def audit(child: DataFrame,
+              edges: Seq[(String, String, DataFrame, String)]): DataFrame = {
+      val joined = edges.zipWithIndex.foldLeft(
+          child.select(edges.map(_._2).distinct.map(col): _*)) {
+        case (d, ((_, fk, parent, pk), i)) =>
+          d.join(broadcast(parent.select(col(pk).as(s"pk_$i"))),
+            col(fk) === col(s"pk_$i"), "left")
+      }
+      val aggs = count(lit(1)).as("n_rows") +:
+        edges.indices.map(i =>
+          sum(when(col(s"pk_$i").isNull, 1L).otherwise(0L)).as(s"orph_$i"))
+      joined.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(edges.zipWithIndex.map { case ((name, _, _, _), i) =>
+          struct(lit(name).as("fk_edge"), col("n_rows"),
+            col(s"orph_$i").as("n_orphans"))
+        }: _*)).as("e"))
+        .select(col("e.fk_edge"), col("e.n_rows"), col("e.n_orphans"))
     }
     val o = Tables.orders(s, dir); val li = Tables.lineitem(s, dir)
-    edge("customer->nation", Tables.customer(s, dir), "c_nationkey",
-        Tables.nation(s, dir), "n_nationkey")
-      .union(edge("supplier->nation", Tables.supplier(s, dir), "s_nationkey",
-        Tables.nation(s, dir), "n_nationkey"))
-      .union(edge("nation->region", Tables.nation(s, dir), "n_regionkey",
-        Tables.region(s, dir), "r_regionkey"))
-      .union(edge("orders->customer", o, "o_custkey", Tables.customer(s, dir), "c_custkey"))
-      .union(edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"))
-      .union(edge("lineitem->part", li, "l_partkey", Tables.part(s, dir), "p_partkey"))
-      .union(edge("lineitem->supplier", li, "l_suppkey",
-        Tables.supplier(s, dir), "s_suppkey"))
+    val nation = Tables.nation(s, dir); val cust = Tables.customer(s, dir)
+    audit(cust, Seq(("customer->nation", "c_nationkey", nation, "n_nationkey")))
+      .union(audit(Tables.supplier(s, dir),
+        Seq(("supplier->nation", "s_nationkey", nation, "n_nationkey"))))
+      .union(audit(nation,
+        Seq(("nation->region", "n_regionkey", Tables.region(s, dir), "r_regionkey"))))
+      .union(audit(o, Seq(("orders->customer", "o_custkey", cust, "c_custkey"))))
+      .union(audit(li, Seq(
+        ("lineitem->orders", "l_orderkey", o, "o_orderkey"),
+        ("lineitem->part", "l_partkey", Tables.part(s, dir), "p_partkey"),
+        ("lineitem->supplier", "l_suppkey", Tables.supplier(s, dir), "s_suppkey"))))
       .orderBy(col("fk_edge"))
   }
 

@@ -63,7 +63,18 @@ class PlanGuardSpec extends SparkSpec {
     "q_dedup_minhash" -> 2, "q_sessionize" -> 2, "q_window_rank" -> 2,
     "q_topk_pergroup" -> 2, "q_count_distinct" -> 3, "q_tfidf" -> 3,
     "q_sim_topk" -> 3, "q_equidepth_hist" -> 6, "q_winsorize" -> 7,
-    "q_rfm_segments" -> 14,
+    // q_rfm_segments (round 11): the static count ROSE 14 → 17 while
+    // the data-path exchanges FELL 7 → 4 — the three customer-sized
+    // rank joins became ≤4-row quintile-cut broadcasts, so what's
+    // counted now is the rank machinery's metadata aggregates (counts/
+    // offsets/n per axis, 4-row cut collects), not customer shuffles.
+    // The waiver the round-10 verdict offered, with the volumes: at
+    // probe scale every removed join was broadcast anyway; at 100 TB
+    // the removed joins were |customers|-sized each.
+    "q_rfm_segments" -> 17,
+    // q_fk_audit (round 11): one scan+aggregate per CHILD table with
+    // all FK edges folded in (12 → 5)
+    "q_fk_audit" -> 5,
     // round 9 (counts from PLANGUARD.md's sweep): the BFS emits one
     // post-loop sort exchange, the narrow text/variant/SQL-surface
     // queries stay at scan+sort, BPE pays one exchange per vocab
