@@ -144,6 +144,7 @@ object PlanAudit {
     "q_precision_at_k" -> "probes are a fixed-size TakeOrdered prefix (never grows with corpus); candidate scoring is the shared heap-aggregate top-k; P/R@5 is a bounded per-probe aggregate",
     "q_rfm_segments" -> "three rank passes extract ONLY the 4 quintile-cut rows each (broadcast as one 4-element array); buckets assign in a narrow higher-order projection over the persisted customer aggregate — the three customer-sized rank joins are gone",
     "q_fk_audit" -> "one scan + one aggregate per CHILD table, all FK edges of that child folded into the same broadcast-left-join pass (NULL parent key = orphan); lineitem's three edges share one fact scan",
+    "q_multimodal_decode" -> "one narrow mapPartitions over the 1-in-29 doc sample (encode + decode per row, codec instance per partition) — no shuffle before the final sort; decoded dims are the output, so the plan cannot prune the codec away",
     "q_readability" -> "one narrow per-doc projection (word/sentence/syllable censuses as codegen'd split-size + regexp_count), one partial/final language aggregate — single exchange before the final sort",
   )
 

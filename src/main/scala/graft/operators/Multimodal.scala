@@ -138,6 +138,35 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic synthetic image encoded with a REAL JDK codec
+    * (`format` = "png" or "jpg") — the fixture generator for the
+    * decode-audit query and the JPEG spec coverage: pixels derive from
+    * (seed, x, y) integer arithmetic only, so the image (and its PNG
+    * bytes) is a pure function of its arguments. JPEG re-decodes to
+    * different PIXELS (lossy) but identical DIMENSIONS — which is what
+    * the decode audit pins. */
+  def synthImage(seed: Long, w: Int, h: Int, format: String): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"degenerate image ${w}x$h")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = seed * 31 + x * 7L + y * 13L
+        img.setRGB(x, y,
+          (((v % 251).toInt & 0xff) << 16) |
+            ((((v / 7) % 241).toInt & 0xff) << 8) |
+            (((v / 11) % 239).toInt & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic nearest-neighbor resample — a manual pixel loop
     * (integer source-index arithmetic, sx = x·w/w2) rather than
     * Graphics2D scaling, so the output bytes are identical on every

@@ -137,6 +137,35 @@ object Extras {
       .orderBy(col("media_id"))
   }
 
+  /** L41 — REAL codec decode audit (PNG + JPEG), oracle-checked: a
+    * deterministic image is synthesized per sampled doc (dimensions
+    * derived from n_chars), encoded with the row-selected JDK codec
+    * (even doc_id → PNG, odd → JPEG), then decoded back with ImageIO —
+    * and the emitted dimensions come from the DECODED content only, so
+    * a broken decode path (either codec) hash-mismatches against the
+    * DuckDB oracle recomputing the expected dims from the fixture
+    * columns. Dimensions survive JPEG's lossy pixels exactly. Bounded
+    * work: a 1-in-29 doc sample at ≤32×18 px each; one narrow
+    * mapPartitions (codec instance per partition), no shuffle before
+    * the final sort. A decode failure throws (.get): this query IS the
+    * codec self-test, so degrading row-wise would hide the breakage. */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.documents(s, dir)
+      .filter(col("doc_id") % 29 === 0)
+      .select(col("doc_id"), (col("n_chars") % 31 + 1).cast("int").as("w"),
+        (col("n_chars") % 17 + 1).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+    rows.mapPartitions { it =>
+      it.map { case (id, w, h) =>
+        val fmt = if (id % 2 == 0) "png" else "jpg"
+        val img = Multimodal.decodeImage(Multimodal.synthImage(id, w, h, fmt)).get
+        (id, fmt, img.getWidth, img.getHeight, img.getWidth * img.getHeight)
+      }
+    }.toDF("doc_id", "codec", "width", "height", "n_pixels")
+      .orderBy(col("doc_id"))
+  }
+
   /** S3/A8 — NDJSON interchange semantics (the reference's transport
     * format: gzipped newline-delimited JSON): serialize each event row
     * to a JSON line, parse it back with an explicit schema, and emit
@@ -471,6 +500,7 @@ object Extras {
     "q_compress_ratio" -> (compressRatio _),
     "q_fnv_fingerprint" -> (fnvFingerprint _),
     "q_multimodal_features" -> (multimodalFeatures _),
+    "q_multimodal_decode" -> (multimodalDecode _),
   )
 
   /** q_json_roundtrip, q_stats_builtin, q_multimodal_features, and
@@ -539,5 +569,14 @@ object Extras {
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
         |  md5(text) AS payload_md5
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q_multimodal_decode" ->
+      // the oracle recomputes the dims the Spark side must RECOVER by
+      // actually decoding its own PNG/JPEG encodes
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpg' END AS codec,
+        |  CAST(n_chars % 31 + 1 AS INT) AS width,
+        |  CAST(n_chars % 17 + 1 AS INT) AS height,
+        |  CAST((n_chars % 31 + 1) * (n_chars % 17 + 1) AS INT) AS n_pixels
+        |FROM documents WHERE doc_id % 29 = 0 ORDER BY doc_id""".stripMargin,
   )
 }

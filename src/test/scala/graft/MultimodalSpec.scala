@@ -115,6 +115,43 @@ class MultimodalSpec extends SparkSpec {
         s"pixel ($x,$y) is not the nearest-neighbor source pixel")
   }
 
+  test("JPEG payloads decode, resize, and re-encode like PNG ones") {
+    import spark.implicits._
+    import graft.operators.{MediaMeta, MediaRow, Multimodal}
+    // same lying-metadata contract as the PNG test, JPEG codec: the
+    // decoded DIMENSIONS drive the output even though JPEG pixels are
+    // lossy (dims survive the codec exactly)
+    val rows = Seq(
+      MediaRow(1L, Multimodal.synthImage(1L, 100, 40, "jpg"),
+        MediaMeta("image", 9999, 1, 0)),
+      MediaRow(2L, Multimodal.synthImage(2L, 12, 8, "jpg"),
+        MediaMeta("image", 1, 9999, 0)))
+    val out = Multimodal.resizeDecoded(rows.toDS(), maxW = 16, maxH = 16)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(out(1L).meta.width == 16 && out(1L).meta.height == 6,
+      s"got ${out(1L).meta}")
+    assert(out(2L).meta.width == 12 && out(2L).meta.height == 8)
+    assert(out(2L).payload.toSeq == rows(1).payload.toSeq) // fits: untouched
+    val img = Multimodal.decodeImage(out(1L).payload).get
+    assert(img.getWidth == 16 && img.getHeight == 6)
+  }
+
+  test("synthImage is a pure function of its arguments (both codecs)") {
+    import graft.operators.Multimodal
+    for (fmt <- Seq("png", "jpg")) {
+      val a = Multimodal.synthImage(42L, 31, 17, fmt)
+      val b = Multimodal.synthImage(42L, 31, 17, fmt)
+      assert(a.toSeq == b.toSeq, s"$fmt bytes differ across calls")
+      val img = Multimodal.decodeImage(a).get
+      assert(img.getWidth == 31 && img.getHeight == 17)
+    }
+    // 1x1 degenerate dims survive both codecs
+    for (fmt <- Seq("png", "jpg")) {
+      val img = Multimodal.decodeImage(Multimodal.synthImage(7L, 1, 1, fmt)).get
+      assert(img.getWidth == 1 && img.getHeight == 1)
+    }
+  }
+
   test("decoded resize is byte-identical across partitionings") {
     import spark.implicits._
     import graft.operators.{MediaMeta, MediaRow, Multimodal}

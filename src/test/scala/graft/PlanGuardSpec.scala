@@ -119,6 +119,22 @@ class PlanGuardSpec extends SparkSpec {
     // q_boilerplate_scrub: chunk census + anti-join + kept/total aggs
     // + sort — all over the ONE persisted chunk relation
     "q_merge_schema_read" -> 2, "q_sprt" -> 3, "q_boilerplate_scrub" -> 5,
+    // round 11 (verdict task 6): EVERY remaining ≥5-exchange query
+    // pinned at its current static count (PlanScan sweep of this
+    // round's HEAD) so new packs can't silently add shuffles to the
+    // wide tail — the counts move bounded relations (month/day/pid
+    // spines, pair censuses, rank-machinery metadata), never a second
+    // fact pass
+    "q_mutual_info" -> 8, "q_modularity" -> 8, "q_hash_ring" -> 8,
+    "q_stickiness" -> 7, "q_shortest_path" -> 7, "q_pagerank_nations" -> 7,
+    "q_profile_columns" -> 6, "q_lm_score" -> 6, "q_funnel_steps" -> 6,
+    "q_dbscan_grid" -> 6, "q_attribution_multitouch" -> 6, "q_abc_class" -> 6,
+    "q_vocab_coverage" -> 5, "q_triangle_nations" -> 5, "q_rolling_active" -> 5,
+    "q_relational_division" -> 5, "q_quantile_norm" -> 5, "q_pmi" -> 5,
+    "q_percentile_disc" -> 5, "q_mann_kendall" -> 5, "q_lexical_cosine" -> 5,
+    "q_knn_classify" -> 5, "q_kl_sources" -> 5, "q_doc_packing" -> 5,
+    "q_concurrency" -> 5, "q_cohens_kappa" -> 5, "q_chi2_independence" -> 5,
+    "q_char_entropy" -> 5, "q_basket_rules" -> 5,
     // q_scd2_merge: base change-detect window + replay window + final
     // close-out window + sort, all partitioned by user_id; the
     // touched/untouched semi/anti joins ride the same keyed exchanges
