@@ -18,12 +18,40 @@ import org.apache.spark.sql.SparkSession
   * frontier moved — run it from cron/Airflow for continuity, or use
   * [[graft.streaming.EventStreams.syncAvailableNow]] for the
   * engine-checkpointed variant.
+  *
+  * The reference's YAML front door (A13) also works:
+  * `runMain graft.etl.MigrateApp <cmd> --config <file.yml>` with
+  * {{{
+  * in:
+  *   path: ${DATA_DIR}/orders.parquet   # ${VAR} env interpolation
+  *   pk_column: o_orderkey
+  * out:
+  *   work_dir: /tmp/migrate_work
+  *   batch_size: 5000
+  * }}}
+  * — see [[MigrateConfig]] for the supported subset.
   */
 object MigrateApp {
+
+  /** (srcPath, pkCol, workDir, batchSize) from either arg style. */
+  private[graft] def resolveArgs(args: Array[String]): (String, String, String, Long) =
+    if (args.length >= 3 && args(1) == "--config") {
+      val c = MigrateConfig.load(args(2))
+      def req(k: String) = c.getOrElse(k, sys.error(s"config is missing '$k'"))
+      (req("in.path"), req("in.pk_column"), req("out.work_dir"),
+        c.get("out.batch_size").map(_.toLong).getOrElse(5000L))
+    } else {
+      require(args.length >= 4,
+        "usage: MigrateApp <run|check|retry|sync> <srcParquet> <pkCol> <workDir> " +
+          "[batchSize] | MigrateApp <cmd> --config <file.yml>")
+      (args(1), args(2), args(3),
+        if (args.length > 4) args(4).toLong else 5000L)
+    }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 4, "usage: MigrateApp <run|check|retry|sync> <srcParquet> <pkCol> <workDir> [batchSize]")
-    val Array(cmd, srcPath, pkCol, workDir) = args.take(4)
-    val batchSize = if (args.length > 4) args(4).toLong else 5000L
+    require(args.nonEmpty, "usage: MigrateApp <run|check|retry|sync> ...")
+    val cmd = args(0)
+    val (srcPath, pkCol, workDir, batchSize) = resolveArgs(args)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
