@@ -20,13 +20,16 @@ object Featurize {
     * monotonically_increasing_id for the local position (documented
     * layout: partition index in the upper bits, 0-based counter in
     * the lower 33). One data shuffle total, no single-partition
-    * window. The order must be TOTAL (include a unique key). */
+    * window. The order must be TOTAL (include a unique key).
+    *
+    * CALLER CONTRACT: pass an already-persisted `df` when its lineage
+    * is expensive — range repartitioning samples its child in its own
+    * job, so an unpinned aggregate input computes twice. Pinning HERE
+    * was tried and reverted: re-persisting the caller's
+    * already-persisted relation stacks a second cache over the first
+    * and measured 2-3× slower (q_rfm_segments 2.8 s → 6.5 s warm). */
   private def rankedBy(s: SparkSession, df: DataFrame, order: Column*): DataFrame = {
-    // pin the input before the range repartition: bound-sampling runs
-    // as its own job and would re-execute the caller's (often
-    // aggregate) lineage right before the shuffle pass does it again
-    val pinned = df.persistScoped()
-    val parts = pinned
+    val parts = df
       .repartitionByRange(Tables.shuffleWidth(s), order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("mid", monotonically_increasing_id())
