@@ -66,23 +66,57 @@ object Bench {
     * identical bytecode, concentrated in alphabetically contiguous
     * windows of untouched queries — slow cycles in moving windows,
     * which wall-vs-cpu descheduling detection cannot see (wall ≈ cpu
-    * throughout). A fixed-work probe BETWEEN windows makes the
+    * throughout). Fixed-work probes BETWEEN windows make the
     * degradation measurable per window, and degraded windows' queries
-    * re-run once at sweep end so the official number self-corrects. */
+    * re-run once at sweep end so the official number self-corrects.
+    *
+    * TWO probes per window, because this host degrades two ways: the
+    * single-thread xorshift spin ([[cpuProbeMs]]) sees slow cycles but
+    * is register-only — blind to memory-bandwidth/IO contention that
+    * inflates real queries 4× while it reads 1.2× (observed twice in
+    * round 11). The ENGINE probe ([[engineProbeMs]]) runs a fixed
+    * small Spark job through the whole stack — scheduler, codegen'd
+    * aggregate, shuffle write+read — so it experiences what the timed
+    * queries experience. */
   final case class ProbeInfo(windowSize: Int, probesMs: Seq[Double],
                              refMs: Double, degraded: Seq[Int],
                              rerun: Seq[String], rerunProbeMs: Double,
-                             valueRaw: Double)
+                             valueRaw: Double,
+                             engineProbesMs: Seq[Double] = Seq.empty,
+                             engineRefMs: Double = 0.0)
 
-  /** Degraded = this window's fixed-work probe ran >1.5× the sweep's
-    * reference (its fastest observed probe — relative detection, no
-    * hard-coded host history; SPARK_GRAFT_PROBE_REF_MS can pin an
-    * external reference when the WHOLE sweep is suspected slow). */
+  /** Fixed small Spark job, timed: ~4M-row codegen'd modulo aggregate
+    * through one real shuffle. Deterministic work; compare only within
+    * a sweep (JIT-warmed by an untimed call before the loop). */
+  def engineProbeMs(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.col
+    val t0 = System.nanoTime()
+    spark.range(4000000L).select((col("id") % 1009).as("k"))
+      .groupBy(col("k")).count().count()
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  /** Degraded = this window's fixed-work CPU probe ran >1.35× the
+    * sweep's reference (its fastest observed probe — relative
+    * detection, no hard-coded host history; SPARK_GRAFT_PROBE_REF_MS
+    * can pin an external reference when the WHOLE sweep is suspected
+    * slow), OR its engine probe ran >1.6× the engine reference (the
+    * engine probe is noisier — scheduler jitter — so its factor is
+    * looser; it exists to catch the memory/IO contention the CPU spin
+    * cannot see). */
   def degradedWindows(probes: Seq[Double], refMs: Double,
-                      factor: Double = 1.5): Seq[Int] =
-    probes.zipWithIndex.collect {
+                      factor: Double = 1.35,
+                      engineProbes: Seq[Double] = Seq.empty,
+                      engineRefMs: Double = 0.0,
+                      engineFactor: Double = 1.6): Seq[Int] = {
+    val cpuBad = probes.zipWithIndex.collect {
       case (p, i) if p > factor * refMs => i
     }
+    val engBad = engineProbes.zipWithIndex.collect {
+      case (p, i) if engineRefMs > 0 && p > engineFactor * engineRefMs => i
+    }
+    (cpuBad ++ engBad).distinct.sorted
+  }
 
   /** Probe evidence (slow cycles) now counts as contention alongside
     * the descheduling shape (wall ≫ cpu+gc on ≥3 queries). */
@@ -265,18 +299,24 @@ object Bench {
     val windowSize = 25
     val windows = selected.toSeq.sortBy(_._1).grouped(windowSize).toSeq
     val windowProbes = Vector.newBuilder[Double]
+    val windowEngine = Vector.newBuilder[Double]
+    engineProbeMs(spark) // untimed: JIT/codegen-warm the probe job itself
     val raw = windows.flatMap { w =>
       windowProbes += cpuProbeMs()
+      windowEngine += engineProbeMs(spark)
       w.map { case (name, fn) => name -> timeOne(fn) }
     }
     val probeEnd = cpuProbeMs()
     val probes = windowProbes.result()
+    val engine = windowEngine.result()
     // reference = fastest probe this sweep (relative detection); an env
     // override can tighten it when the whole sweep ran on slow cycles
     val ref = (probes :+ probeStart :+ probeEnd)
       .appendedAll(sys.env.get("SPARK_GRAFT_PROBE_REF_MS").map(_.toDouble))
       .min
-    val degraded = degradedWindows(probes, ref)
+    val engineRef = engine.min
+    val degraded = degradedWindows(probes, ref,
+      engineProbes = engine, engineRefMs = engineRef)
     // Rerun pass: every query that ran inside a degraded window gets
     // one more timing at sweep end; the corrected wall is the min of
     // the two runs (a rerun can only EXONERATE a query, never flatter
@@ -297,7 +337,8 @@ object Bench {
     val env = Env(loadStart, osBean.getSystemLoadAverage,
       Runtime.getRuntime.availableProcessors, probeStart, probeEnd)
     val probeInfo = ProbeInfo(windowSize, probes, ref, degraded,
-      rawWalls.keys.toSeq.sorted, rerunProbe, raw.map(_._2.wall).sum)
+      rawWalls.keys.toSeq.sorted, rerunProbe, raw.map(_._2.wall).sum,
+      engine, engineRef)
     // stdout keeps the driver-contract shape (wall seconds only) plus
     // the run-quality self-label; the detailed {wall, cpu, gc} record
     // goes to the persisted files.
@@ -374,8 +415,13 @@ object Bench {
         if (withNames)
           s""""rerun":${p.rerun.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
         else ""
+      val ep =
+        if (p.engineProbesMs.nonEmpty)
+          s""""engine_probes_ms":${p.engineProbesMs.map(f3).mkString("[", ",", "]")},""" +
+            s""""engine_ref_ms":${f3(p.engineRefMs)},"""
+        else ""
       s""""probe_window":${p.windowSize},"probes_ms":$ps,""" +
-        s""""probe_ref_ms":${f3(p.refMs)},"degraded_windows":$dg,""" +
+        s""""probe_ref_ms":${f3(p.refMs)},$ep"degraded_windows":$dg,""" +
         s""""rerun_probe_ms":${f3(p.rerunProbeMs)},""" +
         s""""rerun_n":${p.rerun.size},$rr"""
     }

@@ -110,11 +110,19 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(dn.get("contended_queries").size() == 3)
   }
 
-  test("degraded-window detection: >1.5× the sweep's fastest probe") {
+  test("degraded-window detection: CPU probe >1.35× OR engine probe >1.6×") {
     val probes = Seq(450.0, 460.0, 1200.0, 440.0, 670.0)
-    // ref = the sweep min (440): windows 2 (1200 > 660) and 4 (670 > 660)
+    // ref = the sweep min (440): windows 2 (1200 > 594) and 4 (670 > 594)
     assert(Bench.degradedWindows(probes, probes.min) == Seq(2, 4))
     assert(Bench.degradedWindows(Seq(450.0, 460.0), 440.0).isEmpty)
+    // the engine probe catches memory/IO contention the CPU spin can't
+    // see: CPU probes all calm, engine probe 2× in window 1
+    val eng = Seq(300.0, 700.0, 310.0, 320.0, 305.0)
+    assert(Bench.degradedWindows(Seq.fill(5)(450.0), 450.0,
+      engineProbes = eng, engineRefMs = eng.min) == Seq(1))
+    // both signals fire → union, deduped and sorted
+    assert(Bench.degradedWindows(probes, probes.min,
+      engineProbes = eng, engineRefMs = eng.min) == Seq(1, 2, 4))
     // probe evidence alone flips the sweep label to contended
     val calm = Seq("q_ok" -> Bench.Sample(1.0, 0.9, 0.05))
     assert(!Bench.isContended(calm, Seq.empty))
@@ -164,7 +172,8 @@ class BenchFormatSpec extends AnyFunSuite {
     val nw = (results.size + 24) / 25
     val pi = Bench.ProbeInfo(25, Seq.fill(nw)(1234.567), 445.0,
       (0 until nw).toSeq, results.take(150).map(_._1), 1234.5,
-      results.size * 123.456789 * 2)
+      results.size * 123.456789 * 2,
+      engineProbesMs = Seq.fill(nw)(1234.567), engineRefMs = 300.0)
     val line = Bench.renderCompactJson(results, "/root/testdata/sf0.1",
       Some(Bench.Env(6.5, 8.2, 32, 445.0, 450.0)), Some(true), probes = Some(pi))
     assert(line.length < 1800, s"compact line is ${line.length} chars")
