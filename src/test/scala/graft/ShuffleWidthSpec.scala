@@ -58,7 +58,7 @@ object ShuffleWidthSpec {
     "q_logrank", "q_lexical_richness",
     // the HITS fixed-point iterates integer aggregates whose partial
     // merges happen in layout order; the converged units must not
-    "q_hits", "q_modularity")
+    "q_hits", "q_modularity", "q_fk_audit", "q_multimodal_decode")
 }
 
 class ShuffleWidthSpec extends SparkSpec {
