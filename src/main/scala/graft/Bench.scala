@@ -96,26 +96,28 @@ object Bench {
     (System.nanoTime() - t0) / 1e6
   }
 
-  /** Degraded = this window's fixed-work CPU probe ran >1.35× the
-    * sweep's reference (its fastest observed probe — relative
-    * detection, no hard-coded host history; SPARK_GRAFT_PROBE_REF_MS
-    * can pin an external reference when the WHOLE sweep is suspected
-    * slow), OR its engine probe ran >1.6× the engine reference (the
-    * engine probe is noisier — scheduler jitter — so its factor is
-    * looser; it exists to catch the memory/IO contention the CPU spin
-    * cannot see). */
+  /** Degraded = a probe BORDERING this window (its leading OR trailing
+    * one — degradation that starts mid-window shows up in the trailing
+    * probe, and without it the LAST window would be a complete blind
+    * spot) ran >1.35× the sweep's CPU reference (its fastest observed
+    * probe — relative detection, no hard-coded host history;
+    * SPARK_GRAFT_PROBE_REF_MS can pin an external reference when the
+    * WHOLE sweep is suspected slow), OR >1.6× the engine reference
+    * (the engine probe is noisier — scheduler jitter — so its factor
+    * is looser; it exists to catch the memory/IO contention the CPU
+    * spin cannot see). Probe sequences are FENCEPOSTS: length =
+    * windows + 1 (one before each window plus one after the last). */
   def degradedWindows(probes: Seq[Double], refMs: Double,
                       factor: Double = 1.35,
                       engineProbes: Seq[Double] = Seq.empty,
                       engineRefMs: Double = 0.0,
                       engineFactor: Double = 1.6): Seq[Int] = {
-    val cpuBad = probes.zipWithIndex.collect {
-      case (p, i) if p > factor * refMs => i
-    }
-    val engBad = engineProbes.zipWithIndex.collect {
-      case (p, i) if engineRefMs > 0 && p > engineFactor * engineRefMs => i
-    }
-    (cpuBad ++ engBad).distinct.sorted
+    def borderBad(ps: Seq[Double], ref: Double, f: Double): Seq[Int] =
+      if (ps.size < 2 || ref <= 0) Seq.empty
+      else (0 until ps.size - 1).filter(i =>
+        ps(i) > f * ref || ps(i + 1) > f * ref)
+    (borderBad(probes, refMs, factor) ++
+      borderBad(engineProbes, engineRefMs, engineFactor)).distinct.sorted
   }
 
   /** Probe evidence (slow cycles) now counts as contention alongside
@@ -306,15 +308,20 @@ object Bench {
       windowEngine += engineProbeMs(spark)
       w.map { case (name, fn) => name -> timeOne(fn) }
     }
-    val probeEnd = cpuProbeMs()
-    val probes = windowProbes.result()
+    // trailing fenceposts: degradation that starts mid-window is
+    // visible only in the probe AFTER it — without these the last
+    // window would be a blind spot
+    windowProbes += cpuProbeMs()
+    if (windows.nonEmpty) windowEngine += engineProbeMs(spark)
+    val probes = windowProbes.result() // fenceposts: windows + 1
     val engine = windowEngine.result()
+    val probeEnd = probes.last
     // reference = fastest probe this sweep (relative detection); an env
     // override can tighten it when the whole sweep ran on slow cycles
-    val ref = (probes :+ probeStart :+ probeEnd)
+    val ref = (probes :+ probeStart)
       .appendedAll(sys.env.get("SPARK_GRAFT_PROBE_REF_MS").map(_.toDouble))
       .min
-    val engineRef = engine.min
+    val engineRef = if (engine.isEmpty) 0.0 else engine.min
     val degraded = degradedWindows(probes, ref,
       engineProbes = engine, engineRefMs = engineRef)
     // Rerun pass: every query that ran inside a degraded window gets
@@ -336,8 +343,12 @@ object Bench {
     }.toMap
     val env = Env(loadStart, osBean.getSystemLoadAverage,
       Runtime.getRuntime.availableProcessors, probeStart, probeEnd)
+    // `rerun` records every query the pass re-timed (the audit trail —
+    // a rerun that merely CONFIRMS the original wall is still evidence
+    // the correction ran); the improved ones additionally carry
+    // wall_raw in the detailed record
     val probeInfo = ProbeInfo(windowSize, probes, ref, degraded,
-      rawWalls.keys.toSeq.sorted, rerunProbe, raw.map(_._2.wall).sum,
+      affected.sorted, rerunProbe, raw.map(_._2.wall).sum,
       engine, engineRef)
     // stdout keeps the driver-contract shape (wall seconds only) plus
     // the run-quality self-label; the detailed {wall, cpu, gc} record

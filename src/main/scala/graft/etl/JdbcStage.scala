@@ -76,7 +76,7 @@ object SourceDialects {
       case "money" => Some(DecimalType(19, 4))
       case "smallmoney" => Some(DecimalType(10, 4))
       case s if s.startsWith("decimal") || s.startsWith("numeric") =>
-        Some(parseDecimal(s))
+        parseDecimal(s, defaultPrecision = 18) // bare MSSQL DECIMAL = (18,0)
       case "real" => Some(FloatType)
       case "float" => Some(DoubleType)
       case "date" => Some(DateType)
@@ -111,7 +111,7 @@ object SourceDialects {
         Some(DecimalType(20, 0)) // values ≥ 2^63 are legal
       case s if s.startsWith("bigint") => Some(LongType)
       case s if s.startsWith("decimal") || s.startsWith("numeric") =>
-        Some(parseDecimal(s))
+        parseDecimal(s, defaultPrecision = 10) // bare MySQL DECIMAL = (10,0)
       case "float" => Some(FloatType)
       case "double" => Some(DoubleType)
       case "date" => Some(DateType)
@@ -163,10 +163,18 @@ object SourceDialects {
       s.startsWith("char") || s.startsWith("nchar") ||
       s == "text" || s == "ntext" || s == "tinytext" ||
       s == "mediumtext" || s == "longtext" || s == "json" || s == "xml"
-  private def parseDecimal(s: String): DecimalType = {
-    val m = """(?:decimal|numeric)\s*\((\d+)\s*,\s*(\d+)\)""".r
-      .findFirstMatchIn(s)
-    m.map(g => DecimalType(g.group(1).toInt, g.group(2).toInt))
-      .getOrElse(DecimalType(38, 18))
+  /** DECIMAL/NUMERIC declarations: both engines default a missing
+    * SCALE to 0 and a missing precision to an engine-specific value
+    * (MSSQL 18, MySQL 10) — never to Spark's (38,18). Anything that
+    * does not parse as a decimal declaration is a loud None, per the
+    * module doctrine. */
+  private def parseDecimal(s: String, defaultPrecision: Int): Option[DecimalType] = {
+    val full = """^(?:decimal|numeric)\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)$""".r
+    s match {
+      case "decimal" | "numeric" => Some(DecimalType(defaultPrecision, 0))
+      case full(p, sc) =>
+        Some(DecimalType(p.toInt, Option(sc).map(_.toInt).getOrElse(0)))
+      case _ => None
+    }
   }
 }

@@ -52,15 +52,20 @@ object MigrateConfig {
       java.nio.file.Paths.get(path)), "UTF-8"), sys.env)
 
   private def stripComment(s: String): String = {
-    // a '#' inside quotes is content, not a comment
+    // a '#' inside quotes is content, not a comment — but a quote only
+    // OPENS at a token boundary (start of line / after whitespace or
+    // ':'), so an apostrophe inside an unquoted value (o'brien) never
+    // swallows a trailing comment into the value
     var inQ: Char = 0
     val b = new StringBuilder
     var i = 0
     var done = false
     while (i < s.length && !done) {
       val c = s.charAt(i)
+      val atBoundary = i == 0 || s.charAt(i - 1) == ' ' ||
+        s.charAt(i - 1) == '\t' || s.charAt(i - 1) == ':'
       if (inQ != 0) { if (c == inQ) inQ = 0; b.append(c) }
-      else if (c == '\'' || c == '"') { inQ = c; b.append(c) }
+      else if ((c == '\'' || c == '"') && atBoundary) { inQ = c; b.append(c) }
       else if (c == '#') done = true
       else b.append(c)
       i += 1

@@ -568,9 +568,10 @@ object Dedup {
     // tried and reverted on that measurement).
     // the common case after seeding: nothing deeper than `seedRounds`
     // hops survives contraction — zero star rounds, one cheap isEmpty
-    // on the checkpointed relation
-    var fp = fingerprint(edges)
+    // on the checkpointed relation, and NO fingerprint job at all
     var converged = edges.isEmpty
+    var fp = if (converged) (0L, null: java.math.BigDecimal)
+             else fingerprint(edges)
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1

@@ -48,16 +48,6 @@ object Featurize {
       .drop("mid", "pid", "off", "m0")
   }
 
-  /** The explicit integer ntile: bucket of `rnk` among `n` rows split
-    * into `k` quantile groups — first n mod k buckets take one extra
-    * row. Pure integer arithmetic, identical in both engines (builtin
-    * ntile tie semantics are not portable). */
-  private def ntileExpr(k: Int): Column =
-    expr(s"""CAST(CASE WHEN rnk <= (n % $k) * (n DIV $k + 1)
-            |  THEN (rnk + n DIV $k) DIV (n DIV $k + 1)
-            |  ELSE (n % $k) + (rnk - (n % $k) * (n DIV $k + 1) + n DIV $k - 1)
-            |       DIV (n DIV $k) END AS INT)""".stripMargin.replace("\n", " "))
-
   /** B14 — RFM segmentation: each customer scored 1–5 on Recency
     * (days since last order), Frequency (order count), and Monetary
     * (exact lifetime cents), via three independent explicit-ntile

@@ -110,19 +110,26 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(dn.get("contended_queries").size() == 3)
   }
 
-  test("degraded-window detection: CPU probe >1.35× OR engine probe >1.6×") {
-    val probes = Seq(450.0, 460.0, 1200.0, 440.0, 670.0)
-    // ref = the sweep min (440): windows 2 (1200 > 594) and 4 (670 > 594)
-    assert(Bench.degradedWindows(probes, probes.min) == Seq(2, 4))
+  test("degraded-window detection: bordering CPU probe >1.35× OR engine >1.6×") {
+    // probes are FENCEPOSTS (windows + 1): a window is degraded when
+    // its leading OR trailing probe spikes — degradation starting
+    // mid-window is only visible in the trailing one
+    val probes = Seq(450.0, 460.0, 1200.0, 440.0, 670.0) // 4 windows
+    // ref = min (440), cutoff 594: fenceposts 2 (1200) and 4 (670) are
+    // bad → windows 1,2 (border fp 2) and 3 (trailing fp 4)
+    assert(Bench.degradedWindows(probes, probes.min) == Seq(1, 2, 3))
     assert(Bench.degradedWindows(Seq(450.0, 460.0), 440.0).isEmpty)
     // the engine probe catches memory/IO contention the CPU spin can't
-    // see: CPU probes all calm, engine probe 2× in window 1
+    // see: CPU calm, engine fencepost 1 spikes → windows 0 and 1
     val eng = Seq(300.0, 700.0, 310.0, 320.0, 305.0)
     assert(Bench.degradedWindows(Seq.fill(5)(450.0), 450.0,
-      engineProbes = eng, engineRefMs = eng.min) == Seq(1))
+      engineProbes = eng, engineRefMs = eng.min) == Seq(0, 1))
     // both signals fire → union, deduped and sorted
     assert(Bench.degradedWindows(probes, probes.min,
-      engineProbes = eng, engineRefMs = eng.min) == Seq(1, 2, 4))
+      engineProbes = eng, engineRefMs = eng.min) == Seq(0, 1, 2, 3))
+    // a zero/absent engine reference disables the engine signal
+    assert(Bench.degradedWindows(Seq.fill(5)(450.0), 450.0,
+      engineProbes = eng, engineRefMs = 0.0).isEmpty)
     // probe evidence alone flips the sweep label to contended
     val calm = Seq("q_ok" -> Bench.Sample(1.0, 0.9, 0.05))
     assert(!Bench.isContended(calm, Seq.empty))

@@ -26,6 +26,11 @@ class DialectSpec extends AnyFunSuite {
     assert(mssqlCatalystType("tinyint").contains(ShortType))
     assert(mssqlCatalystType("uniqueidentifier").contains(StringType))
     assert(mssqlCatalystType("DECIMAL(12, 3)").contains(DecimalType(12, 3)))
+    // scale-less declarations take the ENGINE's defaults, never (38,18):
+    // bare DECIMAL is (18,0) on MSSQL, DECIMAL(10) means scale 0
+    assert(mssqlCatalystType("decimal").contains(DecimalType(18, 0)))
+    assert(mssqlCatalystType("decimal(10)").contains(DecimalType(10, 0)))
+    assert(mssqlCatalystType("decimal(oops)").isEmpty) // malformed = loud None
     assert(mssqlCatalystType("nvarchar(255)").contains(StringType))
     assert(mssqlCatalystType("varbinary(max)").contains(BinaryType))
     assert(mssqlCatalystType("geography").isEmpty) // uncertified = loud None
@@ -49,6 +54,9 @@ class DialectSpec extends AnyFunSuite {
     assert(mysqlCatalystType("set('x','y')").contains(StringType))
     assert(mysqlCatalystType("longblob").contains(BinaryType))
     assert(mysqlCatalystType("geometry").isEmpty)
+    // bare MySQL DECIMAL defaults to (10,0); a bare precision to scale 0
+    assert(mysqlCatalystType("decimal").contains(DecimalType(10, 0)))
+    assert(mysqlCatalystType("numeric(7)").contains(DecimalType(7, 0)))
   }
 
   test("destination type map is total over every staged Catalyst type") {

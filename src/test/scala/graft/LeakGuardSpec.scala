@@ -47,7 +47,13 @@ class LeakGuardSpec extends AnyFunSuite {
     def walk(p: Path): Seq[Path] =
       if (Files.isDirectory(p)) {
         if (skipDirs.contains(p.getFileName.toString)) Seq.empty
-        else Files.list(p).iterator().asScala.toSeq.flatMap(walk)
+        else {
+          val stream = Files.list(p) // close: one leaked fd per directory otherwise
+          val children =
+            try stream.iterator().asScala.toList
+            finally stream.close()
+          children.flatMap(walk)
+        }
       } else {
         val name = p.getFileName.toString
         val ext = name.split('.').lastOption.getOrElse("")
