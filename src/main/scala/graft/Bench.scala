@@ -83,7 +83,46 @@ object Bench {
                              rerun: Seq[String], rerunProbeMs: Double,
                              valueRaw: Double,
                              engineProbesMs: Seq[Double] = Seq.empty,
-                             engineRefMs: Double = 0.0)
+                             engineRefMs: Double = 0.0,
+                             outlierRerun: Seq[String] = Seq.empty)
+
+  /** Per-QUERY outlier rule, closing the window-boundary blind spot:
+    * degradation that starts and ends INSIDE one 25-query window leaves
+    * both bordering probes calm, so the window rule never fires (the
+    * round-11 official sweep carried ~24 s of uncorrected artifact in
+    * one alphabetical window that way — q_dedup_hops read 10.3 s
+    * against a 2.0 s committed history and was never rerun). The
+    * committed history makes it one map lookup: any query whose wall
+    * exceeds `factor`× its committed-history wall joins the rerun queue
+    * regardless of window flags. The floor skips sub-50 ms queries,
+    * whose ratios are scheduling noise. */
+  def historyOutliers(raw: Seq[(String, Sample)],
+                      history: Map[String, Double],
+                      factor: Double = 2.5,
+                      floorSec: Double = 0.05): Seq[String] =
+    raw.collect {
+      case (n, s) if history.get(n).exists(h =>
+        h >= floorSec && s.wall > factor * h) => n
+    }
+
+  /** Committed per-query history for [[historyOutliers]]:
+    * BENCH_HISTORY.json is a flat {"q_x": wall} map holding the
+    * per-query MIN across committed sweeps (the best honest estimate of
+    * what each query costs on this box — a min can only tighten, never
+    * flatter). Falls back to BENCH_LOCAL.json's detailed record when
+    * the history file is absent. Parsed with a regex, not a JSON
+    * library: both files are this object's own single-line output. */
+  def loadHistory(): Map[String, Double] = {
+    def parse(path: String, pat: scala.util.matching.Regex): Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+        pat.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val flat = parse("BENCH_HISTORY.json", """"(q_[A-Za-z0-9_]+)":([0-9.]+)""".r)
+    if (flat.nonEmpty) flat
+    else parse("BENCH_LOCAL.json", """"(q_[A-Za-z0-9_]+)":\{"wall":([0-9.]+)""".r)
+  }
 
   /** Fixed small Spark job, timed: ~4M-row codegen'd modulo aggregate
     * through one real shuffle. Deterministic work; compare only within
@@ -343,8 +382,21 @@ object Bench {
         else math.max(ps(i), ps(i + 1)) / rf
       math.max(r(probes, ref), r(engine, engineRef))
     }
-    val affected = degraded.sortBy(i => -severity(i))
-      .flatMap(i => windows(i).map(_._1)).take(150)
+    val windowAffected = degraded.sortBy(i => -severity(i))
+      .flatMap(i => windows(i).map(_._1))
+    // Per-query outliers go FIRST in the queue (each carries its own
+    // per-query evidence; a degraded window only implicates its queries
+    // collectively), ordered worst-ratio-first, then the window queries.
+    // (history is recorded at the default bench SF; at any other SF the
+    // ratios would be scale effects, not contention — rule disabled)
+    val history =
+      if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) loadHistory()
+      else Map.empty[String, Double]
+    val rawByName = raw.toMap
+    val outliers = historyOutliers(raw, history)
+      .sortBy(n => -(rawByName(n).wall / history(n)))
+    val affected = (outliers ++ windowAffected.filterNot(outliers.toSet))
+      .take(150)
     val rerunProbe = if (affected.nonEmpty) cpuProbeMs() else 0.0
     val rerunSamples = affected.map(n => n -> timeOne(selected(n))).toMap
     val results = raw.map { case (n, s) =>
@@ -364,7 +416,7 @@ object Bench {
     // wall_raw in the detailed record
     val probeInfo = ProbeInfo(windowSize, probes, ref, degraded,
       affected.sorted, rerunProbe, raw.map(_._2.wall).sum,
-      engine, engineRef)
+      engine, engineRef, outliers.sorted)
     // stdout keeps the driver-contract shape (wall seconds only) plus
     // the run-quality self-label; the detailed {wall, cpu, gc} record
     // goes to the persisted files.
@@ -387,6 +439,21 @@ object Bench {
       Some(probeInfo), rawWalls)
     for (p <- Seq("/tmp/bench_last.json", "BENCH_LOCAL.json")) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), detailed + "\n")
+      catch { case _: Throwable => }
+    }
+    // Min-merge this sweep's corrected walls into the committed history
+    // (full sweeps only — a SPARK_GRAFT_ONLY partial run or a non-default
+    // SF would pollute the per-query baseline). A min can only tighten:
+    // contention inflates walls, it never deflates them, so the running
+    // min converges on each query's honest cost on this box.
+    if (only.isEmpty && results.size == SparkEntry.queries.size &&
+        sfDir.replaceAll("/+$", "").endsWith("sf0.1")) {
+      val merged = (history.keySet ++ walls.map(_._1)).toSeq.sorted.map { k =>
+        val v = (history.get(k).toSeq ++ walls.collect { case (`k`, w) => w }).min
+        "\"" + k + "\":" + f3(v)
+      }.mkString("{", ",", "}")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_HISTORY.json"), merged + "\n")
       catch { case _: Throwable => }
     }
     spark.stop()
@@ -439,7 +506,8 @@ object Bench {
       val dg = p.degraded.mkString("[", ",", "]")
       val rr =
         if (withNames)
-          s""""rerun":${p.rerun.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
+          s""""rerun":${p.rerun.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+            s""""outlier_rerun":${p.outlierRerun.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
         else ""
       val ep =
         if (p.engineProbesMs.nonEmpty)
@@ -449,7 +517,7 @@ object Bench {
       s""""probe_window":${p.windowSize},"probes_ms":$ps,""" +
         s""""probe_ref_ms":${f3(p.refMs)},$ep"degraded_windows":$dg,""" +
         s""""rerun_probe_ms":${f3(p.rerunProbeMs)},""" +
-        s""""rerun_n":${p.rerun.size},$rr"""
+        s""""rerun_n":${p.rerun.size},"outlier_n":${p.outlierRerun.size},$rr"""
     }
 
   /** The tail-window-safe twin of [[renderJson]]: only the `maxShown`

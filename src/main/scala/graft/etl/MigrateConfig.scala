@@ -21,7 +21,7 @@ object MigrateConfig {
     var section: Option[String] = None
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
     text.linesIterator.zipWithIndex.foreach { case (raw, i) =>
-      val noComment = stripComment(raw)
+      val noComment = stripComment(raw, i + 1)
       val line = noComment.trim
       if (line.nonEmpty) {
         val indented = noComment.startsWith(" ") || noComment.startsWith("\t")
@@ -51,7 +51,7 @@ object MigrateConfig {
     parse(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), "UTF-8"), sys.env)
 
-  private def stripComment(s: String): String = {
+  private def stripComment(s: String, lineNo: Int): String = {
     // a '#' inside quotes is content, not a comment — but a quote only
     // OPENS at a token boundary (start of line / after whitespace or
     // ':'), so an apostrophe inside an unquoted value (o'brien) never
@@ -70,6 +70,12 @@ object MigrateConfig {
       else b.append(c)
       i += 1
     }
+    // An unterminated quote would otherwise HALF-parse: comment
+    // stripping stays disabled for the rest of the line and unquote
+    // leaves the dangling quote char in the value — exactly the silent
+    // corruption this module's "unsupported syntax fails loudly"
+    // doctrine forbids.
+    require(inQ == 0, s"line $lineNo: unterminated $inQ quote")
     b.toString
   }
 

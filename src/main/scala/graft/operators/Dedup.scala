@@ -501,10 +501,17 @@ object Dedup {
     // min composes — star's component-min over k-hop-min labels IS the
     // component min over nodes, because every label is a member node
     // id and the component's min node labels itself.
+    // BOTH endpoints self-vote — without struct(v, v) a node appearing
+    // only on the v side could take a label ABOVE its own id, breaking
+    // the k-hop-min invariant the comment above claims (labels could
+    // increase between rounds; the star fixpoint still rescued the
+    // final answer, but star-shaped components whose min is a v-only
+    // center survived one extra round).
     val both = raw.select(explode(array(
         struct(col("u"), col("v")),
         struct(col("v").as("u"), col("u").as("v")),
-        struct(col("u"), col("u").as("v")))).as("e"))
+        struct(col("u"), col("u").as("v")),
+        struct(col("v").as("u"), col("v").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .repartition(col("v")).localCheckpoint()
     var lab = both.groupBy(col("u")).agg(min(col("v")).as("label"))

@@ -173,6 +173,33 @@ class BenchFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("per-query history outlier rule: >2.5× committed wall, floor-guarded") {
+    val hist = Map("q_slow" -> 2.0, "q_tiny" -> 0.01, "q_ok" -> 1.0)
+    val raw = Seq(
+      "q_slow" -> Bench.Sample(10.3, 9.0, 0.5), // 5.15× its history → flagged
+      "q_tiny" -> Bench.Sample(0.2, 0.1, 0.0),  // 20× but sub-floor history → noise
+      "q_ok"   -> Bench.Sample(1.4, 1.3, 0.0),  // 1.4× → calm
+      "q_new"  -> Bench.Sample(9.9, 9.0, 0.0))  // no history → cannot judge
+    assert(Bench.historyOutliers(raw, hist) == Seq("q_slow"))
+    // exactly at the factor is NOT an outlier (strict >)
+    assert(Bench.historyOutliers(
+      Seq("q_ok" -> Bench.Sample(2.5, 2.0, 0.0)), hist).isEmpty)
+    // empty history (non-default SF, missing file) disables the rule
+    assert(Bench.historyOutliers(raw, Map.empty).isEmpty)
+    // the outlier names ride the unbounded renderers next to `rerun`
+    val pi = Bench.ProbeInfo(25, Seq(450.0, 452.0), 450.0, Seq.empty,
+      rerun = Seq("q_slow"), rerunProbeMs = 451.0, valueRaw = 12.0,
+      outlierRerun = Seq("q_slow"))
+    val full = mapper.readTree(Bench.renderJson(
+      Seq("q_slow" -> 2.1), "/d", None, Some(false), Some(pi)))
+    assert(full.get("outlier_rerun").get(0).asText() == "q_slow")
+    assert(full.get("outlier_n").asInt() == 1)
+    val compact = mapper.readTree(Bench.renderCompactJson(
+      Seq("q_slow" -> 2.1), "/d", None, Some(false), probes = Some(pi)))
+    assert(compact.get("outlier_rerun") == null) // names only unbounded
+    assert(compact.get("outlier_n").asInt() == 1)
+  }
+
   test("compact trailer with full probe evidence still fits the tail window") {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 123.456789)
     // worst realistic shape: every window probed, several degraded

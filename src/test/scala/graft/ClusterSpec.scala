@@ -48,6 +48,18 @@ class ClusterSpec extends SparkSpec {
     assert(out(20L) == ((20L, true)) && out(21L)._1 == 20L && out(22L)._1 == 20L)
   }
 
+  test("a v-only star center contracts in the seed rounds (both endpoints self-vote)") {
+    // Star whose MIN is the center and the center appears ONLY on the
+    // v side: without the (v, v) self-edge the center's own label came
+    // from its neighbors (all larger), the seed's k-hop-min invariant
+    // broke, and the component needed an extra star round. With both
+    // endpoints self-voting, 2 seed rounds fully label a star.
+    val vOnlyStar = pairsDf((5, 1), (6, 1), (7, 1), (8, 1))
+    val out = Dedup.dedupClustersStar(vOnlyStar, maxRounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L, 8L -> 1L))
+  }
+
   test("star contraction handles a 200-deep chain in O(log²) rounds") {
     // Label propagation needs 199 rounds here (one hop per round);
     // contraction must finish within 15 alternating rounds or the

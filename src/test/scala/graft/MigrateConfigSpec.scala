@@ -39,6 +39,14 @@ class MigrateConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       MigrateConfig.parse("a:\n  b:\n    c: too deep"))
     intercept[IllegalArgumentException](MigrateConfig.parse("  orphan: 1"))
+    // an unterminated quote must raise, not half-parse (comment
+    // stripping disabled for the rest of the line + a dangling quote
+    // char left in the value)
+    val q = intercept[IllegalArgumentException](
+      MigrateConfig.parse("key: 'abc"))
+    assert(q.getMessage.contains("unterminated"))
+    intercept[IllegalArgumentException](
+      MigrateConfig.parse("key: \"abc # not a comment"))
   }
 
   test("MigrateApp resolves the same args from CLI and config styles") {
