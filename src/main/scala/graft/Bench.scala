@@ -53,6 +53,17 @@ object Bench {
     ms
   }
 
+  /** (process CPU seconds, cumulative GC seconds) — for Dev's per-rep
+    * wall attribution. */
+  def snapshot(): (Double, Double) = {
+    import scala.jdk.CollectionConverters._
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val gc = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    (os.getProcessCpuTime / 1e9, gc / 1e3)
+  }
+
   def contendedQueries(results: Seq[(String, Sample)]): Seq[String] =
     results.collect {
       case (n, s) if s.wall > 0.75 && s.wall > 2.0 * (s.cpu + s.gc) => n
@@ -437,7 +448,15 @@ object Bench {
     // past rounds; persist the full line so totals are always readable.
     val detailed = renderDetailedJson(results, sfDir, Some(env),
       Some(probeInfo), rawWalls)
-    for (p <- Seq("/tmp/bench_last.json", "BENCH_LOCAL.json")) {
+    // BENCH_LOCAL.json is the committed record of a FULL sweep at the
+    // default SF — a SPARK_GRAFT_ONLY partial run or an off-SF sweep
+    // must not clobber it (each has happened once);
+    // /tmp/bench_last.json always gets the current run for inspection.
+    val official = only.isEmpty &&
+      sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    val sinks = if (official) Seq("/tmp/bench_last.json", "BENCH_LOCAL.json")
+                else Seq("/tmp/bench_last.json")
+    for (p <- sinks) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), detailed + "\n")
       catch { case _: Throwable => }
     }

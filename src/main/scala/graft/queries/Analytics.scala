@@ -789,44 +789,27 @@ object Analytics {
     * labeled by the lower percentile. */
   def percentileDisc(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    // Two-pass scale-safe rank lookup: range-partition by (flag, price)
-    // so every task sorts only its own slice, then recover the GLOBAL
-    // per-flag rank as broadcast per-(pid, flag) offset + local
-    // position. The local position comes from monotonically
-    // _increasing_id() over the in-partition sort (documented layout:
-    // partition index in the upper bits, 0-based counter in the lower
-    // 33) minus the group's first id — a narrow codegen'd projection,
-    // so the data is shuffled exactly once (the range exchange), with
-    // no per-group single-task sort anywhere. persist() pins ids and
-    // sampled range bounds so both readers agree.
-    val parts = li.select(col("l_returnflag"), col("l_extendedprice"))
-      .repartitionByRange(Tables.shuffleWidth(s),
-        col("l_returnflag"), col("l_extendedprice"))
-      .sortWithinPartitions(col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("mid", monotonically_increasing_id())
-      .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
-      .persistScoped()
-    val counts = parts.groupBy(col("pid"), col("l_returnflag"))
-      .agg(count(lit(1)).as("c"), min(col("mid")).as("m0"))
-    val offsets = counts
-      .withColumn("off",
-        sum(col("c")).over(
-          Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))) - col("c"))
-      .select(col("pid"), col("l_returnflag"), col("off"), col("m0"))
-    // Per-flag totals from the same per-(pid, flag) counts the offset
-    // pass computed — the rank thresholds cost no second lineitem scan.
-    val ranks = counts.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
-      .select(col("l_returnflag"),
-        ceil(col("n") * 0.5).cast("bigint").as("r50"),
-        ceil(col("n") * 0.9).cast("bigint").as("r90"))
-    parts
-      .join(broadcast(offsets), Seq("pid", "l_returnflag"))
-      .withColumn("rn", col("off") + (col("mid") - col("m0")) + 1)
-      .join(broadcast(ranks), Seq("l_returnflag"))
-      .filter(col("rn") === col("r50") || col("rn") === col("r90"))
-      .select(col("l_returnflag"),
-        when(col("rn") === col("r50"), "p50").otherwise("p90").as("pct"),
-        col("l_extendedprice").as("value"))
+    // Order statistics only → the shared bounded cut machinery
+    // (graft.operators.Ranked.cutValues): one range exchange, no local
+    // sort of the fact slice, windows only over the two partitions
+    // where the rank crossings land. Threshold rows are DEDUPED by
+    // rank before the lookup (groupBy t, min label), preserving the
+    // original "groups too small to separate the ranks emit one row
+    // labeled by the lower percentile" semantics.
+    val cuts = graft.operators.Ranked.cutValuesByRank(
+      li.select(col("l_returnflag"), col("l_extendedprice")),
+      Seq("l_returnflag"), Seq(col("l_extendedprice")),
+      col("l_extendedprice"),
+      totals => totals.select(col("l_returnflag"),
+          explode(array(
+            struct(lit("p50").as("tname"),
+              ceil(col("tw") * 0.5).cast("bigint").as("t")),
+            struct(lit("p90").as("tname"),
+              ceil(col("tw") * 0.9).cast("bigint").as("t")))).as("x"))
+        .groupBy(col("l_returnflag"), col("x.t").as("t"))
+        .agg(min(col("x.tname")).as("tname")))
+    cuts.select(col("l_returnflag"), col("tname").as("pct"),
+        col("cut_value").as("value"))
       .orderBy(col("l_returnflag"), col("pct"))
   }
 

@@ -104,35 +104,20 @@ object Curate {
     * feature distribution-free. Rank semantics are EXPLICIT row
     * position under the total order (price, orderkey), not built-in
     * percent_rank (whose tie semantics differ across engines). The
-    * global per-group rank comes from the two-pass range-repartition +
-    * broadcast-offset pattern (q_percentile_disc), so no group ever
-    * funnels through one task. qnorm = (rank−1)/(n−1) is one exact
-    * integer division to double per row. */
-  def quantileNorm(s: SparkSession, dir: String): DataFrame = {
-    val parts = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      .repartitionByRange(Tables.shuffleWidth(s),
-        col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
-      .sortWithinPartitions(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
-      .withColumn("mid", monotonically_increasing_id())
-      .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
-      .persistScoped()
-    val counts = parts.groupBy(col("pid"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("c"), min(col("mid")).as("m0"))
-    val offsets = counts
-      .withColumn("off", sum(col("c")).over(
-        Window.partitionBy(col("o_orderstatus")).orderBy(col("pid"))) - col("c"))
-      .select(col("pid"), col("o_orderstatus"), col("off"), col("m0"))
-    val ns = counts.groupBy(col("o_orderstatus")).agg(sum(col("c")).as("grp_n"))
-    parts
-      .join(broadcast(offsets), Seq("pid", "o_orderstatus"))
-      .withColumn("rnk", col("off") + (col("mid") - col("m0")) + 1)
-      .join(broadcast(ns), Seq("o_orderstatus"))
+    * global per-group rank comes from the shared two-pass range-
+    * repartition + broadcast-offset builder ([[graft.operators.Ranked
+    * .groupRanks]] — every row needs its position, so this is the
+    * full-rank form, not the bounded cut lookup). qnorm =
+    * (rank−1)/(n−1) is one exact integer division to double per row. */
+  def quantileNorm(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranked.groupRanks(
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      Seq("o_orderstatus"), Seq(col("o_totalprice"), col("o_orderkey")))
       .select(col("o_orderkey"), col("o_orderstatus"),
         ((col("rnk") - 1).cast("double") / (col("grp_n") - 1).cast("double"))
           .as("qnorm"))
       .orderBy(col("o_orderkey"))
-  }
 
   val quantileNormSql: String =
     """WITH r AS (SELECT o_orderkey, o_orderstatus,

@@ -14,48 +14,34 @@ import graft.Caches.PersistScoped
   */
 object Featurize {
 
-  /** Global explicit-position rank of `df` under `order` plus the
-    * total row count, via the scale-safe two-pass: range-repartition
-    * by the order, per-partition counts broadcast as offsets,
-    * monotonically_increasing_id for the local position (documented
-    * layout: partition index in the upper bits, 0-based counter in
-    * the lower 33). One data shuffle total, no single-partition
-    * window. The order must be TOTAL (include a unique key).
-    *
-    * CALLER CONTRACT: pass an already-persisted `df` when its lineage
-    * is expensive — range repartitioning samples its child in its own
-    * job, so an unpinned aggregate input computes twice. Pinning HERE
-    * was tried and reverted: re-persisting the caller's
-    * already-persisted relation stacks a second cache over the first
-    * and measured 2-3× slower (q_rfm_segments 2.8 s → 6.5 s warm). */
-  private def rankedBy(s: SparkSession, df: DataFrame, order: Column*): DataFrame = {
-    val parts = df
-      .repartitionByRange(Tables.shuffleWidth(s), order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("mid", monotonically_increasing_id())
-      .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
-      .persistScoped()
-    val counts = parts.groupBy(col("pid"))
-      .agg(count(lit(1)).as("c"), min(col("mid")).as("m0"))
-    val offsets = counts
-      .withColumn("off", sum(col("c")).over(Window.orderBy(col("pid"))) - col("c"))
-      .select(col("pid"), col("off"), col("m0"))
-    val nDf = counts.agg(sum(col("c")).as("n"))
-    parts
-      .join(broadcast(offsets), Seq("pid"))
-      .withColumn("rnk", col("off") + (col("mid") - col("m0")) + 1)
-      .crossJoin(broadcast(nDf))
-      .drop("mid", "pid", "off", "m0")
-  }
-
   /** B14 — RFM segmentation: each customer scored 1–5 on Recency
     * (days since last order), Frequency (order count), and Monetary
-    * (exact lifetime cents), via three independent explicit-ntile
-    * ranks over the customer aggregate — the classic CRM / cohort
-    * feature. Each rank runs the two-pass machinery (the customer
-    * relation grows with the corpus, so no global window); quintile
-    * boundaries are pure integer arithmetic. Output is the segment
-    * grid with sizes and exact monetary mass. */
+    * (exact lifetime cents), via explicit-ntile ranks over the
+    * customer aggregate — the classic CRM / cohort feature.
+    *
+    * Quintile membership does NOT need per-customer rank joins: only
+    * the 4 BUCKET-BOUNDARY rows per axis matter, and those are order
+    * statistics — so ALL THREE axes run through ONE instance of the
+    * shared bounded cut machinery ([[graft.operators.Ranked
+    * .cutValues]]): each customer row explodes into three
+    * (axis, value, key) rows, one range exchange partitions the
+    * tagged relation by (axis, value, key), and the 12 quintile cuts
+    * come back as one bounded relation (previously three independent
+    * two-pass rank machineries — 3× the sampling jobs, persists, and
+    * offset aggregates for the same 12 rows). A customer's bucket is
+    * then 1 + #cuts strictly below it in the axis's total order — a
+    * narrow higher-order projection over the persisted base, so no
+    * customer-sized shuffle join anywhere. Keys are unique, so only
+    * the cut row itself ever EQUALS a cut, and it counts exactly the
+    * b−1 cuts below it. Empty tail buckets (n < 5) collapse cut ranks
+    * onto existing rows; thresholds are NOT deduped, so the collapsed
+    * cut appears once per bucket boundary — exactly ntile's 1..n
+    * assignment. Quintile boundaries are pure integer arithmetic;
+    * negated axes let one lexicographic struct order express every
+    * "DESC, key ASC" rank. Each cut lands in a max(when(tname = b))
+    * FIXED-SIZE aggregate buffer, so the broadcast build side is
+    * provably bounded (PlanScan cannot see a filter's row bound; it
+    * can see that max accumulates nothing). */
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
     val maxDate = "1998-12-31"
     val base = Tables.orders(s, dir)
@@ -66,48 +52,39 @@ object Featurize {
         count(lit(1)).as("frequency"),
         sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
           .as("cents"))
-      // negated axes let ONE lexicographic struct order express every
-      // "DESC, key ASC" rank — a plain struct comparison has no
-      // per-field direction
       .withColumn("neg_frequency", -col("frequency"))
       .withColumn("neg_cents", -col("cents"))
-      .persistScoped() // three rank passes + the final bucket projection
-    // Quintile membership does NOT need per-customer rank joins: only
-    // the 4 BUCKET-BOUNDARY rows per axis matter. Each axis runs the
-    // two-pass rank machinery once, keeps the rows whose rank is a
-    // quintile cut (≤4 rows), and collapses them to ONE broadcastable
-    // array of (axis, key) cut pairs; a customer's bucket is then
-    // 1 + #cuts strictly below it in the axis's total order — a narrow
-    // higher-order projection over the persisted base, so the three
-    // customer-sized shuffle joins (and their exchanges) disappear.
-    // Keys are unique, so only the cut row itself ever EQUALS a cut,
-    // and it counts exactly the b−1 cuts below it. Empty tail buckets
-    // (n < 5) collapse cut ranks onto existing rows, which the count
-    // rule reproduces (bucket b of ntile's 1..n assignment).
-    // each cut is max(when(rnk = cut_b, …)) — a FIXED-SIZE aggregate
-    // buffer per bucket boundary (exactly one row matches each cut
-    // rank), so the broadcast build side is provably bounded where a
-    // collect_list of the filtered rows would not be (PlanScan cannot
-    // see a filter's row bound; it can see that max accumulates
-    // nothing)
+      .persistScoped() // the tagged cut pass + the final bucket projection
+    val tagged = base.select(col("o_custkey").as("k"),
+      explode(array(
+        struct(lit("r").as("axis"), col("recency_days").as("a")),
+        struct(lit("f").as("axis"), col("neg_frequency").as("a")),
+        struct(lit("m").as("axis"), col("neg_cents").as("a")))).as("x"))
+      .select(col("x.axis"), col("x.a"), col("k"))
+    // ntile cut rank of bucket boundary b over n rows, exact integers
     def cutRank(b: Int): Column = expr(
-      s"""CASE WHEN $b <= n % 5 THEN $b * (n DIV 5 + 1)
-         |ELSE (n % 5) * (n DIV 5 + 1) + ($b - n % 5) * (n DIV 5)
-         |END""".stripMargin.replace("\n", " "))
-    def cuts(alias: String, axis: Column): DataFrame =
-      rankedBy(s, base, axis, col("o_custkey"))
-        .agg(array((1 to 4).map(b =>
-          max(when(col("rnk") === cutRank(b),
-            struct(axis.as("a"), col("o_custkey").as("k"))))): _*).as(alias))
-    val rCuts = cuts("r_cuts", col("recency_days"))
-    val fCuts = cuts("f_cuts", col("neg_frequency"))
-    val mCuts = cuts("m_cuts", col("neg_cents"))
+      s"""CASE WHEN $b <= tw % 5 THEN $b * (tw DIV 5 + 1)
+         |ELSE (tw % 5) * (tw DIV 5 + 1) + ($b - tw % 5) * (tw DIV 5)
+         |END""".stripMargin.replace("\n", " ")).cast("bigint")
+    val cuts = graft.operators.Ranked.cutValuesByRank(tagged,
+      Seq("axis"), Seq(col("a"), col("k")),
+      struct(col("a"), col("k")),
+      totals => totals.select(col("axis"),
+          explode(array((1 to 4).map(b =>
+            struct(lit(b).as("tname"), cutRank(b).as("t"))): _*)).as("x"))
+        .select(col("axis"), col("x.tname"), col("x.t")))
+    val cutArrays = cuts.groupBy(col("axis"))
+      .agg(array((1 to 4).map(b =>
+        max(when(col("tname") === b, col("cut_value")))): _*).as("arr"))
+    val allCuts = cutArrays.agg(
+      max(when(col("axis") === "r", col("arr"))).as("r_cuts"),
+      max(when(col("axis") === "f", col("arr"))).as("f_cuts"),
+      max(when(col("axis") === "m", col("arr"))).as("m_cuts"))
     def bucket(cutsCol: String, axis: Column): Column =
       lit(6) - (lit(1) + size(filter(col(cutsCol),
         c => c < struct(axis.as("a"), col("o_custkey").as("k")))).cast("int"))
     base
-      .crossJoin(broadcast(rCuts)).crossJoin(broadcast(fCuts))
-      .crossJoin(broadcast(mCuts))
+      .crossJoin(broadcast(allCuts))
       .select(col("cents"),
         bucket("r_cuts", col("recency_days")).as("r_q"),
         bucket("f_cuts", col("neg_frequency")).as("f_q"),

@@ -689,28 +689,41 @@ object Joins {
     * (≤ 10⁷ · 5.6·10⁴ · |events| ≪ 2⁶³) and the single final
     * double division is bit-identical on both engines. */
   def spatialIdw(s: SparkSession, dir: String): DataFrame = {
+    // ONE md5 per point (geoLat/geoLon share the hash), and the
+    // per-point trig the 9-cell explode would otherwise recompute per
+    // pair — cos(radians(plat)) — is hoisted to the point projection;
+    // the per-cell factor cos(radians(clat)) rides on the broadcast
+    // cell list. Multiplication grouping in `h` is unchanged
+    // (left-assoc), so every double is bit-identical to the inline
+    // form the oracle mirrors.
+    val hh = md5(concat(lit("egeo|"), col("event_id").cast("string")))
     val pts = Tables.events(s, dir)
-      .select(col("event_id"), col("value"),
-        geoLat("egeo|", col("event_id")).as("plat"),
-        geoLon("egeo|", col("event_id")).as("plon"),
-        (dec2(col("value")) * 100).cast("bigint").as("cents"))
+      .select((dec2(col("value")) * 100).cast("bigint").as("cents"),
+        hh.as("hh"))
+      .select(col("cents"),
+        (lit(40.0) + (conv(substring(col("hh"), 1, 8), 16, 10).cast("long")
+          % 1000000L) / 1e6 * 10.0).as("plat"),
+        ((conv(substring(col("hh"), 9, 8), 16, 10).cast("long")
+          % 1000000L) / 1e6 * 10.0).as("plon"))
       .withColumn("jy", floor(col("plat")).cast("int"))
       .withColumn("jx", floor(col("plon")).cast("int"))
+      .withColumn("cplat", cos(radians(col("plat"))))
     val cells = pts.select(col("jy"), col("jx")).distinct()
+      .withColumn("ccell", cos(radians(col("jy") + lit(0.5))))
     val contrib = pts
-      .select(col("cents"), col("plat"), col("plon"),
+      .select(col("cents"), col("plat"), col("plon"), col("cplat"),
         explode(expr("transform(sequence(0, 8), i -> " +
           "named_struct('ty', CAST(jy + i div 3 - 1 AS INT), " +
           "'tx', CAST(jx + i % 3 - 1 AS INT)))")).as("t"))
-      .select(col("cents"), col("plat"), col("plon"),
+      .select(col("cents"), col("plat"), col("plon"), col("cplat"),
         col("t.ty").as("jy"), col("t.tx").as("jx"))
-      .join(cells, Seq("jy", "jx")) // estimate only at populated cells
+      // estimate only at populated cells; the cell list is grid-bounded
+      .join(broadcast(cells), Seq("jy", "jx"))
     val clat = col("jy") + lit(0.5)
     val clon = col("jx") + lit(0.5)
-    val dlat = radians(clat - col("plat")) / 2
-    val dlon = radians(clon - col("plon")) / 2
-    val h = sin(dlat) * sin(dlat) +
-      cos(radians(col("plat"))) * cos(radians(clat)) * sin(dlon) * sin(dlon)
+    val sdlat = sin(radians(clat - col("plat")) / 2)
+    val sdlon = sin(radians(clon - col("plon")) / 2)
+    val h = sdlat * sdlat + col("cplat") * col("ccell") * sdlon * sdlon
     contrib
       .withColumn("d_m", floor(lit(2.0) * 6371000.0 * asin(sqrt(h)))
         .cast("bigint"))

@@ -138,57 +138,66 @@ object Network {
     * every round is pure integer algebra, so `iters` rounds are
     * bit-identical to the oracle's unrolled CTEs. */
   def hits(s: SparkSession, dir: String, iters: Int = 4): DataFrame = {
-    // the directed fact collapse has exactly ONE reader (the share
-    // projection below) — only share, which the iteration re-reads
-    // twice per round, earns a persist
-    val edges = tradeJoin(s, dir)
+    // The ONE distributed pass: collapse the fact table to the
+    // directed nation graph. The contracted relation is ≤ |nations|²
+    // rows — METADATA by construction (bounded by the nation dimension
+    // at any corpus size) — so the integer fixed point runs on the
+    // driver, exactly like the PCA eigen-solve and the PQ codebook
+    // training: 8 half-iterations over ≤625 literal edges cost zero
+    // jobs, where the previous in-plan loop paid a localCheckpoint +
+    // aggregate per half-round (16 jobs to move 25 rows). Every
+    // arithmetic step below mirrors the oracle's unrolled CTEs
+    // bit-for-bit: share = (w·10⁶) div Σw, half-round contribution
+    // (share·v) div 10⁶ summed per node, max-normalize
+    // (v·10¹²) div mx in BigInt (HUGEINT), all operands non-negative
+    // so trunc-div ≡ the oracle's floor-div.
+    val edgeRows = tradeJoin(s, dir)
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
-    val share = edges
-      .withColumn("wtot", sum(col("w")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
-      .select(col("src"), col("dst"),
-        expr("(w * 1000000L) DIV wtot").as("share"))
-      .persistScoped() // iterated over; metadata-scale (<= |nations|^2)
+      .collect() // ≤ |nations|² — bounded metadata
+      .map(r => (r.getAs[Number]("src").longValue,
+        r.getAs[Number]("dst").longValue, r.getAs[Long]("w")))
+    val wtot = edgeRows.map(_._3).sum
+    val shares = edgeRows.map { case (src, dst, w) =>
+      (src, dst, if (wtot == 0) 0L else w * 1000000L / wtot)
+    }
     val nations = Tables.nation(s, dir).select(col("n_nationkey").as("node"))
-    def normalize(raw: DataFrame): DataFrame = {
-      // max-normalize to 1e12 units: the max is a 1-row broadcast
-      val mx = raw.agg(max(col("v")).as("mx"))
-      nations.join(raw, Seq("node"), "left")
-        .crossJoin(broadcast(mx))
-        .select(col("node"),
-          when(col("mx").isNull || col("mx") <= 0, lit(0L))
-            .otherwise(expr(
-              "CAST(CAST(coalesce(v, 0L) AS DECIMAL(38,0)) * 1000000000000L" +
-                " DIV mx AS BIGINT)")).as("v"))
+    val nodeKeys = nations.collect() // |nations| — bounded metadata
+      .map(_.getAs[Number]("node").longValue).toSeq
+    val unit = 1000000000000L
+    def normalize(raw: Map[Long, Long]): Map[Long, Long] = {
+      val mx = if (raw.isEmpty) 0L else raw.values.max
+      nodeKeys.map(n => n -> (if (mx <= 0) 0L
+        else (BigInt(raw.getOrElse(n, 0L)) * unit / mx).toLong)).toMap
     }
-    var h = nations.withColumn("v", lit(1000000000000L))
-    var a = nations.withColumn("v", lit(1000000000000L))
+    // score.get mirrors the oracle's INNER join of sh against the
+    // previous score relation: an edge endpoint outside the nation
+    // dimension contributes nothing
+    def halfRound(score: Map[Long, Long], in: ((Long, Long, Long)) => Long,
+                  out: ((Long, Long, Long)) => Long): Map[Long, Long] =
+      normalize(shares.groupBy(out).map { case (node, es) =>
+        node -> es.flatMap(e => score.get(in(e))
+          .map(v => e._3 * v / 1000000L)).sum
+      })
+    var h = nodeKeys.map(_ -> unit).toMap
+    var a = h
     for (_ <- 1 to iters) {
-      // score relations are |nations| rows — broadcast them onto the
-      // persisted share table so each half-iteration's only exchange
-      // is the bounded per-node aggregate. Each half ends in an EAGER
-      // localCheckpoint: every round's plan embeds the previous
-      // round's tree THREE times (join + the normalize's left join and
-      // max), so without truncation the logical plan grows ~3^(2·iters)
-      // — an 85k-line formatted plan at iters=4 whose analysis cost
-      // dwarfs the 25-row data (same lesson as the CC loops, at the
-      // plan level rather than the lineage level).
-      a = normalize(share
-        .join(broadcast(h.withColumnRenamed("node", "src")), Seq("src"))
-        .select(col("dst").as("node"),
-          expr("(share * v) DIV 1000000L").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("v")))
-        .localCheckpoint()
-      h = normalize(share
-        .join(broadcast(a.withColumnRenamed("node", "dst")), Seq("dst"))
-        .select(col("src").as("node"),
-          expr("(share * v) DIV 1000000L").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("v")))
-        .localCheckpoint()
+      a = halfRound(h, _._1, _._2) // auth(dst) ← Σ share·hub(src)
+      h = halfRound(a, _._2, _._1) // hub(src) ← Σ share·auth(dst)
     }
-    h.withColumnRenamed("v", "hub_units")
-      .join(a.withColumnRenamed("v", "auth_units"), Seq("node"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node_l",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("hub_units",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("auth_units",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    val res = s.createDataFrame(new java.util.ArrayList(nodeKeys.map(n =>
+      org.apache.spark.sql.Row(n, h(n), a(n))).asJava), schema)
+    // join back through the nation dimension so `node` keeps its
+    // source type (the literal result is keyed by long)
+    nations.join(broadcast(res), col("node").cast("long") === col("node_l"))
       .select(col("node"), col("hub_units"), col("auth_units"),
         (col("hub_units").cast("double") / 1e12).as("hub"),
         (col("auth_units").cast("double") / 1e12).as("authority"))

@@ -16,12 +16,13 @@ object Quality {
   /** C8 — winsorized (clipped) robust scaling: clip each lineitem
     * price to its return-flag group's [p05, p95] discrete percentiles
     * — the outlier treatment that, unlike dropping, keeps row counts
-    * stable. Bounds come from the same two-pass range-repartition +
-    * broadcast-offset rank machinery as q_percentile_disc (explicit
-    * row-position ranks, engine-neutral tie semantics); the clip
-    * itself is a broadcast join + greatest/least projection. Output is
-    * the per-group audit: how many rows clipped at each tail and the
-    * exact-cent clipped sum. */
+    * stable. Bounds are order statistics, so they come from the shared
+    * [[graft.operators.Ranked.cutValues]] bounded cut machinery
+    * (explicit row-position semantics — the value whose cumulative tie-
+    * counted rank first reaches ceil(n·q) IS the row at rank ceil(n·q)
+    * of the sorted multiset); the clip itself is a broadcast join +
+    * greatest/least projection. Output is the per-group audit: how many
+    * rows clipped at each tail and the exact-cent clipped sum. */
   def winsorize(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     // Persist the 2-column projection before the range repartition:
@@ -30,31 +31,19 @@ object Quality {
     // the same call — MEMORY_AND_DISK of two columns — or the sampling
     // pass is accepted as a second pruned column scan.)
     val proj = li.select(col("l_returnflag"), col("l_extendedprice")).persistScoped()
-    val parts = proj
-      .repartitionByRange(Tables.shuffleWidth(s),
-        col("l_returnflag"), col("l_extendedprice"))
-      .sortWithinPartitions(col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("mid", monotonically_increasing_id())
-      .withColumn("pid", shiftright(col("mid"), 33).cast("int"))
-      .persistScoped()
-    val counts = parts.groupBy(col("pid"), col("l_returnflag"))
-      .agg(count(lit(1)).as("c"), min(col("mid")).as("m0"))
-    val offsets = counts
-      .withColumn("off", sum(col("c")).over(
-        Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))) - col("c"))
-      .select(col("pid"), col("l_returnflag"), col("off"), col("m0"))
-    val ranks = counts.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
-      .select(col("l_returnflag"),
-        ceil(col("n") * 0.05).cast("bigint").as("r05"),
-        ceil(col("n") * 0.95).cast("bigint").as("r95"))
-    val bounds = parts
-      .join(broadcast(offsets), Seq("pid", "l_returnflag"))
-      .withColumn("rnk", col("off") + (col("mid") - col("m0")) + 1)
-      .join(broadcast(ranks), Seq("l_returnflag"))
-      .filter(col("rnk") === col("r05") || col("rnk") === col("r95"))
-      .groupBy(col("l_returnflag"))
-      .agg(min(col("l_extendedprice")).as("lo"),
-        max(col("l_extendedprice")).as("hi"))
+    val cuts = graft.operators.Ranked.cutValuesByRank(proj,
+      Seq("l_returnflag"), Seq(col("l_extendedprice")),
+      col("l_extendedprice"),
+      totals => totals.select(col("l_returnflag"),
+          explode(array(
+            struct(lit("lo").as("tname"),
+              ceil(col("tw") * 0.05).cast("bigint").as("t")),
+            struct(lit("hi").as("tname"),
+              ceil(col("tw") * 0.95).cast("bigint").as("t")))).as("x"))
+        .select(col("l_returnflag"), col("x.tname"), col("x.t")))
+    val bounds = cuts.groupBy(col("l_returnflag"))
+      .agg(min(when(col("tname") === "lo", col("cut_value"))).as("lo"),
+        max(when(col("tname") === "hi", col("cut_value"))).as("hi"))
     proj
       .join(broadcast(bounds), Seq("l_returnflag"))
       .select(col("l_returnflag"),
@@ -305,52 +294,41 @@ object Quality {
     * shipment/volume-weighted statistic plain percentiles misstate
     * whenever weight correlates with value. Definition: smallest
     * price whose cumulative weight reaches q·W (discrete, no
-    * interpolation — engine-neutral). Scale shape: a partial/final
-    * aggregate first collapses the fact table to the (group, price)
-    * weight DISTRIBUTION — the only pass that touches raw rows — then
-    * the q_percentile_disc two-pass machinery (range repartition +
-    * per-pid local windows + broadcast partition offsets) cumulates
-    * weights over that distribution relation, so no group ever
-    * funnels through one task and the one extra exchange carries
-    * |distinct prices| rows, not the fact table. Exact integer cents
-    * and weights throughout; one distribution row per price makes the
-    * threshold crossing tie-free by construction. */
+    * interpolation — engine-neutral; cw·4 ≥ q·tw on integers ⇔
+    * cw ≥ ceil(q·tw/4), the threshold form [[graft.operators.Ranked
+    * .cutValues]] consumes). Scale shape: the shared weighted cut
+    * machinery runs DIRECTLY on the raw (group, cents, weight)
+    * projection — its tie-cumulating running sum makes a separate
+    * distribution collapse redundant (the cumulative weight at any
+    * price is identical on raw rows and on the collapsed
+    * distribution), so the fact table is range-partitioned once and
+    * only the ≤3 crossing partitions per group meet a window. Exact
+    * integer cents and weights throughout. */
   def weightedPercentile(s: SparkSession, dir: String): DataFrame = {
-    val dist = Tables.lineitem(s, dir)
+    val proj = Tables.lineitem(s, dir)
       .select(col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
           .as("cents"),
         col("l_quantity").cast("bigint").as("w"))
-      .groupBy(col("l_returnflag"), col("cents"))
-      .agg(sum(col("w")).as("w"))
       // range repartitioning SAMPLES its input in a separate job —
-      // un-persisted, that sampling pass re-runs the whole fact
-      // collapse (the query's only raw-row pass) a second time
+      // persist keeps the cast projection a one-scan pass
       .persistScoped()
-    val parts = dist
-      .repartitionByRange(Tables.shuffleWidth(s),
-        col("l_returnflag"), col("cents"))
-      .withColumn("pid", spark_partition_id())
-      .withColumn("cw_local", sum(col("w")).over(
-        Window.partitionBy(col("pid"), col("l_returnflag"))
-          .orderBy(col("cents"))))
-      .persistScoped() // offsets pass + threshold pass
-    val ptot = parts.groupBy(col("pid"), col("l_returnflag"))
-      .agg(sum(col("w")).as("pw"))
-    val offsets = ptot
-      .withColumn("off", sum(col("pw")).over(
-        Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))) - col("pw"))
-      .select(col("pid"), col("l_returnflag"), col("off"))
-    val totals = ptot.groupBy(col("l_returnflag")).agg(sum(col("pw")).as("tw"))
-    parts
-      .join(broadcast(offsets), Seq("pid", "l_returnflag"))
-      .join(broadcast(totals), Seq("l_returnflag"))
-      .withColumn("cw", col("off") + col("cw_local"))
-      .groupBy(col("l_returnflag"), col("tw"))
+    val cuts = graft.operators.Ranked.cutValues(proj,
+      Seq("l_returnflag"), Seq(col("cents")), col("w"), col("cents"),
+      totals => totals.select(col("l_returnflag"),
+          explode(array(
+            struct(lit("wp25").as("tname"),
+              expr("(tw + 3) DIV 4").as("t")),
+            struct(lit("wp50").as("tname"),
+              expr("(tw + 1) DIV 2").as("t")),
+            struct(lit("wp75").as("tname"),
+              expr("(3 * tw + 3) DIV 4").as("t")))).as("x"))
+        .select(col("l_returnflag"), col("x.tname"), col("x.t")))
+    cuts.groupBy(col("l_returnflag"), col("tw"))
       .agg(
-        min(when(col("cw") * 4 >= col("tw"), col("cents"))).as("c25"),
-        min(when(col("cw") * 2 >= col("tw"), col("cents"))).as("c50"),
-        min(when(col("cw") * 4 >= col("tw") * 3, col("cents"))).as("c75"))
+        min(when(col("tname") === "wp25", col("cut_value"))).as("c25"),
+        min(when(col("tname") === "wp50", col("cut_value"))).as("c50"),
+        min(when(col("tname") === "wp75", col("cut_value"))).as("c75"))
       .select(col("l_returnflag"), col("tw").as("total_weight"),
         (col("c25").cast("double") / 100).as("wp25"),
         (col("c50").cast("double") / 100).as("wp50"),

@@ -205,13 +205,19 @@ object Train {
     * same linear bound as the basket/LSH families, never an all-pairs
     * matrix). Each peel round removes nodes of degree < k and their
     * edges; because the edge set only ever SHRINKS along a subset
-    * chain, an unchanged edge COUNT proves set equality — the count
-    * fingerprint alone is an exact fixpoint check here (unlike star
-    * contraction's swap-vulnerable fingerprint). Rounds truncate
-    * lineage via localCheckpoint; `maxRounds` is a loud backstop
-    * (require), never a silent cap. Output: each 2-core member with
-    * its within-core degree — the subgraph where every member has ≥2
-    * co-purchase partners who themselves survive. */
+    * chain, an unchanged alive-node COUNT proves set equality — the
+    * count fingerprint alone is an exact fixpoint check here (unlike
+    * star contraction's swap-vulnerable fingerprint). The EDGE
+    * relation is checkpointed ONCE and never rewritten: each round
+    * recomputes within-alive degrees by probing the fixed edge set
+    * with two semi-joins against the previous (shrinking, broadcast-
+    * sized) alive set, and checkpoints only the NODE relation — the
+    * per-round materialization cost drops from |edges| to |alive|,
+    * and the converged round's degree column IS the output (no final
+    * degree pass). `maxRounds` is a loud backstop (require), never a
+    * silent cap. Output: each 2-core member with its within-core
+    * degree — the subgraph where every member has ≥2 co-purchase
+    * partners who themselves survive. */
   def kcore(s: SparkSession, dir: String, minShared: Int = 3, k: Int = 2,
             maxRounds: Int = 40): DataFrame = {
     val cp = Tables.orders(s, dir)
@@ -229,35 +235,44 @@ object Train {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .select(col("u"), col("v"))
-    var edges = pairs
+    val edges = pairs
       .union(pairs.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
-    var n = edges.count()
+    // alive_{i+1} = {u : deg(u) within alive_i >= k} ⊆ alive_i (a node
+    // outside alive_i has no surviving edge, so its degree is 0); the
+    // subset chain makes equal counts a fixpoint proof. alive = null
+    // encodes round 0's "all nodes".
+    var alive: DataFrame = null
+    var n = -1L
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
-      // degree aggregate + two ALIVE semi-joins: the alive set shrinks
-      // monotonically, so both semi-joins broadcast — the edge relation
-      // never re-shuffles inside a round. (A fused tag-then-pair-
-      // aggregate round was tried and reverted: it replaces the two
-      // broadcast probes with a full pair-keyed exchange — strictly
-      // more data motion at every scale.)
-      val alive = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("u").as("node"))
-      val next = edges
-        .join(alive.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(alive.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      // the alive set shrinks monotonically, so both semi-joins
+      // broadcast — the (fixed, checkpointed) edge relation never
+      // re-shuffles inside a round. (A fused tag-then-pair-aggregate
+      // round was tried and reverted: it replaces the two broadcast
+      // probes with a full pair-keyed exchange — strictly more data
+      // motion at every scale.)
+      val survivors =
+        if (alive == null) edges
+        else edges
+          .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+      val next = survivors.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("u").as("node"), col("d"))
         .localCheckpoint()
       val nn = next.count()
       converged = nn == n // subset chain: equal count ⇒ equal set
-      edges = next
+      alive = next
       n = nn
     }
     require(converged,
       s"k-core peel did not converge in $maxRounds rounds — raise maxRounds")
-    edges.groupBy(col("u")).agg(count(lit(1)).as("core_degree"))
-      .select(col("u").as("c_custkey"), col("core_degree"))
+    // at the fixpoint, d was measured against an alive set equal to
+    // the core itself — it IS the within-core degree
+    alive.select(col("node").as("c_custkey"), col("d").as("core_degree"))
       .orderBy(col("c_custkey"))
   }
 
