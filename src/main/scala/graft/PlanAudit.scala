@@ -40,7 +40,7 @@ object PlanAudit {
     "q_robust_scale" -> "median/MAD stats tables broadcast back to the row stream",
     "q_dedup_clusters" -> "label propagation: one join + one partial/final min aggregate per round",
     "q_equidepth_hist" -> "ONE full-data exchange (the range repartition); local ranks from the id projection, offsets broadcast; the only 1-partition exchange is the #partitions-row offset frame",
-    "q_percentile_disc" -> "two-pass rank lookup, one data shuffle: range repartition + in-partition sort + id-derived local ranks, (pid,flag) offsets broadcast — no per-group global sort, no second data exchange",
+    "q_percentile_disc" -> "bounded cut lookup (Ranked.cutValuesByRank): ONE range exchange + distributed in-partition sort; collected per-(pid,flag) counts turn each rank threshold into a literal id — the final pass is a narrow mid IN (...) filter, no window, no offset broadcast subtree",
     "q_bloom_prefilter" -> "native bloom: ObjectHashAggregate builds the sketch in a scalar subquery; might_contain probe codegen'd (no ScalaUDF/BatchEvalPython)",
     "q_similarity_measures" -> "LSH-candidate pairs only: band-collision join proposes, array_intersect verifies — no shingle-occurrence self-join",
     "q_regr_slope" -> "regression power sums partial/final aggregated; 6 values per group cross the shuffle",
@@ -56,7 +56,7 @@ object PlanAudit {
     "q_skyline" -> "blocked dominance anti-join: block key is the equi-join side, dominance is the residual condition",
     "q_jdbc_ranged" -> "REAL JDBC scan (Derby): numPartitions stride predicates, range filter pushed into the RDBMS",
     "q_keyset_page" -> "keyset pagination plans TakeOrderedAndProject over the cursor-pruned scan (no OFFSET re-sort)",
-    "q_quantile_norm" -> "per-group global rank from ONE range exchange + broadcast offsets — no group funnels through one task",
+    "q_quantile_norm" -> "per-group global rank from the shared Ranked.groupRanks builder: ONE range exchange + broadcast offsets — no group funnels through one task",
     "q_lexical_cosine" -> "inverted-index retrieval: probe tf broadcast onto the term-keyed corpus; dot/norms are integer partial/final aggregates",
     "q_change_point" -> "day aggregate is the only fact pass; CUSUM prefix sum via partition offsets; peak is one broadcast scalar",
     "q_bucketed_join" -> "co-located layout: both scans Bucketed: true, SortMergeJoin with NO exchange below the join",
@@ -97,7 +97,7 @@ object PlanAudit {
     "q_sketch_overlap" -> "per-source k-min sketch via the TopKPairs heap aggregate (no per-source sort); everything after the distinct+heap is pairs × k metadata with the pair scaffold broadcast",
     "q_theil_sen" -> "monthly aggregate is the only fact pass; the pairwise slope join, rank window, and median selection all run on the bounded months² relation",
     "q_shortest_path" -> "edge contraction is the one fact-table join+aggregate; Bellman-Ford rounds iterate the nations-sized frontier (broadcast joins over metadata)",
-    "q_weighted_percentile" -> "partial/final aggregate collapses the fact table to the (group, price) weight distribution BEFORE the range exchange; per-pid windows cumulate in parallel, offsets and totals broadcast back",
+    "q_weighted_percentile" -> "weighted cut lookup (Ranked.cutValues) directly on the raw projection: ONE range exchange; collected per-(pid,flag) weight totals locate each crossing, so the cumulative window runs only over the crossing partitions' slice",
     "q_apply_changelog" -> "changelog replay: one anti join + one union over the shared snapshot; the full-outer capture join feeds both without re-derivation (persistScoped)",
     "q_js_divergence" -> "pair scaffold as a UNION of two broadcast hash equi-joins (no OR-predicate nested loop); one (source, term) aggregate feeds totals, universe, and both contribution sides",
     "q_dedup_hops" -> "packed min-plus BFS: the converged state table reads from a localCheckpoint RDD (lineage truncated per round); one integer div/pmod projection unpacks (root, hops)",
@@ -113,7 +113,7 @@ object PlanAudit {
     "q_join_existence" -> "ExistenceJoin attaches the exists flag (broadcast build over the BUILDING probe set); the fact scan appears ONCE — no union-of-two-scans rewrite",
     "q_partition_reload" -> "read-back scan lists the re-staged day directories; one groupBy(day) with distinct-count expand, no second pass over the staging dir",
     "q_holt_trend" -> "monthly aggregate → per-flag rank window → 12-element collect; the 12-step recurrence is one codegen'd higher-order aggregate projection, zero extra exchanges",
-    "q_kcore" -> "returned plan reads the converged localCheckpoint edge relation: one degree aggregate + sort — the peel rounds' semi-joins never appear in the result plan",
+    "q_kcore" -> "returned plan reads the converged localCheckpoint ALIVE-NODE relation (degree column included): just the output sort — the peel rounds' semi-joins and degree aggregates never appear in the result plan",
     "q_preference_pairs" -> "single partial/final aggregate carries BOTH packed-struct argmax and argmin; no window, no second scan of documents",
     "q_curriculum" -> "per-source rank window is the only data exchange; the global interleave position computes on a TakeOrderedAndProject 40-row prefix",
     "q_merge_schema_read" -> "ONE merged scan over both drifted batch dirs (mergeSchema unions footers at planning); per-batch profile is one partial/final aggregate",
@@ -137,12 +137,12 @@ object PlanAudit {
     "q_cochran_armitage" -> "one fact aggregate to 3 band rows, then 1-row integer algebra — the z never touches raw orders again",
     "q_lexical_richness" -> "one exploded (lang, word) count exchange; per-language richness is a second bounded aggregate",
     "q_assortativity" -> "distinct edge projection persisted; two degree aggregates join back by key; one moment aggregate — no pair stream, no window",
-    "q_hits" -> "returned plan reads the converged localCheckpoint score relations (one join + sort); the half-iterations' bounded aggregates never appear in the result plan",
+    "q_hits" -> "ONE distributed fact collapse feeds a driver-side integer fixed point over the metadata-scale (<=|nations|^2) contracted graph; the returned plan is the nation dim joined to a literal score relation + sort",
     "q_modularity" -> "fact collapses to the undirected nation edge set once; region joins broadcast the 25-row dim; contributions are 5-row arithmetic",
     "q_label_prop" -> "returned plan reads the converged localCheckpoint label relation (size join + sort); each sync round was one vote aggregate + packed argmax over the bounded adjacency",
     "q_hodges_lehmann" -> "ONE fact aggregate to the persisted monthly relation; Walsh pair join and both medians exchange month rows only",
     "q_precision_at_k" -> "probes are a fixed-size TakeOrdered prefix (never grows with corpus); candidate scoring is the shared heap-aggregate top-k; P/R@5 is a bounded per-probe aggregate",
-    "q_rfm_segments" -> "three rank passes extract ONLY the 4 quintile-cut rows each (broadcast as one 4-element array); buckets assign in a narrow higher-order projection over the persisted customer aggregate — the three customer-sized rank joins are gone",
+    "q_rfm_segments" -> "ONE tagged cut pass (Ranked.cutValuesByRank over axis-exploded rows) yields all 12 quintile cuts; buckets assign in a narrow higher-order projection over the persisted customer aggregate — no customer-sized rank join anywhere",
     "q_fk_audit" -> "one scan + one aggregate per CHILD table, all FK edges of that child folded into the same broadcast-left-join pass (NULL parent key = orphan); lineitem's three edges share one fact scan",
     "q_multimodal_decode" -> "one narrow mapPartitions over the 1-in-29 doc sample (encode + decode per row, codec instance per partition) — no shuffle before the final sort; decoded dims are the output, so the plan cannot prune the codec away",
     "q_readability" -> "one narrow per-doc projection (word/sentence/syllable censuses as codegen'd split-size + regexp_count), one partial/final language aggregate — single exchange before the final sort",

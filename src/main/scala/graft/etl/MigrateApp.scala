@@ -60,26 +60,38 @@ object MigrateApp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
-      val source = spark.read.parquet(srcPath)
-      val table = srcPath.split('/').last.stripSuffix(".parquet")
-      val state = new StateStore(spark, s"$workDir/state")
-      val runner = new IncrementalRunner(spark, state,
-        new ParquetRangeSink(s"$workDir/data"), batchSize)
-      cmd match {
-        case "run" | "sync" =>
-          val recs = runner.run(source, table, pkCol)
-          println(s"[$cmd] migrated ${recs.size} ranges, " +
-            s"${recs.map(_.rowCount).sum} rows; frontier=${state.frontier(table)}")
-        case "check" =>
-          val bad = runner.validate(source, table, pkCol)
-          println(s"[check] ${bad.size} mismatched ranges" +
-            (if (bad.isEmpty) "" else s": ${bad.map(r => s"(${r.pkLower},${r.pkUpper}]").mkString(" ")}"))
-        case "retry" =>
-          val fixed = runner.retry(source, table, pkCol)
-          println(s"[retry] re-migrated ${fixed.size} ranges")
-        case other => sys.error(s"unknown command: $other")
-      }
-    } finally spark.stop()
+    try dispatch(spark, cmd, srcPath, pkCol, workDir, batchSize)
+    finally spark.stop()
+  }
+
+  /** One command against one (source, workDir) — the session-agnostic
+    * body of [[main]], so the spec can drive a full
+    * run→check→retry→sync cycle (including the --config front door via
+    * [[resolveArgs]]) on the shared test session without main's
+    * stop(). Returns the printed status line. */
+  private[graft] def dispatch(spark: SparkSession, cmd: String,
+      srcPath: String, pkCol: String, workDir: String,
+      batchSize: Long): String = {
+    val source = spark.read.parquet(srcPath)
+    val table = srcPath.split('/').last.stripSuffix(".parquet")
+    val state = new StateStore(spark, s"$workDir/state")
+    val runner = new IncrementalRunner(spark, state,
+      new ParquetRangeSink(s"$workDir/data"), batchSize)
+    val line = cmd match {
+      case "run" | "sync" =>
+        val recs = runner.run(source, table, pkCol)
+        s"[$cmd] migrated ${recs.size} ranges, " +
+          s"${recs.map(_.rowCount).sum} rows; frontier=${state.frontier(table)}"
+      case "check" =>
+        val bad = runner.validate(source, table, pkCol)
+        s"[check] ${bad.size} mismatched ranges" +
+          (if (bad.isEmpty) "" else s": ${bad.map(r => s"(${r.pkLower},${r.pkUpper}]").mkString(" ")}")
+      case "retry" =>
+        val fixed = runner.retry(source, table, pkCol)
+        s"[retry] re-migrated ${fixed.size} ranges"
+      case other => sys.error(s"unknown command: $other")
+    }
+    println(line)
+    line
   }
 }

@@ -46,10 +46,14 @@ object MigrateConfig {
     out.toMap
   }
 
-  /** Read + parse a config file with the process environment. */
+  /** Read + parse a config file with the process environment. JVM
+    * system properties back-fill names the environment lacks — the
+    * documented injection channel for forked-JVM tests (a JVM cannot
+    * set its own environment); a real env var always wins. */
   def load(path: String): Map[String, String] =
     parse(new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), "UTF-8"), sys.env)
+      java.nio.file.Paths.get(path)), "UTF-8"),
+      sys.props.toMap ++ sys.env)
 
   private def stripComment(s: String, lineNo: Int): String = {
     // a '#' inside quotes is content, not a comment — but a quote only

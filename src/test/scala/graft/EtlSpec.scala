@@ -295,4 +295,69 @@ class EtlSpec extends SparkSpec {
     assert(Identifiers.sanitizeColumns(dup).columns.toSeq ==
       Seq("x_y", "x_y_2"))
   }
+
+  test("YAML front door drives the full run -> check -> retry -> sync cycle (A13 end-to-end)") {
+    // The reference's whole CLI surface from ONE config file: every
+    // command below resolves its (source, pk, workDir, batch) through
+    // MigrateApp.resolveArgs on the same YAML — including ${VAR} env
+    // templating via the java system-property fallback — and executes
+    // through the same dispatch main() uses.
+    val out = tmp()
+    val srcPath = s"$out/orders.parquet"
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .filter(col("o_orderkey") < 1000) // first snapshot: keys 0..999
+      .write.parquet(srcPath)
+    val cfg = java.nio.file.Paths.get(out, "job.yml")
+    // exercise ${VAR} interpolation through the documented channel
+    val prev = System.getProperty("GRAFT_TEST_WORK")
+    System.setProperty("GRAFT_TEST_WORK", out)
+    try {
+      java.nio.file.Files.writeString(cfg,
+        s"""# migration job (reference-style front door)
+           |in:
+           |  path: $srcPath
+           |  pk_column: o_orderkey
+           |out:
+           |  work_dir: $${GRAFT_TEST_WORK}/work
+           |  batch_size: 300
+           |""".stripMargin)
+      def call(cmd: String): String = {
+        val (s, pk, w, b) = graft.etl.MigrateApp.resolveArgs(
+          Array(cmd, "--config", cfg.toString))
+        graft.etl.MigrateApp.dispatch(spark, cmd, s, pk, w, b)
+      }
+      // run: full first migration in 300-key ranges
+      assert(call("run").contains("1000 rows"))
+      val dataGlob = s"$out/work/data/orders/range_*"
+      assert(spark.read.parquet(dataGlob).count() == 1000)
+      // check: clean after the run
+      assert(call("check").startsWith("[check] 0 mismatched"))
+      // corrupt one migrated range, check flags EXACTLY it, retry
+      // heals (ranges start just below the min PK: (-1,299], (299,599]…)
+      val victim = new java.io.File(s"$out/work/data/orders/range_299_599")
+      assert(victim.isDirectory)
+      victim.listFiles().filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+      assert(call("check").contains("1 mismatched ranges: (299,599]"))
+      assert(call("retry") == "[retry] re-migrated 1 ranges")
+      assert(call("check").startsWith("[check] 0 mismatched"))
+      assert(spark.read.parquet(dataGlob).count() == 1000)
+      // source grows (the tail-sync situation); sync migrates ONLY the
+      // frontier delta, idempotently
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .filter(col("o_orderkey") >= 1000)
+        .write.mode("append").parquet(srcPath)
+      val sync = call("sync")
+      assert(sync.contains("500 rows"), sync)
+      assert(spark.read.parquet(dataGlob).count() == 1500)
+      assert(spark.read.parquet(dataGlob)
+        .select(countDistinct(col("o_orderkey"))).head().getLong(0) == 1500)
+      // second sync: frontier caught up, nothing to do
+      assert(call("sync").contains("migrated 0 ranges"))
+    } finally {
+      if (prev == null) System.clearProperty("GRAFT_TEST_WORK")
+      else System.setProperty("GRAFT_TEST_WORK", prev)
+    }
+  }
 }

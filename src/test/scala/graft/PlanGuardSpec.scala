@@ -62,16 +62,18 @@ class PlanGuardSpec extends SparkSpec {
     "q_join_star" -> 2, "q_bucketed_join" -> 2, "q_dedup_exact" -> 2,
     "q_dedup_minhash" -> 2, "q_sessionize" -> 2, "q_window_rank" -> 2,
     "q_topk_pergroup" -> 2, "q_count_distinct" -> 3, "q_tfidf" -> 3,
-    "q_sim_topk" -> 3, "q_equidepth_hist" -> 6, "q_winsorize" -> 7,
-    // q_rfm_segments (round 11): the static count ROSE 14 → 17 while
-    // the data-path exchanges FELL 7 → 4 — the three customer-sized
-    // rank joins became ≤4-row quintile-cut broadcasts, so what's
-    // counted now is the rank machinery's metadata aggregates (counts/
-    // offsets/n per axis, 4-row cut collects), not customer shuffles.
-    // The waiver the round-10 verdict offered, with the volumes: at
-    // probe scale every removed join was broadcast anyway; at 100 TB
-    // the removed joins were |customers|-sized each.
-    "q_rfm_segments" -> 17,
+    "q_sim_topk" -> 3, "q_equidepth_hist" -> 6,
+    // round 12: the percentile family moved onto the shared
+    // Ranked.cutValues* machinery — the per-(partition, group)
+    // count/weight table is collected once (bounded metadata) and the
+    // crossing offsets become literals, so the offset windows and
+    // per-axis metadata aggregates vanished from the static plan.
+    // q_winsorize 7 → 4 (range exchange + cut agg + clip agg + sort),
+    // q_rfm_segments 17 → 5 (ONE tagged range exchange for all three
+    // axes + cut-array aggs + final segment agg + sort),
+    // q_weighted_percentile → 4, q_percentile_disc 5 → 2.
+    "q_winsorize" -> 4, "q_rfm_segments" -> 5,
+    "q_weighted_percentile" -> 4,
     // q_fk_audit (round 11): one scan+aggregate per CHILD table with
     // all FK edges folded in (12 → 5)
     "q_fk_audit" -> 5,
@@ -113,7 +115,10 @@ class PlanGuardSpec extends SparkSpec {
     // remain
     "q_dpp_join" -> 2, "q_join_existence" -> 2, "q_partition_reload" -> 3,
     "q_preference_pairs" -> 2, "q_curriculum" -> 1, "q_holt_trend" -> 3,
-    "q_kcore" -> 2,
+    // round 12: the peel loop iterates (checkpointed) NODE sets, and
+    // the converged round's degree aggregate IS the output — only the
+    // final sort remains in the returned plan
+    "q_kcore" -> 1,
     // q_merge_schema_read: merged-read agg + sort; q_sprt: one daily
     // aggregate + the per-variant cumulative window + sort;
     // q_boilerplate_scrub: chunk census + anti-join + kept/total aggs
@@ -131,7 +136,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_dbscan_grid" -> 6, "q_attribution_multitouch" -> 6, "q_abc_class" -> 6,
     "q_vocab_coverage" -> 5, "q_triangle_nations" -> 5, "q_rolling_active" -> 5,
     "q_relational_division" -> 5, "q_quantile_norm" -> 5, "q_pmi" -> 5,
-    "q_percentile_disc" -> 5, "q_mann_kendall" -> 5, "q_lexical_cosine" -> 5,
+    "q_percentile_disc" -> 2, "q_mann_kendall" -> 5, "q_lexical_cosine" -> 5,
     "q_knn_classify" -> 5, "q_kl_sources" -> 5, "q_doc_packing" -> 5,
     "q_concurrency" -> 5, "q_cohens_kappa" -> 5, "q_chi2_independence" -> 5,
     "q_char_entropy" -> 5, "q_basket_rules" -> 5,
