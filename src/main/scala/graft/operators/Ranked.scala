@@ -177,8 +177,12 @@ object Ranked {
                 thresholds: DataFrame => DataFrame): DataFrame = {
     val s = df.sparkSession
     val keys = group.map(col) ++ order
+    // finer than the session width on purpose: the crossing window
+    // scans |thresholds| partitions of |input|/width rows each, so a
+    // wider range partitioning directly shrinks the only non-narrow
+    // stage (results are width-invariant — ranks come from offsets)
     val parts = df
-      .repartitionByRange(Tables.shuffleWidth(s), keys: _*)
+      .repartitionByRange(math.max(Tables.shuffleWidth(s), 16), keys: _*)
       .withColumn("pid", spark_partition_id())
       .persistScoped() // weight totals + crossing scan must agree on pid
     val pw = parts.groupBy((col("pid") +: group.map(col)): _*)
