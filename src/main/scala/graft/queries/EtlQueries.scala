@@ -412,6 +412,35 @@ object EtlQueries {
         col("l_extendedprice"), col("l_returnflag"))
   }
 
+  /** S16/A1/A7 — the SAME ranged stage/stride/pushdown cycle as
+    * [[jdbcRanged]] through the SECOND live engine
+    * ([[graft.etl.DuckDbStage]]): a columnar RDBMS with its own
+    * dialect, identifier folding, and type metadata (its JDBC layer
+    * reports BIGINT unsigned — the own registered JdbcDialect maps it
+    * back, or the staged longs would widen to DECIMAL(20,0) and fail
+    * the hash compare). The driver jar is discovered in the local
+    * artifact cache at runtime; a missing jar fails LOUDLY here (the
+    * oracle gate must never silently skip a wire) while
+    * DuckDbStageSpec cancels politely. Oracle = the identical
+    * projection + predicates off the parquet table — engine-identical
+    * rows prove the whole write→type-map→stride→pushdown cycle. */
+  def jdbcDuckDb(s: SparkSession, dir: String): DataFrame = {
+    require(graft.etl.DuckDbStage.ensureLoaded(),
+      "duckdb_jdbc jar not found in local artifact caches")
+    val dbDir = s"/tmp/graft_duckdb_${new java.io.File(dir).getName}" +
+      s"_${s.sparkContext.applicationId}"
+    val staged = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") <= 2000)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+    val u = graft.etl.DuckDbStage.stage(staged, dbDir, "lineitem_stage")
+    graft.etl.DuckDbStage.readRanged(s, u, "lineitem_stage", "l_orderkey",
+        0L, 2000L, 8)
+      .filter(col("l_orderkey") > 500 && col("l_orderkey") <= 1500)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+  }
+
   val jdbcRangedSql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
       |FROM lineitem
@@ -805,6 +834,7 @@ object EtlQueries {
     "q_compaction" -> (compaction _),
     "q_missing_ranges" -> ((s: SparkSession, d: String) => missingRanges(s, d)),
     "q_jdbc_ranged" -> (jdbcRanged _),
+    "q_jdbc_duckdb" -> (jdbcDuckDb _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_typemap_cast" -> (typemapCast _),
     "q_try_cast" -> (tryCast _),
@@ -829,6 +859,7 @@ object EtlQueries {
     "q_compaction" -> compactionSql,
     "q_missing_ranges" -> missingRangesSql,
     "q_jdbc_ranged" -> jdbcRangedSql,
+    "q_jdbc_duckdb" -> jdbcRangedSql, // same relation through the second engine
     "q_orc_roundtrip" -> orcRoundtripSql,
     "q_typemap_cast" -> typemapCastSql,
     "q_try_cast" -> tryCastSql,

@@ -91,4 +91,31 @@ class DialectSpec extends AnyFunSuite {
     assert(frontierSql("derby", "orders", "id", 0, 5) ==
       "SELECT * FROM \"orders\" WHERE \"id\" > 0 AND \"id\" <= 5")
   }
+
+  test("DuckDB dialect rows (the LIVE second engine's day-one quirks)") {
+    // These two rows are not prose: each broke the live wire before
+    // the dialect fixed it (DuckDbStageSpec + q_jdbc_duckdb exercise
+    // them end-to-end; this pins the mapping functions themselves).
+    import graft.etl.DuckDbDialect
+    assert(DuckDbDialect.canHandle("jdbc:duckdb:/tmp/x.duckdb"))
+    assert(!DuckDbDialect.canHandle("jdbc:derby:/tmp/x"))
+    // Spark 4's tableExists RETHROWS unless the dialect recognizes the
+    // engine's not-found error; DuckDB sets no SQLState, so the match
+    // is on the message
+    assert(DuckDbDialect.isObjectNotFoundException(
+      new java.sql.SQLException("Catalog Error: Table with name t does not exist!")))
+    assert(!DuckDbDialect.isObjectNotFoundException(
+      new java.sql.SQLException("IO Error: disk full")))
+    // DuckDB's JDBC metadata reports BIGINT/INTEGER unsigned; the
+    // default mapping widens to DECIMAL(20,0)/LONG and breaks
+    // bit-exact round-trips
+    val md = new org.apache.spark.sql.types.MetadataBuilder
+    assert(DuckDbDialect.getCatalystType(java.sql.Types.BIGINT, "BIGINT", 0, md)
+      .contains(LongType))
+    assert(DuckDbDialect.getCatalystType(java.sql.Types.INTEGER, "INTEGER", 0, md)
+      .contains(IntegerType))
+    // unsigned/huge variants keep the default (widened) mapping
+    assert(DuckDbDialect.getCatalystType(java.sql.Types.BIGINT, "UBIGINT", 0, md).isEmpty)
+    assert(DuckDbDialect.getCatalystType(java.sql.Types.BIGINT, "HUGEINT", 0, md).isEmpty)
+  }
 }
