@@ -95,6 +95,34 @@ class RetrySpec extends SparkSpec {
     assert(topk(flaky(corpus)) == topk(corpus))
   }
 
+  test("shared cut machinery (Ranked.cutValues*) survives task retries") {
+    // The round-12 bounded cut forms COLLECT the per-(partition, group)
+    // count/weight table during plan construction and re-read the
+    // pinned partitioned relation in the final pass — both steps lean
+    // on the same layout determinism as the two-pass ranks (a
+    // recomputed cache partition rebuilds identical content, order,
+    // and ids). Prove the end results are retry-invariant.
+    val src = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderstatus").as("g"), col("o_totalprice").as("v"))
+    def med(d: DataFrame): Map[String, Any] =
+      Caches.own(operators.Ranked.cutValuesByRank(d, Seq("g"),
+        Seq(col("v")), col("v"),
+        t => t.select(col("g"), lit("med").as("tname"),
+          ceil(col("tw") * 0.5).cast("bigint").as("t"))))
+        .collect().map(r => r.getAs[String]("g") -> r.get(r.fieldIndex("cut_value")))
+        .toMap
+    assert(med(flaky(src)) == med(src))
+    def wmed(d: DataFrame): Map[String, Any] =
+      Caches.own(operators.Ranked.cutValues(
+        d.withColumn("w", lit(2L)), Seq("g"), Seq(col("v")), col("w"),
+        col("v"),
+        t => t.select(col("g"), lit("med").as("tname"),
+          expr("(tw + 1) DIV 2").as("t"))))
+        .collect().map(r => r.getAs[String]("g") -> r.get(r.fieldIndex("cut_value")))
+        .toMap
+    assert(wmed(flaky(src)) == wmed(src))
+  }
+
   test("deterministic hash sampling survives task retries") {
     val src = Tables.load(spark, sfDir, "customer")
     def sample(df: DataFrame): Seq[Any] = df
