@@ -99,4 +99,34 @@ class ShuffleVolumeSpec extends SparkSpec {
       s"$n records shuffled — the KMV heap draw stopped combining map-side")
     noAqe.catalog.clearCache()
   }
+
+  test("bounded cut lookup's consuming action ships only cut metadata") {
+    // Ranked.cutValuesByRank moves the fact stream through its ONE
+    // range exchange at construction time (the bounded count collect
+    // materializes the pinned relation), so the CONSUMING action's
+    // plan — what re-executes on every downstream read — ships nothing
+    // but the ≤|thresholds| matched rows and the result sort. A
+    // regression toward ranking/joining every row in the final pass
+    // shows up here as thousands of records immediately.
+    val n = shuffledRecords(
+      SparkEntry.queries("q_percentile_disc")(noAqe, sfDir))
+    assert(n <= 100,
+      s"$n records shuffled in the consuming action — the cut lookup is " +
+        "re-shipping data rows")
+    noAqe.catalog.clearCache()
+  }
+
+  test("weighted cut lookup windows only the crossing partitions") {
+    // cutValues' consuming action adds one bounded stage to the
+    // by-rank story: the crossing window's hash exchange, whose input
+    // is |thresholds| range partitions of |input|/width rows — a
+    // FRACTION of one fact pass, never the full stream again (the
+    // pre-round-12 plan re-windowed the entire relation here).
+    val n = shuffledRecords(
+      SparkEntry.queries("q_weighted_percentile")(noAqe, sfDir))
+    assert(n >= 100, s"$n — suspiciously empty crossing window")
+    assert(n < factRows,
+      s"$n records shuffled — the crossing window is re-shipping the stream")
+    noAqe.catalog.clearCache()
+  }
 }
