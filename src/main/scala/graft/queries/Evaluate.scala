@@ -1135,7 +1135,128 @@ object Evaluate {
       |FROM hl JOIN md USING (l_returnflag)
       |ORDER BY hl.l_returnflag""".stripMargin
 
+  /** L42 — corpus BLEU-2 (the canonical generation-eval metric,
+    * completing the eval family next to the retrieval trio
+    * NDCG/MRR/P@k): candidate = each document, reference = the NEXT
+    * document in id order — the deterministic fluency-floor pairing
+    * the truncation-fidelity audit uses (a real eval swaps in model
+    * outputs; the query shape — n-gram count tables, a pair join,
+    * corpus-level clipped sums — is unchanged). Modified n-gram
+    * precision is computed CORPUS-level per candidate language:
+    * clipped matches Σ_g min(count_cand, count_ref) and candidate
+    * totals are exact integer sums over the pair-keyed n-gram join
+    * (never all-pairs — each candidate joins exactly one reference);
+    * brevity penalty and the final geometric mean are one fixed IEEE
+    * chain over those exact totals. Zero clipped bigrams (or empty
+    * candidates) pin the score to exactly 0.0 via the same CASE on
+    * both engines — no ln(0) propagation. */
+  def bleu(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.widen(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"),
+        filter(split(col("text"), " "), x => x =!= "").as("t"))
+      .persistScoped() // unigram, bigram, and length passes
+    val uc = d.select(col("doc_id"), explode(col("t")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .persistScoped() // cand and ref sides of the pair join
+    val bcRel = d.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .persistScoped()
+    def clipped(nc: DataFrame, alias: String): DataFrame =
+      nc.select(col("doc_id").as("cand"), col("g"), col("c").as("cc"))
+        .join(nc.select((col("doc_id") - 1).as("cand"), col("g"),
+          col("c").as("rc")), Seq("cand", "g"))
+        .groupBy(col("cand"))
+        .agg(sum(least(col("cc"), col("rc"))).as(alias))
+    val lens = d.select(col("doc_id"), col("lang"),
+      size(col("t")).cast("long").as("len"))
+    val pairs = lens.select(col("doc_id").as("cand"), col("lang"),
+        col("len").as("clen"))
+      .join(lens.select((col("doc_id") - 1).as("cand"),
+        col("len").as("rlen")), Seq("cand"))
+      .join(clipped(uc, "clip1"), Seq("cand"), "left")
+      .join(clipped(bcRel, "clip2"), Seq("cand"), "left")
+    val agg = pairs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(coalesce(col("clip1"), lit(0L))).as("c1"),
+      sum(col("clen")).as("t1"),
+      sum(coalesce(col("clip2"), lit(0L))).as("c2"),
+      sum(greatest(col("clen") - 1, lit(0L))).as("t2"),
+      sum(col("clen")).as("cand_len"), sum(col("rlen")).as("ref_len"))
+    val p1 = col("c1").cast("double") / col("t1").cast("double")
+    val p2 = col("c2").cast("double") / col("t2").cast("double")
+    val bp = when(col("cand_len") > col("ref_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("ref_len").cast("double") / col("cand_len").cast("double")))
+    agg.select(col("lang"), col("n_pairs"),
+        when(col("t1") === 0, 0.0).otherwise(p1).as("p1"),
+        when(col("t2") === 0, 0.0).otherwise(p2).as("p2"),
+        when(col("cand_len") === 0, 0.0).otherwise(bp).as("bp"),
+        when(col("c1") === 0 || col("c2") === 0 || col("cand_len") === 0,
+          0.0).otherwise(
+          bp * exp((log(p1) + log(p2)) * 0.5)).as("bleu2"))
+      .orderBy(col("lang"))
+  }
+
+  val bleuSql: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |uc AS (SELECT doc_id, g, count(*) AS c
+      |       FROM (SELECT doc_id, unnest(t) AS g FROM d) GROUP BY 1, 2),
+      |bc AS (SELECT doc_id, g, count(*) AS c
+      |       FROM (SELECT doc_id,
+      |               unnest([t[i] || ' ' || t[i+1]
+      |                       for i in generate_series(1, len(t)-1)]) AS g
+      |             FROM d WHERE len(t) >= 2) GROUP BY 1, 2),
+      |cl1 AS (SELECT cu.doc_id AS cand,
+      |          CAST(sum(least(cu.c, ru.c)) AS BIGINT) AS clip1
+      |        FROM uc cu JOIN uc ru
+      |          ON ru.doc_id = cu.doc_id + 1 AND ru.g = cu.g
+      |        GROUP BY 1),
+      |cl2 AS (SELECT cb.doc_id AS cand,
+      |          CAST(sum(least(cb.c, rb.c)) AS BIGINT) AS clip2
+      |        FROM bc cb JOIN bc rb
+      |          ON rb.doc_id = cb.doc_id + 1 AND rb.g = cb.g
+      |        GROUP BY 1),
+      |lens AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS len FROM d),
+      |pairs AS (SELECT a.doc_id AS cand, a.lang, a.len AS clen,
+      |            r.len AS rlen, coalesce(cl1.clip1, 0) AS clip1,
+      |            coalesce(cl2.clip2, 0) AS clip2
+      |          FROM lens a JOIN lens r ON r.doc_id = a.doc_id + 1
+      |          LEFT JOIN cl1 ON cl1.cand = a.doc_id
+      |          LEFT JOIN cl2 ON cl2.cand = a.doc_id),
+      |agg AS (SELECT lang, count(*) AS n_pairs,
+      |          CAST(sum(clip1) AS BIGINT) AS c1,
+      |          CAST(sum(clen) AS BIGINT) AS t1,
+      |          CAST(sum(clip2) AS BIGINT) AS c2,
+      |          CAST(sum(greatest(clen - 1, 0)) AS BIGINT) AS t2,
+      |          CAST(sum(clen) AS BIGINT) AS cand_len,
+      |          CAST(sum(rlen) AS BIGINT) AS ref_len
+      |        FROM pairs GROUP BY 1)
+      |SELECT lang, n_pairs,
+      |  CASE WHEN t1 = 0 THEN 0.0
+      |       ELSE CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE) END AS p1,
+      |  CASE WHEN t2 = 0 THEN 0.0
+      |       ELSE CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE) END AS p2,
+      |  CASE WHEN cand_len = 0 THEN 0.0
+      |       WHEN cand_len > ref_len THEN 1.0
+      |       ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / CAST(cand_len AS DOUBLE))
+      |  END AS bp,
+      |  CASE WHEN c1 = 0 OR c2 = 0 OR cand_len = 0 THEN 0.0
+      |       ELSE (CASE WHEN cand_len > ref_len THEN 1.0
+      |             ELSE exp(1.0 - CAST(ref_len AS DOUBLE)
+      |                      / CAST(cand_len AS DOUBLE)) END)
+      |            * exp((ln(CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+      |                   + ln(CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE))) * 0.5)
+      |  END AS bleu2
+      |FROM agg ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bleu" -> (bleu _),
     "q_kendall_tau" -> (kendallTau _),
     "q_hodges_lehmann" -> (hodgesLehmann _),
     "q_ordinal_assoc" -> (ordinalAssoc _),
@@ -1156,6 +1277,7 @@ object Evaluate {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bleu" -> bleuSql,
     "q_kendall_tau" -> kendallTauSql,
     "q_hodges_lehmann" -> hodgesLehmannSql,
     "q_ordinal_assoc" -> ordinalAssocSql,
