@@ -13,9 +13,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Dev {
   def main(args: Array[String]): Unit = {
-    val (reps, names) = args.partition(_.forall(_.isDigit)) match {
-      case (r, n) => (r.headOption.map(_.toInt).getOrElse(3), n.toSeq)
-    }
+    val (repArgs, names) =
+      args.partition(a => a.nonEmpty && a.forall(_.isDigit)) match {
+        case (r, n) => (r.toSeq, n.toSeq.filter(_.nonEmpty))
+      }
+    require(repArgs.size <= 1,
+      s"at most one rep-count argument, got: ${repArgs.mkString(", ")}")
+    val reps = repArgs.headOption.map(_.toInt).getOrElse(3)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",

@@ -47,8 +47,15 @@ object DriverShim {
 object DuckDbDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
   override def canHandle(url: String): Boolean =
     url.startsWith("jdbc:duckdb:")
-  override def isObjectNotFoundException(e: java.sql.SQLException): Boolean =
-    e.getMessage != null && e.getMessage.contains("does not exist")
+  override def isObjectNotFoundException(e: java.sql.SQLException): Boolean = {
+    // DuckDB phrases schema/column/catalog errors with the same "does
+    // not exist" tail, so require the table-not-found shape ("Catalog
+    // Error" + "Table") — a genuine failure during the exists-probe
+    // must surface, not be masked as "missing table".
+    val m = e.getMessage
+    m != null && m.contains("does not exist") &&
+      m.contains("Catalog Error") && m.contains("Table")
+  }
   /** DuckDB's ResultSetMetaData reports BIGINT columns as unsigned, so
     * Spark's default mapping widens them to DECIMAL(20,0) and a staged
     * LongType fails to round-trip bit-for-bit — the same day-one type
@@ -127,7 +134,21 @@ object DuckDbStage extends JdbcStage {
           override def visitFileFailed(f: java.nio.file.Path, e: java.io.IOException) =
             java.nio.file.FileVisitResult.CONTINUE
         })
-        found.sortBy(_.getName).lastOption // newest version wins
+        // newest version wins — compare version segments numerically
+        // (a lexicographic filename sort would rank 1.2.0 above 1.10.0)
+        found.sortBy(f => versionKey(f.getName)).lastOption
       }.nextOption()
   }
+
+  /** Numeric sort key for a jar filename: every digit run, in order,
+    * as integers. "duckdb_jdbc-1.10.0.jar" → Seq(1, 10, 0). */
+  private def versionKey(name: String): Seq[Int] =
+    "\\d+".r.findAllIn(name).map(_.toInt).toSeq
+
+  implicit private val seqIntOrdering: Ordering[Seq[Int]] =
+    (a: Seq[Int], b: Seq[Int]) => {
+      val cmp = a.zip(b).iterator.map { case (x, y) => x.compare(y) }
+        .find(_ != 0).getOrElse(0)
+      if (cmp != 0) cmp else a.length.compare(b.length)
+    }
 }

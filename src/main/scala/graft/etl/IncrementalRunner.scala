@@ -45,7 +45,7 @@ class ParquetRangeSink(baseDir: String) extends BatchSink {
   */
 class IncrementalRunner(
     spark: SparkSession,
-    state: StateStore,
+    state: BatchState,
     sink: BatchSink,
     batchSize: Long = 5000L) {
 

@@ -47,13 +47,16 @@ object MigrateConfig {
   }
 
   /** Read + parse a config file with the process environment. JVM
-    * system properties back-fill names the environment lacks — the
-    * documented injection channel for forked-JVM tests (a JVM cannot
-    * set its own environment); a real env var always wins. */
+    * system properties whose name starts with `GRAFT_` back-fill names
+    * the environment lacks — the documented injection channel for
+    * forked-JVM tests (a JVM cannot set its own environment); a real
+    * env var always wins. The prefix scope keeps a typo'd `${VAR}`
+    * from silently resolving to an unrelated JVM property
+    * (user.dir, os.name, ...) instead of failing loudly. */
   def load(path: String): Map[String, String] =
     parse(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), "UTF-8"),
-      sys.props.toMap ++ sys.env)
+      sys.props.toMap.filter(_._1.startsWith("GRAFT_")) ++ sys.env)
 
   private def stripComment(s: String, lineNo: Int): String = {
     // a '#' inside quotes is content, not a comment — but a quote only

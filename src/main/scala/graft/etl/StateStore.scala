@@ -28,7 +28,23 @@ case class BatchRecord(
   * (commit marker file). At 100 TB the data path scales out; this
   * state path stays tiny (a million batches ≈ a few MB).
   */
-class StateStore(spark: SparkSession, dir: String) {
+/** The backend contract both state stores implement — what
+  * [[IncrementalRunner]] actually needs. Metadata-scale by design:
+  * every method moves O(number of batches) records, never O(rows). */
+trait BatchState {
+  def currentVersion: Long
+  def read(): Seq[BatchRecord]
+  def upsert(records: Seq[BatchRecord]): Unit
+  /** Migration frontier: highest DONE pkUpper for a table (the
+    * reference's "last migrated pk"). */
+  def frontier(table: String): Long =
+    read().filter(r => r.table == table && r.status == "DONE")
+      .map(_.pkUpper).foldLeft(Long.MinValue)(math.max)
+  def pending(table: String): Seq[BatchRecord] =
+    read().filter(r => r.table == table && r.status != "DONE")
+}
+
+class StateStore(spark: SparkSession, dir: String) extends BatchState {
   import spark.implicits._
 
   private def versions: Seq[Long] = {
@@ -104,12 +120,126 @@ class StateStore(spark: SparkSession, dir: String) {
     }
   }
 
-  /** Migration frontier: highest DONE pkUpper for a table (the
-    * reference's "last migrated pk"). */
-  def frontier(table: String): Long =
-    read().filter(r => r.table == table && r.status == "DONE")
-      .map(_.pkUpper).foldLeft(Long.MinValue)(math.max)
+}
 
-  def pending(table: String): Seq[BatchRecord] =
-    read().filter(r => r.table == table && r.status != "DONE")
+/** The transactional upgrade path for S5's state table — an own mini
+  * commit-log in the public table-format idiom (append-only data
+  * files + a manifest made current by one ATOMIC filesystem rename),
+  * closing the "Delta MERGE if a jar were present" branch with zero
+  * dependencies.
+  *
+  * Layout under `dir`:
+  *   - `data/delta-<v>-<uuid>/` — one parquet delta per upsert (just
+  *     that call's records), or `data/base-<v>-<uuid>/` — a compacted
+  *     full snapshot.
+  *   - `manifest/<v padded>.mf` — text, one data-directory name per
+  *     line in replay order. Written to `manifest/.tmp-<uuid>` first,
+  *     then `ATOMIC_MOVE`d into place: the rename IS the commit, so a
+  *     manifest either exists complete or not at all — no marker file
+  *     needed and no torn read possible.
+  *
+  * Versus [[StateStore]]'s rewrite-the-world versions: an upsert here
+  * writes O(batch) records instead of O(total), and the periodic
+  * compaction (every [[compactEvery]] deltas) bounds replay length —
+  * the append-log + compaction upgrade the StateStore scaladoc names.
+  * Crash anywhere is harmless by construction: a delta without a
+  * manifest is an invisible orphan (swept on a later commit), a
+  * `.tmp-` manifest never parses as current, and cleanup runs only
+  * AFTER the new manifest is live. Replay semantics match
+  * StateStore.upsert exactly: each delta replaces any earlier record
+  * with the same (table, pkLower, pkUpper) key. */
+class ManifestStateStore(spark: SparkSession, dir: String) extends BatchState {
+  import spark.implicits._
+
+  private val dataDir = Paths.get(dir, "data")
+  private val mfDir = Paths.get(dir, "manifest")
+  private val compactEvery = 8
+  private val keepManifests = 4
+
+  private def listDir(d: java.nio.file.Path): Seq[String] = {
+    if (!Files.exists(d)) return Seq.empty
+    val stream = Files.list(d)
+    try {
+      val it = stream.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) buf += it.next().getFileName.toString
+      buf.toSeq
+    } finally stream.close()
+  }
+
+  /** Committed manifest versions — a name parses as committed iff it
+    * is `<digits>.mf` (tmp files and strays never match). */
+  private def manifestVersions: Seq[Long] =
+    listDir(mfDir).collect {
+      case n if n.endsWith(".mf") && n.dropRight(3).forall(_.isDigit) &&
+        n.length > 3 => n.dropRight(3).toLong
+    }.sorted
+
+  override def currentVersion: Long = manifestVersions.lastOption.getOrElse(-1L)
+
+  private def manifestFiles(v: Long): Seq[String] = {
+    val p = mfDir.resolve(f"$v%020d.mf")
+    new String(Files.readAllBytes(p), "UTF-8").split("\n").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+  }
+
+  override def read(): Seq[BatchRecord] = {
+    val v = currentVersion
+    if (v < 0) return Seq.empty
+    manifestFiles(v).foldLeft(Seq.empty[BatchRecord]) { (acc, f) =>
+      val delta = spark.read.parquet(dataDir.resolve(f).toString)
+        .as[BatchRecord].collect().toSeq
+      val keys = delta.map(r => (r.table, r.pkLower, r.pkUpper)).toSet
+      acc.filterNot(r => keys.contains((r.table, r.pkLower, r.pkUpper))) ++ delta
+    }
+  }
+
+  override def upsert(records: Seq[BatchRecord]): Unit = {
+    val v = currentVersion + 1
+    val prev = if (v == 0) Seq.empty else manifestFiles(v - 1)
+    val uuid = java.util.UUID.randomUUID().toString
+    Files.createDirectories(dataDir)
+    Files.createDirectories(mfDir)
+    // compact: fold the whole replayed state (with this batch applied)
+    // into one base file, so replay length stays bounded
+    val entries: Seq[String] =
+      if (prev.length + 1 > compactEvery) {
+        val name = s"base-$v-$uuid"
+        val keys = records.map(r => (r.table, r.pkLower, r.pkUpper)).toSet
+        val full = read().filterNot(r =>
+          keys.contains((r.table, r.pkLower, r.pkUpper))) ++ records
+        full.toDS().coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(dataDir.resolve(name).toString)
+        Seq(name)
+      } else {
+        val name = s"delta-$v-$uuid"
+        records.toDS().coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(dataDir.resolve(name).toString)
+        prev :+ name
+      }
+    // two-phase commit: full write to a tmp name, then ONE atomic
+    // rename makes it the current version
+    val tmp = mfDir.resolve(s".tmp-$uuid")
+    Files.write(tmp, entries.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, mfDir.resolve(f"$v%020d.mf"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    cleanup(v)
+  }
+
+  /** Post-commit sweep — retires old manifests and any data directory
+    * no retained manifest references (including crash orphans). Runs
+    * only after the new manifest is live; a crash mid-sweep leaves
+    * extra files, never a missing current version. */
+  private def cleanup(current: Long): Unit = {
+    val vs = manifestVersions
+    val (drop, keep) = vs.partition(_ <= current - keepManifests)
+    drop.foreach(v => Files.deleteIfExists(mfDir.resolve(f"$v%020d.mf")))
+    val live = keep.flatMap(manifestFiles).toSet
+    listDir(dataDir).filterNot(live).foreach { orphan =>
+      val op = dataDir.resolve(orphan)
+      // data dirs are flat parquet directories: files first, then the dir
+      listDir(op).foreach(f => Files.deleteIfExists(op.resolve(f)))
+      Files.deleteIfExists(op)
+    }
+  }
 }

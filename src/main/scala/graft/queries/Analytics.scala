@@ -790,9 +790,10 @@ object Analytics {
   def percentileDisc(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     // Order statistics only → the shared bounded cut machinery
-    // (graft.operators.Ranked.cutValues): one range exchange, no local
-    // sort of the fact slice, windows only over the two partitions
-    // where the rank crossings land. Threshold rows are DEDUPED by
+    // (graft.operators.Ranked.cutValuesByRank): one range exchange
+    // plus a crossing-partition window — no local sort of the fact
+    // slice; windows only over the two partitions where the rank
+    // crossings land. Threshold rows are DEDUPED by
     // rank before the lookup (groupBy t, min label), preserving the
     // original "groups too small to separate the ranks emit one row
     // labeled by the lower percentile" semantics.

@@ -1194,10 +1194,14 @@ object Evaluate {
     agg.select(col("lang"), col("n_pairs"),
         when(col("t1") === 0, 0.0).otherwise(p1).as("p1"),
         when(col("t2") === 0, 0.0).otherwise(p2).as("p2"),
-        when(col("cand_len") === 0, 0.0).otherwise(bp).as("bp"),
-        when(col("c1") === 0 || col("c2") === 0 || col("cand_len") === 0,
+        // bp and bleu2 pass through exp/ln, whose results are not
+        // IEEE-pinned across libm implementations — round(·, 4) on
+        // both engines so the oracle hash never rides on libm ulps
+        // (p1/p2 stay raw: pure divisions are exact).
+        round(when(col("cand_len") === 0, 0.0).otherwise(bp), 4).as("bp"),
+        round(when(col("c1") === 0 || col("c2") === 0 || col("cand_len") === 0,
           0.0).otherwise(
-          bp * exp((log(p1) + log(p2)) * 0.5)).as("bleu2"))
+          bp * exp((log(p1) + log(p2)) * 0.5)), 4).as("bleu2"))
       .orderBy(col("lang"))
   }
 
@@ -1242,17 +1246,17 @@ object Evaluate {
       |       ELSE CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE) END AS p1,
       |  CASE WHEN t2 = 0 THEN 0.0
       |       ELSE CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE) END AS p2,
-      |  CASE WHEN cand_len = 0 THEN 0.0
+      |  round(CASE WHEN cand_len = 0 THEN 0.0
       |       WHEN cand_len > ref_len THEN 1.0
       |       ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / CAST(cand_len AS DOUBLE))
-      |  END AS bp,
-      |  CASE WHEN c1 = 0 OR c2 = 0 OR cand_len = 0 THEN 0.0
+      |  END, 4) AS bp,
+      |  round(CASE WHEN c1 = 0 OR c2 = 0 OR cand_len = 0 THEN 0.0
       |       ELSE (CASE WHEN cand_len > ref_len THEN 1.0
       |             ELSE exp(1.0 - CAST(ref_len AS DOUBLE)
       |                      / CAST(cand_len AS DOUBLE)) END)
       |            * exp((ln(CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE))
       |                   + ln(CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE))) * 0.5)
-      |  END AS bleu2
+      |  END, 4) AS bleu2
       |FROM agg ORDER BY lang""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

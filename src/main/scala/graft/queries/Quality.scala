@@ -17,7 +17,7 @@ object Quality {
     * price to its return-flag group's [p05, p95] discrete percentiles
     * — the outlier treatment that, unlike dropping, keeps row counts
     * stable. Bounds are order statistics, so they come from the shared
-    * [[graft.operators.Ranked.cutValues]] bounded cut machinery
+    * [[graft.operators.Ranked.cutValuesByRank]] bounded cut machinery
     * (explicit row-position semantics — the value whose cumulative tie-
     * counted rank first reaches ceil(n·q) IS the row at rank ceil(n·q)
     * of the sorted multiset); the clip itself is a broadcast join +
