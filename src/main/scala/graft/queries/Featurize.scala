@@ -353,7 +353,99 @@ object Featurize {
       |  CAST(max(err_q) AS DOUBLE) / 1e9 AS max_abs_err
       |FROM q GROUP BY d ORDER BY d""".stripMargin
 
+  /** C16 — Neyman optimal allocation: how to split a fixed sample
+    * budget across strata so the stratified estimator's variance is
+    * MINIMAL — n_h ∝ N_h·σ_h (big AND volatile strata get more),
+    * side by side with the proportional n_h ∝ N_h a naive design
+    * uses. The sampling-design layer on top of the executors (C3
+    * draws a sample; this decides how much to draw where). Shape:
+    * one keyed aggregate collapses the corpus to the bounded stratum
+    * table (count + exact moment sums); σ_h = √(N·Σx²−S²)/N uses
+    * only IEEE correctly-rounded ops (×,/,√ — no libm), and the
+    * weights are floor-quantized to integer micro-units so their SUM
+    * is order-free exact; integerization is largest-remainder with
+    * ties to the first stratum — deterministic end to end. */
+  def neymanAlloc(s: SparkSession, dir: String, budget: Int = 1000): DataFrame = {
+    val strata = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("stratum"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(38,0)").as("cents"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("nh"),
+        sum(col("cents")).as("sx"),
+        sum(col("cents") * col("cents")).as("sxx"))
+      // weight in exact micro-units: floor(N_h·σ_h·1e6) — the only
+      // double step (√) is IEEE-pinned, and quantizing BEFORE the
+      // total keeps the share denominators order-free integers
+      .withColumn("sd", sqrt((col("nh") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")) / col("nh").cast("double"))
+      .withColumn("wq", floor(col("nh").cast("double") * col("sd") * 1e6)
+        .cast("decimal(38,0)"))
+    def allocate(df: DataFrame, weight: Column, outCol: String): DataFrame = {
+      val wAll = Window.partitionBy(lit(1))
+      val wRank = Window.partitionBy(lit(1))
+        .orderBy(col("rem").desc, col("stratum"))
+      df.withColumn("w", weight)
+        .withColumn("quota",
+          lit(budget) * col("w").cast("double") /
+            sum(col("w")).over(wAll).cast("double"))
+        .withColumn("base", floor(col("quota")).cast("long"))
+        .withColumn("rem", col("quota") - col("base"))
+        .withColumn("defect", lit(budget) - sum(col("base")).over(wAll))
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn(outCol,
+          col("base") + when(col("rk") <= col("defect"), 1L).otherwise(0L))
+        .drop("w", "quota", "base", "rem", "defect", "rk")
+    }
+    val ney = allocate(strata, col("wq"), "neyman_n")
+    val both = allocate(ney, col("nh"), "proportional_n")
+    both.select(col("stratum"), col("nh").cast("long").as("n_rows"),
+        round(col("sd") / 100, 4).as("sd_price"),
+        col("neyman_n"), col("proportional_n"))
+      .orderBy(col("stratum"))
+  }
+
+  val neymanAllocSql: String =
+    """WITH strata AS (SELECT o_orderpriority AS stratum,
+      |    count(*) AS nh,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT))
+      |      AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+      |      * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT))
+      |      AS HUGEINT) AS sxx
+      |  FROM orders GROUP BY 1),
+      |sd AS (SELECT stratum, nh,
+      |    sqrt(CAST(nh * sxx - sx * sx AS DOUBLE)) / CAST(nh AS DOUBLE) AS sd,
+      |    CAST(floor(CAST(nh AS DOUBLE)
+      |      * (sqrt(CAST(nh * sxx - sx * sx AS DOUBLE)) / CAST(nh AS DOUBLE))
+      |      * 1e6) AS HUGEINT) AS wq
+      |  FROM strata),
+      |ney AS (SELECT *,
+      |    1000 * CAST(wq AS DOUBLE) / CAST(sum(wq) OVER () AS DOUBLE) AS quota
+      |  FROM sd),
+      |ney2 AS (SELECT *, CAST(floor(quota) AS BIGINT) AS base,
+      |    quota - floor(quota) AS rem FROM ney),
+      |ney3 AS (SELECT *, 1000 - sum(base) OVER () AS defect,
+      |    row_number() OVER (ORDER BY rem DESC, stratum) AS rk FROM ney2),
+      |ney4 AS (SELECT stratum, nh, sd,
+      |    base + CASE WHEN rk <= defect THEN 1 ELSE 0 END AS neyman_n
+      |  FROM ney3),
+      |p AS (SELECT *,
+      |    1000 * CAST(nh AS DOUBLE) / CAST(sum(nh) OVER () AS DOUBLE) AS quota
+      |  FROM ney4),
+      |p2 AS (SELECT *, CAST(floor(quota) AS BIGINT) AS base,
+      |    quota - floor(quota) AS rem FROM p),
+      |p3 AS (SELECT *, 1000 - sum(base) OVER () AS defect,
+      |    row_number() OVER (ORDER BY rem DESC, stratum) AS rk FROM p2)
+      |SELECT stratum, CAST(nh AS BIGINT) AS n_rows,
+      |  round(sd / 100, 4) AS sd_price,
+      |  CAST(neyman_n AS BIGINT) AS neyman_n,
+      |  CAST(base + CASE WHEN rk <= defect THEN 1 ELSE 0 END AS BIGINT)
+      |    AS proportional_n
+      |FROM p3 ORDER BY stratum""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_neyman_alloc" -> ((s: SparkSession, d: String) => neymanAlloc(s, d)),
     "q_truncation_fidelity" -> (truncationFidelity _),
     "q_embedding_standardize" -> (embeddingStandardize _),
     "q_pca_cov" -> (pcaCov _),
@@ -364,6 +456,7 @@ object Featurize {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_neyman_alloc" -> neymanAllocSql,
     "q_truncation_fidelity" -> truncationFidelitySql,
     "q_embedding_standardize" -> embeddingStandardizeSql,
     "q_pca_cov" -> pcaCovSql,

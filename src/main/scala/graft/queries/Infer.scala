@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Caches.PersistScoped
 
 /** Round-8 statistical-inference operators: Wilson score intervals,
   * CUPED variance reduction, and a deterministic Poisson bootstrap.
@@ -538,7 +539,93 @@ object Infer {
       |  round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 4) AS did_cents
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** W61 — Kruskal-Wallis rank test: do the return-flag groups draw
+    * order quantities from the same distribution? The nonparametric
+    * one-way ANOVA — rank-based, so outliers and non-normality (which
+    * invalidate q_anova's F) cannot distort it; quantity's heavy ties
+    * make the tie-corrected form the honest one. Shape: ranks are NOT
+    * a row-level window — the value domain collapses first (quantity
+    * has a bounded distinct set; any measure collapses to its distinct
+    * values), the midrank of each tied block comes from one running
+    * sum over that bounded relation, and the per-group rank sums are
+    * integer-exact throughout (midrank·2 stays integral, so all sums
+    * are BIGINT/DECIMAL until the final H). The corpus is scanned
+    * exactly once. H' = H / (1 − Σ(t³−t)/(N³−N)). */
+  def kruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("grp"),
+        col("l_quantity").cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("n_gv"))
+      .persistScoped() // value-domain relation: tie counts + group sums
+    val ties = base.groupBy(col("v")).agg(sum(col("n_gv")).as("t"))
+      .persistScoped() // midranks + tie-correction sum both read it
+    // 2×midrank of tied block v = 2·(rows before v) + t + 1 — integral,
+    // so every rank sum below stays exact
+    val rank2 = ties
+      .withColumn("before", coalesce(sum(col("t")).over(
+        Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("v"), col("t"),
+        (lit(2) * col("before") + col("t") + 1).as("r2"))
+    val perGrp = base.join(rank2, Seq("v"))
+      .groupBy(col("grp"))
+      .agg(sum(col("n_gv")).as("n"),
+        sum(col("n_gv").cast("decimal(38,0)") * col("r2")).as("r2sum"))
+      .persistScoped() // totals + per-group output both read it
+    // hsum = 4·Σ (R_g²/n_g) with R_g = r2sum/2 — the /4 re-divides in
+    // the final H so the term order is the same fixed 3-group chain on
+    // both engines
+    val tot = perGrp.agg(sum(col("n")).as("nn"), count(lit(1)).as("k"),
+        (sum((col("r2sum") * col("r2sum")).cast("double") / lit(4.0) /
+          col("n").cast("double")) * 4).as("hsum"))
+      .crossJoin(broadcast(ties.agg(
+        sum(col("t") * col("t") * col("t") - col("t")).as("tiesum"))))
+    val nD = col("nn").cast("double")
+    val h = (lit(3.0) / (nD * (nD + 1))) * col("hsum") / 4 -
+      lit(3.0) * (nD + 1)
+    perGrp.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n").cast("long").as("n"),
+        round(col("r2sum").cast("double") / 2 / col("n").cast("double"), 4)
+          .as("mean_rank"),
+        col("k").cast("long").as("n_groups"),
+        round(h, 4).as("h"),
+        round(h / (lit(1.0) - col("tiesum").cast("double") / (nD * nD * nD - nD)), 4)
+          .as("h_tie_corrected"))
+      .orderBy(col("grp"))
+  }
+
+  val kruskalWallisSql: String =
+    """WITH base AS (SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v,
+      |    count(*) AS n_gv
+      |  FROM lineitem GROUP BY 1, 2),
+      |ties AS (SELECT v, CAST(sum(n_gv) AS BIGINT) AS t FROM base GROUP BY v),
+      |rank2 AS (SELECT v, t,
+      |    2 * coalesce(sum(t) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+      |  FROM ties),
+      |pg AS (SELECT grp, CAST(sum(n_gv) AS BIGINT) AS n,
+      |    sum(CAST(n_gv AS HUGEINT) * r2) AS r2sum
+      |  FROM base JOIN rank2 USING (v) GROUP BY grp),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, count(*) AS k,
+      |    (SELECT CAST(sum(t * t * t - t) AS BIGINT) FROM ties) AS tiesum,
+      |    sum(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE) / 4.0
+      |        / CAST(n AS DOUBLE)) * 4 AS hsum
+      |  FROM pg)
+      |SELECT grp, n,
+      |  round(CAST(r2sum AS DOUBLE) / 2 / CAST(n AS DOUBLE), 4) AS mean_rank,
+      |  CAST(k AS BIGINT) AS n_groups,
+      |  round((3.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1))) * hsum / 4
+      |    - 3.0 * (CAST(nn AS DOUBLE) + 1), 4) AS h,
+      |  round(((3.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1))) * hsum / 4
+      |    - 3.0 * (CAST(nn AS DOUBLE) + 1))
+      |    / (1.0 - CAST(tiesum AS DOUBLE)
+      |       / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+      |          - CAST(nn AS DOUBLE))), 4) AS h_tie_corrected
+      |FROM pg CROSS JOIN tot ORDER BY grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kruskal_wallis" -> (kruskalWallis _),
     "q_regr_multi" -> (regrMulti _),
     "q_did" -> (did _),
     "q_sample_size" -> (sampleSize _),
@@ -550,6 +637,7 @@ object Infer {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_kruskal_wallis" -> kruskalWallisSql,
     "q_regr_multi" -> regrMultiSql,
     "q_did" -> didSql,
     "q_sample_size" -> sampleSizeSql,

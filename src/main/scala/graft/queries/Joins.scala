@@ -898,9 +898,74 @@ object Joins {
       |UNION ALL SELECT jy, jx, n, role, cluster_id FROM noise
       |ORDER BY jy, jx""".stripMargin
 
+  /** SP4 — Moran's I spatial autocorrelation: is event density
+    * CLUSTERED on the grid (hot cells next to hot cells, I → 1),
+    * dispersed (I → −1), or random (I ≈ E[I] = −1/(n−1))? The one
+    * statistic the SP1-3 clustering operators presuppose but never
+    * test. Weights are queen adjacency (the shared 3×3 ring minus
+    * self) over PRESENT cells. Exactness: with z̃ᵢ = n·xᵢ − S
+    * (n-scaled deviations), both Σw z̃ᵢz̃ⱼ and Σz̃² carry the same n²
+    * factor, so I = (n/W)·num/den needs NO mean division — counts
+    * stay exact DECIMAL end to end and the final value is one IEEE
+    * division. The corpus collapses to the bounded grid before any
+    * pairing; the adjacency pair stream is ≤ 9·|cells|. */
+  def moransI(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(floor(geoLat("egeo|", col("event_id"))).cast("int").as("jy"),
+        floor(geoLon("egeo|", col("event_id"))).cast("int").as("jx"))
+      .groupBy(col("jy"), col("jx")).agg(count(lit(1)).as("x"))
+      .persistScoped() // totals build + both join sides read it
+    val tot = cells.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val z = cells.crossJoin(broadcast(tot))
+      .select(col("jy"), col("jx"), col("n"),
+        (col("x").cast("decimal(38,0)") * col("n") - col("sx")).as("z"))
+    val num = ring3x3(z.select(col("jy"), col("jx"), col("z").as("zi")),
+        Seq("jy", "jx", "zi"), "ty", "tx")
+      .filter(!(col("ty") === col("jy") && col("tx") === col("jx")))
+      .join(z.select(col("jy").as("ty"), col("jx").as("tx"),
+          col("z").as("zj")),
+        Seq("ty", "tx"))
+      .agg(sum(col("zi") * col("zj")).as("num"), count(lit(1)).as("w"))
+    val den = z.agg(sum(col("z") * col("z")).as("den"),
+      max(col("n")).as("n")) // n is constant across rows
+    num.crossJoin(broadcast(den))
+      .select(col("n").cast("long").as("n_cells"),
+        col("w").cast("long").as("w_pairs"),
+        ((col("n").cast("double") / col("w").cast("double")) *
+          (col("num").cast("double") / col("den").cast("double")))
+          .as("morans_i"),
+        (lit(-1.0) / (col("n").cast("double") - 1)).as("expected_i"))
+  }
+
+  val moransISql: String =
+    """WITH pts AS (SELECT
+      |    CAST(floor(40.0 + (CAST(concat('0x', substring(md5(concat('egeo|',
+      |      CAST(event_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000)
+      |      / 1e6 * 10.0) AS INT) AS jy,
+      |    CAST(floor((CAST(concat('0x', substring(md5(concat('egeo|',
+      |      CAST(event_id AS VARCHAR))), 9, 8)) AS BIGINT) % 1000000)
+      |      / 1e6 * 10.0) AS INT) AS jx
+      |  FROM events),
+      |cells AS (SELECT jy, jx, count(*) AS x FROM pts GROUP BY 1, 2),
+      |tot AS (SELECT count(*) AS n, CAST(sum(x) AS HUGEINT) AS sx FROM cells),
+      |z AS (SELECT jy, jx, n, CAST(x AS HUGEINT) * n - sx AS z
+      |      FROM cells, tot),
+      |num AS (SELECT CAST(sum(a.z * b.z) AS HUGEINT) AS num, count(*) AS w
+      |        FROM z a JOIN z b
+      |          ON abs(a.jy - b.jy) <= 1 AND abs(a.jx - b.jx) <= 1
+      |          AND NOT (a.jy = b.jy AND a.jx = b.jx)),
+      |den AS (SELECT CAST(sum(z * z) AS HUGEINT) AS den, CAST(max(n) AS BIGINT) AS n
+      |        FROM z)
+      |SELECT CAST(n AS BIGINT) AS n_cells, CAST(w AS BIGINT) AS w_pairs,
+      |  (CAST(n AS DOUBLE) / CAST(w AS DOUBLE))
+      |    * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) AS morans_i,
+      |  -1.0 / (CAST(n AS DOUBLE) - 1) AS expected_i
+      |FROM num, den""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dbscan_grid" -> (dbscanGrid _),
     "q_spatial_idw" -> (spatialIdw _),
+    "q_morans_i" -> (moransI _),
     "q_spatial_watershed" -> (spatialWatershed _),
     "q_spatial_grid_join" -> (spatialGridJoin _),
     "q_join_asof_nearest" -> (asofNearestJoin _),
@@ -924,6 +989,7 @@ object Joins {
   val oracle: Map[String, String] = Map(
     "q_dbscan_grid" -> dbscanGridSql,
     "q_spatial_idw" -> spatialIdwSql,
+    "q_morans_i" -> moransISql,
     "q_spatial_watershed" -> spatialWatershedSql,
     "q_spatial_grid_join" -> spatialGridJoinSql,
     "q_join_asof_nearest" -> asofNearestJoinSql,

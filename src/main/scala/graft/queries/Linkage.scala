@@ -194,6 +194,58 @@ object Linkage {
       .orderBy(col("c_nationkey"))
   }
 
+  /** W62 — Theil T inequality index: per nation, the entropy-based
+    * concentration of positive account balances — Gini's (W17)
+    * decomposable companion (Theil is the inequality measure that
+    * splits exactly into within-group + between-group parts, which
+    * Gini cannot). T = Σᵢ (xᵢ/S)·ln(n·xᵢ/S) with S the group sum. No
+    * sort is needed (unlike Gini's rank construction): one keyed
+    * aggregate builds the bounded (nation, n, S) table, which
+    * broadcasts back onto the rows; each row's transcendental term is
+    * quantized to integer nano-units (floor(term·1e9)) before the
+    * sum, so the aggregate is ORDER-FREE exact integer addition — the
+    * same engine-portability convention as the KL/entropy family
+    * (double summation order would otherwise differ per partitioning).
+    * One fact scan at any scale. */
+  def theilIndex(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(12,2)") * 100)
+          .cast("bigint").as("cents"))
+      .persistScoped() // group-total build + term pass both read it
+    val grp = base.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"))
+    base.join(broadcast(grp), Seq("c_nationkey"))
+      .select(col("c_nationkey"), col("n"), col("sx"),
+        floor(
+          (col("cents").cast("double") / col("sx").cast("double")) *
+            log(col("n").cast("double") * col("cents").cast("double") /
+              col("sx").cast("double")) * lit(1e9)).cast("long").as("tq"))
+      .groupBy(col("c_nationkey"), col("n"), col("sx"))
+      .agg(sum(col("tq")).as("tqs"))
+      .select(col("c_nationkey"), col("n").cast("long").as("n"),
+        (col("sx").cast("double") / 100).as("total_balance"),
+        (col("tqs").cast("double") / lit(1e9)).as("theil"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val theilIndexSql: String =
+    """WITH base AS (SELECT c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer WHERE c_acctbal > 0),
+      |g AS (SELECT c_nationkey, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sx
+      |      FROM base GROUP BY c_nationkey),
+      |t AS (SELECT base.c_nationkey, g.n, g.sx,
+      |        CAST(floor((CAST(cents AS DOUBLE) / CAST(sx AS DOUBLE)) *
+      |          ln(CAST(n AS DOUBLE) * CAST(cents AS DOUBLE)
+      |             / CAST(sx AS DOUBLE)) * 1e9) AS BIGINT) AS tq
+      |      FROM base JOIN g USING (c_nationkey))
+      |SELECT c_nationkey, CAST(n AS BIGINT) AS n,
+      |  CAST(sx AS DOUBLE) / 100 AS total_balance,
+      |  CAST(CAST(sum(tq) AS BIGINT) AS DOUBLE) / 1e9 AS theil
+      |FROM t GROUP BY c_nationkey, n, sx ORDER BY c_nationkey""".stripMargin
+
   val giniBalanceSql: String =
     """WITH base AS (SELECT c_nationkey,
       |         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
@@ -595,6 +647,7 @@ object Linkage {
     "q_jaro_winkler" -> (jaroWinklerPairs _),
     "q_auc" -> (aucGrouped _),
     "q_gini" -> (giniBalance _),
+    "q_theil_index" -> (theilIndex _),
     "q_period_over_period" -> (periodOverPeriod _),
     "q_crosscorr" -> (crossCorr _),
     "q_rrf_fusion" -> (rrfFusion _))
@@ -607,6 +660,7 @@ object Linkage {
     "q_jaro_winkler" -> jaroWinklerPairsSql,
     "q_auc" -> aucGroupedSql,
     "q_gini" -> giniBalanceSql,
+    "q_theil_index" -> theilIndexSql,
     "q_period_over_period" -> periodOverPeriodSql,
     "q_crosscorr" -> crossCorrSql,
     "q_rrf_fusion" -> rrfFusionSql)

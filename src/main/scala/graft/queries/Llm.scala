@@ -116,6 +116,39 @@ object Llm {
       |  CAST(count(*) AS BIGINT) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  /** L43 — template-family detection: documents that share a
+    * STRUCTURAL skeleton (lowercase, digit runs → '#', letter runs →
+    * 'w') are one boilerplate template instantiated with different
+    * fillers — the near-dup family exact dedup (L1, raw-text hash)
+    * and shingle dedup (L2, content overlap) both miss when the
+    * fillers dominate. The curation action is per FAMILY: keep the
+    * canonical member, down-weight or drop the rest. Shape: one
+    * narrow projection computes the skeleton per row, then a single
+    * keyed aggregate — exactly the L1 hash-groupBy plan, at any
+    * scale; no pairing ever happens. Families of one are filtered
+    * (those docs are template-unique). */
+  def dedupTemplates(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        md5(regexp_replace(regexp_replace(lower(col("text")),
+          "[0-9]+", "#"), "[a-z]+", "w")).as("template_hash"))
+      .groupBy(col("template_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("template_hash"))
+
+  val dedupTemplatesSql: String =
+    """SELECT md5(regexp_replace(regexp_replace(lower(text),
+      |    '[0-9]+', '#', 'g'), '[a-z]+', 'w', 'g')) AS template_hash,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(min(doc_id) AS BIGINT) AS keep_id
+      |FROM documents
+      |GROUP BY 1 HAVING count(*) >= 2
+      |ORDER BY template_hash""".stripMargin
+
   /** L2a — MinHash-LSH candidate pairs (16 hash fns derived from one
     * md5 per shingle via h1 + j·h2; 4 bands × 4 rows). Signatures read
     * raw shingle occurrences: min() is duplicate-insensitive, so the
@@ -707,6 +740,7 @@ object Llm {
     "q_term_burstiness" -> (termBurstiness _),
     "q_bm25" -> (bm25 _),
     "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_templates" -> (dedupTemplates _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_ngram" -> (dedupNgram _),
@@ -734,6 +768,7 @@ object Llm {
     "q_term_burstiness" -> termBurstinessSql,
     "q_bm25" -> bm25Sql,
     "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_templates" -> dedupTemplatesSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_ngram" -> dedupNgramSql,

@@ -93,6 +93,107 @@ object Metrics {
     * partial/final min(struct)/max(struct) aggregate — no window, no
     * per-day sort; the tie-break prefix (sec, event_id) is unique so
     * the value field never decides the comparison. */
+  /** TS17 — maximum drawdown: per year, the deepest peak-to-trough
+    * fall of the cumulative-revenue curve — the risk statistic that
+    * says "how far underwater did this series get", which no
+    * point-in-time aggregate can see. Shape: the corpus collapses to
+    * one row per ORDER DATE first (the date domain is bounded — a few
+    * thousand rows regardless of corpus size), so the running-sum and
+    * running-peak windows move calendar-bounded data only; everything
+    * through the drawdown is exact integer cents, with one exact
+    * cents→dollars division at the end. Trough ties break to the
+    * earliest date via one min(struct). */
+  def drawdown(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"), col("o_orderdate").as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")).as("rev"))
+    val w = Window.partitionBy(col("yr")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum", sum(col("rev")).over(w))
+      .withColumn("peak", max(sum(col("rev")).over(w)).over(w))
+      .select(col("yr"), col("d"), (col("peak") - col("cum")).as("dd"))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_days"),
+        min(struct((-col("dd")).as("neg"), col("d"))).as("m"))
+      .select(col("yr").cast("long").as("yr"), col("n_days"),
+        ((-col("m.neg")).cast("double") / 100).as("max_drawdown"),
+        col("m.d").as("trough_date"))
+      .orderBy(col("yr"))
+  }
+
+  val drawdownSql: String =
+    """WITH daily AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    o_orderdate AS d,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |c AS (SELECT yr, d,
+      |        sum(rev) OVER (PARTITION BY yr ORDER BY d
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM daily),
+      |p AS (SELECT yr, d, max(cum) OVER (PARTITION BY yr ORDER BY d
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cum AS dd
+      |      FROM c),
+      |r AS (SELECT yr, d, dd,
+      |        row_number() OVER (PARTITION BY yr ORDER BY dd DESC, d) AS rn,
+      |        count(*) OVER (PARTITION BY yr) AS n_days
+      |      FROM p)
+      |SELECT yr, CAST(n_days AS BIGINT) AS n_days,
+      |  CAST(dd AS DOUBLE) / 100 AS max_drawdown, d AS trough_date
+      |FROM r WHERE rn = 1 ORDER BY yr""".stripMargin
+
+  /** TS18 — Bollinger-band breakout audit: monthly revenue against a
+    * trailing-12-month mean ± 2σ band — the volatility-normalized
+    * "was this month abnormal" screen. The band test never computes a
+    * square root: |x − s/n| > 2σ is evaluated as
+    * (n·x − s)² > 4·(n·Σx² − s²), which is EXACT integer (decimal)
+    * arithmetic end to end — no libm, no epsilon, identical on every
+    * engine. The corpus collapses to one row per month first (bounded
+    * calendar domain), so the rolling window moves months, not rows;
+    * only full 12-month windows are emitted. */
+  def bollinger(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")).as("rev"))
+      .select(col("m"), col("rev").cast("decimal(38,0)").as("rev"))
+    val w = Window.orderBy(col("m")).rowsBetween(-11, 0)
+    monthly
+      .withColumn("n", count(lit(1)).over(w).cast("decimal(38,0)"))
+      .withColumn("ss", sum(col("rev")).over(w))
+      .withColumn("sq", sum(col("rev") * col("rev")).over(w))
+      .filter(col("n") === 12)
+      .select(col("m"),
+        (col("rev").cast("double") / 100).as("revenue"),
+        ((col("ss").cast("double") / 12) / 100).as("ma12"),
+        when((col("n") * col("rev") - col("ss")) *
+               (col("n") * col("rev") - col("ss")) >
+               lit(4) * (col("n") * col("sq") - col("ss") * col("ss")),
+            when(col("n") * col("rev") > col("ss"), "up").otherwise("down"))
+          .otherwise("in").as("band"))
+      .orderBy(col("m"))
+  }
+
+  val bollingerSql: String =
+    """WITH monthly AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS HUGEINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT m, rev,
+      |        count(*) OVER win AS n,
+      |        sum(rev) OVER win AS ss,
+      |        sum(rev * rev) OVER win AS sq
+      |      FROM monthly
+      |      WINDOW win AS (ORDER BY m ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+      |SELECT m, CAST(rev AS DOUBLE) / 100 AS revenue,
+      |  (CAST(ss AS DOUBLE) / 12) / 100 AS ma12,
+      |  CASE WHEN (n * rev - ss) * (n * rev - ss) > 4 * (n * sq - ss * ss)
+      |       THEN CASE WHEN n * rev > ss THEN 'up' ELSE 'down' END
+      |       ELSE 'in' END AS band
+      |FROM r WHERE n = 12 ORDER BY m""".stripMargin
+
   def ohlc(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
       .select(to_date(col("ts")).as("d"),
@@ -815,6 +916,8 @@ object Metrics {
     "q_cume_dist" -> (cumeDist _),
     "q_ohlc" -> (ohlc _),
     "q_vwap" -> (vwap _),
+    "q_drawdown" -> (drawdown _),
+    "q_bollinger" -> (bollinger _),
     "q_mutual_info" -> (mutualInfo _),
     "q_cohens_kappa" -> (cohensKappa _),
     "q_string_funcs2" -> (stringFuncs2 _),
@@ -832,6 +935,8 @@ object Metrics {
     "q_decay_score" -> decayScoreSql,
     "q_semi_additive" -> semiAdditiveSql,
     "q_confusion_metrics" -> confusionMetricsSql,
+    "q_drawdown" -> drawdownSql,
+    "q_bollinger" -> bollingerSql,
     "q_union_by_name" -> unionByNameSql,
     "q_except_all" -> exceptAllSql,
     "q_intersect_all" -> intersectAllSql,

@@ -444,11 +444,146 @@ object Network {
       |ORDER BY l.node""".stripMargin
   }
 
+  /** Above-mean-weight backbone of [[undirectedTradeGraph]] — the
+    * sparsification both coefficient and distance queries share (the
+    * full nation graph is near-complete at any SF, so unthresholded
+    * structure measures saturate; the mean-weight cut keeps only the
+    * strong trade lanes). Bounded: ≤ |nations|² rows always. */
+  private def backbone(s: SparkSession, dir: String): DataFrame = {
+    val und = undirectedTradeGraph(s, dir)
+      // bounded (≤625 rows) but its PLAN is the corpus star join —
+      // the cut broadcast below would re-run it without the persist
+      .persistScoped()
+    val cut = und.agg((sum(col("w")).cast("double") / count(lit(1))).as("cut"))
+    und.crossJoin(broadcast(cut))
+      .filter(col("w").cast("double") >= col("cut"))
+      .select(col("u"), col("v"))
+  }
+
+  /** DuckDB twin of [[backbone]] (CTE list, no WITH; expects nothing
+    * before it). MATERIALIZED is load-bearing: the consumers reference
+    * `e` several times (3-way triangle join; 2^k doubling rounds), and
+    * DuckDB inlines plain CTEs — un-materialized, every reference
+    * re-expands the corpus star join (the q_kcore 3^8-copies lesson). */
+  private val backboneCte: String =
+    s"""g AS MATERIALIZED ($undirectedTradeCte),
+      |e AS MATERIALIZED (SELECT u, v FROM g,
+      |        (SELECT CAST(sum(w) AS DOUBLE) / count(*) AS cut FROM g) t
+      |      WHERE CAST(w AS DOUBLE) >= cut)""".stripMargin
+
+  /** W60 — local clustering coefficient: per nation, how tightly its
+    * strong trade partners trade with EACH OTHER — 2·T/(d·(d−1)) with
+    * T the node's triangle count and d its backbone degree. The
+    * community-cohesion companion to the global triangle count (W13):
+    * a node can sit on many triangles yet be loosely clustered if its
+    * degree is high. Shape: facts collapse to the bounded backbone
+    * once; triangles come from the ordered three-way edge self-join
+    * (a<b<c, each triangle counted once per member), degrees from one
+    * symmetric explode — every post-collapse relation is ≤ |nations|²
+    * rows at any corpus scale. The coefficient is one exact int/int
+    * IEEE division (no rounding needed). */
+  def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val e = backbone(s, dir).persistScoped() // 3-way self-join + degrees
+    val deg = e.select(explode(array(
+        struct(col("u").as("nation"), col("v").as("other")),
+        struct(col("v").as("nation"), col("u").as("other")))).as("x"))
+      .select(col("x.nation").as("nation"))
+      .groupBy(col("nation")).agg(count(lit(1)).as("degree"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("nation"))
+      .groupBy(col("nation")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(tri, Seq("nation"), "left")
+      .select(col("nation"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") < 2, 0.0).otherwise(
+          lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .as("clustering_coeff"))
+      .orderBy(col("nation"))
+  }
+
+  val clusteringCoeffSql: String =
+    s"""WITH $backboneCte,
+      |deg AS (SELECT nation, count(*) AS degree
+      |        FROM (SELECT u AS nation FROM e UNION ALL SELECT v FROM e)
+      |        GROUP BY nation),
+      |tri AS (SELECT nation, count(*) AS n_triangles
+      |        FROM (SELECT unnest([e1.u, e1.v, e2.v]) AS nation
+      |              FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |              JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)
+      |        GROUP BY nation)
+      |SELECT deg.nation, CAST(deg.degree AS BIGINT) AS degree,
+      |  CAST(coalesce(tri.n_triangles, 0) AS BIGINT) AS n_triangles,
+      |  CASE WHEN deg.degree < 2 THEN 0.0
+      |       ELSE 2.0 * CAST(coalesce(tri.n_triangles, 0) AS DOUBLE)
+      |            / CAST(deg.degree * (deg.degree - 1) AS DOUBLE) END
+      |    AS clustering_coeff
+      |FROM deg LEFT JOIN tri ON deg.nation = tri.nation
+      |ORDER BY deg.nation""".stripMargin
+
+  /** W63 — all-pairs hop distances by min-plus doubling: eccentricity
+    * and reachable-set size per nation on the trade backbone — the
+    * "how many lanes from anywhere to anywhere" audit. Doubling
+    * (d_{2k}(u,v) = min_w d_k(u,w) + d_k(w,v), self-loops at 0) needs
+    * ⌈log₂ diameter⌉ rounds instead of diameter rounds of BFS — 4
+    * unrolled rounds cover any path of ≤16 hops, and both engines
+    * unroll the SAME truncation, so the comparison is exact even on a
+    * pathological graph. Every relation is ≤ |nations|² rows; the
+    * corpus is scanned exactly once (the backbone collapse). */
+  def nationDistances(s: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+    val e = backbone(s, dir)
+    val sym = e.select(col("u"), col("v"), lit(1L).as("d"))
+      .union(e.select(col("v").as("u"), col("u").as("v"), lit(1L).as("d")))
+    val nodes = sym.select(col("u")).distinct()
+    var dist = sym
+      .union(nodes.select(col("u"), col("u").as("v"), lit(0L).as("d")))
+      .groupBy(col("u"), col("v")).agg(min(col("d")).as("d"))
+      .localCheckpoint() // ≤ |nations|² rows; truncate before the unroll
+    (1 to rounds).foreach { _ =>
+      dist = dist.as("a")
+        .join(dist.as("b"), col("a.v") === col("b.u"))
+        .groupBy(col("a.u").as("u"), col("b.v").as("v"))
+        .agg(min(col("a.d") + col("b.d")).as("d"))
+        .localCheckpoint()
+    }
+    dist.filter(col("u") =!= col("v"))
+      .groupBy(col("u").as("nation"))
+      .agg(count(lit(1)).as("n_reachable"), max(col("d")).as("eccentricity"))
+      .orderBy(col("nation"))
+  }
+
+  def nationDistancesSql(rounds: Int = 4): String = {
+    // MATERIALIZED per round: each dᵢ references dᵢ₋₁ twice, so plain
+    // (inlined) CTEs would expand 2^rounds copies of the base
+    val unroll = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT a.u, b.v, min(a.d + b.d) AS d
+         |      FROM d${i - 1} a JOIN d${i - 1} b ON a.v = b.u
+         |      GROUP BY a.u, b.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $backboneCte,
+      |sym AS MATERIALIZED (SELECT u, v, 1 AS d FROM e
+      |        UNION ALL SELECT v, u, 1 FROM e),
+      |d0 AS MATERIALIZED (SELECT u, v, min(d) AS d FROM (
+      |         SELECT u, v, d FROM sym
+      |         UNION ALL SELECT DISTINCT u, u, 0 FROM sym)
+      |       GROUP BY u, v),
+      |$unroll
+      |SELECT u AS nation, CAST(count(*) AS BIGINT) AS n_reachable,
+      |  CAST(max(d) AS BIGINT) AS eccentricity
+      |FROM d$rounds WHERE u <> v
+      |GROUP BY u ORDER BY nation""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_assortativity" -> (assortativity _),
     "q_hits" -> ((s: SparkSession, d: String) => hits(s, d)),
     "q_modularity" -> (modularity _),
     "q_label_prop" -> ((s: SparkSession, d: String) => labelProp(s, d)),
+    "q_clustering_coeff" -> (clusteringCoeff _),
+    "q_nation_distances" -> ((s: SparkSession, d: String) => nationDistances(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -456,5 +591,7 @@ object Network {
     "q_hits" -> hitsSql(),
     "q_modularity" -> modularitySql,
     "q_label_prop" -> labelPropSql(),
+    "q_clustering_coeff" -> clusteringCoeffSql,
+    "q_nation_distances" -> nationDistancesSql(),
   )
 }
