@@ -251,6 +251,50 @@ object EtlQueries {
   def ndjsonStageDir(dir: String): String =
     s"/tmp/graft_ndjson_stage_${new java.io.File(dir).getName}"
 
+  def csvHostileStageDir(dir: String): String =
+    s"/tmp/graft_csvhostile_stage_${new java.io.File(dir).getName}"
+
+  /** S17 — hostile-CSV interchange: every classic CSV breaker —
+    * embedded delimiter, embedded double quote, embedded NEWLINE,
+    * literal backslash — packed into one deterministic payload per
+    * order, written as RFC 4180 (escape = quote-doubling, NOT
+    * Spark's default backslash escaping, which other engines reject),
+    * read back by Spark AND by the ORACLE ENGINE from the same staged
+    * files. S3c's in-memory to_csv/from_csv proves the codec; this
+    * proves the FILES speak the dialect another engine parses —
+    * the interchange contract a migration actually needs. multiLine
+    * reads are per-file (quoted newlines make splitting ambiguous),
+    * so the stage write keeps Tables.widen's multi-file layout for
+    * parallel read-back — the scale posture at 100 TB is many
+    * modest files, never one giant multiline CSV. */
+  def csvHostile(s: SparkSession, dir: String): DataFrame = {
+    val stage = csvHostileStageDir(dir)
+    val payload = concat(lit("x,"), col("o_orderpriority"), lit(",\"q\""),
+      expr("chr(10)"), lit("line2\\"), col("o_orderkey").cast("string"))
+    Tables.widen(Tables.orders(s, dir)
+        .select(col("o_orderkey"), payload.as("payload")))
+      .write.mode("overwrite")
+      .option("quote", "\"").option("escape", "\"")
+      .csv(stage)
+    s.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, payload STRING"))
+      .option("multiLine", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .csv(stage)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Oracle = DuckDB parsing the SAME staged files (the ndjson
+    * convention: path keyed to the verify sf). */
+  def csvHostileSql: String =
+    s"""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, payload
+       |FROM read_csv('${csvHostileStageDir(
+             sys.env.getOrElse("SPARK_GRAFT_ORACLE_SF", "sf0.01"))}/*.csv',
+       |  columns = {'o_orderkey': 'BIGINT', 'payload': 'VARCHAR'},
+       |  header = false, quote = '"', escape = '"')
+       |ORDER BY o_orderkey""".stripMargin
+
   /** The oracle string must name a concrete staging path; the driver
     * verifies at sf0.01, so that's the default. SPARK_GRAFT_ORACLE_SF
     * re-keys it for the builder's local cross-sf sweeps (without it a
@@ -849,6 +893,7 @@ object EtlQueries {
     "q_content_validate" -> (contentValidate _),
     "q_array_funcs" -> (arrayFuncs _),
     "q_ndjson_scan" -> (ndjsonScan _),
+    "q_csv_hostile" -> (csvHostile _),
     "q_partition_prune" -> (partitionPrune _),
     "q_decimal_fidelity" -> (decimalFidelity _),
   )
@@ -874,6 +919,7 @@ object EtlQueries {
     "q_content_validate" -> contentValidateSql,
     "q_array_funcs" -> arrayFuncsSql,
     "q_ndjson_scan" -> ndjsonScanSql,
+    "q_csv_hostile" -> csvHostileSql,
     "q_partition_prune" -> partitionPruneSql,
     "q_decimal_fidelity" -> decimalFidelitySql,
   )

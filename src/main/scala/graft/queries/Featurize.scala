@@ -444,7 +444,136 @@ object Featurize {
       |    AS proportional_n
       |FROM p3 ORDER BY stratum""".stripMargin
 
+  /** C17 — quantized Lloyd k-means: the unsupervised companion to the
+    * label-keyed centroids (G6/G6b) — seed k=8 centroids from the
+    * first k vectors, run `rounds` assign→update iterations, and emit
+    * per-cluster size, inertia, and label purity (the fixture labels
+    * score the clustering without steering it). Exactness: every
+    * vector quantizes to integer micro-units ONCE (the G6b fp
+    * convention), distances are exact integer Σ(aᵢ−bᵢ)² inside one
+    * codegen'd zip_with/aggregate (no UDF), ties break (distance,
+    * centroid id), and the centroid update is floor(Σ/n) — so every
+    * round is bit-identical on any engine and any partitioning. Scale
+    * shape: centroids are a k-row broadcast (one fact scan per
+    * round, never a vec×vec pair); the update is one keyed aggregate
+    * over (cluster, dim); localCheckpoint truncates the per-round
+    * lineage exactly like the CC fixpoint. Sums here fit a long
+    * (|fp| ≤ 2²⁰, rows ≤ 2³³ before overflow risk); a 100 TB corpus
+    * would widen the update sums to decimal(38,0). */
+  def kmeansLloyd(s: SparkSession, dir: String, k: Int = 8,
+                  rounds: Int = 2): DataFrame = {
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))").as("v"))
+      .persistScoped() // one read per round + the final assignment
+    // Centroids are BOUNDED METADATA (k × dims longs — 512 values
+    // here), so they live on the driver and are inlined as literals
+    // each round (the operators/Ranked convention): assignment becomes
+    // ONE narrow codegen'd projection — no crossJoin, no shuffle of
+    // the vector arrays, no broadcast subtree to re-execute.
+    var cents: Seq[(Int, Seq[Long])] = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int"), col("v"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    def centLit = array(cents.map { case (cid, c) =>
+      struct(lit(cid).as("cid"), array(c.map(lit): _*).as("c")) }: _*)
+    // argmin over the inlined centroids: distances are exact integer
+    // Σ(aᵢ−bᵢ)², ties break (d, cid) via array_min's struct ordering
+    def dc = array_min(transform(centLit, s =>
+      struct(aggregate(zip_with(col("v"), s.getField("c"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x).as("d"),
+        s.getField("cid").as("cid"))))
+    (1 to rounds).foreach { _ =>
+      cents = vecs.select(dc.getField("cid").as("cid"), col("v"))
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(floor(sum(col("col")).cast("double") / count(lit(1)))
+          .cast("bigint").as("cv"))
+        // k × dims rows back to the driver — bounded metadata
+        .collect().toSeq
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2))) }
+        .toSeq.sortBy(_._1)
+    }
+    val fin = vecs
+      .select(dc.getField("cid").as("cluster_id"),
+        dc.getField("d").as("d"), col("label"))
+      .persistScoped() // size/inertia + purity both read it
+    val sizes = fin.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d")).as("iq"))
+    val purity = fin.groupBy(col("cluster_id"), col("label"))
+      .agg(count(lit(1)).as("nl"))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("nl"), (-col("label")).as("neg"))).as("ml"))
+      .select(col("cluster_id"), (-col("ml.neg")).cast("long").as("majority_label"),
+        col("ml.nl").as("n_majority"))
+    sizes.join(purity, Seq("cluster_id"))
+      .select(col("cluster_id").cast("long").as("cluster_id"),
+        col("n_vecs"),
+        round(col("iq").cast("double") / 1e12, 4).as("inertia"),
+        col("majority_label"),
+        round(col("n_majority").cast("double") / col("n_vecs").cast("double"), 4)
+          .as("purity"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val kmeansLloydSql: String = {
+    def assignUpdate(i: Int): String =
+      s"""d$i AS MATERIALIZED (SELECT vd.vec_id,
+         |    c.cid, CAST(sum((vd.fp - c.cv) * (vd.fp - c.cv)) AS BIGINT) AS d
+         |  FROM vd JOIN c${i - 1} c ON vd.dim = c.dim
+         |  GROUP BY vd.vec_id, c.cid),
+         |a$i AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM d$i) WHERE rn = 1),
+         |c$i AS MATERIALIZED (SELECT a$i.cid, vd.dim,
+         |    CAST(floor(CAST(sum(vd.fp) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         |  FROM a$i JOIN vd USING (vec_id) GROUP BY a$i.cid, vd.dim)"""
+        .stripMargin
+    s"""WITH v AS MATERIALIZED (SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |vd AS MATERIALIZED (SELECT vec_id, unnest(range(64)) AS dim,
+      |    unnest(v) AS fp FROM v),
+      |c0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cid, dim, fp AS cv
+      |  FROM vd WHERE vec_id < 8),
+      |${assignUpdate(1)},
+      |${assignUpdate(2)},
+      |df AS MATERIALIZED (SELECT vd.vec_id, c.cid,
+      |    CAST(sum((vd.fp - c.cv) * (vd.fp - c.cv)) AS BIGINT) AS d
+      |  FROM vd JOIN c2 c ON vd.dim = c.dim
+      |  GROUP BY vd.vec_id, c.cid),
+      |af AS MATERIALIZED (SELECT vec_id, cid, d FROM (
+      |    SELECT vec_id, cid, d,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM df) WHERE rn = 1),
+      |fin AS (SELECT af.cid AS cluster_id, af.d, v.label
+      |        FROM af JOIN v USING (vec_id)),
+      |sz AS (SELECT cluster_id, count(*) AS n_vecs,
+      |         CAST(sum(d) AS BIGINT) AS iq
+      |       FROM fin GROUP BY cluster_id),
+      |pu AS (SELECT cluster_id, label AS majority_label, nl FROM (
+      |         SELECT cluster_id, label, count(*) AS nl,
+      |           row_number() OVER (PARTITION BY cluster_id
+      |             ORDER BY count(*) DESC, label) AS rn
+      |         FROM fin GROUP BY cluster_id, label) WHERE rn = 1)
+      |SELECT CAST(sz.cluster_id AS BIGINT) AS cluster_id,
+      |  CAST(n_vecs AS BIGINT) AS n_vecs,
+      |  round(CAST(iq AS DOUBLE) / 1e12, 4) AS inertia,
+      |  CAST(majority_label AS BIGINT) AS majority_label,
+      |  round(CAST(nl AS DOUBLE) / CAST(n_vecs AS DOUBLE), 4) AS purity
+      |FROM sz JOIN pu USING (cluster_id)
+      |ORDER BY cluster_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans_lloyd" -> ((s: SparkSession, d: String) => kmeansLloyd(s, d)),
     "q_neyman_alloc" -> ((s: SparkSession, d: String) => neymanAlloc(s, d)),
     "q_truncation_fidelity" -> (truncationFidelity _),
     "q_embedding_standardize" -> (embeddingStandardize _),
@@ -457,6 +586,7 @@ object Featurize {
 
   val oracle: Map[String, String] = Map(
     "q_neyman_alloc" -> neymanAllocSql,
+    "q_kmeans_lloyd" -> kmeansLloydSql,
     "q_truncation_fidelity" -> truncationFidelitySql,
     "q_embedding_standardize" -> embeddingStandardizeSql,
     "q_pca_cov" -> pcaCovSql,
