@@ -477,6 +477,13 @@ object Featurize {
       .collect().toSeq
       .map(r => (r.getInt(0), r.getSeq[Long](1)))
       .sortBy(_._1)
+    // empty corpus → no seeds → an empty centroid literal would type
+    // as array<void>; emit the typed empty result instead
+    if (cents.isEmpty)
+      return vecs.limit(0)
+        .select(lit(0L).as("cluster_id"), lit(0L).as("n_vecs"),
+          lit(0.0).as("inertia"), lit(0L).as("majority_label"),
+          lit(0.0).as("purity"))
     def centLit = array(cents.map { case (cid, c) =>
       struct(lit(cid).as("cid"), array(c.map(lit): _*).as("c")) }: _*)
     // argmin over the inlined centroids: distances are exact integer

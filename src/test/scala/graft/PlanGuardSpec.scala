@@ -172,7 +172,23 @@ class PlanGuardSpec extends SparkSpec {
     // label propagation iterates via checkpoints like HITS (returned
     // plan = size join + sort); Hodges-Lehmann is the kendall census
     // shape (persisted month relation + pair join + median)
-    "q_label_prop" -> 2, "q_hodges_lehmann" -> 3)
+    "q_label_prop" -> 2, "q_hodges_lehmann" -> 3,
+    // round 13: the two queries the round-12 audit missed — the live
+    // DuckDB wire is ONE strided JDBC scan + sort; BLEU pays the two
+    // n-gram clip joins + per-lang agg + sort
+    "q_jdbc_duckdb" -> 1, "q_bleu" -> 5,
+    // round-13 pack: the graph pair (backbone collapse + bounded
+    // nation relations — clustering's 6 include the persisted-backbone
+    // build and the degree/triangle aggregates; distances iterate via
+    // checkpoints so the returned plan is the eccentricity agg + sort);
+    // the stats additions all collapse the fact table first; kmeans
+    // returns only the final assignment aggregates (rounds checkpoint
+    // outside the plan); csv_hostile is scan + sort off the staged
+    // files
+    "q_clustering_coeff" -> 6, "q_nation_distances" -> 2,
+    "q_kruskal_wallis" -> 3, "q_theil_index" -> 3, "q_drawdown" -> 3,
+    "q_bollinger" -> 2, "q_morans_i" -> 3, "q_dedup_templates" -> 3,
+    "q_neyman_alloc" -> 2, "q_kmeans_lloyd" -> 4, "q_csv_hostile" -> 1)
 
   test("headline queries stay within their pinned shuffle budgets") {
     val over = shuffleBudget.flatMap { case (name, budget) =>
