@@ -4,11 +4,14 @@
 Usage:
   sbt -batch "runMain graft.tools.PlanScan /root/testdata/sf0.001" \
       | grep -E '^(ok|UNSAFE|ERR) ' > /tmp/planscan.txt
-  python3 scripts/gen_planguard.py /tmp/planscan.txt > PLANGUARD.md
+  python3 scripts/gen_planguard.py /tmp/planscan.txt
 
-Keeps the hand-written header (everything above the distribution
-table) from the existing PLANGUARD.md, updating the registry count,
-and regenerates both tables from the sweep output.
+Writes PLANGUARD.md in place (NEVER via shell redirection onto
+PLANGUARD.md — the old `> PLANGUARD.md` usage truncated the file
+before this script could read it, silently destroying the hand-written
+header it is supposed to preserve). Keeps everything above the
+distribution table from the existing PLANGUARD.md, updating the
+registry count, and regenerates both tables from the sweep output.
 """
 import re
 import sys
@@ -34,6 +37,10 @@ for line in open("PLANGUARD.md"):
         break
     header.append(line)
 header = "".join(header)
+if not header.strip():
+    sys.stderr.write("PLANGUARD.md header is empty/missing - refusing to "
+                     "regenerate without the hand-written preamble\n")
+    sys.exit(1)
 header = re.sub(r"across all \d+ registered queries",
                 f"across all {len(rows)} registered queries", header)
 
@@ -48,4 +55,12 @@ out.append("\n## Per-query shuffle-exchange counts (static plan, sf0.001)\n\n")
 out.append("| query | shuffles |\n| --- | --- |\n")
 for q in sorted(rows):
     out.append(f"| {q} | {rows[q]} |\n")
-sys.stdout.write("".join(out))
+
+# read fully above, then replace atomically: temp file + rename
+import os
+import tempfile
+fd, tmp = tempfile.mkstemp(dir=".", prefix=".planguard-")
+with os.fdopen(fd, "w") as f:
+    f.write("".join(out))
+os.replace(tmp, "PLANGUARD.md")
+sys.stderr.write(f"PLANGUARD.md rewritten: {len(rows)} queries\n")

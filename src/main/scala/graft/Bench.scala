@@ -95,7 +95,23 @@ object Bench {
                              valueRaw: Double,
                              engineProbesMs: Seq[Double] = Seq.empty,
                              engineRefMs: Double = 0.0,
-                             outlierRerun: Seq[String] = Seq.empty)
+                             outlierRerun: Seq[String] = Seq.empty,
+                             regressions: Seq[String] = Seq.empty)
+
+  /** Regression self-report: BENCH_HISTORY's per-query min can only
+    * FALL, so a creeping slowdown hides until a cross-round diff.
+    * After correction, any query whose wall still exceeds its history
+    * min by >50% AND >0.3 s absolute is named in the emitted
+    * `regressions` field — on a clean host that is a real code or plan
+    * regression to chase; on a contended sweep (the `contended` flag
+    * sits beside it) it is residual noise the rerun pass could not
+    * exonerate. The floor skips sub-50 ms histories (pure jitter). */
+  def regressionsVsHistory(results: Seq[(String, Sample)],
+                           history: Map[String, Double]): Seq[String] =
+    results.collect {
+      case (n, s) if history.get(n).exists(h =>
+        h >= 0.05 && s.wall > 1.5 * h && s.wall - h > 0.3) => n
+    }.sorted
 
   /** Per-QUERY outlier rule, closing the window-boundary blind spot:
     * degradation that starts and ends INSIDE one 25-query window leaves
@@ -427,7 +443,8 @@ object Bench {
     // wall_raw in the detailed record
     val probeInfo = ProbeInfo(windowSize, probes, ref, degraded,
       affected.sorted, rerunProbe, raw.map(_._2.wall).sum,
-      engine, engineRef, outliers.sorted)
+      engine, engineRef, outliers.sorted,
+      regressionsVsHistory(results, history))
     // stdout keeps the driver-contract shape (wall seconds only) plus
     // the run-quality self-label; the detailed {wall, cpu, gc} record
     // goes to the persisted files.
@@ -526,7 +543,8 @@ object Bench {
       val rr =
         if (withNames)
           s""""rerun":${p.rerun.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-            s""""outlier_rerun":${p.outlierRerun.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
+            s""""outlier_rerun":${p.outlierRerun.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+            s""""regressions":${p.regressions.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
         else ""
       val ep =
         if (p.engineProbesMs.nonEmpty)
@@ -536,7 +554,8 @@ object Bench {
       s""""probe_window":${p.windowSize},"probes_ms":$ps,""" +
         s""""probe_ref_ms":${f3(p.refMs)},$ep"degraded_windows":$dg,""" +
         s""""rerun_probe_ms":${f3(p.rerunProbeMs)},""" +
-        s""""rerun_n":${p.rerun.size},"outlier_n":${p.outlierRerun.size},$rr"""
+        s""""rerun_n":${p.rerun.size},"outlier_n":${p.outlierRerun.size},""" +
+        s""""regressions_n":${p.regressions.size},$rr"""
     }
 
   /** The tail-window-safe twin of [[renderJson]]: only the `maxShown`

@@ -147,7 +147,14 @@ class StateStore(spark: SparkSession, dir: String) extends BatchState {
   * `.tmp-` manifest never parses as current, and cleanup runs only
   * AFTER the new manifest is live. Replay semantics match
   * StateStore.upsert exactly: each delta replaces any earlier record
-  * with the same (table, pkLower, pkUpper) key. */
+  * with the same (table, pkLower, pkUpper) key.
+  *
+  * Concurrency contract: many readers, optimistic writers. Each
+  * commit claims its version with an atomic `.lock-v` create, so two
+  * writers racing to the same version fail loudly
+  * (FileAlreadyExistsException) instead of silently overwriting each
+  * other — the loser re-reads current state and retries at the next
+  * version. */
 class ManifestStateStore(spark: SparkSession, dir: String) extends BatchState {
   import spark.implicits._
 
@@ -218,9 +225,17 @@ class ManifestStateStore(spark: SparkSession, dir: String) extends BatchState {
         prev :+ name
       }
     // two-phase commit: full write to a tmp name, then ONE atomic
-    // rename makes it the current version
+    // rename makes it the current version. Version v is CLAIMED first
+    // by creating `.lock-v` (atomic fail-if-exists): POSIX ATOMIC_MOVE
+    // silently replaces an existing target, so two racing writers that
+    // both computed version v would otherwise lose the first commit —
+    // the claim turns that race into a loud FileAlreadyExistsException
+    // (optimistic concurrency: the loser re-reads and retries at v+1).
+    // The claim is a SEPARATE name so readers — which only parse
+    // `<digits>.mf` — can never observe a half-committed version.
     val tmp = mfDir.resolve(s".tmp-$uuid")
     Files.write(tmp, entries.mkString("\n").getBytes("UTF-8"))
+    Files.createFile(mfDir.resolve(s".lock-$v")) // loses loudly on a race
     Files.move(tmp, mfDir.resolve(f"$v%020d.mf"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     cleanup(v)
@@ -233,7 +248,10 @@ class ManifestStateStore(spark: SparkSession, dir: String) extends BatchState {
   private def cleanup(current: Long): Unit = {
     val vs = manifestVersions
     val (drop, keep) = vs.partition(_ <= current - keepManifests)
-    drop.foreach(v => Files.deleteIfExists(mfDir.resolve(f"$v%020d.mf")))
+    drop.foreach { v =>
+      Files.deleteIfExists(mfDir.resolve(f"$v%020d.mf"))
+      Files.deleteIfExists(mfDir.resolve(s".lock-$v"))
+    }
     val live = keep.flatMap(manifestFiles).toSet
     listDir(dataDir).filterNot(live).foreach { orphan =>
       val op = dataDir.resolve(orphan)

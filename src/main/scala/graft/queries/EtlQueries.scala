@@ -734,6 +734,68 @@ object EtlQueries {
       |SELECT bucket, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM v GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  def rangeSinkStageDir(dir: String): String =
+    s"/tmp/graft_rangesink_stage_${new java.io.File(dir).getName}"
+
+  /** Reset the sink staging dir (fresh snapshot per run, so the
+    * oracle's part-file glob sees exactly this run's commit). */
+  private def clearDir(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(root)) {
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** S18 — the connector's WRITE half: the reference's frontier
+    * migration cycle (probe MAX(pk) → read one PK slice → stage →
+    * commit → advance) run entirely THROUGH the DataSource V2
+    * connector, source to sink. Each round: the source slice comes
+    * from the generated range table with the predicate PUSHED into
+    * partition planning; the append goes through [[RangeFileTable]]'s
+    * manifest commit (task-temp → driver rename → atomic manifest
+    * publish); the next frontier comes from `MAX(id)` on the SINK —
+    * a complete-pushdown aggregate answered from manifest stats, zero
+    * files scanned (the reference's "where did the last run stop"
+    * destination probe, SURVEY §2A A4/A12). The final read-back
+    * aggregates the COMMITTED snapshot; the oracle parses the same
+    * committed part files with its own CSV reader — interchange proof
+    * like S17, plus commit-protocol proof (orphaned temps and
+    * uncommitted files are invisible to both engines). */
+  def rangeSink(s: SparkSession, dir: String): DataFrame = {
+    val stage = rangeSinkStageDir(dir)
+    clearDir(stage)
+    val src = s.read.format("graft.sources.RangeSource")
+      .option("lo", "0").option("hi", "120000").option("stride", "40000")
+      .load()
+    def sink = s.read.format("graft.sources.RangeSource")
+      .option("path", stage).load()
+    // frontier probe on the SOURCE: pushed MAX(id), zero partitions
+    val srcMax = src.agg(max(col("id"))).head.getLong(0)
+    val rate = 40000L
+    var frontier = 0L
+    while (frontier <= srcMax) {
+      src.filter(col("id") >= frontier && col("id") < frontier + rate)
+        .write.format("graft.sources.RangeSource")
+        .option("path", stage).mode("append").save()
+      // frontier probe on the SINK: pushed MAX(id) from manifest stats
+      frontier = sink.agg(max(col("id"))).head.getLong(0) + 1
+    }
+    sink.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Oracle = DuckDB parsing the SAME committed part files (the
+    * ndjson/csvHostile convention: path keyed to the verify sf). */
+  def rangeSinkSql: String =
+    s"""SELECT bucket, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+       |FROM read_csv('${rangeSinkStageDir(
+             sys.env.getOrElse("SPARK_GRAFT_ORACLE_SF", "sf0.01"))}/part-*.csv',
+       |  columns = {'id': 'BIGINT', 'cents': 'BIGINT', 'bucket': 'INT'},
+       |  header = false)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** E20 — consistent-hash ring assignment + the minimal-migration
     * readout: keys route to the next virtual node clockwise on a
     * 60-bit md5 ring (4 nodes × 64 vnodes), then the ring grows to 5
@@ -876,6 +938,7 @@ object EtlQueries {
     "q_name_sanitize" -> (nameSanitize _),
     "q_hash_ring" -> (hashRing _),
     "q_range_source" -> (rangeSourceScan _),
+    "q_range_sink" -> (rangeSink _),
     "q_corrupt_records" -> (corruptRecords _),
     "q_inferred_members" -> (inferredMembers _),
     "q_text_lines_roundtrip" -> (textLinesRoundtrip _),
@@ -902,6 +965,7 @@ object EtlQueries {
     "q_name_sanitize" -> nameSanitizeSql,
     "q_hash_ring" -> hashRingSql,
     "q_range_source" -> rangeSourceScanSql,
+    "q_range_sink" -> rangeSinkSql,
     "q_corrupt_records" -> corruptRecordsSql,
     "q_inferred_members" -> inferredMembersSql,
     "q_text_lines_roundtrip" -> textLinesRoundtripSql,

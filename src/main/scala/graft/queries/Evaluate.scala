@@ -1197,7 +1197,13 @@ object Evaluate {
         // bp and bleu2 pass through exp/ln, whose results are not
         // IEEE-pinned across libm implementations — round(·, 4) on
         // both engines so the oracle hash never rides on libm ulps
-        // (p1/p2 stay raw: pure divisions are exact).
+        // (p1/p2 stay raw: pure divisions are exact). Residual risk,
+        // accepted explicitly: a value within 1 ulp of a 0.00005
+        // rounding boundary can still quantize differently across
+        // libms. No quantizer removes this (floor(x·1e4) has the same
+        // boundary density, just shifted); eliminating it would need
+        // exp/ln replaced by a fixed-point series on both engines,
+        // which is not worth it for a 4-decimal eval metric.
         round(when(col("cand_len") === 0, 0.0).otherwise(bp), 4).as("bp"),
         round(when(col("c1") === 0 || col("c2") === 0 || col("cand_len") === 0,
           0.0).otherwise(

@@ -573,8 +573,9 @@ object Infer {
       .agg(sum(col("n_gv")).as("n"),
         sum(col("n_gv").cast("decimal(38,0)") * col("r2")).as("r2sum"))
       .persistScoped() // totals + per-group output both read it
-    // hsum = 4·Σ (R_g²/n_g) with R_g = r2sum/2 — the /4 re-divides in
-    // the final H so the term order is the same fixed 3-group chain on
+    // hsum = 4·Σ (R_g²/n_g) with R_g = r2sum/2, so the classic
+    // 12/(N(N+1))·Σ(R²/n) leading term is 3/(N(N+1))·hsum — the ×4
+    // folds the 12/4; term order is the same fixed 3-group chain on
     // both engines
     val tot = perGrp.agg(sum(col("n")).as("nn"), count(lit(1)).as("k"),
         (sum((col("r2sum") * col("r2sum")).cast("double") / lit(4.0) /
@@ -582,7 +583,7 @@ object Infer {
       .crossJoin(broadcast(ties.agg(
         sum(col("t") * col("t") * col("t") - col("t")).as("tiesum"))))
     val nD = col("nn").cast("double")
-    val h = (lit(3.0) / (nD * (nD + 1))) * col("hsum") / 4 -
+    val h = (lit(3.0) / (nD * (nD + 1))) * col("hsum") -
       lit(3.0) * (nD + 1)
     perGrp.crossJoin(broadcast(tot))
       .select(col("grp"), col("n").cast("long").as("n"),
@@ -615,9 +616,9 @@ object Infer {
       |SELECT grp, n,
       |  round(CAST(r2sum AS DOUBLE) / 2 / CAST(n AS DOUBLE), 4) AS mean_rank,
       |  CAST(k AS BIGINT) AS n_groups,
-      |  round((3.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1))) * hsum / 4
+      |  round((3.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1))) * hsum
       |    - 3.0 * (CAST(nn AS DOUBLE) + 1), 4) AS h,
-      |  round(((3.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1))) * hsum / 4
+      |  round(((3.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1))) * hsum
       |    - 3.0 * (CAST(nn AS DOUBLE) + 1))
       |    / (1.0 - CAST(tiesum AS DOUBLE)
       |       / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)

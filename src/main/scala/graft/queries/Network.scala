@@ -17,30 +17,12 @@ import graft.Caches.PersistScoped
   */
 object Network {
 
-  /** The directed nation trade graph's fact collapse (customer-nation,
-    * supplier-nation) — the ONE 4-way join hits/modularity/labelProp
-    * all start from (shared so the three graph builds cannot drift). */
-  private def tradeJoin(s: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.customer(s, dir)
-      .select(col("c_custkey"), col("c_nationkey"))
-    val supp = Tables.supplier(s, dir)
-      .select(col("s_suppkey"), col("s_nationkey"))
-    Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-  }
-
   /** Undirected weighted nation graph: self-loops dropped, endpoints
-    * ordered, weight = lineitem count. */
+    * ordered, weight = lineitem count — served from the process-wide
+    * [[TradeGraph]] stage (ONE corpus star join per sweep, shared with
+    * PageRank/triangles/shortest-path; bounded ≤ |nations|² rows). */
   private def undirectedTradeGraph(s: SparkSession, dir: String): DataFrame =
-    tradeJoin(s, dir)
-      .filter(col("c_nationkey") =!= col("s_nationkey"))
-      .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("u"),
-        greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
-      .agg(count(lit(1)).as("w"))
+    TradeGraph.undirectedDf(s, dir)
 
   /** DuckDB twin of [[undirectedTradeGraph]] (CTE body, no WITH). */
   private val undirectedTradeCte: String =
@@ -151,12 +133,8 @@ object Network {
     // (share·v) div 10⁶ summed per node, max-normalize
     // (v·10¹²) div mx in BigInt (HUGEINT), all operands non-negative
     // so trunc-div ≡ the oracle's floor-div.
-    val edgeRows = tradeJoin(s, dir)
-      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-      .agg(count(lit(1)).as("w"))
-      .collect() // ≤ |nations|² — bounded metadata
-      .map(r => (r.getAs[Number]("src").longValue,
-        r.getAs[Number]("dst").longValue, r.getAs[Long]("w")))
+    val edgeRows = TradeGraph.directed(s, dir) // ≤ |nations|² — bounded
+      .map { case (src, dst, w) => (src.toLong, dst.toLong, w) }
     val wtot = edgeRows.map(_._3).sum
     val shares = edgeRows.map { case (src, dst, w) =>
       (src, dst, if (wtot == 0) 0L else w * 1000000L / wtot)
@@ -259,8 +237,7 @@ object Network {
     * Near 0 = regions don't structure trade; the SAME query run on a
     * detected community assignment is the standard acceptance gate. */
   def modularity(s: SparkSession, dir: String): DataFrame = {
-    val pairs = undirectedTradeGraph(s, dir)
-      .persistScoped() // degree census + intra-region census
+    val pairs = undirectedTradeGraph(s, dir) // local relation (TradeGraph)
     val nreg = Tables.nation(s, dir)
       .select(col("n_nationkey").as("nk"), col("n_regionkey").as("rk"))
     val withReg = pairs
@@ -268,7 +245,7 @@ object Network {
         .withColumnRenamed("rk", "ru")), Seq("u"))
       .join(broadcast(nreg.withColumnRenamed("nk", "v")
         .withColumnRenamed("rk", "rv")), Seq("v"))
-      .persistScoped() // degree sums + intra sums read it twice
+      // tiny local-relation derivation — recompute beats caching
     // per-region total degree: each undirected edge contributes w to
     // BOTH endpoints' regions (2w when both ends share the region)
     val deg = withReg.select(col("ru").as("rk"), col("w"))
@@ -371,15 +348,14 @@ object Network {
     * after K rounds plus the community size. */
   def labelProp(s: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
     val und = undirectedTradeGraph(s, dir)
-    // both directions from ONE pass over the fact collapse (a union of
-    // two selects would scan the 4-way join twice inside the
-    // checkpoint job); bounded (<= 2|nations|^2 rows)
+    // both directions; bounded (<= 2|nations|^2 rows) and derived from
+    // the TradeGraph local relation, so iterating over the lazy plan
+    // is cheaper than a checkpoint job
     val adj = und.select(explode(array(
         struct(col("u").as("node"), col("v").as("nb"), col("w")),
         struct(col("v").as("node"), col("u").as("nb"), col("w")))).as("e"))
       .select(col("e.node").as("node"), col("e.nb").as("nb"),
         col("e.w").as("w"))
-      .localCheckpoint() // iterated over
 
     val nodes = Tables.nation(s, dir).select(col("n_nationkey").as("node"))
     require(rounds >= 1, "label propagation needs at least one round")
@@ -449,16 +425,8 @@ object Network {
     * full nation graph is near-complete at any SF, so unthresholded
     * structure measures saturate; the mean-weight cut keeps only the
     * strong trade lanes). Bounded: ≤ |nations|² rows always. */
-  private def backbone(s: SparkSession, dir: String): DataFrame = {
-    val und = undirectedTradeGraph(s, dir)
-      // bounded (≤625 rows) but its PLAN is the corpus star join —
-      // the cut broadcast below would re-run it without the persist
-      .persistScoped()
-    val cut = und.agg((sum(col("w")).cast("double") / count(lit(1))).as("cut"))
-    und.crossJoin(broadcast(cut))
-      .filter(col("w").cast("double") >= col("cut"))
-      .select(col("u"), col("v"))
-  }
+  private def backbone(s: SparkSession, dir: String): DataFrame =
+    TradeGraph.backboneDf(s, dir)
 
   /** DuckDB twin of [[backbone]] (CTE list, no WITH; expects nothing
     * before it). MATERIALIZED is load-bearing: the consumers reference
@@ -483,7 +451,7 @@ object Network {
     * rows at any corpus scale. The coefficient is one exact int/int
     * IEEE division (no rounding needed). */
   def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
-    val e = backbone(s, dir).persistScoped() // 3-way self-join + degrees
+    val e = backbone(s, dir) // local relation (TradeGraph backbone)
     val deg = e.select(explode(array(
         struct(col("u").as("nation"), col("v").as("other")),
         struct(col("v").as("nation"), col("u").as("other")))).as("x"))
@@ -530,30 +498,40 @@ object Network {
     * (d_{2k}(u,v) = min_w d_k(u,w) + d_k(w,v), self-loops at 0) needs
     * ⌈log₂ diameter⌉ rounds instead of diameter rounds of BFS — 3
     * unrolled rounds cover any path of ≤8 hops (plenty for the
-    * ≤|nations| backbone; measured: the 4th round changed nothing and
-    * cost ~0.4 s of checkpoint overhead), and both engines unroll the
-    * SAME truncation, so the comparison stays exact even on a
-    * pathological graph. Every relation is ≤ |nations|² rows; the
-    * corpus is scanned exactly once (the backbone collapse). */
+    * ≤|nations| backbone), and both engines apply the SAME truncation,
+    * so the comparison stays exact even on a pathological graph.
+    *
+    * The backbone is ≤ |nations|² rows BY CONSTRUCTION, so after the
+    * one distributed corpus collapse the doubling runs DRIVER-side
+    * over the collected edge list (the k-means/Ranked bounded-metadata
+    * convention): exact integer min-plus over ≤625 pairs is
+    * microseconds of arithmetic, where the former distributed unroll
+    * paid 3 checkpoint-separated shuffle jobs on a tiny relation
+    * (measured 2.57 s best-honest → the collapse alone). */
   def nationDistances(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
-    val e = backbone(s, dir)
-    val sym = e.select(col("u"), col("v"), lit(1L).as("d"))
-      .union(e.select(col("v").as("u"), col("u").as("v"), lit(1L).as("d")))
-    val nodes = sym.select(col("u")).distinct()
-    var dist = sym
-      .union(nodes.select(col("u"), col("u").as("v"), lit(0L).as("d")))
-      .groupBy(col("u"), col("v")).agg(min(col("d")).as("d"))
-      .localCheckpoint() // ≤ |nations|² rows; truncate before the unroll
+    import s.implicits._
+    // The corpus star-join collapse comes from the process-wide
+    // TradeGraph stage (bounded ≤ |nations|² rows); everything after
+    // is driver-side arithmetic on that bounded metadata.
+    val edges = TradeGraph.backboneEdges(s, dir)
+    val sym = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val nodes = sym.map(_._1).distinct
+    var dist: Map[(Int, Int), Long] =
+      (sym.map { case (u, v) => ((u, v), 1L) } ++
+        nodes.map(n => ((n, n), 0L)))
+        .groupMapReduce(_._1)(_._2)(math.min)
     (1 to rounds).foreach { _ =>
-      dist = dist.as("a")
-        .join(dist.as("b"), col("a.v") === col("b.u"))
-        .groupBy(col("a.u").as("u"), col("b.v").as("v"))
-        .agg(min(col("a.d") + col("b.d")).as("d"))
-        .localCheckpoint()
+      val byU = dist.toSeq.groupBy(_._1._1)
+      dist = (for {
+        ((a, mid), d1) <- dist.toSeq
+        ((_, b), d2) <- byU.getOrElse(mid, Nil)
+      } yield ((a, b), d1 + d2)).groupMapReduce(_._1)(_._2)(math.min)
     }
-    dist.filter(col("u") =!= col("v"))
-      .groupBy(col("u").as("nation"))
-      .agg(count(lit(1)).as("n_reachable"), max(col("d")).as("eccentricity"))
+    val out = dist.toSeq
+      .collect { case ((u, v), d) if u != v => (u, d) }
+      .groupBy(_._1).toSeq
+      .map { case (u, ds) => (u, ds.size.toLong, ds.map(_._2).max) }
+    out.toDF("nation", "n_reachable", "eccentricity")
       .orderBy(col("nation"))
   }
 

@@ -211,7 +211,7 @@ object Train {
     * relation is checkpointed ONCE and never rewritten: each round
     * recomputes within-alive degrees by probing the fixed edge set
     * with two semi-joins against the previous (shrinking, broadcast-
-    * sized) alive set, and checkpoints only the NODE relation — the
+    * sized) alive set, which lives on the driver between rounds — the
     * per-round materialization cost drops from |edges| to |alive|,
     * and the converged round's degree column IS the output (no final
     * degree pass). `maxRounds` is a loud backstop (require), never a
@@ -242,37 +242,42 @@ object Train {
     // outside alive_i has no surviving edge, so its degree is 0); the
     // subset chain makes equal counts a fixpoint proof. alive = null
     // encodes round 0's "all nodes".
-    var alive: DataFrame = null
+    //
+    // The alive set lives on the DRIVER between rounds: the former
+    // distributed loop already shipped it whole as TWO broadcast
+    // copies per round, so one collected copy is the SAME memory
+    // envelope — but each round is now ONE job (the degree collect)
+    // where checkpoint + count + 2 broadcast builds were three, and
+    // the convergence count is free. The semi-join probes become
+    // local-relation broadcasts (no job to build them). The EDGE
+    // relation stays distributed and checkpointed once.
+    import s.implicits._
+    var alive: Array[(Long, Long)] = null // (node, within-alive degree)
     var n = -1L
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
-      // the alive set shrinks monotonically, so both semi-joins
-      // broadcast — the (fixed, checkpointed) edge relation never
-      // re-shuffles inside a round. (A fused tag-then-pair-aggregate
-      // round was tried and reverted: it replaces the two broadcast
-      // probes with a full pair-keyed exchange — strictly more data
-      // motion at every scale.)
       val survivors =
         if (alive == null) edges
-        else edges
-          .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
-          .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+        else {
+          val aliveDf = alive.map(_._1).toSeq.toDF("node")
+          edges
+            .join(aliveDf.select(col("node").as("u")), Seq("u"), "left_semi")
+            .join(aliveDf.select(col("node").as("v")), Seq("v"), "left_semi")
+        }
       val next = survivors.groupBy(col("u")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
-        .select(col("u").as("node"), col("d"))
-        .localCheckpoint()
-      val nn = next.count()
-      converged = nn == n // subset chain: equal count ⇒ equal set
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      converged = next.length.toLong == n // subset chain: = count ⇒ = set
       alive = next
-      n = nn
+      n = next.length.toLong
     }
     require(converged,
       s"k-core peel did not converge in $maxRounds rounds — raise maxRounds")
     // at the fixpoint, d was measured against an alive set equal to
     // the core itself — it IS the within-core degree
-    alive.select(col("node").as("c_custkey"), col("d").as("core_degree"))
+    alive.toSeq.toDF("c_custkey", "core_degree")
       .orderBy(col("c_custkey"))
   }
 

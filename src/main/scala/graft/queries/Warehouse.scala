@@ -319,17 +319,11 @@ object Warehouse {
     * on a contracted graph should look at 100 TB (aggregate first,
     * iterate on the contraction). */
   def pagerankNations(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
-    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
-    val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
-    val edges = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-      .agg(count(lit(1)).as("w"))
-      .persistScoped() // iterated over; metadata-scale (≤ |nations|²)
+    // the contracted edge table comes from the process-wide TradeGraph
+    // stage (ONE corpus star join per sweep, shared with HITS/
+    // triangles/shortest-path); it arrives as a ≤|nations|² local
+    // relation, so iterating over the lazy plan needs no persist
+    val edges = TradeGraph.directedDf(s, dir)
     val share = edges
       .withColumn("wsum", sum(col("w")).over(Window.partitionBy(col("src"))))
       .withColumn("share", expr("(w * 1000000L) DIV wsum"))
@@ -433,30 +427,19 @@ object Warehouse {
     * metadata-sized, so every join broadcasts; the only at-scale cost
     * is the ONE star-join edge aggregation it shares with PageRank. */
   def triangleNations(s: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
-    val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
-    val directed = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-      .agg(count(lit(1)).as("w"))
+    // contracted edges from the process-wide TradeGraph stage; the
+    // derivations below run on a ≤|nations|² local relation, so the
+    // former star-join persists are pure overhead now
+    val directed = TradeGraph.directedDf(s, dir)
     val und = directed
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"), col("w"))
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
-      // ≤ |nations|² rows, but its PLAN contains the corpus-wide star
-      // join — and Spark broadcasts a SUBPLAN, not a result, so the
-      // `cut` broadcast below would re-run that star join from scratch
-      // without this persist (the IVF-centroid lesson).
-      .persistScoped()
     val cut = und.agg((sum(col("w")).cast("double") / count(lit(1)) / lit(2.0)).as("cut"))
     val e = und.crossJoin(broadcast(cut))
       .filter(col("w").cast("double") >= col("cut"))
-      .select(col("a"), col("b")).persistScoped() // three-way self-joined
+      .select(col("a"), col("b"))
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"),
@@ -841,18 +824,11 @@ object Warehouse {
     * (recursive SQL forbids the per-round min aggregate). */
   def shortestPath(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
     val inf = 1000000000000L
-    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
-    val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
-    val edges = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
-      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-      .agg(count(lit(1)).as("w"))
+    // contracted edges from the process-wide TradeGraph stage (ONE
+    // corpus star join per sweep); ≤|nations|² local relation — the
+    // relaxation rounds re-derive it lazily, no persist needed
+    val edges = TradeGraph.directedDf(s, dir)
       .select(col("src"), col("dst"), expr("1000000L DIV w").as("cost"))
-      .persistScoped() // relaxed against every round
     val nations = Tables.nation(s, dir).select(col("n_nationkey").as("node"))
     var dist = nations.select(col("node"),
       when(col("node") === 0, 0L).otherwise(lit(inf)).as("dist"))

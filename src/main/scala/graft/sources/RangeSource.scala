@@ -6,7 +6,8 @@ import scala.collection.JavaConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -38,9 +39,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * id mod 100), so any slice is reproducible on any engine — the
   * DuckDB oracle rebuilds the same rows from `range()`.
   *
+  *  - **Aggregate pushdown** ([[SupportsPushDownAggregates]]):
+  *    `MAX(id)`/`MIN(id)`/`COUNT(*)` complete-push to range
+  *    arithmetic — the reference's frontier probe with zero scan.
+  *
+  * With a `path` option the connector flips to its FILE-BACKED mode
+  * ([[RangeFileTable]]): a writable, manifest-committed table — the
+  * sink half of the connector lifecycle (see [[RangeSink]]'s
+  * scaladoc for the commit protocol).
+  *
   * Usage: `spark.read.format("graft.sources.RangeSource")
   * .option("lo", 0).option("hi", 1000000).option("stride", 50000)
-  * .load()`.
+  * .load()`; write:
+  * `df.write.format("graft.sources.RangeSource").option("path", p)
+  * .mode("append"|"overwrite").save()`.
   */
 class RangeSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -53,7 +65,11 @@ class RangeSource extends TableProvider {
     // getOrDefault would silently hand .option("Lo", …) the default
     // range — wrap before lookup so casing never changes the scan.
     val opts = new CaseInsensitiveStringMap(properties)
-    new RangeTable(
+    // `path` flips the connector to its file-backed mode: the
+    // manifest-committed sink table ([[RangeFileTable]]) — writable,
+    // re-readable, stats-bearing. Without it: the generated range.
+    if (opts.containsKey("path")) new RangeFileTable(opts.get("path"))
+    else new RangeTable(
       opts.getLong("lo", 0L),
       opts.getLong("hi", 1000000L),
       opts.getLong("stride", 100000L),
@@ -83,12 +99,14 @@ private[sources] class RangeTable(lo: Long, hi: Long, stride: Long, rate: Long)
 private[sources] class RangeScanBuilder(lo: Long, hi: Long, stride: Long,
     rate: Long)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var curLo = lo
   private var curHi = hi
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = RangeSource.schema
+  private var pushedAgg: Option[Seq[AggregateFunc]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
@@ -109,7 +127,37 @@ private[sources] class RangeScanBuilder(lo: Long, hi: Long, stride: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new RangeScan(curLo, curHi, stride, rate, required)
+  /** MAX(id)/MIN(id)/COUNT(*) are pure range arithmetic on the
+    * (already filter-narrowed) [curLo, curHi) bounds — the reference's
+    * frontier probe (SURVEY §2A A4: "SELECT MAX(pk)" before each
+    * batch) planned as a complete pushdown: zero partitions scanned,
+    * one metadata row returned. Filters push before aggregates, so a
+    * `WHERE id < x` probe narrows the bounds first. */
+  private def supported(agg: Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty && agg.aggregateExpressions().forall {
+      case m: Max => RangeAggScan.isId(m.column)
+      case m: Min => RangeAggScan.isId(m.column)
+      case _: CountStar => true
+      case _ => false
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    supported(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (!supported(agg)) false
+    else { pushedAgg = Some(agg.aggregateExpressions().toSeq); true }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(funcs) =>
+      val rows = math.max(0L, curHi - curLo)
+      val minId = if (rows == 0) None else Some(curLo)
+      val maxId = if (rows == 0) None else Some(curHi - 1)
+      new RangeAggScan(funcs, rows, minId, maxId,
+        s"graft_range[$curLo,$curHi) PushedAggregates: " +
+          s"[${RangeAggScan.describe(funcs)}] (range arithmetic, 0 partitions)")
+    case None => new RangeScan(curLo, curHi, stride, rate, required)
+  }
 }
 
 private[sources] case class RangePartition(start: Long, end: Long)

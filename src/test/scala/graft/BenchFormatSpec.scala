@@ -60,6 +60,23 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!line.contains("\n"))
   }
 
+  test("regression self-report: >50% and >0.3s over history, floor skips jitter") {
+    val hist = Map("q_a" -> 1.0, "q_b" -> 0.04, "q_c" -> 2.0, "q_d" -> 0.4)
+    val res = Seq(
+      "q_a" -> Bench.Sample(1.9, 1.8, 0.0), // 1.9x and +0.9s -> regression
+      "q_b" -> Bench.Sample(0.5, 0.5, 0.0), // history under floor -> skipped
+      "q_c" -> Bench.Sample(2.6, 2.5, 0.0), // +0.6s but only 1.3x -> no
+      "q_d" -> Bench.Sample(0.65, 0.6, 0.0), // 1.6x but +0.25s -> no
+      "q_e" -> Bench.Sample(9.0, 9.0, 0.0)) // no history -> no
+    assert(Bench.regressionsVsHistory(res, hist) == Seq("q_a"))
+    val p = Bench.ProbeInfo(25, Seq(1.0, 1.0), 1.0, Nil, Nil, 0.0, 5.0,
+      regressions = Seq("q_a"))
+    val line = Bench.renderJson(Seq("q_a" -> 1.9), "/d", probes = Some(p))
+    val node = mapper.readTree(line)
+    assert(node.get("regressions_n").asInt() == 1)
+    assert(node.get("regressions").get(0).asText() == "q_a")
+  }
+
   test("compact trailer keeps the slowest queries") {
     val results = Seq("q_fast" -> 0.1, "q_slow" -> 9.0, "q_mid" -> 1.0)
     val line = Bench.renderCompactJson(results, "/d", maxShown = 2)

@@ -128,4 +128,107 @@ class SourceSpec extends SparkSpec {
     assert(seen.values.flatten.toSeq.sorted == (0L until 8000L),
       "resume must cover the range exactly once (by batchId)")
   }
+
+  // -------------------------------------------------------------------
+  // Write path (RangeFileTable): manifest commit, snapshot isolation,
+  // aggregate pushdown from stats.
+  // -------------------------------------------------------------------
+
+  private def sinkDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-range-sink").toString
+
+  private def sinkRead(path: String): DataFrame =
+    spark.read.format("graft.sources.RangeSource").option("path", path).load()
+
+  private def writeSink(df: DataFrame, path: String, mode: String): Unit =
+    df.write.format("graft.sources.RangeSource")
+      .option("path", path).mode(mode).save()
+
+  test("connector write path round-trips bit-exact") {
+    val path = sinkDir()
+    val src = ranged("lo" -> "0", "hi" -> "5000", "stride" -> "1000")
+    writeSink(src, path, "append")
+    val back = sinkRead(path)
+    assert(back.count() == 5000)
+    assert(back.except(src).isEmpty && src.except(back).isEmpty,
+      "read-back must equal the written range exactly")
+  }
+
+  test("append accumulates; overwrite replaces the snapshot") {
+    val path = sinkDir()
+    writeSink(ranged("lo" -> "0", "hi" -> "100", "stride" -> "50"), path, "append")
+    writeSink(ranged("lo" -> "100", "hi" -> "200", "stride" -> "50"), path, "append")
+    assert(sinkRead(path).count() == 200)
+    writeSink(ranged("lo" -> "500", "hi" -> "600", "stride" -> "50"), path, "overwrite")
+    val after = sinkRead(path)
+    assert(after.count() == 100)
+    assert(after.agg(min(col("id")), max(col("id"))).head.toSeq == Seq(500L, 599L))
+  }
+
+  test("uncommitted files are invisible: only the manifest defines the snapshot") {
+    val path = sinkDir()
+    writeSink(ranged("lo" -> "0", "hi" -> "100", "stride" -> "100"), path, "append")
+    // simulate a writer that crashed mid-commit: a part file renamed
+    // into place but whose manifest never published, plus task temps
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "part-deadbeef-0.csv"), "777777,1,77\n")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path, "_tmp"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_tmp", "task-deadbeef-0-99.csv"), "888888,1,88\n")
+    val back = sinkRead(path)
+    assert(back.count() == 100, "orphans must not appear in the snapshot")
+    assert(back.agg(max(col("id"))).head.getLong(0) == 99L)
+    // the next successful commit supersedes, still excluding orphans
+    writeSink(ranged("lo" -> "100", "hi" -> "150", "stride" -> "50"), path, "append")
+    assert(sinkRead(path).count() == 150)
+    assert(sinkRead(path).agg(max(col("id"))).head.getLong(0) == 149L)
+  }
+
+  test("generated table: MAX/MIN/COUNT push down as range arithmetic") {
+    val df = ranged("lo" -> "0", "hi" -> "1000000", "stride" -> "1000")
+      .agg(max(col("id")).as("mx"), min(col("id")).as("mn"),
+        count(lit(1)).as("n"))
+    // complete pushdown: the scan IS the aggregate — one metadata row,
+    // zero range partitions planned
+    val scan = scanOf(df)
+    assert(scan.toString.contains("PushedAggregates"),
+      s"scan must report the pushed aggregate, got: ${scan.toString.take(200)}")
+    assert(df.head.toSeq == Seq(999999L, 0L, 1000000L))
+    // filters narrow the probed bounds BEFORE the aggregate push
+    val filtered = ranged("lo" -> "0", "hi" -> "1000000", "stride" -> "1000")
+      .filter(col("id") < 250L).agg(max(col("id")))
+    assert(filtered.head.getLong(0) == 249L)
+    // empty range: MAX over nothing is null, COUNT is 0
+    val empty = ranged("lo" -> "10", "hi" -> "10", "stride" -> "5")
+      .agg(max(col("id")), count(lit(1)))
+    val r = empty.head
+    assert(r.isNullAt(0) && r.getLong(1) == 0L)
+  }
+
+  test("sink table: MAX/MIN/COUNT push down from manifest stats, zero files scanned") {
+    val path = sinkDir()
+    writeSink(ranged("lo" -> "1000", "hi" -> "3000", "stride" -> "500"), path, "append")
+    val probe = sinkRead(path)
+      .agg(max(col("id")), min(col("id")), count(lit(1)))
+    val scan = scanOf(probe)
+    assert(scan.toString.contains("manifest stats"),
+      s"sink probe must answer from the manifest, got: ${scan.toString.take(200)}")
+    assert(probe.head.toSeq == Seq(2999L, 1000L, 2000L))
+    // empty sink: null frontier, zero count
+    val emptyPath = sinkDir()
+    val r = sinkRead(emptyPath).agg(max(col("id")), count(lit(1))).head
+    assert(r.isNullAt(0) && r.getLong(1) == 0L)
+  }
+
+  test("frontier cycle source→sink through the connector (q_range_sink)") {
+    val out = queries.EtlQueries.rangeSink(spark, sfDir).collect()
+    assert(out.length == 100) // one row per bucket
+    assert(out.map(_.getLong(1)).sum == 120000L)
+    // bit-exact vs the generated source over the same range
+    val want = ranged("lo" -> "0", "hi" -> "120000", "stride" -> "40000")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("bucket")).collect()
+    assert(out.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+  }
 }
