@@ -299,7 +299,7 @@ object Dedup {
     * count, nothing else. Emits (doc_id_a < doc_id_b, n_a, n_b,
     * inter) — the two callers differ only in the measure they derive
     * from those counts. */
-  private def shingleOverlapCounts(docs: DataFrame, n: Int): DataFrame = {
+  def shingleOverlapCounts(docs: DataFrame, n: Int): DataFrame = {
     docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ngram_hashes",
       exprs => graft.functions.NgramHashes(exprs.head, n),
@@ -320,7 +320,14 @@ object Dedup {
   }
 
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.2): DataFrame =
-    shingleOverlapCounts(docs, n)
+    jaccardFromOverlap(shingleOverlapCounts(docs, n), threshold)
+
+  /** Jaccard scoring over an already-built overlap relation — split
+    * out so a STAGED overlap table (computed once per process, read by
+    * every consumer; see graft.queries.ShingleStage) feeds the same
+    * arithmetic as the inline path. */
+  def jaccardFromOverlap(overlap: DataFrame, threshold: Double): DataFrame =
+    overlap
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -338,7 +345,13 @@ object Dedup {
     * LARGER direction clears `minContainment`. */
   def shingleContainmentPairs(docs: DataFrame, n: Int = 3,
                               minContainment: Double = 0.8): DataFrame =
-    shingleOverlapCounts(docs, n)
+    containmentFromOverlap(shingleOverlapCounts(docs, n), minContainment)
+
+  /** Containment scoring over an already-built overlap relation (the
+    * staged-table twin of [[shingleContainmentPairs]]). */
+  def containmentFromOverlap(overlap: DataFrame,
+                             minContainment: Double): DataFrame =
+    overlap
       .select(col("doc_id_a"), col("doc_id_b"),
         (col("inter").cast("double") / col("n_a")).as("c_a"),
         (col("inter").cast("double") / col("n_b")).as("c_b"),

@@ -952,8 +952,8 @@ object Analytics {
     * the corpus is md5'd once, not once per stage. */
   def similarityMeasures(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val prof = Dedup.shingleProfiles(docs, 3, 16)
-      .persistScoped() // feeds the band join once and the verify join twice
+    val prof = ShingleStage.profiles(s, dir)
+      .persistScoped() // staged once per process; cached per query for its 3 readers
     val cands = Dedup.minhashCandidates(prof.select(col("doc_id"), col("sig")), 4)
     val sets = prof.select(col("doc_id"), col("hs"))
     cands
@@ -1018,8 +1018,8 @@ object Analytics {
     * come from ONE fused digest pass (Dedup.shingleProfiles). */
   def dedupVerified(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val prof = Dedup.shingleProfiles(docs, 3, 16)
-      .persistScoped() // feeds the band join once and the verify join twice
+    val prof = ShingleStage.profiles(s, dir)
+      .persistScoped() // staged once per process; cached per query for its 3 readers
     val cands = Dedup.minhashCandidates(prof.select(col("doc_id"), col("sig")), 4)
     val sets = prof.select(col("doc_id"), col("hs"))
     cands

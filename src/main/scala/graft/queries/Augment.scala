@@ -21,7 +21,7 @@ object Augment {
     * mirrors) that symmetric Jaccard under-scores as the host
     * document grows. See [[Dedup.shingleContainmentPairs]]. */
   def containmentPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.shingleContainmentPairs(Tables.documents(s, dir), 3, 0.8)
+    Dedup.containmentFromOverlap(ShingleStage.overlap3(s, dir), 0.8)
       .orderBy(col("doc_id_a"), col("doc_id_b"))
 
   val containmentPairsSql: String =

@@ -30,9 +30,8 @@ object Corpus {
     * all-pairs. est is p/16 (exact dyadic), exact_j one int/int IEEE
     * division, err one subtraction — all bit-portable. */
   def minhashError(s: SparkSession, dir: String): DataFrame = {
-    val prof = Dedup.shingleProfiles(
-      Tables.documents(s, dir).select(col("doc_id"), col("text")), 3, 16)
-      .persistScoped() // candidate join + both sides of the verify join
+    val prof = ShingleStage.profiles(s, dir)
+      .persistScoped() // staged once per process; cached per query for its readers
     val cands = Dedup.minhashCandidates(prof.select(col("doc_id"), col("sig")), 4)
     val pa = prof.select(col("doc_id").as("doc_id_a"),
       col("hs").as("ha"), col("sig").as("sa"))
@@ -210,7 +209,7 @@ object Corpus {
     * checked-fixpoint CC labels; two keyed aggregates on top. */
   def clusterSizes(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupClusters(
-        Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6)
+        Dedup.jaccardFromOverlap(ShingleStage.overlap3(s, dir), 0.6)
           .select(col("doc_id_a"), col("doc_id_b")))
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz").cast("bigint").as("cluster_size"))
@@ -244,7 +243,7 @@ object Corpus {
           .when(col("coin") < 58982L, "val")
           .otherwise("test"))
       .select(col("doc_id"), col("split"))
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6)
+    Dedup.jaccardFromOverlap(ShingleStage.overlap3(s, dir), 0.6)
       .join(splits.select(col("doc_id").as("doc_id_a"), col("split").as("s_a")),
         Seq("doc_id_a"))
       .join(splits.select(col("doc_id").as("doc_id_b"), col("split").as("s_b")),
@@ -286,19 +285,13 @@ object Corpus {
     * side the band join; one full-outer join + exact counts + two
     * IEEE divisions. */
   def lshRecall(s: SparkSession, dir: String): DataFrame = {
-    val prof = Dedup.shingleProfiles(
-      Tables.documents(s, dir).select(col("doc_id"), col("text")), 3, 16)
-      .persistScoped() // exact-pair join (both sides) + the band join
-    val sh = prof.select(col("doc_id"), size(col("hs")).as("n_sh"),
-      explode(col("hs")).as("h"))
-    val exact = sh.select(col("h"), col("doc_id").as("doc_id_a"), col("n_sh").as("na"))
-      .join(sh.select(col("h"), col("doc_id").as("doc_id_b"), col("n_sh").as("nb")),
-        Seq("h"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .groupBy(col("doc_id_a"), col("doc_id_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+    val prof = ShingleStage.profiles(s, dir)
+    // exact ground truth from the STAGED overlap relation (same rows
+    // as the inline explode/self-join/count — ShingleStage derives it
+    // from the same hs sets)
+    val exact = ShingleStage.overlap3(s, dir)
       .filter(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")) >= 0.5)
+        (col("n_a") + col("n_b") - col("inter")) >= 0.5)
       .select(col("doc_id_a"), col("doc_id_b"), lit(1L).as("in_e"))
     val cands = Dedup.minhashCandidates(prof.select(col("doc_id"), col("sig")), 4)
       .select(col("doc_id_a"), col("doc_id_b"), lit(1L).as("in_c"))
@@ -480,7 +473,7 @@ object Corpus {
     * degree 10³ is exactly the shape that makes label propagation
     * slow). Pairs explode to both endpoints; two keyed aggregates. */
   def degreeStats(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6)
+    Dedup.jaccardFromOverlap(ShingleStage.overlap3(s, dir), 0.6)
       .select(explode(array(col("doc_id_a"), col("doc_id_b"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
       .groupBy(col("deg").cast("bigint").as("degree"))

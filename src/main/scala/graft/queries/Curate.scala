@@ -65,7 +65,7 @@ object Curate {
     * per-cluster sort. */
   def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
     val labels = Dedup.dedupClusters(
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6)
+      Dedup.jaccardFromOverlap(ShingleStage.overlap3(s, dir), 0.6)
         .select(col("doc_id_a"), col("doc_id_b")))
     val ntok = Tables.documents(s, dir)
       .select(col("doc_id"),

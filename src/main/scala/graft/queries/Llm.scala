@@ -94,7 +94,7 @@ object Llm {
     * the fixture converges well inside 8, ClusterSpec). */
   def dedupHops(s: SparkSession, dir: String): DataFrame =
     Dedup.bfsHops(
-        Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6)
+        Dedup.jaccardFromOverlap(ShingleStage.overlap3(s, dir), 0.6)
           .select(col("doc_id_a"), col("doc_id_b")))
       .orderBy(col("doc_id"))
 
@@ -213,7 +213,7 @@ object Llm {
     * of bit-portable per-pair doubles, round(6)-absorbed because the
     * reduce order is partition-dependent. */
   def dedupSweep(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.2)
+    val pairs = Dedup.jaccardFromOverlap(ShingleStage.overlap3(s, dir), 0.2)
     val cuts = Seq(0.2, 0.4, 0.6, 0.8)
     pairs.agg(
         sum((col("jaccard") >= cuts.head).cast("long")).as(s"n_ge_20"),
@@ -274,7 +274,7 @@ object Llm {
 
   /** L2c — exact n-gram Jaccard similarity over colliding pairs. */
   def dedupNgram(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.2)
+    Dedup.jaccardFromOverlap(ShingleStage.overlap3(s, dir), 0.2)
       .orderBy(col("doc_id_a"), col("doc_id_b"))
 
   val dedupNgramSql: String =
@@ -314,7 +314,7 @@ object Llm {
     * fixture converges well inside that. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupClusters(
-        Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6)
+        Dedup.jaccardFromOverlap(ShingleStage.overlap3(s, dir), 0.6)
           .select(col("doc_id_a"), col("doc_id_b")))
       .orderBy(col("doc_id"))
 
@@ -326,7 +326,7 @@ object Llm {
     * q_dedup_clusters' oracle verbatim. */
   def dedupClustersStar(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupClustersStar(
-        Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6)
+        Dedup.jaccardFromOverlap(ShingleStage.overlap3(s, dir), 0.6)
           .select(col("doc_id_a"), col("doc_id_b")))
       .orderBy(col("doc_id"))
 
