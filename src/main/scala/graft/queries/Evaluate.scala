@@ -255,6 +255,82 @@ object Evaluate {
       |JOIN st USING (l_returnflag)
       |ORDER BY n.l_returnflag, n.lag_k""".stripMargin
 
+  /** TS19 — partial autocorrelation (lags 1-3) by Durbin-Levinson:
+    * the AR-order diagnostic next to TS16's ACF — pacf_k is the
+    * correlation at lag k AFTER removing what shorter lags explain,
+    * the standard "how many AR terms does this series need" readout.
+    * Built FROM the round(6)-absorbed ACF values (r1..r3), so the
+    * recursion is a fixed finite IEEE chain written identically on
+    * both engines: φ11 = r1; φ22 = (r2 − r1²)/(1 − r1²);
+    * φ21 = r1·(1 − φ22); φ33 = (r3 − φ21·r2 − φ22·r1)/
+    * (1 − φ21·r1 − φ22·r2). Zero-denominator degeneracies emit 0.0 on
+    * both sides. Corpus cost: the ONE monthly collapse ACF already
+    * pays; everything after is 3 rows per group. */
+  def pacf(s: SparkSession, dir: String): DataFrame = {
+    val w = acf(s, dir)
+      .filter(col("lag_k") <= 3)
+      .groupBy(col("l_returnflag"), col("n"))
+      .agg(min(when(col("lag_k") === 1, col("r"))).as("r1"),
+        min(when(col("lag_k") === 2, col("r"))).as("r2"),
+        min(when(col("lag_k") === 3, col("r"))).as("r3"))
+    w.select(col("l_returnflag"), col("n"), col("r1"), col("r2"), col("r3"),
+        when(lit(1.0) - col("r1") * col("r1") === 0, lit(0.0))
+          .otherwise((col("r2") - col("r1") * col("r1")) /
+            (lit(1.0) - col("r1") * col("r1"))).as("phi22"))
+      .select(col("l_returnflag"), col("n"), col("r1"), col("r2"), col("r3"),
+        col("phi22"), (col("r1") * (lit(1.0) - col("phi22"))).as("phi21"))
+      .select(col("l_returnflag"), col("n").cast("bigint").as("n_months"),
+        col("r1").as("pacf1"),
+        round(col("phi22"), 6).as("pacf2"),
+        round(when(lit(1.0) - col("phi21") * col("r1") -
+            col("phi22") * col("r2") === 0, lit(0.0))
+          .otherwise((col("r3") - col("phi21") * col("r2") -
+            col("phi22") * col("r1")) /
+            (lit(1.0) - col("phi21") * col("r1") -
+              col("phi22") * col("r2"))), 6).as("pacf3"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val pacfSql: String =
+    s"""WITH $monthlySeriesCte,
+      |st AS MATERIALIZED (SELECT l_returnflag, count(*) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx FROM m GROUP BY 1),
+      |c AS MATERIALIZED (SELECT m.l_returnflag, st.n,
+      |        row_number() OVER (PARTITION BY m.l_returnflag
+      |          ORDER BY m.mon) AS rn,
+      |        CAST(st.n * m.x - st.sx AS BIGINT) AS c
+      |      FROM m JOIN st USING (l_returnflag)),
+      |den AS (SELECT l_returnflag,
+      |          sum(CAST(c AS HUGEINT) * c) AS den FROM c GROUP BY 1),
+      |num AS (SELECT a.l_returnflag, l.lag_k,
+      |          sum(CAST(a.c AS HUGEINT) * b.c) AS num
+      |        FROM c a
+      |        CROSS JOIN (SELECT CAST(unnest(range(1, 4)) AS INT) AS lag_k) l
+      |        JOIN c b ON b.l_returnflag = a.l_returnflag
+      |          AND b.rn = a.rn + l.lag_k
+      |        GROUP BY 1, 2),
+      |r AS (SELECT n.l_returnflag, n.lag_k, st.n,
+      |        CASE WHEN d.den = 0 THEN 0.0
+      |             ELSE round(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6)
+      |        END AS r
+      |      FROM num n JOIN den d USING (l_returnflag)
+      |      JOIN st USING (l_returnflag)),
+      |wdt AS (SELECT l_returnflag, n,
+      |         min(CASE WHEN lag_k = 1 THEN r END) AS r1,
+      |         min(CASE WHEN lag_k = 2 THEN r END) AS r2,
+      |         min(CASE WHEN lag_k = 3 THEN r END) AS r3
+      |       FROM r GROUP BY 1, 2),
+      |p2 AS (SELECT *, CASE WHEN 1.0 - r1 * r1 = 0 THEN 0.0
+      |         ELSE (r2 - r1 * r1) / (1.0 - r1 * r1) END AS phi22
+      |       FROM wdt),
+      |p3 AS (SELECT *, r1 * (1.0 - phi22) AS phi21 FROM p2)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_months, r1 AS pacf1,
+      |  round(phi22, 6) AS pacf2,
+      |  round(CASE WHEN 1.0 - phi21 * r1 - phi22 * r2 = 0 THEN 0.0
+      |    ELSE (r3 - phi21 * r2 - phi22 * r1)
+      |         / (1.0 - phi21 * r1 - phi22 * r2) END, 6) AS pacf3
+      |FROM p3 ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------
   // One-way ANOVA machinery (shared by anova and brownForsythe)
   // ---------------------------------------------------------------
@@ -1274,6 +1350,7 @@ object Evaluate {
     "q_cochran_armitage" -> (cochranArmitage _),
     "q_lexical_richness" -> (lexicalRichness _),
     "q_acf" -> (acf _),
+    "q_pacf" -> (pacf _),
     "q_anova" -> (anova _),
     "q_brown_forsythe" -> (brownForsythe _),
     "q_mrr" -> (mrr _),
@@ -1295,6 +1372,7 @@ object Evaluate {
     "q_cochran_armitage" -> cochranArmitageSql,
     "q_lexical_richness" -> lexicalRichnessSql,
     "q_acf" -> acfSql,
+    "q_pacf" -> pacfSql,
     "q_anova" -> anovaSql,
     "q_brown_forsythe" -> brownForsytheSql,
     "q_mrr" -> mrrSql,

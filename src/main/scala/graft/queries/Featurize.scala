@@ -579,7 +579,59 @@ object Featurize {
       |ORDER BY cluster_id""".stripMargin
   }
 
+  /** C19 — keyspace-systematic sampling + its periodicity audit:
+    * every k-th KEY (o_orderkey % 40 = 7) instead of every k-th ROW —
+    * the scale-correct form of systematic sampling, because it is a
+    * pure parallel filter (the classic row-interval form needs a
+    * global sort + row_number, a single-partition window at any
+    * corpus size). The audit half is what a statistician checks before
+    * trusting a systematic design: per stratum (order priority), the
+    * achieved sampling ratio and the sample-vs-population mean — a
+    * periodic key↔attribute correlation would show here as a ratio or
+    * mean skew. Exact arithmetic: counts and cent sums are integers;
+    * means use integer DIV (nonneg, floor≡trunc); the ratio is one
+    * rounded division. */
+  def systematicSample(s: SparkSession, dir: String, k: Int = 40,
+                       offset: Int = 7): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("prio"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("cents"),
+        (col("o_orderkey") % k === offset).as("in_sample"))
+    base.groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_pop"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_samp"),
+        sum(col("cents")).as("sum_pop"),
+        sum(when(col("in_sample"), col("cents")).otherwise(0L)).as("sum_samp"))
+      .select(col("prio"), col("n_pop"), col("n_samp"),
+        round(col("n_samp").cast("double") / col("n_pop").cast("double"), 6)
+          .as("sample_ratio"),
+        expr("sum_pop DIV n_pop").as("mean_pop_cents"),
+        when(col("n_samp") === 0, lit(0L))
+          .otherwise(expr("sum_samp DIV n_samp")).as("mean_samp_cents"))
+      .orderBy(col("prio"))
+  }
+
+  val systematicSampleSql: String =
+    """SELECT prio, n_pop, n_samp,
+      |  round(CAST(n_samp AS DOUBLE) / CAST(n_pop AS DOUBLE), 6)
+      |    AS sample_ratio,
+      |  CAST(sum_pop // n_pop AS BIGINT) AS mean_pop_cents,
+      |  CAST(CASE WHEN n_samp = 0 THEN 0
+      |       ELSE sum_samp // n_samp END AS BIGINT) AS mean_samp_cents
+      |FROM (SELECT o_orderpriority AS prio, count(*) AS n_pop,
+      |        CAST(sum(CASE WHEN o_orderkey % 40 = 7 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS n_samp,
+      |        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |          AS BIGINT)) AS BIGINT) AS sum_pop,
+      |        CAST(sum(CASE WHEN o_orderkey % 40 = 7
+      |          THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |          ELSE 0 END) AS BIGINT) AS sum_samp
+      |      FROM orders GROUP BY 1)
+      |ORDER BY prio""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_systematic_sample" -> ((s: SparkSession, d: String) => systematicSample(s, d)),
     "q_kmeans_lloyd" -> ((s: SparkSession, d: String) => kmeansLloyd(s, d)),
     "q_neyman_alloc" -> ((s: SparkSession, d: String) => neymanAlloc(s, d)),
     "q_truncation_fidelity" -> (truncationFidelity _),
@@ -592,6 +644,7 @@ object Featurize {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_systematic_sample" -> systematicSampleSql,
     "q_neyman_alloc" -> neymanAllocSql,
     "q_kmeans_lloyd" -> kmeansLloydSql,
     "q_truncation_fidelity" -> truncationFidelitySql,

@@ -625,7 +625,122 @@ object Infer {
       |          - CAST(nn AS DOUBLE))), 4) AS h_tie_corrected
       |FROM pg CROSS JOIN tot ORDER BY grp""".stripMargin
 
+  /** W65 — Benjamini-Hochberg FDR screen over a 25-hypothesis family:
+    * the multiple-testing control every metrics platform needs once it
+    * runs one test PER SEGMENT (25 (mktsegment, orderpriority) cells
+    * here, each testing "does this cell's mean order value differ from
+    * the global mean") — at α=0.10, 2-3 of 25 naive tests "win" by
+    * chance alone; BH caps the expected false-discovery share instead.
+    * Distribution-free by construction: the per-cell p is the
+    * CHEBYSHEV bound min(1, var/(n·Δ²)) = 1/z² — conservative, exact,
+    * and free of erf/Φ (which neither engine pins bit-identically).
+    * Arithmetic: Δ and the variance stay exact decimals (Δ numerator
+    * D = Σv_c·n_g − Σv_g·n_c; variance V/W from n·Σv²−(Σv)²); the p
+    * bound is ONE fixed double chain over their casts, identical on
+    * both engines. BH itself is a window pass: rank p ascending, k =
+    * max rank with p ≤ rank·α/m, reject ranks ≤ k. One corpus
+    * aggregate; everything after is 25 rows. */
+  def bhScreen(s: SparkSession, dir: String, alpha: Double = 0.10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("prio"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("v"))
+      .groupBy(col("seg"), col("prio"))
+      .agg(count(lit(1)).as("n_c"), sum(col("v")).as("sv_c"),
+        sum((col("v").cast("decimal(38,0)") * col("v"))
+          .cast("decimal(38,0)")).as("svv_c"))
+    val g = cells.agg(sum(col("n_c")).as("n_g"),
+      sum(col("sv_c")).as("sv_g"),
+      sum(col("svv_c")).as("svv_g"))
+    val scored = cells.crossJoin(broadcast(g))
+      .select(col("seg"), col("prio"), col("n_c"), col("n_g"),
+        (col("sv_c").cast("decimal(38,0)") * col("n_g") -
+          col("sv_g").cast("decimal(38,0)") * col("n_c")).as("dnum"),
+        (col("n_g").cast("decimal(38,0)") * col("svv_g") -
+          col("sv_g").cast("decimal(38,0)") * col("sv_g")).as("vnum"),
+        (col("n_g").cast("decimal(38,0)") * (col("n_g") - 1)).as("vden"))
+      .select(col("seg"), col("prio"), col("n_c"),
+        when(col("dnum") === 0, lit(1.0)).otherwise(
+          least(lit(1.0),
+            col("vnum").cast("double") / col("vden").cast("double") *
+              col("n_c") / (col("dnum").cast("double") / col("n_g").cast("double") /
+                col("n_c").cast("double") *
+                (col("dnum").cast("double") / col("n_g").cast("double") /
+                  col("n_c").cast("double"))) /
+              col("n_c") / col("n_c"))).as("p_bound"))
+    // p = min(1, (V/W) / (n_c · Δ²)) with Δ = D/(n_g·n_c); the chain
+    // above expands to (V/W)·n_c/Δ²/n_c/n_c = (V/W)/(n_c·Δ²) with an
+    // explicit term order both engines share
+    val ranked = scored
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("p_bound"), col("seg"), col("prio"))))
+      .withColumn("crit",
+        col("rank").cast("double") * lit(alpha) / col("m").cast("double"))
+    ranked
+      .withColumn("k", max(when(col("p_bound") <= col("crit"), col("rank")))
+        .over(Window.partitionBy()))
+      .select(col("seg"), col("prio"), col("n_c").cast("bigint").as("n"),
+        round(col("p_bound"), 8).as("p_bound"),
+        col("rank").cast("bigint").as("p_rank"),
+        round(col("crit"), 8).as("bh_crit"),
+        when(col("rank") <= coalesce(col("k"), lit(0)), 1).otherwise(0)
+          .as("rejected"))
+      .orderBy(col("p_rank"))
+  }
+
+  val bhScreenSql: String =
+    """WITH cells AS (SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+      |    count(*) AS n_c,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS sv_c,
+      |    sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS HUGEINT)
+      |      * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS svv_c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |g AS (SELECT CAST(sum(n_c) AS BIGINT) AS n_g,
+      |        CAST(sum(sv_c) AS HUGEINT) AS sv_g,
+      |        CAST(sum(svv_c) AS HUGEINT) AS svv_g FROM cells),
+      |sc AS (SELECT seg, prio, n_c,
+      |         CAST(sv_c AS HUGEINT) * n_g - sv_g * n_c AS dnum,
+      |         CAST(n_g AS HUGEINT) * svv_g - sv_g * sv_g AS vnum,
+      |         CAST(n_g AS HUGEINT) * (n_g - 1) AS vden
+      |       FROM cells, g),
+      |p AS (SELECT seg, prio, n_c,
+      |        CASE WHEN dnum = 0 THEN 1.0
+      |          ELSE least(1.0,
+      |            CAST(vnum AS DOUBLE) / CAST(vden AS DOUBLE) * n_c
+      |            / ((CAST(dnum AS DOUBLE) / CAST((SELECT n_g FROM g) AS DOUBLE)
+      |                / CAST(n_c AS DOUBLE))
+      |               * (CAST(dnum AS DOUBLE) / CAST((SELECT n_g FROM g) AS DOUBLE)
+      |                  / CAST(n_c AS DOUBLE)))
+      |            / n_c / n_c)
+      |        END AS p_bound
+      |      FROM sc),
+      |r AS (SELECT seg, prio, n_c, p_bound,
+      |        count(*) OVER () AS m,
+      |        row_number() OVER (ORDER BY p_bound, seg, prio) AS rnk
+      |      FROM p),
+      |c2 AS (SELECT *, CAST(rnk AS DOUBLE) * 0.10 / CAST(m AS DOUBLE) AS crit
+      |       FROM r),
+      |k AS (SELECT *, max(CASE WHEN p_bound <= crit THEN rnk END) OVER () AS kk
+      |      FROM c2)
+      |SELECT seg, prio, CAST(n_c AS BIGINT) AS n,
+      |  round(p_bound, 8) AS p_bound,
+      |  CAST(rnk AS BIGINT) AS p_rank, round(crit, 8) AS bh_crit,
+      |  CAST(CASE WHEN rnk <= coalesce(kk, 0) THEN 1 ELSE 0 END AS INT)
+      |    AS rejected
+      |FROM k ORDER BY p_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bh_screen" -> ((s: SparkSession, d: String) => bhScreen(s, d)),
     "q_kruskal_wallis" -> (kruskalWallis _),
     "q_regr_multi" -> (regrMulti _),
     "q_did" -> (did _),
@@ -638,6 +753,7 @@ object Infer {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bh_screen" -> bhScreenSql,
     "q_kruskal_wallis" -> kruskalWallisSql,
     "q_regr_multi" -> regrMultiSql,
     "q_did" -> didSql,

@@ -898,7 +898,66 @@ object Metrics {
       |FROM g WHERE q0 > 0 AND q1 > 0
       |ORDER BY bucket""".stripMargin
 
+  /** B25 — inter-purchase gap profile: the distribution of days
+    * between a customer's consecutive orders — the purchase-cadence
+    * readout behind churn models and replenishment campaigns (B14's
+    * RFM recency is the LAST gap; this is the distribution of ALL
+    * gaps). Gaps come from one lag window per customer (ordered by
+    * date with the order key as the deterministic tie-break — two
+    * same-day orders gap 0 days in a pinned order on both engines),
+    * then land in the standard cadence buckets. Counts and day sums
+    * are exact integers; share and mean are one division each.
+    * Scale shape: one window partitioned by the customer key (fully
+    * parallel), one small aggregate — no global sort. */
+  def purchaseGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(datediff(col("o_orderdate"), col("prev")).as("gap_days"))
+    val bucket = when(col("gap_days") <= 7, "a_week")
+      .when(col("gap_days") <= 30, "b_month")
+      .when(col("gap_days") <= 90, "c_quarter")
+      .when(col("gap_days") <= 365, "d_year")
+      .otherwise("e_longer")
+    val counts = gaps.select(bucket.as("gap_bucket"),
+        col("gap_days").cast("bigint").as("gap_days"))
+      .groupBy(col("gap_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("gap_days")).as("sum_days"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("total"))))
+      .select(col("gap_bucket"), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        expr("sum_days DIV n").as("mean_gap_days"))
+      .orderBy(col("gap_bucket"))
+  }
+
+  val purchaseGapsSql: String =
+    """WITH g AS (SELECT date_diff('day', lag(o_orderdate) OVER
+      |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |      o_orderdate) AS gap_days
+      |    FROM orders),
+      |b AS (SELECT CASE WHEN gap_days <= 7 THEN 'a_week'
+      |        WHEN gap_days <= 30 THEN 'b_month'
+      |        WHEN gap_days <= 90 THEN 'c_quarter'
+      |        WHEN gap_days <= 365 THEN 'd_year'
+      |        ELSE 'e_longer' END AS gap_bucket,
+      |        CAST(gap_days AS BIGINT) AS gap_days
+      |      FROM g WHERE gap_days IS NOT NULL),
+      |c AS (SELECT gap_bucket, count(*) AS n,
+      |        CAST(sum(gap_days) AS BIGINT) AS sum_days
+      |      FROM b GROUP BY 1)
+      |SELECT gap_bucket, n,
+      |  round(CAST(n AS DOUBLE)
+      |    / CAST((SELECT sum(n) FROM c) AS DOUBLE), 6) AS share,
+      |  CAST(sum_days // n AS BIGINT) AS mean_gap_days
+      |FROM c ORDER BY gap_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_purchase_gaps" -> (purchaseGaps _),
     "q_growth_accounting" -> (growthAccounting _),
     "q_price_volume_bridge" -> (priceVolumeBridge _),
     "q_argmax_funcs" -> (argmaxFuncs _),
@@ -924,6 +983,7 @@ object Metrics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_purchase_gaps" -> purchaseGapsSql,
     "q_growth_accounting" -> growthAccountingSql,
     "q_price_volume_bridge" -> priceVolumeBridgeSql,
     "q_argmax_funcs" -> argmaxFuncsSql,

@@ -557,7 +557,79 @@ object Network {
       |GROUP BY u ORDER BY nation""".stripMargin
   }
 
+  /** W64 — closeness & harmonic centrality on the trade backbone: the
+    * "which nation reaches the network fastest" ranking next to W63's
+    * eccentricity. Distances are the SAME ≤8-hop min-plus truncation
+    * as q_nation_distances (both engines unroll it identically), over
+    * the staged TradeGraph backbone — zero extra corpus scans.
+    * Exactness: Σd is an integer; harmonic centrality Σ 1/d would be a
+    * float whose SUM ORDER differs across engines, so it accumulates
+    * as Σ(840 DIV d) — 840 = lcm(1..8) makes every reciprocal an exact
+    * integer at ≤8 hops — and divides by 840 once at the end.
+    * Closeness is the classic (n_reachable)/Σd in one IEEE division.
+    * Disconnected pairs are simply absent (reachable-set semantics,
+    * same as W63). */
+  def closeness(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    import s.implicits._
+    val edges = TradeGraph.backboneEdges(s, dir)
+    val sym = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val nodes = sym.map(_._1).distinct
+    var dist: Map[(Int, Int), Long] =
+      (sym.map { case (u, v) => ((u, v), 1L) } ++
+        nodes.map(n => ((n, n), 0L)))
+        .groupMapReduce(_._1)(_._2)(math.min)
+    (1 to rounds).foreach { _ =>
+      val byU = dist.toSeq.groupBy(_._1._1)
+      dist = (for {
+        ((a, mid), d1) <- dist.toSeq
+        ((_, b), d2) <- byU.getOrElse(mid, Nil)
+      } yield ((a, b), d1 + d2)).groupMapReduce(_._1)(_._2)(math.min)
+    }
+    val out = dist.toSeq
+      .collect { case ((u, v), d) if u != v => (u, d) }
+      .groupBy(_._1).toSeq
+      .map { case (u, ds) =>
+        val n = ds.size.toLong
+        val sumD = ds.map(_._2).sum
+        val hUnits = ds.map(840L / _._2).sum // 840 = lcm(1..8): exact
+        // half-UP rounding (floor(x·1e6 + 0.5) for positive x) — the
+        // same convention DuckDB's round() applies; rint would be
+        // half-EVEN and could differ on exact boundaries
+        (u, n, sumD, hUnits,
+          math.floor(hUnits.toDouble / 840.0 * 1e6 + 0.5) / 1e6,
+          math.floor(n.toDouble / sumD.toDouble * 1e6 + 0.5) / 1e6)
+      }
+    out.toDF("nation", "n_reachable", "sum_dist", "harmonic_units",
+        "harmonic", "closeness")
+      .orderBy(col("nation"))
+  }
+
+  def closenessSql(rounds: Int = 3): String = {
+    val unroll = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT a.u, b.v, min(a.d + b.d) AS d
+         |      FROM d${i - 1} a JOIN d${i - 1} b ON a.v = b.u
+         |      GROUP BY a.u, b.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $backboneCte,
+      |sym AS MATERIALIZED (SELECT u, v, 1 AS d FROM e
+      |        UNION ALL SELECT v, u, 1 FROM e),
+      |d0 AS MATERIALIZED (SELECT u, v, min(d) AS d FROM (
+      |         SELECT u, v, d FROM sym
+      |         UNION ALL SELECT DISTINCT u, u, 0 FROM sym)
+      |       GROUP BY u, v),
+      |$unroll
+      |SELECT u AS nation, CAST(count(*) AS BIGINT) AS n_reachable,
+      |  CAST(sum(d) AS BIGINT) AS sum_dist,
+      |  CAST(sum(840 // d) AS BIGINT) AS harmonic_units,
+      |  round(CAST(sum(840 // d) AS DOUBLE) / 840.0, 6) AS harmonic,
+      |  round(CAST(count(*) AS DOUBLE) / CAST(sum(d) AS DOUBLE), 6)
+      |    AS closeness
+      |FROM d$rounds WHERE u <> v
+      |GROUP BY u ORDER BY nation""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_closeness" -> ((s: SparkSession, d: String) => closeness(s, d)),
     "q_assortativity" -> (assortativity _),
     "q_hits" -> ((s: SparkSession, d: String) => hits(s, d)),
     "q_modularity" -> (modularity _),
@@ -567,6 +639,7 @@ object Network {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_closeness" -> closenessSql(),
     "q_assortativity" -> assortativitySql,
     "q_hits" -> hitsSql(),
     "q_modularity" -> modularitySql,

@@ -230,6 +230,117 @@ object Warehouse {
       |FROM c JOIN r ON c.lang = r.lang JOIN s ON c.source = s.source, n
       |ORDER BY c.lang, c.source""".stripMargin
 
+  /** W66 — categorical-association audit: Cramér's V and Theil's U
+    * over the lang × source contingency of the documents table — the
+    * effect-size companions to W7's per-cell χ² terms (χ² says
+    * "dependent?", V says "how strongly" on [0,1], and U(lang|source)
+    * says "how much does knowing the source tell you about the
+    * language" — asymmetric, exactly the source-balance question a
+    * training-data mix audit asks). Determinism: χ² and both entropies
+    * are float SUMS whose accumulation order Spark does not pin, so
+    * each total accumulates through an ORDERED window cumsum (ORDER BY
+    * the category keys, rows unbounded-preceding..current) and the
+    * last row is read back with max_by — both engines then add the
+    * same terms in the same sequence, making the totals bit-identical
+    * without per-cell emission. The grid INCLUDES zero cells (χ²'s E
+    * contribution exists even where O = 0). Everything after the three
+    * category groupBys is metadata-scale. */
+  def cramersTheil(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // ONE corpus aggregate; the contingency grid is bounded by the
+    // category domains (langs × sources — metadata by construction),
+    // so the totals accumulate DRIVER-side in the same sorted
+    // (lang, source) order the oracle's cumsum windows walk — both
+    // engines add the same IEEE terms in the same sequence.
+    val cells = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val langs = cells.map(_._1).distinct.sorted
+    val sources = cells.map(_._2).distinct.sorted
+    val rt = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val ct = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val n = cells.map(_._3).sum
+    val omap = cells.map(c => (c._1, c._2) -> c._3).toMap
+    var chi2 = 0.0
+    var hCond = 0.0
+    for (l <- langs; src <- sources) { // the oracle's ORDER BY lang, source
+      val o = omap.getOrElse((l, src), 0L)
+      val e = rt(l).toDouble * ct(src).toDouble / n.toDouble
+      val diff = o.toDouble - e
+      chi2 += diff * diff / e
+      if (o != 0L)
+        hCond += -(o.toDouble / n.toDouble) *
+          math.log(o.toDouble / ct(src).toDouble)
+    }
+    var hLang = 0.0
+    for (l <- langs)
+      hLang += -(rt(l).toDouble / n.toDouble) *
+        math.log(rt(l).toDouble / n.toDouble)
+    // half-UP rounding for the positive outputs (DuckDB's round());
+    // theil_u clamps at 0 first — FP could put h_cond an ulp above
+    // h_lang and the sign would flip the rounding convention
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val v = math.sqrt(chi2 /
+      (n.toDouble * (math.min(langs.size, sources.size).toDouble - 1.0)))
+    val u = if (hLang == 0.0) 0.0
+            else math.max(0.0, (hLang - hCond) / hLang)
+    Seq((n, langs.size.toLong, sources.size.toLong, r6(chi2), r6(v),
+        r6(hLang), r6(hCond), r6(u)))
+      .toDF("n", "n_rows", "n_cols", "chi2", "cramers_v", "h_lang",
+        "h_lang_given_source", "theil_u")
+  }
+
+  val cramersTheilSql: String =
+    """WITH c AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, count(*) AS rt FROM documents GROUP BY 1),
+      |s AS (SELECT source, count(*) AS ct FROM documents GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |grid AS (SELECT r.lang, s.source, r.rt, s.ct, n.n,
+      |           coalesce(c.o, 0) AS o,
+      |           (CAST(r.rt AS DOUBLE) * CAST(s.ct AS DOUBLE))
+      |             / CAST(n.n AS DOUBLE) AS e
+      |         FROM r CROSS JOIN s
+      |         LEFT JOIN c ON c.lang = r.lang AND c.source = s.source, n),
+      |t AS (SELECT lang, source, n,
+      |        ((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)) / e
+      |          AS chi2_term,
+      |        CASE WHEN o = 0 THEN 0.0
+      |             ELSE -(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+      |                  * ln(CAST(o AS DOUBLE) / CAST(ct AS DOUBLE)) END
+      |          AS hcond_term,
+      |        row_number() OVER (ORDER BY lang, source) AS rn
+      |      FROM grid),
+      |cum AS (SELECT n, rn,
+      |          sum(chi2_term) OVER (ORDER BY lang, source
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chi2_cum,
+      |          sum(hcond_term) OVER (ORDER BY lang, source
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hcond_cum
+      |        FROM t),
+      |tot AS (SELECT arg_max(chi2_cum, rn) AS chi2,
+      |          arg_max(hcond_cum, rn) AS h_cond, min(n) AS n FROM cum),
+      |hl AS (SELECT arg_max(cum, rn) AS h_lang, count(*) AS n_rows
+      |       FROM (SELECT rn, sum(term) OVER (ORDER BY lang
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |             FROM (SELECT lang,
+      |                     -(CAST(rt AS DOUBLE) / CAST(n AS DOUBLE))
+      |                     * ln(CAST(rt AS DOUBLE) / CAST(n AS DOUBLE)) AS term,
+      |                     row_number() OVER (ORDER BY lang) AS rn
+      |                   FROM r, n))),
+      |nc AS (SELECT count(*) AS n_cols FROM s)
+      |SELECT CAST(tot.n AS BIGINT) AS n, CAST(hl.n_rows AS BIGINT) AS n_rows,
+      |  CAST(nc.n_cols AS BIGINT) AS n_cols,
+      |  round(tot.chi2, 6) AS chi2,
+      |  round(sqrt(tot.chi2 / (CAST(tot.n AS DOUBLE)
+      |    * (CAST(least(hl.n_rows, nc.n_cols) AS DOUBLE) - 1.0))), 6)
+      |    AS cramers_v,
+      |  round(hl.h_lang, 6) AS h_lang,
+      |  round(tot.h_cond, 6) AS h_lang_given_source,
+      |  round(CASE WHEN hl.h_lang = 0 THEN 0.0
+      |    ELSE greatest(0.0, (hl.h_lang - tot.h_cond) / hl.h_lang) END, 6)
+      |    AS theil_u
+      |FROM tot, hl, nc""".stripMargin
+
   /** Referential-integrity audit across every FK edge of the star
     * schema: per edge, rows checked and orphans found (NULL parent key
     * after a broadcast left join against the parent key set — the
@@ -896,6 +1007,7 @@ object Warehouse {
     "q_dict_redact" -> (dictRedact _),
     "q_doc_packing" -> ((s, d) => docPacking(s, d)),
     "q_chi2_independence" -> (chi2Independence _),
+    "q_cramers_theil" -> (cramersTheil _),
     "q_fk_audit" -> (fkAudit _),
     "q_pagerank_nations" -> ((s, d) => pagerankNations(s, d)),
   )
@@ -916,6 +1028,7 @@ object Warehouse {
     "q_dict_redact" -> dictRedactSql,
     "q_doc_packing" -> docPackingSql,
     "q_chi2_independence" -> chi2IndependenceSql,
+    "q_cramers_theil" -> cramersTheilSql,
     "q_fk_audit" -> fkAuditSql,
     "q_pagerank_nations" -> pagerankNationsSql,
   )
