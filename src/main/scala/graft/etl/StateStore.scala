@@ -235,11 +235,34 @@ class ManifestStateStore(spark: SparkSession, dir: String) extends BatchState {
     // `<digits>.mf` — can never observe a half-committed version.
     val tmp = mfDir.resolve(s".tmp-$uuid")
     Files.write(tmp, entries.mkString("\n").getBytes("UTF-8"))
-    Files.createFile(mfDir.resolve(s".lock-$v")) // loses loudly on a race
+    claimVersion(mfDir.resolve(s".lock-$v"), mfDir.resolve(f"$v%020d.mf"))
     Files.move(tmp, mfDir.resolve(f"$v%020d.mf"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     cleanup(v)
   }
+
+  /** Claim version ownership before publishing. A lock whose manifest
+    * EXISTS means a concurrent writer committed this version — fail
+    * loudly (the caller re-reads and retries at the next version). A
+    * lock WITHOUT its manifest is a stale claim from a commit that
+    * crashed between claim and publish — take it over, so crash-resume
+    * stays live (the "crash anywhere is harmless" contract includes
+    * crashing inside the commit itself). The takeover narrows
+    * concurrent-writer detection to the claim-to-publish window —
+    * microseconds — which is the documented best-effort residue of an
+    * advisory file lock. */
+  private def claimVersion(lock: java.nio.file.Path,
+                           manifest: java.nio.file.Path): Unit =
+    try Files.createFile(lock)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        if (Files.exists(manifest))
+          throw new IllegalStateException(
+            s"concurrent writer committed ${manifest.getFileName} — " +
+              "re-read state and retry at the next version", e)
+      // else: stale claim from a crashed commit — proceed (take over)
+    }
 
   /** Post-commit sweep — retires old manifests and any data directory
     * no retained manifest references (including crash orphans). Runs

@@ -103,7 +103,10 @@ private[sources] object RangeManifest {
     * SEPARATE `_lock-v<N>` create (atomic fail-if-exists) so a racing
     * writer loses loudly instead of silently clobbering, and readers —
     * which only parse `_manifest-v*` names — can never observe a
-    * half-committed version. Then one ATOMIC_MOVE makes it live. */
+    * half-committed version. A lock WITHOUT its manifest is a stale
+    * claim from a commit that crashed between claim and publish: it is
+    * taken over, so crash-resume stays live. Then one ATOMIC_MOVE
+    * makes the version current. */
   def publish(path: String, v: Long, entries: Seq[ManifestEntry]): Unit = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
@@ -113,8 +116,16 @@ private[sources] object RangeManifest {
       .map(e => s"${e.file},${e.rows},${e.minId},${e.maxId}")
       .mkString("\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.createFile(dir.resolve(s"_lock-v$v")) // loses loudly on a race
-    Files.move(tmp, dir.resolve(Prefix + v), StandardCopyOption.ATOMIC_MOVE)
+    try Files.createFile(dir.resolve(s"_lock-v$v"))
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        if (Files.exists(dir.resolve(Prefix + v)))
+          throw new IllegalStateException(
+            s"concurrent writer committed manifest v$v — retry the write", e)
+      // else: stale claim from a crashed commit — take it over
+    }
+    Files.move(tmp, dir.resolve(Prefix + v), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 }
 

@@ -184,6 +184,16 @@ class SourceSpec extends SparkSpec {
     assert(sinkRead(path).agg(max(col("id"))).head.getLong(0) == 149L)
   }
 
+  test("a stale manifest version claim is taken over, not a deadlock") {
+    val path = sinkDir()
+    writeSink(ranged("lo" -> "0", "hi" -> "50", "stride" -> "50"), path, "append")
+    // a commit that crashed between claiming v2 and publishing it
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(path, "_lock-v2"))
+    writeSink(ranged("lo" -> "50", "hi" -> "80", "stride" -> "30"), path, "append")
+    assert(sinkRead(path).count() == 80,
+      "a crashed claim must not block the next commit")
+  }
+
   test("generated table: MAX/MIN/COUNT push down as range arithmetic") {
     val df = ranged("lo" -> "0", "hi" -> "1000000", "stride" -> "1000")
       .agg(max(col("id")).as("mx"), min(col("id")).as("mn"),

@@ -141,6 +141,16 @@ class StateBackendSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(orphan),
       "the post-commit sweep must retire crash orphans")
     assert(resumed.frontier("t") == 20L)
+
+    // crash point 3: a commit that died BETWEEN the version claim and
+    // the manifest publish — the stale .lock must be taken over, not
+    // deadlock the resuming writer at that version forever
+    val nextV = resumed.currentVersion + 1
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(dir, "manifest", s".lock-$nextV"))
+    resumed.upsert(Seq(rec(20, 30, "DONE", 3)))
+    assert(resumed.frontier("t") == 30L,
+      "a stale version claim must not block crash-resume")
   }
 
   test("manifest backend: compaction bounds replay and preserves state") {
