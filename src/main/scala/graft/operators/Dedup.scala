@@ -424,8 +424,12 @@ object Dedup {
     // is only a runaway backstop (large-star/small-star contraction is
     // the documented escalation if a pathological near-dup graph ever
     // appears).
+    // LAZY localCheckpoint: the convergence aggregate right after it
+    // is the action that materializes the blocks, so each round costs
+    // ONE job (an eager checkpoint would run its own job first and the
+    // sum a second one — measured 2× the per-round job count).
     var labels = edgesPlus.groupBy(col("u")).agg(min(col("v")).as("label"))
-      .withColumnRenamed("u", "node").localCheckpoint()
+      .withColumnRenamed("u", "node").localCheckpoint(false)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 1
@@ -438,14 +442,14 @@ object Dedup {
       // shuffle_hash, not sort-merge: the label table is the build
       // side and there is no point re-sorting the static edge
       // relation once per round just to stream-merge it.
-      // Eager localCheckpoint each round both truncates lineage and
-      // materializes the round so the convergence aggregate reads the
-      // cached result, not a recomputation.
+      // Lazy localCheckpoint each round truncates lineage; the
+      // convergence aggregate below is the action that materializes
+      // it, so the round stays ONE job.
       labels = edgesPlus.join(labels.hint("shuffle_hash"),
           edgesPlus("v") === labels("node"))
         .groupBy(col("u")).agg(min(col("label")).as("label"))
         .withColumnRenamed("u", "node")
-        .localCheckpoint()
+        .localCheckpoint(false)
       val curSum = labelSum(labels)
       converged = (prevSum == null && curSum == null) ||
         (prevSum != null && curSum != null && prevSum.compareTo(curSum) == 0)
