@@ -13,6 +13,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggr
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -59,7 +60,7 @@ private[sources] class RangeFileTable(path: String)
   override def schema(): StructType = RangeSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RangeFileScanBuilder(path)
@@ -307,7 +308,64 @@ private[sources] class RangeFileWriteBuilder(path: String, queryId: String,
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new RangeFileBatchWrite(path, queryId, truncate)
+    override def toStreaming: StreamingWrite = new RangeFileStreamingWrite(path)
   }
+}
+
+/** Streaming sink half (X18): one manifest commit per micro-batch,
+  * IDEMPOTENT on the epoch id — Structured Streaming replays a batch
+  * whose offsets committed but whose sink commit is in doubt, so a
+  * replayed epoch must not double its rows. Part files are named by
+  * epoch (`part-e<epoch>-<partition>.csv`), and commit() SKIPS an
+  * epoch the current manifest already lists — replay becomes a no-op
+  * and the source's at-least-once replay turns into end-to-end
+  * exactly-once through the connector pair (the reference's sync loop
+  * achieves the same with its metadata table; SourceSpec choreographs
+  * the crash). Epoch ids are the CHECKPOINTED batch ids, so they stay
+  * monotone across restarts of the same checkpoint lineage; a sink
+  * directory belongs to ONE checkpoint dir (a fresh checkpoint would
+  * restart epochs at 0 and silently skip them as replays) — the same
+  * single-writer contract the batch path documents. */
+private[sources] class RangeFileStreamingWrite(path: String)
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new RangeFileStreamingWriterFactory(path)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val prior = RangeManifest.latest(path)
+    val prevEntries = prior.map(_._2).getOrElse(Nil)
+    val marker = s"part-e$epochId-"
+    if (prevEntries.exists(_.file.startsWith(marker))) {
+      // replayed epoch: already durable, drop the staged temps
+      abort(epochId, messages)
+    } else {
+      val fresh = messages.collect {
+        case RangeFileCommit(tmp, fin, rows, lo, hi) if rows > 0 =>
+          Files.move(dir.resolve("_tmp").resolve(tmp), dir.resolve(fin),
+            StandardCopyOption.ATOMIC_MOVE)
+          ManifestEntry(fin, rows, lo, hi)
+      }.toSeq
+      RangeManifest.publish(path, prior.map(_._1).getOrElse(0L) + 1,
+        prevEntries ++ fresh)
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case RangeFileCommit(tmp, _, _, _, _) =>
+        Files.deleteIfExists(Paths.get(path).resolve("_tmp").resolve(tmp))
+      case _ =>
+    }
+}
+
+private[sources] class RangeFileStreamingWriterFactory(path: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new RangeFileDataWriter(path, s"e$epochId", partitionId, taskId)
 }
 
 private[sources] case class RangeFileCommit(tmpName: String, finalName: String,
