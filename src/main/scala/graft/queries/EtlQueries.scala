@@ -734,8 +734,38 @@ object EtlQueries {
       |SELECT bucket, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM v GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** The ORACLE-visible path: a pid-agnostic SYMLINK published once the
+    * frontier loop's final snapshot is committed. The actual writes go
+    * to [[rangeSinkWorkDir]] (pid-keyed), so two concurrent processes
+    * on one fixture (the Verify+Bench-in-one-session scenario
+    * ShingleStage pid-isolates against) never clear each other's
+    * staged files mid-run; the loop's contents are deterministic, so
+    * whichever process publishes last leaves identical bytes behind
+    * the link. */
   def rangeSinkStageDir(dir: String): String =
     s"/tmp/graft_rangesink_stage_${new java.io.File(dir).getName}"
+
+  private def rangeSinkWorkDir(dir: String): String =
+    s"${rangeSinkStageDir(dir)}_work_${java.lang.ProcessHandle.current().pid()}"
+
+  /** Atomically point the published symlink at this process's work
+    * dir: stage the link under a pid-unique name, then one ATOMIC_MOVE
+    * replaces whatever was published before — readers (the DuckDB
+    * oracle's csv glob) always resolve a complete snapshot. */
+  private def publishDir(work: String, publish: String): Unit = {
+    val p = java.nio.file.Paths.get(publish)
+    // migration from the pre-symlink layout: a REAL directory at the
+    // publish path can't be atomically replaced by a link — clear it
+    if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      clearDir(publish)
+    val tmp = java.nio.file.Paths.get(
+      s"$publish.swap-${java.lang.ProcessHandle.current().pid()}")
+    java.nio.file.Files.deleteIfExists(tmp)
+    java.nio.file.Files.createSymbolicLink(tmp, java.nio.file.Paths.get(work))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Reset the sink staging dir (fresh snapshot per run, so the
     * oracle's part-file glob sees exactly this run's commit). */
@@ -763,7 +793,7 @@ object EtlQueries {
     * like S17, plus commit-protocol proof (orphaned temps and
     * uncommitted files are invisible to both engines). */
   def rangeSink(s: SparkSession, dir: String): DataFrame = {
-    val stage = rangeSinkStageDir(dir)
+    val stage = rangeSinkWorkDir(dir) // pid-keyed; published via symlink below
     clearDir(stage)
     val src = s.read.format("graft.sources.RangeSource")
       .option("lo", "0").option("hi", "120000").option("stride", "40000")
@@ -781,6 +811,7 @@ object EtlQueries {
       // frontier probe on the SINK: pushed MAX(id) from manifest stats
       frontier = sink.agg(max(col("id"))).head.getLong(0) + 1
     }
+    publishDir(stage, rangeSinkStageDir(dir)) // oracle reads through the link
     sink.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
       .orderBy(col("bucket"))

@@ -43,7 +43,14 @@ object ShingleStage {
 
   private def stageBase(dir: String): String = {
     val pid = java.lang.ProcessHandle.current().pid()
-    s"/tmp/graft_shingle_stage_${new java.io.File(dir).getName}_$pid"
+    // key by the FULL canonical path (hashed), not just the basename:
+    // the memo above is keyed by the full dir string, so two fixture
+    // dirs sharing a basename must not share a stage path (the second
+    // stage would overwrite the first while its memo still points there)
+    val full = new java.io.File(dir).getCanonicalPath
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(full.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"/tmp/graft_shingle_stage_${new java.io.File(dir).getName}_${tag}_$pid"
   }
 
   /** Staged per-doc shingle profiles (doc_id, hs, sig) for n = 3,

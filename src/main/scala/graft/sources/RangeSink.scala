@@ -83,11 +83,17 @@ private[sources] object RangeManifest {
   def latest(path: String): Option[(Long, Seq[ManifestEntry])] = {
     val dir = Paths.get(path)
     if (!Files.isDirectory(dir)) return None
-    val versions = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.startsWith(Prefix))
-      .flatMap(n => n.stripPrefix(Prefix).toLongOption)
-      .toSeq
+    // Files.list holds the directory fd until closed — this runs per
+    // scan build AND per frontier probe, so an unclosed stream leaks
+    // one fd per probe across a long sweep
+    val listing = Files.list(dir)
+    val versions =
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith(Prefix))
+        .flatMap(n => n.stripPrefix(Prefix).toLongOption)
+        .toSeq
+      finally listing.close()
     if (versions.isEmpty) None
     else {
       val v = versions.max // numeric, never lexicographic
@@ -199,7 +205,10 @@ private[sources] class RangeFileReaderFactory(cols: Array[String])
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[RangeFilePartition].file
     new PartitionReader[InternalRow] {
-      private val it = Files.lines(Paths.get(file)).iterator()
+      // kept as a field so close() releases the file fd — Files.lines
+      // holds it open until the STREAM (not the iterator) is closed
+      private val stream = Files.lines(Paths.get(file))
+      private val it = stream.iterator()
       private var line: String = _
       override def next(): Boolean = {
         val has = it.hasNext
@@ -220,7 +229,7 @@ private[sources] class RangeFileReaderFactory(cols: Array[String])
         }
         new GenericInternalRow(vals)
       }
-      override def close(): Unit = ()
+      override def close(): Unit = stream.close()
     }
   }
 }
@@ -344,8 +353,18 @@ private[sources] class RangeFileStreamingWrite(path: String)
     } else {
       val fresh = messages.collect {
         case RangeFileCommit(tmp, fin, rows, lo, hi) if rows > 0 =>
-          Files.move(dir.resolve("_tmp").resolve(tmp), dir.resolve(fin),
-            StandardCopyOption.ATOMIC_MOVE)
+          // A crash BETWEEN these renames and the manifest publish
+          // leaves final-named files with no manifest entry; the
+          // replayed epoch then lands here (the marker check above
+          // sees no entry) and must not wedge on the leftover name.
+          // Epoch-named content is deterministic, so an existing
+          // final file IS this file — drop the fresh temp and adopt it.
+          val target = dir.resolve(fin)
+          if (Files.exists(target))
+            Files.deleteIfExists(dir.resolve("_tmp").resolve(tmp))
+          else
+            Files.move(dir.resolve("_tmp").resolve(tmp), target,
+              StandardCopyOption.ATOMIC_MOVE)
           ManifestEntry(fin, rows, lo, hi)
       }.toSeq
       RangeManifest.publish(path, prior.map(_._1).getOrElse(0L) + 1,

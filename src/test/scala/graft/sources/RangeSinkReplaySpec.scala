@@ -51,6 +51,31 @@ class RangeSinkReplaySpec extends AnyFunSuite {
     assert(committedRows(path).sorted == Seq("1,10,1", "2,20,2", "3,30,3"))
   }
 
+  test("replay after a crash between rename and manifest publish recovers") {
+    val path = Files.createTempDirectory("graft-sink-crashwin").toString
+    val sw = new RangeFileStreamingWrite(path)
+    sw.commit(0L, Array(stageTemp(path, 0L, 0, Seq((1L, 10L, 1)))))
+    // simulate the in-doubt crash window for epoch 1: the driver
+    // renamed the part file into place but died BEFORE publishing the
+    // manifest — the final-named file exists with no manifest entry
+    val orphan = stageTemp(path, 1L, 0, Seq((2L, 20L, 2)))
+    Files.move(Paths.get(path, "_tmp", orphan.tmpName),
+      Paths.get(path, orphan.finalName))
+    assert(RangeManifest.latest(path).get._2.forall(!_.file.startsWith("part-e1-")))
+    // restart replays epoch 1 with freshly staged temps; the commit
+    // must adopt the already-renamed file instead of wedging on it
+    val replay = stageTemp(path, 1L, 0, Seq((2L, 20L, 2)))
+    sw.commit(1L, Array(replay))
+    assert(committedRows(path).sorted == Seq("1,10,1", "2,20,2"),
+      "recovered epoch must appear exactly once")
+    assert(!Files.exists(Paths.get(path, "_tmp", replay.tmpName)),
+      "the replay's fresh temp must be dropped in favor of the adopted file")
+    // and a second replay of the SAME epoch is now a plain no-op
+    val replay2 = stageTemp(path, 1L, 0, Seq((2L, 20L, 2)))
+    sw.commit(1L, Array(replay2))
+    assert(committedRows(path).sorted == Seq("1,10,1", "2,20,2"))
+  }
+
   test("manifest aggregate stats reflect streaming commits") {
     val path = Files.createTempDirectory("graft-sink-replay2").toString
     val sw = new RangeFileStreamingWrite(path)
