@@ -113,7 +113,7 @@ object PlanAudit {
     "q_join_existence" -> "ExistenceJoin attaches the exists flag (broadcast build over the BUILDING probe set); the fact scan appears ONCE — no union-of-two-scans rewrite",
     "q_partition_reload" -> "read-back scan lists the re-staged day directories; one groupBy(day) with distinct-count expand, no second pass over the staging dir",
     "q_holt_trend" -> "monthly aggregate → per-flag rank window → 12-element collect; the 12-step recurrence is one codegen'd higher-order aggregate projection, zero extra exchanges",
-    "q_kcore" -> "returned plan reads the converged localCheckpoint ALIVE-NODE relation (degree column included): just the output sort — the peel rounds' semi-joins and degree aggregates never appear in the result plan",
+    "q_kcore" -> "returned plan reads the converged localCheckpoint ALIVE-NODE relation (degree column included): just the output sort — the peel rounds' semi-joins and degree aggregates never appear in the result plan. The alive set stays DISTRIBUTED across rounds (no driver collect anywhere in the loop — it grows with |customers|); each round is one count action over a lazily checkpointed peel, and AQE picks broadcast vs shuffle for the semi-join probes from the alive set's TRUE materialized size",
     "q_preference_pairs" -> "single partial/final aggregate carries BOTH packed-struct argmax and argmin; no window, no second scan of documents",
     "q_curriculum" -> "per-source rank window is the only data exchange; the global interleave position computes on a TakeOrderedAndProject 40-row prefix",
     "q_merge_schema_read" -> "ONE merged scan over both drifted batch dirs (mergeSchema unions footers at planning); per-batch profile is one partial/final aggregate",
