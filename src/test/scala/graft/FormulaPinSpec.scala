@@ -57,6 +57,370 @@ class FormulaPinSpec extends SparkSpec {
       s"2-core must be the triangle with degree 2, got ${out.toSeq}")
   }
 
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s)
+
+  // -------------------------------------------------------------------------
+  // W35 Welch's t-test. Groups click = {1,2,3,4,5}, view = {2,4,6}
+  // (in whole units; v scales by 1e6 which cancels in t and df).
+  // By Welch (1947): mean1 = 3, s1² = 2.5, mean2 = 4, s2² = 4;
+  // se = s²/n → t = (3−4)/√(1/2 + 4/3) = −1/√(11/6) = −0.7385489459,
+  // df = (11/6)²/((1/2)²/4 + (4/3)²/2) = (121/36)/(137/144) = 484/137
+  //    = 3.5328467153.
+  // -------------------------------------------------------------------------
+  test("welch t-test: t = -0.73855, df = 484/137 (Welch 1947 definition)") {
+    val rows =
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(v => (1L, ts("2024-01-10 00:00:00"), "click", v)) ++
+      Seq(2.0, 4.0, 6.0).map(v => (2L, ts("2024-01-10 00:00:00"), "view", v))
+    val dir = fixture("events" -> rows.toDF("user_id", "ts", "event_type", "value"))
+    val r = queries.Infer.welchTtest(spark, dir).collect().head
+    assert(r.getLong(0) == 5 && r.getLong(1) == 3)
+    assert(math.abs(r.getDouble(4) - (-0.7385489458759964)) < 1e-9,
+      s"t=${r.getDouble(4)}")
+    assert(math.abs(r.getDouble(5) - 484.0 / 137.0) < 1e-9,
+      s"df=${r.getDouble(5)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // W38 McNemar. Discordant cells b = n10 = 3, c = n01 = 1 (plus one
+  // concordant-yes and one concordant-no user). McNemar (1947):
+  // χ² = (b−c)²/(b+c) = 4/4 = 1; Edwards continuity correction:
+  // (|b−c|−1)²/(b+c) = 1/4 = 0.25.
+  // -------------------------------------------------------------------------
+  test("mcnemar: chi2 = 1, continuity-corrected = 0.25 (McNemar 1947)") {
+    def purch(u: Long, when: String, v: Double) =
+      (u, ts(when), "purchase", v)
+    val pre = "2024-01-10 00:00:00"; val post = "2024-01-20 00:00:00"
+    val rows = Seq(
+      // n10 = 3: big purchase pre only
+      purch(1, pre, 95.0), purch(2, pre, 95.0), purch(3, pre, 95.0),
+      // n01 = 1: big purchase post only
+      purch(4, post, 95.0),
+      // n11 = 1: both
+      purch(5, pre, 95.0), purch(5, post, 95.0),
+      // n00 = 1: small purchases only
+      purch(6, pre, 5.0))
+    val dir = fixture("events" -> rows.toDF("user_id", "ts", "event_type", "value"))
+    val r = queries.Infer.mcnemar(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 3L, 1L, 1L)))
+    assert(r.getDouble(4) == 1.0, s"chi2=${r.getDouble(4)}")
+    assert(r.getDouble(5) == 0.25, s"chi2_cc=${r.getDouble(5)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // W40 sample size. Per-user purchase totals 100/200/300 cents:
+  // mean = 200, s² = 10000 (n−1 denominator), δ = 2% of mean = 4.
+  // Standard two-sample power formula (e.g. van Belle, "Statistical
+  // Rules of Thumb"): n/arm = (z_{.975}+z_{.8})²·2σ²/δ² with
+  // (1.959964+0.841621)² = 7.8489870956 (the registered constant) →
+  // ceil(7.8489870956·20000/16) = ceil(9811.2338695) = 9812.
+  // -------------------------------------------------------------------------
+  test("sample size: n/arm = ceil((za+zb)^2 * 2 var / delta^2) = 9812") {
+    val rows = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0))
+      .map { case (u, v) => (u, ts("2024-01-10 00:00:00"), "purchase", v) }
+    val dir = fixture("events" -> rows.toDF("user_id", "ts", "event_type", "value"))
+    val r = queries.Infer.sampleSize(spark, dir).collect().head
+    assert(r.getLong(0) == 3)
+    assert(r.getDouble(1) == 200.0 && r.getDouble(2) == 10000.0)
+    assert(r.getDouble(3) == 4.0)
+    assert(r.getLong(4) == 9812L, s"n_per_arm=${r.getLong(4)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // W32 Wilson CI. k = 8 of n = 10, z = 1.96 — the standard worked
+  // example (Wilson 1927; e.g. Newcombe 1998 table): interval
+  // (0.4902, 0.9433).
+  // -------------------------------------------------------------------------
+  test("wilson interval: 8/10 successes -> (0.4902, 0.9433) (Wilson 1927)") {
+    val docs = (1 to 8).map(i => (s"d$i", "en", 400L)) ++
+      Seq(("d9", "en", 100L), ("d10", "en", 100L))
+    val dir = fixture("documents" -> docs.toDF("doc_id", "lang", "n_chars"))
+    val r = queries.Infer.wilsonCi(spark, dir).collect().head
+    assert(r.getLong(1) == 10 && r.getLong(2) == 8)
+    assert(r.getDouble(3) == 0.8)
+    assert(math.abs(r.getDouble(4) - 0.4902) < 5e-5, s"lo=${r.getDouble(4)}")
+    assert(math.abs(r.getDouble(5) - 0.9433) < 5e-5, s"hi=${r.getDouble(5)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // W33 CUPED. Users (x pre-cents, y post-cents): (100,200), (200,400),
+  // (300,500), (400,700); variant = user parity. By Deng et al. 2013:
+  // θ = cov(x,y)/var(x) = (n·Σxy−ΣxΣy)/(n·Σxx−(Σx)²)
+  //   = (2120000−1800000)/(1200000−1000000) = 1.6, x̄ = 250.
+  // Variant 1 (users 1,3): ȳ = 350, adj = 350 − 1.6·(200−250) = 430.
+  // Variant 0 (users 2,4): ȳ = 550, adj = 550 − 1.6·(300−250) = 470.
+  // Population var_y = 22500 both; var_adj = (90000 − 2·1.6·60000
+  //   + 1.6²·40000)/4 = 100 both.
+  // -------------------------------------------------------------------------
+  test("cuped: theta = cov/var = 1.6, adjusted means 430/470 (Deng 2013)") {
+    val pre = "2024-01-10 00:00:00"; val post = "2024-01-20 00:00:00"
+    val users = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0), (3L, 3.0, 5.0), (4L, 4.0, 7.0))
+    val rows = users.flatMap { case (u, x, y) =>
+      Seq((u, ts(pre), "view", x), (u, ts(post), "view", y)) }
+    val dir = fixture("events" -> rows.toDF("user_id", "ts", "event_type", "value"))
+    val out = queries.Infer.cuped(spark, dir).collect()
+    val byV = out.map(r => r.getInt(0) -> r).toMap
+    assert(byV(1).getDouble(2) == 350.0 && byV(1).getDouble(3) == 430.0)
+    assert(byV(0).getDouble(2) == 550.0 && byV(0).getDouble(3) == 470.0)
+    out.foreach { r =>
+      assert(r.getDouble(4) == 22500.0, s"var_y=${r.getDouble(4)}")
+      assert(math.abs(r.getDouble(5) - 100.0) < 1e-9, s"var_adj=${r.getDouble(5)}")
+    }
+  }
+
+  // -------------------------------------------------------------------------
+  // W42 difference-in-differences. Cell means (cents): control
+  // 100→150 (drift +50), treated 200→325 (+125). The 2×2 DiD
+  // estimator (Card & Krueger form): (325−200) − (150−100) = 75.
+  // -------------------------------------------------------------------------
+  test("difference-in-differences: (325-200)-(150-100) = 75") {
+    val pre = "2024-01-10 00:00:00"; val post = "2024-01-20 00:00:00"
+    val rows = Seq(
+      (2L, ts(pre), "purchase", 1.0), (2L, ts(post), "purchase", 1.5),
+      (1L, ts(pre), "purchase", 2.0), (1L, ts(post), "purchase", 3.25))
+    val dir = fixture("events" -> rows.toDF("user_id", "ts", "event_type", "value"))
+    val r = queries.Infer.did(spark, dir).collect().head
+    assert(r.getDouble(5) == 200.0 && r.getDouble(6) == 325.0)
+    assert(r.getDouble(7) == 100.0 && r.getDouble(8) == 150.0)
+    assert(r.getDouble(9) == 75.0, s"did=${r.getDouble(9)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // W41 grouped multiple regression. Exact-fit data: y = 2q + 3d + 5
+  // on the non-collinear design {(1,1),(2,1),(1,2),(3,2)} — the
+  // normal equations (Cramer) must recover β = (2, 3), intercept 5
+  // exactly (perfect fit ⇒ unique least-squares solution).
+  // -------------------------------------------------------------------------
+  test("multiple regression: exact fit recovers beta = (2,3), intercept 5") {
+    val pts = Seq((1L, 1L), (2L, 1L), (1L, 2L), (3L, 2L))
+    val rows = pts.map { case (q, d) =>
+      val cents = 2 * q + 3 * d + 5
+      ("A", q.toDouble, d / 100.0, cents / 100.0)
+    }
+    val dir = fixture("lineitem" ->
+      rows.toDF("l_returnflag", "l_quantity", "l_discount", "l_extendedprice"))
+    val r = queries.Infer.regrMulti(spark, dir).collect().head
+    assert(r.getDouble(2) == 2.0, s"beta_qty=${r.getDouble(2)}")
+    assert(r.getDouble(3) == 3.0, s"beta_disc=${r.getDouble(3)}")
+    assert(r.getDouble(4) == 5.0, s"intercept=${r.getDouble(4)}")
+  }
+
+  /** Monthly-series fixture for the lineitem-based series statistics:
+    * one lineitem row per month under flag "A", so monthly revenue
+    * cents x = 100·price and monthly quantity y = 100·qty. */
+  private def monthlyFixture(series: Seq[(Double, Double)]): String = {
+    val rows = series.zipWithIndex.map { case ((price, qty), i) =>
+      ("A", java.sql.Date.valueOf(f"2024-${i + 1}%02d-05"), price, qty)
+    }
+    fixture("lineitem" ->
+      rows.toDF("l_returnflag", "l_shipdate", "l_extendedprice", "l_quantity"))
+  }
+
+  // -------------------------------------------------------------------------
+  // G30 Kendall τ-b and G32 γ / Somers' D. Series ranks x = (1,2,2,3),
+  // y = (1,2,3,3): pairs C = 4, D = 0, tx = 1, ty = 1, n₀ = 6.
+  // Kendall (1945) τ-b = (C−D)/√((n₀−tx)(n₀−ty)) = 4/√25 = 0.8;
+  // Goodman-Kruskal (1954) γ = (C−D)/(C+D) = 1;
+  // Somers (1962) D_yx = (C−D)/(n₀−ty) = 4/5 = 0.8.
+  // -------------------------------------------------------------------------
+  test("kendall tau-b: C=4 D=0 tx=ty=1 -> tau = 0.8 (Kendall 1945)") {
+    val dir = monthlyFixture(Seq((1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 3.0)))
+    val r = queries.Evaluate.kendallTau(spark, dir).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((4L, 4L, 0L)))
+    assert(r.getDouble(4) == 0.8, s"tau=${r.getDouble(4)}")
+  }
+
+  test("ordinal association: gamma = 1.0, Somers' D = 0.8 (same census)") {
+    val dir = monthlyFixture(Seq((1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 3.0)))
+    val r = queries.Evaluate.ordinalAssoc(spark, dir).collect().head
+    assert(r.getDouble(2) == 1.0, s"gamma=${r.getDouble(2)}")
+    assert(r.getDouble(3) == 0.8, s"somers_d=${r.getDouble(3)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // TS16 ACF / TS19 PACF. Series x = (1,2,3,4,5): deviations
+  // (−2,−1,0,1,2), Σd² = 10. Box-Jenkins sample ACF r_k =
+  // Σd_t d_{t+k}/Σd²: r1 = 4/10, r2 = −1/10, r3 = −4/10, r4 = −4/10.
+  // Durbin-Levinson PACF: φ11 = 2/5; φ22 = (r2−r1²)/(1−r1²) = −13/42;
+  // φ21 = r1(1−φ22) = 11/21; φ33 = (r3−φ21·r2−φ22·r1)/
+  // (1−φ21·r1−φ22·r2) = −94/319.
+  // -------------------------------------------------------------------------
+  test("acf: series 1..5 -> r = 0.4, -0.1, -0.4, -0.4 (Box-Jenkins)") {
+    val dir = monthlyFixture((1 to 5).map(i => (i.toDouble, 1.0)))
+    val out = queries.Evaluate.acf(spark, dir).collect()
+      .map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(out(1) == 0.4 && out(2) == -0.1)
+    assert(out(3) == -0.4 && out(4) == -0.4)
+  }
+
+  test("pacf: Durbin-Levinson gives -13/42 and -94/319 at lags 2,3") {
+    val dir = monthlyFixture((1 to 5).map(i => (i.toDouble, 1.0)))
+    val r = queries.Evaluate.pacf(spark, dir).collect().head
+    assert(r.getDouble(2) == 0.4, s"pacf1=${r.getDouble(2)}")
+    assert(r.getDouble(3) == math.rint(-13.0 / 42.0 * 1e6) / 1e6,
+      s"pacf2=${r.getDouble(3)}")
+    assert(r.getDouble(4) == math.rint(-94.0 / 319.0 * 1e6) / 1e6,
+      s"pacf3=${r.getDouble(4)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // W50 one-way ANOVA. Groups [1,2,3], [2,3,4], [4,5,6] (cents):
+  // group means 2,3,5, grand 10/3 → SSB = 3(16+1+25)/9 = 14,
+  // SSW = 2+2+2 = 6, F = (14/2)/(6/6) = 7 exactly (Fisher's
+  // decomposition; every ⌊S²/n⌋ is integral here, so no floor slack).
+  // -------------------------------------------------------------------------
+  test("anova: three textbook groups -> SSB 14, SSW 6, F = 7.0 (Fisher)") {
+    val rows = Seq("A" -> 1, "A" -> 2, "A" -> 3, "B" -> 2, "B" -> 3, "B" -> 4,
+      "C" -> 4, "C" -> 5, "C" -> 6).map { case (g, c) => (g, c / 100.0) }
+    val dir = fixture("customer" -> rows.toDF("c_mktsegment", "c_acctbal"))
+    val r = queries.Evaluate.anova(spark, dir).collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 9)
+    assert(r.getLong(2) == 14L && r.getLong(3) == 6L)
+    assert(r.getDouble(4) == 7.0, s"F=${r.getDouble(4)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // W51 Brown-Forsythe. Groups [0,2,4,10] (median 3) and [1,3,5,7]
+  // (median 4): |dev| = [3,1,1,7] and [3,1,1,3]; ANOVA on those
+  // (Brown & Forsythe 1974): SSB = 2, SSW = 28, F = 2/(28/6) = 3/7.
+  // At the engine's 4× scale: ssb = 32, ssw = 448, same F.
+  // -------------------------------------------------------------------------
+  test("brown-forsythe: F on |x - group median| = 3/7 (Brown-Forsythe 1974)") {
+    val rows = (Seq(0, 2, 4, 10).map("A" -> _) ++ Seq(1, 3, 5, 7).map("B" -> _))
+      .map { case (g, c) => (g, c / 100.0) }
+    val dir = fixture("customer" -> rows.toDF("c_mktsegment", "c_acctbal"))
+    val r = queries.Evaluate.brownForsythe(spark, dir).collect().head
+    assert(r.getLong(2) == 32L && r.getLong(3) == 448L)
+    assert(r.getDouble(4) == math.rint(3.0 / 7.0 * 1e6) / 1e6,
+      s"F=${r.getDouble(4)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // W55 Cochran-Armitage. Bands (score, n, responders) = (0,10,2),
+  // (1,10,5), (2,10,8): N = 30, R = 15, Σsn = 30, Σsr = 21, Σs²n = 50.
+  // Armitage (1955): Z² = N(NΣsr−RΣsn)²/(R(N−R)(NΣs²n−(Σsn)²))
+  //   = 30·180²/(15·15·600) = 7.2 → z = √7.2 = 2.683282, "trend".
+  // -------------------------------------------------------------------------
+  test("cochran-armitage: perfect linear trend -> z = sqrt(7.2) (Armitage 1955)") {
+    def band(price: Double, nF: Int, nO: Int) =
+      (1 to nF).map(_ => (price, "F")) ++ (1 to nO).map(_ => (price, "O"))
+    val rows = band(100.0, 2, 8) ++ band(200000.0, 5, 5) ++ band(400000.0, 8, 2)
+    val dir = fixture("orders" -> rows.toDF("o_totalprice", "o_orderstatus"))
+    val r = queries.Evaluate.cochranArmitage(spark, dir).collect().head
+    assert(r.getLong(0) == 30 && r.getLong(1) == 15)
+    assert(r.getDouble(2) == math.rint(math.sqrt(7.2) * 1e6) / 1e6,
+      s"z=${r.getDouble(2)}")
+    assert(r.getString(3) == "trend")
+  }
+
+  // -------------------------------------------------------------------------
+  // G33 Hodges-Lehmann. Series x = (1,2,6) dollars: Walsh averages
+  // {1, 1.5, 3.5, 2, 4, 6}, median = (2+3.5)/2 = 2.75 (Hodges &
+  // Lehmann 1963 pseudomedian); plain median = 2.
+  // -------------------------------------------------------------------------
+  test("hodges-lehmann: pseudomedian of {1,2,6} = 2.75 (Hodges-Lehmann 1963)") {
+    val dir = monthlyFixture(Seq((1.0, 1.0), (2.0, 1.0), (6.0, 1.0)))
+    val r = queries.Evaluate.hodgesLehmann(spark, dir).collect().head
+    assert(r.getLong(1) == 6)
+    assert(r.getDouble(2) == 2.75, s"hl=${r.getDouble(2)}")
+    assert(r.getDouble(3) == 2.0)
+  }
+
+  // -------------------------------------------------------------------------
+  // W54 log-rank. Group 1 (BUILDING) event days {1,2}; group 0 days
+  // {1,3}, no censoring. Risk table (Mantel 1966): t=1: d=2, n=4,
+  // n1=2 → E=1, V=1/3; t=2: d=1, n=2, n1=1 → E=.5, V=.25; t=3: E=V=0.
+  // O1 = 2, E1 = 1.5, V = 7/12 → χ² = 0.25/(7/12) = 3/7 = 0.428571.
+  // -------------------------------------------------------------------------
+  test("log-rank: chi2 = 3/7 on the two-group worked example (Mantel 1966)") {
+    val custs = Seq((1L, "BUILDING"), (2L, "BUILDING"), (3L, "AUTOMOBILE"), (4L, "AUTOMOBILE"))
+    val ord = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).map { case (o, c) =>
+      (o, java.sql.Date.valueOf("2024-01-01"), c) }
+    val ship = Seq(1L -> "2024-01-02", 2L -> "2024-01-03",
+      3L -> "2024-01-02", 4L -> "2024-01-04")
+      .map { case (o, d) => (o, java.sql.Date.valueOf(d)) }
+    val dir = fixture(
+      "customer" -> custs.toDF("c_custkey", "c_mktsegment"),
+      "orders" -> ord.toDF("o_orderkey", "o_orderdate", "o_custkey"),
+      "lineitem" -> ship.toDF("l_orderkey", "l_shipdate"))
+    val r = queries.Evaluate.logrank(spark, dir).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2 && r.getLong(2) == 2)
+    assert(r.getLong(3) == 1500000000L, s"E1nano=${r.getLong(3)}")
+    assert(r.getLong(4) == 583333333L, s"Vnano=${r.getLong(4)}")
+    assert(r.getDouble(5) == 0.428571, s"chi2=${r.getDouble(5)}")
+    assert(r.getString(6) == "no_evidence")
+  }
+
+  // -------------------------------------------------------------------------
+  // G31 jackknife ratio. Rows (a,b) = (200,100), (400,100): R = 3,
+  // leave-one-out replicates 4 and 2 → Efron's delete-one SE
+  // = √((n−1)/n · Σ(Rᵢ−R̄)²) = √(0.5·2) = 1 exactly.
+  // -------------------------------------------------------------------------
+  test("jackknife ratio: SE = 1.0 on the two-row exact case (Efron)") {
+    val rows = Seq(("A", 2.0, 1.0), ("A", 4.0, 1.0))
+    val dir = fixture("lineitem" ->
+      rows.toDF("l_returnflag", "l_extendedprice", "l_quantity"))
+    val r = queries.Evaluate.jackknifeRatio(spark, dir).collect().head
+    assert(r.getDouble(2) == 3.0, s"r_hat=${r.getDouble(2)}")
+    assert(r.getDouble(3) == 1.0, s"jk_se=${r.getDouble(3)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // L39 capture-recapture. doc_ids 0..11, distinct texts: sample 1 =
+  // evens (n1=6), sample 2 = multiples of 3 (n2=4), overlap {0,6}
+  // (m=2). Chapman (1951): ⌊(6+1)(4+1)/(2+1)⌋ − 1 = ⌊35/3⌋ − 1 = 10.
+  // -------------------------------------------------------------------------
+  test("capture-recapture: Chapman estimate 10 of true 12 (Chapman 1951)") {
+    val docs = (0L to 11L).map(i => (i, "en", s"unique text $i"))
+    val dir = fixture("documents" -> docs.toDF("doc_id", "lang", "text"))
+    val r = queries.Evaluate.captureRecapture(spark, dir).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((6L, 4L, 2L)))
+    assert(r.getLong(4) == 10L, s"chapman=${r.getLong(4)}")
+    assert(r.getLong(5) == 12L)
+  }
+
+  // -------------------------------------------------------------------------
+  // C13 Horvitz-Thompson. All orders in the mid stratum (π = 1/2,
+  // weight 2); sample membership comes from the md5 coin, recomputed
+  // here INDEPENDENTLY via java.security.MessageDigest. HT (1952):
+  // estimate = Σ_{sampled} cents/π must equal 2·cents·|sampled|.
+  // -------------------------------------------------------------------------
+  test("horvitz-thompson: inverse-probability total matches the independent coin") {
+    val keys = (1L to 30L)
+    def coin(k: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 10
+    }
+    val sampled = keys.count(coin(_) < 5)
+    val rows = keys.map(k => (k, 200000.0, "1-URGENT"))
+    val dir = fixture("orders" ->
+      rows.toDF("o_orderkey", "o_totalprice", "o_orderpriority"))
+    val r = queries.Evaluate.horvitzThompson(spark, dir).collect().head
+    assert(r.getLong(1) == 30 && r.getLong(2) == sampled.toLong)
+    assert(r.getLong(3) == 30L * 20000000L)
+    assert(r.getLong(4) == 2L * 20000000L * sampled,
+      s"est=${r.getLong(4)} sampled=$sampled")
+  }
+
+  // -------------------------------------------------------------------------
+  // L42 BLEU-2. Candidate "the the the cat" vs reference "the cat sat"
+  // — Papineni et al. 2002's clipping example: p1 = (min(3,1)+1)/4 =
+  // 1/2, p2 = 1/3 ("the cat" clips to 1, of 3 candidate bigrams),
+  // bp = 1 (candidate longer) → BLEU-2 = √(1/6) = 0.4082.
+  // -------------------------------------------------------------------------
+  test("bleu-2: clipped precision example -> sqrt(1/6) = 0.4082 (Papineni 2002)") {
+    val docs = Seq((1L, "en", "the the the cat"), (2L, "en", "the cat sat"))
+    val dir = fixture("documents" -> docs.toDF("doc_id", "lang", "text"))
+    val r = queries.Evaluate.bleu(spark, dir).collect()
+      .find(_.getLong(1) == 1L).get
+    assert(r.getDouble(2) == 0.5, s"p1=${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - 1.0 / 3.0) < 1e-12, s"p2=${r.getDouble(3)}")
+    assert(r.getDouble(4) == 1.0, s"bp=${r.getDouble(4)}")
+    assert(r.getDouble(5) == 0.4082, s"bleu2=${r.getDouble(5)}")
+  }
+
   test("k-core: a pure path has an empty 2-core (full peel-out)") {
     // path 1-2-3-4-5: ends peel first, the middle follows — the
     // definitional degenerate case (no subgraph with min degree 2)
