@@ -421,6 +421,245 @@ class FormulaPinSpec extends SparkSpec {
     assert(r.getDouble(5) == 0.4082, s"bleu2=${r.getDouble(5)}")
   }
 
+  // -------------------------------------------------------------------------
+  // W18 two-sample KS. R lands in bins {1,2,3}, N in {2,3,4}, one
+  // each: ECDFs (1/3,2/3,1,1) vs (0,1/3,2/3,1) — D = max gap = 1/3
+  // (Kolmogorov-Smirnov definition).
+  // -------------------------------------------------------------------------
+  test("ks test: shifted uniform supports -> D = 1/3 (Kolmogorov-Smirnov)") {
+    val rows = Seq(("R", 150.0), ("R", 250.0), ("R", 350.0),
+      ("N", 250.0), ("N", 350.0), ("N", 450.0))
+    val dir = fixture("lineitem" -> rows.toDF("l_returnflag", "l_extendedprice"))
+    val r = queries.Warehouse.ksTest(spark, dir).collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3)
+    assert(math.abs(r.getDouble(2) - 1.0 / 3.0) < 1e-12, s"D=${r.getDouble(2)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // W19 two-proportion z. Arms 2/4 vs 1/4 converted: pooled p = 3/8,
+  // z = (0.5−0.25)/√(0.375·0.625·(1/4+1/4)) = 0.25/√(15/128)
+  //   = 0.7302967 (Fleiss' pooled form).
+  // -------------------------------------------------------------------------
+  test("ab test: pooled two-proportion z = 0.730297 (Fleiss)") {
+    // conv requires >= 14 purchases; seg = user parity
+    def user(u: Long, purchases: Int) = (1 to purchases).map(i =>
+      (u, ts("2024-01-10 00:00:00"), "purchase", 1.0)) :+
+      ((u, ts("2024-01-10 00:00:00"), "view", 1.0))
+    val rows = Seq(2L -> 14, 4L -> 14, 6L -> 1, 8L -> 1,   // seg0: 2/4
+      1L -> 14, 3L -> 1, 5L -> 1, 7L -> 1)                 // seg1: 1/4
+      .flatMap { case (u, p) => user(u, p) }
+    val dir = fixture("events" -> rows.toDF("user_id", "ts", "event_type", "value"))
+    val r = queries.Warehouse.abTest(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 2L, 4L, 1L)))
+    assert(math.abs(r.getDouble(6) - 0.7302967433402214) < 1e-9,
+      s"z=${r.getDouble(6)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // W7 chi-square independence + W66 Cramér's V / Theil's U on the
+  // 2×2 table [[10,20],[20,10]]: E = 15 in every cell, each χ² term
+  // (O−E)²/E = 25/15 = 5/3, total χ² = 20/3 (Pearson 1900);
+  // V = √(χ²/(n·(min(r,c)−1))) = √((20/3)/60) = 1/3 (Cramér 1946);
+  // U = (H(L)−H(L|S))/H(L) = (ln2 − 0.6365142)/ln2 = 0.081704
+  // (Theil 1970).
+  // -------------------------------------------------------------------------
+  private def contingencyFixture(): String = {
+    val rows = Seq(("l1", "s1", 10), ("l1", "s2", 20), ("l2", "s1", 20), ("l2", "s2", 10))
+      .flatMap { case (l, s, n) => (1 to n).map(_ => (l, s)) }
+    fixture("documents" -> rows.toDF("lang", "source"))
+  }
+
+  test("chi2 independence: every 2x2 cell term = 5/3 (Pearson 1900)") {
+    val out = queries.Warehouse.chi2Independence(spark, contingencyFixture()).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getDouble(3) == 15.0, s"E=${r.getDouble(3)}")
+      assert(math.abs(r.getDouble(4) - 5.0 / 3.0) < 1e-12,
+        s"term=${r.getDouble(4)}")
+    }
+  }
+
+  test("cramers v = 1/3 and theil u = 0.081704 on the same table") {
+    val r = queries.Warehouse.cramersTheil(spark, contingencyFixture()).collect().head
+    assert(r.getLong(0) == 60)
+    assert(r.getDouble(3) == 6.666667, s"chi2=${r.getDouble(3)}")
+    assert(r.getDouble(4) == 0.333333, s"v=${r.getDouble(4)}")
+    assert(r.getDouble(5) == 0.693147, s"h_lang=${r.getDouble(5)}")
+    assert(math.abs(r.getDouble(7) - 0.081704) <= 1e-6, s"u=${r.getDouble(7)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // W12 PSI. Bins (era A count, era B count) = (30,20), (10,20),
+  // totals 40/40. With the registered Laplace smoothing p = (n+1)/
+  // (t+10): bin0 term = (0.62−0.42)·ln(31/21) = 0.0778930, bin1 term
+  // = (0.22−0.42)·ln(11/21) = 0.1293254 (PSI definition).
+  // -------------------------------------------------------------------------
+  test("psi drift: smoothed (p-q)ln(p/q) terms match hand values") {
+    def orderRows(n: Int, price: Double, date: String) =
+      (1 to n).map(_ => (price, java.sql.Date.valueOf(date)))
+    val rows = orderRows(30, 10000.0, "1996-03-01") ++
+      orderRows(10, 60000.0, "1996-03-01") ++
+      orderRows(20, 10000.0, "1998-03-01") ++
+      orderRows(20, 60000.0, "1998-03-01")
+    val dir = fixture("orders" -> rows.toDF("o_totalprice", "o_orderdate"))
+    val out = queries.Warehouse.psiDrift(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(math.abs(out(0) - 0.0778930) < 1e-6, s"term0=${out(0)}")
+    assert(math.abs(out(1) - 0.1293254) < 1e-6, s"term1=${out(1)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // W10 simple regression. Exact fit y = 3x + 7 on x = 1,2,3 — the
+  // least-squares closed form must recover slope 3, intercept 7.
+  // -------------------------------------------------------------------------
+  test("regression slope: exact fit recovers slope 3, intercept 7") {
+    val rows = Seq(("A", 1.0, 0.10), ("A", 2.0, 0.13), ("A", 3.0, 0.16))
+    val dir = fixture("lineitem" ->
+      rows.toDF("l_returnflag", "l_quantity", "l_extendedprice"))
+    val r = queries.Trend.regrSlope(spark, dir).collect().head
+    assert(r.getDouble(2) == 3.0, s"slope=${r.getDouble(2)}")
+    assert(r.getDouble(3) == 7.0, s"intercept=${r.getDouble(3)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // TS8 STL-style decomposition. A pure linear series c_t = 100t: the
+  // 13-term centered moving average of a linear sequence equals its
+  // center, so trend = cents, seasonal = 0, residual = 0 exactly (the
+  // classical-decomposition identity on a trend-only series).
+  // -------------------------------------------------------------------------
+  test("seasonal decomposition: linear series -> trend = series, zero seasonal/residual") {
+    val rows = (1 to 25).map { t =>
+      val ym = 2022 * 12 + (t - 1)
+      (java.sql.Date.valueOf(f"${ym / 12}%04d-${ym % 12 + 1}%02d-10"), t * 1.0)
+    }
+    val dir = fixture("orders" -> rows.toDF("o_orderdate", "o_totalprice"))
+    val out = queries.Trend.stlDecompose(spark, dir).collect()
+    assert(out.length == 13) // months 7..19 have a full 13-term frame
+    out.foreach { r =>
+      assert(r.getDouble(2) == r.getLong(1).toDouble,
+        s"trend=${r.getDouble(2)} cents=${r.getLong(1)}")
+      assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0,
+        s"seasonal=${r.getDouble(3)} residual=${r.getDouble(4)}")
+    }
+  }
+
+  // -------------------------------------------------------------------------
+  // W22 delta-method ratio variance. Variant 0's orders are exactly
+  // proportional (x = 200y) → Var(R) = 0 (the delta form's defining
+  // zero); variant 1 has constant y → Var(R) = Var(x)/(n·ȳ²) =
+  // 40000/2 = 20000 (population variance, matching the /n form).
+  // -------------------------------------------------------------------------
+  test("ratio test: delta-method variance 0 under proportionality, var(x)/(n ybar^2) otherwise") {
+    val rows = Seq((2L, 2.0, 1.0), (4L, 4.0, 2.0),   // seg0: x=200y
+      (1L, 1.0, 1.0), (3L, 5.0, 1.0))                // seg1: y const
+    val dir = fixture("lineitem" ->
+      rows.toDF("l_orderkey", "l_extendedprice", "l_quantity"))
+    val out = queries.Trend.ratioTest(spark, dir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out(0).getDouble(4) == 200.0 && out(0).getDouble(5) == 0.0,
+      s"seg0 var=${out(0).getDouble(5)}")
+    assert(out(1).getDouble(4) == 300.0 && out(1).getDouble(5) == 20000.0,
+      s"seg1 var=${out(1).getDouble(5)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // TS14 Theil-Sen. Monthly y = 1,2,3,10 cents: pairwise slopes
+  // {1,1,1,3,4,7}, Sen slope = median = (1+3)/2 = 2 (Sen 1968) —
+  // the outlier month pulls OLS but not the pairwise median;
+  // S = +6, τ = 1 (all pairs increasing).
+  // -------------------------------------------------------------------------
+  test("theil-sen: median pairwise slope = 2.0 against the outlier (Sen 1968)") {
+    val rows = Seq(("2024-01-10", 0.01), ("2024-02-10", 0.02),
+      ("2024-03-10", 0.03), ("2024-04-10", 0.10))
+      .map { case (d, p) => (java.sql.Date.valueOf(d), p) }
+    val dir = fixture("orders" -> rows.toDF("o_orderdate", "o_totalprice"))
+    val r = queries.Trend.theilSen(spark, dir).collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 6)
+    assert(r.getDouble(2) == 2.0, s"sen=${r.getDouble(2)}")
+    assert(r.getLong(3) == 6L && r.getDouble(4) == 1.0)
+  }
+
+  // -------------------------------------------------------------------------
+  // W48 Mann-Kendall. Flag A: y = (1,3,2,4) → S = 4, var = n(n−1)
+  // (2n+5)/18 = 156/18, z = (S−1)/√(156/18) = 1.019049 (Kendall 1975,
+  // continuity-corrected). Flag B: y = (1,2,2,3) → S = 5 with one
+  // tied pair, tie term t(t−1)(2t+5) = 18 → var_num = 138.
+  // -------------------------------------------------------------------------
+  test("mann-kendall: S, tie-corrected variance, and z match Kendall 1975") {
+    val rows = Seq(("A", 1, 1.0), ("A", 2, 3.0), ("A", 3, 2.0), ("A", 4, 4.0),
+      ("B", 1, 1.0), ("B", 2, 2.0), ("B", 3, 2.0), ("B", 4, 3.0))
+      .map { case (f, mth, p) =>
+        (f, java.sql.Date.valueOf(f"2024-$mth%02d-10"), p) }
+    val dir = fixture("lineitem" ->
+      rows.toDF("l_returnflag", "l_shipdate", "l_extendedprice"))
+    val out = queries.Train.mannKendall(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("A").getLong(2) == 4L && out("A").getLong(3) == 156L)
+    assert(math.abs(out("A").getDouble(4) - 1.019049) <= 1e-6,
+      s"zA=${out("A").getDouble(4)}")
+    assert(out("A").getString(5) == "no_trend")
+    assert(out("B").getLong(2) == 5L && out("B").getLong(3) == 138L,
+      s"B: S=${out("B").getLong(2)} var=${out("B").getLong(3)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // W49 runs test. Series 1,9,2,8,3: median 3 drops its own month,
+  // the rest alternate below/above → R = 4 runs, n1 = n2 = 2.
+  // Wald-Wolfowitz (1940): E = 2n1n2/n + 1 = 3, Var = 8·4/(16·3) =
+  // 2/3, z = 1/√(2/3) = 1.224745.
+  // -------------------------------------------------------------------------
+  test("runs test: alternating series -> z = sqrt(3/2) (Wald-Wolfowitz 1940)") {
+    val prices = Seq(1.0, 9.0, 2.0, 8.0, 3.0)
+    val rows = prices.zipWithIndex.map { case (p, i) =>
+      ("A", java.sql.Date.valueOf(f"2024-${i + 1}%02d-10"), p) }
+    val dir = fixture("lineitem" ->
+      rows.toDF("l_returnflag", "l_shipdate", "l_extendedprice"))
+    val r = queries.Train.runsTest(spark, dir).collect().head
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L && r.getLong(3) == 2L)
+    assert(r.getDouble(4) == math.rint(math.sqrt(1.5) * 1e6) / 1e6,
+      s"z=${r.getDouble(4)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // W46 SPRT. Wald (1945) with H0 p=0.3, H1 p=0.4, α=β=0.05:
+  // LLR = s·ln(4/3) − f·ln(7/6); boundary ln((1−β)/α) = ln 19.
+  // Day 1: s=4, f=6 → LLR = 0.225824, "continue"; cumulative day 2:
+  // s=24, f=6 → LLR = 5.979466 ≥ ln 19, "accept_h1".
+  // -------------------------------------------------------------------------
+  test("sprt: Wald LLR chain and the ln 19 boundary decision") {
+    def ev(day: String, typ: String, n: Int) = (1 to n).map(_ =>
+      (2L, ts(s"$day 12:00:00"), typ, 1.0))
+    val rows = ev("2024-01-10", "click", 4) ++ ev("2024-01-10", "view", 6) ++
+      ev("2024-01-11", "purchase", 20)
+    val dir = fixture("events" -> rows.toDF("user_id", "ts", "event_type", "value"))
+    val out = queries.Train.sprt(spark, dir).collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(2) == 10 && out(0).getLong(3) == 4)
+    assert(out(0).getDouble(4) == 0.225824, s"llr1=${out(0).getDouble(4)}")
+    assert(out(0).getString(5) == "continue")
+    assert(out(1).getLong(2) == 30 && out(1).getLong(3) == 24)
+    assert(out(1).getDouble(4) == 5.979466, s"llr2=${out(1).getDouble(4)}")
+    assert(out(1).getString(5) == "accept_h1")
+  }
+
+  // -------------------------------------------------------------------------
+  // TS15 Holt. A constant series is a fixpoint of Holt's recurrence
+  // (L_t = y, B_t = 0 for every t once L_1 = y_1): 12 months of
+  // constant 500-cent revenue must forecast exactly 5 dollars with
+  // zero trend (Holt 1957 definitional invariant).
+  // -------------------------------------------------------------------------
+  test("holt smoothing: constant series is a fixpoint -> forecast = level, trend 0") {
+    val rows = (1 to 12).map(mth =>
+      ("A", java.sql.Date.valueOf(f"2024-$mth%02d-10"), 5.0))
+    val dir = fixture("lineitem" ->
+      rows.toDF("l_returnflag", "l_shipdate", "l_extendedprice"))
+    val r = queries.Train.holtTrend(spark, dir).collect().head
+    assert(r.getLong(1) == 500L * 4194304L, s"level=${r.getLong(1)}")
+    assert(r.getLong(2) == 0L, s"trend=${r.getLong(2)}")
+    assert(r.getDouble(4) == 5.0, s"forecast=${r.getDouble(4)}")
+  }
+
   test("k-core: a pure path has an empty 2-core (full peel-out)") {
     // path 1-2-3-4-5: ends peel first, the middle follows — the
     // definitional degenerate case (no subgraph with min degree 2)
