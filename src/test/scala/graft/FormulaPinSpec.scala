@@ -660,6 +660,252 @@ class FormulaPinSpec extends SparkSpec {
     assert(r.getDouble(4) == 5.0, s"forecast=${r.getDouble(4)}")
   }
 
+  // -------------------------------------------------------------------------
+  // W16 ROC-AUC. Positives score bins {2,3}, negatives {1,2}: of the
+  // 4 (pos, neg) pairs, 3 wins + 1 tie → Mann-Whitney AUC =
+  // (3 + 0.5)/4 = 0.875 (Hanley-McNeil equivalence).
+  // -------------------------------------------------------------------------
+  test("roc-auc: 3 wins + 1 tie of 4 pairs -> 0.875 (Mann-Whitney)") {
+    val rows = Seq(("R", 2500.0), ("R", 3500.0), ("N", 1500.0), ("N", 2500.0))
+      .map { case (f, p) => (f, "O", p) }
+    val dir = fixture("lineitem" ->
+      rows.toDF("l_returnflag", "l_linestatus", "l_extendedprice"))
+    val r = queries.Linkage.aucGrouped(spark, dir).collect().head
+    assert(r.getLong(1) == 2 && r.getLong(2) == 4)
+    assert(r.getDouble(3) == 0.875, s"auc=${r.getDouble(3)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // W17 Gini. Balances {1,2,3,4}: sorted-rank form G = (2Σi·xᵢ −
+  // (n+1)Σxᵢ)/(nΣxᵢ) = (60−50)/40 = 0.25 — the standard worked value
+  // for {1,2,3,4}.
+  // -------------------------------------------------------------------------
+  test("gini: balances 1..4 -> 0.25 (sorted-rank form)") {
+    val rows = (1 to 4).map(i => (1L, i.toLong, i / 100.0))
+    val dir = fixture("customer" -> rows.toDF("c_nationkey", "c_custkey", "c_acctbal"))
+    val r = queries.Linkage.giniBalance(spark, dir).collect().head
+    assert(r.getLong(1) == 4)
+    assert(r.getDouble(2) == 0.25, s"gini=${r.getDouble(2)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // W62 Theil T. Balances {1,1,4} cents: T = Σ(xᵢ/S)ln(n·xᵢ/S)
+  //   = 2·(1/6)ln(1/2) + (2/3)ln 2 = (1/3)ln 2 = 0.2310490 (Theil
+  // 1967); the engine's 1e-9 term quantization may shave ≤2e-9/term.
+  // -------------------------------------------------------------------------
+  test("theil index: {1,1,4} -> ln(2)/3 (Theil 1967)") {
+    val rows = Seq(0.01, 0.01, 0.04).zipWithIndex.map { case (b, i) => (1L, i.toLong, b) }
+    val dir = fixture("customer" -> rows.toDF("c_nationkey", "c_custkey", "c_acctbal"))
+    val r = queries.Linkage.theilIndex(spark, dir).collect().head
+    assert(r.getLong(1) == 3)
+    assert(math.abs(r.getDouble(3) - math.log(2.0) / 3.0) < 1e-8,
+      s"theil=${r.getDouble(3)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // W39 Brier + Murphy decomposition. Bins p = 0.2 (5 rows, 1 pos)
+  // and p = 0.8 (5 rows, 4 pos) — perfectly calibrated: REL = 0,
+  // RES = Σn_k(ō_k−ō)²/N = 0.09, UNC = 0.5·0.5 = 0.25, and the
+  // Murphy (1973) identity REL−RES+UNC = 0.16 equals the raw Brier.
+  // -------------------------------------------------------------------------
+  private def brierFixture(): String = {
+    def rowsOf(qty: Double, nPos: Int, nNeg: Int) =
+      (1 to nPos).map(_ => ("R", qty)) ++ (1 to nNeg).map(_ => ("N", qty))
+    val rows = rowsOf(10.0, 1, 4) ++ rowsOf(40.0, 4, 1)
+    fixture("lineitem" -> rows.toDF("l_returnflag", "l_quantity"))
+  }
+
+  test("brier: calibrated bins -> REL 0, RES 0.09, UNC 0.25, Brier 0.16 (Murphy 1973)") {
+    val r = queries.Linkage.brier(spark, brierFixture()).collect().head
+    assert(r.getLong(0) == 10)
+    assert(r.getDouble(1) == 0.16, s"raw=${r.getDouble(1)}")
+    assert(r.getDouble(2) == 0.0, s"rel=${r.getDouble(2)}")
+    // the engine floor-quantizes each bin's contribution at 1e-6, so
+    // the decomposition terms may sit ≤1e-6/bin below the exact value
+    assert(math.abs(r.getDouble(3) - 0.09) < 3e-7, s"res=${r.getDouble(3)}")
+    assert(r.getDouble(4) == 0.25, s"unc=${r.getDouble(4)}")
+    assert(math.abs(r.getDouble(5) - 0.16) < 3e-7, s"binned=${r.getDouble(5)}")
+    assert(r.getDouble(5) == r.getDouble(2) - r.getDouble(3) + r.getDouble(4),
+      "Murphy identity REL - RES + UNC must hold exactly on the outputs")
+  }
+
+  test("calibration: calibrated bins -> mean_pred = empirical, gap 0") {
+    val out = queries.Linkage.calibration(spark, brierFixture()).collect()
+    assert(out.length == 2)
+    val byBin = out.map(r => r.getLong(0) -> r).toMap
+    assert(byBin(2L).getDouble(3) == 0.2 && byBin(2L).getDouble(4) == 0.2)
+    assert(byBin(8L).getDouble(3) == 0.8 && byBin(8L).getDouble(4) == 0.8)
+    out.foreach(r => assert(r.getDouble(5) == 0.0, s"gap=${r.getDouble(5)}"))
+  }
+
+  // -------------------------------------------------------------------------
+  // G22 mutual information. Perfectly dependent 2×2 (status ↔
+  // priority, 30+30): I(X;Y) = H(X) = H(Y) = ln 2 (Shannon 1948) —
+  // the "one determines the other" extreme.
+  // -------------------------------------------------------------------------
+  test("mutual information: perfect dependence -> MI = H = ln 2 (Shannon)") {
+    val rows = (1 to 30).map(_ => ("F", "1-URGENT")) ++
+      (1 to 30).map(_ => ("O", "5-LOW"))
+    val dir = fixture("orders" -> rows.toDF("o_orderstatus", "o_orderpriority"))
+    val r = queries.Metrics.mutualInfo(spark, dir).collect().head
+    assert(r.getLong(0) == 60)
+    assert(math.abs(r.getDouble(1) - math.log(2.0)) < 1e-8, s"mi=${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - math.log(2.0)) < 1e-8)
+    assert(math.abs(r.getDouble(3) - math.log(2.0)) < 1e-8)
+  }
+
+  // -------------------------------------------------------------------------
+  // W27 Cohen's kappa. Confusion [[20,5],[10,15]]: po = 0.7,
+  // pe = (25·30 + 25·20)/50² = 0.5 → κ = (0.7−0.5)/(1−0.5) = 0.4
+  // (Cohen 1960).
+  // -------------------------------------------------------------------------
+  test("cohens kappa: po 0.7, pe 0.5 -> kappa = 0.4 (Cohen 1960)") {
+    def cell(a: String, prio: String, n: Int) = (1 to n).map(_ => (a, prio))
+    val rows = cell("O", "1-URGENT", 20) ++ cell("O", "4-NOT SPECIFIED", 5) ++
+      cell("F", "1-URGENT", 10) ++ cell("F", "4-NOT SPECIFIED", 15)
+    val dir = fixture("orders" -> rows.toDF("o_orderstatus", "o_orderpriority"))
+    val r = queries.Metrics.cohensKappa(spark, dir).collect().head
+    assert(r.getLong(0) == 50 && r.getLong(1) == 35)
+    assert(r.getDouble(2) == 0.7 && r.getDouble(3) == 0.5)
+    assert(math.abs(r.getDouble(4) - 0.4) < 1e-12, s"kappa=${r.getDouble(4)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // G10 Spearman. Ranks (1,2,3) vs (3,1,2): ρ = 1 − 6Σd²/(n(n²−1))
+  //   = 1 − 36/24 = −0.5 (Spearman 1904).
+  // -------------------------------------------------------------------------
+  test("spearman: rank permutation (3,1,2) -> rho = -0.5 (Spearman 1904)") {
+    val rows = Seq(("A", 1.0, 0.03), ("A", 2.0, 0.01), ("A", 3.0, 0.02))
+    val dir = fixture("lineitem" ->
+      rows.toDF("l_returnflag", "l_quantity", "l_extendedprice"))
+    val r = queries.Pipeline.rankCorr(spark, dir).collect().head
+    assert(math.abs(r.getDouble(2) - (-0.5)) < 1e-12, s"rho=${r.getDouble(2)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // L4q KL and L30 JS. Sources A = "a a a b", B = "a b b b": corpus
+  // is uniform, so KL(A‖C) = KL(B‖C) = ¾ln(3/2) + ¼ln(1/2)
+  //   = 0.1308120 (Kullback-Leibler 1951); and since the pairwise
+  // mixture M equals the corpus here, JS(A,B) = ½KL(A‖M)+½KL(B‖M)
+  //   = 0.1308120 too (Lin 1991).
+  // -------------------------------------------------------------------------
+  private val klExpected = 0.75 * math.log(1.5) + 0.25 * math.log(0.5)
+
+  test("kl divergence: 3:1 vs uniform -> 0.130812 (Kullback-Leibler)") {
+    val docs = Seq((1L, "A", "a a a b"), (2L, "B", "a b b b"))
+    val dir = fixture("documents" -> docs.toDF("doc_id", "source", "text"))
+    val out = queries.Corpus.klSources(spark, dir).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(1) == 4)
+      assert(math.abs(r.getDouble(2) - klExpected) < 1e-7,
+        s"kl(${r.getString(0)})=${r.getDouble(2)} want $klExpected")
+    }
+  }
+
+  test("js divergence: symmetric 3:1 sources -> 0.130812 (Lin 1991)") {
+    val docs = Seq((1L, "A", "a a a b"), (2L, "B", "a b b b"))
+    val dir = fixture("documents" -> docs.toDF("doc_id", "source", "text"))
+    val r = queries.Corpus.jsDivergence(spark, dir).collect().head
+    assert(r.getString(0) == "A" && r.getString(1) == "B" && r.getLong(2) == 2)
+    assert(math.abs(r.getDouble(3) - klExpected) < 1e-7, s"js=${r.getDouble(3)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // SP4 Moran's I. The grid coordinates come from the engine's md5
+  // geo-hash, so the pin recomputes them INDEPENDENTLY (MessageDigest)
+  // and evaluates Moran (1950)'s definition I = (n/W)·Σwᵢⱼzᵢzⱼ/Σzᵢ²
+  // with queen adjacency in plain BigInt/double arithmetic.
+  // -------------------------------------------------------------------------
+  test("morans i: engine matches the definition on independently hashed cells") {
+    val ids = (1L to 120L)
+    val dir = fixture("events" -> // Tables.events touches ts in its schema dispatch
+      ids.map(i => (i, ts("2024-01-10 00:00:00"))).toDF("event_id", "ts"))
+    def h8(sfx: String, from: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"egeo|$sfx".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(from, from + 8), 16) % 1000000L
+    }
+    val cells = ids.map { i =>
+      (math.floor(40.0 + h8(i.toString, 0) / 1e6 * 10.0).toInt,
+        math.floor(h8(i.toString, 8) / 1e6 * 10.0).toInt)
+    }.groupBy(identity).map { case (c, v) => (c._1, c._2, v.size.toLong) }.toSeq
+    val n = cells.size.toLong
+    val sx = cells.map(_._3).sum
+    val z = cells.map { case (jy, jx, x) => ((jy, jx), BigInt(x) * n - sx) }.toMap
+    var num = BigInt(0); var w = 0L
+    for (((ay, ax), za) <- z; ((by, bx), zb) <- z
+         if !(ay == by && ax == bx) && (ay - by).abs <= 1 && (ax - bx).abs <= 1) {
+      num += za * zb; w += 1
+    }
+    val den = z.values.map(v => v * v).sum
+    val expected = (n.toDouble / w.toDouble) * (num.toDouble / den.toDouble)
+    val r = queries.Joins.moransI(spark, dir).collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == w)
+    assert(math.abs(r.getDouble(2) - expected) < 1e-9,
+      s"I=${r.getDouble(2)} want $expected")
+    assert(r.getDouble(3) == -1.0 / (n - 1).toDouble)
+  }
+
+  // -------------------------------------------------------------------------
+  // W65 Benjamini-Hochberg. The p-bounds are engine-derived, so the
+  // pin checks the PROCEDURE (BH 1995) from the output itself: crit
+  // = rank·α/m, and rejected == rank ≤ k* where k* = max{r : p_r ≤
+  // crit_r} — including the rule that every rank below k* is
+  // rejected even if its own p exceeds its crit.
+  // -------------------------------------------------------------------------
+  test("bh screen: output satisfies the Benjamini-Hochberg 1995 procedure") {
+    def seg(ck: Long, s: String) = (ck, s)
+    val custs = Seq(seg(1, "BUILDING"), seg(2, "AUTOMOBILE"), seg(3, "MACHINERY"))
+    val rnd = new scala.util.Random(7)
+    val orders = (1 to 90).map { i =>
+      val ck = (i % 3 + 1).toLong
+      val prio = if (i % 2 == 0) "1-URGENT" else "5-LOW"
+      // segment 1's urgent orders priced systematically higher so at
+      // least one cell separates from the grand mean
+      val base = if (ck == 1 && prio == "1-URGENT") 90000.0 else 1000.0
+      (i.toLong, ck, prio, base + rnd.nextInt(100))
+    }
+    val dir = fixture(
+      "customer" -> custs.toDF("c_custkey", "c_mktsegment"),
+      "orders" -> orders.toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"))
+    val out = queries.Infer.bhScreen(spark, dir).collect()
+    val m = out.length
+    assert(out.map(_.getLong(4)).sorted.toSeq == (1L to m).toSeq)
+    out.foreach { r =>
+      val p = r.getDouble(3); val rank = r.getLong(4); val crit = r.getDouble(5)
+      assert(p >= 0.0 && p <= 1.0)
+      assert(math.abs(crit - rank * 0.10 / m) < 1e-8)
+    }
+    val passing = out.filter(r => r.getDouble(3) <= r.getDouble(5)).map(_.getLong(4))
+    val kStar = if (passing.isEmpty) 0L else passing.max
+    out.foreach { r =>
+      assert((r.getInt(6) == 1) == (r.getLong(4) <= kStar),
+        s"rank ${r.getLong(4)}: rejected=${r.getInt(6)} kStar=$kStar")
+    }
+    assert(kStar >= 1, "fixture should reject at least the separated cell")
+  }
+
+  // -------------------------------------------------------------------------
+  // W34 Poisson bootstrap — no external table exists for a
+  // hash-coin-deterministic bootstrap (the draw IS the engine's md5
+  // convention), so the pin checks what the definition does fix: the
+  // point estimate is the exact mean, the band is ordered around it,
+  // and there are exactly 64 replicates.
+  // -------------------------------------------------------------------------
+  test("bootstrap: exact point mean, ordered band, 64 replicates (design doc)") {
+    val rows = (1L to 200L).map(k => (k, (100 + k % 7).toDouble))
+    val dir = fixture("orders" -> rows.toDF("o_orderkey", "o_totalprice"))
+    val r = queries.Infer.bootstrapCi(spark, dir).collect().head
+    val exact = rows.map(x => math.round(x._2 * 100)).sum.toDouble / rows.size
+    assert(r.getLong(0) == 64)
+    assert(r.getDouble(1) == exact, s"point=${r.getDouble(1)} want $exact")
+    assert(r.getDouble(2) <= r.getDouble(3), "lo <= hi")
+    assert(r.getDouble(2) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(3),
+      "band brackets the point estimate on a near-constant fixture")
+  }
+
   test("k-core: a pure path has an empty 2-core (full peel-out)") {
     // path 1-2-3-4-5: ends peel first, the middle follows — the
     // definitional degenerate case (no subgraph with min degree 2)
