@@ -1341,7 +1341,163 @@ object Evaluate {
       |  END, 4) AS bleu2
       |FROM agg ORDER BY lang""".stripMargin
 
+  /** TS20 — Durbin-Watson statistic: first-order serial correlation of
+    * the RESIDUALS from the per-flag monthly OLS trend — the
+    * regression-diagnostic companion to TS16's raw-series ACF (a
+    * trending series always autocorrelates; DW asks whether anything
+    * is left AFTER the trend, the assumption q_regr_slope's standard
+    * errors ride on). DW = Σ(e_t − e_{t−1})²/Σe_t², ≈2 when clean,
+    * →0 under positive serial correlation. Exactness: residuals are
+    * pre-scaled by the normal-equation denominator den = n·Σt²−(Σt)²,
+    * so ẽ_t = den·x_t − (SyStt − StSty) − (nSty − StSy)·t is an EXACT
+    * decimal integer (den² cancels in the ratio); both quadratic sums
+    * ride decimal(38,0) over the bounded month relation and the one
+    * IEEE division lands at the end. Exact while den·x² < 10³⁸ —
+    * monthly group revenue through ~sf50; past that ANSI fails loudly
+    * rather than drifting. Degenerate series (n < 3 or a perfect fit)
+    * read the no-autocorrelation value 2.0 on both engines. */
+  def durbinWatson(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val m = monthlySeries(s, dir)
+      .withColumn("t", row_number().over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("mon")))
+        .cast("long"))
+      .persistScoped() // stats pass + residual pass
+    val st = m.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("stt1"),
+        sum(col("x")).as("sy"),
+        sum((col("t") * col("t")).cast(d38)).as("stt2"),
+        sum((col("t").cast(d38) * col("x")).cast(d38)).as("sty"))
+      .select(col("l_returnflag"), col("n"),
+        (col("n") * col("stt2") - col("stt1").cast(d38) * col("stt1"))
+          .as("den"),
+        (col("sy").cast(d38) * col("stt2") -
+          col("stt1").cast(d38) * col("sty")).as("numa"),
+        (col("n") * col("sty") - col("stt1").cast(d38) * col("sy"))
+          .as("numb"))
+    val e = m.join(broadcast(st), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n"), col("t"),
+        (col("den") * col("x") - col("numa") - col("numb") * col("t"))
+          .as("e"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("t"))
+    e.withColumn("ep", lag(col("e"), 1).over(w))
+      .groupBy(col("l_returnflag"), col("n"))
+      .agg(sum((col("e") * col("e")).cast(d38)).as("sse"),
+        sum(when(col("ep").isNotNull,
+          ((col("e") - col("ep")) * (col("e") - col("ep"))).cast(d38))
+          .otherwise(lit(0).cast(d38))).as("ssd"))
+      .select(col("l_returnflag"), col("n").as("n_months"),
+        when(col("n") < 3 || col("sse") <= 0, lit(2.0))
+          .otherwise(round(col("ssd").cast("double") /
+            col("sse").cast("double"), 6)).as("dw"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val durbinWatsonSql: String =
+    s"""WITH $monthlySeriesCte,
+      |r AS (SELECT l_returnflag, x,
+      |        CAST(row_number() OVER (PARTITION BY l_returnflag
+      |          ORDER BY mon) AS BIGINT) AS t
+      |      FROM m),
+      |st AS (SELECT l_returnflag, count(*) AS n,
+      |         CAST(sum(t) AS HUGEINT) AS stt1,
+      |         CAST(sum(x) AS HUGEINT) AS sy,
+      |         CAST(sum(t * t) AS HUGEINT) AS stt2,
+      |         CAST(sum(CAST(t AS HUGEINT) * x) AS HUGEINT) AS sty
+      |       FROM r GROUP BY 1),
+      |co AS (SELECT l_returnflag, n,
+      |         n * stt2 - stt1 * stt1 AS den,
+      |         sy * stt2 - stt1 * sty AS numa,
+      |         n * sty - stt1 * sy AS numb
+      |       FROM st),
+      |e AS (SELECT r.l_returnflag, co.n, r.t,
+      |        co.den * r.x - co.numa - co.numb * r.t AS e
+      |      FROM r JOIN co USING (l_returnflag)),
+      |l AS (SELECT l_returnflag, n, e,
+      |        lag(e) OVER (PARTITION BY l_returnflag ORDER BY t) AS ep
+      |      FROM e),
+      |g AS (SELECT l_returnflag, n, sum(e * e) AS sse,
+      |        sum(CASE WHEN ep IS NOT NULL THEN (e - ep) * (e - ep)
+      |                 ELSE 0 END) AS ssd
+      |      FROM l GROUP BY 1, 2)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_months,
+      |  CASE WHEN n < 3 OR sse <= 0 THEN 2.0
+      |       ELSE round(CAST(ssd AS DOUBLE) / CAST(sse AS DOUBLE), 6)
+      |  END AS dw
+      |FROM g ORDER BY l_returnflag""".stripMargin
+
+  /** TS21 — Ljung-Box portmanteau test: is the monthly series white
+    * noise ACROSS the first six lags jointly? — the one-number
+    * companion to TS16's per-lag readout (six r_k values invite
+    * cherry-picking; Q = n(n+2)Σr_k²/(n−k) aggregates them with the
+    * small-sample weighting that makes the χ²₆ reference honest).
+    * Built ON the rounded ACF values (round-absorbed, so both engines
+    * square identical 6-decimal numbers); each lag's term quantizes
+    * to 1e-12 fixed point and integer-sums (order-free), with the
+    * n(n+2) factor and the 1e-12 unscale applied once at the end.
+    * Series shorter than 7 months lack a full 6-lag panel and read
+    * 'insufficient' instead of a χ²₆ verdict. */
+  def ljungBox(s: SparkSession, dir: String): DataFrame =
+    acf(s, dir)
+      .filter(col("lag_k") <= 6)
+      .select(col("l_returnflag"), col("n"),
+        floor(col("r") * col("r") / (col("n") - col("lag_k")) * lit(1e12))
+          .cast("long").as("tq"))
+      .groupBy(col("l_returnflag"), col("n"))
+      .agg(count(lit(1)).as("n_lags"), sum(col("tq")).as("tqs"))
+      .select(col("l_returnflag"), col("n").as("n_months"),
+        col("n_lags"),
+        round(col("n").cast("double") * (col("n") + 2) *
+          col("tqs").cast("double") / lit(1e12), 6).as("q_stat"))
+      .withColumn("verdict",
+        when(col("n_lags") < 6, "insufficient")
+          .when(col("q_stat") >= 12.591587, "autocorrelated")
+          .otherwise("white_noise"))
+      .orderBy(col("l_returnflag"))
+
+  val ljungBoxSql: String =
+    s"""WITH $monthlySeriesCte,
+      |st AS MATERIALIZED (SELECT l_returnflag, count(*) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx FROM m GROUP BY 1),
+      |c AS MATERIALIZED (SELECT m.l_returnflag, st.n,
+      |        row_number() OVER (PARTITION BY m.l_returnflag
+      |          ORDER BY m.mon) AS rn,
+      |        CAST(st.n * m.x - st.sx AS BIGINT) AS c
+      |      FROM m JOIN st USING (l_returnflag)),
+      |den AS (SELECT l_returnflag,
+      |          sum(CAST(c AS HUGEINT) * c) AS den FROM c GROUP BY 1),
+      |num AS (SELECT a.l_returnflag, l.lag_k,
+      |          sum(CAST(a.c AS HUGEINT) * b.c) AS num
+      |        FROM c a
+      |        CROSS JOIN (SELECT CAST(unnest(range(1, 7)) AS INT) AS lag_k) l
+      |        JOIN c b ON b.l_returnflag = a.l_returnflag
+      |          AND b.rn = a.rn + l.lag_k
+      |        GROUP BY 1, 2),
+      |r AS (SELECT n.l_returnflag, n.lag_k, st.n,
+      |        CASE WHEN d.den = 0 THEN 0.0
+      |             ELSE round(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6)
+      |        END AS r
+      |      FROM num n JOIN den d USING (l_returnflag)
+      |      JOIN st USING (l_returnflag)),
+      |t AS (SELECT l_returnflag, n,
+      |        CAST(floor(r * r / (n - lag_k) * 1e12) AS BIGINT) AS tq
+      |      FROM r),
+      |g AS (SELECT l_returnflag, n, count(*) AS n_lags,
+      |        CAST(sum(tq) AS BIGINT) AS tqs
+      |      FROM t GROUP BY 1, 2)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_months,
+      |  n_lags,
+      |  round(CAST(n AS DOUBLE) * (n + 2) * CAST(tqs AS DOUBLE) / 1e12, 6)
+      |    AS q_stat,
+      |  CASE WHEN n_lags < 6 THEN 'insufficient'
+      |       WHEN round(CAST(n AS DOUBLE) * (n + 2) * CAST(tqs AS DOUBLE)
+      |         / 1e12, 6) >= 12.591587 THEN 'autocorrelated'
+      |       ELSE 'white_noise' END AS verdict
+      |FROM g ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_durbin_watson" -> (durbinWatson _),
+    "q_ljung_box" -> (ljungBox _),
     "q_bleu" -> (bleu _),
     "q_kendall_tau" -> (kendallTau _),
     "q_hodges_lehmann" -> (hodgesLehmann _),
@@ -1364,6 +1520,8 @@ object Evaluate {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_durbin_watson" -> durbinWatsonSql,
+    "q_ljung_box" -> ljungBoxSql,
     "q_bleu" -> bleuSql,
     "q_kendall_tau" -> kendallTauSql,
     "q_hodges_lehmann" -> hodgesLehmannSql,

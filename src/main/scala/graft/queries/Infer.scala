@@ -739,7 +739,112 @@ object Infer {
       |    AS rejected
       |FROM k ORDER BY p_rank""".stripMargin
 
+  /** W67 — Friedman rank test: do the order priorities draw different
+    * monthly revenue, judged WITHIN each month? The blocked companion
+    * to W61's Kruskal-Wallis — KW pools all observations into one
+    * ranking (so a strong month-to-month trend swamps the treatment
+    * signal); Friedman ranks the k priorities separately inside every
+    * month block, which differences the calendar out, exactly the
+    * repeated-measures design. Blocks = months carrying ALL k
+    * priorities (an incomplete block has no complete ranking — the
+    * classical requirement); within-block midranks use the integer
+    * 2·midrank = 2·rank + ties − 1 trick (exact, engine-portable),
+    * so the rank sums R2_j = Σ2·midrank and χ²_F = 3·ΣR2_j²/(nk(k+1))
+    * − 3n(k+1) are exact integers until the terminal division.
+    * Tie-corrected form divides by C = 1 − Σ(t³−t)/(n(k³−k)) (scipy's
+    * convention). The block relation is bounded (months × priorities);
+    * the one fact pass is the (month, priority) aggregate. */
+  def friedman(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.orders(s, dir)
+      .groupBy(date_trunc("month", to_date(col("o_orderdate"))).as("blk"),
+        col("o_orderpriority").as("trt"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")).as("v"))
+      .persistScoped() // k census + complete-block filter + rank pass
+    val k = cells.agg(countDistinct(col("trt")).as("k"))
+    val complete = cells.groupBy(col("blk")).agg(count(lit(1)).as("kc"))
+      .crossJoin(broadcast(k)).filter(col("kc") === col("k"))
+      .select(col("blk"))
+    val ranked = cells.join(complete, Seq("blk"), "left_semi")
+      .withColumn("rnk", rank().over(
+        Window.partitionBy(col("blk")).orderBy(col("v"))).cast("long"))
+      .withColumn("t", count(lit(1)).over(
+        Window.partitionBy(col("blk"), col("v"))))
+      .withColumn("mr2", lit(2) * col("rnk") + col("t") - 1)
+      .persistScoped() // rank sums + tie census
+    val rsums = ranked.groupBy(col("trt"))
+      .agg(sum(col("mr2")).as("r2"), count(lit(1)).as("nb"))
+    val ties = ranked.groupBy(col("blk"), col("v"))
+      .agg(max(col("t")).as("t"))
+      .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")),
+        lit(0L)).as("tie3"))
+    val agg = rsums.agg(
+      coalesce(max(col("nb")), lit(0L)).as("n"), count(lit(1)).as("kk"),
+      coalesce(sum((col("r2").cast("decimal(38,0)") * col("r2"))
+        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("sr2"))
+    agg.crossJoin(broadcast(ties))
+      .select(col("n").as("n_blocks"), col("kk").as("k_treatments"),
+        col("tie3"),
+        // raw χ² BEFORE rounding: the tie-corrected form divides the
+        // raw value (the oracle mirrors this order exactly)
+        (lit(3.0) * col("sr2").cast("double") /
+          (col("n").cast("double") * col("kk") * (col("kk") + 1)) -
+          lit(3.0) * col("n") * (col("kk") + 1)).as("chi2raw"))
+      .select(col("n_blocks"), col("k_treatments"),
+        when(col("n_blocks") === 0 || col("k_treatments") <= 1, lit(0.0))
+          .otherwise(round(col("chi2raw"), 6)).as("chi2"),
+        when(col("n_blocks") === 0 || col("k_treatments") <= 1, lit(0.0))
+          .otherwise {
+            val c = lit(1.0) - col("tie3").cast("double") /
+              (col("n_blocks").cast("double") *
+                (col("k_treatments") * col("k_treatments") * col("k_treatments")
+                  - col("k_treatments")))
+            when(c <= 0, lit(0.0)).otherwise(round(col("chi2raw") / c, 6))
+          }.as("chi2_tie_corrected"))
+  }
+
+  val friedmanSql: String =
+    """WITH cells AS (SELECT date_trunc('month', CAST(o_orderdate AS DATE))
+      |      AS blk, o_orderpriority AS trt,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS v
+      |  FROM orders GROUP BY 1, 2),
+      |kk AS (SELECT count(DISTINCT trt) AS k FROM cells),
+      |comp AS (SELECT blk FROM cells GROUP BY blk
+      |         HAVING count(*) = (SELECT k FROM kk)),
+      |ranked AS (SELECT c.blk, c.trt, c.v,
+      |             CAST(rank() OVER (PARTITION BY c.blk ORDER BY c.v)
+      |               AS BIGINT) AS rnk,
+      |             CAST(count(*) OVER (PARTITION BY c.blk, c.v) AS BIGINT)
+      |               AS t
+      |           FROM cells c JOIN comp USING (blk)),
+      |mr AS (SELECT trt, 2 * rnk + t - 1 AS mr2 FROM ranked),
+      |rs AS (SELECT trt, CAST(sum(mr2) AS BIGINT) AS r2, count(*) AS nb
+      |       FROM mr GROUP BY trt),
+      |tie AS (SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tie3
+      |        FROM (SELECT blk, v, max(t) AS t FROM ranked GROUP BY 1, 2)),
+      |a AS (SELECT CAST(coalesce(max(nb), 0) AS BIGINT) AS n, count(*) AS kc,
+      |        coalesce(sum(CAST(r2 AS HUGEINT) * r2), 0) AS sr2
+      |      FROM rs)
+      |SELECT n AS n_blocks, kc AS k_treatments,
+      |  CASE WHEN n = 0 OR kc <= 1 THEN 0.0
+      |       ELSE round(3.0 * CAST(sr2 AS DOUBLE)
+      |         / (CAST(n AS DOUBLE) * kc * (kc + 1))
+      |         - 3.0 * n * (kc + 1), 6) END AS chi2,
+      |  CASE WHEN n = 0 OR kc <= 1 THEN 0.0
+      |       WHEN 1.0 - CAST(tie3 AS DOUBLE)
+      |         / (CAST(n AS DOUBLE) * (kc * kc * kc - kc)) <= 0 THEN 0.0
+      |       ELSE round((3.0 * CAST(sr2 AS DOUBLE)
+      |           / (CAST(n AS DOUBLE) * kc * (kc + 1))
+      |           - 3.0 * n * (kc + 1))
+      |         / (1.0 - CAST(tie3 AS DOUBLE)
+      |           / (CAST(n AS DOUBLE) * (kc * kc * kc - kc))), 6)
+      |  END AS chi2_tie_corrected
+      |FROM a CROSS JOIN tie""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_friedman" -> (friedman _),
     "q_bh_screen" -> ((s: SparkSession, d: String) => bhScreen(s, d)),
     "q_kruskal_wallis" -> (kruskalWallis _),
     "q_regr_multi" -> (regrMulti _),
@@ -753,6 +858,7 @@ object Infer {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_friedman" -> friedmanSql,
     "q_bh_screen" -> bhScreenSql,
     "q_kruskal_wallis" -> kruskalWallisSql,
     "q_regr_multi" -> regrMultiSql,

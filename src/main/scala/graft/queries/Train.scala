@@ -266,7 +266,9 @@ object Train {
         .join(nodes.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(nodes.select(col("node").as("v")), Seq("v"), "left_semi"))
       val n2 = next.count()
-      converged = n2 == n // subset chain: = count ⇒ = set
+      // = count ⇒ = set (subset chain); and the empty set is its own
+      // fixpoint (peeling nothing yields nothing), so 0 stops at once
+      converged = n2 == n || n2 == 0
       alive = next
       n = n2
     }

@@ -991,7 +991,107 @@ object Warehouse {
       |    AS reachable
       |FROM d3 ORDER BY node""".stripMargin
 
+  /** W68 — Herfindahl-Hirschman concentration: per market segment, how
+    * concentrated is order revenue across customers? HHI = Σᵢsᵢ² over
+    * revenue shares (the antitrust/market-dominance index; 1/HHI is
+    * the "effective number" of customers) — the squared-share
+    * companion to W17's Gini (rank-based) and W62's Theil (entropy
+    * based): HHI needs NO sort and NO transcendental, so it is the
+    * one concentration measure that is a pure two-aggregate chain.
+    * Σcᵢ² rides decimal(38,0) (customer revenue cents squared passes
+    * int64 at sf ~1) and HHI = Σc²/S² is one IEEE chain over two
+    * exact integers. Two keyed aggregates over one fact pass. */
+  def hhi(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")).as("cents"))
+    perCust.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("sc"),
+        sum((col("cents").cast("decimal(38,0)") * col("cents"))
+          .cast("decimal(38,0)")).as("sq"))
+      .filter(col("sc") > 0)
+      .select(col("c_mktsegment"), col("n_customers"),
+        round(col("sq").cast("double") /
+          (col("sc").cast("double") * col("sc").cast("double")), 6)
+          .as("hhi"),
+        round(col("sc").cast("double") * col("sc").cast("double") /
+          col("sq").cast("double"), 2).as("effective_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val hhiSql: String =
+    """WITH pc AS (SELECT c_mktsegment, c_custkey,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |g AS (SELECT c_mktsegment, count(*) AS n_customers,
+      |        CAST(sum(cents) AS HUGEINT) AS sc,
+      |        sum(CAST(cents AS HUGEINT) * cents) AS sq
+      |      FROM pc GROUP BY 1)
+      |SELECT c_mktsegment, n_customers,
+      |  round(CAST(sq AS DOUBLE) / (CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)), 6)
+      |    AS hhi,
+      |  round(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(sq AS DOUBLE), 2)
+      |    AS effective_customers
+      |FROM g WHERE sc > 0 ORDER BY c_mktsegment""".stripMargin
+
+  /** W69 — G-test of independence (likelihood-ratio χ²): the
+    * log-likelihood alternative to W7's Pearson χ² over the SAME
+    * lang × source contingency — G = 2ΣO·ln(O/E) is additive under
+    * table collapsing (Pearson's isn't), which is why hierarchical
+    * log-linear audits prefer it. Zero cells contribute 0 (lim x·ln x
+    * = 0), so only observed cells enter; each cell's term quantizes
+    * to 1e-9 fixed point from exact integer marginals and
+    * integer-sums order-free (the KL/entropy-family convention). One
+    * corpus aggregate; margins re-aggregate the bounded cell grid. */
+  def gTest(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val cells = d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o")).persistScoped() // margins + term pass
+    val rowT = cells.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+    val colT = cells.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("lang")).as("nr"),
+      countDistinct(col("source")).as("nc"))
+    cells.join(broadcast(rowT), Seq("lang"))
+      .join(broadcast(colT), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("nr"), col("nc"),
+        expr("CAST(floor(2.0 * o * ln(CAST(o AS DOUBLE) * n / " +
+          "(CAST(rt AS DOUBLE) * ct)) * 1e9) AS BIGINT)").as("gq"))
+      .groupBy(col("n"), col("nr"), col("nc"))
+      .agg(sum(col("gq")).as("gqs"))
+      .select(col("n").as("n_docs"),
+        ((col("nr") - 1) * (col("nc") - 1)).cast("long").as("df"),
+        (col("gqs").cast("double") / 1e9).as("g_stat"))
+  }
+
+  val gTestSql: String =
+    """WITH c AS (SELECT lang, source, count(*) AS o FROM documents
+      |           GROUP BY 1, 2),
+      |r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+      |s AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+      |        count(DISTINCT lang) AS nr, count(DISTINCT source) AS nc
+      |      FROM c),
+      |q AS (SELECT t.n, t.nr, t.nc,
+      |        CAST(floor(2.0 * c.o * ln(CAST(c.o AS DOUBLE) * t.n /
+      |          (CAST(r.rt AS DOUBLE) * s.ct)) * 1e9) AS BIGINT) AS gq
+      |      FROM c JOIN r USING (lang) JOIN s USING (source), t)
+      |SELECT n AS n_docs,
+      |  CAST((nr - 1) * (nc - 1) AS BIGINT) AS df,
+      |  CAST(CAST(sum(gq) AS BIGINT) AS DOUBLE) / 1e9 AS g_stat
+      |FROM q GROUP BY n, nr, nc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hhi" -> (hhi _),
+    "q_gtest" -> (gTest _),
     "q_shortest_path" -> ((s: SparkSession, d: String) => shortestPath(s, d)),
     "q_skyline" -> (skyline _),
     "q_ks_test" -> (ksTest _),
@@ -1013,6 +1113,8 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_hhi" -> hhiSql,
+    "q_gtest" -> gTestSql,
     "q_shortest_path" -> shortestPathSql,
     "q_skyline" -> skylineSql,
     "q_ks_test" -> ksTestSql,

@@ -906,6 +906,92 @@ class FormulaPinSpec extends SparkSpec {
       "band brackets the point estimate on a near-constant fixture")
   }
 
+  // -------------------------------------------------------------------------
+  // TS20 Durbin-Watson. y_t = 10t + z with z ⊥ {1, t}, so the OLS
+  // residuals are exactly z (Durbin-Watson 1950). Flag A: z =
+  // (1,−1,−1,1) → DW = (4+0+4)/4 = 2 (the no-autocorrelation value);
+  // flag B: z = (−1,3,−3,1) → DW = (16+36+16)/20 = 3.4 (alternating).
+  // -------------------------------------------------------------------------
+  test("durbin-watson: exact residuals give DW = 2.0 and 3.4 (Durbin-Watson 1950)") {
+    val rows =
+      Seq(11, 19, 29, 41).zipWithIndex.map { case (c, i) =>
+        ("A", java.sql.Date.valueOf(f"2024-${i + 1}%02d-05"), c / 100.0, 1.0) } ++
+      Seq(9, 23, 27, 41).zipWithIndex.map { case (c, i) =>
+        ("B", java.sql.Date.valueOf(f"2024-${i + 1}%02d-05"), c / 100.0, 1.0) }
+    val dir = fixture("lineitem" ->
+      rows.toDF("l_returnflag", "l_shipdate", "l_extendedprice", "l_quantity"))
+    val out = queries.Evaluate.durbinWatson(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("A") == 2.0, s"dwA=${out("A")}")
+    assert(out("B") == 3.4, s"dwB=${out("B")}")
+  }
+
+  // -------------------------------------------------------------------------
+  // TS21 Ljung-Box. Series 1..5 (ACF r = .4, −.1, −.4, −.4, 4 lags):
+  // Q = n(n+2)Σr²/(n−k) = 35·(.16/4 + .01/3 + .16/2 + .16/1)
+  //   = 9.916667 (Ljung-Box 1978); < 7 months → 'insufficient'.
+  // -------------------------------------------------------------------------
+  test("ljung-box: Q = 35 * 0.2833... = 9.916667 (Ljung-Box 1978)") {
+    val dir = monthlyFixture((1 to 5).map(i => (i.toDouble, 1.0)))
+    val r = queries.Evaluate.ljungBox(spark, dir).collect().head
+    assert(r.getLong(1) == 5 && r.getLong(2) == 4)
+    assert(r.getDouble(3) == 9.916667, s"q=${r.getDouble(3)}")
+    assert(r.getString(4) == "insufficient")
+  }
+
+  // -------------------------------------------------------------------------
+  // W67 Friedman. 4 blocks × 3 treatments with within-block rank
+  // sums (10, 8, 6): χ²_F = 12/(4·3·4)·(100+64+36) − 3·4·4 = 2.0
+  // (Friedman 1937); no ties, so the scipy-convention corrected form
+  // is identical.
+  // -------------------------------------------------------------------------
+  test("friedman: rank sums (10,8,6) over 4 blocks -> chi2 = 2.0 (Friedman 1937)") {
+    val t = Seq("1-URGENT", "2-HIGH", "3-MEDIUM")
+    // per-block cents for (T1, T2, T3); rank patterns (3,2,1)x2,
+    // (2,1,3), (2,3,1)
+    val blocks = Seq(Seq(30, 20, 10), Seq(30, 20, 10), Seq(20, 10, 30), Seq(20, 30, 10))
+    val rows = blocks.zipWithIndex.flatMap { case (cs, b) =>
+      cs.zip(t).map { case (c, trt) =>
+        (java.sql.Date.valueOf(f"2024-${b + 1}%02d-10"), trt, c / 100.0) }
+    }
+    val dir = fixture("orders" ->
+      rows.toDF("o_orderdate", "o_orderpriority", "o_totalprice"))
+    val r = queries.Infer.friedman(spark, dir).collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 3)
+    assert(r.getDouble(2) == 2.0, s"chi2=${r.getDouble(2)}")
+    assert(r.getDouble(3) == 2.0, s"chi2_tc=${r.getDouble(3)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // W68 HHI. Revenue shares (0.5, 0.3, 0.2): HHI = 0.25+0.09+0.04
+  //   = 0.38, effective customers = 1/0.38 = 2.63 — the standard
+  // antitrust worked example (Herfindahl 1950, ×10⁴ = 3800 on the
+  // DOJ scale).
+  // -------------------------------------------------------------------------
+  test("hhi: shares (.5,.3,.2) -> 0.38, effective n = 2.63 (Herfindahl)") {
+    val custs = Seq((1L, "BUILDING"), (2L, "BUILDING"), (3L, "BUILDING"))
+    val orders = Seq((1L, 1L, 0.50), (2L, 2L, 0.30), (3L, 3L, 0.20))
+    val dir = fixture(
+      "customer" -> custs.toDF("c_custkey", "c_mktsegment"),
+      "orders" -> orders.toDF("o_orderkey", "o_custkey", "o_totalprice"))
+    val r = queries.Warehouse.hhi(spark, dir).collect().head
+    assert(r.getLong(1) == 3)
+    assert(r.getDouble(2) == 0.38, s"hhi=${r.getDouble(2)}")
+    assert(r.getDouble(3) == 2.63, s"eff=${r.getDouble(3)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // W69 G-test. Same 2×2 table as the Pearson pin ([[10,20],[20,10]],
+  // E = 15): G = 2ΣO·ln(O/E) = 2(2·20·ln(4/3) + 2·10·ln(2/3))
+  //   = 6.7959615 (Sokal & Rohlf); df = 1. Note G > χ² = 6.667 here,
+  // the usual likelihood-ratio vs Pearson spread.
+  // -------------------------------------------------------------------------
+  test("g-test: 2x2 table -> G = 6.795961, df 1 (likelihood-ratio chi2)") {
+    val r = queries.Warehouse.gTest(spark, contingencyFixture()).collect().head
+    assert(r.getLong(0) == 60 && r.getLong(1) == 1)
+    assert(math.abs(r.getDouble(2) - 6.7959615) < 1e-6, s"g=${r.getDouble(2)}")
+  }
+
   test("k-core: a pure path has an empty 2-core (full peel-out)") {
     // path 1-2-3-4-5: ends peel first, the middle follows — the
     // definitional degenerate case (no subgraph with min degree 2)
