@@ -1495,6 +1495,224 @@ object Evaluate {
       |       ELSE 'white_noise' END AS verdict
       |FROM g ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------
+  // ANOVA's post-hoc / assumption companions (round-15 pack): Tukey
+  // HSD pairwise comparisons, Bartlett homogeneity of variances, and
+  // the Grubbs single-outlier test — all over the SAME fixture as
+  // W50 (customer balance cents by market segment), sharing anovaF's
+  // exact-integer sum decomposition so every floating step is an
+  // identically-shaped IEEE chain on exact inputs in both engines.
+  // ---------------------------------------------------------------
+
+  /** Per-segment exact sums over balance cents: (g, nj, sj bigint,
+    * sxx decimal(38,0), qj = ⌊sj²/nj⌋) — [[anovaF]]'s decomposition
+    * factored out so the post-hoc family shares one fact collapse. */
+  private def balanceGroups(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+        col("c_mktsegment").as("g"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint").as("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("nj"), sum(col("v")).as("sj"),
+        sum((col("v").cast("decimal(38,0)") * col("v"))
+          .cast("decimal(38,0)")).as("sxx"))
+      .withColumn("qj", expr("CAST(sj AS DECIMAL(38,0)) * sj div nj"))
+
+  /** W70 — Tukey HSD post-hoc: which SEGMENT PAIRS differ, once
+    * W50's omnibus F fires? q = |mean_i − mean_j| / √(MSW/2·(1/n_i +
+    * 1/n_j)) (Tukey 1949, unequal-n Tukey-Kramer form). One fact
+    * aggregate to k=5 group rows, a bounded k×k self-join for the
+    * C(k,2)=10 pairs, MSW from the exact SSW bigint — the only
+    * doubles are the terminal per-pair scalar chain. */
+  def tukeyHsd(s: SparkSession, dir: String): DataFrame = {
+    val per = balanceGroups(s, dir).persistScoped() // totals + both pair sides
+    val msw = per.agg(sum(col("nj")).as("n"), count(lit(1)).as("k"),
+        sum(col("sxx")).as("sumxx"), sum(col("qj")).as("sumq"))
+      .select(col("n"), col("k"),
+        (col("sumxx") - col("sumq")).cast("bigint").as("ssw"))
+    // the segment domain is a constant 5 at every TPC-H scale factor,
+    // but the boundedness must be STRUCTURAL for the nested-loop pair
+    // join: a deterministic first-25-alphabetical cap (never binding)
+    // turns the domain assumption into a plan-level GlobalLimit bound
+    // — the same idiom as q_js_divergence's top-64 source cap
+    val capped = per.orderBy(col("g")).limit(25)
+    val a = capped.select(col("g").as("g1"), col("nj").as("n1"),
+      col("sj").as("s1"))
+    val b = capped.select(col("g").as("g2"), col("nj").as("n2"),
+      col("sj").as("s2"))
+    val diff = col("s1").cast("double") / col("n1").cast("double") -
+      col("s2").cast("double") / col("n2").cast("double")
+    val mswD = col("ssw").cast("double") / (col("n") - col("k")).cast("double")
+    val se = sqrt(mswD / lit(2.0) *
+      (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double")))
+    a.join(broadcast(b), col("g1") < col("g2")) // ≤ k² rows, k = |segments|
+      .crossJoin(broadcast(msw)) // 1 row
+      .select(col("g1"), col("g2"), col("n1"), col("n2"),
+        round(diff, 6).as("mean_diff"),
+        when(col("ssw") <= 0 || col("n") <= col("k"), lit(0.0))
+          .otherwise(round(abs(diff) / se, 6)).as("q_stat"))
+      .orderBy(col("g1"), col("g2"))
+  }
+
+  val tukeyHsdSql: String =
+    """WITH xs AS (SELECT c_mktsegment AS g,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM customer),
+      |per AS MATERIALIZED (SELECT g, count(*) AS nj,
+      |         CAST(sum(v) AS BIGINT) AS sj,
+      |         sum(CAST(v AS HUGEINT) * v) AS sxx
+      |       FROM xs GROUP BY g),
+      |q AS MATERIALIZED (SELECT g, nj, sj,
+      |       CAST(sj AS HUGEINT) * sj // nj AS qj, sxx FROM per),
+      |t AS (SELECT CAST(sum(nj) AS BIGINT) AS n, count(*) AS k,
+      |        CAST(sum(sxx) - sum(qj) AS BIGINT) AS ssw FROM q),
+      |cap AS (SELECT * FROM q ORDER BY g LIMIT 25)
+      |SELECT a.g AS g1, b.g AS g2, a.nj AS n1, b.nj AS n2,
+      |  round(CAST(a.sj AS DOUBLE) / a.nj - CAST(b.sj AS DOUBLE) / b.nj, 6)
+      |    AS mean_diff,
+      |  CASE WHEN t.ssw <= 0 OR t.n <= t.k THEN 0.0
+      |       ELSE round(abs(CAST(a.sj AS DOUBLE) / a.nj
+      |           - CAST(b.sj AS DOUBLE) / b.nj)
+      |         / sqrt(CAST(t.ssw AS DOUBLE) / (t.n - t.k) / 2
+      |             * (1.0 / a.nj + 1.0 / b.nj)), 6)
+      |  END AS q_stat
+      |FROM cap a JOIN cap b ON a.g < b.g CROSS JOIN t
+      |ORDER BY g1, g2""".stripMargin
+
+  /** W71 — Bartlett's test of equal variances: the OTHER gatekeeper
+    * beside W51's Brown-Forsythe — χ² = [(N−k)·ln S_p² −
+    * Σ(n_j−1)·ln S_j²] / C with C = 1 + (Σ1/(n_j−1) − 1/(N−k)) /
+    * (3(k−1)) (Bartlett 1937). Per-group variances come from the
+    * exact (sxx − qj) bigints; each group's log term and reciprocal
+    * is fixed-point-quantized (1e-9 / 1e-15) BEFORE the k-row sum so
+    * the reduction is exact-integer and order-free in both engines. */
+  def bartlett(s: SparkSession, dir: String): DataFrame = {
+    // zero-variance groups are excluded by convention (their ln S_j²
+    // is −∞); the exact (sxx − qj) bigint decides membership
+    // identically in both engines
+    val per = balanceGroups(s, dir).filter(col("nj") >= 2 &&
+      (col("sxx") - col("qj")).cast("bigint") > 0)
+    val s2j = (col("sxx") - col("qj")).cast("bigint").cast("double") /
+      (col("nj") - 1).cast("double")
+    val terms = per.select(col("nj"), col("sxx"), col("qj"),
+      floor((col("nj") - 1).cast("double") * log(s2j) * lit(1e9))
+        .cast("bigint").as("lt"),
+      floor(lit(1e15) / (col("nj") - 1).cast("double"))
+        .cast("bigint").as("rcp"))
+    terms.agg(count(lit(1)).as("k"), sum(col("nj")).as("n"),
+        (sum(col("sxx")) - sum(col("qj"))).cast("bigint").as("ssw"),
+        sum(col("lt")).as("slt"), sum(col("rcp")).as("srcp"))
+      .select(col("k"), col("n"), col("ssw"),
+        when(col("k") <= 1 || col("n") <= col("k") || col("ssw") <= 0,
+          lit(0.0))
+          .otherwise(round(
+            ((col("n") - col("k")).cast("double") *
+              log(col("ssw").cast("double") /
+                (col("n") - col("k")).cast("double")) -
+              col("slt").cast("double") / 1e9) /
+            (lit(1.0) + (col("srcp").cast("double") / 1e15 -
+              lit(1.0) / (col("n") - col("k")).cast("double")) /
+              (lit(3.0) * (col("k") - 1).cast("double"))), 6))
+          .as("bartlett_chi2"),
+        (col("k") - 1).cast("long").as("df"))
+  }
+
+  val bartlettSql: String =
+    """WITH xs AS (SELECT c_mktsegment AS g,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM customer),
+      |per AS (SELECT g, count(*) AS nj, CAST(sum(v) AS BIGINT) AS sj,
+      |          sum(CAST(v AS HUGEINT) * v) AS sxx
+      |        FROM xs GROUP BY g HAVING count(*) >= 2),
+      |q AS (SELECT * FROM (SELECT nj, sxx,
+      |          CAST(sj AS HUGEINT) * sj // nj AS qj FROM per)
+      |      WHERE CAST(sxx - qj AS BIGINT) > 0),
+      |w AS (SELECT nj, sxx, qj,
+      |        CAST(floor((nj - 1) * ln(CAST(CAST(sxx - qj AS BIGINT)
+      |            AS DOUBLE) / (nj - 1)) * 1e9) AS BIGINT) AS lt,
+      |        CAST(floor(1e15 / (nj - 1)) AS BIGINT) AS rcp
+      |      FROM q),
+      |t AS (SELECT count(*) AS k, CAST(sum(nj) AS BIGINT) AS n,
+      |        CAST(sum(sxx) - sum(qj) AS BIGINT) AS ssw,
+      |        CAST(sum(lt) AS BIGINT) AS slt,
+      |        CAST(sum(rcp) AS BIGINT) AS srcp FROM w)
+      |SELECT k, n, ssw,
+      |  CASE WHEN k <= 1 OR n <= k OR ssw <= 0 THEN 0.0
+      |       ELSE round(
+      |         ((n - k) * ln(CAST(ssw AS DOUBLE) / (n - k))
+      |           - CAST(slt AS DOUBLE) / 1e9)
+      |         / (1.0 + (CAST(srcp AS DOUBLE) / 1e15 - 1.0 / (n - k))
+      |             / (3.0 * (k - 1))), 6)
+      |  END AS bartlett_chi2,
+      |  CAST(k - 1 AS BIGINT) AS df
+      |FROM t""".stripMargin
+
+  /** W72 — Grubbs' single-outlier test per segment: G = max|v − v̄|/s
+    * (Grubbs 1969). The max deviation is found EXACTLY as the integer
+    * max of |v·n_j − s_j| (no double compare decides the argmax), the
+    * suspect value is the tie-broken (min) balance attaining it, and
+    * only the final G division is floating. Three keyed aggregates
+    * over the persisted cents projection; the ≤k-row group sums ride
+    * broadcast joins. */
+  def grubbs(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.customer(s, dir).select(
+        col("c_mktsegment").as("g"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint").as("v"))
+      .persistScoped() // group-sum pass + deviation pass + suspect pass
+    val per = x.groupBy(col("g"))
+      .agg(count(lit(1)).as("nj"), sum(col("v")).as("sj"),
+        sum((col("v").cast("decimal(38,0)") * col("v"))
+          .cast("decimal(38,0)")).as("sxx"))
+      .withColumn("qj", expr("CAST(sj AS DECIMAL(38,0)) * sj div nj"))
+    val dev = x.join(broadcast(per), Seq("g"))
+      .select(col("g"), col("v"), col("nj"), col("sj"), col("qj"), col("sxx"),
+        abs(col("v") * col("nj") - col("sj")).as("devn"))
+    val mx = dev.groupBy(col("g"), col("nj"), col("qj"), col("sxx"))
+      .agg(max(col("devn")).as("maxdevn"))
+    val suspect = dev.select(col("g"), col("v"), col("devn"))
+      .join(broadcast(mx.select(col("g"), col("maxdevn"))), Seq("g"))
+      .filter(col("devn") === col("maxdevn"))
+      .groupBy(col("g")).agg(min(col("v")).as("suspect_cents"))
+    val s2 = (col("sxx") - col("qj")).cast("bigint").cast("double") /
+      (col("nj") - 1).cast("double")
+    mx.join(broadcast(suspect), Seq("g"))
+      .select(col("g"), col("nj").as("n"),
+        when(col("nj") <= 2 ||
+            (col("sxx") - col("qj")).cast("bigint") <= 0, lit(0.0))
+          .otherwise(round(
+            col("maxdevn").cast("double") / col("nj").cast("double") /
+              sqrt(s2), 6)).as("g_stat"),
+        col("suspect_cents"))
+      .orderBy(col("g"))
+  }
+
+  val grubbsSql: String =
+    """WITH xs AS MATERIALIZED (SELECT c_mktsegment AS g,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM customer),
+      |per AS MATERIALIZED (SELECT g, count(*) AS nj,
+      |         CAST(sum(v) AS BIGINT) AS sj,
+      |         sum(CAST(v AS HUGEINT) * v) AS sxx
+      |       FROM xs GROUP BY g),
+      |q AS MATERIALIZED (SELECT g, nj, sj, sxx,
+      |       CAST(sj AS HUGEINT) * sj // nj AS qj FROM per),
+      |dev AS MATERIALIZED (SELECT xs.g, xs.v, q.nj, q.qj, q.sxx,
+      |         abs(xs.v * q.nj - q.sj) AS devn
+      |       FROM xs JOIN q USING (g)),
+      |mx AS (SELECT g, nj, qj, sxx, max(devn) AS maxdevn
+      |       FROM dev GROUP BY g, nj, qj, sxx),
+      |sus AS (SELECT dev.g, min(dev.v) AS suspect_cents
+      |        FROM dev JOIN mx ON dev.g = mx.g AND dev.devn = mx.maxdevn
+      |        GROUP BY dev.g)
+      |SELECT mx.g, mx.nj AS n,
+      |  CASE WHEN mx.nj <= 2 OR CAST(mx.sxx - mx.qj AS BIGINT) <= 0 THEN 0.0
+      |       ELSE round(CAST(mx.maxdevn AS DOUBLE) / mx.nj
+      |         / sqrt(CAST(CAST(mx.sxx - mx.qj AS BIGINT) AS DOUBLE)
+      |             / (mx.nj - 1)), 6)
+      |  END AS g_stat,
+      |  sus.suspect_cents
+      |FROM mx JOIN sus USING (g)
+      |ORDER BY g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_durbin_watson" -> (durbinWatson _),
     "q_ljung_box" -> (ljungBox _),
@@ -1509,6 +1727,9 @@ object Evaluate {
     "q_pacf" -> (pacf _),
     "q_anova" -> (anova _),
     "q_brown_forsythe" -> (brownForsythe _),
+    "q_tukey_hsd" -> (tukeyHsd _),
+    "q_bartlett" -> (bartlett _),
+    "q_grubbs" -> (grubbs _),
     "q_mrr" -> (mrr _),
     "q_precision_at_k" -> (precisionAtK _),
     "q_copeland" -> (copeland _),
@@ -1533,6 +1754,9 @@ object Evaluate {
     "q_pacf" -> pacfSql,
     "q_anova" -> anovaSql,
     "q_brown_forsythe" -> brownForsytheSql,
+    "q_tukey_hsd" -> tukeyHsdSql,
+    "q_bartlett" -> bartlettSql,
+    "q_grubbs" -> grubbsSql,
     "q_mrr" -> mrrSql,
     "q_precision_at_k" -> precisionAtKSql,
     "q_copeland" -> copelandSql,

@@ -1007,4 +1007,71 @@ class FormulaPinSpec extends SparkSpec {
       "lineitem" -> items.toDF("l_orderkey", "l_partkey"))
     assert(queries.Train.kcore(spark, dir).collect().isEmpty)
   }
+
+  // -------------------------------------------------------------------------
+  // W70 Tukey HSD. Groups A{1,2,3}, B{2,3,4}, C{6,7,8} dollars
+  // (cents 100..800): means 200/300/700 cents, every group SS =
+  // 20000, SSW = 60000, MSW = 60000/6 = 10000. Equal n = 3, so
+  // se = √(MSW/2 · 2/3) = 100/√3 and (Tukey 1949):
+  //   q_AB = 100/(100/√3) = √3, q_AC = 5√3, q_BC = 4√3.
+  // -------------------------------------------------------------------------
+  test("tukey hsd: three textbook groups -> q = sqrt(3), 5 sqrt(3), 4 sqrt(3)") {
+    val rows = Seq(1, 2, 3).map(v => ("A", v.toDouble)) ++
+      Seq(2, 3, 4).map(v => ("B", v.toDouble)) ++
+      Seq(6, 7, 8).map(v => ("C", v.toDouble))
+    val dir = fixture("customer" -> rows.toDF("c_mktsegment", "c_acctbal"))
+    val r = queries.Evaluate.tukeyHsd(spark, dir).collect()
+    assert(r.length == 3)
+    val q = r.map(x => ((x.getString(0), x.getString(1)),
+      (x.getDouble(4), x.getDouble(5)))).toMap
+    val s3 = math.sqrt(3.0)
+    assert(q(("A", "B"))._1 == -100.0 &&
+      math.abs(q(("A", "B"))._2 - s3) < 1e-6, s"AB=${q(("A", "B"))}")
+    assert(q(("A", "C"))._1 == -500.0 &&
+      math.abs(q(("A", "C"))._2 - 5 * s3) < 1e-6, s"AC=${q(("A", "C"))}")
+    assert(q(("B", "C"))._1 == -400.0 &&
+      math.abs(q(("B", "C"))._2 - 4 * s3) < 1e-6, s"BC=${q(("B", "C"))}")
+  }
+
+  // -------------------------------------------------------------------------
+  // W71 Bartlett. Groups A{1,2,3}, B{2,4,6}, C{3,6,9} dollars: cent
+  // variances 10000/40000/90000 (n_j = 3 each), pooled S_p² =
+  // 280000/6. By Bartlett (1937):
+  //   χ² = [6·ln S_p² − 2(ln 10⁴ + ln 4·10⁴ + ln 9·10⁴)] / C,
+  //   C = 1 + (3·½ − ⅙)/(3·2) = 11/9
+  // — re-derived below straight from the definition (the engine
+  // reaches it through 1e-9/1e-15 fixed-point term quantization,
+  // hence the 5e-6 gate after its round-to-6).
+  // -------------------------------------------------------------------------
+  test("bartlett: variances 1:4:9 -> chi2 from the 1937 definition, df 2") {
+    val rows = Seq(1, 2, 3).map(v => ("A", v.toDouble)) ++
+      Seq(2, 4, 6).map(v => ("B", v.toDouble)) ++
+      Seq(3, 6, 9).map(v => ("C", v.toDouble))
+    val dir = fixture("customer" -> rows.toDF("c_mktsegment", "c_acctbal"))
+    val r = queries.Evaluate.bartlett(spark, dir).collect().head
+    val expected = (6.0 * math.log(280000.0 / 6.0) -
+      2.0 * (math.log(10000.0) + math.log(40000.0) + math.log(90000.0))) /
+      (11.0 / 9.0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 9 && r.getLong(4) == 2)
+    assert(r.getLong(2) == 280000L, s"ssw=${r.getLong(2)}")
+    assert(math.abs(r.getDouble(3) - expected) < 5e-6,
+      s"chi2=${r.getDouble(3)} expected=$expected")
+  }
+
+  // -------------------------------------------------------------------------
+  // W72 Grubbs. Segment A = {1,1,1,5} dollars: mean 200 cents, s² =
+  // (3·100² + 300²)/3 = 40000, s = 200, max deviation 300 → G = 3/2
+  // EXACTLY (Grubbs 1969), suspect value 500 cents. Segment B is
+  // constant — zero variance reads G = 0 by the documented guard.
+  // -------------------------------------------------------------------------
+  test("grubbs: {1,1,1,5} -> G = 1.5 exactly, suspect 500 cents") {
+    val rows = Seq(1, 1, 1, 5).map(v => ("A", v.toDouble)) ++
+      Seq(2, 2, 2).map(v => ("B", v.toDouble))
+    val dir = fixture("customer" -> rows.toDF("c_mktsegment", "c_acctbal"))
+    val r = queries.Evaluate.grubbs(spark, dir).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2),
+        x.getLong(3)))).toMap
+    assert(r("A") == ((4L, 1.5, 500L)), s"A=${r("A")}")
+    assert(r("B") == ((3L, 0.0, 200L)), s"B=${r("B")}")
+  }
 }
