@@ -97,7 +97,7 @@ object PlanAudit {
     "q_sketch_overlap" -> "per-source k-min sketch via the TopKPairs heap aggregate (no per-source sort); everything after the distinct+heap is pairs × k metadata with the pair scaffold broadcast",
     "q_theil_sen" -> "monthly aggregate is the only fact pass; the pairwise slope join, rank window, and median selection all run on the bounded months² relation",
     "q_shortest_path" -> "edge contraction is the one fact-table join+aggregate; Bellman-Ford rounds iterate the nations-sized frontier (broadcast joins over metadata)",
-    "q_weighted_percentile" -> "weighted cut lookup (Ranked.cutValues) directly on the raw projection: ONE range exchange; collected per-(pid,flag) weight totals locate each crossing, so the cumulative window runs only over the crossing partitions' slice",
+    "q_weighted_percentile" -> "bounded-domain collapse: ONE hash aggregate reduces the fact table to the per-flag (cents -> weight) distribution (the price GRID is a domain, not a data scale), then a per-flag cumulative window over domain-sized rows picks the three cuts — no range sampling, no offset collect; Ranked.cutValues remains the operator for truly unbounded order domains",
     "q_apply_changelog" -> "changelog replay: one anti join + one union over the shared snapshot; the full-outer capture join feeds both without re-derivation (persistScoped)",
     "q_js_divergence" -> "pair scaffold as a UNION of two broadcast hash equi-joins (no OR-predicate nested loop); one (source, term) aggregate feeds totals, universe, and both contribution sides",
     "q_dedup_hops" -> "packed min-plus BFS: the converged state table reads from a localCheckpoint RDD (lineage truncated per round); one integer div/pmod projection unpacks (root, hops)",

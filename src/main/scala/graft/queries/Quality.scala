@@ -295,40 +295,33 @@ object Quality {
     * whenever weight correlates with value. Definition: smallest
     * price whose cumulative weight reaches q·W (discrete, no
     * interpolation — engine-neutral; cw·4 ≥ q·tw on integers ⇔
-    * cw ≥ ceil(q·tw/4), the threshold form [[graft.operators.Ranked
-    * .cutValues]] consumes). Scale shape: the shared weighted cut
-    * machinery runs DIRECTLY on the raw (group, cents, weight)
-    * projection — its tie-cumulating running sum makes a separate
-    * distribution collapse redundant (the cumulative weight at any
-    * price is identical on raw rows and on the collapsed
-    * distribution), so the fact table is range-partitioned once and
-    * only the ≤3 crossing partitions per group meet a window. Exact
-    * integer cents and weights throughout. */
+    * cw ≥ ceil(q·tw/4)). Scale shape: extended-price cents live on
+    * the bounded PRICE GRID (quantity × part retail price — a
+    * domain, not a data scale), so ONE hash aggregate collapses the
+    * fact table to the per-flag weight distribution and the
+    * cumulative pass is a per-flag window over domain-sized rows —
+    * the same bounded-domain argument as the JS-divergence vocab.
+    * The generic crossing-partition machinery
+    * ([[graft.operators.Ranked.cutValues]], kept for truly
+    * unbounded order domains) costs 3 extra jobs (persist, range
+    * sampling, offset collect) that the collapse makes redundant.
+    * Exact integer cents and weights throughout. */
   def weightedPercentile(s: SparkSession, dir: String): DataFrame = {
-    val proj = Tables.lineitem(s, dir)
-      .select(col("l_returnflag"),
+    val dist = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
-          .as("cents"),
-        col("l_quantity").cast("bigint").as("w"))
-      // range repartitioning SAMPLES its input in a separate job —
-      // persist keeps the cast projection a one-scan pass
-      .persistScoped()
-    val cuts = graft.operators.Ranked.cutValues(proj,
-      Seq("l_returnflag"), Seq(col("cents")), col("w"), col("cents"),
-      totals => totals.select(col("l_returnflag"),
-          explode(array(
-            struct(lit("wp25").as("tname"),
-              expr("(tw + 3) DIV 4").as("t")),
-            struct(lit("wp50").as("tname"),
-              expr("(tw + 1) DIV 2").as("t")),
-            struct(lit("wp75").as("tname"),
-              expr("(3 * tw + 3) DIV 4").as("t")))).as("x"))
-        .select(col("l_returnflag"), col("x.tname"), col("x.t")))
-    cuts.groupBy(col("l_returnflag"), col("tw"))
+          .as("cents"))
+      .agg(sum(col("l_quantity").cast("bigint")).as("w"))
+    val byFlag = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+    val cum = dist
+      .withColumn("cw", sum(col("w")).over(byFlag))
+      .withColumn("tw",
+        sum(col("w")).over(Window.partitionBy(col("l_returnflag"))))
+    cum.groupBy(col("l_returnflag"), col("tw"))
       .agg(
-        min(when(col("tname") === "wp25", col("cut_value"))).as("c25"),
-        min(when(col("tname") === "wp50", col("cut_value"))).as("c50"),
-        min(when(col("tname") === "wp75", col("cut_value"))).as("c75"))
+        min(when(col("cw") * 4 >= col("tw"), col("cents"))).as("c25"),
+        min(when(col("cw") * 2 >= col("tw"), col("cents"))).as("c50"),
+        min(when(col("cw") * 4 >= col("tw") * 3, col("cents"))).as("c75"))
       .select(col("l_returnflag"), col("tw").as("total_weight"),
         (col("c25").cast("double") / 100).as("wp25"),
         (col("c50").cast("double") / 100).as("wp50"),
