@@ -422,7 +422,16 @@ object Bench {
     val rawByName = raw.toMap
     val outliers = historyOutliers(raw, history)
       .sortBy(n => -(rawByName(n).wall / history(n)))
-    val affected = (outliers ++ windowAffected.filterNot(outliers.toSet))
+    // Would-be regression names (the >1.5× and >0.3 s band the emitted
+    // `regressions` field reports) join the queue after the outliers:
+    // without this the 1.5×–2.5× band is REPORTED but never re-timed —
+    // the rerun pass's exonerate-only min applies to them exactly as
+    // to outliers, so a name that survives into the field has now had
+    // the same end-of-sweep chance the outliers always got.
+    val regressionBand = regressionsVsHistory(raw, history)
+      .sortBy(n => -(rawByName(n).wall / history(n)))
+    val preQueue = outliers ++ regressionBand.filterNot(outliers.toSet)
+    val affected = (preQueue ++ windowAffected.filterNot(preQueue.toSet))
       .take(150)
     val rerunProbe = if (affected.nonEmpty) cpuProbeMs() else 0.0
     val rerunSamples = affected.map(n => n -> timeOne(selected(n))).toMap

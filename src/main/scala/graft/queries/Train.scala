@@ -251,20 +251,30 @@ object Train {
     // checkpointed alive relation (the CC-loop lesson, b5378d4 shape),
     // truncating lineage so round r never replays rounds 1..r-1. The
     // driver only ever holds the COUNT — never the node set.
-    def peel(survivors: DataFrame): DataFrame = survivors
+    def degrees(survivors: DataFrame): DataFrame = survivors
       .groupBy(col("u")).agg(count(lit(1)).as("d"))
       .filter(col("d") >= k)
+    def restrict(al: DataFrame): DataFrame = {
+      val nodes = al.select(col("u").as("node"))
+      edges
+        .join(nodes.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(nodes.select(col("node").as("v")), Seq("v"), "left_semi")
+    }
+    var alive = degrees(edges) // round 1: all nodes alive
       .localCheckpoint(false) // materialized by the count below
-    var alive = peel(edges) // round 1: all nodes alive
     var n = alive.count()
     var converged = false
     var round = 1
     while (!converged && round < maxRounds) {
-      round += 1
-      val nodes = alive.select(col("u").as("node"))
-      val next = peel(edges
-        .join(nodes.select(col("node").as("u")), Seq("u"), "left_semi")
-        .join(nodes.select(col("node").as("v")), Seq("v"), "left_semi"))
+      // TWO peels per materialization (lineage batching): the inner
+      // peel stays pure lineage; only the outer one is checkpointed
+      // and counted, halving the per-round job barriers. The subset
+      // chain alive ⊇ inner ⊇ next makes |next| = |alive| prove all
+      // three sets equal — a fixpoint across BOTH peels — so the
+      // convergence test is unchanged in strength.
+      round += 2
+      val next = degrees(restrict(degrees(restrict(alive))))
+        .localCheckpoint(false)
       val n2 = next.count()
       // = count ⇒ = set (subset chain); and the empty set is its own
       // fixpoint (peeling nothing yields nothing), so 0 stops at once
