@@ -843,7 +843,156 @@ object Infer {
       |  END AS chi2_tie_corrected
       |FROM a CROSS JOIN tie""".stripMargin
 
+  /** W73 — standardized effect size between click and view event
+    * values: Cohen's d on the pooled SD plus the small-sample Hedges'
+    * g correction J = 1 − 3/(4N − 9) (Hedges 1981) — the MAGNITUDE
+    * W35's Welch t cannot convey (a tiny p on a huge N can mean a
+    * trivial effect; d is N-free). Same exact-integer micro-unit
+    * sums as [[welchTtest]]; the d/g chain is the only floating
+    * step, identically shaped in both engines. */
+  def cohensD(s: SparkSession, dir: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val g = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"),
+        floor(col("value") * 1e6).cast("bigint").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v").cast(d19) * col("v").cast(d19)).as("svv"))
+      .select(col("event_type"), col("n"),
+        (col("sv").cast("double") / col("n")).as("mean_v"),
+        ((col("svv") * col("n") - col("sv").cast(d19) * col("sv").cast(d19))
+          .cast("double")
+          / (col("n").cast("double") * (col("n") - lit(1)))).as("var_v"))
+    val w = g.agg(
+      max(when(col("event_type") === "click", col("n"))).as("n1"),
+      max(when(col("event_type") === "click", col("mean_v"))).as("mean1"),
+      max(when(col("event_type") === "click", col("var_v"))).as("var1"),
+      max(when(col("event_type") === "view", col("n"))).as("n2"),
+      max(when(col("event_type") === "view", col("mean_v"))).as("mean2"),
+      max(when(col("event_type") === "view", col("var_v"))).as("var2"))
+      .withColumn("s2p",
+        ((col("n1") - 1) * col("var1") + (col("n2") - 1) * col("var2")) /
+          (col("n1") + col("n2") - lit(2)).cast("double"))
+    w.select(col("n1"), col("n2"),
+      when(col("n1") + col("n2") <= 2 || col("s2p") <= 0, lit(0.0))
+        .otherwise(round(
+          (col("mean1") - col("mean2")) / sqrt(col("s2p")), 6))
+        .as("cohens_d"),
+      when(col("n1") + col("n2") <= 2 || col("s2p") <= 0, lit(0.0))
+        .otherwise(round(
+          (col("mean1") - col("mean2")) / sqrt(col("s2p")) *
+            (lit(1.0) - lit(3.0) /
+              (lit(4.0) * (col("n1") + col("n2")).cast("double") - 9)), 6))
+        .as("hedges_g"))
+  }
+
+  val cohensDSql: String =
+    """WITH v AS (SELECT event_type, CAST(floor(value * 1e6) AS BIGINT) AS v
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |g AS (SELECT event_type, count(*) AS n,
+      |        CAST(sum(v) AS DOUBLE) / count(*) AS mean_v,
+      |        CAST(CAST(sum(CAST(v AS DECIMAL(19,0)) * v) * count(*)
+      |            - CAST(sum(v) AS DECIMAL(19,0)) * sum(v) AS DECIMAL(38,0))
+      |          AS DOUBLE)
+      |          / (CAST(count(*) AS DOUBLE) * (count(*) - 1)) AS var_v
+      |      FROM v GROUP BY event_type),
+      |p AS (SELECT
+      |        max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+      |        max(CASE WHEN event_type = 'click' THEN mean_v END) AS mean1,
+      |        max(CASE WHEN event_type = 'click' THEN var_v END) AS var1,
+      |        max(CASE WHEN event_type = 'view' THEN n END) AS n2,
+      |        max(CASE WHEN event_type = 'view' THEN mean_v END) AS mean2,
+      |        max(CASE WHEN event_type = 'view' THEN var_v END) AS var2
+      |      FROM g),
+      |q AS (SELECT n1, n2, mean1, mean2,
+      |        ((n1 - 1) * var1 + (n2 - 1) * var2)
+      |          / CAST(n1 + n2 - 2 AS DOUBLE) AS s2p
+      |      FROM p)
+      |SELECT n1, n2,
+      |  CASE WHEN n1 + n2 <= 2 OR s2p <= 0 THEN 0.0
+      |       ELSE round((mean1 - mean2) / sqrt(s2p), 6) END AS cohens_d,
+      |  CASE WHEN n1 + n2 <= 2 OR s2p <= 0 THEN 0.0
+      |       ELSE round((mean1 - mean2) / sqrt(s2p)
+      |         * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9)), 6)
+      |  END AS hedges_g
+      |FROM q""".stripMargin
+
+  /** W74 — 2×2 odds ratio and relative risk with the Woolf log CI:
+    * exposure = urgent-or-high order priority, outcome = fully
+    * shipped (o_orderstatus = 'F'). OR = ad/bc, 95% CI =
+    * exp(ln OR ± z·√(1/a + 1/b + 1/c + 1/d)) with z = 1.959964
+    * (Woolf 1955), RR = risk_exposed / risk_unexposed — the effect
+    * measures W7's χ² omits. Four exact cell counts from ONE
+    * ungrouped aggregate; the ln/exp chain is the only floating
+    * step, rounded to 6 on both engines. Any empty cell reads all
+    * three ratios 0 by the documented convention. */
+  def oddsRatio(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(s, dir)
+      .select(
+        substring(col("o_orderpriority"), 1, 1).isin("1", "2").as("exposed"),
+        (col("o_orderstatus") === "F").as("outcome"))
+      .agg(
+        sum(when(col("exposed") && col("outcome"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("exposed") && !col("outcome"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("exposed") && col("outcome"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("exposed") && !col("outcome"), 1L).otherwise(0L)).as("d"))
+    val anyZero = col("a") === 0 || col("b") === 0 ||
+      col("c") === 0 || col("d") === 0
+    val lnOr = log(col("a").cast("double") * col("d") /
+      (col("b").cast("double") * col("c")))
+    val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+      lit(1.0) / col("c") + lit(1.0) / col("d"))
+    cells.select(col("a"), col("b"), col("c"), col("d"),
+      when(anyZero, lit(0.0)).otherwise(round(
+        col("a").cast("double") * col("d") /
+          (col("b").cast("double") * col("c")), 6)).as("odds_ratio"),
+      when(anyZero, lit(0.0)).otherwise(round(
+        (col("a").cast("double") / (col("a") + col("b"))) /
+          (col("c").cast("double") / (col("c") + col("d"))), 6))
+        .as("relative_risk"),
+      when(anyZero, lit(0.0))
+        .otherwise(round(exp(lnOr - lit(1.959964) * se), 6)).as("or_ci_lo"),
+      when(anyZero, lit(0.0))
+        .otherwise(round(exp(lnOr + lit(1.959964) * se), 6)).as("or_ci_hi"))
+  }
+
+  val oddsRatioSql: String =
+    """WITH x AS (SELECT
+      |    substring(o_orderpriority, 1, 1) IN ('1', '2') AS exposed,
+      |    o_orderstatus = 'F' AS outcome
+      |  FROM orders),
+      |t AS (SELECT
+      |    CAST(sum(CASE WHEN exposed AND outcome THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN exposed AND NOT outcome THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN NOT exposed AND outcome THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN NOT exposed AND NOT outcome THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d
+      |  FROM x)
+      |SELECT a, b, c, d,
+      |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN 0.0
+      |       ELSE round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)
+      |  END AS odds_ratio,
+      |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN 0.0
+      |       ELSE round((CAST(a AS DOUBLE) / (a + b))
+      |         / (CAST(c AS DOUBLE) / (c + d)), 6)
+      |  END AS relative_risk,
+      |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN 0.0
+      |       ELSE round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+      |         - 1.959964 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 6)
+      |  END AS or_ci_lo,
+      |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN 0.0
+      |       ELSE round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+      |         + 1.959964 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 6)
+      |  END AS or_ci_hi
+      |FROM t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohens_d" -> (cohensD _),
+    "q_odds_ratio" -> (oddsRatio _),
     "q_friedman" -> (friedman _),
     "q_bh_screen" -> ((s: SparkSession, d: String) => bhScreen(s, d)),
     "q_kruskal_wallis" -> (kruskalWallis _),
@@ -858,6 +1007,8 @@ object Infer {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cohens_d" -> cohensDSql,
+    "q_odds_ratio" -> oddsRatioSql,
     "q_friedman" -> friedmanSql,
     "q_bh_screen" -> bhScreenSql,
     "q_kruskal_wallis" -> kruskalWallisSql,

@@ -1009,6 +1009,53 @@ class FormulaPinSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------------
+  // W73 Cohen's d / Hedges' g. The Welch fixture: click {1..5}
+  // (mean 3, s² = 2.5, n 5), view {2,4,6} (mean 4, s² = 4, n 3).
+  // Pooled s² = (4·2.5 + 2·4)/6 = 3, so d = (3−4)/√3 = −1/√3
+  // (Cohen 1969) and J = 1 − 3/(4·8 − 9) = 20/23 gives
+  // g = −20/(23√3) (Hedges 1981).
+  // -------------------------------------------------------------------------
+  test("cohens d: -1/sqrt(3), hedges g = -20/(23 sqrt(3)) (Hedges 1981)") {
+    val rows =
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(v =>
+        (1L, ts("2024-01-10 00:00:00"), "click", v)) ++
+      Seq(2.0, 4.0, 6.0).map(v => (2L, ts("2024-01-10 00:00:00"), "view", v))
+    val dir = fixture("events" -> rows.toDF("user_id", "ts", "event_type", "value"))
+    val r = queries.Infer.cohensD(spark, dir).collect().head
+    assert(r.getLong(0) == 5 && r.getLong(1) == 3)
+    assert(math.abs(r.getDouble(2) - (-1.0 / math.sqrt(3.0))) < 1e-6,
+      s"d=${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - (-20.0 / (23.0 * math.sqrt(3.0)))) < 1e-6,
+      s"g=${r.getDouble(3)}")
+  }
+
+  // -------------------------------------------------------------------------
+  // W74 odds ratio. 2×2 cells a=10, b=20, c=20, d=10 built from
+  // order priority/status: OR = 100/400 = 0.25, RR = (10/30)/(20/30)
+  // = 0.5, Woolf CI = exp(ln .25 ∓ 1.959964·√(.1+.05+.05+.1))
+  // (Woolf 1955) — re-derived below from the definition.
+  // -------------------------------------------------------------------------
+  test("odds ratio: OR 0.25, RR 0.5, Woolf CI from the definition") {
+    val rows =
+      (1 to 10).map(i => (i.toLong, "1-URGENT", "F")) ++
+      (1 to 20).map(i => (100L + i, "2-HIGH", "O")) ++
+      (1 to 20).map(i => (200L + i, "5-LOW", "F")) ++
+      (1 to 10).map(i => (300L + i, "4-NOT SPECIFIED", "O"))
+    val dir = fixture("orders" ->
+      rows.toDF("o_orderkey", "o_orderpriority", "o_orderstatus"))
+    val r = queries.Infer.oddsRatio(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 20L, 20L, 10L)))
+    assert(r.getDouble(4) == 0.25 && r.getDouble(5) == 0.5,
+      s"or=${r.getDouble(4)} rr=${r.getDouble(5)}")
+    val se = math.sqrt(0.1 + 0.05 + 0.05 + 0.1)
+    val lo = math.exp(math.log(0.25) - 1.959964 * se)
+    val hi = math.exp(math.log(0.25) + 1.959964 * se)
+    assert(math.abs(r.getDouble(6) - lo) < 1e-6, s"lo=${r.getDouble(6)}")
+    assert(math.abs(r.getDouble(7) - hi) < 1e-6, s"hi=${r.getDouble(7)}")
+  }
+
+  // -------------------------------------------------------------------------
   // W70 Tukey HSD. Groups A{1,2,3}, B{2,3,4}, C{6,7,8} dollars
   // (cents 100..800): means 200/300/700 cents, every group SS =
   // 20000, SSW = 60000, MSW = 60000/6 = 10000. Equal n = 3, so

@@ -116,17 +116,25 @@ class ShuffleVolumeSpec extends SparkSpec {
     noAqe.catalog.clearCache()
   }
 
-  test("weighted cut lookup windows only the crossing partitions") {
-    // cutValues' consuming action adds one bounded stage to the
-    // by-rank story: the crossing window's hash exchange, whose input
-    // is |thresholds| range partitions of |input|/width rows — a
-    // FRACTION of one fact pass, never the full stream again (the
-    // pre-round-12 plan re-windowed the entire relation here).
+  test("weighted percentiles shuffle the DOMAIN distribution, not the stream") {
+    // The round-15 rewrite collapses the fact table to the per-flag
+    // (cents → weight) distribution in its first aggregate, so
+    // everything that crosses the wire afterwards is domain-sized:
+    // the partial-agg exchange plus the per-flag window exchange —
+    // at most TWO passes of the distribution, never a third, and
+    // never the raw occurrence stream again. (At toy SF the price
+    // grid is as large as the stream itself, so the bound is counted
+    // in distribution cells, not fact rows.)
+    val cells = noAqe.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_returnflag",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      .distinct().count()
     val n = shuffledRecords(
       SparkEntry.queries("q_weighted_percentile")(noAqe, sfDir))
-    assert(n >= 100, s"$n — suspiciously empty crossing window")
-    assert(n < factRows,
-      s"$n records shuffled — the crossing window is re-shipping the stream")
+    assert(n >= 100, s"$n — suspiciously empty cumulative pass")
+    assert(n <= 2 * cells + 100,
+      s"$n records shuffled against $cells distribution cells — the " +
+        "cumulative pass is re-shipping more than two domain passes")
     noAqe.catalog.clearCache()
   }
 }
