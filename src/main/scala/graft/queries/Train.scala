@@ -241,8 +241,15 @@ object Train {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .select(col("u"), col("v"))
+    // ONE pass emits both edge directions (the Dedup.dedupClusters
+    // lesson): a union of the pair stream with its own swap executes
+    // the self-join + aggregate pipeline TWICE unless exchange reuse
+    // happens to fire; the narrow explode guarantees a single pass.
     val edges = pairs
-      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .localCheckpoint()
     // alive_{i+1} = {u : deg(u) within alive_i >= k} ⊆ alive_i (a node
     // outside alive_i has no surviving edge, so its degree is 0); the
