@@ -984,6 +984,152 @@ case class StripAccentsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-document character census in ONE narrow pass: (total
+  * code-point count, alphabet size, Shannon entropy in nats) as a
+  * struct — the fused form of the q_char_entropy pipeline that used
+  * to explode every character into a row (one row PER CHARACTER of
+  * the corpus), shuffle the (doc, char) counts, and join totals back.
+  * The census is a per-row local map, so the whole operator becomes a
+  * projection: no explode, no exchange, no join — at any corpus size
+  * the char pass costs one scan (guide §2.3/§2.4: aggregate before
+  * you shuffle; remove the shuffle outright).
+  *
+  * Exactness: counts are exact integers over code points (identical
+  * grouping to split(text, '') — Java regex zero-width splits never
+  * cut a surrogate pair); the entropy terms (n/total)·ln(n/total) are
+  * the same IEEE ops the aggregate computed, summed in ascending
+  * code-point order — a deterministic order; consumers absorb the
+  * float-sum reordering with their established round(4), exactly as
+  * they absorbed the hash-aggregate's arbitrary order before.
+  * Interpreted (CodegenFallback): per-row cost is the census loop. */
+case class CharEntropyStats(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_entropy_stats requires STRING, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("total", LongType, nullable = false),
+    StructField("alphabet", LongType, nullable = false),
+    StructField("entropy", DoubleType, nullable = false)))
+  override def prettyName: String = "char_entropy_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val str = input.asInstanceOf[UTF8String].toString
+    // ASCII fast path + spill map for the long tail of code points
+    val ascii = new Array[Long](128)
+    var rest: java.util.TreeMap[Integer, Long] = null
+    var total = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1L
+      else {
+        if (rest == null) rest = new java.util.TreeMap[Integer, Long]()
+        val prev = rest.get(cp)
+        rest.put(cp, if (prev == null) 1L else prev + 1L)
+      }
+      total += 1L
+      i += Character.charCount(cp)
+    }
+    var alphabet = 0L
+    var sumTerms = 0.0
+    def term(n: Long): Unit = {
+      alphabet += 1L
+      val q = n.toDouble / total
+      sumTerms += q * math.log(q)
+    }
+    var c = 0
+    while (c < 128) { if (ascii(c) > 0L) term(ascii(c)); c += 1 }
+    if (rest != null) rest.values().forEach(n => term(n))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, alphabet, -sumTerms))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Content-defined chunking of one document in ONE narrow pass:
+  * array<struct<chunk_hash string, n_words bigint>> in chunk order —
+  * the fused form of the q_cdc_chunks pipeline that used to
+  * posexplode every word, run two lag windows plus a running-sum
+  * window over the whole corpus (shuffled by doc), and rebuild chunk
+  * text through sort_array(collect_list(...)). The rolling-hash cut
+  * rule and both md5 chains are document-local, so the whole chunker
+  * is a projection; only the cross-document duplicate census shuffles
+  * (guide §2.3/§2.4). Exact replication of the former plan: words =
+  * split(text, ' ') with empties kept (split's -1 limit), per-word
+  * a = first-8-hex-chars-of-md5 as long, cut when a + 31·a₁ + 961·a₂
+  * ≡ 0 (mod 8) with two predecessors present, chunk_hash = md5 of the
+  * space-joined words of the chunk. Array index = chunk_idx.
+  * Interpreted (CodegenFallback): per-row cost is the chunk loop. */
+case class CdcChunks(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks requires STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_hash", StringType, nullable = false),
+    StructField("n_words", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  @transient private lazy val md =
+    java.security.MessageDigest.getInstance("MD5")
+
+  private def md5Hex(s: String): String = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    // per-word rolling value: first 8 md5 hex chars as a long
+    val a = words.map(w => java.lang.Long.parseLong(md5Hex(w).substring(0, 8), 16))
+    val chunks = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    val sb = new java.lang.StringBuilder()
+    var nWords = 0L
+    def emit(): Unit = {
+      chunks += new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](
+          UTF8String.fromString(md5Hex(sb.toString)), nWords))
+      sb.setLength(0)
+      nWords = 0L
+    }
+    var i = 0
+    while (i < words.length) {
+      if (nWords > 0L) sb.append(' ')
+      sb.append(words(i))
+      nWords += 1L
+      // the former windowed shape: chunk_idx_i = Σ_{j<i} cut_j (running
+      // sum minus own cut), so a firing cut at i CLOSES the chunk with
+      // word i as its last member and i+1 starts the next chunk
+      val cut = i >= 2 && (a(i) + 31L * a(i - 1) + 961L * a(i - 2)) % 8L == 0L
+      if (cut) emit()
+      i += 1
+    }
+    if (nWords > 0L) emit()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(chunks.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object StripAccentsExpr {
   /** Static so generated code can call it directly. */
   def strip(s: String): String = {
@@ -1021,6 +1167,8 @@ object GraftFunctions {
     ensure("hilbert_key", exprs => HilbertKey(exprs(0), exprs(1)))
     ensure("unicode_normalize", unicodeNormalizeBuilder)
     ensure("strip_accents", exprs => StripAccentsExpr(exprs.head))
+    ensure("char_entropy_stats", exprs => CharEntropyStats(exprs.head))
+    ensure("cdc_chunks", exprs => CdcChunks(exprs.head))
     // Optimizer rules go through the public experimental-methods hook
     // (sessions built with spark.sql.extensions get them from
     // GraftExtensions instead; both paths are idempotent).
@@ -1051,6 +1199,9 @@ object GraftFunctions {
     }
 
   def fnv64(c: Column): Column = call_function("fnv64", c)
+  def charEntropyStats(c: Column): Column =
+    call_function("char_entropy_stats", c)
+  def cdcChunks(c: Column): Column = call_function("cdc_chunks", c)
   def deflateSize(c: Column): Column = call_function("deflate_size", c)
   def dotF32(a: Column, b: Column): Column = call_function("dot_f32", a, b)
   def jaroWinkler(a: Column, b: Column): Column = call_function("jaro_winkler", a, b)

@@ -434,28 +434,20 @@ object Analytics {
     * q_proration bound); chunk content hashes aggregate corpus-wide
     * exactly like the fixed-size variant. */
   def cdcChunks(s: SparkSession, dir: String): DataFrame = {
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    val words = graft.Tables.widen(Tables.documents(s, dir))
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
-      .select(col("doc_id"), col("i"), col("w"),
-        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("a"))
-    val bounded = words
-      .withColumn("a1", lag(col("a"), 1).over(byDoc))
-      .withColumn("a2", lag(col("a"), 2).over(byDoc))
-      .withColumn("cut",
-        when(col("a2").isNotNull &&
-          (col("a") + lit(31L) * col("a1") + lit(961L) * col("a2")) % 8 === 0, 1L)
-          .otherwise(0L))
-      .withColumn("chunk_idx", sum(col("cut")).over(
-        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("cut"))
-    bounded
-      .groupBy(col("doc_id"), col("chunk_idx"))
-      // collect_list carries NO order across the shuffle — restore the
-      // in-document order explicitly before hashing the chunk text
-      .agg(count(lit(1)).as("n_words"),
-        md5(concat_ws(" ", expr(
-          "transform(sort_array(collect_list(struct(i, w))), x -> x.w)")))
-          .as("chunk_hash"))
+    // Fused chunker expression (CdcChunks): the rolling-hash cuts and
+    // chunk hashes are DOCUMENT-LOCAL, so the former per-word
+    // posexplode + two lag windows + running-sum window + sort_array
+    // (collect_list) rebuild — all shuffling the whole word stream by
+    // doc — collapse into one narrow projection (guide §2.3/§2.4);
+    // only the cross-document duplicate census below still exchanges.
+    // Chunk boundaries, per-chunk word counts, and both md5 chains are
+    // replicated exactly; array position = the former chunk_idx.
+    graft.Tables.widen(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.cdcChunks(col("text")))
+          .as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.n_words").as("n_words"), col("c.chunk_hash").as("chunk_hash"))
       .groupBy(col("chunk_hash"))
       .agg(count(lit(1)).as("n_copies"), sum(col("n_words")).as("n_words_total"),
         min(struct(col("doc_id"), col("chunk_idx"))).as("k"))

@@ -20,18 +20,24 @@ object Audit {
     * bounded alphabet per doc, with the standard round(4) absorber on
     * the transcendental chain. */
   def charEntropy(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.widen(Tables.documents(s, dir))
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-      .filter(col("ch") =!= "")
-      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("n"))
-    val tot = c.groupBy(col("doc_id")).agg(sum(col("n")).as("total"))
-    c.join(tot, Seq("doc_id"))
-      .groupBy(col("doc_id"), col("total"))
-      .agg(round(-sum((col("n").cast("double") / col("total")) *
-        log(col("n").cast("double") / col("total"))), 4).as("char_entropy"),
-        count(lit(1)).as("alphabet_size"))
-      .select(col("doc_id"), col("total").as("n_chars_counted"),
-        col("alphabet_size"), col("char_entropy"))
+    // Fused census expression (CharEntropyStats): the per-character
+    // explode → (doc, char) hash aggregate → totals join used to emit
+    // one row PER CHARACTER of the corpus and shuffle it twice; the
+    // census is per-document-local, so the whole operator is now one
+    // narrow projection over the scan (guide §2.3/§2.4 — aggregate
+    // before you shuffle / remove the shuffle outright). Same exact
+    // integer counts; the entropy float chain sums in ascending
+    // code-point order under the SAME round(4) absorber that covered
+    // the hash aggregate's arbitrary order before. Empty documents
+    // had no surviving char rows and were absent; the total > 0
+    // filter preserves that.
+    Tables.widen(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.charEntropyStats(col("text")).as("st"))
+      .filter(col("st.total") > 0)
+      .select(col("doc_id"), col("st.total").as("n_chars_counted"),
+        col("st.alphabet").as("alphabet_size"),
+        round(col("st.entropy"), 4).as("char_entropy"))
       .orderBy(col("doc_id"))
   }
 

@@ -388,7 +388,14 @@ object Curate {
     * string. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val sh = Dedup.shingles(docs.select(col("doc_id"), col("text")), 3)
+    // Shingle identity = the staged 60-bit digest (ShingleStage
+    // profiles), the same equivalence the whole dedup-audit family
+    // rides (ShingleProfile.hs ≡ NgramHashes, DedupSpec): the corpus
+    // md5/split pass runs once per process instead of once more here,
+    // and the distinct + pair self-join shuffle 8-byte keys instead of
+    // shingle strings (narrower exchange, same counts).
+    val sh = ShingleStage.profiles(s, dir)
+      .select(col("doc_id"), explode(col("hs")).as("shingle"))
       .join(broadcast(docs.select(col("doc_id"), col("source"))), Seq("doc_id"))
       .select(col("source"), col("shingle")).distinct()
       .persistScoped() // sizes + both sides of the pair join

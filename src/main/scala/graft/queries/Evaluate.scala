@@ -22,19 +22,84 @@ import graft.Caches.PersistScoped
 object Evaluate {
 
   /** Shared per-flag monthly series (mon, x = revenue cents, y =
-    * quantity basis points): the ONE fact-collapsing aggregate both
-    * rank-correlation (kendallTau) and autocorrelation (acf) fold
-    * over — ≤84 months per flag, so everything downstream exchanges
-    * month rows only. */
-  private def monthlySeries(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"),
-        date_trunc("month", col("l_shipdate")).as("mon"))
-      .agg(
-        sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
-          .cast("bigint")).as("x"),
-        sum((col("l_quantity").cast("decimal(18,2)") * 100)
-          .cast("bigint")).as("y"))
+    * quantity basis points): the ONE fact-collapsing aggregate the
+    * series family (kendallTau/ordinalAssoc, acf/pacf/ljungBox,
+    * hodgesLehmann, durbinWatson) folds over.
+    *
+    * Staged ONCE per process and fixture dir (the TradeGraph memo
+    * pattern): the relation is BOUNDED BY CONSTRUCTION — |flags| ≤ 3
+    * (an enum) × |months| ≤ the fixed TPC-H shipdate calendar
+    * (1992-1998, ≤ 84 values at ANY corpus size) ≤ ~252 rows of
+    * (string, timestamp, long, long) — so collecting it is bounded
+    * metadata, never a function of corpus size. Before the memo a
+    * sweep re-ran the lineitem collapse once per consumer (seven
+    * times); now the FIRST series query pays the one distributed
+    * aggregate and the rest read the collected rows as a local
+    * relation, which also turns every downstream self-join/window in
+    * this family into local-relation work (no fact-table lineage under
+    * 30+ Exchange nodes per query). Values are exact integer sums, so
+    * every process stages identical rows. */
+  private val seriesMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.types.StructType,
+             Array[org.apache.spark.sql.Row])]()
+
+  private def monthlySeries(s: SparkSession, dir: String): DataFrame = {
+    val (schema, rows) = seriesMemo.computeIfAbsent(dir, d => {
+      val df = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          date_trunc("month", col("l_shipdate")).as("mon"))
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")).as("x"),
+          sum((col("l_quantity").cast("decimal(18,2)") * 100)
+            .cast("bigint")).as("y"))
+      val collected = df.collect() // bounded: ≤ |flags| × |calendar months|
+      require(collected.length <= 4096,
+        s"monthlySeries stage collected ${collected.length} rows — the " +
+          "flag×month bound no longer holds; re-derive before staging")
+      (df.schema, collected)
+    })
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** The staged series as per-flag (flag → x-series in month order,
+    * ties impossible: mon is a group key) — the local form the
+    * ACF-family drivers (acf/pacf/ljungBox) fold over. */
+  private def seriesByFlag(s: SparkSession, dir: String): Seq[(String, Array[Long])] = {
+    monthlySeries(s, dir) // populate the memo
+    seriesMemo.get(dir)._2.toSeq
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case (f, rs) => f -> rs.sortBy(_._2.getTime).map(_._3).toArray }
+      .sortBy(_._1)
+  }
+
+  /** Local ACF over the staged series — the exact computation the
+    * former 36-Exchange plan ran (c_t = n·x_t − S exact longs, BigInt
+    * cross-products ≡ the decimal(38,0) sums, one rounded IEEE
+    * division), per flag and lag 1..6; a lag row exists iff the lag
+    * self-join had a pair (n > k), as before. */
+  private def acfLocal(s: SparkSession, dir: String,
+                       maxLag: Int = 6): Seq[(String, Int, Long, Double)] =
+    seriesByFlag(s, dir).flatMap { case (flag, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.sum // exact: cents sums stay far under 2⁶³ at bench SFs
+      val c = xs.map(x => n * x - sx)
+      val den = c.map(v => BigInt(v) * BigInt(v)).sum
+      (1 to maxLag).filter(_ < xs.length).map { k =>
+        val num = (0 until xs.length - k)
+          .map(t => BigInt(c(t)) * BigInt(c(t + k))).sum
+        val r = if (den == 0) 0.0
+                else r6(num.toDouble / den.toDouble)
+        (flag, k, n, r)
+      }
+    }
+
+  /** Spark's round(x, 6) on DoubleType: shortest-repr BigDecimal +
+    * HALF_UP — the one float absorber the family shares. */
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   private val monthlySeriesCte: String =
     """m AS MATERIALIZED (SELECT l_returnflag, date_trunc('month', l_shipdate) AS mon,
@@ -59,8 +124,7 @@ object Evaluate {
     * ordinalAssoc both read (τ-b, γ and Somers' D are three
     * normalizations of the same four counts). */
   private def concordanceCensus(s: SparkSession, dir: String): DataFrame = {
-    val m = monthlySeries(s, dir)
-      .persistScoped() // pair self-join + per-flag n
+    val m = monthlySeries(s, dir) // local relation: no persist needed
     val a = m.select(col("l_returnflag"), col("mon").as("ma"),
       col("x").as("xa"), col("y").as("ya"))
     val b = m.select(col("l_returnflag"), col("mon").as("mb"),
@@ -186,35 +250,14 @@ object Evaluate {
     * RANK, so a calendar gap does not null a lag — the series is
     * positional, as ACF over observed points is defined. */
   def acf(s: SparkSession, dir: String): DataFrame = {
-    val m = monthlySeries(s, dir)
-      .persistScoped() // the ONE fact collapse: stats pass + series pass
-    val stats = m.groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
-    val c = m
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("l_returnflag")).orderBy(col("mon"))))
-      .join(broadcast(stats), Seq("l_returnflag"))
-      .select(col("l_returnflag"), col("rn"), col("n"),
-        (col("n") * col("x") - col("sx")).as("c"))
-      .persistScoped() // lag self-join (both sides) + denominator pass
-    val den = c.groupBy(col("l_returnflag"))
-      .agg(sum((col("c").cast("decimal(38,0)") * col("c"))
-        .cast("decimal(38,0)")).as("den"))
-    val num = c.as("a")
-      .crossJoin(broadcast(lagSpine(s)))
-      .join(c.as("b"),
-        col("a.l_returnflag") === col("b.l_returnflag") &&
-          col("b.rn") === col("a.rn") + col("lag_k"))
-      .groupBy(col("a.l_returnflag").as("l_returnflag"), col("lag_k"))
-      .agg(sum((col("a.c").cast("decimal(38,0)") * col("b.c"))
-        .cast("decimal(38,0)")).as("num"))
-    num.join(den, Seq("l_returnflag"))
-      .join(broadcast(stats.select(col("l_returnflag"), col("n"))),
-        Seq("l_returnflag"))
-      .select(col("l_returnflag"), col("lag_k"), col("n"),
-        when(col("den") === 0, lit(0.0))
-          .otherwise(round(col("num").cast("double") /
-            col("den").cast("double"), 6)).as("r"))
+    // Fully local over the staged bounded series ([[acfLocal]]): the
+    // former plan carried 36 Exchange barriers (windows + lag
+    // self-join + three broadcast joins) to move ≤252 rows around —
+    // pure per-stage latency at any scale, since the data-scale work
+    // is the ONE staged collapse in [[monthlySeries]]. Identical
+    // arithmetic, identical row/lag semantics.
+    import s.implicits._
+    acfLocal(s, dir).toDF("l_returnflag", "lag_k", "n", "r")
       .orderBy(col("l_returnflag"), col("lag_k"))
   }
 
@@ -267,27 +310,29 @@ object Evaluate {
     * both sides. Corpus cost: the ONE monthly collapse ACF already
     * pays; everything after is 3 rows per group. */
   def pacf(s: SparkSession, dir: String): DataFrame = {
-    val w = acf(s, dir)
-      .filter(col("lag_k") <= 3)
-      .groupBy(col("l_returnflag"), col("n"))
-      .agg(min(when(col("lag_k") === 1, col("r"))).as("r1"),
-        min(when(col("lag_k") === 2, col("r"))).as("r2"),
-        min(when(col("lag_k") === 3, col("r"))).as("r3"))
-    w.select(col("l_returnflag"), col("n"), col("r1"), col("r2"), col("r3"),
-        when(lit(1.0) - col("r1") * col("r1") === 0, lit(0.0))
-          .otherwise((col("r2") - col("r1") * col("r1")) /
-            (lit(1.0) - col("r1") * col("r1"))).as("phi22"))
-      .select(col("l_returnflag"), col("n"), col("r1"), col("r2"), col("r3"),
-        col("phi22"), (col("r1") * (lit(1.0) - col("phi22"))).as("phi21"))
-      .select(col("l_returnflag"), col("n").cast("bigint").as("n_months"),
-        col("r1").as("pacf1"),
-        round(col("phi22"), 6).as("pacf2"),
-        round(when(lit(1.0) - col("phi21") * col("r1") -
-            col("phi22") * col("r2") === 0, lit(0.0))
-          .otherwise((col("r3") - col("phi21") * col("r2") -
-            col("phi22") * col("r1")) /
-            (lit(1.0) - col("phi21") * col("r1") -
-              col("phi22") * col("r2"))), 6).as("pacf3"))
+    // Local Durbin-Levinson over [[acfLocal]]'s lags 1..3 — the same
+    // fixed IEEE chain the former column expressions evaluated, term
+    // order preserved; series shorter than 4 months cannot supply the
+    // r1..r3 panel (a regime the fixed 7-year fixture calendar never
+    // enters) and fail loudly instead of emitting nulls.
+    val byFlag = acfLocal(s, dir, maxLag = 3)
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val out = byFlag.map { case (flag, lags) =>
+      require(lags.size == 3,
+        s"pacf: flag $flag has only ${lags.size} ACF lags (series too short)")
+      val n = lags.head._3
+      val Seq(r1, r2, r3) = lags.sortBy(_._2).map(_._4)
+      val phi22 = if (1.0 - r1 * r1 == 0) 0.0
+                  else (r2 - r1 * r1) / (1.0 - r1 * r1)
+      val phi21 = r1 * (1.0 - phi22)
+      val pacf3 =
+        if (1.0 - phi21 * r1 - phi22 * r2 == 0) 0.0
+        else (r3 - phi21 * r2 - phi22 * r1) /
+          (1.0 - phi21 * r1 - phi22 * r2)
+      (flag, n, r1, r6(phi22), r6(pacf3))
+    }
+    import s.implicits._
+    out.toDF("l_returnflag", "n_months", "pacf1", "pacf2", "pacf3")
       .orderBy(col("l_returnflag"))
   }
 
@@ -1177,8 +1222,7 @@ object Evaluate {
     * divisions. The plain median rides along — HL ≠ median is the
     * skewness signal the estimator exists to resist. */
   def hodgesLehmann(s: SparkSession, dir: String): DataFrame = {
-    val m = monthlySeries(s, dir)
-      .persistScoped() // pair self-join + plain-median pass
+    val m = monthlySeries(s, dir) // local relation: no persist needed
     val a = m.select(col("l_returnflag"), col("mon").as("ma"), col("x").as("xa"))
     val b = m.select(col("l_returnflag"), col("mon").as("mb"), col("x").as("xb"))
     val walsh = a.join(b, Seq("l_returnflag")).filter(col("ma") <= col("mb"))
@@ -1361,8 +1405,7 @@ object Evaluate {
     val m = monthlySeries(s, dir)
       .withColumn("t", row_number().over(
         Window.partitionBy(col("l_returnflag")).orderBy(col("mon")))
-        .cast("long"))
-      .persistScoped() // stats pass + residual pass
+        .cast("long")) // local relation under a tiny window: no persist
     val st = m.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), sum(col("t")).as("stt1"),
         sum(col("x")).as("sy"),
@@ -1437,23 +1480,28 @@ object Evaluate {
     * n(n+2) factor and the 1e-12 unscale applied once at the end.
     * Series shorter than 7 months lack a full 6-lag panel and read
     * 'insufficient' instead of a χ²₆ verdict. */
-  def ljungBox(s: SparkSession, dir: String): DataFrame =
-    acf(s, dir)
-      .filter(col("lag_k") <= 6)
-      .select(col("l_returnflag"), col("n"),
-        floor(col("r") * col("r") / (col("n") - col("lag_k")) * lit(1e12))
-          .cast("long").as("tq"))
-      .groupBy(col("l_returnflag"), col("n"))
-      .agg(count(lit(1)).as("n_lags"), sum(col("tq")).as("tqs"))
-      .select(col("l_returnflag"), col("n").as("n_months"),
-        col("n_lags"),
-        round(col("n").cast("double") * (col("n") + 2) *
-          col("tqs").cast("double") / lit(1e12), 6).as("q_stat"))
-      .withColumn("verdict",
-        when(col("n_lags") < 6, "insufficient")
-          .when(col("q_stat") >= 12.591587, "autocorrelated")
-          .otherwise("white_noise"))
+  def ljungBox(s: SparkSession, dir: String): DataFrame = {
+    // Local over [[acfLocal]] — same fixed-point quantization (1e-12
+    // floor per lag term, exact integer sum) and the same final IEEE
+    // chain/round the former 38-Exchange plan computed.
+    val out = acfLocal(s, dir).groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (flag, lags) =>
+        val n = lags.head._3
+        val tqs = lags.map { case (_, k, _, r) =>
+          math.floor(r * r / (n - k) * 1e12).toLong
+        }.sum
+        val nLags = lags.size.toLong
+        val q = r6(n.toDouble * (n + 2) * tqs.toDouble / 1e12)
+        val verdict =
+          if (nLags < 6) "insufficient"
+          else if (q >= 12.591587) "autocorrelated"
+          else "white_noise"
+        (flag, n, nLags, q, verdict)
+      }
+    import s.implicits._
+    out.toDF("l_returnflag", "n_months", "n_lags", "q_stat", "verdict")
       .orderBy(col("l_returnflag"))
+  }
 
   val ljungBoxSql: String =
     s"""WITH $monthlySeriesCte,

@@ -600,43 +600,52 @@ object Joins {
     * Cell ids pack as jy·100+jx (< 10⁴) and the argmax packs as
     * s·10⁴+id — exact in int64 on both engines. */
   def spatialWatershed(s: SparkSession, dir: String): DataFrame = {
+    // ONE distributed pass — the only data-scale work. The cell
+    // relation is GRID-BOUNDED BY CONSTRUCTION (the md5 coins land
+    // jy ∈ [40,50), jx ∈ [0,10) ⇒ ≤100 cells at ANY corpus size), so
+    // the smoothing / parent / pointer-doubling machinery collapses to
+    // the driver over the collected rows (the TradeGraph
+    // bounded-metadata pattern) instead of paying ~20 Exchange
+    // barriers + 7 localCheckpoint jobs per query. Every step below
+    // replays the former distributed plan exactly — pure 64-bit
+    // integer arithmetic, nothing floating anywhere — so the output is
+    // row-identical; the oracle still runs its own 7 unrolled
+    // doublings in SQL.
     val cells = Tables.events(s, dir)
       .select(floor(geoLat("egeo|", col("event_id"))).cast("int").as("jy"),
         floor(geoLon("egeo|", col("event_id"))).cast("int").as("jx"))
       .groupBy(col("jy"), col("jx")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    require(cells.length <= 4096,
+      s"spatialWatershed grid collected ${cells.length} cells — the " +
+        "coin-range bound no longer holds; re-derive before collecting")
+    val cnt = cells.map(c => (c._1, c._2) -> c._3).toMap
+    def ring(jy: Int, jx: Int): Seq[(Int, Int)] =
+      for { dy <- -1 to 1; dx <- -1 to 1 } yield (jy + dy, jx + dx)
     // smoothed density: each present cell's 3×3 sum of present counts
-    // (absent neighbors contribute 0 via the inner equi-join)
-    val sm = ring3x3(cells, Seq("cnt"), "ty", "tx")
-      .groupBy(col("ty"), col("tx"))
-      .agg(sum(col("cnt")).as("s"))
-      .withColumnRenamed("ty", "jy").withColumnRenamed("tx", "jx")
-      .join(cells, Seq("jy", "jx")) // keep only populated cells
-      .persistScoped() // three readers: parent ring, target filter, output
+    val sm: Map[(Int, Int), Long] = cells.map { case (jy, jx, _) =>
+      (jy, jx) -> ring(jy, jx).flatMap(cnt.get).sum
+    }.toMap
     // parent: argmax of (s, jy, jx) over the present 3×3 neighborhood
-    val parent = ring3x3(sm, Seq("s", "jy", "jx"), "ty", "tx")
-      .groupBy(col("ty"), col("tx"))
-      .agg(max(struct(col("s"), col("jy"), col("jx"))).as("p"))
-      .join(sm.select(col("jy").as("ty"), col("jx").as("tx")), Seq("ty", "tx"))
-    // Each doubling references f TWICE; without truncation the lazy
-    // lineage doubles per round and the point scan underneath replays
-    // 2⁷ times (measured: 76 s at sf0.1 vs ~1 s truncated). The cell
-    // relation is tiny (≤ grid size), so an eager localCheckpoint per
-    // round — the same cadence the star-contraction CC uses — costs
-    // seven ~ms jobs and caps the plan at one composition deep.
-    var f = parent.select((col("ty") * 100 + col("tx")).as("c"),
-      (col("p.jy") * 100 + col("p.jx")).as("p"))
-      .coalesce(1).localCheckpoint()
-    for (_ <- 1 to 7) {
-      val g = f.select(col("c").as("gc"), col("p").as("gp"))
-      f = f.join(g, col("p") === col("gc")).select(col("c"), col("gp").as("p"))
-        .localCheckpoint()
-    }
-    f.join(sm.select((col("jy") * 100 + col("jx")).as("c"),
-        col("jy"), col("jx"), col("cnt"), col("s")), Seq("c"))
-      .select(col("jy"), col("jx"), col("cnt"), col("s").as("smoothed"),
-        expr("CAST(p div 100 AS INT)").as("peak_jy"),
-        (col("p") % 100).cast("int").as("peak_jx"),
-        (col("c") === col("p")).as("is_peak"))
+    // (self-inclusive; the max(struct) total order = lexicographic)
+    val parent: Map[Int, Int] = cells.map { case (jy, jx, _) =>
+      val (_, pjy, pjx) = ring(jy, jx)
+        .flatMap { case (ny, nx) => sm.get((ny, nx)).map(sv => (sv, ny, nx)) }
+        .max
+      (jy * 100 + jx) -> (pjy * 100 + pjx)
+    }.toMap
+    // pointer doubling, f ← f∘f seven times — identical composition
+    // count to the former per-round self-join loop
+    var f = parent
+    for (_ <- 1 to 7) f = f.map { case (c, p) => c -> f(p) }
+    val out = cells.map { case (jy, jx, n) =>
+      val c = jy * 100 + jx
+      val p = f(c)
+      (jy, jx, n, sm((jy, jx)), p / 100, p % 100, c == p)
+    }.sortBy(t => (t._1, t._2))
+    import s.implicits._
+    out.toSeq
+      .toDF("jy", "jx", "cnt", "smoothed", "peak_jy", "peak_jx", "is_peak")
       .orderBy(col("jy"), col("jx"))
   }
 
@@ -708,6 +717,9 @@ object Joins {
       .withColumn("jy", floor(col("plat")).cast("int"))
       .withColumn("jx", floor(col("plon")).cast("int"))
       .withColumn("cplat", cos(radians(col("plat"))))
+      // two readers (cell census + ring explode) — without the pin the
+      // events scan and its per-point md5 run twice back to back
+      .persistScoped()
     val cells = pts.select(col("jy"), col("jx")).distinct()
       .withColumn("ccell", cos(radians(col("jy") + lit(0.5))))
     val contrib = pts
@@ -803,49 +815,63 @@ object Joins {
     val lon = when(sel < 4, lit(1.5) + (b % 2000L) / lit(1000.0))
       .when(sel < 8, lit(6.5) + (b % 2000L) / lit(1000.0))
       .otherwise((b % 10000L) / lit(1000.0))
+    // ONE distributed pass — the only data-scale work. The cell
+    // relation is GRID-BOUNDED BY CONSTRUCTION (both blob and scatter
+    // coins land lat ∈ [40,50), lon ∈ [0,10) ⇒ ≤100 cells at ANY
+    // corpus size), so the dense/border/noise classification and the
+    // core-adjacency connected components collapse to the driver over
+    // the collected rows (the TradeGraph bounded-metadata pattern)
+    // instead of paying ~58 Exchange barriers + the per-round CC label
+    // jobs per query. The local component labels are min-id per
+    // component — exactly the dedupClusters fixpoint this used to call
+    // — and everything is 64-bit integer arithmetic, so the output is
+    // row-identical; the oracle keeps its recursive transitive
+    // closure.
     val base = Tables.events(s, dir)
       .select(floor(lat).cast("int").as("jy"), floor(lon).cast("int").as("jx"))
       .groupBy(col("jy"), col("jx")).agg(count(lit(1)).as("n"))
-      .withColumn("id", (col("jy") * 100 + col("jx")).cast("bigint"))
-      // the cell relation is grid-bounded (≤100 rows here; |cells| ≪
-      // |points| always) — collapse it to one partition so every
-      // downstream step broadcasts instead of paying 32-task stages
-      .coalesce(1)
-      .persistScoped() // one point scan feeds total + dense/non-dense legs
-    val cells = base.crossJoin(broadcast(base.agg(sum(col("n")).as("t"))))
-    val dense = cells.filter(col("n") * 50 >= col("t"))
-      .select(col("jy"), col("jx"), col("n"), col("id"))
-    val nond = cells.filter(col("n") * 50 < col("t"))
-      .select(col("jy"), col("jx"), col("n"), col("id"))
-    val denseAt = dense.select(col("jy"), col("jx"), col("id").as("nbr"))
-    val pairs = ring3x3(dense, Seq("id"), "jy", "jx")
-      .join(denseAt, Seq("jy", "jx"))
-      .filter(col("id") < col("nbr"))
-      .select(col("id").as("doc_id_a"), col("nbr").as("doc_id_b"))
-    val labels = graft.operators.Dedup.dedupClusters(pairs)
-      .select(col("doc_id").as("id"), col("cluster_id"))
-    // isolated core cells (no core neighbor) label themselves
-    val core = dense.join(labels, Seq("id"), "left")
-      .select(col("jy"), col("jx"), col("n"), lit("core").as("role"),
-        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
-      .persistScoped() // output leg + border-label lookup
-    val coreAt = core.select(col("jy"), col("jx"), col("cluster_id").as("cl"))
-    val borderLab = ring3x3(nond
-        .select(col("id"), col("n"), col("jy").as("ojy"),
-          col("jx").as("ojx"), col("jy"), col("jx")),
-        Seq("id", "n", "ojy", "ojx"), "jy", "jx")
-      .join(coreAt, Seq("jy", "jx"))
-      .groupBy(col("id"), col("n"), col("ojy"), col("ojx"))
-      .agg(min(col("cl")).as("cluster_id"))
-    val border = borderLab
-      .select(col("ojy").as("jy"), col("ojx").as("jx"), col("n"),
-        lit("border").as("role"), col("cluster_id"))
-    val noise = nond.join(borderLab.select(col("id")), Seq("id"), "left_anti")
-      .select(col("jy"), col("jx"), col("n"), lit("noise").as("role"),
-        lit(-1L).as("cluster_id"))
-    core.unionAll(border).unionAll(noise)
-      .select(col("jy"), col("jx"), col("n").as("n_points"), col("role"),
-        col("cluster_id"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    require(base.length <= 4096,
+      s"dbscanGrid grid collected ${base.length} cells — the coin-range " +
+        "bound no longer holds; re-derive before collecting")
+    val t = base.map(_._3).sum
+    def id(jy: Int, jx: Int): Long = jy.toLong * 100 + jx
+    val dense = base.filter { case (_, _, n) => n * 50 >= t }
+    val nond = base.filter { case (_, _, n) => n * 50 < t }
+    val denseIds = dense.map { case (jy, jx, _) => (jy, jx) -> id(jy, jx) }.toMap
+    def ring(jy: Int, jx: Int): Seq[(Int, Int)] =
+      for { dy <- -1 to 1; dx <- -1 to 1 } yield (jy + dy, jx + dx)
+    // components of 8-adjacent core cells: min-id label fixpoint
+    // (== dedupClusters' min-label propagation result)
+    val label = scala.collection.mutable.Map[Long, Long]()
+    def root(x: Long): Long = {
+      var r = x
+      while (label(r) != r) r = label(r)
+      var c = x
+      while (label(c) != c) { val nx = label(c); label(c) = r; c = nx }
+      r
+    }
+    dense.foreach { case (jy, jx, _) => label(id(jy, jx)) = id(jy, jx) }
+    dense.foreach { case (jy, jx, _) =>
+      ring(jy, jx).flatMap(denseIds.get).foreach { nbr =>
+        val (a, b) = (root(id(jy, jx)), root(nbr))
+        if (a != b) { if (a < b) label(b) = a else label(a) = b }
+      }
+    }
+    val core = dense.map { case (jy, jx, n) =>
+      (jy, jx, n, "core", root(id(jy, jx)))
+    }
+    val coreAt = core.map { case (jy, jx, _, _, cl) => (jy, jx) -> cl }.toMap
+    val (border, noise) = nond.partition { case (jy, jx, _) =>
+      ring(jy, jx).exists(coreAt.contains)
+    }
+    val borderRows = border.map { case (jy, jx, n) =>
+      (jy, jx, n, "border", ring(jy, jx).flatMap(coreAt.get).min)
+    }
+    val noiseRows = noise.map { case (jy, jx, n) => (jy, jx, n, "noise", -1L) }
+    import s.implicits._
+    (core ++ borderRows ++ noiseRows).sortBy(r => (r._1, r._2)).toSeq
+      .toDF("jy", "jx", "n_points", "role", "cluster_id")
       .orderBy(col("jy"), col("jx"))
   }
 

@@ -791,67 +791,63 @@ object Trend {
     val probs = counts.join(tot, Seq("src"))
       .select(col("src"), col("tgt"),
         (col("n").cast("double") / col("tn")).as("p"))
-    // the whole matrix as ONE wide row of fixed columns — from here
-    // every arithmetic expression has a declared term order, so the
-    // float chain is identical on both engines (a per-round SQL sum()
-    // over rows would not be)
-    val cells = (for { s0 <- sources; t0 <- targets } yield
-      coalesce(max(when(col("src") === s0 && col("tgt") === t0, col("p"))),
-        lit(0.0)).as(s"p_${s0}_${t0}")) :+
-      // loud coverage guard: any transition mass OUTSIDE the fixed
-      // enum would silently vanish at the pivot while still inflating
-      // tn — fail the query instead (the oracle replays the same enum,
-      // so t2 could never catch a new event type on its own)
-      coalesce(max(when(!col("src").isin(sources: _*) ||
-        !col("tgt").isin(targets: _*), col("p"))), lit(0.0)).as("p_bad")
-    val pCols = sources.flatMap(s0 => targets.map(t0 => col(s"p_${s0}_${t0}")))
+    // The matrix is BOUNDED BY CONSTRUCTION (|sources| × |targets| ≤
+    // 5 × 6 plus any out-of-enum strays the guard rejects), so the
+    // absorption machinery collapses to the driver: collect the ≤30
+    // (src, tgt, p) cells (the TradeGraph bounded-metadata pattern)
+    // and run the SAME 16 unrolled value-iteration rounds as plain
+    // JVM doubles in the SAME declared term order — identical IEEE
+    // ops, so the emitted numbers are bit-for-bit what the former
+    // one-wide-row expression tree produced, without its 8
+    // localCheckpoint jobs (~0.1 s each) per query. The oracle still
+    // replays the identical 16 rounds in SQL.
+    val pRows = probs.collect() // bounded: ≤ |state enum|² cells
+    // loud coverage guard (unchanged semantics): any transition mass
+    // OUTSIDE the fixed enum would silently vanish at the pivot while
+    // still inflating tn — fail the query instead
+    if (pRows.exists(r => !sources.contains(r.getString(0)) ||
+        !targets.contains(r.getString(1))))
+      throw new IllegalStateException("markovAttribution: event type " +
+        "outside the declared state enum — extend attrChannels")
+    val p: Map[(String, String), Double] =
+      pRows.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+        .withDefaultValue(0.0)
     val scns = ("full", "") +: attrChannels.map(c => (s"no_$c", c))
-    var cur = probs.agg(cells.head, cells.tail: _*)
-      .select(pCols ++ scns.flatMap { case (scn, _) =>
+    // v(scn)(st), synchronous updates from the previous round — the
+    // exact upd expression the wide-row select evaluated per round
+    var v: Map[(String, String), Double] =
+      scns.flatMap { case (scn, _) =>
+        sources.map(st => (scn, st) -> 0.0) }.toMap
+    for (_ <- 1 to rounds) {
+      v = scns.flatMap { case (scn, removed) =>
         sources.map { st =>
-          // thread the guard through a value column so it cannot be
-          // pruned: evaluates to the 0.0 init, or raises
-          val init = if (scn == "full" && st == "start")
-            when(col("p_bad") === 0.0, lit(0.0)).otherwise(
-              raise_error(lit("markovAttribution: event type outside the " +
-                "declared state enum — extend attrChannels")).cast("double"))
-          else lit(0.0)
-          init.as(s"v_${scn}_$st")
-        } }: _*)
-      .coalesce(1).localCheckpoint()
-    for (r <- 1 to rounds) {
-      val upd = scns.flatMap { case (scn, removed) =>
-        sources.map { st =>
-          targets.map { t =>
-            val vt: Column = t match {
-              case "conv" => lit(1.0)
-              case "null" => lit(0.0)
-              case c if c == removed => lit(0.0)
-              case c => col(s"v_${scn}_$c")
+          val terms = targets.map { t =>
+            val vt = t match {
+              case "conv" => 1.0
+              case "null" => 0.0
+              case c if c == removed => 0.0
+              case c => v((scn, c))
             }
-            col(s"p_${st}_$t") * vt
-          }.reduce(_ + _).as(s"v_${scn}_$st")
+            p((st, t)) * vt
+          }
+          (scn, st) -> terms.reduce(_ + _) // left-assoc, targets order
         }
-      }
-      // 1-row frame: truncate every 2nd round — CollapseProject's
-      // substitution grows ~6× per uncheckpointed round (two rounds ≈
-      // 36 terms per value, fine; sixteen would be 6^16), and each
-      // checkpoint is a ~0.1 s job
-      cur = cur.select(pCols ++ upd: _*)
-      if (r % 2 == 0 || r == rounds) cur = cur.localCheckpoint()
+      }.toMap
     }
-    val withEff = cur
-      .select(col("v_full_start") +: attrChannels.map(c =>
-        (col("v_full_start") - col(s"v_no_${c}_start")).as(s"eff_$c")): _*)
-      .withColumn("tot_eff",
-        attrChannels.map(c => col(s"eff_$c")).reduce(_ + _))
-    attrChannels.map { c =>
-      withEff.select(lit(c).as("channel"),
-        round(col("v_full_start"), 6).as("conv_prob"),
-        round(col(s"eff_$c"), 6).as("removal_effect"),
-        round(when(col("tot_eff") =!= 0.0, col(s"eff_$c") / col("tot_eff"))
-          .otherwise(lit(0.0)), 6).as("share"))
-    }.reduce(_.unionAll(_)).orderBy(col("channel"))
+    // Spark's round(x, 6) on DoubleType = BigDecimal.valueOf + HALF_UP
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val vFull = v(("full", "start"))
+    val effs = attrChannels.map(c => c -> (vFull - v((s"no_$c", "start"))))
+    val totEff = effs.map(_._2).reduce(_ + _) // left-assoc, channel order
+    val out = effs.map { case (c, eff) =>
+      (c, r6(vFull), r6(eff),
+        r6(if (totEff != 0.0) eff / totEff else 0.0))
+    }
+    import s.implicits._
+    out.toDF("channel", "conv_prob", "removal_effect", "share")
+      .orderBy(col("channel"))
   }
 
   val markovAttributionSql: String = {

@@ -83,15 +83,31 @@ object Warehouse {
     * token co-occurrence, citation pairs) that scales by bounding the
     * per-basket fan-out, not the corpus. */
   def basketRules(s: SparkSession, dir: String, minCount: Long = 20L): DataFrame = {
-    val items = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("okey"), (col("l_partkey") % 50).as("item"))
-      .distinct().persistScoped() // feeds the pair join twice plus item counts
-    val nOrders = items.select(col("okey")).distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    val itemCounts = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
-    val pairs = items.select(col("okey"), col("item").as("item_a"))
-      .join(items.select(col("okey"), col("item").as("item_b")), Seq("okey"))
-      .filter(col("item_a") < col("item_b"))
+    // The item domain is BOUNDED (l_partkey % 50 ∈ [0,50)), so each
+    // basket packs into one 64-bit bitmap: ONE okey-keyed aggregate
+    // (bit_or dedups — no separate distinct pass) replaces the former
+    // distinct + okey self-join, and the pair stream comes from a
+    // per-basket explode whose groupBy partial-aggregates into ≤C(50,2)
+    // cells map-side — the exchange carries ≤1225×width rows instead
+    // of the multi-million-row join output (guide §2.3: aggregate
+    // before you shuffle; §2.4: remove the join's shuffle outright).
+    // All counts stay exact integers with identical semantics.
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("okey"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(l_partkey % 50 AS INT))")
+          .as("bit"))
+      .groupBy(col("okey")).agg(expr("bit_or(bit)").as("bits"))
+      .select(expr("filter(transform(sequence(0, 49), i -> CAST(i AS BIGINT)), " +
+        "i -> ((bits >> CAST(i AS INT)) & 1) = 1)").as("arr"))
+      .persistScoped() // order census + item census + pair census
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val itemCounts = baskets.select(explode(col("arr")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairs = baskets
+      .select(explode(expr("flatten(transform(arr, a -> " +
+        "transform(filter(arr, b -> b > a), " +
+        "b -> named_struct('item_a', a, 'item_b', b))))")).as("p"))
+      .select(col("p.item_a"), col("p.item_b"))
       .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
     pairs
