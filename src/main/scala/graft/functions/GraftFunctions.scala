@@ -1130,6 +1130,63 @@ case class CdcChunks(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-document term-frequency census in ONE narrow pass:
+  * struct<m: map<term, tf>, nrm2: Σtf²> over the space-split non-empty
+  * terms — the fused form of the explode → (doc, term) hash-aggregate
+  * pipeline the sparse-retrieval operators start from. Term counts
+  * are document-local, so the census is a projection: the word stream
+  * never reaches an exchange, and the ℓ² norm (an exact integer) falls
+  * out of the same pass instead of a second aggregate over the tf
+  * relation (guide §2.3/§2.4). Interpreted (CodegenFallback): per-row
+  * cost is the census loop. */
+case class TermCounts(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"term_counts requires STRING, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("m",
+      MapType(StringType, LongType, valueContainsNull = false),
+      nullable = false),
+    StructField("nrm2", LongType, nullable = false)))
+  override def prettyName: String = "term_counts"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.nonEmpty) counts.put(w, counts.getOrDefault(w, 0L) + 1L)
+      i += 1
+    }
+    val n = counts.size()
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    var nrm2 = 0L
+    var j = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = UTF8String.fromString(e.getKey)
+      vals(j) = e.getValue
+      nrm2 += e.getValue * e.getValue
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)),
+      nrm2))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object StripAccentsExpr {
   /** Static so generated code can call it directly. */
   def strip(s: String): String = {
@@ -1169,6 +1226,7 @@ object GraftFunctions {
     ensure("strip_accents", exprs => StripAccentsExpr(exprs.head))
     ensure("char_entropy_stats", exprs => CharEntropyStats(exprs.head))
     ensure("cdc_chunks", exprs => CdcChunks(exprs.head))
+    ensure("term_counts", exprs => TermCounts(exprs.head))
     // Optimizer rules go through the public experimental-methods hook
     // (sessions built with spark.sql.extensions get them from
     // GraftExtensions instead; both paths are idempotent).
@@ -1202,6 +1260,7 @@ object GraftFunctions {
   def charEntropyStats(c: Column): Column =
     call_function("char_entropy_stats", c)
   def cdcChunks(c: Column): Column = call_function("cdc_chunks", c)
+  def termCounts(c: Column): Column = call_function("term_counts", c)
   def deflateSize(c: Column): Column = call_function("deflate_size", c)
   def dotF32(a: Column, b: Column): Column = call_function("dot_f32", a, b)
   def jaroWinkler(a: Column, b: Column): Column = call_function("jaro_winkler", a, b)

@@ -398,12 +398,20 @@ object Curate {
       .select(col("doc_id"), explode(col("hs")).as("shingle"))
       .join(broadcast(docs.select(col("doc_id"), col("source"))), Seq("doc_id"))
       .select(col("source"), col("shingle")).distinct()
-      .persistScoped() // sizes + both sides of the pair join
+      .persistScoped() // sizes + the per-shingle source-set pass
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("shingle"), col("source").as("source_a"))
-    val b = sh.select(col("shingle"), col("source").as("source_b"))
-    a.join(b, Seq("shingle"))
-      .filter(col("source_a") < col("source_b"))
+    // per-shingle sorted source set → pair explode: the intersection
+    // census partial-aggregates map-side into ≤C(|sources|,2) cells
+    // instead of shuffling both sides of a shingle-keyed self-join;
+    // source fan-out per shingle is bounded by the (low-cardinality by
+    // construction) source domain, so the arrays stay tiny at any
+    // corpus size. Same exact pair counts.
+    sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .select(explode(expr("flatten(transform(srcs, a -> " +
+        "transform(filter(srcs, b -> b > a), " +
+        "b -> named_struct('source_a', a, 'source_b', b))))")).as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("inter"))
       .join(broadcast(sizes.withColumnRenamed("source", "source_a")

@@ -688,24 +688,15 @@ object Evaluate {
     * already adjacent (scores on non-edges are the link predictions;
     * on edges, a strength audit). */
   def adamicAdar(s: SparkSession, dir: String): DataFrame = {
-    val cn = Tables.customer(s, dir)
-      .select(col("c_custkey"), col("c_nationkey").as("cnat"))
-    val sn = Tables.supplier(s, dir)
-      .select(col("s_suppkey"), col("s_nationkey").as("snat"))
-    val edges = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
-      .filter(col("cnat") =!= col("snat"))
-      .select(least(col("cnat"), col("snat")).as("u"),
-        greatest(col("cnat"), col("snat")).as("v"))
-      .distinct()
-      .persistScoped() // adjacency both directions + is_edge probe
+    // The nation trade graph's star-join collapse is exactly
+    // [[TradeGraph.undirected]] (self-loops dropped, endpoints
+    // ordered, distinct pairs) — staged once per process; this query
+    // used to be the ONE graph consumer still re-running the 4-way
+    // corpus join itself. Everything below runs on the ≤|nations)²
+    // local relation, so the persists go too.
+    val edges = TradeGraph.undirectedDf(s, dir).select(col("u"), col("v"))
     val adj = edges.select(col("u").as("node"), col("v").as("nb"))
       .unionAll(edges.select(col("v").as("node"), col("u").as("nb")))
-      .persistScoped() // degree census + two sides of the wedge join
     val wz = adj.groupBy(col("nb")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= 2)
       .select(col("nb"),
@@ -988,40 +979,54 @@ object Evaluate {
       .filter(col("dur") >= 0)
       .select(least(col("dur"), lit(90)).as("t"),
         (col("dur") <= 90).cast("long").as("died"), col("g"))
+    // The day spine is BOUNDED BY CONSTRUCTION (t ∈ [0, 90] ⇒ ≤91
+    // rows at ANY corpus size), so the risk-table machinery runs
+    // locally over the collected rows (TradeGraph bounded-metadata
+    // pattern) instead of two single-partition suffix windows plus a
+    // final aggregate — the fact collapse above stays the only
+    // distributed work. Identical arithmetic: the 10⁻⁹ quantized
+    // expectation/variance terms are exact integer floor divisions
+    // (BigInt ≡ the DECIMAL(38,0) div chain), and the closing χ²
+    // double chain is replayed op for op.
     val spine = dur.groupBy(col("t"))
       .agg(sum(col("died") * col("g")).as("d1"), sum(col("died")).as("d"),
         sum(col("g")).as("leave1"), count(lit(1)).as("leave"))
-    val atRisk = Window.orderBy(col("t")) // bounded: <=91 day rows
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val terms = spine
-      .withColumn("n1", sum(col("leave1")).over(atRisk))
-      .withColumn("n", sum(col("leave")).over(atRisk))
-      .select(col("d1"), col("leave1"), col("leave"),
-        when(col("n") > 0,
-          expr("CAST(d AS DECIMAL(38,0)) * n1 * 1000000000 div n"))
-          .otherwise(lit(0L)).as("e1q"),
-        when(col("n") > 1,
-          expr("CAST(d AS DECIMAL(38,0)) * n1 * (n - n1) * (n - d) * " +
-            "1000000000 div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))"))
-          .otherwise(lit(0L)).as("vq"))
-    terms.agg(sum(col("leave1")).as("n_g1"),
-        (sum(col("leave")) - sum(col("leave1"))).as("n_g0"),
-        sum(col("d1")).as("observed1"),
-        sum(col("e1q")).as("expected1_nano"),
-        sum(col("vq")).as("var_nano"))
-      .select(col("n_g1"), col("n_g0"), col("observed1"),
-        col("expected1_nano"), col("var_nano"),
-        when(col("var_nano") <= 0, lit(0.0))
-          .otherwise(round(
-            (col("observed1").cast("double") * 1e9 -
-              col("expected1_nano").cast("double")) *
-              (col("observed1").cast("double") * 1e9 -
-                col("expected1_nano").cast("double")) /
-              (col("var_nano").cast("double") * 1e9), 6)).as("chi2"))
-      .select(col("n_g1"), col("n_g0"), col("observed1"),
-        col("expected1_nano"), col("var_nano"), col("chi2"),
-        when(col("chi2") >= 3.841459, "different").otherwise("no_evidence")
-          .as("verdict"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    require(spine.length <= 91,
+      s"logrank spine has ${spine.length} rows — the least(dur, 90) bound " +
+        "no longer holds")
+    var n1 = spine.map(_._4).sum
+    var n = spine.map(_._5).sum
+    val nG1 = n1
+    val nG0 = n - n1
+    var observed1 = 0L
+    var e1q = 0L
+    var vq = 0L
+    spine.foreach { case (_, d1, d, leave1, leave) =>
+      observed1 += d1
+      if (n > 0)
+        e1q += (BigInt(d) * n1 * 1000000000L / n).toLong
+      if (n > 1)
+        vq += (BigInt(d) * n1 * (n - n1) * (n - d) * 1000000000L /
+          (BigInt(n) * n * (n - 1))).toLong
+      n1 -= leave1
+      n -= leave
+    }
+    val chi2 =
+      if (vq <= 0L) 0.0
+      else {
+        val om = observed1.toDouble * 1e9 - e1q.toDouble
+        java.math.BigDecimal.valueOf(om * om / (vq.toDouble * 1e9))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+    val verdict = if (chi2 >= 3.841459) "different" else "no_evidence"
+    import s.implicits._
+    Seq((nG1, nG0, observed1, e1q, vq, chi2, verdict))
+      .toDF("n_g1", "n_g0", "observed1", "expected1_nano", "var_nano",
+        "chi2", "verdict")
   }
 
   val logrankSql: String =

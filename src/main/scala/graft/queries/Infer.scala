@@ -755,53 +755,68 @@ object Infer {
     * convention). The block relation is bounded (months × priorities);
     * the one fact pass is the (month, priority) aggregate. */
   def friedman(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // The cell relation is BOUNDED BY CONSTRUCTION (blk = month of
+    // the fixed TPC-H order calendar ≤ 84 × trt = the priority enum
+    // ≤ 5 ⇒ ≤ ~420 rows at ANY corpus size), so the block-rank
+    // machinery runs locally over the collected cells (TradeGraph
+    // bounded-metadata pattern) instead of two persists + two block
+    // windows + three aggregates — the fact collapse above stays the
+    // only distributed work. Identical arithmetic: integer midranks
+    // (2·rnk + t − 1), BigInt rank-sum squares ≡ the DECIMAL(38,0)
+    // sums, and the closing χ²/tie-correction double chain replayed
+    // op for op under the same round(6).
     val cells = Tables.orders(s, dir)
       .groupBy(date_trunc("month", to_date(col("o_orderdate"))).as("blk"),
         col("o_orderpriority").as("trt"))
       .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("bigint")).as("v"))
-      .persistScoped() // k census + complete-block filter + rank pass
-    val k = cells.agg(countDistinct(col("trt")).as("k"))
-    val complete = cells.groupBy(col("blk")).agg(count(lit(1)).as("kc"))
-      .crossJoin(broadcast(k)).filter(col("kc") === col("k"))
-      .select(col("blk"))
-    val ranked = cells.join(complete, Seq("blk"), "left_semi")
-      .withColumn("rnk", rank().over(
-        Window.partitionBy(col("blk")).orderBy(col("v"))).cast("long"))
-      .withColumn("t", count(lit(1)).over(
-        Window.partitionBy(col("blk"), col("v"))))
-      .withColumn("mr2", lit(2) * col("rnk") + col("t") - 1)
-      .persistScoped() // rank sums + tie census
-    val rsums = ranked.groupBy(col("trt"))
-      .agg(sum(col("mr2")).as("r2"), count(lit(1)).as("nb"))
-    val ties = ranked.groupBy(col("blk"), col("v"))
-      .agg(max(col("t")).as("t"))
-      .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")),
-        lit(0L)).as("tie3"))
-    val agg = rsums.agg(
-      coalesce(max(col("nb")), lit(0L)).as("n"), count(lit(1)).as("kk"),
-      coalesce(sum((col("r2").cast("decimal(38,0)") * col("r2"))
-        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("sr2"))
-    agg.crossJoin(broadcast(ties))
-      .select(col("n").as("n_blocks"), col("kk").as("k_treatments"),
-        col("tie3"),
-        // raw χ² BEFORE rounding: the tie-corrected form divides the
-        // raw value (the oracle mirrors this order exactly)
-        (lit(3.0) * col("sr2").cast("double") /
-          (col("n").cast("double") * col("kk") * (col("kk") + 1)) -
-          lit(3.0) * col("n") * (col("kk") + 1)).as("chi2raw"))
-      .select(col("n_blocks"), col("k_treatments"),
-        when(col("n_blocks") === 0 || col("k_treatments") <= 1, lit(0.0))
-          .otherwise(round(col("chi2raw"), 6)).as("chi2"),
-        when(col("n_blocks") === 0 || col("k_treatments") <= 1, lit(0.0))
-          .otherwise {
-            val c = lit(1.0) - col("tie3").cast("double") /
-              (col("n_blocks").cast("double") *
-                (col("k_treatments") * col("k_treatments") * col("k_treatments")
-                  - col("k_treatments")))
-            when(c <= 0, lit(0.0)).otherwise(round(col("chi2raw") / c, 6))
-          }.as("chi2_tie_corrected"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    require(cells.length <= 4096,
+      s"friedman collected ${cells.length} cells — the month×priority " +
+        "bound no longer holds")
+    val k = cells.map(_._2).distinct.length
+    val byBlk = cells.groupBy(_._1).filter(_._2.length == k)
+    // per complete block: rank() (min rank of each tie group) and the
+    // tie count t over the v order, then mr2 = 2·rnk + t − 1
+    val mr2ByTrt = scala.collection.mutable.Map[String, (Long, Long)]()
+    var tie3 = 0L
+    byBlk.values.foreach { blkCells =>
+      val sorted = blkCells.sortBy(_._3)
+      val groups = sorted.groupBy(_._3)
+      var seen = 0L
+      sorted.map(_._3).distinct.sorted.foreach { v =>
+        val g = groups(v)
+        val t = g.length.toLong
+        val rnk = seen + 1L // rank() = min rank of the tie group
+        g.foreach { case (_, trt, _) =>
+          val mr2 = 2L * rnk + t - 1L
+          val (r2, nb) = mr2ByTrt.getOrElse(trt, (0L, 0L))
+          mr2ByTrt(trt) = (r2 + mr2, nb + 1L)
+        }
+        tie3 += t * t * t - t
+        seen += t
+      }
+    }
+    val n = if (mr2ByTrt.isEmpty) 0L else mr2ByTrt.values.map(_._2).max
+    val kk = mr2ByTrt.size.toLong
+    val sr2 = mr2ByTrt.values.map { case (r2, _) => BigInt(r2) * BigInt(r2) }
+      .foldLeft(BigInt(0))(_ + _)
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val degenerate = n == 0L || kk <= 1L
+    val chi2raw = 3.0 * sr2.toDouble /
+      (n.toDouble * kk * (kk + 1)) - 3.0 * n * (kk + 1)
+    val chi2 = if (degenerate) 0.0 else r6(chi2raw)
+    val c = 1.0 - tie3.toDouble / (n.toDouble * (kk * kk * kk - kk))
+    val chi2Tie =
+      if (degenerate) 0.0
+      else if (c <= 0) 0.0
+      else r6(chi2raw / c)
+    import s.implicits._
+    Seq((n, kk, chi2, chi2Tie))
+      .toDF("n_blocks", "k_treatments", "chi2", "chi2_tie_corrected")
   }
 
   val friedmanSql: String =

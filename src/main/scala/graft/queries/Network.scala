@@ -48,18 +48,34 @@ object Network {
     val e = Tables.lineitem(s, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sg"))
       .distinct()
-      .persistScoped() // degree censuses + the moment pass
-    val dp = e.groupBy(col("p")).agg(count(lit(1)).as("dp"))
+      .persistScoped() // supplier census + the part-moment pass
     val ds = e.groupBy(col("sg")).agg(count(lit(1)).as("ds"))
-    e.join(dp, Seq("p")).join(ds, Seq("sg"))
-      .agg(count(lit(1)).as("n"), sum(col("dp")).as("sx"),
-        sum(col("ds")).as("sy"),
-        sum((col("dp").cast("decimal(38,0)") * col("ds"))
+      .persistScoped() // edge join + the supplier-moment pass
+    // Moment regrouping (exact integer sums, guide §2.3): every
+    // edge-level moment collapses to a per-part or per-supplier
+    // census — Σ_e dp = Σ_p dp², Σ_e dp² = Σ_p dp³, Σ_e ds = Σ_s ds²,
+    // Σ_e ds² = Σ_s ds³, and Σ_e dp·ds = Σ_p dp·(Σ_{s∈N(p)} ds) — so
+    // the edge relation is joined ONCE (with the smaller supplier
+    // census) and never exchanged against the part census; dp and
+    // t = Σ ds come out of the SAME part-keyed aggregate, which
+    // partial-aggregates map-side into ≤|parts| rows.
+    val perPart = e.join(ds, Seq("sg"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("dp"), sum(col("ds")).as("t"))
+    val suppMoments = ds.agg(
+      sum((col("ds").cast("decimal(38,0)") * col("ds"))
+        .cast("decimal(38,0)")).as("sy38"),
+      sum((col("ds").cast("decimal(38,0)") * col("ds") * col("ds"))
+        .cast("decimal(38,0)")).as("syy"))
+    perPart
+      .agg(sum(col("dp")).as("n"), sum(col("dp") * col("dp")).as("sx"),
+        sum((col("dp").cast("decimal(38,0)") * col("t"))
           .cast("decimal(38,0)")).as("sxy"),
-        sum((col("dp").cast("decimal(38,0)") * col("dp"))
-          .cast("decimal(38,0)")).as("sxx"),
-        sum((col("ds").cast("decimal(38,0)") * col("ds"))
-          .cast("decimal(38,0)")).as("syy"))
+        sum((col("dp").cast("decimal(38,0)") * col("dp") * col("dp"))
+          .cast("decimal(38,0)")).as("sxx"))
+      .crossJoin(broadcast(suppMoments))
+      .select(col("n"), col("sx"), col("sy38").cast("bigint").as("sy"),
+        col("sxy"), col("sxx"), col("syy"))
       .select(col("n").as("n_edges"),
         round(col("sx").cast("double") / col("n").cast("double"), 6)
           .as("mean_part_degree"),

@@ -89,13 +89,19 @@ object Quality {
     * 100 TB the tf table is the term-bucketed index and the probe side
     * broadcasts. */
   def lexicalCosine(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val tf = Tables.widen(Tables.documents(s, dir))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .persistScoped()
-    val norms = tf.groupBy(col("doc_id"))
-      .agg(sum(col("tf") * col("tf")).as("nrm2"))
+    // Fused census expression (TermCounts): term frequencies and the
+    // ℓ² norm are document-local, so the former word explode +
+    // (doc, term) hash-aggregate exchange + separate norm aggregate
+    // collapse into one narrow projection (guide §2.3/§2.4); the
+    // inverted-index join below is the only exchange left. Counts are
+    // the same exact integers.
+    val census = Tables.widen(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.termCounts(col("text")).as("st"))
+      .persistScoped() // tf explode (probe + corpus sides) + norms
+    val tf = census
+      .select(col("doc_id"), explode(col("st.m")).as(Seq("term", "tf")))
+    val norms = census.select(col("doc_id"), col("st.nrm2").as("nrm2"))
     val probes = tf.filter(col("doc_id") < 5)
       .select(col("doc_id").as("probe_id"), col("term"), col("tf").as("tfp"))
     val dots = tf.join(broadcast(probes), Seq("term"))

@@ -233,11 +233,18 @@ object Train {
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct()
-      .persistScoped() // both sides of the pair self-join
-    val pairs = cp.as("a")
-      .join(cp.as("b"), col("a.p") === col("b.p") && col("a.c") < col("b.c"))
-      .groupBy(col("a.c").as("u"), col("b.c").as("v"))
+      .distinct() // single reader now (the per-part set census) — no persist
+    // pair stream via per-part customer sets (ONE part-keyed exchange,
+    // then a local pair explode whose (u, v) census partial-aggregates
+    // map-side) instead of the two-exchange self-join — identical
+    // distinct-pair counts (cp is distinct, so per-part lists are
+    // duplicate-free); per-part fan-out matches the join's exactly
+    val pairs = cp
+      .groupBy(col("p")).agg(sort_array(collect_set(col("c"))).as("cs"))
+      .select(explode(expr("flatten(transform(cs, a -> " +
+        "transform(filter(cs, b -> b > a), " +
+        "b -> named_struct('u', a, 'v', b))))")).as("e"))
+      .groupBy(col("e.u").as("u"), col("e.v").as("v"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .select(col("u"), col("v"))

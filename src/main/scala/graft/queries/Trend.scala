@@ -528,22 +528,38 @@ object Trend {
       .filter(col("dur") >= 0) // guard synthetic negative lags
       .select(least(col("dur"), lit(90)).as("t"),
         (col("dur") <= 90).cast("long").as("died"))
+    // The spine is BOUNDED BY CONSTRUCTION (t = least(dur, 90) ∈
+    // [0, 90] ⇒ ≤91 rows at ANY corpus size), so the Kaplan-Meier
+    // suffix/cumulative machinery runs locally over the collected
+    // rows (TradeGraph bounded-metadata pattern) instead of three
+    // single-partition windows — the fact collapse above stays the
+    // only distributed work. Identical arithmetic: exact integer
+    // at-risk counts, the same floor(ln(..)·1e12) fixed-point log
+    // terms (math.log/math.exp ARE Spark's ln/exp), same zeroed cap.
     val spine = dur.groupBy(col("t"))
       .agg(sum(col("died")).as("d"), sum(lit(1L) - col("died")).as("c"))
-    val w = Window.orderBy(col("t")) // bounded: ≤91 rows (see scaladoc)
-    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine
-      .withColumn("leave", col("d") + col("c"))
-      .withColumn("n_at_risk",
-        sum(col("leave")).over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-      .withColumn("lq", when(col("d") < col("n_at_risk"),
-        expr("CAST(floor(ln(CAST(n_at_risk - d AS DOUBLE) / " +
-          "CAST(n_at_risk AS DOUBLE)) * 1e12) AS BIGINT)")).otherwise(lit(0L)))
-      .withColumn("zeroed", max((col("d") === col("n_at_risk")).cast("int")).over(cum))
-      .withColumn("survival", when(col("zeroed") === 1, lit(0.0))
-        .otherwise(exp(sum(col("lq")).over(cum).cast("double") / 1e12)))
-      .select(col("t").cast("int").as("t_days"), col("n_at_risk"),
-        col("d").as("n_died"), col("c").as("n_censored"), col("survival"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(spine.length <= 91,
+      s"survivalCurve spine has ${spine.length} rows — the least(dur, 90) " +
+        "bound no longer holds")
+    val totalLeave = spine.map(t => t._2 + t._3).sum
+    var atRisk = totalLeave
+    var lqCum = 0L
+    var zeroed = false
+    val out = spine.map { case (t, d, c) =>
+      val n = atRisk
+      val lq = if (d < n)
+        math.floor(math.log((n - d).toDouble / n.toDouble) * 1e12).toLong
+      else 0L
+      lqCum += lq
+      if (d == n) zeroed = true
+      val survival = if (zeroed) 0.0 else math.exp(lqCum.toDouble / 1e12)
+      atRisk -= d + c
+      (t.toInt, n, d, c, survival)
+    }
+    import s.implicits._
+    out.toSeq.toDF("t_days", "n_at_risk", "n_died", "n_censored", "survival")
       .orderBy(col("t_days"))
   }
 
