@@ -622,28 +622,43 @@ object Corpus {
     val agg0 = d.groupBy(col("source"))
       .agg(heap(-col("h"), col("h")).as("top"), count(lit(1)).as("vol"))
       .persistScoped() // sketch rows + the capped source list
-    val sk = agg0
-      .select(col("source"), explode(col("top")).as("t"))
-      .select(col("source"), col("t._3").as("h"))
-      .persistScoped() // both sides of the pair scaffold
+    // The CAPPED sketch table is BOUNDED BY CONSTRUCTION (≤64 sources
+    // after the volume cut × ≤k sketch rows each ⇒ ≤64·k rows at ANY
+    // corpus size — the same structural bound that already justifies
+    // the pair scaffold's nested-loop broadcast), so the pairwise
+    // union-tag / rank / census machinery runs locally over the
+    // collected rows (TradeGraph bounded-metadata pattern) instead of
+    // two broadcast joins + a union + two keyed aggregates + a window.
+    // Exact replication: per-pair union of the two k-min draws, dedup
+    // by hash with membership flags, keep the k smallest, count both-
+    // members — all integers until the one closing double division.
     val srcs = agg0.orderBy(col("vol").desc, col("source")).limit(64)
       .select(col("source"))
-    val pairs = srcs.select(col("source").as("s1"))
-      .join(srcs.select(col("source").as("s2")), col("s1") < col("s2"))
-    val tagged = broadcast(pairs).join(sk, col("source") === col("s1"))
-      .select(col("s1"), col("s2"), col("h"), lit(1).as("ina"), lit(0).as("inb"))
-      .union(broadcast(pairs).join(sk, col("source") === col("s2"))
-        .select(col("s1"), col("s2"), col("h"), lit(0).as("ina"), lit(1).as("inb")))
-      .groupBy(col("s1"), col("s2"), col("h"))
-      .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
-    tagged.withColumn("rn", row_number().over(
-        Window.partitionBy(col("s1"), col("s2")).orderBy(col("h"))))
-      .filter(col("rn") <= k)
-      .groupBy(col("s1"), col("s2"))
-      .agg(count(lit(1)).as("k_used"),
-        sum(col("ina") * col("inb")).as("n_both"))
-      .select(col("s1"), col("s2"), col("k_used"), col("n_both"),
-        (col("n_both").cast("double") / col("k_used")).as("est_jaccard"))
+    val sk = agg0
+      .join(srcs, Seq("source"), "left_semi")
+      .select(col("source"), explode(col("top")).as("t"))
+      .select(col("source"), col("t._3").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(sk.length <= 64 * k,
+      s"sketchOverlap collected ${sk.length} capped sketch rows — the " +
+        "64-source × k bound no longer holds")
+    val bySrc = sk.groupBy(_._1).map { case (s0, rs) =>
+      s0 -> rs.map(_._2).toSet
+    }
+    val sources = bySrc.keys.toSeq.sorted
+    val out = for {
+      i <- sources.indices
+      j <- (i + 1) until sources.length
+    } yield {
+      val (s1, s2) = (sources(i), sources(j))
+      val (ha, hb) = (bySrc(s1), bySrc(s2))
+      val kept = (ha ++ hb).toSeq.sorted.take(k)
+      val kUsed = kept.length.toLong
+      val nBoth = kept.count(h => ha(h) && hb(h)).toLong
+      (s1, s2, kUsed, nBoth, nBoth.toDouble / kUsed)
+    }
+    import s.implicits._
+    out.toDF("s1", "s2", "k_used", "n_both", "est_jaccard")
       .orderBy(col("s1"), col("s2"))
   }
 

@@ -261,17 +261,6 @@ object Evaluate {
       .orderBy(col("l_returnflag"), col("lag_k"))
   }
 
-  /** The 6-lag spine as a 6-row constant relation (bounded by
-    * construction for the plan guard). */
-  private def lagSpine(s: SparkSession): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    s.createDataFrame(
-      (1 to 6).map(i => org.apache.spark.sql.Row(i)).asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("lag_k",
-          org.apache.spark.sql.types.IntegerType, nullable = false))))
-  }
-
   val acfSql: String =
     s"""WITH $monthlySeriesCte,
       |st AS MATERIALIZED (SELECT l_returnflag, count(*) AS n,
