@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tails stdout of `sbt "runMain graft.Bench"` and json-parses
+// a line out of it. sbt's default LoggedOutput prefixes every forked
+// stdout line with "[info] " — which breaks a per-line JSON parse — and
+// appends a "[success] Total time ..." line after the program's last
+// line. Pass forked output through verbatim and drop the success banner
+// so the bench's final printed line IS the last line of stdout.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by a task — the
+// lintUnused heuristic can't see that
+Global / excludeLintKeys += showSuccess
 // All suites share one SparkSession, and a couple of tests touch
 // process-global state (JVM default Locale; session-state inspection):
 // keep suite execution strictly sequential in the forked test JVM so

@@ -346,11 +346,19 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
         .map(b => math.max(b.getCollectionTime, 0L)).sum
     }
-    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Sample = {
+    // A query that THROWS is timed near-zero — fast-because-broken would
+    // otherwise flatter the total silently. Record the exception class
+    // per query; the emitted `errors`/`errors_n` fields make a broken
+    // query loud on every rendered line (the oracle gate still catches
+    // the correctness side, this is the bench-side tripwire).
+    val queryErrors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def timeOne(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Sample = {
       val w0 = System.nanoTime()
       val c0 = osBean.getProcessCpuTime
       val g0 = gcMillis
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case t: Throwable => queryErrors(name) = t.getClass.getSimpleName }
       val sample = Sample((System.nanoTime() - w0) / 1e9,
         (osBean.getProcessCpuTime - c0) / 1e9, (gcMillis - g0) / 1e3)
       // Scoped caches self-release when the action completes (Caches);
@@ -372,7 +380,7 @@ object Bench {
     val raw = windows.flatMap { w =>
       windowProbes += cpuProbeMs()
       windowEngine += engineProbeMs(spark)
-      w.map { case (name, fn) => name -> timeOne(fn) }
+      w.map { case (name, fn) => name -> timeOne(name, fn) }
     }
     // trailing fenceposts: degradation that starts mid-window is
     // visible only in the probe AFTER it — without these the last
@@ -434,7 +442,7 @@ object Bench {
     val affected = (preQueue ++ windowAffected.filterNot(preQueue.toSet))
       .take(150)
     val rerunProbe = if (affected.nonEmpty) cpuProbeMs() else 0.0
-    val rerunSamples = affected.map(n => n -> timeOne(selected(n))).toMap
+    val rerunSamples = affected.map(n => n -> timeOne(n, selected(n))).toMap
     val results = raw.map { case (n, s) =>
       rerunSamples.get(n) match {
         case Some(r) if r.wall < s.wall => n -> r
@@ -459,21 +467,33 @@ object Bench {
     // goes to the persisted files.
     val walls = results.map { case (n, s) => n -> s.wall }
     val contended = Some(isContended(results, degraded))
-    println(renderJson(walls, sfDir, Some(env), contended, Some(probeInfo)))
+    val errs = queryErrors.toSeq
+    println(renderJson(walls, sfDir, Some(env), contended, Some(probeInfo),
+      errors = errs))
     // The driver stores only the LAST 2000 chars of stdout and tries to
     // parse a JSON line out of that window; the full-inventory line is
     // ~7k chars, so its head is always cut off and the parse fails
     // (BENCH_r07/r08 both recorded "parsed": null). Print a compact
-    // twin LAST — slowest queries only, same summary fields — sized to
-    // survive the window intact, so the driver always has one
-    // parseable line. Totals are identical; the full map lives in the
-    // long line above and in BENCH_LOCAL.json.
+    // twin — slowest queries only, same summary fields, probe ARRAYS
+    // elided — sized to survive the window intact. Totals are
+    // identical; the full map lives in the long line above and in
+    // BENCH_LOCAL.json.
     println(renderCompactJson(walls, sfDir, Some(env), contended,
-      probes = Some(probeInfo)))
+      probes = Some(probeInfo), errors = errs))
+    // All 15 rounds recorded "parsed": null even when the compact line
+    // sat intact in the captured tail — because sbt's logger prefixed
+    // it with "[info] " and appended a "[success]" banner (both fixed
+    // in build.sbt: StdoutOutput + showSuccess=false). Belt-and-braces:
+    // the VERY LAST line of program output is a minimal twin — same
+    // value/value_raw/sf, a 5-query map, ~350 chars — so a parser that
+    // only reads the final line, or keeps a far smaller tail window,
+    // still gets the totals. BenchFormatSpec pins its length.
+    println(renderMinimalJson(walls, sfDir, Some(probeInfo.valueRaw),
+      errorsN = errs.size))
     // The driver's stdout tail has truncated the head of this line in
     // past rounds; persist the full line so totals are always readable.
     val detailed = renderDetailedJson(results, sfDir, Some(env),
-      Some(probeInfo), rawWalls)
+      Some(probeInfo), rawWalls, errors = errs)
     // BENCH_LOCAL.json is the committed record of a FULL sweep at the
     // default SF — a SPARK_GRAFT_ONLY partial run or an off-SF sweep
     // must not clobber it (each has happened once);
@@ -515,9 +535,10 @@ object Bench {
   def renderJson(results: Seq[(String, Double)], sfDir: String,
                  env: Option[Env] = None,
                  contended: Option[Boolean] = None,
-                 probes: Option[ProbeInfo] = None): String =
+                 probes: Option[ProbeInfo] = None,
+                 errors: Seq[(String, String)] = Seq.empty): String =
     s"""{"queries":${queriesMap(results)},""" +
-      summaryTail(results, sfDir, env, contended, probes)
+      summaryTail(results, sfDir, env, contended, probes, errors = errors)
 
   /** The per-query map and the summary tail are shared by BOTH
     * renderers — the compact line's "totals are identical" promise is
@@ -530,7 +551,8 @@ object Bench {
   private def summaryTail(results: Seq[(String, Double)], sfDir: String,
                           env: Option[Env], contended: Option[Boolean],
                           probes: Option[ProbeInfo] = None,
-                          withNames: Boolean = true): String = {
+                          withNames: Boolean = true,
+                          errors: Seq[(String, String)] = Seq.empty): String = {
     val total = results.map(_._2).sum
     // value_raw/value_corrected make the self-correction explicit:
     // "value" (the driver's gate input) IS the corrected total; the
@@ -538,16 +560,30 @@ object Bench {
     val corr = probes.fold("")(p =>
       s""""value_raw":${f3(p.valueRaw)},"value_corrected":${f3(total)},""")
     s"""${envFields(env, contended)}${probeFields(probes, withNames)}$corr""" +
+      s"""${errorFields(errors, withNames)}""" +
       s""""metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}"""
+  }
+
+  /** A query that threw during timing is reported, not hidden: its wall
+    * is near-zero, so an unreported error would FLATTER the total.
+    * `errors_n` rides every line; the {name: exceptionClass} map rides
+    * the unbounded lines in full and is capped on the compact line
+    * (tail-window budget). */
+  private def errorFields(errors: Seq[(String, String)],
+                          withNames: Boolean): String = {
+    val shown = if (withNames) errors else errors.take(12)
+    val m = shown.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    s""""errors_n":${errors.size},"errors":$m,"""
   }
 
   /** Per-window probe evidence, emitted on all renderers. The rerun
     * query NAMES only go on the unbounded lines — the compact trailer
     * (2000-char tail budget) carries the count. */
   private def probeFields(probes: Option[ProbeInfo],
-                          withNames: Boolean = true): String =
+                          withNames: Boolean = true,
+                          withArrays: Boolean = true): String =
     probes.fold("") { p =>
-      val ps = p.probesMs.map(v => f3(v)).mkString("[", ",", "]")
       val dg = p.degraded.mkString("[", ",", "]")
       val rr =
         if (withNames)
@@ -555,12 +591,21 @@ object Bench {
             s""""outlier_rerun":${p.outlierRerun.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
             s""""regressions":${p.regressions.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
         else ""
-      val ep =
-        if (p.engineProbesMs.nonEmpty)
-          s""""engine_probes_ms":${p.engineProbesMs.map(f3).mkString("[", ",", "]")},""" +
-            s""""engine_ref_ms":${f3(p.engineRefMs)},"""
+      // the per-window probe ARRAYS (~600 chars at full inventory) ride
+      // only the unbounded lines; the compact line keeps the scalars
+      val pa =
+        if (withArrays)
+          s""""probes_ms":${p.probesMs.map(f3).mkString("[", ",", "]")},"""
         else ""
-      s""""probe_window":${p.windowSize},"probes_ms":$ps,""" +
+      val ep =
+        if (p.engineProbesMs.nonEmpty) {
+          val arr =
+            if (withArrays)
+              s""""engine_probes_ms":${p.engineProbesMs.map(f3).mkString("[", ",", "]")},"""
+            else ""
+          arr + s""""engine_ref_ms":${f3(p.engineRefMs)},"""
+        } else ""
+      s""""probe_window":${p.windowSize},$pa""" +
         s""""probe_ref_ms":${f3(p.refMs)},$ep"degraded_windows":$dg,""" +
         s""""rerun_probe_ms":${f3(p.rerunProbeMs)},""" +
         s""""rerun_n":${p.rerun.size},"outlier_n":${p.outlierRerun.size},""" +
@@ -579,11 +624,34 @@ object Bench {
                         env: Option[Env] = None,
                         contended: Option[Boolean] = None,
                         maxShown: Int = 25,
-                        probes: Option[ProbeInfo] = None): String = {
+                        probes: Option[ProbeInfo] = None,
+                        errors: Seq[(String, String)] = Seq.empty): String = {
     val shown = results.sortBy(-_._2).take(maxShown).sortBy(_._1)
+    val total = results.map(_._2).sum
+    val corr = probes.fold("")(p =>
+      s""""value_raw":${f3(p.valueRaw)},"value_corrected":${f3(total)},""")
     s"""{"queries":${queriesMap(shown)},"queries_shown":${shown.size},""" +
       s""""queries_total_n":${results.size},"full":"BENCH_LOCAL.json",""" +
-      summaryTail(results, sfDir, env, contended, probes, withNames = false)
+      s"""${envFields(env, contended)}""" +
+      s"""${probeFields(probes, withNames = false, withArrays = false)}$corr""" +
+      s"""${errorFields(errors, withNames = false)}""" +
+      s""""metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}"""
+  }
+
+  /** The guaranteed-parse last line: same headline totals as the other
+    * renderers (shared f3 / sum), a 5-query map so the driver-contract
+    * `queries` field is present, and nothing else — ~350 chars at full
+    * inventory, safe even if the capture window is far smaller than the
+    * assumed 2000 chars or the parser reads only the final line. */
+  def renderMinimalJson(results: Seq[(String, Double)], sfDir: String,
+                        valueRaw: Option[Double] = None,
+                        errorsN: Int = 0, maxShown: Int = 5): String = {
+    val shown = results.sortBy(-_._2).take(maxShown).sortBy(_._1)
+    val total = results.map(_._2).sum
+    val raw = valueRaw.fold("")(v => s""""value_raw":${f3(v)},""")
+    s"""{"queries":${queriesMap(shown)},"queries_total_n":${results.size},""" +
+      s""""errors_n":$errorsN,$raw"metric":"total","value":${f3(total)},""" +
+      s""""unit":"sec","sf":"$sfDir"}"""
   }
 
   /** Run-quality fields, placed BEFORE the summary tail so the
@@ -604,7 +672,8 @@ object Bench {
   def renderDetailedJson(results: Seq[(String, Sample)], sfDir: String,
                          env: Option[Env] = None,
                          probes: Option[ProbeInfo] = None,
-                         rawWalls: Map[String, Double] = Map.empty): String = {
+                         rawWalls: Map[String, Double] = Map.empty,
+                         errors: Seq[(String, String)] = Seq.empty): String = {
     val qs = results.map { case (k, s) =>
       // queries the rerun pass exonerated carry their degraded-window
       // raw wall beside the corrected one
@@ -622,6 +691,7 @@ object Bench {
     s"""{"queries":$qs,"cpu_total":${f3(tc)},"gc_total":${f3(tg)},""" +
       s""""contended_queries":$cqs,${envFields(env, Some(contended))}""" +
       s"""${probeFields(probes)}$corr""" +
+      s"""${errorFields(errors, withNames = true)}""" +
       s""""metric":"total","value":${f3(tw)},"unit":"sec","sf":"$sfDir"}"""
   }
 

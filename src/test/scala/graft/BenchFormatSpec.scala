@@ -231,6 +231,67 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(mapper.readTree(line).get("value") != null)
   }
 
+  test("minimal last line: tiny, valid, and carries the driver's fields") {
+    // This is the VERY LAST line the bench prints: it must parse even
+    // under a far smaller tail window than the assumed 2000 chars, and
+    // even if the driver's parser reads only the final stdout line.
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 123.456789)
+    val line = Bench.renderMinimalJson(results, "/root/testdata/sf0.1",
+      valueRaw = Some(results.size * 123.456789 * 2), errorsN = 0)
+    assert(line.length < 600, s"minimal line is ${line.length} chars")
+    assert(!line.contains("\n"))
+    val node = mapper.readTree(line)
+    assert(node.get("metric").asText() == "total")
+    assert(node.get("unit").asText() == "sec")
+    assert(node.get("sf").asText() == "/root/testdata/sf0.1")
+    assert(node.get("queries_total_n").asInt() == results.size)
+    assert(node.get("queries").size() == 5) // contract field present
+    assert(node.get("value_raw") != null && node.get("errors_n").asInt() == 0)
+    assert(math.abs(node.get("value").asDouble() - 123.457 * results.size) < 0.5)
+  }
+
+  test("a throwing query is reported in errors/errors_n on every line") {
+    // timeOne records the exception class of a query that throws; the
+    // renderers must surface it so a fast-because-broken wall can never
+    // read as a win. Names ride unbounded lines in full; the compact
+    // line carries the count plus a capped map.
+    val errs = Seq("q_bad" -> "SparkException", "q_worse" -> "IOException")
+    val full = mapper.readTree(Bench.renderJson(
+      Seq("q_bad" -> 0.001, "q_ok" -> 1.0), "/d", errors = errs))
+    assert(full.get("errors_n").asInt() == 2)
+    assert(full.get("errors").get("q_bad").asText() == "SparkException")
+    assert(full.get("errors").get("q_worse").asText() == "IOException")
+    val compact = mapper.readTree(Bench.renderCompactJson(
+      Seq("q_bad" -> 0.001), "/d",
+      errors = (1 to 20).map(i => s"q_e$i" -> "E")))
+    assert(compact.get("errors_n").asInt() == 20)
+    assert(compact.get("errors").size() == 12) // capped for the tail window
+    val det = mapper.readTree(Bench.renderDetailedJson(
+      Seq("q_bad" -> Bench.Sample(0.001, 0.0, 0.0)), "/d", errors = errs))
+    assert(det.get("errors_n").asInt() == 2)
+    // a clean sweep still carries the count (0), so absence of errors
+    // is explicit, not ambiguous
+    val clean = mapper.readTree(Bench.renderJson(Seq("q_ok" -> 1.0), "/d"))
+    assert(clean.get("errors_n").asInt() == 0)
+  }
+
+  test("compact trailer elides the per-window probe arrays") {
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 123.456789)
+    val nw = (results.size + 24) / 25
+    val pi = Bench.ProbeInfo(25, Seq.fill(nw + 1)(1234.567), 445.0,
+      (0 until nw).toSeq, results.take(150).map(_._1), 1234.5,
+      results.size * 123.456789 * 2,
+      engineProbesMs = Seq.fill(nw + 1)(1234.567), engineRefMs = 300.0)
+    val line = Bench.renderCompactJson(results, "/root/testdata/sf0.1",
+      Some(Bench.Env(6.5, 8.2, 32, 445.0, 450.0)), Some(true), probes = Some(pi))
+    val node = mapper.readTree(line)
+    assert(node.get("probes_ms") == null && node.get("engine_probes_ms") == null)
+    // the scalar probe evidence stays
+    assert(node.get("probe_ref_ms") != null && node.get("rerun_n") != null)
+    assert(node.get("degraded_windows").size() == nw)
+    assert(line.length < 1400, s"compact line is ${line.length} chars")
+  }
+
   test("locale independence: decimal point, not comma") {
     val prev = java.util.Locale.getDefault
     try {
