@@ -780,29 +780,32 @@ object Analytics {
     * engines). Groups too small to separate the ranks emit one row
     * labeled by the lower percentile. */
   def percentileDisc(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-    // Order statistics only → the shared bounded cut machinery
-    // (graft.operators.Ranked.cutValuesByRank): one range exchange
-    // plus a crossing-partition window — no local sort of the fact
-    // slice; windows only over the two partitions where the rank
-    // crossings land. Threshold rows are DEDUPED by
-    // rank before the lookup (groupBy t, min label), preserving the
-    // original "groups too small to separate the ranks emit one row
-    // labeled by the lower percentile" semantics.
-    val cuts = graft.operators.Ranked.cutValuesByRank(
-      li.select(col("l_returnflag"), col("l_extendedprice")),
-      Seq("l_returnflag"), Seq(col("l_extendedprice")),
-      col("l_extendedprice"),
-      totals => totals.select(col("l_returnflag"),
-          explode(array(
-            struct(lit("p50").as("tname"),
-              ceil(col("tw") * 0.5).cast("bigint").as("t")),
-            struct(lit("p90").as("tname"),
-              ceil(col("tw") * 0.9).cast("bigint").as("t")))).as("x"))
-        .groupBy(col("l_returnflag"), col("x.t").as("t"))
-        .agg(min(col("x.tname")).as("tname")))
-    cuts.select(col("l_returnflag"), col("tname").as("pct"),
-        col("cut_value").as("value"))
+    // Order statistics only → one min/when aggregate over the staged
+    // cumulative price census ([[graft.queries.PriceStage.census]]):
+    // the value at rank ceil(n·q) IS the smallest price whose
+    // cumulative count cwc reaches that rank. The former machinery
+    // (range exchange + partition-count collect + rank-row filter)
+    // collapses to a map-side-combining aggregate over ≤|price grid|
+    // rows. The rank-collapse rule is preserved: when both percentile
+    // ranks land on the same row (groups too small to separate them),
+    // ONE row labeled by the lower percentile is emitted.
+    val cuts = graft.queries.PriceStage.census(s, dir)
+      .groupBy(col("l_returnflag"), col("nt"))
+      .agg(
+        min(when(col("cwc") >= ceil(col("nt") * 0.5).cast("bigint"),
+          col("l_extendedprice"))).as("v50"),
+        min(when(col("cwc") >= ceil(col("nt") * 0.9).cast("bigint"),
+          col("l_extendedprice"))).as("v90"))
+    cuts.select(col("l_returnflag"),
+        explode(when(
+          ceil(col("nt") * 0.5).cast("bigint") ===
+            ceil(col("nt") * 0.9).cast("bigint"),
+          array(struct(lit("p50").as("pct"), col("v50").as("value"))))
+          .otherwise(array(
+            struct(lit("p50").as("pct"), col("v50").as("value")),
+            struct(lit("p90").as("pct"), col("v90").as("value"))))).as("x"))
+      .select(col("l_returnflag"), col("x.pct").as("pct"),
+        col("x.value").as("value"))
       .orderBy(col("l_returnflag"), col("pct"))
   }
 

@@ -24,33 +24,33 @@ object Quality {
     * greatest/least projection. Output is the per-group audit: how many
     * rows clipped at each tail and the exact-cent clipped sum. */
   def winsorize(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-    // Persist the 2-column projection before the range repartition:
-    // the bound-sampling job otherwise re-scans the fact table in full
-    // right before the shuffle pass scans it again. (At 100 TB this is
-    // the same call — MEMORY_AND_DISK of two columns — or the sampling
-    // pass is accepted as a second pruned column scan.)
-    val proj = li.select(col("l_returnflag"), col("l_extendedprice")).persistScoped()
-    val cuts = graft.operators.Ranked.cutValuesByRank(proj,
-      Seq("l_returnflag"), Seq(col("l_extendedprice")),
-      col("l_extendedprice"),
-      totals => totals.select(col("l_returnflag"),
-          explode(array(
-            struct(lit("lo").as("tname"),
-              ceil(col("tw") * 0.05).cast("bigint").as("t")),
-            struct(lit("hi").as("tname"),
-              ceil(col("tw") * 0.95).cast("bigint").as("t")))).as("x"))
-        .select(col("l_returnflag"), col("x.tname"), col("x.t")))
-    val bounds = cuts.groupBy(col("l_returnflag"))
-      .agg(min(when(col("tname") === "lo", col("cut_value"))).as("lo"),
-        max(when(col("tname") === "hi", col("cut_value"))).as("hi"))
-    proj
+    // Both passes run over the staged cumulative price census
+    // ([[PriceStage.census]]) instead of the fact table. The former
+    // bound machinery (range exchange + partition-count collect +
+    // rank-row filter) is one min/when aggregate: the value at rank
+    // ceil(n·q) of the sorted multiset IS the smallest price whose
+    // cumulative count cwc reaches that rank. The clip pass replays
+    // the exact former per-row arithmetic on census rows, weighting
+    // each by its row count c (exact integers: Σ over rows ≡ Σ c ·
+    // per-price term; the greatest/least/decimal-cast chain is
+    // unchanged).
+    val cen = PriceStage.census(s, dir)
+    val bounds = cen.groupBy(col("l_returnflag"))
+      .agg(
+        min(when(col("cwc") >= ceil(col("nt") * 0.05).cast("bigint"),
+          col("l_extendedprice"))).as("lo"),
+        min(when(col("cwc") >= ceil(col("nt") * 0.95).cast("bigint"),
+          col("l_extendedprice"))).as("hi"))
+    cen
       .join(broadcast(bounds), Seq("l_returnflag"))
       .select(col("l_returnflag"),
-        (col("l_extendedprice") < col("lo")).cast("long").as("clip_lo"),
-        (col("l_extendedprice") > col("hi")).cast("long").as("clip_hi"),
-        (greatest(col("lo"), least(col("hi"), col("l_extendedprice")))
-          .cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+        when(col("l_extendedprice") < col("lo"), col("c")).otherwise(lit(0L))
+          .as("clip_lo"),
+        when(col("l_extendedprice") > col("hi"), col("c")).otherwise(lit(0L))
+          .as("clip_hi"),
+        (col("c") *
+          (greatest(col("lo"), least(col("hi"), col("l_extendedprice")))
+            .cast("decimal(18,2)") * 100).cast("bigint")).as("cents"))
       .groupBy(col("l_returnflag"))
       .agg(sum(col("clip_lo")).as("n_clip_lo"), sum(col("clip_hi")).as("n_clip_hi"),
         sum(col("cents")).as("cents_winsorized"))
@@ -313,17 +313,21 @@ object Quality {
     * sampling, offset collect) that the collapse makes redundant.
     * Exact integer cents and weights throughout. */
   def weightedPercentile(s: SparkSession, dir: String): DataFrame = {
-    val dist = Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"),
+    // One aggregate over the staged cumulative price census
+    // ([[PriceStage.census]] — first consumer in the process pays the
+    // one distributed census+window build, everyone reads parquet):
+    // cww there IS this query's former per-(flag, cents) cumulative
+    // weight window (price order ≡ cents order — strictly monotone
+    // map; both are exact integer sums), and wt its former tw. The
+    // whole former chain (fact aggregate + flag exchange + sort + two
+    // windows) collapses to a map-side-combining min/when aggregate
+    // over ≤|price grid| rows.
+    val cen = PriceStage.census(s, dir)
+      .select(col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
-          .as("cents"))
-      .agg(sum(col("l_quantity").cast("bigint")).as("w"))
-    val byFlag = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
-    val cum = dist
-      .withColumn("cw", sum(col("w")).over(byFlag))
-      .withColumn("tw",
-        sum(col("w")).over(Window.partitionBy(col("l_returnflag"))))
-    cum.groupBy(col("l_returnflag"), col("tw"))
+          .as("cents"),
+        col("cww").as("cw"), col("wt").as("tw"))
+    cen.groupBy(col("l_returnflag"), col("tw"))
       .agg(
         min(when(col("cw") * 4 >= col("tw"), col("cents"))).as("c25"),
         min(when(col("cw") * 2 >= col("tw"), col("cents"))).as("c50"),

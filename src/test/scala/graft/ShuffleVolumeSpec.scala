@@ -116,25 +116,29 @@ class ShuffleVolumeSpec extends SparkSpec {
     noAqe.catalog.clearCache()
   }
 
-  test("weighted percentiles shuffle the DOMAIN distribution, not the stream") {
-    // The round-15 rewrite collapses the fact table to the per-flag
-    // (cents → weight) distribution in its first aggregate, so
-    // everything that crosses the wire afterwards is domain-sized:
-    // the partial-agg exchange plus the per-flag window exchange —
-    // at most TWO passes of the distribution, never a third, and
-    // never the raw occurrence stream again. (At toy SF the price
-    // grid is as large as the stream itself, so the bound is counted
-    // in distribution cells, not fact rows.)
-    val cells = noAqe.read.parquet(s"$sfDir/lineitem.parquet")
-      .selectExpr("l_returnflag",
-        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
-      .distinct().count()
+  test("weighted percentiles shuffle percentile metadata, never the stream") {
+    // The round-16 rewrite reads the staged cumulative price census
+    // (PriceStage — the census+window build runs once per process at
+    // stage time, not in this consuming action) and reduces it with a
+    // map-side-combining min/when aggregate: the consuming action's
+    // wire carries only per-flag partial-aggregate rows plus the
+    // 3-row result sort — never the distribution, never the stream.
     val n = shuffledRecords(
       SparkEntry.queries("q_weighted_percentile")(noAqe, sfDir))
-    assert(n >= 100, s"$n — suspiciously empty cumulative pass")
-    assert(n <= 2 * cells + 100,
-      s"$n records shuffled against $cells distribution cells — the " +
-        "cumulative pass is re-shipping more than two domain passes")
+    assert(n <= 200,
+      s"$n records shuffled — the census aggregate stopped combining " +
+        "map-side (or the stage collapsed back into the consuming plan)")
+    noAqe.catalog.clearCache()
+  }
+
+  test("winsorize's consuming action ships group rows, never the census") {
+    // Same staged-census contract: the bounds aggregate broadcasts,
+    // the clip aggregate combines map-side — the wire sees per-flag
+    // partials + the 3-row sort only.
+    val n = shuffledRecords(
+      SparkEntry.queries("q_winsorize")(noAqe, sfDir))
+    assert(n <= 200,
+      s"$n records shuffled — winsorize is re-shipping census rows")
     noAqe.catalog.clearCache()
   }
 }
