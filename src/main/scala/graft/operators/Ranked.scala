@@ -89,16 +89,19 @@ object Ranked {
       .persistScoped()
     val counts = parts.groupBy((col("pid") +: group.map(col)): _*)
       .agg(count(lit(1)).as("c"), min(col("mid")).as("m0"))
+    // grp_n rides the SAME bounded offsets relation (Σ c over the
+    // group's pids — exact integer regrouping of the former separate
+    // ns aggregate), so the rank pass builds ONE broadcast, not two.
     val offsets = counts
       .withColumn("off", sum(col("c")).over(
         Window.partitionBy(group.map(col): _*).orderBy(col("pid"))) - col("c"))
+      .withColumn("grp_n",
+        sum(col("c")).over(Window.partitionBy(group.map(col): _*)))
       .select((Seq(col("pid")) ++ group.map(col) ++
-        Seq(col("off"), col("m0"))): _*)
-    val ns = counts.groupBy(group.map(col): _*).agg(sum(col("c")).as("grp_n"))
+        Seq(col("off"), col("m0"), col("grp_n"))): _*)
     parts
       .join(broadcast(offsets), "pid" +: group)
       .withColumn("rnk", col("off") + (col("mid") - col("m0")) + 1)
-      .join(broadcast(ns), group)
       .drop("mid", "pid", "off", "m0")
   }
 

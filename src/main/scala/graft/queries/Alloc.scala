@@ -98,19 +98,20 @@ object Alloc {
       .repartitionByRange(Tables.shuffleWidth(s), col("rev").desc, col("l_partkey"))
       .withColumn("pid", spark_partition_id())
       .persistScoped() // pin sampled range bounds: both readers must agree on pid
+    // total rides the SAME bounded offsets relation (Σ of the
+    // per-partition sums — exact integer regrouping), so the class
+    // pass builds ONE broadcast instead of offsets + a separate
+    // grand-total aggregate job.
     val offsets = parts.groupBy(col("pid")).agg(sum(col("rev")).as("c"))
       .withColumn("off", sum(col("c")).over(Window.orderBy(col("pid"))) - col("c"))
-      .select(col("pid"), col("off"))
-    // total from the PERSISTED relation — never re-run the fact-table
-    // aggregate for a scalar the cached partial already holds.
-    val total = parts.agg(sum(col("rev")).as("total"))
+      .withColumn("total", sum(col("c")).over(Window.partitionBy()))
+      .select(col("pid"), col("off"), col("total"))
     val localW = Window.partitionBy(col("pid"))
       .orderBy(col("rev").desc, col("l_partkey"))
     parts
       .withColumn("cum_local", sum(col("rev")).over(localW))
       .join(broadcast(offsets), Seq("pid"))
       .withColumn("cum", col("off") + col("cum_local"))
-      .crossJoin(broadcast(total))
       .withColumn("cls",
         when(col("cum") * 10 <= col("total") * 7, "A")
           .when(col("cum") * 10 <= col("total") * 9, "B")

@@ -288,25 +288,54 @@ object Extras {
     * a 20-row broadcast. */
   def cmsTopk(s: SparkSession, dir: String): DataFrame = {
     val d = 4; val w = 1024
-    val src = Tables.lineitem(s, dir)
+    // zkey = floor(exp(u·ln 1000)) with u ∈ [0, 1) is BOUNDED in
+    // [1, 999] by construction, so ONE map-side-combining census
+    // aggregate collapses the fact stream; the sketch counters, the
+    // top-20 draw, and the per-key min-readout all replay locally
+    // over the collected cells in exact integer arithmetic (§2.4
+    // bounded-metadata collapse — the former plan persisted the
+    // md5-projected stream and ran TWO aggregates plus a broadcast
+    // crossJoin over it). counter(r, b) = Σ census counts of the keys
+    // hashing to b: identical to CmsSketch's per-row increments
+    // because the bucket depends on the KEY alone and the sums are
+    // associative; Sketches.hash60 IS the SQL
+    // conv(substring(md5(…), 1, 15), 16, 10) convention (pinned by
+    // SketchSpec), so every counter and every least(...) readout is
+    // bit-identical to the former expression tree.
+    val census = Tables.lineitem(s, dir)
       .select(expr("CAST(floor(exp((CAST(conv(substring(md5(concat(" +
         "'cms|', CAST(l_orderkey AS STRING), '|', " +
         "CAST(l_linenumber AS STRING))), 1, 8), 16, 10) AS BIGINT) " +
         "% 1000000) / 1e6 * ln(1000.0D))) AS BIGINT)").as("zkey"))
-      .persistScoped() // sketch-build leg + exact-count leg
-    val cms = udaf(new graft.operators.CmsSketch(d, w))
-    val counters = src.agg(cms(col("zkey").cast("string")).as("c"))
-    val top = src.groupBy(col("zkey")).agg(count(lit(1)).as("true_cnt"))
-      .orderBy(col("true_cnt").desc, col("zkey")).limit(20)
-    val est = (0 until d).map { r =>
-      element_at(col("c"),
-        (lit(r * w) + expr(s"CAST(conv(substring(md5(concat('$r', '|', " +
-          s"CAST(zkey AS STRING))), 1, 15), 16, 10) AS BIGINT) % $w") + 1)
-          .cast("int"))
-    }.reduce(least(_, _))
-    top.crossJoin(broadcast(counters))
-      .select(col("zkey"), col("true_cnt"), est.as("cms_cnt"))
-      .withColumn("overestimate", col("cms_cnt") >= col("true_cnt"))
+      .groupBy(col("zkey")).agg(count(lit(1)).as("true_cnt"))
+      .collect()
+    require(census.length <= 4096,
+      s"zkey census has ${census.length} cells — the [1, 1000) domain " +
+        "bound drifted; revert to the distributed sketch build")
+    val cells = census.map(r => (r.getLong(0), r.getLong(1)))
+    def bucket(r: Int, z: Long): Int =
+      (graft.operators.Sketches.hash60(s"$r|$z") % w).toInt
+    val counters = new Array[Long](d * w)
+    cells.foreach { case (z, c) =>
+      var r = 0
+      while (r < d) { counters(r * w + bucket(r, z)) += c; r += 1 }
+    }
+    val rows = cells.sortBy { case (z, c) => (-c, z) }.take(20).map {
+      case (z, c) =>
+        val est = (0 until d).map(r => counters(r * w + bucket(r, z))).min
+        org.apache.spark.sql.Row(z, c, est, est >= c)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("zkey",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("true_cnt",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cms_cnt",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("overestimate",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    s.createDataFrame(new java.util.ArrayList(
+        java.util.Arrays.asList(rows: _*)), schema)
       .orderBy(col("true_cnt").desc, col("zkey"))
   }
 

@@ -446,16 +446,16 @@ object Pipeline {
       .persistScoped()
     val counts = parts.groupBy(col("pid"))
       .agg(count(lit(1)).as("c"), min(col("mid")).as("m0"))
+    // n rides the SAME bounded offsets relation (Σ of the per-partition
+    // counts — exact integer regrouping), so the decile pass builds ONE
+    // broadcast instead of offsets + a separate total-count job.
     val offsets = counts
       .withColumn("off", sum(col("c")).over(Window.orderBy(col("pid"))) - col("c"))
-      .select(col("pid"), col("off"), col("m0"))
-    // n from the per-partition counts — never a second base-table scan
-    // for a scalar the offset pass already aggregated.
-    val nDf = counts.agg(sum(col("c")).as("n"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      .select(col("pid"), col("off"), col("m0"), col("n"))
     parts
       .join(broadcast(offsets), Seq("pid"))
       .withColumn("rn", col("off") + (col("mid") - col("m0")) + 1)
-      .crossJoin(broadcast(nDf))
       .withColumn("q", expr("n DIV 10"))
       .withColumn("r", col("n") % 10)
       .withColumn("decile", expr(

@@ -121,6 +121,26 @@ class SketchSpec extends SparkSpec {
     assert(truth.forall { case (k, n) => est(k) == n })
   }
 
+  test("census-replayed counters equal the CmsSketch stream build (q_cms_topk pin)") {
+    import spark.implicits._
+    // q_cms_topk now replays counter(r, b) = Σ census counts of keys
+    // hashing to b instead of streaming rows through the UDAF; the two
+    // must agree exactly (the bucket depends on the key alone, the
+    // sums are associative). Same d×w as the query.
+    val d = 4; val w = 1024
+    val rows = (1 to 400).map(i => (math.sqrt(i).toLong).toString)
+    val cms = udaf(new graft.operators.CmsSketch(d, w))
+    val streamed = rows.toDF("k").agg(cms(col("k"))).head.getSeq[Long](0)
+    val census = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val replayed = new Array[Long](d * w)
+    census.foreach { case (k, c) =>
+      (0 until d).foreach { r =>
+        replayed(r * w + (operators.Sketches.hash60(s"$r|$k") % w).toInt) += c
+      }
+    }
+    assert(streamed == replayed.toSeq)
+  }
+
   test("CMS counters are partitioning-invariant (mergeable partial states)") {
     import spark.implicits._
     val cms = udaf(new graft.operators.CmsSketch(4, 128))
