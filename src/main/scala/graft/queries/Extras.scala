@@ -302,7 +302,9 @@ object Extras {
     // conv(substring(md5(…), 1, 15), 16, 10) convention (pinned by
     // SketchSpec), so every counter and every least(...) readout is
     // bit-identical to the former expression tree.
-    val census = Tables.lineitem(s, dir)
+    // widen: the per-row md5 zkey is the census pass's cost, and a
+    // one-row-group input scans as a single task
+    val census = Tables.widen(Tables.lineitem(s, dir))
       .select(expr("CAST(floor(exp((CAST(conv(substring(md5(concat(" +
         "'cms|', CAST(l_orderkey AS STRING), '|', " +
         "CAST(l_linenumber AS STRING))), 1, 8), 16, 10) AS BIGINT) " +

@@ -73,22 +73,34 @@ object Featurize {
           explode(array((1 to 4).map(b =>
             struct(lit(b).as("tname"), cutRank(b).as("t"))): _*)).as("x"))
         .select(col("axis"), col("x.tname"), col("x.t")))
-    val cutArrays = cuts.groupBy(col("axis"))
-      .agg(array((1 to 4).map(b =>
-        max(when(col("tname") === b, col("cut_value")))): _*).as("arr"))
-    val allCuts = cutArrays.agg(
-      max(when(col("axis") === "r", col("arr"))).as("r_cuts"),
-      max(when(col("axis") === "f", col("arr"))).as("f_cuts"),
-      max(when(col("axis") === "m", col("arr"))).as("m_cuts"))
-    def bucket(cutsCol: String, axis: Column): Column =
-      lit(6) - (lit(1) + size(filter(col(cutsCol),
+    // The cut relation is BOUNDED BY CONSTRUCTION (3 axes × 4 ntile
+    // boundaries), so the former two aggregate stages + broadcast that
+    // reshaped it into per-axis arrays collapse to a collect + literal
+    // arrays in the final projection (§2.4 bounded-metadata collapse;
+    // the same 12 (a, k) boundary structs, same order, null where a
+    // boundary rank fell outside the group — identical to the former
+    // max(when(...)) absorbing an absent row as null).
+    val cutRows = cuts
+      .select(col("axis"), col("tname").cast("int").as("b"),
+        col("cut_value.a").as("a"), col("cut_value.k").as("k"))
+      .collect()
+    require(cutRows.length <= 12,
+      s"${cutRows.length} cut rows — the 3-axis × 4-boundary bound drifted")
+    val byAxis = cutRows.groupBy(_.getString(0))
+    def cutArr(axis: String): Column = array((1 to 4).map { b =>
+      byAxis.getOrElse(axis, Array.empty[org.apache.spark.sql.Row])
+        .find(_.getInt(1) == b)
+        .map(r => struct(lit(r.getLong(2)).as("a"), lit(r.getLong(3)).as("k")))
+        .getOrElse(lit(null).cast("struct<a:bigint,k:bigint>"))
+    }: _*)
+    def bucket(cutsCol: Column, axis: Column): Column =
+      lit(6) - (lit(1) + size(filter(cutsCol,
         c => c < struct(axis.as("a"), col("o_custkey").as("k")))).cast("int"))
     base
-      .crossJoin(broadcast(allCuts))
       .select(col("cents"),
-        bucket("r_cuts", col("recency_days")).as("r_q"),
-        bucket("f_cuts", col("neg_frequency")).as("f_q"),
-        bucket("m_cuts", col("neg_cents")).as("m_q"))
+        bucket(cutArr("r"), col("recency_days")).as("r_q"),
+        bucket(cutArr("f"), col("neg_frequency")).as("f_q"),
+        bucket(cutArr("m"), col("neg_cents")).as("m_q"))
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("segment_cents"))
       .orderBy(col("r_q"), col("f_q"), col("m_q"))

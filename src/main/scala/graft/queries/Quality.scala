@@ -378,7 +378,10 @@ object Quality {
     * O(1/√k), pinned against the exact percentiles in QualitySpec.
     * An empty slice yields zero rows (no sample, no estimates). */
   def sampleQuantiles(s: SparkSession, dir: String, k: Int = 1024): DataFrame = {
-    val b = Tables.lineitem(s, dir)
+    // widen: the per-row md5 draw is the cost here, and a one-row-group
+    // input scans as a single task (Tables.widen is a no-op whenever
+    // the scan already parallelizes)
+    val b = Tables.widen(Tables.lineitem(s, dir))
       .select(col("l_orderkey"), col("l_linenumber"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
           .as("cents"))
@@ -421,7 +424,9 @@ object Quality {
     * over the ≤k-row per-group sample relation only. */
   def sampleQuantilesGrouped(s: SparkSession, dir: String, k: Int = 256): DataFrame = {
     val heap = udaf(new graft.operators.TopKPairs(k))
-    val b = Tables.lineitem(s, dir)
+    // widen: same single-task-scan guard as the global form — the md5
+    // draw dominates and must use every core
+    val b = Tables.widen(Tables.lineitem(s, dir))
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
           .as("cents"))
@@ -429,6 +434,15 @@ object Quality {
         expr("CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), " +
           "'|', CAST(l_linenumber AS STRING), '|', " +
           "CAST(cents AS STRING))), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    // The ONE distributed pass (md5 + bounded-heap KMV draw) stays;
+    // the per-group samples are BOUNDED BY CONSTRUCTION (≤ k=256 rows
+    // × the return-flag enum), so the inverse-CDF read-out — formerly
+    // two windows + an aggregate + a sort over the sample relation —
+    // replays locally over the collected samples (§2.4 bounded-
+    // metadata collapse). Exact replication: rn·den ≥ m·num over the
+    // ascending-cents sample ⇔ index of the first crossing in the
+    // locally sorted array; the /100 double division is the same one
+    // IEEE op per estimate.
     val sampled = b.groupBy(col("l_returnflag"))
       .agg(heap(-col("h"), col("cents")).as("s"))
       .select(col("l_returnflag"), explode(col("s")).as("e"))
@@ -436,15 +450,41 @@ object Quality {
       // downstream — ties among equal cents rank arbitrarily but read
       // identically
       .select(col("l_returnflag"), col("e._3").as("cents"))
-    val ranked = sampled.select(col("l_returnflag"), col("cents"),
-      row_number().over(Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("cents"))).as("rn"),
-      count(lit(1)).over(Window.partitionBy(col("l_returnflag"))).as("m"))
-    ranked.groupBy(col("l_returnflag"), col("m"))
-      .agg(est(1, 4).as("e25"), est(1, 2).as("e50"), est(3, 4).as("e75"),
-        est(9, 10).as("e90"), est(99, 100).as("e99"))
-      .select(col("l_returnflag"), col("m").cast("bigint").as("sample_rows"),
-        col("e25"), col("e50"), col("e75"), col("e90"), col("e99"))
+      .collect()
+    require(sampled.length <= 16 * k,
+      s"${sampled.length} sampled rows — the k·|flag enum| bound drifted; " +
+        "revert to the distributed read-out")
+    val rows = sampled.groupBy(_.getString(0)).toSeq.sortBy(_._1).map {
+      case (flag, rs) =>
+        val cents = rs.map(_.getLong(1)).sorted
+        val m = cents.length.toLong
+        // min cents with rn·den ≥ m·num, rn 1-based ⇔ first index where
+        // the integer crossing holds (exact integer comparison)
+        def est(num: Int, den: Int): Double = {
+          var i = 1L
+          while (i * den < m * num) i += 1
+          cents((i - 1).toInt).toDouble / 100
+        }
+        org.apache.spark.sql.Row(flag, m, est(1, 4), est(1, 2), est(3, 4),
+          est(9, 10), est(99, 100))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("l_returnflag",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("sample_rows",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("e25",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("e50",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("e75",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("e90",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("e99",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    s.createDataFrame(new java.util.ArrayList(
+        java.util.Arrays.asList(rows: _*)), schema)
       .orderBy(col("l_returnflag"))
   }
 
