@@ -164,38 +164,44 @@ object Curate {
     * the day relation uses the two-pass partition-offset pattern
     * (unbounded-span safe, cf. q_concurrency). */
   def changePoint(s: SparkSession, dir: String): DataFrame = {
+    // The day relation is CALENDAR-BOUNDED (TPC-H order dates span
+    // ~2.4k days at any SF), so the ONE fact-volume aggregate stays
+    // distributed and the former prefix-sum machinery (two persists,
+    // range exchange, offset + total broadcasts, peak scalar pass —
+    // ~5 sequential jobs over ≤2.5k rows) replays locally over the
+    // collected census in exact int64: cum/t in day order,
+    // s_num = n_days·cum − t·tot, peak by integer comparison (§2.4
+    // bounded-metadata collapse, the month-spine precedent).
     val daily = Tables.orders(s, dir)
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(count(lit(1)).as("n"))
-      // pin before the range repartition: its bound-sampling job would
-      // otherwise re-run the daily aggregate a second time
-      .persistScoped()
-    val parts = daily
-      .repartitionByRange(Tables.shuffleWidth(s), col("d"))
-      .withColumn("pid", spark_partition_id())
-      .persistScoped() // pin sampled range bounds: both readers must agree on pid
-    val counts = parts.groupBy(col("pid"))
-      .agg(sum(col("n")).as("c"), count(lit(1)).as("k"))
-    val offsets = counts
-      .withColumn("off", sum(col("c")).over(Window.orderBy(col("pid"))) - col("c"))
-      .withColumn("offk", sum(col("k")).over(Window.orderBy(col("pid"))) - col("k"))
-      .select(col("pid"), col("off"), col("offk"))
-    val tot = counts.agg(sum(col("c")).as("tot_n"), sum(col("k")).as("n_days"))
-    val localW = Window.partitionBy(col("pid")).orderBy(col("d"))
-    val scored = parts
-      .withColumn("cuml", sum(col("n")).over(
-        localW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tl", row_number().over(localW))
-      .join(broadcast(offsets), Seq("pid"))
-      .crossJoin(broadcast(tot))
-      .select(col("d"), col("n"),
-        (col("n_days") * (col("off") + col("cuml")) -
-          (col("offk") + col("tl")) * col("tot_n")).as("s_num"))
-      .persistScoped() // read twice: the peak scalar and the flagged output
-    val peak = scored.agg(max(abs(col("s_num"))).as("peak"))
-    scored.crossJoin(broadcast(peak))
-      .select(col("d"), col("n"), col("s_num"),
-        (abs(col("s_num")) === col("peak")).as("is_peak"))
+      .collect()
+    require(daily.length <= 4096,
+      s"${daily.length} distinct order days — the calendar bound drifted; " +
+        "revert to the distributed prefix sum")
+    val byDay = daily.map(r => (r.getDate(0), r.getLong(1))).sortBy(_._1.getTime)
+    val totN = byDay.map(_._2).sum
+    val nDays = byDay.length.toLong
+    var cum = 0L
+    val scored = byDay.zipWithIndex.map { case ((d, n), i) =>
+      cum += n
+      (d, n, nDays * cum - (i + 1L) * totN)
+    }
+    val peak = if (scored.isEmpty) 0L else scored.map(x => math.abs(x._3)).max
+    val rows = scored.map { case (d, n, sNum) =>
+      org.apache.spark.sql.Row(d, n, sNum, math.abs(sNum) == peak)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.DateType, nullable = false),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("s_num",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("is_peak",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    s.createDataFrame(new java.util.ArrayList(
+        java.util.Arrays.asList(rows: _*)), schema)
       .orderBy(col("d"))
   }
 
@@ -317,11 +323,15 @@ object Curate {
     * 60-bit NgramHashes digest rather than the string (same
     * w.h.p.-collision convention as q_dedup_ngram). */
   def novelty(s: SparkSession, dir: String): DataFrame = {
+    // first_doc via a whole-partition window min instead of the former
+    // aggregate + self-join: the occurrence stream crosses the wire
+    // ONCE (the shingle exchange the aggregate needed anyway) and the
+    // persist + second shingle-keyed pass disappear; min over the
+    // partition is the same exact value the aggregate produced.
     val sh = Dedup.shingles(
       Tables.documents(s, dir).select(col("doc_id"), col("text")), 3)
-      .persistScoped() // first-owner aggregate + per-doc join both read it
-    val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
-    sh.join(first, Seq("shingle"))
+    sh.withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("shingle"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))

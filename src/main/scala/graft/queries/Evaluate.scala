@@ -1696,27 +1696,33 @@ object Evaluate {
     * over the persisted cents projection; the ≤k-row group sums ride
     * broadcast joins. */
   def grubbs(s: SparkSession, dir: String): DataFrame = {
-    val x = Tables.customer(s, dir).select(
+    // ONE aggregate instead of the former three passes + three
+    // broadcasts: devn(v) = |v·nj − sj| = nj·|v − mean| is maximized
+    // at the group's min or max value, so maxdevn =
+    // greatest(vmax·nj − sj, sj − vmin·nj) — exact integers, no
+    // per-row deviation pass. The suspect (min v achieving maxdevn)
+    // is vmin whenever the low side ties or wins (rows at BOTH
+    // extremes achieve the max only on an exact tie, where min picks
+    // vmin), else vmax. The g_stat expression chain is unchanged —
+    // the same post-aggregation IEEE ops in the same order.
+    val per = Tables.customer(s, dir).select(
         col("c_mktsegment").as("g"),
         (col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint").as("v"))
-      .persistScoped() // group-sum pass + deviation pass + suspect pass
-    val per = x.groupBy(col("g"))
+      .groupBy(col("g"))
       .agg(count(lit(1)).as("nj"), sum(col("v")).as("sj"),
         sum((col("v").cast("decimal(38,0)") * col("v"))
-          .cast("decimal(38,0)")).as("sxx"))
+          .cast("decimal(38,0)")).as("sxx"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
       .withColumn("qj", expr("CAST(sj AS DECIMAL(38,0)) * sj div nj"))
-    val dev = x.join(broadcast(per), Seq("g"))
-      .select(col("g"), col("v"), col("nj"), col("sj"), col("qj"), col("sxx"),
-        abs(col("v") * col("nj") - col("sj")).as("devn"))
-    val mx = dev.groupBy(col("g"), col("nj"), col("qj"), col("sxx"))
-      .agg(max(col("devn")).as("maxdevn"))
-    val suspect = dev.select(col("g"), col("v"), col("devn"))
-      .join(broadcast(mx.select(col("g"), col("maxdevn"))), Seq("g"))
-      .filter(col("devn") === col("maxdevn"))
-      .groupBy(col("g")).agg(min(col("v")).as("suspect_cents"))
+      .withColumn("maxdevn", greatest(col("vmax") * col("nj") - col("sj"),
+        col("sj") - col("vmin") * col("nj")))
+      .withColumn("suspect_cents",
+        when(col("sj") - col("vmin") * col("nj") >=
+          col("vmax") * col("nj") - col("sj"), col("vmin"))
+          .otherwise(col("vmax")))
     val s2 = (col("sxx") - col("qj")).cast("bigint").cast("double") /
       (col("nj") - 1).cast("double")
-    mx.join(broadcast(suspect), Seq("g"))
+    per
       .select(col("g"), col("nj").as("n"),
         when(col("nj") <= 2 ||
             (col("sxx") - col("qj")).cast("bigint") <= 0, lit(0.0))

@@ -706,7 +706,11 @@ object Joins {
     // (left-assoc), so every double is bit-identical to the inline
     // form the oracle mirrors.
     val hh = md5(concat(lit("egeo|"), col("event_id").cast("string")))
-    val pts = Tables.events(s, dir)
+    // widen: the one-row-group input scans as a single task, and the
+    // persist below would otherwise pin ONE partition — serializing
+    // the md5 AND the whole 9-ring explode + haversine stage on one
+    // core (Tables.widen is a no-op when the scan already splits)
+    val pts = Tables.widen(Tables.events(s, dir))
       .select((dec2(col("value")) * 100).cast("bigint").as("cents"),
         hh.as("hh"))
       .select(col("cents"),

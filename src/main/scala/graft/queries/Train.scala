@@ -239,11 +239,27 @@ object Train {
     // map-side) instead of the two-exchange self-join — identical
     // distinct-pair counts (cp is distinct, so per-part lists are
     // duplicate-free); per-part fan-out matches the join's exactly
+    // SKEW GUARD: the pair explode materializes the full C(|cs|, 2)
+    // array per part before generating rows — linear-bounded on
+    // TPC-H-shaped data (~30 customers/part at any SF), but a single
+    // hot part key at 100 TB would turn one task into an O(n²)
+    // allocation. Fail LOUDLY at 1024 (≈0.5M pair structs, well inside
+    // one task's memory; ~34× the observed fan-out) rather than let a
+    // skewed key OOM an executor — past the cap the right shape is a
+    // lazy pair generator or salting the hot keys (guide §2.5), not a
+    // bigger array. The CASE keeps the guard inside the evaluated
+    // expression so the optimizer cannot prune it.
     val pairs = cp
       .groupBy(col("p")).agg(sort_array(collect_set(col("c"))).as("cs"))
-      .select(explode(expr("flatten(transform(cs, a -> " +
-        "transform(filter(cs, b -> b > a), " +
-        "b -> named_struct('u', a, 'v', b))))")).as("e"))
+      .select(explode(expr(
+        "CASE WHEN size(cs) > 1024 THEN " +
+          "raise_error(concat('kcore: per-part customer set of ', " +
+          "CAST(size(cs) AS STRING), " +
+          "' exceeds the 1024 pair-census cap (hot key at scale) - " +
+          "salt the key or switch to a lazy pair generator')) " +
+          "ELSE flatten(transform(cs, a -> " +
+          "transform(filter(cs, b -> b > a), " +
+          "b -> named_struct('u', a, 'v', b)))) END")).as("e"))
       .groupBy(col("e.u").as("u"), col("e.v").as("v"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

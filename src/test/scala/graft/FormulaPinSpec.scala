@@ -57,6 +57,26 @@ class FormulaPinSpec extends SparkSpec {
       s"2-core must be the triangle with degree 2, got ${out.toSeq}")
   }
 
+  test("k-core: a hot part key past the 1024 pair-census cap fails loudly") {
+    // The pair explode materializes C(|cs|, 2) structs per part — fine
+    // at TPC-H's ~30 customers/part, an executor-OOM hazard under a
+    // skewed key at scale. The in-plan guard must RAISE (never
+    // silently allocate) when one part's customer set exceeds the cap.
+    val n = 1025L
+    val custs = (1L to n).map(c => (c, "BUILDING"))
+    val orders = (1L to n).map(c => (c, c))
+    val items = (1L to n).map(c => (c, 1L)) // every customer shares part 1
+    val dir = fixture(
+      "customer" -> custs.toDF("c_custkey", "c_mktsegment"),
+      "orders" -> orders.toDF("o_orderkey", "o_custkey"),
+      "lineitem" -> items.toDF("l_orderkey", "l_partkey"))
+    val e = intercept[Throwable] { queries.Train.kcore(spark, dir).collect() }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("pair-census cap"),
+      s"expected the loud skew guard, got: ${msgs.take(300)}")
+  }
+
   private def ts(s: String): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(s)
 

@@ -93,9 +93,13 @@ class PlanGuardSpec extends SparkSpec {
     // re-agg + sort; the pooled side re-aggregates 3 stratum rows.
     "q_expectations" -> 7, "q_simpsons_audit" -> 3,
     // q_sample_quantiles: the KMV draw is map-side TakeOrdered and
-    // the windows run over the ≤1024-row sample — ZERO exchanges is
-    // the operator's whole scale story; any new exchange is a bug
-    "q_sample_quantiles" -> 0,
+    // the windows run over the ≤1024-row sample; the ONE exchange is
+    // the deliberate Tables.widen pass (round 16 — the one-row-group
+    // fixture scans as a single task, so the per-row md5 must be
+    // redistributed before it runs; a no-op repartition on any
+    // properly split input). A SECOND exchange would mean the draw
+    // stopped combining map-side — that is the bug this pins.
+    "q_sample_quantiles" -> 1,
     // q_join_asof_merge: the custom exec's two input exchanges plus
     // the result ORDER BY — a 4th exchange would mean the pair
     // stream started shuffling again (AsofSpec pins the record
