@@ -153,32 +153,43 @@ object Alloc {
           .groupBy(col("l_orderkey")).agg(max(to_date(col("l_shipdate"))).as("close_d")),
         col("o_orderkey") === col("l_orderkey"))
       .select(to_date(col("o_orderdate")).as("open_d"), col("close_d"))
+    // The delta-day relation is CALENDAR-BOUNDED (order/ship dates
+    // span ~2.6k days at any SF), so the ONE fact-volume pass (the
+    // spans join + per-day delta aggregate) stays distributed and the
+    // former prefix-sum machinery (two persists, range exchange,
+    // offset broadcast, month aggregate — ~4 sequential jobs over
+    // ≤2.6k rows) replays locally over the collected census in exact
+    // int64 (§2.4 bounded-metadata collapse, the change-point
+    // precedent): running open count in day order, per-month peak/net.
     val deltas = spans.select(col("open_d").as("d"), lit(1L).as("delta"))
       .unionAll(spans.select(date_add(col("close_d"), 1).as("d"), lit(-1L).as("delta")))
       .groupBy(col("d")).agg(sum(col("delta")).as("net"))
-      // pin before the range repartition: its bound-sampling job would
-      // otherwise re-run the join + union aggregate a second time
-      .persistScoped()
-    // The day relation grows with the covered time span, so the running
-    // sum uses the same scale-safe two-pass prefix sum as docPacking:
-    // range-repartition by day, per-partition net totals broadcast as
-    // offsets, partition-local cumulative window — no single-partition
-    // global window even over an unbounded span.
-    val parts = deltas
-      .repartitionByRange(Tables.shuffleWidth(s), col("d"))
-      .withColumn("pid", spark_partition_id())
-      .persistScoped() // pin sampled range bounds: both readers must agree on pid
-    val offsets = parts.groupBy(col("pid")).agg(sum(col("net")).as("c"))
-      .withColumn("off", sum(col("c")).over(Window.orderBy(col("pid"))) - col("c"))
-      .select(col("pid"), col("off"))
-    val localW = Window.partitionBy(col("pid")).orderBy(col("d"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parts
-      .withColumn("open", sum(col("net")).over(localW))
-      .join(broadcast(offsets), Seq("pid"))
-      .withColumn("open", col("off") + col("open"))
-      .groupBy(date_trunc("month", col("d")).cast("date").as("month"))
-      .agg(max(col("open")).as("peak_open"), sum(col("net")).as("net_change"))
+      .collect()
+    require(deltas.length <= 8192,
+      s"${deltas.length} distinct delta days — the calendar bound drifted; " +
+        "revert to the distributed prefix sum")
+    val byDay = deltas.map(r => (r.getDate(0), r.getLong(1))).sortBy(_._1.getTime)
+    var open = 0L
+    val monthly = scala.collection.mutable.LinkedHashMap[
+      java.time.LocalDate, (Long, Long)]()
+    byDay.foreach { case (d, net) =>
+      open += net
+      val m = d.toLocalDate.withDayOfMonth(1)
+      val (peak, nc) = monthly.getOrElse(m, (Long.MinValue, 0L))
+      monthly(m) = (math.max(peak, open), nc + net)
+    }
+    val rows = monthly.toSeq.sortBy(_._1.toEpochDay).map { case (m, (peak, nc)) =>
+      org.apache.spark.sql.Row(java.sql.Date.valueOf(m), peak, nc)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("month",
+        org.apache.spark.sql.types.DateType, nullable = false),
+      org.apache.spark.sql.types.StructField("peak_open",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("net_change",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    s.createDataFrame(new java.util.ArrayList(
+        java.util.Arrays.asList(rows: _*)), schema)
       .orderBy(col("month"))
   }
 
